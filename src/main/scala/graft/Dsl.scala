@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Determinism helpers implementing SURVEY.md §2's oracle rules.
+  *
+  * Rule 2: never emit a raw floating aggregate — Spark and DuckDB sum
+  * doubles in different orders. Fixture money columns are exact 2-dp values
+  * and rate columns exact 4-dp (profiled in FIXTURES.md), so casting to
+  * DECIMAL before SUM gives bit-identical exact arithmetic in both engines.
+  * Rule 3: no decimal division — divide as double after the exact sum.
+  * Rule 4: final projections carry primitives only, so exact decimal sums
+  * are surfaced as doubles (one deterministic conversion).
+  */
+object Dsl {
+  /** Cast an exact-2-decimal double column to DECIMAL(18,2). */
+  def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** Cast an exact-4-decimal double column to DECIMAL(18,4). */
+  def dec4(c: Column): Column = c.cast(DecimalType(18, 4))
+
+  /** Exact SUM of a money column, surfaced as double. */
+  def sumMoney(c: Column): Column = sum(dec2(c)).cast(DoubleType)
+
+  /** Exact SUM of a 4-dp rate column, surfaced as double. */
+  def sumRate(c: Column): Column = sum(dec4(c)).cast(DoubleType)
+
+  /** Deterministic average: exact decimal sum / count, divided in double,
+    * rounded — identical in Spark and DuckDB regardless of row order. */
+  def avgMoney(c: Column): Column = round(sumMoney(c) / count(lit(1)), 4)
+  def avgRate(c: Column): Column  = round(sumRate(c) / count(lit(1)), 4)
+}

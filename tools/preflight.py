@@ -1,0 +1,77 @@
+#!/usr/bin/env python3
+"""Local pre-flight diff: the inner dev loop (SURVEY.md §5 item 1).
+
+Usage:
+    sbt 'runMain graft.Verify /root/testdata/sf0.01 /tmp/verify'
+    python3 tools/preflight.py /root/testdata/sf0.01 /tmp/verify [name_filter]
+
+Mimics the driver's compare: for each entry in oracle_sql.json, run the SQL
+in DuckDB over views named after the fixture tables, load the Spark result
+parquet, sort columns by name, and require exact value equality row by row.
+"""
+import sys, json, glob
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def main():
+    sfdir, outdir = sys.argv[1], sys.argv[2]
+    name_filter = sys.argv[3] if len(sys.argv) > 3 else ""
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+    with open(f"{outdir}/oracle_sql.json") as f:
+        oracle = json.load(f)
+    failures = 0
+    for name in sorted(oracle):
+        if name_filter and name_filter not in name:
+            continue
+        sql = oracle[name]
+        files = glob.glob(f"{outdir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no result parquet (query errored in Verify?)")
+            failures += 1
+            continue
+        got = con.execute(
+            f"SELECT * FROM read_parquet('{files[0]}')").fetch_arrow_table()
+        try:
+            exp = con.execute(sql).fetch_arrow_table()
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {e}")
+            failures += 1
+            continue
+        gcols, ecols = sorted(got.column_names), sorted(exp.column_names)
+        if gcols != ecols:
+            print(f"FAIL {name}: columns spark={gcols} duckdb={ecols}")
+            failures += 1
+            continue
+        gtypes = [str(got.schema.field(c).type) for c in gcols]
+        etypes = [str(exp.schema.field(c).type) for c in ecols]
+        g = got.select(gcols).to_pylist()
+        e = exp.select(ecols).to_pylist()
+        if len(g) != len(e):
+            print(f"FAIL {name}: rows spark={len(g)} duckdb={len(e)}")
+            failures += 1
+            continue
+        if g != e:
+            for i, (a, b) in enumerate(zip(g, e)):
+                if a != b:
+                    print(f"FAIL {name}: first diff at row {i}:")
+                    print(f"  spark : {a}")
+                    print(f"  duckdb: {b}")
+                    break
+            failures += 1
+            continue
+        tnote = "" if gtypes == etypes else f"  [type drift: {list(zip(gcols, gtypes, etypes))}]"
+        print(f"OK   {name} ({len(g)} rows){tnote}")
+    checked = len([n for n in oracle if not name_filter or name_filter in n])
+    print(f"== {checked - failures}/{checked} OK ==")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
