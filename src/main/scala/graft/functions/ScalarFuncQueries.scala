@@ -1,8 +1,184 @@
 package graft.functions
 
-import graft.Q
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
-/** Scalar-function surface (string/date/math/array/json) — SURVEY.md §2.8. */
+/** Scalar-function surface — SURVEY.md §2.8 rows 36–40.
+  *
+  * Dialect notes (rule 5): Spark `dayofweek` is 1=Sunday vs DuckDB's
+  * 0=Sunday (twin adds 1); Spark ceil/floor/length/year return narrower
+  * or wider ints than DuckDB (both sides cast to BIGINT); rounding
+  * boundaries avoid exact .5 by dividing by 7 before rounding; regex stays
+  * in the RE2∩Java subset. All expressions are codegen'd built-ins — no
+  * UDFs — so pushdown and whole-stage codegen survive (100 TB rule).
+  */
 object ScalarFuncQueries {
-  val all: Vector[Q] = Vector()
+
+  /** #36 q_str_funcs — string function battery over part. */
+  val qStrFuncs: Q = Q(
+    "q_str_funcs",
+    (s, dir) => {
+      import s.implicits._
+      Tables.part(s, dir)
+        .select(
+          $"p_partkey",
+          upper($"p_name").as("uname"),
+          lower($"p_brand").as("lbrand"),
+          substring($"p_name", 1, 5).as("sub5"),
+          length($"p_name").cast(LongType).as("name_len"),
+          regexp_replace($"p_name", " ", "_").as("snake"),
+          lpad($"p_size".cast(StringType), 4, "0").as("size_pad"),
+          concat_ws("|", $"p_brand", $"p_type").as("brand_type"),
+          element_at(split($"p_name", " "), 1).as("first_tok"),
+          regexp_extract($"p_type", "^([A-Z]+)", 1).as("type_head"),
+          trim(concat(lit("  "), $"p_brand", lit("  "))).as("trimmed"))
+        .orderBy($"p_partkey")
+    },
+    oracle = Some(
+      """SELECT p_partkey,
+        |  upper(p_name) AS uname,
+        |  lower(p_brand) AS lbrand,
+        |  substring(p_name, 1, 5) AS sub5,
+        |  CAST(length(p_name) AS BIGINT) AS name_len,
+        |  replace(p_name, ' ', '_') AS snake,
+        |  lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+        |  concat_ws('|', p_brand, p_type) AS brand_type,
+        |  string_split(p_name, ' ')[1] AS first_tok,
+        |  regexp_extract(p_type, '^([A-Z]+)', 1) AS type_head,
+        |  trim('  ' || p_brand || '  ') AS trimmed
+        |FROM part
+        |ORDER BY p_partkey""".stripMargin))
+
+  /** #37 q_date_funcs — datetime battery over orders (dow offset per
+    * rule 5: DuckDB dow is 0=Sunday, Spark is 1=Sunday). */
+  val qDateFuncs: Q = Q(
+    "q_date_funcs",
+    (s, dir) => {
+      import s.implicits._
+      Tables.orders(s, dir)
+        .select(
+          $"o_orderkey",
+          year($"o_orderdate").cast(LongType).as("yr"),
+          month($"o_orderdate").cast(LongType).as("mo"),
+          dayofmonth($"o_orderdate").cast(LongType).as("dom"),
+          date_trunc("month", $"o_orderdate").as("month_start"),
+          date_add($"o_orderdate", 30).as("plus30"),
+          last_day($"o_orderdate").as("month_end"),
+          dayofweek($"o_orderdate").cast(LongType).as("dow1sun"),
+          datediff($"o_orderdate", to_date(lit("1995-01-01")))
+            .cast(LongType).as("days_since_95"))
+        .orderBy($"o_orderkey")
+    },
+    oracle = Some(
+      """SELECT o_orderkey,
+        |  year(o_orderdate) AS yr,
+        |  month(o_orderdate) AS mo,
+        |  CAST(day(o_orderdate) AS BIGINT) AS dom,
+        |  date_trunc('month', o_orderdate) AS month_start,
+        |  CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS plus30,
+        |  last_day(o_orderdate) AS month_end,
+        |  CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow1sun,
+        |  datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS days_since_95
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin))
+
+  /** #38 q_math_funcs — math battery over customer balances; every
+    * transcendental output rounded (rule 2), and the explicit-round test
+    * divides by 7 first so no exact-.5 boundary exists (rule 5). */
+  val qMathFuncs: Q = Q(
+    "q_math_funcs",
+    (s, dir) => {
+      import s.implicits._
+      Tables.customer(s, dir)
+        .select(
+          $"c_custkey",
+          abs($"c_acctbal").as("ab"),
+          ceil($"c_acctbal").as("ce"),
+          floor($"c_acctbal").as("fl"),
+          round($"c_acctbal" / 7.0, 2).as("r7"),
+          round(pow($"c_acctbal", 2), 4).as("sq"),
+          round(sqrt(abs($"c_acctbal")), 4).as("sq_root"),
+          round(log(abs($"c_acctbal") + 1.0), 4).as("ln1p"),
+          round(exp($"c_acctbal" / 10000.0), 4).as("ex"),
+          ($"c_custkey" % 7).as("m7"),
+          signum($"c_acctbal").cast(LongType).as("sgn"),
+          greatest($"c_acctbal", lit(0.0)).as("gr"),
+          least($"c_acctbal", lit(0.0)).as("le"))
+        .orderBy($"c_custkey")
+    },
+    oracle = Some(
+      """SELECT c_custkey,
+        |  abs(c_acctbal) AS ab,
+        |  CAST(ceil(c_acctbal) AS BIGINT) AS ce,
+        |  CAST(floor(c_acctbal) AS BIGINT) AS fl,
+        |  ROUND(c_acctbal / 7.0, 2) AS r7,
+        |  ROUND(pow(c_acctbal, 2), 4) AS sq,
+        |  ROUND(sqrt(abs(c_acctbal)), 4) AS sq_root,
+        |  ROUND(ln(abs(c_acctbal) + 1.0), 4) AS ln1p,
+        |  ROUND(exp(c_acctbal / 10000.0), 4) AS ex,
+        |  c_custkey % 7 AS m7,
+        |  CAST(sign(c_acctbal) AS BIGINT) AS sgn,
+        |  greatest(c_acctbal, CAST(0 AS DOUBLE)) AS gr,
+        |  least(c_acctbal, CAST(0 AS DOUBLE)) AS le
+        |FROM customer
+        |ORDER BY c_custkey""".stripMargin))
+
+  /** #39 q_array_funcs — higher-order functions over the embedding
+    * vectors; per-row left folds, double math on both sides (rule 2). */
+  val qArrayFuncs: Q = Q(
+    "q_array_funcs",
+    (s, dir) => {
+      import s.implicits._
+      Tables.embeddings(s, dir)
+        .select(
+          $"vec_id",
+          size($"embedding").cast(LongType).as("arr_len"),
+          round(element_at($"embedding", 1).cast(DoubleType), 4).as("first_elem"),
+          round(aggregate(slice($"embedding", 1, 3), lit(0.0),
+            (acc, x) => acc + x.cast(DoubleType)), 4).as("first3_sum"),
+          size(filter($"embedding", x => x > 0f)).cast(LongType).as("n_pos"),
+          round(aggregate($"embedding", lit(0.0),
+            (acc, x) => acc + x.cast(DoubleType) * x.cast(DoubleType)), 4)
+            .as("sum_sq"))
+        .orderBy($"vec_id")
+    },
+    oracle = Some(
+      """SELECT vec_id,
+        |  len(embedding) AS arr_len,
+        |  ROUND(CAST(embedding[1] AS DOUBLE), 4) AS first_elem,
+        |  ROUND(list_sum(list_transform(embedding[1:3], x -> CAST(x AS DOUBLE))), 4) AS first3_sum,
+        |  CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+        |  ROUND(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 4) AS sum_sq
+        |FROM embeddings
+        |ORDER BY vec_id""".stripMargin))
+
+  /** #40 q_json_extract — both JSON access paths (get_json_object and
+    * from_json→struct field) over events.props, aggregated by k-bucket. */
+  val qJsonExtract: Q = Q(
+    "q_json_extract",
+    (s, dir) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .withColumn("k",
+          get_json_object($"props", "$.k").cast(IntegerType))
+        .withColumn("k2", from_json($"props", "k INT").getField("k"))
+        .groupBy(floor($"k" / 10).as("bucket"))
+        .agg(
+          count(lit(1)).as("n"),
+          min($"k2").as("min_k"),
+          max($"k2").as("max_k"),
+          countDistinct($"user_id").as("n_users"))
+        .orderBy($"bucket")
+    },
+    oracle = Some(
+      """SELECT CAST(k // 10 AS BIGINT) AS bucket, COUNT(*) AS n,
+        |  MIN(k) AS min_k, MAX(k) AS max_k,
+        |  COUNT(DISTINCT user_id) AS n_users
+        |FROM (SELECT CAST(props->>'k' AS INT) AS k, user_id FROM events)
+        |GROUP BY bucket
+        |ORDER BY bucket""".stripMargin))
+
+  val all: Vector[Q] =
+    Vector(qStrFuncs, qDateFuncs, qMathFuncs, qArrayFuncs, qJsonExtract)
 }

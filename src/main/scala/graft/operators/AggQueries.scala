@@ -9,9 +9,30 @@ import org.apache.spark.sql.types._
   *
   * All use Spark's partial+final hash aggregation (map-side combine happens
   * for free), which is the 100 TB scale path: the shuffle carries one row
-  * per (partition × group), not per input row.
+  * per (partition × group), not per input row. Multi-distinct (#17) uses
+  * Catalyst's Expand-based rewrite — still fully distributed.
   */
 object AggQueries {
+
+  /** #15 q_agg_global — table-wide count / distinct / min / max / sum. */
+  val qAggGlobal: Q = Q(
+    "q_agg_global",
+    (s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .agg(
+          count(lit(1)).as("n_rows"),
+          countDistinct($"l_orderkey").as("n_orders"),
+          min($"l_shipdate").as("min_ship"),
+          max($"l_shipdate").as("max_ship"),
+          sumMoney($"l_extendedprice").as("sum_price"))
+    },
+    oracle = Some(
+      """SELECT COUNT(*) AS n_rows,
+        |  COUNT(DISTINCT l_orderkey) AS n_orders,
+        |  MIN(l_shipdate) AS min_ship, MAX(l_shipdate) AS max_ship,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem""".stripMargin))
 
   /** #16 q_agg_groupby — TPC-H-Q1 flavor; the flagship / minimum slice. */
   val qAggGroupby: Q = Q(
@@ -27,8 +48,8 @@ object AggQueries {
           sum(dec4($"l_extendedprice") *
             (lit(1).cast(DecimalType(18, 4)) - dec4($"l_discount")))
             .cast(DoubleType).as("sum_disc_price"),
-          round(sumMoney($"l_quantity") / count(lit(1)), 4).as("avg_qty"),
-          round(sumRate($"l_discount") / count(lit(1)), 4).as("avg_disc"))
+          avgMoney($"l_quantity").as("avg_qty"),
+          avgRate($"l_discount").as("avg_disc"))
         .orderBy($"l_returnflag", $"l_linestatus")
     },
     oracle = Some(
@@ -43,5 +64,127 @@ object AggQueries {
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin))
 
-  val all: Vector[Q] = Vector(qAggGroupby)
+  /** #17 q_agg_distinct — multi-distinct alongside plain aggregates
+    * (Catalyst Expand rewrite keeps it distributed). */
+  val qAggDistinct: Q = Q(
+    "q_agg_distinct",
+    (s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .groupBy($"l_returnflag")
+        .agg(
+          countDistinct($"l_partkey").as("distinct_parts"),
+          countDistinct($"l_suppkey").as("distinct_supps"),
+          count(lit(1)).as("cnt"))
+        .orderBy($"l_returnflag")
+    },
+    oracle = Some(
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_partkey) AS distinct_parts,
+        |  COUNT(DISTINCT l_suppkey) AS distinct_supps,
+        |  COUNT(*) AS cnt
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin))
+
+  /** #18 q_agg_having — groups filtered post-aggregation. */
+  val qAggHaving: Q = Q(
+    "q_agg_having",
+    (s, dir) => {
+      import s.implicits._
+      Tables.orders(s, dir)
+        .groupBy($"o_custkey")
+        .agg(
+          count(lit(1)).as("order_cnt"),
+          sumMoney($"o_totalprice").as("sum_price"))
+        .where($"order_cnt" >= 14)
+        .orderBy($"o_custkey")
+    },
+    oracle = Some(
+      """SELECT o_custkey, COUNT(*) AS order_cnt,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |GROUP BY o_custkey
+        |HAVING COUNT(*) >= 14
+        |ORDER BY o_custkey""".stripMargin))
+
+  /** #19 q_agg_groupingsets — CUBE over (status, priority) with
+    * grouping_id; null grouping keys ordered explicitly (rule 5). */
+  val qAggGroupingSets: Q = Q(
+    "q_agg_groupingsets",
+    (s, dir) => {
+      import s.implicits._
+      Tables.orders(s, dir)
+        .cube($"o_orderstatus", $"o_orderpriority")
+        .agg(
+          count(lit(1)).as("n"),
+          sumMoney($"o_totalprice").as("sum_price"))
+        .withColumn("gid", grouping_id().cast(LongType))
+        .select($"gid", $"o_orderstatus", $"o_orderpriority", $"n", $"sum_price")
+        .orderBy($"gid",
+          $"o_orderstatus".asc_nulls_first,
+          $"o_orderpriority".asc_nulls_first)
+    },
+    oracle = Some(
+      """SELECT CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+        |  o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin))
+
+  /** #20 q_agg_stats — sample stddev/variance/corr/covar, rounded (rule 2:
+    * moment aggregates are double sums → round masks summation-order ulp). */
+  val qAggStats: Q = Q(
+    "q_agg_stats",
+    (s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .groupBy($"l_returnflag")
+        .agg(
+          round(stddev_samp($"l_quantity"), 4).as("sd_qty"),
+          round(var_samp($"l_quantity"), 4).as("var_qty"),
+          round(corr($"l_extendedprice", $"l_quantity"), 4).as("corr_price_qty"),
+          round(covar_samp($"l_extendedprice", $"l_quantity"), 4).as("covar_price_qty"))
+        .orderBy($"l_returnflag")
+    },
+    oracle = Some(
+      """SELECT l_returnflag,
+        |  ROUND(stddev_samp(l_quantity), 4) AS sd_qty,
+        |  ROUND(var_samp(l_quantity), 4) AS var_qty,
+        |  ROUND(corr(l_extendedprice, l_quantity), 4) AS corr_price_qty,
+        |  ROUND(covar_samp(l_extendedprice, l_quantity), 4) AS covar_price_qty
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin))
+
+  /** #21 q_agg_approx_hll (T) — HLL++ sketch distinct; engine-specific
+    * sketch ⇒ no DuckDB oracle. `HllSpec` asserts within rsd of exact. */
+  val qAggApproxHll: Q = Q(
+    "q_agg_approx_hll",
+    (s, dir) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .groupBy($"event_type")
+        .agg(approx_count_distinct($"user_id", 0.02).as("approx_users"))
+        .orderBy($"event_type")
+    })
+
+  /** #22 q_agg_custom_typed (T) — weighted average via a typed
+    * Aggregator UDAF; `TypedAggSpec` pins it to sum(x·w)/sum(w). */
+  val qAggCustomTyped: Q = Q(
+    "q_agg_custom_typed",
+    (s, dir) => {
+      import s.implicits._
+      val wavg = udaf(graft.functions.TypedAggs.WeightedAvg)
+      Tables.lineitem(s, dir)
+        .groupBy($"l_returnflag")
+        .agg(round(wavg($"l_extendedprice", $"l_quantity"), 4)
+          .as("wavg_price"))
+        .orderBy($"l_returnflag")
+    })
+
+  val all: Vector[Q] = Vector(
+    qAggGlobal, qAggGroupby, qAggDistinct, qAggHaving,
+    qAggGroupingSets, qAggStats, qAggApproxHll, qAggCustomTyped)
 }

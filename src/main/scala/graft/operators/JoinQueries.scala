@@ -1,8 +1,264 @@
 package graft.operators
 
-import graft.Q
+import graft.{Q, Tables}
+import graft.Dsl._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
-/** Join operators — SURVEY.md §2.3. */
+/** Join taxonomy — SURVEY.md §2.3 rows 5–14.
+  *
+  * Scale notes (100 TB):
+  *  - Fact⋈fact equi joins (#5, #7, #8) shuffle both sides on the key —
+  *    Spark picks sort-merge (or shuffled-hash via AQE); that is the
+  *    scale-out path, and AQE splits skewed partitions at runtime.
+  *  - Dimension joins (#6, #7's nation/region) are explicitly
+  *    `broadcast()`: the dim ships to every executor once, the fact side
+  *    never shuffles. region/nation/supplier stay tiny at any SF.
+  *  - #12's band join is a BroadcastNestedLoopJoin — correct only because
+  *    supplier is the small side (broadcast); at 100 TB the small side is
+  *    still the dim, so the shape holds.
+  *  - #13 (as-of) is the window formulation: one shuffle on user_id, no
+  *    join at all — the classic scale-safe as-of.
+  *  - #14 joins the fact against a derived tiny calendar (≤ 80 months) —
+  *    auto-broadcast, fact side stays put.
+  */
 object JoinQueries {
-  val all: Vector[Q] = Vector()
+
+  /** #5 q_join_inner — orders⋈customer, order stats per market segment. */
+  val qJoinInner: Q = Q(
+    "q_join_inner",
+    (s, dir) => {
+      import s.implicits._
+      Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), $"o_custkey" === $"c_custkey", "inner")
+        .groupBy($"c_mktsegment")
+        .agg(
+          count(lit(1)).as("order_cnt"),
+          sumMoney($"o_totalprice").as("sum_total"))
+        .orderBy($"c_mktsegment")
+    },
+    oracle = Some(
+      """SELECT c_mktsegment, COUNT(*) AS order_cnt,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin))
+
+  /** #6 q_join_broadcast — customer enriched through two broadcast dims. */
+  val qJoinBroadcast: Q = Q(
+    "q_join_broadcast",
+    (s, dir) => {
+      import s.implicits._
+      Tables.customer(s, dir)
+        .join(broadcast(Tables.nation(s, dir)),
+          $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(Tables.region(s, dir)),
+          $"n_regionkey" === $"r_regionkey")
+        .groupBy($"r_name", $"n_name")
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy($"r_name", $"n_name")
+    },
+    oracle = Some(
+      """SELECT r_name, n_name, COUNT(*) AS n_customers
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin))
+
+  /** #7 q_join_multiway — TPC-H-Q5 flavor, revenue per nation in ASIA
+    * for 1996 orders. Facts joined first on their shuffle keys, dims
+    * broadcast last. */
+  val qJoinMultiway: Q = Q(
+    "q_join_multiway",
+    (s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir)
+            .where($"o_orderdate" >= to_timestamp(lit("1996-01-01")) &&
+              $"o_orderdate" < to_timestamp(lit("1997-01-01"))),
+          $"l_orderkey" === $"o_orderkey")
+        .join(Tables.customer(s, dir), $"o_custkey" === $"c_custkey")
+        .join(broadcast(Tables.nation(s, dir)),
+          $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(Tables.region(s, dir).where($"r_name" === "ASIA")),
+          $"n_regionkey" === $"r_regionkey")
+        .groupBy($"n_name")
+        .agg(sum(dec4($"l_extendedprice") *
+            (lit(1).cast(DecimalType(18, 4)) - dec4($"l_discount")))
+          .cast(DoubleType).as("revenue"))
+        .orderBy($"n_name")
+    },
+    oracle = Some(
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        | AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin))
+
+  /** #8 q_join_left_outer — every customer, order stats or zeros. */
+  val qJoinLeftOuter: Q = Q(
+    "q_join_left_outer",
+    (s, dir) => {
+      import s.implicits._
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir), $"c_custkey" === $"o_custkey", "left")
+        .groupBy($"c_custkey")
+        .agg(
+          count($"o_orderkey").as("order_cnt"),
+          coalesce(sumMoney($"o_totalprice"), lit(0.0)).as("sum_total"))
+        .orderBy($"c_custkey")
+    },
+    oracle = Some(
+      """SELECT c_custkey, COUNT(o_orderkey) AS order_cnt,
+        |  COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), CAST(0 AS DOUBLE)) AS sum_total
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey
+        |ORDER BY c_custkey""".stripMargin))
+
+  /** #9 q_join_full_outer — deliberately non-overlapping key sets: big
+    * parts vs frequently-shipped parts. COALESCE of the two keys is a
+    * unique total order (matched rows carry both keys). */
+  val qJoinFullOuter: Q = Q(
+    "q_join_full_outer",
+    (s, dir) => {
+      import s.implicits._
+      val bigParts = Tables.part(s, dir)
+        .where($"p_size" > 25)
+        .select($"p_partkey", $"p_size")
+      val hotParts = Tables.lineitem(s, dir)
+        .groupBy($"l_partkey")
+        .agg(count(lit(1)).as("li_cnt"))
+        .where($"li_cnt" >= 31)
+      bigParts
+        .join(hotParts, $"p_partkey" === $"l_partkey", "full")
+        .select($"p_partkey", $"p_size", $"l_partkey", $"li_cnt")
+        .orderBy(coalesce($"p_partkey", $"l_partkey"))
+    },
+    oracle = Some(
+      """SELECT p_partkey, p_size, l_partkey, li_cnt
+        |FROM (SELECT p_partkey, p_size FROM part WHERE p_size > 25) p
+        |FULL OUTER JOIN (
+        |  SELECT l_partkey, COUNT(*) AS li_cnt FROM lineitem
+        |  GROUP BY l_partkey HAVING COUNT(*) >= 31) l
+        |ON p_partkey = l_partkey
+        |ORDER BY COALESCE(p_partkey, l_partkey)""".stripMargin))
+
+  /** #10 q_join_semi — customers having ≥1 'P'-status order. */
+  val qJoinSemi: Q = Q(
+    "q_join_semi",
+    (s, dir) => {
+      import s.implicits._
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir).where($"o_orderstatus" === "P"),
+          $"c_custkey" === $"o_custkey", "left_semi")
+        .select($"c_custkey", $"c_name", $"c_mktsegment")
+        .orderBy($"c_custkey")
+    },
+    oracle = Some(
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+        |ORDER BY c_custkey""".stripMargin))
+
+  /** #11 q_join_anti — customers with no orders at all. */
+  val qJoinAnti: Q = Q(
+    "q_join_anti",
+    (s, dir) => {
+      import s.implicits._
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir), $"c_custkey" === $"o_custkey",
+          "left_anti")
+        .select($"c_custkey", $"c_name")
+        .orderBy($"c_custkey")
+    },
+    oracle = Some(
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin))
+
+  /** #12 q_join_theta_range — band join: suppliers per customer-balance
+    * band, counted per supplier. Non-equi ⇒ BroadcastNestedLoopJoin with
+    * supplier (the small side) broadcast. */
+  val qJoinThetaRange: Q = Q(
+    "q_join_theta_range",
+    (s, dir) => {
+      import s.implicits._
+      broadcast(Tables.supplier(s, dir))
+        .join(Tables.customer(s, dir),
+          $"s_acctbal".between($"c_acctbal" - 100.0, $"c_acctbal" + 100.0))
+        .groupBy($"s_suppkey")
+        .agg(count(lit(1)).as("n_cust"))
+        .orderBy($"s_suppkey")
+    },
+    oracle = Some(
+      """SELECT s_suppkey, COUNT(*) AS n_cust
+        |FROM supplier JOIN customer
+        |  ON s_acctbal BETWEEN c_acctbal - 100.0 AND c_acctbal + 100.0
+        |GROUP BY s_suppkey
+        |ORDER BY s_suppkey""".stripMargin))
+
+  /** #13 q_join_self_asof — each purchase matched to the same user's most
+    * recent prior-or-same-instant signup, via the window formulation
+    * (union-tag + last(ignoreNulls)) — no join, one shuffle on user_id. */
+  val qJoinSelfAsof: Q = Q(
+    "q_join_self_asof",
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id")
+        .orderBy($"ts", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, dir)
+        .where($"event_type".isin("purchase", "signup"))
+        .withColumn("signup_ts",
+          when($"event_type" === "signup", $"ts"))
+        .withColumn("last_signup_ts",
+          last($"signup_ts", ignoreNulls = true).over(w))
+        .where($"event_type" === "purchase")
+        .select($"event_id", $"user_id", $"ts", $"last_signup_ts")
+        .orderBy($"event_id")
+    },
+    oracle = Some(
+      """SELECT event_id, user_id, ts, last_signup_ts FROM (
+        |  SELECT event_id, user_id, ts, event_type,
+        |    last_value(CASE WHEN event_type = 'signup' THEN ts END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup_ts
+        |  FROM events WHERE event_type IN ('purchase','signup')
+        |) WHERE event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin))
+
+  /** #14 q_join_interval — lineitems falling in any order-date month
+    * window: equi join on the month truncation against a derived (tiny,
+    * auto-broadcast) month calendar. */
+  val qJoinInterval: Q = Q(
+    "q_join_interval",
+    (s, dir) => {
+      import s.implicits._
+      val months = Tables.orders(s, dir)
+        .select(date_trunc("month", $"o_orderdate").as("month"))
+        .distinct()
+      Tables.lineitem(s, dir)
+        .join(months, date_trunc("month", $"l_shipdate") === $"month")
+        .groupBy($"month")
+        .agg(count(lit(1)).as("li_cnt"))
+        .orderBy($"month")
+    },
+    oracle = Some(
+      """SELECT month, COUNT(*) AS li_cnt
+        |FROM (SELECT DISTINCT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month FROM orders) m
+        |JOIN lineitem ON CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) = month
+        |GROUP BY month
+        |ORDER BY month""".stripMargin))
+
+  val all: Vector[Q] = Vector(
+    qJoinInner, qJoinBroadcast, qJoinMultiway, qJoinLeftOuter,
+    qJoinFullOuter, qJoinSemi, qJoinAnti, qJoinThetaRange,
+    qJoinSelfAsof, qJoinInterval)
 }

@@ -1,8 +1,99 @@
 package graft.operators
 
-import graft.Q
+import graft.{Q, Tables}
+import graft.Dsl._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
-/** Scan / source / sink operators — SURVEY.md §2.1. */
+/** Scans, projection and filtering — SURVEY.md §2.1–§2.2 rows 1–4.
+  *
+  * Scale notes (100 TB): #2 is written so both the predicate and the
+  * projection reach FileSourceScanExec (`PushedFilters` + pruned
+  * `ReadSchema`) — Spark then skips row groups via parquet min/max stats
+  * and never materializes unused columns. #1's `orderBy.limit` compiles to
+  * TakeOrderedAndProject: each task keeps a 100-row heap, only 100 rows per
+  * partition reach the driver-side merge — no global sort.
+  */
 object ScanQueries {
-  val all: Vector[Q] = Vector()
+
+  /** #1 q_scan_full — full scan, all columns, first 100 rows by key. */
+  val qScanFull: Q = Q(
+    "q_scan_full",
+    (s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .orderBy($"l_orderkey", $"l_linenumber")
+        .limit(100)
+    },
+    oracle = Some(
+      """SELECT * FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber LIMIT 100""".stripMargin))
+
+  /** #2 q_scan_prune_pushdown — narrow projection + pushed predicate. */
+  val qScanPrunePushdown: Q = Q(
+    "q_scan_prune_pushdown",
+    (s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .where($"l_shipdate" >= to_timestamp(lit("1998-01-01")))
+        .select($"l_orderkey", $"l_linenumber", $"l_extendedprice")
+        .orderBy($"l_orderkey", $"l_linenumber")
+    },
+    oracle = Some(
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin))
+
+  /** #3 q_filter_compound — AND/OR/NOT, IN, BETWEEN, LIKE over part. */
+  val qFilterCompound: Q = Q(
+    "q_filter_compound",
+    (s, dir) => {
+      import s.implicits._
+      Tables.part(s, dir)
+        .where(
+          ($"p_type".like("PROMO%") || $"p_size".between(10, 20)) &&
+            $"p_brand".isin("Brand#1", "Brand#2", "Brand#3", "Brand#11") &&
+            !($"p_retailprice" < 910.0) &&
+            $"p_name".isNotNull)
+        .select($"p_partkey", $"p_name", $"p_brand", $"p_type", $"p_size")
+        .orderBy($"p_partkey")
+    },
+    oracle = Some(
+      """SELECT p_partkey, p_name, p_brand, p_type, p_size FROM part
+        |WHERE (p_type LIKE 'PROMO%' OR p_size BETWEEN 10 AND 20)
+        |  AND p_brand IN ('Brand#1','Brand#2','Brand#3','Brand#11')
+        |  AND NOT (p_retailprice < 910.0)
+        |  AND p_name IS NOT NULL
+        |ORDER BY p_partkey""".stripMargin))
+
+  /** #4 q_project_case — derived arithmetic (exact decimal), CASE
+    * bucketing, string concat. */
+  val qProjectCase: Q = Q(
+    "q_project_case",
+    (s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .select(
+          $"l_orderkey", $"l_linenumber",
+          (dec4($"l_extendedprice") *
+            (lit(1).cast(DecimalType(18, 4)) - dec4($"l_discount")))
+            .cast(DoubleType).as("revenue"),
+          when($"l_quantity" < 10, "low")
+            .when($"l_quantity" < 30, "mid")
+            .otherwise("high").as("qty_bucket"),
+          concat($"l_returnflag", lit("-"), $"l_linestatus").as("flag_status"))
+        .orderBy($"l_orderkey", $"l_linenumber")
+    },
+    oracle = Some(
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  CASE WHEN l_quantity < 10 THEN 'low'
+        |       WHEN l_quantity < 30 THEN 'mid'
+        |       ELSE 'high' END AS qty_bucket,
+        |  l_returnflag || '-' || l_linestatus AS flag_status
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin))
+
+  val all: Vector[Q] =
+    Vector(qScanFull, qScanPrunePushdown, qFilterCompound, qProjectCase)
 }

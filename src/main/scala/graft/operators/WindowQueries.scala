@@ -1,8 +1,189 @@
 package graft.operators
 
-import graft.Q
+import graft.{Q, Tables}
+import graft.Dsl._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
-/** Window-function operators — SURVEY.md §2.5. */
+/** Window functions — SURVEY.md §2.5 rows 23–28.
+  *
+  * Scale notes (100 TB): every window here partitions by a high-cardinality
+  * key (customer / user) — one shuffle on the partition key, then a
+  * per-partition sort; no global sort, no driver involvement. The only
+  * exception is #26's global distribution window (unavoidable for
+  * ntile/percent_rank over the whole table) — acceptable because `part` is
+  * a dimension; a fact-table version would pre-bucket first.
+  * Window ordering always carries a unique tiebreak column (rule 1).
+  */
 object WindowQueries {
-  val all: Vector[Q] = Vector()
+
+  /** #23 q_win_rank — rank/dense_rank/row_number per customer, top 3. */
+  val qWinRank: Q = Q(
+    "q_win_rank",
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+      Tables.orders(s, dir)
+        .select(
+          $"o_custkey", $"o_orderkey", $"o_totalprice",
+          rank().over(w).cast(LongType).as("rnk"),
+          dense_rank().over(w).cast(LongType).as("drnk"),
+          row_number().over(w).cast(LongType).as("rn"))
+        .where($"rn" <= 3)
+        .orderBy($"o_custkey", $"rn")
+    },
+    oracle = Some(
+      """SELECT o_custkey, o_orderkey, o_totalprice, rnk, drnk, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    rank()       OVER w AS rnk,
+        |    dense_rank() OVER w AS drnk,
+        |    row_number() OVER w AS rn
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+        |) WHERE rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin))
+
+  /** #24 q_win_running — running exact-decimal sum + 7-row moving average
+    * per user over the event stream. */
+  val qWinRunning: Q = Q(
+    "q_win_running",
+    (s, dir) => {
+      import s.implicits._
+      val wRun = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wMov = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        .rowsBetween(-6, Window.currentRow)
+      Tables.events(s, dir)
+        .select(
+          $"event_id", $"user_id",
+          sum(dec2($"value")).over(wRun).cast(DoubleType).as("running_sum"),
+          round(sum(dec2($"value")).over(wMov).cast(DoubleType) /
+            count(lit(1)).over(wMov), 4).as("mov_avg7"))
+        .orderBy($"event_id")
+    },
+    oracle = Some(
+      """SELECT event_id, user_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER wr AS DOUBLE) AS running_sum,
+        |  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER wm AS DOUBLE)
+        |        / COUNT(*) OVER wm, 4) AS mov_avg7
+        |FROM events
+        |WINDOW
+        |  wr AS (PARTITION BY user_id ORDER BY ts, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  wm AS (PARTITION BY user_id ORDER BY ts, event_id
+        |         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin))
+
+  /** #25 q_win_lead_lag — inter-event gap in exact microseconds per user
+    * (window edges produce the only NULLs; they are not sort keys). */
+  val qWinLeadLag: Q = Q(
+    "q_win_lead_lag",
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      Tables.events(s, dir)
+        .select(
+          $"event_id", $"user_id", $"ts",
+          (unix_micros($"ts") - unix_micros(lag($"ts", 1).over(w)))
+            .as("gap_prev_us"),
+          (unix_micros(lead($"ts", 1).over(w)) - unix_micros($"ts"))
+            .as("gap_next_us"))
+        .orderBy($"event_id")
+    },
+    oracle = Some(
+      """SELECT event_id, user_id, ts,
+        |  epoch_us(ts) - epoch_us(lag(ts, 1)  OVER w) AS gap_prev_us,
+        |  epoch_us(lead(ts, 1) OVER w) - epoch_us(ts) AS gap_next_us
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin))
+
+  /** #26 q_win_distribution — ntile/percent_rank/cume_dist over part
+    * retail price (global window — dimension-sized by design). */
+  val qWinDistribution: Q = Q(
+    "q_win_distribution",
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.orderBy($"p_retailprice", $"p_partkey")
+      Tables.part(s, dir)
+        .select(
+          $"p_partkey", $"p_retailprice",
+          ntile(4).over(w).cast(LongType).as("quartile"),
+          round(percent_rank().over(w), 4).as("pct_rank"),
+          round(cume_dist().over(w), 4).as("cume"))
+        .orderBy($"p_partkey")
+    },
+    oracle = Some(
+      """SELECT p_partkey, p_retailprice,
+        |  ntile(4) OVER w AS quartile,
+        |  ROUND(percent_rank() OVER w, 4) AS pct_rank,
+        |  ROUND(cume_dist() OVER w, 4) AS cume
+        |FROM part
+        |WINDOW w AS (ORDER BY p_retailprice, p_partkey)
+        |ORDER BY p_partkey""".stripMargin))
+
+  /** #27 q_win_range_frame — trailing 1-hour RANGE frame keyed on epoch
+    * seconds (ties share a frame ⇒ deterministic). */
+  val qWinRangeFrame: Q = Q(
+    "q_win_range_frame",
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id")
+        .orderBy(unix_timestamp($"ts"))
+        .rangeBetween(-3600, Window.currentRow)
+      Tables.events(s, dir)
+        .select(
+          $"event_id", $"user_id",
+          sum(dec2($"value")).over(w).cast(DoubleType).as("hour_sum"))
+        .orderBy($"event_id")
+    },
+    oracle = Some(
+      """SELECT event_id, user_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY user_id ORDER BY epoch_us(ts) // 1000000
+        |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DOUBLE) AS hour_sum
+        |FROM events
+        |ORDER BY event_id""".stripMargin))
+
+  /** #28 q_sessionize — gap-based sessions (>30 min ⇒ new session): the
+    * classic lag → flag → cumulative-sum stack, then per-session stats. */
+  val qSessionize: Q = Q(
+    "q_sessionize",
+    (s, dir) => {
+      import s.implicits._
+      val wOrd = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, dir)
+        .withColumn("prev_us", unix_micros(lag($"ts", 1).over(wOrd)))
+        .withColumn("new_session",
+          when($"prev_us".isNull ||
+            unix_micros($"ts") - $"prev_us" > 1800000000L, 1L).otherwise(0L))
+        .withColumn("session_id", sum($"new_session").over(wRun))
+        .groupBy($"user_id", $"session_id")
+        .agg(
+          count(lit(1)).as("n_events"),
+          (max(unix_micros($"ts")) - min(unix_micros($"ts"))).as("dur_us"))
+        .orderBy($"user_id", $"session_id")
+    },
+    oracle = Some(
+      """SELECT user_id, session_id, COUNT(*) AS n_events,
+        |  MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS dur_us
+        |FROM (
+        |  SELECT user_id, ts,
+        |    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM (
+        |    SELECT user_id, ts, event_id,
+        |      CASE WHEN lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |             OR epoch_us(ts) - epoch_us(lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
+        |           THEN 1 ELSE 0 END AS new_session
+        |    FROM events))
+        |GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin))
+
+  val all: Vector[Q] = Vector(
+    qWinRank, qWinRunning, qWinLeadLag, qWinDistribution,
+    qWinRangeFrame, qSessionize)
 }

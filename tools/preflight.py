@@ -31,13 +31,13 @@ def main():
         if name_filter and name_filter not in name:
             continue
         sql = oracle[name]
-        files = glob.glob(f"{outdir}/{name}/*.parquet")
+        files = sorted(glob.glob(f"{outdir}/{name}/*.parquet"))
         if not files:
             print(f"FAIL {name}: no result parquet (query errored in Verify?)")
             failures += 1
             continue
         got = con.execute(
-            f"SELECT * FROM read_parquet('{files[0]}')").fetch_arrow_table()
+            "SELECT * FROM read_parquet(?)", [files]).fetch_arrow_table()
         try:
             exp = con.execute(sql).fetch_arrow_table()
         except Exception as e:
@@ -51,12 +51,21 @@ def main():
             continue
         gtypes = [str(got.schema.field(c).type) for c in gcols]
         etypes = [str(exp.schema.field(c).type) for c in ecols]
+        if gtypes != etypes:
+            # The driver's compare includes schema_match — type drift that
+            # "looks OK" locally would still fail the round, so fail here.
+            drift = [(c, a, b) for c, a, b in zip(gcols, gtypes, etypes) if a != b]
+            print(f"FAIL {name}: type drift {drift}")
+            failures += 1
+            continue
         g = got.select(gcols).to_pylist()
         e = exp.select(ecols).to_pylist()
         if len(g) != len(e):
             print(f"FAIL {name}: rows spark={len(g)} duckdb={len(e)}")
             failures += 1
             continue
+        # Row-order-sensitive on purpose: every oracle query must end in a
+        # total ORDER BY (SURVEY §2 rule 1), and this catches violations.
         if g != e:
             for i, (a, b) in enumerate(zip(g, e)):
                 if a != b:
@@ -66,8 +75,7 @@ def main():
                     break
             failures += 1
             continue
-        tnote = "" if gtypes == etypes else f"  [type drift: {list(zip(gcols, gtypes, etypes))}]"
-        print(f"OK   {name} ({len(g)} rows){tnote}")
+        print(f"OK   {name} ({len(g)} rows)")
     checked = len([n for n in oracle if not name_filter or name_filter in n])
     print(f"== {checked - failures}/{checked} OK ==")
     sys.exit(1 if failures else 0)
