@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Fixture-table readers (schemas documented in FIXTURES.md).
   *
@@ -25,7 +27,16 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = apply(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame     = apply(s, d, "events")
+  /** `events.ts` is stored as parquet TIMESTAMP(NANOS) which Spark 4
+    * refuses outright; with `spark.sql.legacy.parquet.nanosAsLong=true`
+    * (set in every session builder) it reads as a raw nanos long. All
+    * fixture values are µs-exact (FIXTURES.md), so the integer division
+    * to micros is lossless. Kept as session-TZ TimestampType (UTC) —
+    * queries that emit `ts` cast to timestamp_ntz in their final
+    * projection so the written parquet matches DuckDB's naive TIMESTAMP. */
+  def events(s: SparkSession, d: String): DataFrame =
+    apply(s, d, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 }

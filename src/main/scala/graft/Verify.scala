@@ -14,6 +14,9 @@ object Verify {
       // µs parquet timestamps on the wire: DuckDB reads the result files
       // with the same physical type it produces, so schema compare is exact.
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      // events.ts is parquet TIMESTAMP(NANOS) — read as long, converted
+      // to µs TimestampType in Tables.events (values are µs-exact).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

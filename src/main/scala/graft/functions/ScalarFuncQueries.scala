@@ -62,7 +62,10 @@ object ScalarFuncQueries {
           year($"o_orderdate").cast(LongType).as("yr"),
           month($"o_orderdate").cast(LongType).as("mo"),
           dayofmonth($"o_orderdate").cast(LongType).as("dom"),
-          date_trunc("month", $"o_orderdate").as("month_start"),
+          // date_trunc always returns LTZ TimestampType; cast back to NTZ
+          // so the written parquet matches DuckDB's naive TIMESTAMP.
+          date_trunc("month", $"o_orderdate").cast("timestamp_ntz")
+            .as("month_start"),
           date_add($"o_orderdate", 30).as("plus30"),
           last_day($"o_orderdate").as("month_end"),
           dayofweek($"o_orderdate").cast(LongType).as("dow1sun"),
@@ -75,7 +78,7 @@ object ScalarFuncQueries {
         |  year(o_orderdate) AS yr,
         |  month(o_orderdate) AS mo,
         |  CAST(day(o_orderdate) AS BIGINT) AS dom,
-        |  date_trunc('month', o_orderdate) AS month_start,
+        |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
         |  CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS plus30,
         |  last_day(o_orderdate) AS month_end,
         |  CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow1sun,
@@ -162,7 +165,8 @@ object ScalarFuncQueries {
       Tables.events(s, dir)
         .withColumn("k",
           get_json_object($"props", "$.k").cast(IntegerType))
-        .withColumn("k2", from_json($"props", "k INT").getField("k"))
+        .withColumn("k2",
+          from_json($"props", "k INT", Map.empty[String, String]).getField("k"))
         .groupBy(floor($"k" / 10).as("bucket"))
         .agg(
           count(lit(1)).as("n"),

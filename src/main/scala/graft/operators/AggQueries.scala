@@ -116,10 +116,11 @@ object AggQueries {
       import s.implicits._
       Tables.orders(s, dir)
         .cube($"o_orderstatus", $"o_orderpriority")
+        // grouping_id() resolves only inside the cube's aggregate list.
         .agg(
+          grouping_id().cast(LongType).as("gid"),
           count(lit(1)).as("n"),
           sumMoney($"o_totalprice").as("sum_price"))
-        .withColumn("gid", grouping_id().cast(LongType))
         .select($"gid", $"o_orderstatus", $"o_orderpriority", $"n", $"sum_price")
         .orderBy($"gid",
           $"o_orderstatus".asc_nulls_first,

@@ -221,7 +221,12 @@ object JoinQueries {
         .withColumn("last_signup_ts",
           last($"signup_ts", ignoreNulls = true).over(w))
         .where($"event_type" === "purchase")
-        .select($"event_id", $"user_id", $"ts", $"last_signup_ts")
+        // NTZ in the final projection only: internal ts stays LTZ (for
+        // unix_micros math elsewhere); written parquet must be naive to
+        // match DuckDB's TIMESTAMP.
+        .select($"event_id", $"user_id",
+          $"ts".cast("timestamp_ntz").as("ts"),
+          $"last_signup_ts".cast("timestamp_ntz").as("last_signup_ts"))
         .orderBy($"event_id")
     },
     oracle = Some(
@@ -242,10 +247,14 @@ object JoinQueries {
     (s, dir) => {
       import s.implicits._
       val months = Tables.orders(s, dir)
-        .select(date_trunc("month", $"o_orderdate").as("month"))
+        // NTZ cast: date_trunc yields LTZ, but the emitted month column
+        // must round-trip as naive TIMESTAMP to match the DuckDB twin.
+        .select(date_trunc("month", $"o_orderdate").cast("timestamp_ntz")
+          .as("month"))
         .distinct()
       Tables.lineitem(s, dir)
-        .join(months, date_trunc("month", $"l_shipdate") === $"month")
+        .join(months,
+          date_trunc("month", $"l_shipdate").cast("timestamp_ntz") === $"month")
         .groupBy($"month")
         .agg(count(lit(1)).as("li_cnt"))
         .orderBy($"month")

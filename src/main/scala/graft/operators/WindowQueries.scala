@@ -85,7 +85,8 @@ object WindowQueries {
       val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
       Tables.events(s, dir)
         .select(
-          $"event_id", $"user_id", $"ts",
+          $"event_id", $"user_id",
+          $"ts".cast("timestamp_ntz").as("ts"),
           (unix_micros($"ts") - unix_micros(lag($"ts", 1).over(w)))
             .as("gap_prev_us"),
           (unix_micros(lead($"ts", 1).over(w)) - unix_micros($"ts"))
