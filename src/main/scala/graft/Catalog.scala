@@ -30,7 +30,8 @@ object Catalog {
       functions.ScalarFuncQueries.all ++
       operators.TextQueries.all ++
       operators.DedupQueries.all ++
-      operators.VectorQueries.all
+      operators.VectorQueries.all ++
+      streaming.StreamingQueries.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 

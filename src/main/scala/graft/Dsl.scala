@@ -31,4 +31,15 @@ object Dsl {
     * rounded — identical in Spark and DuckDB regardless of row order. */
   def avgMoney(c: Column): Column = round(sumMoney(c) / count(lit(1)), 4)
   def avgRate(c: Column): Column  = round(sumRate(c) / count(lit(1)), 4)
+
+  /** Exact SUM of price·(1−discount) revenue. The scale-8 product sum can
+    * exceed double's 53-bit exact-integer range at sf0.1+ (≈5e17 in 1e-8
+    * units), where Spark's and DuckDB's decimal→double conversions differ
+    * by one ulp — so round to scale 2 in decimal space first, which
+    * converts exactly. Twin-side note: DuckDB's downscaling decimal CAST
+    * *truncates*, so twins must write ROUND(sum, 2) (half-away-from-zero,
+    * = Spark's HALF_UP cast for positive values). */
+  def sumRevenue(price: Column, discount: Column): Column =
+    sum(dec4(price) * (lit(1).cast(DecimalType(18, 4)) - dec4(discount)))
+      .cast(DecimalType(18, 2)).cast(DoubleType)
 }

@@ -45,9 +45,7 @@ object AggQueries {
           count(lit(1)).as("count_order"),
           sumMoney($"l_quantity").as("sum_qty"),
           sumMoney($"l_extendedprice").as("sum_base_price"),
-          sum(dec4($"l_extendedprice") *
-            (lit(1).cast(DecimalType(18, 4)) - dec4($"l_discount")))
-            .cast(DoubleType).as("sum_disc_price"),
+          sumRevenue($"l_extendedprice", $"l_discount").as("sum_disc_price"),
           avgMoney($"l_quantity").as("avg_qty"),
           avgRate($"l_discount").as("avg_disc"))
         .orderBy($"l_returnflag", $"l_linestatus")
@@ -57,7 +55,7 @@ object AggQueries {
         |  COUNT(*) AS count_order,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS sum_disc_price,
         |  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS avg_qty,
         |  ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 4) AS avg_disc
         |FROM lineitem

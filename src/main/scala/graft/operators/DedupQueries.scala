@@ -1,8 +1,122 @@
 package graft.operators
 
-import graft.Q
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
 
-/** Deduplication operators (exact / prefix / MinHash-LSH) — SURVEY.md §2.10. */
+/** Deduplication operators over the documents corpus — SURVEY.md §2.10
+  * rows 49–51 (LLM-data-pipeline north star).
+  *
+  * Scale notes (100 TB):
+  *  - #49 groups on a content hash — one shuffle keyed by md5, partial
+  *    count map-side; never materializes pairs.
+  *  - #50 generates candidate *pairs* only within equal prefix-key
+  *    buckets: an equi self-join (shuffle hash/sort-merge on the key),
+  *    never an all-pairs cross product. Bucket sizes are bounded by the
+  *    key's selectivity, and AQE splits a skewed bucket at runtime.
+  *  - #51 is MinHash-LSH banding: signature computation is per-row
+  *    (no shuffle); candidate generation is an equi join on
+  *    (band, band_key) — the canonical sub-quadratic near-dup shape.
+  */
 object DedupQueries {
-  val all: Vector[Q] = Vector()
+
+  /** #49 q_dedup_exact — exact duplicate collapse by md5(text); keeps the
+    * smallest doc_id as the canonical representative. */
+  val qDedupExact: Q = Q(
+    "q_dedup_exact",
+    (s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .groupBy(md5($"text").as("h"))
+        .agg(
+          count(lit(1)).as("n_dups"),
+          min($"doc_id").as("keep_id"))
+        .orderBy($"h")
+    },
+    oracle = Some(
+      """SELECT md5(text) AS h, COUNT(*) AS n_dups, MIN(doc_id) AS keep_id
+        |FROM documents
+        |GROUP BY h
+        |ORDER BY h""".stripMargin))
+
+  /** #50 q_dedup_near — near-dup candidate pairs sharing a normalized
+    * 40-char prefix key (FIXTURES.md: 21 such groups at sf0.001). */
+  val qDedupNear: Q = Q(
+    "q_dedup_near",
+    (s, dir) => {
+      import s.implicits._
+      val keyed = Tables.documents(s, dir)
+        .select(substring(lower($"text"), 1, 40).as("k"), $"doc_id")
+      keyed.as("a")
+        .join(keyed.as("b"),
+          col("a.k") === col("b.k") && col("a.doc_id") < col("b.doc_id"))
+        .select(
+          col("a.doc_id").as("doc_a"),
+          col("b.doc_id").as("doc_b"),
+          col("a.k").as("prefix_key"))
+        .orderBy($"doc_a", $"doc_b")
+    },
+    oracle = Some(
+      """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  substring(lower(a.text), 1, 40) AS prefix_key
+        |FROM documents a JOIN documents b
+        |  ON substring(lower(a.text), 1, 40) = substring(lower(b.text), 1, 40)
+        | AND a.doc_id < b.doc_id
+        |ORDER BY doc_a, doc_b""".stripMargin))
+
+  /** MinHash-LSH internals, shared by the query and `MinHashSpec`.
+    *
+    * k=16 hash "permutations" (seeded xxhash64 over the distinct token
+    * set), banded 4×4: docs agreeing on all 4 signature slots of any band
+    * become a candidate pair. Probability a pair with Jaccard similarity
+    * j collides: 1-(1-j^4)^4 — the classic LSH S-curve.
+    */
+  object MinHashLsh {
+    val numHashes = 16
+    val bands = 4
+    val rowsPerBand = 4
+
+    /** doc (id, text) → (doc_id, band, band_key) rows, one per band. */
+    def bandKeys(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val toks = array_distinct(split(col("text"), " "))
+      // Per-seed min-hash over the token set: all per-row HOFs, no shuffle.
+      val sigCols = (0 until numHashes).map { i =>
+        array_min(transform(toks, t => xxhash64(lit(i), t))).as(s"h$i")
+      }
+      val withSig = df.select(col("doc_id") +: sigCols: _*)
+      val bandStructs = (0 until bands).map { b =>
+        struct(
+          lit(b).as("band"),
+          xxhash64((0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")): _*)
+            .as("band_key"))
+      }
+      withSig
+        .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+        .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+    }
+
+    /** Distinct candidate pairs (doc_a < doc_b) from any band collision. */
+    def candidatePairs(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val keys = bandKeys(df)
+      keys.as("a")
+        .join(keys.as("b"), Seq("band", "band_key"))
+        .where(col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+    }
+  }
+
+  /** #51 q_dedup_minhash (T) — MinHash-LSH candidate pairs over the token
+    * sets. Hash functions are engine-specific (xxhash64 seeds), so no
+    * DuckDB oracle; `MinHashSpec` asserts planted near-dups are recalled
+    * and exact duplicates always collide. */
+  val qDedupMinhash: Q = Q(
+    "q_dedup_minhash",
+    (s, dir) => {
+      import s.implicits._
+      MinHashLsh.candidatePairs(
+          Tables.documents(s, dir).select($"doc_id", $"text"))
+        .orderBy($"doc_a", $"doc_b")
+    })
+
+  val all: Vector[Q] = Vector(qDedupExact, qDedupNear, qDedupMinhash)
 }

@@ -85,14 +85,12 @@ object JoinQueries {
         .join(broadcast(Tables.region(s, dir).where($"r_name" === "ASIA")),
           $"n_regionkey" === $"r_regionkey")
         .groupBy($"n_name")
-        .agg(sum(dec4($"l_extendedprice") *
-            (lit(1).cast(DecimalType(18, 4)) - dec4($"l_discount")))
-          .cast(DoubleType).as("revenue"))
+        .agg(sumRevenue($"l_extendedprice", $"l_discount").as("revenue"))
         .orderBy($"n_name")
     },
     oracle = Some(
       """SELECT n_name,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         | AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'

@@ -16,18 +16,26 @@ import org.apache.spark.sql.types._
   */
 object ScanQueries {
 
-  /** #1 q_scan_full — full scan, all columns, first 100 rows by key. */
+  /** #1 q_scan_full — full scan, all columns, first 100 rows.
+    * (l_orderkey, l_linenumber) is NOT unique in the fixtures (≈118k dup
+    * pairs at sf0.1), so the total order must include every column — no
+    * fully-identical rows exist, making this a true total order (rule 1). */
   val qScanFull: Q = Q(
     "q_scan_full",
     (s, dir) => {
       import s.implicits._
       Tables.lineitem(s, dir)
-        .orderBy($"l_orderkey", $"l_linenumber")
+        .orderBy($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey",
+          $"l_quantity", $"l_extendedprice", $"l_discount", $"l_tax",
+          $"l_returnflag", $"l_linestatus", $"l_shipdate")
         .limit(100)
     },
     oracle = Some(
       """SELECT * FROM lineitem
-        |ORDER BY l_orderkey, l_linenumber LIMIT 100""".stripMargin))
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |  l_quantity, l_extendedprice, l_discount, l_tax,
+        |  l_returnflag, l_linestatus, l_shipdate
+        |LIMIT 100""".stripMargin))
 
   /** #2 q_scan_prune_pushdown — narrow projection + pushed predicate. */
   val qScanPrunePushdown: Q = Q(
@@ -37,12 +45,14 @@ object ScanQueries {
       Tables.lineitem(s, dir)
         .where($"l_shipdate" >= to_timestamp(lit("1998-01-01")))
         .select($"l_orderkey", $"l_linenumber", $"l_extendedprice")
-        .orderBy($"l_orderkey", $"l_linenumber")
+        // (okey, lineno) is non-unique; ordering by all emitted columns
+        // makes remaining ties identical rows (rule 1).
+        .orderBy($"l_orderkey", $"l_linenumber", $"l_extendedprice")
     },
     oracle = Some(
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1998-01-01'
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin))
+        |ORDER BY l_orderkey, l_linenumber, l_extendedprice""".stripMargin))
 
   /** #3 q_filter_compound — AND/OR/NOT, IN, BETWEEN, LIKE over part. */
   val qFilterCompound: Q = Q(
@@ -82,7 +92,9 @@ object ScanQueries {
             .when($"l_quantity" < 30, "mid")
             .otherwise("high").as("qty_bucket"),
           concat($"l_returnflag", lit("-"), $"l_linestatus").as("flag_status"))
-        .orderBy($"l_orderkey", $"l_linenumber")
+        // order over all emitted columns: (okey, lineno) alone is non-unique.
+        .orderBy($"l_orderkey", $"l_linenumber", $"revenue", $"qty_bucket",
+          $"flag_status")
     },
     oracle = Some(
       """SELECT l_orderkey, l_linenumber,
@@ -92,7 +104,7 @@ object ScanQueries {
         |       ELSE 'high' END AS qty_bucket,
         |  l_returnflag || '-' || l_linestatus AS flag_status
         |FROM lineitem
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin))
+        |ORDER BY l_orderkey, l_linenumber, revenue, qty_bucket, flag_status""".stripMargin))
 
   val all: Vector[Q] =
     Vector(qScanFull, qScanPrunePushdown, qFilterCompound, qProjectCase)

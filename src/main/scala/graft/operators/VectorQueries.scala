@@ -1,8 +1,148 @@
 package graft.operators
 
-import graft.Q
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
-/** Vector / embedding operators (norms, kNN, centroids) — SURVEY.md §2.10. */
+/** Vector / similarity-search operators over the embeddings table —
+  * SURVEY.md §2.10 rows 52–55 (LLM-data-pipeline north star).
+  *
+  * Scale notes (100 TB):
+  *  - All element math uses codegen'd higher-order functions (transform /
+  *    zip_with / aggregate) — per-row, no UDF, no shuffle.
+  *  - #53 kNN broadcasts the single probe row (constant size at any SF)
+  *    and reduces with TakeOrderedAndProject (per-task top-5 heaps) — the
+  *    brute-force baseline scales linearly with the table, never
+  *    quadratically. An IVF/LSH-bucketed variant would pre-filter
+  *    candidates by coarse bucket (cf. DedupQueries.MinHashLsh) but the
+  *    fixture sizes never justify it.
+  *  - #54 posexplodes to (label, pos) — ×64 rows in-flight, but partial
+  *    aggregation collapses to |labels|×64 rows before the shuffle.
+  *  - Fixture vectors are unit-L2-normalized (FIXTURES.md) — cosine = dot
+  *    product, and L2-norm queries would be degenerate; stats use L1/max/
+  *    mean which vary.
+  */
 object VectorQueries {
-  val all: Vector[Q] = Vector()
+
+  private def absD(c: org.apache.spark.sql.Column) =
+    abs(c.cast(DoubleType))
+
+  /** #52 q_vec_norm_stats — per-vector L1 norm, max-abs component and
+    * component mean (left-fold order matches DuckDB's list_sum; round(4)
+    * masks last-ulp drift, rule 2). */
+  val qVecNormStats: Q = Q(
+    "q_vec_norm_stats",
+    (s, dir) => {
+      import s.implicits._
+      Tables.embeddings(s, dir)
+        .select(
+          $"vec_id",
+          round(aggregate(transform($"embedding", absD(_)), lit(0.0), _ + _), 4)
+            .as("l1_norm"),
+          round(array_max(transform($"embedding", absD(_))), 4).as("max_abs"),
+          round(aggregate(transform($"embedding", _.cast(DoubleType)),
+            lit(0.0), _ + _) / 64.0, 4).as("mean_comp"))
+        .orderBy($"vec_id")
+    },
+    oracle = Some(
+      """SELECT vec_id,
+        |  ROUND(list_sum(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 4) AS l1_norm,
+        |  ROUND(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 4) AS max_abs,
+        |  ROUND(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))) / 64.0, 4) AS mean_comp
+        |FROM embeddings
+        |ORDER BY vec_id""".stripMargin))
+
+  /** #53 q_vec_knn_bruteforce — top-5 cosine (= dot, unit vectors)
+    * neighbors of probe vec_id=0. Probe broadcast; zip_with+aggregate is
+    * the same left fold as the twin's list_transform over range(1,65), so
+    * pre-round doubles are bit-identical. */
+  val qVecKnnBruteforce: Q = Q(
+    "q_vec_knn_bruteforce",
+    (s, dir) => {
+      import s.implicits._
+      val probe = broadcast(
+        Tables.embeddings(s, dir).where($"vec_id" === 0)
+          .select($"embedding".as("p")))
+      Tables.embeddings(s, dir)
+        .where($"vec_id" =!= 0)
+        .crossJoin(probe)
+        .select(
+          $"vec_id",
+          round(aggregate(
+            zip_with($"embedding", $"p",
+              (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+            lit(0.0), _ + _), 6).as("sim"))
+        .orderBy($"sim".desc, $"vec_id")
+        .limit(5)
+    },
+    oracle = Some(
+      """WITH probe AS (SELECT embedding AS p FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id,
+        |  ROUND(list_sum(list_transform(range(1, 65),
+        |    i -> CAST(embedding[i] AS DOUBLE) * CAST(p[i] AS DOUBLE))), 6) AS sim
+        |FROM embeddings, probe
+        |WHERE vec_id <> 0
+        |ORDER BY sim DESC, vec_id
+        |LIMIT 5""".stripMargin))
+
+  /** #54 q_vec_centroids — per-label mean vector via posexplode, reported
+    * as the rounded L2 norm of each centroid (< 1 for spread clusters). */
+  val qVecCentroids: Q = Q(
+    "q_vec_centroids",
+    (s, dir) => {
+      import s.implicits._
+      val comps = Tables.embeddings(s, dir)
+        .select($"label", posexplode($"embedding").as(Seq("pos", "x")))
+      val cent = comps
+        .groupBy($"label", $"pos")
+        .agg((sum($"x".cast(DoubleType)) / count(lit(1))).as("c"))
+      val norms = cent
+        .groupBy($"label")
+        .agg(round(sqrt(sum($"c" * $"c")), 4).as("centroid_l2"))
+      val counts = Tables.embeddings(s, dir)
+        .groupBy($"label").agg(count(lit(1)).as("n_vecs"))
+      norms.join(counts, "label")
+        .select($"label", $"n_vecs", $"centroid_l2")
+        .orderBy($"label")
+    },
+    oracle = Some(
+      """WITH comps AS (
+        |  SELECT label, CAST(embedding[i] AS DOUBLE) AS x, i
+        |  FROM embeddings, range(1, 65) t(i)),
+        |cent AS (SELECT label, i, SUM(x) / COUNT(*) AS c FROM comps GROUP BY label, i),
+        |cnt AS (SELECT label, COUNT(*) AS n_vecs FROM embeddings GROUP BY label)
+        |SELECT label, n_vecs, ROUND(sqrt(SUM(c * c)), 4) AS centroid_l2
+        |FROM cent JOIN cnt USING (label)
+        |GROUP BY label, n_vecs
+        |ORDER BY label""".stripMargin))
+
+  /** #55 q_multimodal_join — text modality ⋈ vector modality on
+    * doc_id = vec_id (inner: at sf0.1 only 2,000 of 5,000 docs have
+    * vectors, FIXTURES.md); per language, correlation of text length with
+    * embedding L1 norm. */
+  val qMultimodalJoin: Q = Q(
+    "q_multimodal_join",
+    (s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .join(Tables.embeddings(s, dir), $"doc_id" === $"vec_id")
+        .select(
+          $"lang", $"n_chars",
+          aggregate(transform($"embedding", absD(_)), lit(0.0), _ + _).as("l1"))
+        .groupBy($"lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          round(corr($"n_chars", $"l1"), 4).as("corr_len_l1"))
+        .orderBy($"lang")
+    },
+    oracle = Some(
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  ROUND(corr(n_chars,
+        |    list_sum(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))), 4) AS corr_len_l1
+        |FROM documents JOIN embeddings ON doc_id = vec_id
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin))
+
+  val all: Vector[Q] = Vector(
+    qVecNormStats, qVecKnnBruteforce, qVecCentroids, qMultimodalJoin)
 }

@@ -112,15 +112,20 @@ object WindowQueries {
         .select(
           $"p_partkey", $"p_retailprice",
           ntile(4).over(w).cast(LongType).as("quartile"),
-          round(percent_rank().over(w), 4).as("pct_rank"),
-          round(cume_dist().over(w), 4).as("cume"))
+          // round(6), not 4: cume = k/|part| has exactly 5 decimals at
+          // sf0.1 (|part|=20000), so round(4) lands on the .5 boundary
+          // where Spark (decimal-string) and DuckDB (binary) disagree;
+          // at 6 digits both ratios are boundary-free for every fixture
+          // cardinality (200/2000/20000 and 199/1999/19999).
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"))
         .orderBy($"p_partkey")
     },
     oracle = Some(
       """SELECT p_partkey, p_retailprice,
         |  ntile(4) OVER w AS quartile,
-        |  ROUND(percent_rank() OVER w, 4) AS pct_rank,
-        |  ROUND(cume_dist() OVER w, 4) AS cume
+        |  ROUND(percent_rank() OVER w, 6) AS pct_rank,
+        |  ROUND(cume_dist() OVER w, 6) AS cume
         |FROM part
         |WINDOW w AS (ORDER BY p_retailprice, p_partkey)
         |ORDER BY p_partkey""".stripMargin))
