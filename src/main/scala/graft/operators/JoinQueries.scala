@@ -182,15 +182,27 @@ object JoinQueries {
         |ORDER BY c_custkey""".stripMargin))
 
   /** #12 q_join_theta_range — band join: suppliers per customer-balance
-    * band, counted per supplier. Non-equi ⇒ BroadcastNestedLoopJoin with
-    * supplier (the small side) broadcast. */
+    * band (|s_acctbal − c_acctbal| ≤ 100), counted per supplier.
+    *
+    * Scale-safe band-bucketization instead of a BroadcastNestedLoopJoin:
+    * both sides bucket on floor(acctbal/100); the supplier side explodes
+    * to its bucket ± 1 (complete: |s−c| ≤ 100 ⇒ bucket distance ≤ 1),
+    * the join is a plain equi shuffle join on the bucket key, and the
+    * exact BETWEEN post-filters. Supplier grows with SF in this schema,
+    * so the r2 broadcast-BNLJ shape would stop scaling; this never
+    * broadcasts a growing side and AQE can split a skewed bucket. */
   val qJoinThetaRange: Q = Q(
     "q_join_theta_range",
     (s, dir) => {
       import s.implicits._
-      broadcast(Tables.supplier(s, dir))
-        .join(Tables.customer(s, dir),
-          $"s_acctbal".between($"c_acctbal" - 100.0, $"c_acctbal" + 100.0))
+      val cust = Tables.customer(s, dir)
+        .withColumn("bkt", floor($"c_acctbal" / 100.0))
+      val supp = Tables.supplier(s, dir)
+        .withColumn("sbkt", floor($"s_acctbal" / 100.0))
+        .withColumn("bkt",
+          explode(array($"sbkt" - 1, $"sbkt", $"sbkt" + 1)))
+      supp.join(cust, "bkt")
+        .where($"s_acctbal".between($"c_acctbal" - 100.0, $"c_acctbal" + 100.0))
         .groupBy($"s_suppkey")
         .agg(count(lit(1)).as("n_cust"))
         .orderBy($"s_suppkey")

@@ -102,23 +102,56 @@ object WindowQueries {
         |ORDER BY event_id""".stripMargin))
 
   /** #26 q_win_distribution — ntile/percent_rank/cume_dist over part
-    * retail price (global window — dimension-sized by design). */
+    * retail price.
+    *
+    * A naive `Window.orderBy(price)` is a single-partition global sort —
+    * a scale-killer, since `part` grows with SF. This is the bucketed
+    * two-pass instead: (1) count rows per coarse price bucket — the
+    * bucket table is domain-sized (distinct floor(price) values), not
+    * row-count-sized, so its cumulative sum is a tiny single-partition
+    * window; (2) row_number *within* each bucket (shuffle partitioned by
+    * bucket) + broadcast bucket offsets ⇒ the exact global rank. With the
+    * unique (price, partkey) tiebreak, rank == row_number and the three
+    * distribution stats are closed-form in (rn, n):
+    * percent_rank = (rn−1)/(n−1); cume_dist = rn/n; ntile(4) = the
+    * first n%4 buckets get ⌈n/4⌉ rows (Spark's ntile semantics).
+    *
+    * round(6), not 4: cume = k/|part| has exactly 5 decimals at sf0.1
+    * (|part|=20000), so round(4) lands on the .5 boundary where Spark
+    * (decimal-string) and DuckDB (binary) disagree; at 6 digits both
+    * ratios are boundary-free for every fixture cardinality. */
   val qWinDistribution: Q = Q(
     "q_win_distribution",
     (s, dir) => {
       import s.implicits._
-      val w = Window.orderBy($"p_retailprice", $"p_partkey")
-      Tables.part(s, dir)
+      val parts = Tables.part(s, dir)
+        .select($"p_partkey", $"p_retailprice")
+        .withColumn("bkt", floor($"p_retailprice").cast(LongType))
+      val buckets = parts.groupBy($"bkt").agg(count(lit(1)).as("c"))
+      val wCum = Window.orderBy($"bkt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val offsets = buckets
+        .withColumn("off", sum($"c").over(wCum) - $"c")
+        .select($"bkt", $"off")
+      val total = buckets.agg(sum($"c").cast(LongType).as("n"))
+      val wIn = Window.partitionBy($"bkt")
+        .orderBy($"p_retailprice", $"p_partkey")
+      parts
+        .join(broadcast(offsets), "bkt")
+        .crossJoin(broadcast(total))
+        .withColumn("rn", row_number().over(wIn).cast(LongType) + $"off")
+        .withColumn("base", expr("n div 4"))
+        .withColumn("extra", $"n" % 4)
+        .withColumn("quartile",
+          when($"rn" <= ($"base" + 1) * $"extra",
+            expr("(rn - 1) div (base + 1)") + 1)
+            .otherwise($"extra" + expr("(rn - 1 - (base + 1) * extra) div base") + 1)
+            .cast(LongType))
         .select(
-          $"p_partkey", $"p_retailprice",
-          ntile(4).over(w).cast(LongType).as("quartile"),
-          // round(6), not 4: cume = k/|part| has exactly 5 decimals at
-          // sf0.1 (|part|=20000), so round(4) lands on the .5 boundary
-          // where Spark (decimal-string) and DuckDB (binary) disagree;
-          // at 6 digits both ratios are boundary-free for every fixture
-          // cardinality (200/2000/20000 and 199/1999/19999).
-          round(percent_rank().over(w), 6).as("pct_rank"),
-          round(cume_dist().over(w), 6).as("cume"))
+          $"p_partkey", $"p_retailprice", $"quartile",
+          round(($"rn" - 1).cast(DoubleType) / ($"n" - 1).cast(DoubleType), 6)
+            .as("pct_rank"),
+          round($"rn".cast(DoubleType) / $"n".cast(DoubleType), 6).as("cume"))
         .orderBy($"p_partkey")
     },
     oracle = Some(
