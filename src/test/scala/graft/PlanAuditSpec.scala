@@ -1,0 +1,83 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression audit: locks in the scale-critical plan
+  * shapes so a future edit can't silently reintroduce a scale-killer
+  * (SURVEY.md §4 — our job is to not defeat Catalyst). */
+class PlanAuditSpec extends AnyFunSuite with SparkFixture {
+
+  private def planOf(name: String): String =
+    Catalog.byName(name).build(spark, sfDir)
+      .queryExecution.executedPlan.toString
+
+  private def formattedPlan(name: String): String = {
+    val df = Catalog.byName(name).build(spark, sfDir)
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+  }
+
+  test("q_scan_prune_pushdown pushes the predicate and prunes columns") {
+    val p = formattedPlan("q_scan_prune_pushdown")
+    assert(p.contains("PushedFilters"))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"),
+      "shipdate predicate must reach the parquet scan")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("l_quantity") && !readSchema.contains("l_tax"),
+      s"unused columns must be pruned from the scan: $readSchema")
+  }
+
+  test("q_join_broadcast uses broadcast-hash joins for the dims") {
+    val p = planOf("q_join_broadcast")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"),
+      "dimension joins must not shuffle the fact side")
+  }
+
+  test("q_join_theta_range is an equi join, not a nested-loop scan") {
+    val p = planOf("q_join_theta_range")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "band join must stay bucketized (equi), regression to BNLJ detected")
+  }
+
+  test("q_win_distribution does not globally sort the full table") {
+    val p = planOf("q_win_distribution")
+    // Single-partition exchanges allowed only for the two domain-sized
+    // side plans (bucket-count cumsum + 1-row total); the main table
+    // must be hash-partitioned.
+    val single = p.linesIterator.count(_.contains("Exchange SinglePartition"))
+    assert(single <= 2, s"expected only tiny single-partition exchanges, got $single")
+    assert(p.contains("hashpartitioning(bkt"),
+      "main table must be partitioned by bucket, not globally sorted")
+  }
+
+  test("q_topk compiles to TakeOrderedAndProject (no global sort)") {
+    val p = planOf("q_topk")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("q_join_self_asof shuffles once on user_id and never joins") {
+    val p = planOf("q_join_self_asof")
+    assert(!p.contains("Join"), "as-of must use the window formulation")
+  }
+
+  test("flagship aggregation runs inside whole-stage codegen") {
+    // AQE prints codegen stages only once the final plan exists —
+    // execute first, then inspect.
+    val df = Catalog.byName("q_agg_groupby").build(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // "*(n)" prefixes mark operators fused into WholeStageCodegen stages.
+    assert(p.contains("*(1) HashAggregate") || p.contains("*(2) HashAggregate"),
+      s"aggregation must be codegen-fused:\n$p")
+  }
+
+  test("no query plan contains a cartesian product") {
+    Catalog.all.foreach { q =>
+      val p = Catalog.byName(q.name).build(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"),
+        s"${q.name} degenerated to a cartesian product")
+    }
+  }
+}
