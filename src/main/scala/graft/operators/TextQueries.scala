@@ -89,6 +89,108 @@ object TextQueries {
         |GROUP BY lang, source
         |ORDER BY lang, source""".stripMargin))
 
+  /** q_text_quality — per-doc training-data quality features: token
+    * count, distinct-token ratio, stopword ratio, average word length,
+    * and a weighted composite score. All ratios are int/int double
+    * divisions (bit-identical across engines); round(6) avoids the
+    * .5-boundary cases that terminating ratios (k/2^a) hit at 4 digits. */
+  val qTextQuality: Q = Q(
+    "q_text_quality",
+    (s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .withColumn("w", split($"text", " "))
+        .withColumn("n_tok", size($"w").cast(LongType))
+        .withColumn("n_distinct", size(array_distinct($"w")).cast(LongType))
+        .withColumn("n_stop",
+          size(filter($"w", t => t === "the" || t === "a")).cast(LongType))
+        .select(
+          $"doc_id", $"n_tok",
+          round($"n_distinct".cast(DoubleType) / $"n_tok", 6)
+            .as("distinct_ratio"),
+          round($"n_stop".cast(DoubleType) / $"n_tok", 6).as("stop_ratio"),
+          // text is single-space joined: chars = sum(word lens) + (n-1)
+          round(($"n_chars" - ($"n_tok" - 1)).cast(DoubleType) / $"n_tok", 6)
+            .as("avg_word_len"),
+          round(
+            ($"n_distinct".cast(DoubleType) / $"n_tok") * 0.5 +
+              (lit(1.0) - $"n_stop".cast(DoubleType) / $"n_tok") * 0.3 +
+              least($"n_tok".cast(DoubleType) / 50.0, lit(1.0)) * 0.2, 6)
+            .as("quality"))
+        .orderBy($"doc_id")
+    },
+    oracle = Some(
+      """SELECT doc_id, n_tok,
+        |  ROUND(CAST(n_distinct AS DOUBLE) / n_tok, 6) AS distinct_ratio,
+        |  ROUND(CAST(n_stop AS DOUBLE) / n_tok, 6) AS stop_ratio,
+        |  ROUND(CAST(n_chars - (n_tok - 1) AS DOUBLE) / n_tok, 6) AS avg_word_len,
+        |  ROUND((CAST(n_distinct AS DOUBLE) / n_tok) * 0.5
+        |      + (1.0 - CAST(n_stop AS DOUBLE) / n_tok) * 0.3
+        |      + least(CAST(n_tok AS DOUBLE) / 50.0, 1.0) * 0.2, 6) AS quality
+        |FROM (
+        |  SELECT doc_id, n_chars,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      t -> t IN ('the', 'a'))) AS BIGINT) AS n_stop
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin))
+
+  /** q_text_token_count — token counting two ways: whitespace tokens and
+    * a BPE-ish regex segmentation (vowel-run groups), plus non-space char
+    * count. Regex stays in the RE2∩Java common subset (rule 5). */
+  val qTextTokenCount: Q = Q(
+    "q_text_token_count",
+    (s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select(
+          $"doc_id",
+          size(split($"text", " ")).cast(LongType).as("ws_tokens"),
+          size(regexp_extract_all($"text", lit("[aeiou]+"), lit(0)))
+            .cast(LongType).as("vowel_groups"),
+          length(regexp_replace($"text", " ", "")).cast(LongType)
+            .as("n_nonspace_chars"))
+        .orderBy($"doc_id")
+    },
+    oracle = Some(
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[aeiou]+')) AS BIGINT) AS vowel_groups,
+        |  CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_nonspace_chars
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin))
+
+  /** Winnowing-style document fingerprints, shared by the query and
+    * `FingerprintSpec`: xxhash64 over char 8-grams, minimum per 16-gram
+    * window — the classic local fingerprinting scheme (robust to
+    * insertions outside the window). Engine-specific hashes ⇒ T-row. */
+  object Fingerprint {
+    val gram = 8
+    val window = 16
+
+    def fingerprints(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      df.select(col("doc_id"), col("text"),
+          explode(expr(s"sequence(1, greatest(length(text) - ${gram - 1}, 1))"))
+            .as("pos"))
+        .select(col("doc_id"),
+          expr(s"(pos - 1) div $window").as("win"),
+          xxhash64(expr(s"substring(text, pos, $gram)")).as("h"))
+        .groupBy(col("doc_id"), col("win"))
+        .agg(min(col("h")).as("fp"))
+  }
+
+  /** q_doc_fingerprint (T) — winnowing fingerprint rows per document;
+    * `FingerprintSpec` pins identity/near-dup/disjoint behavior. */
+  val qDocFingerprint: Q = Q(
+    "q_doc_fingerprint",
+    (s, dir) => {
+      import s.implicits._
+      Fingerprint.fingerprints(Tables.documents(s, dir))
+        .orderBy($"doc_id", $"win")
+    })
+
   val all: Vector[Q] =
-    Vector(qTextTokenizeExplode, qTextWordcountTf, qTextStats)
+    Vector(qTextTokenizeExplode, qTextWordcountTf, qTextStats,
+      qTextQuality, qTextTokenCount, qDocFingerprint)
 }

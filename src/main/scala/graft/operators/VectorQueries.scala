@@ -27,6 +27,61 @@ object VectorQueries {
   private def absD(c: org.apache.spark.sql.Column) =
     abs(c.cast(DoubleType))
 
+  /** Left-fold dot product of a float-array column with another array
+    * column — same fold order as DuckDB's list_transform-over-range. */
+  private def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), _ + _)
+
+  /** Random-hyperplane LSH over the embedding column — the ANN *scale
+    * path* beside the brute-force baseline (#53). b sign-bits of dots
+    * with fixed seeded hyperplanes coarse-quantize vectors into 2^b
+    * buckets; a probe searches its own bucket plus all Hamming-distance-1
+    * neighbors (multi-probe), so candidate generation is an equi join on
+    * the bucket key — at 100 TB this prunes ~(b+1)/2^b of the table into
+    * the exact re-rank instead of scanning everything. Shared with
+    * `AnnLshSpec`. */
+  object AnnLsh {
+    val bits = 4
+
+    /** Fixed hyperplanes (seeded — identical across sessions/executors). */
+    val planes: Seq[Seq[Double]] = {
+      val rnd = new java.util.Random(42L)
+      Seq.fill(bits)(Seq.fill(64)(rnd.nextGaussian()))
+    }
+
+    /** Adds the integer `bucket` column (b sign bits). */
+    def bucketed(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val bitCols = planes.zipWithIndex.map { case (p, j) =>
+        when(dot(col("embedding"), typedLit(p)) >= 0, 1 << j).otherwise(0)
+      }
+      df.withColumn("bucket", bitCols.reduce(_ + _))
+    }
+
+    /** The probe's multi-probe set: own bucket + Hamming-1 neighbors. */
+    def probeBuckets(bucket: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      array(bucket +: (0 until bits).map(j => bucket.bitwiseXOR(lit(1 << j))): _*)
+  }
+
+  /** q_vec_knn_lsh (T) — top-5 neighbors of probe vec_id=0 searching only
+    * the multi-probe LSH buckets; `AnnLshSpec` pins recall against the
+    * brute-force baseline. Engine-specific bucketing ⇒ no DuckDB twin. */
+  val qVecKnnLsh: Q = Q(
+    "q_vec_knn_lsh",
+    (s, dir) => {
+      import s.implicits._
+      val all = AnnLsh.bucketed(Tables.embeddings(s, dir))
+      val probe = broadcast(
+        all.where($"vec_id" === 0)
+          .select($"embedding".as("p"),
+            explode(AnnLsh.probeBuckets($"bucket")).as("bucket")))
+      all.where($"vec_id" =!= 0)
+        .join(probe, "bucket")
+        .select($"vec_id", round(dot($"embedding", $"p"), 6).as("sim"))
+        .orderBy($"sim".desc, $"vec_id")
+        .limit(5)
+    })
+
   /** #52 q_vec_norm_stats — per-vector L1 norm, max-abs component and
     * component mean (left-fold order matches DuckDB's list_sum; round(4)
     * masks last-ulp drift, rule 2). */
@@ -66,12 +121,7 @@ object VectorQueries {
       Tables.embeddings(s, dir)
         .where($"vec_id" =!= 0)
         .crossJoin(probe)
-        .select(
-          $"vec_id",
-          round(aggregate(
-            zip_with($"embedding", $"p",
-              (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
-            lit(0.0), _ + _), 6).as("sim"))
+        .select($"vec_id", round(dot($"embedding", $"p"), 6).as("sim"))
         .orderBy($"sim".desc, $"vec_id")
         .limit(5)
     },
@@ -144,5 +194,6 @@ object VectorQueries {
         |ORDER BY lang""".stripMargin))
 
   val all: Vector[Q] = Vector(
-    qVecNormStats, qVecKnnBruteforce, qVecCentroids, qMultimodalJoin)
+    qVecNormStats, qVecKnnBruteforce, qVecKnnLsh, qVecCentroids,
+    qMultimodalJoin)
 }

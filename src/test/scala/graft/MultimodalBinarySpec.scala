@@ -1,0 +1,61 @@
+package graft
+
+import graft.operators.MultimodalBinary
+import graft.operators.MultimodalBinary.{Frame, MediaFile, MediaMeta}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Multimodal binary plumbing (stubbed decode): the schema, typed
+  * mapPartitions shape, determinism and shuffle-freeness are the real
+  * contract here — the codec itself is an explicit stub. */
+class MultimodalBinarySpec extends AnyFunSuite with SparkFixture {
+
+  private def media(id: Long, n: Int, mod: String = "image"): MediaFile =
+    MediaFile(id, mod,
+      Array.tabulate(n)(i => ((id * 131 + i) % 251).toByte),
+      MediaMeta(64, 64, 0, 0L))
+
+  private def ds(files: MediaFile*) = {
+    import MultimodalBinary._
+    spark.createDataset(files)(mediaEnc)
+  }
+
+  test("decode yields payload/stride frames with fixed-width features") {
+    val frames = MultimodalBinary.decodeFrames(ds(media(1L, 256), media(2L, 100)), 64)
+      .collect()
+    val byId = frames.groupBy(_.media_id)
+    assert(byId(1L).length == 4) // 256/64
+    assert(byId(2L).length == 1) // 100/64 floored, min 1
+    assert(frames.forall(_.feature.length == MultimodalBinary.featureDim))
+  }
+
+  test("decode is deterministic and content-sensitive") {
+    val a = MultimodalBinary.decodeFrames(ds(media(1L, 256)), 64).collect()
+    val b = MultimodalBinary.decodeFrames(ds(media(1L, 256)), 64).collect()
+    assert(a.map(_.feature.toSeq).toSeq == b.map(_.feature.toSeq).toSeq)
+    val other = MultimodalBinary.decodeFrames(ds(media(3L, 256)), 64).collect()
+    assert(a.map(_.feature.toSeq).toSet != other.map(_.feature.toSeq).toSet,
+      "different payloads must produce different features")
+  }
+
+  test("frame sampling keeps every Nth frame") {
+    val frames = MultimodalBinary.decodeFrames(ds(media(1L, 640)), 64)
+    val sampled = MultimodalBinary.frameSample(frames, 3).collect()
+    assert(sampled.map(_.frame_idx).sorted.toSeq == Seq(0, 3, 6, 9))
+  }
+
+  test("decode+sample plan is narrow (no shuffle of payload bytes)") {
+    val frames = MultimodalBinary.frameSample(
+      MultimodalBinary.decodeFrames(ds(media(1L, 256)), 64), 2)
+    val plan = frames.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"decode must not shuffle payloads:\n$plan")
+  }
+
+  test("frameStats aggregates per media with partial aggregation") {
+    val frames = MultimodalBinary.decodeFrames(
+      ds(media(1L, 256), media(2L, 512)), 64)
+    val stats = MultimodalBinary.frameStats(spark, frames)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(stats == Map(1L -> 4L, 2L -> 8L))
+  }
+}
