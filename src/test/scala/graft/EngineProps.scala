@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+/** Property-based invariants on generated mini-DataFrames (SURVEY.md §5
+  * item 3). ScalaCheck runs under sbt's native scalacheck framework; 10
+  * cases per property keeps the Spark-job fan-out reasonable. */
+object EngineProps extends Properties("graft") with SparkFixture {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(10)
+
+  private val word =
+    Gen.oneOf("spark", "data", "row", "scan", "join", "key", "hash", "the", "a", "value")
+  private val docGen: Gen[String] =
+    Gen.chooseNum(3, 20).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+
+  property("exact dedup is idempotent") = forAll(Gen.listOf(docGen)) { texts =>
+    import spark.implicits._
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    def collapse(d: org.apache.spark.sql.DataFrame) =
+      d.groupBy(md5($"text").as("h")).agg(min($"doc_id").as("doc_id"))
+        .select($"doc_id", $"h")
+    val once = collapse(df).collect().toSet
+    val twice = collapse(collapse(df)
+      .join(df, "doc_id").select($"doc_id", $"text")).collect().toSet
+    once == twice
+  }
+
+  property("unionAll counts are additive") =
+    forAll(Gen.listOf(Gen.chooseNum(0, 100)), Gen.listOf(Gen.chooseNum(0, 100))) {
+      (a, b) =>
+        import spark.implicits._
+        val da = a.toDF("x"); val db = b.toDF("x")
+        da.unionAll(db).count() == (a.size + b.size).toLong
+    }
+
+  property("exceptAll implements multiset difference") =
+    forAll(Gen.listOf(Gen.chooseNum(0, 10)), Gen.listOf(Gen.chooseNum(0, 10))) {
+      (a, b) =>
+        import spark.implicits._
+        val got = a.toDF("x").exceptAll(b.toDF("x"))
+          .collect().map(_.getInt(0)).groupBy(identity).view.mapValues(_.length).toMap
+        val bCnt = b.groupBy(identity).view.mapValues(_.length).toMap
+        val want = a.groupBy(identity).view
+          .mapValues(_.length).toMap
+          .map { case (k, n) => k -> math.max(0, n - bCnt.getOrElse(k, 0)) }
+          .filter(_._2 > 0)
+        got == want
+    }
+
+  property("window running sum ends at the group total") =
+    forAll(Gen.listOf(Gen.zip(Gen.chooseNum(0L, 3L), Gen.chooseNum(-50, 50)))) {
+      rows =>
+        import spark.implicits._
+        val df = rows.zipWithIndex
+          .map { case ((u, v), i) => (u, i.toLong, v.toLong) }
+          .toDF("user_id", "seq", "v")
+        val w = Window.partitionBy($"user_id").orderBy($"seq")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val last = df.withColumn("run", sum($"v").over(w))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy($"user_id").orderBy($"seq".desc)))
+          .where($"rn" === 1)
+          .select($"user_id", $"run")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val want = rows.groupBy(_._1).view
+          .mapValues(_.map(_._2.toLong).sum).toMap
+        last == want
+    }
+
+  property("sessionize never splits a gap <= threshold or merges one above it") =
+    forAll(Gen.listOf(Gen.chooseNum(0L, 500L))) { offsets =>
+      import spark.implicits._
+      val gapMs = 60000L // 1-minute session gap for the generated data
+      val rows = offsets.distinct.sorted.zipWithIndex
+        .map { case (o, i) => (i.toLong, new java.sql.Timestamp(o * 10000L)) }
+      val df = rows.toDF("event_id", "ts")
+      val w = Window.orderBy($"ts", $"event_id")
+      val wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val sess = df
+        .withColumn("prev", lag($"ts", 1).over(w))
+        .withColumn("new_s",
+          when($"prev".isNull ||
+            unix_millis($"ts") - unix_millis($"prev") > gapMs, 1L).otherwise(0L))
+        .withColumn("sid", sum($"new_s").over(wr))
+        .select($"event_id", $"ts", $"sid")
+        .collect().map(r => (r.getTimestamp(1).getTime, r.getLong(2)))
+        .sortBy(_._1).toList
+      sess.sliding(2).forall {
+        case List((t1, s1), (t2, s2)) =>
+          if (t2 - t1 > gapMs) s2 == s1 + 1 else s2 == s1
+        case _ => true
+      }
+    }
+}
