@@ -1,0 +1,20 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Engine extension installer — the public `spark.sql.extensions` hook
+  * (SURVEY.md §4 extension points). Registers the custom codegen'd
+  * expressions so `expr("vec_dot(a, b)")` resolves in SQL and the
+  * DataFrame DSL. Sessions opt in via
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(extensions: SparkSessionExtensions): Unit = {
+    extensions.injectFunction((
+      new FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[functions.VecDot].getName, "vec_dot"),
+      (children: Seq[Expression]) =>
+        functions.VecDot(children.head, children(1))))
+  }
+}

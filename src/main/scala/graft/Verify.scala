@@ -17,6 +17,7 @@ object Verify {
       // events.ts is parquet TIMESTAMP(NANOS) — read as long, converted
       // to µs TimestampType in Tables.events (values are µs-exact).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

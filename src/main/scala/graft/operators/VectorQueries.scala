@@ -27,11 +27,13 @@ object VectorQueries {
   private def absD(c: org.apache.spark.sql.Column) =
     abs(c.cast(DoubleType))
 
-  /** Left-fold dot product of a float-array column with another array
-    * column — same fold order as DuckDB's list_transform-over-range. */
-  private def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
-      lit(0.0), _ + _)
+  /** Dot product of two float-array columns via the custom codegen'd
+    * [[graft.functions.VecDot]] expression (registered by
+    * GraftExtensions): same ascending-index double-accumulation fold as
+    * the composed `aggregate(zip_with(...))` form and as DuckDB's
+    * list_transform-over-range twins — bit-identical results — but fused
+    * into whole-stage codegen instead of interpreted HOFs. */
+  private def dot(a: String, b: String) = expr(s"vec_dot($a, $b)")
 
   /** Random-hyperplane LSH over the embedding column — the ANN *scale
     * path* beside the brute-force baseline (#53). b sign-bits of dots
@@ -50,12 +52,18 @@ object VectorQueries {
       Seq.fill(bits)(Seq.fill(64)(rnd.nextGaussian()))
     }
 
-    /** Adds the integer `bucket` column (b sign bits). */
+    /** Adds the integer `bucket` column (b sign bits). Planes are bound
+      * as literal columns first so the codegen'd vec_dot applies. */
     def bucketed(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-      val bitCols = planes.zipWithIndex.map { case (p, j) =>
-        when(dot(col("embedding"), typedLit(p)) >= 0, 1 << j).otherwise(0)
+      val withPlanes = planes.zipWithIndex.foldLeft(df) { case (d, (p, j)) =>
+        d.withColumn(s"_plane$j", typedLit(p.map(_.toFloat)))
       }
-      df.withColumn("bucket", bitCols.reduce(_ + _))
+      val bitCols = (0 until bits).map { j =>
+        when(dot("embedding", s"_plane$j") >= 0, 1 << j).otherwise(0)
+      }
+      withPlanes
+        .withColumn("bucket", bitCols.reduce(_ + _))
+        .drop((0 until bits).map(j => s"_plane$j"): _*)
     }
 
     /** The probe's multi-probe set: own bucket + Hamming-1 neighbors. */
@@ -77,7 +85,7 @@ object VectorQueries {
             explode(AnnLsh.probeBuckets($"bucket")).as("bucket")))
       all.where($"vec_id" =!= 0)
         .join(probe, "bucket")
-        .select($"vec_id", round(dot($"embedding", $"p"), 6).as("sim"))
+        .select($"vec_id", round(dot("embedding", "p"), 6).as("sim"))
         .orderBy($"sim".desc, $"vec_id")
         .limit(5)
     })
@@ -121,7 +129,7 @@ object VectorQueries {
       Tables.embeddings(s, dir)
         .where($"vec_id" =!= 0)
         .crossJoin(probe)
-        .select($"vec_id", round(dot($"embedding", $"p"), 6).as("sim"))
+        .select($"vec_id", round(dot("embedding", "p"), 6).as("sim"))
         .orderBy($"sim".desc, $"vec_id")
         .limit(5)
     },
