@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Q, Tables}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Deduplication operators over the documents corpus — SURVEY.md §2.10
   * rows 49–51 (LLM-data-pipeline north star).
@@ -63,6 +64,24 @@ object DedupQueries {
         | AND a.doc_id < b.doc_id
         |ORDER BY doc_a, doc_b""".stripMargin))
 
+  /** Shared 3-token shingling (see MinHashLsh doc for why unigrams are
+    * useless on this corpus). `wordsCol` must hold the split text. */
+  object Shingles {
+    val size = 3
+
+    /** Array column of space-joined `size`-token shingles. */
+    def of(wordsCol: String): org.apache.spark.sql.Column =
+      expr(
+        s"""transform(
+           |  sequence(1, greatest(size($wordsCol) - ${size - 1}, 1)),
+           |  i -> concat_ws(' ', slice($wordsCol, i, $size)))""".stripMargin)
+
+    /** The same shingle list in DuckDB SQL (w = string_split(text)). */
+    def sql(words: String): String =
+      s"""list_transform(range(1, greatest(len($words) - ${size - 1}, 1) + 1),
+         |    i -> concat_ws(' ', $words[i], $words[i+1], $words[i+2]))""".stripMargin
+  }
+
   /** MinHash-LSH internals, shared by the query and `MinHashSpec`.
     *
     * k=16 hash "permutations" (seeded xxhash64 over the distinct token
@@ -74,7 +93,6 @@ object DedupQueries {
     val numHashes = 16
     val bands = 4
     val rowsPerBand = 4
-    val shingleSize = 3
 
     /** doc (id, text) → (doc_id, band, band_key) rows, one per band.
       *
@@ -95,12 +113,7 @@ object DedupQueries {
     def bandKeys(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
       val shingled = df
         .withColumn("w", split(col("text"), " "))
-        .select(col("doc_id"),
-          explode(expr(
-            s"""transform(
-               |  sequence(1, greatest(size(w) - ${shingleSize - 1}, 1)),
-               |  i -> concat_ws(' ', slice(w, i, $shingleSize)))""".stripMargin))
-            .as("tok"))
+        .select(col("doc_id"), explode(Shingles.of("w")).as("tok"))
       val sigCols = (0 until numHashes).map { i =>
         min(xxhash64(lit(i), col("tok"))).as(s"h$i")
       }
@@ -141,5 +154,120 @@ object DedupQueries {
         .orderBy($"doc_a", $"doc_b")
     })
 
-  val all: Vector[Q] = Vector(qDedupExact, qDedupNear, qDedupMinhash)
+  /** q_dedup_ngram_jaccard — exact 3-gram Jaccard similarity over the
+    * prefix-key candidate pairs (#50's scheme bounds the pair set), kept
+    * at jaccard ≥ 0.5. Set semantics on both sides (array_intersect /
+    * list_intersect are distinct); |A∪B| = |A|+|B|−|A∩B| because DuckDB
+    * has no list_union. Int/int division in double, round(6) — fixture
+    * set sizes terminate at ≤ 6 decimals or never hit an exact boundary.
+    *
+    * Scale: candidate generation is the equi prefix-key join; the exact
+    * Jaccard runs only on candidates — never all pairs. */
+  val qDedupNgramJaccard: Q = Q(
+    "q_dedup_ngram_jaccard",
+    (s, dir) => {
+      import s.implicits._
+      val keyed = Tables.documents(s, dir)
+        .withColumn("w", split(lower($"text"), " "))
+        .select(
+          substring(lower($"text"), 1, 40).as("k"),
+          $"doc_id",
+          array_distinct(Shingles.of("w")).as("sh"))
+      keyed.as("a")
+        .join(keyed.as("b"),
+          col("a.k") === col("b.k") && col("a.doc_id") < col("b.doc_id"))
+        .select(
+          col("a.doc_id").as("doc_a"),
+          col("b.doc_id").as("doc_b"),
+          size(array_intersect(col("a.sh"), col("b.sh"))).cast(DoubleType)
+            .as("ni"),
+          (size(col("a.sh")) + size(col("b.sh"))).cast(DoubleType).as("nab"))
+        .select($"doc_a", $"doc_b",
+          round($"ni" / ($"nab" - $"ni"), 6).as("jaccard"))
+        .where($"jaccard" >= 0.5)
+        .orderBy($"doc_a", $"doc_b")
+    },
+    oracle = Some(
+      s"""SELECT doc_a, doc_b, jaccard FROM (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    ROUND(
+         |      CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |      (CAST(len(a.sh) + len(b.sh) AS DOUBLE) - len(list_intersect(a.sh, b.sh))),
+         |      6) AS jaccard
+         |  FROM (SELECT doc_id, substring(lower(text), 1, 40) AS k,
+         |          list_distinct(${Shingles.sql("string_split(lower(text), ' ')")}) AS sh
+         |        FROM documents) a
+         |  JOIN (SELECT doc_id, substring(lower(text), 1, 40) AS k,
+         |          list_distinct(${Shingles.sql("string_split(lower(text), ' ')")}) AS sh
+         |        FROM documents) b
+         |    ON a.k = b.k AND a.doc_id < b.doc_id)
+         |WHERE jaccard >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin))
+
+  /** SimHash internals, shared by the query and `SimHashSpec`.
+    *
+    * 32-bit SimHash over shingle hashes: bit j of the fingerprint is the
+    * sign of Σ±1 over features (bit j of each shingle's xxhash64).
+    * Candidates come from banding the fingerprint into 4 byte chunks —
+    * pairs within Hamming distance ≤ 3 are guaranteed to agree on at
+    * least one chunk (pigeonhole); we post-filter to ham ≤ maxHamming
+    * with bit_count(xor). Everything is explode + codegen agg + equi
+    * join — the scale-safe shape. */
+  object SimHash {
+    val bits = 32
+    val chunks = 4
+    val maxHamming = 6
+
+    /** (doc_id, sig) fingerprints. */
+    def fingerprints(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val shingled = df
+        .withColumn("w", split(col("text"), " "))
+        .select(col("doc_id"), explode(Shingles.of("w")).as("tok"))
+        .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+      val bitSums = (0 until bits).map { j =>
+        sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1)
+          .otherwise(-1)).as(s"b$j")
+      }
+      val sig = (0 until bits)
+        .map(j => when(col(s"b$j") >= 0, 1L << j).otherwise(0L))
+        .reduce(_ + _)
+      shingled.groupBy(col("doc_id"))
+        .agg(bitSums.head, bitSums.tail: _*)
+        .select(col("doc_id"), sig.as("sig"))
+    }
+
+    /** Candidate pairs with exact Hamming distance ≤ maxHamming. */
+    def nearPairs(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val fps = fingerprints(df)
+      val banded = fps.select(col("doc_id"), col("sig"),
+        explode(array((0 until chunks).map { c =>
+          struct(lit(c).as("band"),
+            shiftright(col("sig"), c * 8).bitwiseAND(0xff).as("ckey"))
+        }: _*)).as("bk"))
+        .select(col("doc_id"), col("sig"),
+          col("bk.band").as("band"), col("bk.ckey").as("ckey"))
+      banded.as("a")
+        .join(banded.as("b"), Seq("band", "ckey"))
+        .where(col("a.doc_id") < col("b.doc_id"))
+        .select(
+          col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
+        .where(col("hamming") <= maxHamming)
+        .distinct()
+    }
+  }
+
+  /** q_dedup_simhash (T) — SimHash near-dup pairs (hamming ≤ 6 of 32).
+    * Engine-specific hashing ⇒ no DuckDB twin; `SimHashSpec` pins
+    * identical-doc zero distance, near-dup recall and disjoint rejection. */
+  val qDedupSimhash: Q = Q(
+    "q_dedup_simhash",
+    (s, dir) => {
+      import s.implicits._
+      SimHash.nearPairs(Tables.documents(s, dir).select($"doc_id", $"text"))
+        .orderBy($"doc_a", $"doc_b")
+    })
+
+  val all: Vector[Q] = Vector(
+    qDedupExact, qDedupNear, qDedupMinhash, qDedupNgramJaccard, qDedupSimhash)
 }
