@@ -143,6 +143,44 @@ object VectorQueries {
         |ORDER BY sim DESC, vec_id
         |LIMIT 5""".stripMargin))
 
+  /** Embedding-cosine near-duplicate detection, shared with
+    * `EmbeddingDedupSpec`. Candidates come from the AnnLsh buckets (one
+    * side exploded to its Hamming-1 probe set, so pairs whose sign
+    * buckets differ by ≤ 1 bit are covered); the exact vec_dot ≥
+    * threshold post-filters. Inputs are assumed L2-normalized (dot =
+    * cosine) — true for the fixtures. Never all-pairs: the join is equi
+    * on the bucket key. */
+  object EmbeddingDedup {
+    def nearPairs(df: org.apache.spark.sql.DataFrame, threshold: Double): org.apache.spark.sql.DataFrame = {
+      val bucketed = AnnLsh.bucketed(df)
+      val probeSide = bucketed.select(
+        col("vec_id").as("vec_a"), col("embedding").as("ea"),
+        explode(AnnLsh.probeBuckets(col("bucket"))).as("bucket"))
+      val buildSide = bucketed.select(
+        col("vec_id").as("vec_b"), col("embedding").as("eb"), col("bucket"))
+      probeSide.join(buildSide, Seq("bucket"))
+        .where(col("vec_a") < col("vec_b"))
+        .select(col("vec_a"), col("vec_b"),
+          round(expr("vec_dot(ea, eb)"), 6).as("cos"))
+        .where(col("cos") >= threshold)
+        .distinct()
+    }
+  }
+
+  /** q_dedup_embedding (T) — cosine near-dup pairs at ≥ 0.9 over the
+    * fixture embeddings. The fixtures are spread (max cross cosine
+    * ≈ 0.37), so this is empty on them by design — the operator's
+    * behavior is pinned by `EmbeddingDedupSpec` on planted near-dups;
+    * Bench still times the full candidate+filter pipeline. */
+  val qDedupEmbedding: Q = Q(
+    "q_dedup_embedding",
+    (s, dir) => {
+      import s.implicits._
+      EmbeddingDedup.nearPairs(
+          Tables.embeddings(s, dir).select($"vec_id", $"embedding"), 0.9)
+        .orderBy($"vec_a", $"vec_b")
+    })
+
   /** #54 q_vec_centroids — per-label mean vector via posexplode, reported
     * as the rounded L2 norm of each centroid (< 1 for spread clusters). */
   val qVecCentroids: Q = Q(
@@ -202,6 +240,6 @@ object VectorQueries {
         |ORDER BY lang""".stripMargin))
 
   val all: Vector[Q] = Vector(
-    qVecNormStats, qVecKnnBruteforce, qVecKnnLsh, qVecCentroids,
-    qMultimodalJoin)
+    qVecNormStats, qVecKnnBruteforce, qVecKnnLsh, qDedupEmbedding,
+    qVecCentroids, qMultimodalJoin)
 }

@@ -1,0 +1,54 @@
+package graft
+
+import graft.operators.VectorQueries.EmbeddingDedup
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q_dedup_embedding (T): the fixtures are spread (no near-dup vectors),
+  * so behavior is pinned on planted synthetic near-identical vectors. */
+class EmbeddingDedupSpec extends AnyFunSuite with SparkFixture {
+
+  private def unit(v: Array[Float]): Array[Float] = {
+    val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+    v.map(_ / n)
+  }
+
+  /** Deterministic pseudo-random unit vector. */
+  private def vec(seed: Int): Array[Float] = {
+    val rnd = new java.util.Random(seed)
+    unit(Array.fill(64)(rnd.nextGaussian().toFloat))
+  }
+
+  private def df(rows: (Long, Array[Float])*) = {
+    import spark.implicits._
+    rows.toSeq.toDF("vec_id", "embedding")
+  }
+
+  test("planted near-identical vectors are detected") {
+    val base = vec(1)
+    val near = unit(base.zipWithIndex.map { case (x, i) =>
+      if (i == 0) x + 0.01f else x }) // cosine ≈ 0.99995
+    val d = df(0L -> base, 1L -> near, 2L -> vec(2), 3L -> vec(3))
+    val pairs = EmbeddingDedup.nearPairs(d, 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((0L, 1L)))
+  }
+
+  test("exact duplicates always collide (identical buckets)") {
+    val base = vec(7)
+    val d = df(0L -> base, 1L -> base, 2L -> vec(9))
+    val pairs = EmbeddingDedup.nearPairs(d, 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSeq == Seq((0L, 1L)))
+    assert(pairs.head._3 >= 0.999999)
+  }
+
+  test("unrelated random vectors produce no pairs at a high threshold") {
+    val d = df((0L to 20L).map(i => i -> vec(100 + i.toInt)): _*)
+    assert(EmbeddingDedup.nearPairs(d, 0.9).collect().isEmpty)
+  }
+
+  test("fixture embeddings are spread: empty at 0.9 (degeneracy documented)") {
+    val rows = Catalog.byName("q_dedup_embedding").build(spark, sfDir).collect()
+    assert(rows.isEmpty)
+  }
+}
