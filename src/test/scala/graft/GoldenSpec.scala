@@ -1,0 +1,72 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hand-derived golden values at sf0.001 (SURVEY.md §5 item 2) — a
+  * DuckDB-independent sanity layer: row counts from FIXTURES.md and a
+  * few independently recomputed aggregates. */
+class GoldenSpec extends AnyFunSuite with SparkFixture {
+
+  test("fixture row counts match FIXTURES.md") {
+    val want = Map(
+      "region" -> 5L, "nation" -> 25L, "supplier" -> 10L,
+      "customer" -> 150L, "part" -> 200L, "orders" -> 1500L,
+      "lineitem" -> 6000L, "events" -> 1000L,
+      "documents" -> 500L, "embeddings" -> 500L)
+    want.foreach { case (t, n) =>
+      assert(Tables(spark, sfDir, t).count() == n, s"table $t")
+    }
+  }
+
+  test("q_agg_global matches independently recomputed totals") {
+    import spark.implicits._
+    val row = Catalog.byName("q_agg_global").build(spark, sfDir).head()
+    assert(row.getAs[Long]("n_rows") == 6000L)
+    val li = Tables.lineitem(spark, sfDir)
+      .select($"l_orderkey", $"l_extendedprice").collect()
+    assert(row.getAs[Long]("n_orders") ==
+      li.map(_.getLong(0)).distinct.length.toLong)
+    // exact 2-dp values: recompute the decimal sum in scaled longs
+    val cents = li.map(r => math.round(r.getDouble(1) * 100)).sum
+    assert(row.getAs[Double]("sum_price") == cents / 100.0)
+  }
+
+  test("q_agg_groupby covers all 6 flag-status groups and counts add up") {
+    val rows = Catalog.byName("q_agg_groupby").build(spark, sfDir).collect()
+    assert(rows.length == 6)
+    assert(rows.map(_.getAs[Long]("count_order")).sum == 6000L)
+    assert(rows.map(r => (r.getString(0), r.getString(1))).toSet ==
+      Set(("A", "F"), ("A", "O"), ("N", "F"), ("N", "O"), ("R", "F"), ("R", "O")))
+  }
+
+  test("q_join_anti is empty because orders covers every customer") {
+    assert(Catalog.byName("q_join_anti").build(spark, sfDir).count() == 0L)
+  }
+
+  test("q_topk revenues are sorted and bounded by the max product") {
+    import spark.implicits._
+    val revs = Catalog.byName("q_topk").build(spark, sfDir)
+      .select($"revenue").collect().map(_.getDouble(0))
+    assert(revs.length == 25)
+    assert(revs.sameElements(revs.sorted.reverse))
+    val maxPossible = Tables.lineitem(spark, sfDir)
+      .select($"l_extendedprice").collect().map(_.getDouble(0)).max
+    assert(revs.head <= maxPossible)
+  }
+
+  test("q_win_rank emits at most 3 rows per customer, rn dense from 1") {
+    val rows = Catalog.byName("q_win_rank").build(spark, sfDir).collect()
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.length <= 3)
+      assert(rs.map(_.getAs[Long]("rn")).sorted.toSeq ==
+        (1L to rs.length.toLong))
+    }
+  }
+
+  test("q_dedup_exact keeps one representative per distinct text") {
+    import spark.implicits._
+    val nDistinct = Tables.documents(spark, sfDir)
+      .select($"text").distinct().count()
+    assert(Catalog.byName("q_dedup_exact").build(spark, sfDir).count() == nDistinct)
+  }
+}
