@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) ANN index — the coarse-quantizer scale path for
+  * similarity search, complementing the hyperplane LSH variant
+  * (VectorQueries.AnnLsh). A small k-means codebook partitions vectors
+  * into cells; a probe searches only the `nprobe` nearest cells and
+  * re-ranks exactly with the codegen'd vec_dot.
+  *
+  * Scale notes (100 TB): the codebook is model state — k×64 floats —
+  * broadcast to every task; assignment is a per-row argmin over k cells
+  * (narrow, codegen'd); training recomputes centroids with one
+  * partial-aggregated shuffle per Lloyd iteration (k×64 rows cross the
+  * wire, not the data); search filters on the cell id before any
+  * pairwise math. Initialization is deterministic (first k vectors by
+  * vec_id), so the index is reproducible run-to-run.
+  */
+object AnnIvf {
+
+  /** Squared-distance cost of a vector column vs one centroid, up to the
+    * per-row constant ‖x‖²: cost_j = ‖c_j‖² − 2·x·c_j. */
+  private def cellCost(vec: String, centroid: Array[Float]): Column = {
+    val cNorm2 = centroid.map(x => x.toDouble * x).sum
+    lit(cNorm2) - lit(2.0) * expr(s"vec_dot($vec, _ivf_c)")
+  }
+
+  /** Assign each row to its nearest centroid: adds an integer `cell`. */
+  def assign(df: DataFrame, centroids: Seq[Array[Float]]): DataFrame = {
+    // Bind each centroid as a literal column so vec_dot (codegen'd)
+    // applies; compute all costs, argmin via array_position.
+    val withCosts = centroids.zipWithIndex.foldLeft(df) { case (d, (c, j)) =>
+      d.withColumn("_ivf_c", typedLit(c.toSeq))
+        .withColumn(s"_cost$j", cellCost("embedding", c))
+        .drop("_ivf_c")
+    }
+    val costArr = array(centroids.indices.map(j => col(s"_cost$j")): _*)
+    withCosts
+      .withColumn("cell",
+        (array_position(costArr, array_min(costArr)) - 1).cast("int"))
+      .drop(centroids.indices.map(j => s"_cost$j"): _*)
+  }
+
+  /** Train a k-cell codebook with `iters` Lloyd iterations.
+    * Deterministic init: the k lowest-vec_id vectors. */
+  def train(df: DataFrame, k: Int, iters: Int): Seq[Array[Float]] = {
+    var centroids: Seq[Array[Float]] = df
+      .orderBy(col("vec_id")).limit(k)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray).toSeq
+    for (_ <- 0 until iters) {
+      val assigned = assign(df, centroids)
+      val means = assigned
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(avg(col("x").cast("double")).as("m"))
+        .collect()
+      val byCell = means.groupBy(_.getInt(0))
+      centroids = centroids.indices.map { c =>
+        byCell.get(c) match {
+          case Some(rows) =>
+            val arr = new Array[Float](64)
+            rows.foreach(r => arr(r.getInt(1)) = r.getDouble(2).toFloat)
+            arr
+          case None => centroids(c) // empty cell keeps its centroid
+        }
+      }
+    }
+    centroids
+  }
+
+  /** Exact top-`topK` by dot product among vectors in the `nprobe`
+    * cells nearest to the probe vector (excluding the probe row). */
+  def search(
+      df: DataFrame,
+      centroids: Seq[Array[Float]],
+      probeId: Long,
+      nprobe: Int,
+      topK: Int): DataFrame = {
+    val assigned = assign(df, centroids)
+    val probeRow = df.where(col("vec_id") === probeId)
+      .select(col("embedding")).head()
+    val probeVec = probeRow.getSeq[Float](0).toArray
+    val probeCells = centroids.zipWithIndex
+      .map { case (c, j) =>
+        val d = c.zip(probeVec).map { case (a, b) =>
+          (a.toDouble - b) * (a.toDouble - b) }.sum
+        (d, j)
+      }
+      .sortBy(_._1).take(nprobe).map(_._2)
+    assigned
+      .where(col("cell").isin(probeCells: _*) && col("vec_id") =!= probeId)
+      .withColumn("_p", typedLit(probeVec.toSeq))
+      .select(col("vec_id"), round(expr("vec_dot(embedding, _p)"), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(topK)
+  }
+}

@@ -143,6 +143,20 @@ object VectorQueries {
         |ORDER BY sim DESC, vec_id
         |LIMIT 5""".stripMargin))
 
+  /** q_vec_knn_ivf (T) — top-5 neighbors of probe vec_id=0 via the IVF
+    * coarse quantizer (k=8 cells, 3 Lloyd iterations, nprobe=3); see
+    * [[AnnIvf]]. Centroid training collects only k×64 floats to the
+    * driver (bounded model state), never data rows. `AnnIvfSpec` pins
+    * recall, pruning and determinism. */
+  val qVecKnnIvf: Q = Q(
+    "q_vec_knn_ivf",
+    (s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
+      AnnIvf.search(emb, AnnIvf.train(emb, k = 8, iters = 3),
+        probeId = 0L, nprobe = 3, topK = 5)
+    })
+
   /** Embedding-cosine near-duplicate detection, shared with
     * `EmbeddingDedupSpec`. Candidates come from the AnnLsh buckets (one
     * side exploded to its Hamming-1 probe set, so pairs whose sign
@@ -240,6 +254,6 @@ object VectorQueries {
         |ORDER BY lang""".stripMargin))
 
   val all: Vector[Q] = Vector(
-    qVecNormStats, qVecKnnBruteforce, qVecKnnLsh, qDedupEmbedding,
-    qVecCentroids, qMultimodalJoin)
+    qVecNormStats, qVecKnnBruteforce, qVecKnnLsh, qVecKnnIvf,
+    qDedupEmbedding, qVecCentroids, qMultimodalJoin)
 }

@@ -1,0 +1,54 @@
+package graft
+
+import graft.operators.AnnIvf
+import org.scalatest.funsuite.AnyFunSuite
+
+/** IVF ANN: deterministic index, partition completeness, pruning, and
+  * recall vs the exact brute-force baseline on the fixture probe. */
+class AnnIvfSpec extends AnyFunSuite with SparkFixture {
+
+  private lazy val emb = Tables.embeddings(spark, sfDir)
+    .select("vec_id", "embedding")
+  private lazy val codebook = AnnIvf.train(emb, k = 8, iters = 3)
+
+  test("assignment is a total, deterministic partition of the table") {
+    val a = AnnIvf.assign(emb, codebook).select("vec_id", "cell")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a.size == emb.count())
+    assert(a.values.forall(c => c >= 0 && c < 8))
+    assert(a.values.toSet.size > 1, "k-means must produce multiple cells")
+    val b = AnnIvf.assign(emb, AnnIvf.train(emb, 8, 3))
+      .select("vec_id", "cell")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a == b)
+  }
+
+  test("nprobe search prunes the candidate set") {
+    val assigned = AnnIvf.assign(emb, codebook)
+    val total = assigned.count()
+    val largestNprobe3 = assigned.groupBy("cell").count()
+      .collect().map(_.getLong(1)).sorted.reverse.take(3).sum
+    assert(largestNprobe3 < total,
+      "probing 3 of 8 cells must scan less than the full table")
+  }
+
+  test("IVF search recalls most of the exact top-5 for the fixture probe") {
+    val exact = Catalog.byName("q_vec_knn_bruteforce").build(spark, sfDir)
+      .collect().map(_.getLong(0)).toSet
+    val approx = AnnIvf.search(emb, codebook, probeId = 0L, nprobe = 3, topK = 5)
+      .collect().map(_.getLong(0)).toSet
+    val recall = exact.count(approx.contains)
+    assert(recall >= 3, s"recall $recall/5; approx=$approx exact=$exact")
+  }
+
+  test("IVF sims are a subset of brute-force sims (exact re-rank)") {
+    val exactAll = Catalog.byName("q_vec_knn_bruteforce").build(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val approx = AnnIvf.search(emb, codebook, 0L, 3, 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    approx.foreach { case (id, sim) =>
+      exactAll.get(id).foreach(e => assert(e == sim,
+        s"vec $id: IVF sim $sim != brute-force $e"))
+    }
+  }
+}
