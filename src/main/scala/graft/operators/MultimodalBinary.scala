@@ -67,6 +67,25 @@ object MultimodalBinary {
   def frameSample(ds: Dataset[Frame], every: Int): Dataset[Frame] =
     ds.filter(_.frame_idx % every == 0)
 
+  /** "Resize" a frame's feature vector to `dim` by average-pooling
+    * adjacent components — the stub stand-in for spatial image resize
+    * (a real codec would resize pixels before feature extraction).
+    * Narrow per-row map; deterministic. */
+  def resize(ds: Dataset[Frame], dim: Int): Dataset[Frame] = {
+    require(dim > 0 && featureDim % dim == 0,
+      s"dim must divide featureDim=$featureDim")
+    val stride = featureDim / dim
+    ds.map { f =>
+      val pooled = Array.tabulate(dim) { i =>
+        var s = 0.0f
+        var j = i * stride
+        while (j < (i + 1) * stride) { s += f.feature(j); j += 1 }
+        s / stride
+      }
+      Frame(f.media_id, f.frame_idx, pooled)
+    }
+  }
+
   /** Per-media frame count + mean feature L1 — the aggregate that a
     * feature-extraction pipeline would feed downstream. One shuffle on
     * media_id with partial aggregation. */

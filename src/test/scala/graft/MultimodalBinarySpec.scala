@@ -51,6 +51,15 @@ class MultimodalBinarySpec extends AnyFunSuite with SparkFixture {
       s"decode must not shuffle payloads:\n$plan")
   }
 
+  test("resize average-pools features to the target width") {
+    val frames = MultimodalBinary.decodeFrames(ds(media(1L, 128)), 64)
+    val resized = MultimodalBinary.resize(frames, 4).collect()
+    assert(resized.forall(_.feature.length == 4))
+    val orig = frames.collect().head.feature
+    val got = resized.find(_.frame_idx == 0).get.feature
+    assert(math.abs(got(0) - (orig(0) + orig(1)) / 2) < 1e-6)
+  }
+
   test("frameStats aggregates per media with partial aggregation") {
     val frames = MultimodalBinary.decodeFrames(
       ds(media(1L, 256), media(2L, 512)), 64)
