@@ -16,5 +16,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[functions.VecDot].getName, "vec_dot"),
       (children: Seq[Expression]) =>
         functions.VecDot(children.head, children(1))))
+    extensions.injectPlannerStrategy(plans.AsOfJoinStrategy)
   }
 }

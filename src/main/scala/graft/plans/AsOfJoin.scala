@@ -1,0 +1,168 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, GraftShims, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, TimestampNTZType, TimestampType}
+
+/** Native as-of join — the whole-operator extension-point demo
+  * (SURVEY.md §2.11 ladder (c): LogicalPlan + SparkStrategy + SparkPlan,
+  * registered through `SparkSessionExtensions`).
+  *
+  * Semantics: for every left row, attach the right row with the same key
+  * and the greatest time ≤ the left row's time (or nulls). Equivalent to
+  * the window formulation used by the oracle query `q_join_self_asof`,
+  * which `AsOfJoinSpec` cross-checks; this operator exists to exercise
+  * the full planner extension path with a single-pass merge instead of a
+  * union+window.
+  *
+  * Scale shape: EnsureRequirements inserts hash exchanges on the key and
+  * per-partition (key, time) sorts from the declared requirements, then
+  * each partition pair streams through one forward-only merge — the same
+  * distribution as a sort-merge join, with O(1) state (one buffered
+  * right row) per partition.
+  *
+  * Keys/times are compared as longs: integral or timestamp types
+  * (checked at construction) — the fixture shape (user_id, ts).
+  */
+object AsOfJoinPlan {
+  private[plans] def comparableAsLong(t: DataType): Boolean = t match {
+    case LongType | IntegerType | TimestampType | TimestampNTZType => true
+    case _ => false
+  }
+}
+
+case class AsOfJoinPlan(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKey: Expression,
+    leftTime: Expression,
+    rightKey: Expression,
+    rightTime: Expression)
+  extends BinaryNode {
+
+  Seq(leftKey, rightKey, leftTime, rightTime).foreach { e =>
+    require(AsOfJoinPlan.comparableAsLong(e.dataType),
+      s"as-of key/time must be integral or timestamp, got ${e.dataType}")
+  }
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+case class AsOfJoinExec(
+    left: SparkPlan,
+    right: SparkPlan,
+    leftKey: Expression,
+    leftTime: Expression,
+    rightKey: Expression,
+    rightTime: Expression)
+  extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  // One hash exchange per side on the key; EnsureRequirements aligns the
+  // two children's partitioning.
+  override def requiredChildDistribution: Seq[Distribution] =
+    Seq(ClusteredDistribution(Seq(leftKey)), ClusteredDistribution(Seq(rightKey)))
+
+  // Per-partition (key, time) sort on both sides enables the merge.
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)))
+
+  override def outputOrdering: Seq[SortOrder] =
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending))
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val lKey = BindReferences.bindReference(leftKey, left.output)
+    val lTime = BindReferences.bindReference(leftTime, left.output)
+    val rKey = BindReferences.bindReference(rightKey, right.output)
+    val rTime = BindReferences.bindReference(rightTime, right.output)
+    val rightWidth = right.output.size
+    val allOut = output
+    val leftOut = left.output
+    val rightOut = right.output
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val joined = new JoinedRow
+      val nullRight = new GenericInternalRow(rightWidth)
+      // Bind against the *nullable* output schema: binding the right
+      // side's original (non-nullable) attributes would elide the null
+      // checks and read 0s out of the all-null row.
+      val project = UnsafeProjection.create(allOut,
+        leftOut ++ rightOut.map(_.withNullability(true)))
+      var rNext: InternalRow = if (rIter.hasNext) rIter.next() else null
+      var lastMatch: InternalRow = null
+      var lastMatchKey = 0L
+      def evalLong(e: Expression, row: InternalRow): Long =
+        e.eval(row).asInstanceOf[Number].longValue()
+      lIter.map { l =>
+        val k = evalLong(lKey, l)
+        val t = evalLong(lTime, l)
+        // Advance the right side through everything at-or-before (k, t),
+        // remembering the latest row of key k (rows arrive time-ascending
+        // within a key, so the last one consumed wins).
+        var advance = rNext != null
+        while (advance) {
+          val rk = evalLong(rKey, rNext)
+          if (rk < k || (rk == k && evalLong(rTime, rNext) <= t)) {
+            if (rk == k) { lastMatch = rNext.copy(); lastMatchKey = k }
+            rNext = if (rIter.hasNext) rIter.next() else null
+            advance = rNext != null
+          } else advance = false
+        }
+        val m = if (lastMatch != null && lastMatchKey == k) lastMatch else nullRight
+        project(joined(l, m))
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plans [[AsOfJoinPlan]] into [[AsOfJoinExec]]; injected by
+  * graft.GraftExtensions via injectPlannerStrategy. */
+case class AsOfJoinStrategy(spark: SparkSession) extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case p: AsOfJoinPlan =>
+      AsOfJoinExec(planLater(p.left), planLater(p.right),
+        p.leftKey, p.leftTime, p.rightKey, p.rightTime) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Public API:
+  * `AsOf.join(purchases, signups, "user_id", "ts", "s_user", "s_ts")`.
+  * Right-side columns should carry distinct names (rename before the
+  * join) since the output is left.output ++ right.output; self-joins
+  * need the two sides read (or aliased) independently — same caveat as
+  * any custom binary plan built from analyzed children. */
+object AsOf {
+  def join(
+      left: DataFrame,
+      right: DataFrame,
+      leftKeyCol: String,
+      leftTimeCol: String,
+      rightKeyCol: String,
+      rightTimeCol: String): DataFrame = {
+    val spark = left.sparkSession
+    GraftShims.ofRows(spark, AsOfJoinPlan(
+      left.queryExecution.analyzed,
+      right.queryExecution.analyzed,
+      GraftShims.expression(left.col(leftKeyCol)),
+      GraftShims.expression(left.col(leftTimeCol)),
+      GraftShims.expression(right.col(rightKeyCol)),
+      GraftShims.expression(right.col(rightTimeCol))))
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import graft.plans.AsOf
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Native as-of join: must agree with the window formulation (the
+  * oracle-checked q_join_self_asof semantics) on real fixture data, plan
+  * through the injected strategy, and handle the no-prior-match edge. */
+class AsOfJoinSpec extends AnyFunSuite with SparkFixture {
+
+  private def purchases = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .where($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts")
+  }
+
+  private def signups = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .where($"event_type" === "signup")
+      .select($"user_id".as("s_user"), $"ts".as("s_ts"),
+        $"event_id".as("s_event"))
+  }
+
+  test("custom operator matches the window formulation on fixture events") {
+    import spark.implicits._
+    val got = AsOf.join(purchases, signups, "user_id", "ts", "s_user", "s_ts")
+      .select($"event_id", $"s_ts")
+      .collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)).map(_.toString)).toMap
+
+    // Window twin (same stack as q_join_self_asof).
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = Tables.events(spark, sfDir)
+      .where($"event_type".isin("purchase", "signup"))
+      .withColumn("signup_ts", when($"event_type" === "signup", $"ts"))
+      .withColumn("last_signup_ts",
+        last($"signup_ts", ignoreNulls = true).over(w))
+      .where($"event_type" === "purchase")
+      .select($"event_id", $"last_signup_ts")
+      .collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)).map(_.toString)).toMap
+
+    assert(got.size == want.size)
+    assert(got == want)
+  }
+
+  test("plans through AsOfJoinExec with key exchanges and (key,time) sorts") {
+    val df = AsOf.join(purchases, signups, "user_id", "ts", "s_user", "s_ts")
+    val plan = df.queryExecution.executedPlan.toString
+    // TreeNode.nodeName strips the "Exec" suffix in plan strings.
+    assert(plan.contains("AsOfJoin "))
+    assert(plan.contains("hashpartitioning(user_id"))
+    assert(plan.contains("hashpartitioning(s_user"))
+    assert(plan.linesIterator.count(_.trim.startsWith("+- Sort")) >= 2 ||
+      plan.contains("Sort [user_id"))
+  }
+
+  test("left rows with no prior right match get nulls (kept, not dropped)") {
+    import spark.implicits._
+    val l = Seq((1L, 100L, 10L), (2L, 100L, 50L)).toDF("id", "k", "t")
+    val r = Seq((100L, 30L, "a")).toDF("rk", "rt", "tag")
+    val rows = AsOf.join(l, r, "k", "t", "rk", "rt")
+      .orderBy($"id").collect()
+    assert(rows.length == 2)
+    assert(rows(0).isNullAt(4), "t=10 predates the only right row (rt=30)")
+    assert(rows(1).getString(5) == "a")
+  }
+
+  test("picks the greatest right time <= left time, not just any match") {
+    import spark.implicits._
+    val l = Seq((1L, 7L, 100L)).toDF("id", "k", "t")
+    val r = Seq((7L, 10L, "old"), (7L, 90L, "newest"), (7L, 110L, "future"))
+      .toDF("rk", "rt", "tag")
+    val row = AsOf.join(l, r, "k", "t", "rk", "rt").head()
+    assert(row.getString(5) == "newest")
+  }
+}
