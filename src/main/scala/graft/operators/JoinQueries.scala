@@ -249,6 +249,27 @@ object JoinQueries {
         |) WHERE event_type = 'purchase'
         |ORDER BY event_id""".stripMargin))
 
+  /** q_join_self_asof_native (T) — the same as-of semantics as #13, but
+    * through the custom AsOfJoinPlan/AsOfJoinExec operator (planner
+    * extension path) instead of the window formulation. `AsOfJoinSpec`
+    * pins equality between the two; Bench times both. */
+  val qJoinSelfAsofNative: Q = Q(
+    "q_join_self_asof_native",
+    (s, dir) => {
+      import s.implicits._
+      val purchases = Tables.events(s, dir)
+        .where($"event_type" === "purchase")
+        .select($"event_id", $"user_id", $"ts")
+      val signups = Tables.events(s, dir)
+        .where($"event_type" === "signup")
+        .select($"user_id".as("s_user"), $"ts".as("s_ts"))
+      graft.plans.AsOf.join(purchases, signups, "user_id", "ts", "s_user", "s_ts")
+        .select($"event_id", $"user_id",
+          $"ts".cast("timestamp_ntz").as("ts"),
+          $"s_ts".cast("timestamp_ntz").as("last_signup_ts"))
+        .orderBy($"event_id")
+    })
+
   /** #14 q_join_interval — lineitems falling in any order-date month
     * window: equi join on the month truncation against a derived (tiny,
     * auto-broadcast) month calendar. */
@@ -279,5 +300,5 @@ object JoinQueries {
   val all: Vector[Q] = Vector(
     qJoinInner, qJoinBroadcast, qJoinMultiway, qJoinLeftOuter,
     qJoinFullOuter, qJoinSemi, qJoinAnti, qJoinThetaRange,
-    qJoinSelfAsof, qJoinInterval)
+    qJoinSelfAsof, qJoinSelfAsofNative, qJoinInterval)
 }
