@@ -181,17 +181,19 @@ object VectorQueries {
     }
   }
 
-  /** q_dedup_embedding (T) — cosine near-dup pairs at ≥ 0.9 over the
+  /** q_dedup_embedding (T) — cosine near-dup pairs at ≥ 0.3 over the
     * fixture embeddings. The fixtures are spread (max cross cosine
-    * ≈ 0.37), so this is empty on them by design — the operator's
-    * behavior is pinned by `EmbeddingDedupSpec` on planted near-dups;
-    * Bench still times the full candidate+filter pipeline. */
+    * ≈ 0.37), so a dedup-grade threshold like 0.9 would be vacuously
+    * empty on them; 0.3 exercises the full candidate+filter pipeline
+    * with non-empty output at every SF. Recall is approximate by design
+    * (LSH candidates only); `EmbeddingDedupSpec` pins exact behavior on
+    * planted near-identical vectors at a high threshold. */
   val qDedupEmbedding: Q = Q(
     "q_dedup_embedding",
     (s, dir) => {
       import s.implicits._
       EmbeddingDedup.nearPairs(
-          Tables.embeddings(s, dir).select($"vec_id", $"embedding"), 0.9)
+          Tables.embeddings(s, dir).select($"vec_id", $"embedding"), 0.3)
         .orderBy($"vec_a", $"vec_b")
     })
 

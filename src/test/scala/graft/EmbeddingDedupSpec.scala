@@ -47,8 +47,18 @@ class EmbeddingDedupSpec extends AnyFunSuite with SparkFixture {
     assert(EmbeddingDedup.nearPairs(d, 0.9).collect().isEmpty)
   }
 
-  test("fixture embeddings are spread: empty at 0.9 (degeneracy documented)") {
+  test("fixture catalog query is non-empty and every pair clears the threshold") {
     val rows = Catalog.byName("q_dedup_embedding").build(spark, sfDir).collect()
-    assert(rows.isEmpty)
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(2) >= 0.3)
+      assert(r.getLong(0) < r.getLong(1))
+    }
+  }
+
+  test("fixture embeddings are spread: a 0.9 dedup threshold finds nothing") {
+    import spark.implicits._
+    val d = Tables.embeddings(spark, sfDir).select($"vec_id", $"embedding")
+    assert(EmbeddingDedup.nearPairs(d, 0.9).collect().isEmpty)
   }
 }
