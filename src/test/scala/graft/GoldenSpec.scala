@@ -63,6 +63,35 @@ class GoldenSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("q_window_tumbling_batch partitions every event into one window") {
+    val rows = Catalog.byName("q_window_tumbling_batch").build(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("n")).sum == 1000L) // events @sf0.001
+  }
+
+  test("q_sessionize events are partitioned exactly across sessions") {
+    val rows = Catalog.byName("q_sessionize").build(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("n_events")).sum == 1000L)
+    assert(rows.forall(_.getAs[Long]("dur_us") >= 0L))
+  }
+
+  test("q_vec_centroids covers all 10 labels with sub-unit centroid norms") {
+    val rows = Catalog.byName("q_vec_centroids").build(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Int]("label")).sorted.toSeq == (0 until 10))
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum == 500L)
+    // spread clusters of unit vectors: mean vector strictly inside the ball
+    rows.foreach(r => assert(r.getAs[Double]("centroid_l2") > 0.0 &&
+      r.getAs[Double]("centroid_l2") < 1.0))
+  }
+
+  test("q_text_stats buckets partition each (lang, source) group") {
+    val rows = Catalog.byName("q_text_stats").build(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == 500L)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_short") + r.getAs[Long]("n_mid") +
+        r.getAs[Long]("n_long") == r.getAs[Long]("n_docs"))
+    }
+  }
+
   test("q_dedup_exact keeps one representative per distinct text") {
     import spark.implicits._
     val nDistinct = Tables.documents(spark, sfDir)
