@@ -13,18 +13,34 @@ import org.apache.spark.sql.expressions.Aggregator
   */
 object TypedAggs {
 
-  /** Exact weighted average: sum(x·w)/sum(w), buffered as two doubles.
-    * Semantics pinned by `TypedAggSpec` against the SQL formulation. */
-  object WeightedAvg extends Aggregator[(Double, Double), (Double, Double), Double] {
-    override def zero: (Double, Double) = (0.0, 0.0)
-    override def reduce(b: (Double, Double), a: (Double, Double)): (Double, Double) =
-      (b._1 + a._1 * a._2, b._2 + a._2)
-    override def merge(b1: (Double, Double), b2: (Double, Double)): (Double, Double) =
+  /** Exact weighted average sum(x·w)/sum(w) for inputs that are exact
+    * 2-decimal doubles (the fixture money/quantity profile, FIXTURES.md
+    * "Decimal-precision profile").
+    *
+    * Values are scaled to integer hundredths on entry, so reduce/merge is
+    * pure integer arithmetic: the result is independent of row order and
+    * partitioning — which is what makes q_agg_custom_typed comparable
+    * against a DuckDB DECIMAL twin bit-for-bit. A double-buffered sum
+    * would drift by ulps across partition counts and engines.
+    *
+    * `finish` mirrors the twin's shape exactly — decimal→double per sum,
+    * then one double division: (sumXW/1e4) / (sumW/1e2). Headroom: the
+    * 1e-4-unit product sum overflows Long at ~9.2e18, i.e. ~1.2e9 rows
+    * per group at fixture magnitudes (≈ sf200 per group); beyond that,
+    * widen the buffer to two Longs per sum (hi/lo) or BigDecimal.
+    * Semantics pinned by `TypedAggSpec`. */
+  object WeightedAvg extends Aggregator[(Double, Double), (Long, Long), Double] {
+    @inline private def c(v: Double): Long = math.rint(v * 100.0).toLong
+    override def zero: (Long, Long) = (0L, 0L)
+    override def reduce(b: (Long, Long), a: (Double, Double)): (Long, Long) =
+      (b._1 + c(a._1) * c(a._2), b._2 + c(a._2))
+    override def merge(b1: (Long, Long), b2: (Long, Long)): (Long, Long) =
       (b1._1 + b2._1, b1._2 + b2._2)
-    override def finish(r: (Double, Double)): Double =
-      if (r._2 == 0.0) Double.NaN else r._1 / r._2
-    override def bufferEncoder: Encoder[(Double, Double)] =
-      Encoders.tuple(Encoders.scalaDouble, Encoders.scalaDouble)
+    override def finish(r: (Long, Long)): Double =
+      if (r._2 == 0L) Double.NaN
+      else (r._1.toDouble / 1e4) / (r._2.toDouble / 1e2)
+    override def bufferEncoder: Encoder[(Long, Long)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
     override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
   }
 }

@@ -249,10 +249,12 @@ object JoinQueries {
         |) WHERE event_type = 'purchase'
         |ORDER BY event_id""".stripMargin))
 
-  /** q_join_self_asof_native (T) — the same as-of semantics as #13, but
+  /** q_join_self_asof_native — the same as-of semantics as #13, but
     * through the custom AsOfJoinPlan/AsOfJoinExec operator (planner
     * extension path) instead of the window formulation. `AsOfJoinSpec`
-    * pins equality between the two; Bench times both. */
+    * pins equality between the two; Bench times both. Because the
+    * semantics are identical, it shares #13's DuckDB twin — so the
+    * custom physical operator itself is oracle-checked. */
   val qJoinSelfAsofNative: Q = Q(
     "q_join_self_asof_native",
     (s, dir) => {
@@ -268,7 +270,16 @@ object JoinQueries {
           $"ts".cast("timestamp_ntz").as("ts"),
           $"s_ts".cast("timestamp_ntz").as("last_signup_ts"))
         .orderBy($"event_id")
-    })
+    },
+    oracle = Some(
+      """SELECT event_id, user_id, ts, last_signup_ts FROM (
+        |  SELECT event_id, user_id, ts, event_type,
+        |    last_value(CASE WHEN event_type = 'signup' THEN ts END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup_ts
+        |  FROM events WHERE event_type IN ('purchase','signup')
+        |) WHERE event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin))
 
   /** #14 q_join_interval — lineitems falling in any order-date month
     * window: equi join on the month truncation against a derived (tiny,

@@ -65,7 +65,14 @@ def main():
             failures += 1
             continue
         # Row-order-sensitive on purpose: every oracle query must end in a
-        # total ORDER BY (SURVEY §2 rule 1), and this catches violations.
+        # total ORDER BY (SURVEY §2 rule 1). Lint that multi-row oracles
+        # actually have one, so a forgotten sort fails loudly here instead
+        # of flaking across SPARK_GRAFT_CPUS settings.
+        if len(e) > 1 and "order by" not in sql.lower():
+            print(f"FAIL {name}: {len(e)}-row oracle has no ORDER BY "
+                  "(total order required by SURVEY §2 rule 1)")
+            failures += 1
+            continue
         if g != e:
             for i, (a, b) in enumerate(zip(g, e)):
                 if a != b:
