@@ -35,41 +35,13 @@ object VectorQueries {
     * into whole-stage codegen instead of interpreted HOFs. */
   private def dot(a: String, b: String) = expr(s"vec_dot($a, $b)")
 
-  /** Random-hyperplane LSH over the embedding column — the ANN *scale
-    * path* beside the brute-force baseline (#53). b sign-bits of dots
-    * with fixed seeded hyperplanes coarse-quantize vectors into 2^b
-    * buckets; a probe searches its own bucket plus all Hamming-distance-1
-    * neighbors (multi-probe), so candidate generation is an equi join on
-    * the bucket key — at 100 TB this prunes ~(b+1)/2^b of the table into
-    * the exact re-rank instead of scanning everything. Shared with
-    * `AnnLshSpec`. */
-  object AnnLsh {
-    val bits = 4
-
-    /** Fixed hyperplanes (seeded — identical across sessions/executors). */
-    val planes: Seq[Seq[Double]] = {
-      val rnd = new java.util.Random(42L)
-      Seq.fill(bits)(Seq.fill(64)(rnd.nextGaussian()))
-    }
-
-    /** Adds the integer `bucket` column (b sign bits). Planes are bound
-      * as literal columns first so the codegen'd vec_dot applies. */
-    def bucketed(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-      val withPlanes = planes.zipWithIndex.foldLeft(df) { case (d, (p, j)) =>
-        d.withColumn(s"_plane$j", typedLit(p.map(_.toFloat)))
-      }
-      val bitCols = (0 until bits).map { j =>
-        when(dot("embedding", s"_plane$j") >= 0, 1 << j).otherwise(0)
-      }
-      withPlanes
-        .withColumn("bucket", bitCols.reduce(_ + _))
-        .drop((0 until bits).map(j => s"_plane$j"): _*)
-    }
-
-    /** The probe's multi-probe set: own bucket + Hamming-1 neighbors. */
-    def probeBuckets(bucket: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      array(bucket +: (0 until bits).map(j => bucket.bitwiseXOR(lit(1 << j))): _*)
-  }
+  /** Random-hyperplane LSH at fixture scale — the ANN *scale path*
+    * beside the brute-force baseline (#53). The bit width is a
+    * [[SignLsh]] constructor parameter; 4 bits ≈ SignLsh.bitsFor(500,
+    * 32) matches the ~500-row fixture corpus (and keeps `AnnLshSpec`'s
+    * pinned recall). At production scale construct `new SignLsh(
+    * SignLsh.bitsFor(n, targetBucket))` — see the sizing rule there. */
+  object AnnLsh extends SignLsh(4)
 
   /** q_vec_knn_lsh (T) — top-5 neighbors of probe vec_id=0 searching only
     * the multi-probe LSH buckets; `AnnLshSpec` pins recall against the
@@ -157,35 +129,74 @@ object VectorQueries {
         probeId = 0L, nprobe = 3, topK = 5)
     })
 
-  /** Embedding-cosine near-duplicate detection, shared with
-    * `EmbeddingDedupSpec`. Candidates come from the AnnLsh buckets (one
-    * side exploded to its Hamming-1 probe set, so pairs whose sign
-    * buckets differ by ≤ 1 bit are covered); the exact vec_dot ≥
-    * threshold post-filters. Inputs are assumed L2-normalized (dot =
-    * cosine) — true for the fixtures. Never all-pairs: the join is equi
-    * on the bucket key. */
+  /** Embedding-cosine near-duplicate detection via banded multi-table
+    * LSH, shared with `EmbeddingDedupSpec` / `LshScalingSpec`. `bands`
+    * independent tables of `bitsPerBand` sign bits each; a pair is a
+    * candidate iff it collides in at least one band (AND over bits, OR
+    * over bands — the MinHash-LSH / SimHash construction, cf.
+    * DedupQueries.scala banding). Candidate generation is an equi join
+    * on (band, key): expected pair volume is bands·n²/2^bitsPerBand, so
+    * growing bitsPerBand with log n (SignLsh.bitsFor) keeps it ~linear —
+    * unlike the r4 design (Hamming-1 multi-probe of ONE fixed 16-bucket
+    * table), whose pair volume was O(n²/16) at every scale. Recall for
+    * pairs at cosine c is 1−(1−p^bitsPerBand)^bands with p = 1−acos(c)/π,
+    * tuned per use: near-dup thresholds (c ≥ 0.9, p ≥ 0.897) keep high
+    * recall at 8 bits/band; exploratory low thresholds need fewer bits.
+    * The exact codegen'd vec_dot ≥ threshold post-filters candidates;
+    * inputs are assumed L2-normalized (dot = cosine) — true for the
+    * fixtures. Never all-pairs: the join is equi on the band key. */
   object EmbeddingDedup {
-    def nearPairs(df: org.apache.spark.sql.DataFrame, threshold: Double): org.apache.spark.sql.DataFrame = {
-      val bucketed = AnnLsh.bucketed(df)
-      val probeSide = bucketed.select(
-        col("vec_id").as("vec_a"), col("embedding").as("ea"),
-        explode(AnnLsh.probeBuckets(col("bucket"))).as("bucket"))
-      val buildSide = bucketed.select(
-        col("vec_id").as("vec_b"), col("embedding").as("eb"), col("bucket"))
-      probeSide.join(buildSide, Seq("bucket"))
+    /** Adds (band, key) rows: one row per input row per band. */
+    private def bandKeyed(
+        df: org.apache.spark.sql.DataFrame,
+        bands: Int, bitsPerBand: Int, seed: Long): org.apache.spark.sql.DataFrame = {
+      val planes = SignLsh.planes(bands * bitsPerBand, seed)
+      val withPlanes = planes.zipWithIndex.foldLeft(df) { case (d, (p, j)) =>
+        d.withColumn(s"_plane$j", typedLit(p.map(_.toFloat)))
+      }
+      val bandCols = (0 until bands).map { g =>
+        (0 until bitsPerBand).map { j =>
+          when(dot("embedding", s"_plane${g * bitsPerBand + j}") >= 0, 1 << j)
+            .otherwise(0)
+        }.reduce(_ + _)
+      }
+      withPlanes
+        .select(col("*"), posexplode(array(bandCols: _*)).as(Seq("band", "key")))
+        .drop((0 until bands * bitsPerBand).map(j => s"_plane$j"): _*)
+    }
+
+    /** Distinct candidate pairs (vec_a < vec_b) colliding in ≥ 1 band,
+      * with both embeddings attached for the exact re-rank. */
+    def candidatePairs(
+        df: org.apache.spark.sql.DataFrame,
+        bands: Int = 4, bitsPerBand: Int = 8,
+        seed: Long = 42L): org.apache.spark.sql.DataFrame = {
+      val keyed = bandKeyed(df, bands, bitsPerBand, seed)
+      val a = keyed.select(col("band"), col("key"),
+        col("vec_id").as("vec_a"), col("embedding").as("ea"))
+      val b = keyed.select(col("band"), col("key"),
+        col("vec_id").as("vec_b"), col("embedding").as("eb"))
+      a.join(b, Seq("band", "key"))
         .where(col("vec_a") < col("vec_b"))
+        .dropDuplicates(Seq("vec_a", "vec_b"))
+    }
+
+    def nearPairs(
+        df: org.apache.spark.sql.DataFrame, threshold: Double,
+        bands: Int = 4, bitsPerBand: Int = 8): org.apache.spark.sql.DataFrame =
+      candidatePairs(df, bands, bitsPerBand)
         .select(col("vec_a"), col("vec_b"),
           round(expr("vec_dot(ea, eb)"), 6).as("cos"))
         .where(col("cos") >= threshold)
-        .distinct()
-    }
   }
 
   /** q_dedup_embedding (T) — cosine near-dup pairs at ≥ 0.3 over the
     * fixture embeddings. The fixtures are spread (max cross cosine
     * ≈ 0.37), so a dedup-grade threshold like 0.9 would be vacuously
     * empty on them; 0.3 exercises the full candidate+filter pipeline
-    * with non-empty output at every SF. Recall is approximate by design
+    * with non-empty output at every SF. 2 bits/band fits the low
+    * threshold (recall ≈ 0.83 at cosine 0.3; the 8-bit default targets
+    * real near-dup thresholds ≥ 0.9). Recall is approximate by design
     * (LSH candidates only); `EmbeddingDedupSpec` pins exact behavior on
     * planted near-identical vectors at a high threshold. */
   val qDedupEmbedding: Q = Q(
@@ -193,7 +204,8 @@ object VectorQueries {
     (s, dir) => {
       import s.implicits._
       EmbeddingDedup.nearPairs(
-          Tables.embeddings(s, dir).select($"vec_id", $"embedding"), 0.3)
+          Tables.embeddings(s, dir).select($"vec_id", $"embedding"), 0.3,
+          bands = 4, bitsPerBand = 2)
         .orderBy($"vec_a", $"vec_b")
     })
 

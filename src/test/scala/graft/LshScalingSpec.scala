@@ -1,0 +1,81 @@
+package graft
+
+import graft.operators.{SignLsh, VectorQueries}
+import graft.operators.VectorQueries.EmbeddingDedup
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The 100 TB claim behind banded sign-LSH: candidate-pair volume is
+  * bands·n²/2^bitsPerBand, so raising bitsPerBand (as SignLsh.bitsFor
+  * does with n) shrinks candidates geometrically while planted
+  * near-duplicates keep colliding. Pinned here on a deterministic
+  * planted corpus — this is the spec VERDICT r4 asked for to replace
+  * the fixed-16-bucket design's O(n²/16) pair join. */
+class LshScalingSpec extends AnyFunSuite with SparkFixture {
+
+  private def unit(v: Array[Float]): Array[Float] = {
+    val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+    v.map(_ / n)
+  }
+
+  private def vec(seed: Int): Array[Float] = {
+    val rnd = new java.util.Random(seed)
+    unit(Array.fill(64)(rnd.nextGaussian().toFloat))
+  }
+
+  /** 400 spread random vectors + one planted near-identical pair
+    * (ids 9000/9001, cosine ≈ 0.99995). */
+  private lazy val corpus = {
+    import spark.implicits._
+    val base = vec(1)
+    val near = unit(base.zipWithIndex.map { case (x, i) =>
+      if (i == 0) x + 0.01f else x })
+    val spreads = (0 until 400).map(i => (i.toLong, vec(1000 + i)))
+    (spreads :+ (9000L -> base) :+ (9001L -> near))
+      .toDF("vec_id", "embedding")
+  }
+
+  private def candidates(bitsPerBand: Int): Long =
+    EmbeddingDedup.candidatePairs(corpus, bands = 2, bitsPerBand = bitsPerBand)
+      .count()
+
+  test("candidate volume shrinks geometrically as bits-per-band grow") {
+    val c2 = candidates(2)
+    val c4 = candidates(4)
+    val c8 = candidates(8)
+    info(s"candidate pairs: bits=2 -> $c2, bits=4 -> $c4, bits=8 -> $c8")
+    // Expected ratio per +2 bits is 4x; assert at least 2x to leave
+    // room for band-overlap and randomness while still proving the
+    // shrink is geometric in bits, not additive.
+    assert(c4 * 2 < c2, s"bits=4 ($c4) must prune >=2x vs bits=2 ($c2)")
+    assert(c8 * 2 < c4, s"bits=8 ($c8) must prune >=2x vs bits=4 ($c4)")
+    // And the end-to-end claim: at 8 bits/band the join touches a small
+    // fraction of the ~80k all-pairs volume.
+    val allPairs = 402L * 401L / 2
+    assert(c8.toDouble / allPairs < 0.05,
+      s"8-bit banding must prune >95% of all-pairs: $c8 of $allPairs")
+  }
+
+  test("planted near-duplicate survives every bit width") {
+    for (b <- Seq(2, 4, 8)) {
+      val hit = EmbeddingDedup
+        .nearPairs(corpus, 0.99, bands = 2, bitsPerBand = b)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(hit.contains((9000L, 9001L)),
+        s"bits=$b lost the planted pair; got ${hit.toSeq}")
+    }
+  }
+
+  test("bitsFor sizing rule keeps expected bucket size constant") {
+    assert(SignLsh.bitsFor(500, 32) == 4)
+    assert(SignLsh.bitsFor(1L << 40, 1L << 20) == 20)
+    assert(SignLsh.bitsFor(100, 1000) == 1) // floor at 1 bit
+    assert(SignLsh.bitsFor(Long.MaxValue, 1) == 30) // cap at 30
+    // monotone in n for a fixed bucket target
+    val widths = Seq(1000L, 100000L, 10000000L).map(SignLsh.bitsFor(_, 100))
+    assert(widths == widths.sorted && widths.distinct.size == 3)
+  }
+
+  test("AnnLsh fixture instance still matches the documented width") {
+    assert(VectorQueries.AnnLsh.bits == 4)
+  }
+}
