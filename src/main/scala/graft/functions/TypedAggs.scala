@@ -14,14 +14,18 @@ import org.apache.spark.sql.expressions.Aggregator
 object TypedAggs {
 
   /** Exact weighted average sum(x·w)/sum(w) for inputs that are exact
-    * 2-decimal doubles (the fixture money/quantity profile, FIXTURES.md
-    * "Decimal-precision profile").
+    * 2-decimal ("cents") doubles — the fixture money/quantity profile
+    * (FIXTURES.md "Decimal-precision profile"). The name carries the
+    * precondition: inputs with more than 2 decimals are quantized to
+    * hundredths, and non-finite inputs are rejected (fail-fast beats the
+    * silent rint(NaN)→0 a generic name would hide).
     *
     * Values are scaled to integer hundredths on entry, so reduce/merge is
     * pure integer arithmetic: the result is independent of row order and
-    * partitioning — which is what makes q_agg_custom_typed comparable
-    * against a DuckDB DECIMAL twin bit-for-bit. A double-buffered sum
-    * would drift by ulps across partition counts and engines.
+    * partitioning, which is what lets q_agg_custom_typed hash-match its
+    * DuckDB DECIMAL twin (AggQueries.qAggCustomTyped's oracle) — a
+    * double-buffered sum would drift by ulps across partition counts and
+    * engines.
     *
     * `finish` mirrors the twin's shape exactly — decimal→double per sum,
     * then one double division: (sumXW/1e4) / (sumW/1e2). Headroom: the
@@ -29,8 +33,13 @@ object TypedAggs {
     * per group at fixture magnitudes (≈ sf200 per group); beyond that,
     * widen the buffer to two Longs per sum (hi/lo) or BigDecimal.
     * Semantics pinned by `TypedAggSpec`. */
-  object WeightedAvg extends Aggregator[(Double, Double), (Long, Long), Double] {
-    @inline private def c(v: Double): Long = math.rint(v * 100.0).toLong
+  object WeightedAvgCents extends Aggregator[(Double, Double), (Long, Long), Double] {
+    @inline private def c(v: Double): Long = {
+      if (java.lang.Double.isNaN(v) || java.lang.Double.isInfinite(v))
+        throw new IllegalArgumentException(
+          s"WeightedAvgCents requires finite 2-decimal inputs, got $v")
+      math.rint(v * 100.0).toLong
+    }
     override def zero: (Long, Long) = (0L, 0L)
     override def reduce(b: (Long, Long), a: (Double, Double)): (Long, Long) =
       (b._1 + c(a._1) * c(a._2), b._2 + c(a._2))

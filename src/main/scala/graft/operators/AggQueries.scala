@@ -169,19 +169,34 @@ object AggQueries {
         .orderBy($"event_type")
     })
 
-  /** #22 q_agg_custom_typed (T) — weighted average via a typed
-    * Aggregator UDAF; `TypedAggSpec` pins it to sum(x·w)/sum(w). */
+  /** #22 q_agg_custom_typed — weighted average via a typed Aggregator
+    * UDAF; `TypedAggSpec` pins it to sum(x·w)/sum(w). Oracle-checked:
+    * WeightedAvgCents' integer-hundredths buffer is order- and
+    * partition-independent, so the DuckDB twin reproduces it exactly by
+    * summing the same scaled integers (ROUND(v*100) = rint for exact-2dp
+    * doubles, which are never near a .5 boundary) and replaying finish's
+    * division shape (sumXW/1e4)/(sumW/1e2) in double. */
   val qAggCustomTyped: Q = Q(
     "q_agg_custom_typed",
     (s, dir) => {
       import s.implicits._
-      val wavg = udaf(graft.functions.TypedAggs.WeightedAvg)
+      val wavg = udaf(graft.functions.TypedAggs.WeightedAvgCents)
       Tables.lineitem(s, dir)
         .groupBy($"l_returnflag")
         .agg(round(wavg($"l_extendedprice", $"l_quantity"), 4)
           .as("wavg_price"))
         .orderBy($"l_returnflag")
-    })
+    },
+    oracle = Some(
+      """SELECT l_returnflag,
+        |  ROUND(
+        |    (CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+        |            * CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 1e4)
+        |    / (CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 1e2),
+        |  4) AS wavg_price
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin))
 
   val all: Vector[Q] = Vector(
     qAggGlobal, qAggGroupby, qAggDistinct, qAggHaving,

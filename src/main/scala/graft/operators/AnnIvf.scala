@@ -43,7 +43,17 @@ object AnnIvf {
   }
 
   /** Train a k-cell codebook with `iters` Lloyd iterations.
-    * Deterministic init: the k lowest-vec_id vectors. */
+    * Deterministic init: the k lowest-vec_id vectors.
+    *
+    * Sizing rule: production IVF uses k ≈ √n cells so cell size and
+    * codebook size balance at √n — search cost is then
+    * O(k·d + nprobe·(n/k)·d) ≈ O(√n·d·(1+nprobe)). At 100 TB
+    * (n ≈ 10⁹ vectors) that is k ≈ 32 768 — the codebook stays a few MB
+    * of broadcast state and each cell holds ~30 k vectors. The fixture
+    * catalog query uses k=8 (not √500 ≈ 22) only because tiny cells at
+    * tiny n destabilize recall; AnnIvfSpec pins behavior at k=64 too,
+    * where empty cells necessarily appear. Empty cells keep their
+    * previous centroid, so k never silently shrinks. */
   def train(df: DataFrame, k: Int, iters: Int): Seq[Array[Float]] = {
     var centroids: Seq[Array[Float]] = df
       .orderBy(col("vec_id")).limit(k)
@@ -60,7 +70,7 @@ object AnnIvf {
       centroids = centroids.indices.map { c =>
         byCell.get(c) match {
           case Some(rows) =>
-            val arr = new Array[Float](64)
+            val arr = new Array[Float](centroids(c).length)
             rows.foreach(r => arr(r.getInt(1)) = r.getDouble(2).toFloat)
             arr
           case None => centroids(c) // empty cell keeps its centroid

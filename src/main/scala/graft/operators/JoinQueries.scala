@@ -254,7 +254,14 @@ object JoinQueries {
     * extension path) instead of the window formulation. `AsOfJoinSpec`
     * pins equality between the two; Bench times both. Because the
     * semantics are identical, it shares #13's DuckDB twin — so the
-    * custom physical operator itself is oracle-checked. */
+    * custom physical operator itself is oracle-checked.
+    *
+    * Oracle precondition: the twin's window orders by (ts, event_id) at
+    * DuckDB's nanosecond timestamp precision, while AsOfJoinExec merges
+    * at microsecond precision with no event_id tiebreak. The two agree
+    * because no user has two signups in the same microsecond — asserted
+    * by AsOfJoinSpec "fixture precondition: signup timestamps unique per
+    * user", so a regenerated fixture fails the spec, not this oracle. */
   val qJoinSelfAsofNative: Q = Q(
     "q_join_self_asof_native",
     (s, dir) => {

@@ -88,6 +88,12 @@ case class AsOfJoinExec(
     val lTime = BindReferences.bindReference(leftTime, left.output)
     val rKey = BindReferences.bindReference(rightKey, right.output)
     val rTime = BindReferences.bindReference(rightTime, right.output)
+    // IntegerType reads back with getInt; everything else allowed by
+    // comparableAsLong (long, timestamp µs) is a physical long.
+    val lKeyIsInt = lKey.dataType == IntegerType
+    val lTimeIsInt = lTime.dataType == IntegerType
+    val rKeyIsInt = rKey.dataType == IntegerType
+    val rTimeIsInt = rTime.dataType == IntegerType
     val rightWidth = right.output.size
     val allOut = output
     val leftOut = left.output
@@ -100,21 +106,35 @@ case class AsOfJoinExec(
       // checks and read 0s out of the all-null row.
       val project = UnsafeProjection.create(allOut,
         leftOut ++ rightOut.map(_.withNullability(true)))
+      // Codegen'd (key, time) projections: one generated-code call per
+      // row with primitive reads back out, replacing the r3 interpreted
+      // Expression.eval + asInstanceOf[Number] boxing on the merge hot
+      // path. Each projection reuses its result row, so values are
+      // copied into locals before the next call.
+      val lKT = UnsafeProjection.create(Seq(lKey, lTime))
+      val rKT = UnsafeProjection.create(Seq(rKey, rTime))
+      @inline def field(row: InternalRow, i: Int, isInt: Boolean): Long =
+        if (isInt) row.getInt(i).toLong else row.getLong(i)
       var rNext: InternalRow = if (rIter.hasNext) rIter.next() else null
       var lastMatch: InternalRow = null
       var lastMatchKey = 0L
-      def evalLong(e: Expression, row: InternalRow): Long =
-        e.eval(row).asInstanceOf[Number].longValue()
       lIter.map { l =>
-        val k = evalLong(lKey, l)
-        val t = evalLong(lTime, l)
+        val lkt = lKT(l)
+        val k = field(lkt, 0, lKeyIsInt)
+        val t = field(lkt, 1, lTimeIsInt)
         // Advance the right side through everything at-or-before (k, t),
         // remembering the latest row of key k (rows arrive time-ascending
-        // within a key, so the last one consumed wins).
+        // within a key, so the last one consumed wins). Ties: among right
+        // rows sharing the exact same (key, time), "last consumed" is the
+        // last in sort order, which Spark's unstable sort leaves
+        // unspecified — callers needing determinism under ties must make
+        // the right time unique per key (the fixture generator does; see
+        // AsOfJoinSpec "tied right timestamps").
         var advance = rNext != null
         while (advance) {
-          val rk = evalLong(rKey, rNext)
-          if (rk < k || (rk == k && evalLong(rTime, rNext) <= t)) {
+          val rkt = rKT(rNext)
+          val rk = field(rkt, 0, rKeyIsInt)
+          if (rk < k || (rk == k && field(rkt, 1, rTimeIsInt) <= t)) {
             if (rk == k) { lastMatch = rNext.copy(); lastMatchKey = k }
             rNext = if (rIter.hasNext) rIter.next() else null
             advance = rNext != null

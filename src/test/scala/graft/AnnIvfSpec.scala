@@ -41,6 +41,43 @@ class AnnIvfSpec extends AnyFunSuite with SparkFixture {
     assert(recall >= 3, s"recall $recall/5; approx=$approx exact=$exact")
   }
 
+  test("k=64: determinism and a total partition hold at production-shaped k") {
+    // k=64 on ~500 fixture vectors forces small and (typically) empty
+    // cells — the regime the k ≈ √n production rule lands in. One Lloyd
+    // iteration keeps the test fast; determinism must hold regardless.
+    val cb1 = AnnIvf.train(emb, k = 64, iters = 1)
+    val cb2 = AnnIvf.train(emb, k = 64, iters = 1)
+    assert(cb1.size == 64 && cb2.size == 64, "k never silently shrinks")
+    assert(cb1.zip(cb2).forall { case (a, b) => a.sameElements(b) },
+      "codebook must be reproducible run-to-run")
+    val a = AnnIvf.assign(emb, cb1).select("vec_id", "cell")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a.size == emb.count(), "every vector lands in exactly one cell")
+    assert(a.values.forall(c => c >= 0 && c < 64))
+  }
+
+  test("empty cells keep their centroid instead of collapsing k") {
+    // Two identical init vectors tie their cells' costs; argmin sends
+    // every tied point to the first cell, guaranteeing the second goes
+    // empty — the path that must keep (not drop or zero) its centroid.
+    import spark.implicits._
+    val dim = 4
+    val rows = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)),
+      (1L, Seq(1f, 0f, 0f, 0f)), // duplicate of vec 0 → cell 1 empties
+      (2L, Seq(0f, 1f, 0f, 0f)),
+      (3L, Seq(0f, 0f, 1f, 0f)),
+      (4L, Seq(0f, 0f, 0f, 1f))).toDF("vec_id", "embedding")
+    val cb = AnnIvf.train(rows, k = 3, iters = 2)
+    assert(cb.size == 3)
+    assert(cb(1).sameElements(Array(1f, 0f, 0f, 0f)),
+      "the emptied cell must retain its initial centroid")
+    assert(cb.forall(_.length == dim))
+    val cells = AnnIvf.assign(rows, cb).select("cell")
+      .collect().map(_.getInt(0))
+    assert(cells.forall(c => c >= 0 && c < 3))
+  }
+
   test("IVF sims are a subset of brute-force sims (exact re-rank)") {
     val exactAll = Catalog.byName("q_vec_knn_bruteforce").build(spark, sfDir)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap

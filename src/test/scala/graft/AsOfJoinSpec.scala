@@ -79,4 +79,55 @@ class AsOfJoinSpec extends AnyFunSuite with SparkFixture {
     val row = AsOf.join(l, r, "k", "t", "rk", "rt").head()
     assert(row.getString(5) == "newest")
   }
+
+  test("tied right timestamps: matched time is the tie, payload unspecified") {
+    import spark.implicits._
+    // Two right rows with the *same* (key, time). The operator pins the
+    // matched TIME (it is the tied value) but not which tied row's
+    // payload wins — Spark's sort is unstable across equal keys. The
+    // q_join_self_asof_native oracle only projects times, so it is safe
+    // iff the fixture has unique s_ts per user (it does — asserted by
+    // the "fixture precondition" test below).
+    val l = Seq((1L, 7L, 100L)).toDF("id", "k", "t")
+    val r = Seq((7L, 90L, "tieA"), (7L, 90L, "tieB"), (7L, 10L, "old"))
+      .toDF("rk", "rt", "tag")
+    val row = AsOf.join(l, r, "k", "t", "rk", "rt").head()
+    assert(row.getLong(4) == 90L, "the tied time itself is deterministic")
+    assert(Set("tieA", "tieB").contains(row.getString(5)),
+      "payload must come from one of the tied rows")
+  }
+
+  test("left time equal to right time matches (<=, not <)") {
+    import spark.implicits._
+    val l = Seq((1L, 7L, 90L)).toDF("id", "k", "t")
+    val r = Seq((7L, 90L, "same_instant")).toDF("rk", "rt", "tag")
+    assert(AsOf.join(l, r, "k", "t", "rk", "rt").head().getString(5)
+      == "same_instant")
+  }
+
+  test("integer key/time columns read back primitively") {
+    import spark.implicits._
+    val l = Seq((1, 7, 100), (2, 7, 5)).toDF("id", "k", "t")
+    val r = Seq((7, 90, "hit")).toDF("rk", "rt", "tag")
+    val rows = AsOf.join(l, r, "k", "t", "rk", "rt")
+      .orderBy($"id").collect()
+    assert(rows(0).getString(5) == "hit")
+    assert(rows(1).isNullAt(4))
+  }
+
+  test("fixture precondition: signup timestamps unique per user") {
+    // The q_join_self_asof_native DuckDB twin orders by (ts, event_id) at
+    // nanosecond precision while AsOfJoinExec merges at microsecond
+    // precision with no event_id tiebreak; they agree because no user has
+    // two signups in the same microsecond. Assert that, so a regenerated
+    // fixture that violates it fails HERE and not as an oracle flake.
+    import spark.implicits._
+    val dups = Tables.events(spark, sfDir)
+      .where($"event_type" === "signup")
+      .groupBy($"user_id", $"ts").count()
+      .where($"count" > 1)
+      .count()
+    assert(dups == 0L, "fixture grew same-microsecond signups per user; " +
+      "the as-of oracle tie semantics are no longer guaranteed")
+  }
 }

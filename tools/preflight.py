@@ -17,6 +17,21 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
 
+def has_toplevel_order_by(sql):
+    """True iff an ORDER BY appears at paren depth 0 — i.e. a total outer
+    sort. A substring check would be fooled by OVER (ORDER BY ...) or a
+    subquery's sort, which order nothing in the outer result."""
+    s, depth = sql.lower(), 0
+    for i, ch in enumerate(s):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and s.startswith("order by", i):
+            return True
+    return False
+
+
 def main():
     sfdir, outdir = sys.argv[1], sys.argv[2]
     name_filter = sys.argv[3] if len(sys.argv) > 3 else ""
@@ -68,9 +83,10 @@ def main():
         # total ORDER BY (SURVEY §2 rule 1). Lint that multi-row oracles
         # actually have one, so a forgotten sort fails loudly here instead
         # of flaking across SPARK_GRAFT_CPUS settings.
-        if len(e) > 1 and "order by" not in sql.lower():
-            print(f"FAIL {name}: {len(e)}-row oracle has no ORDER BY "
-                  "(total order required by SURVEY §2 rule 1)")
+        if len(e) > 1 and not has_toplevel_order_by(sql):
+            print(f"FAIL {name}: {len(e)}-row oracle has no top-level ORDER "
+                  "BY (total order required by SURVEY §2 rule 1; ORDER BY "
+                  "inside OVER(...) or a subquery does not count)")
             failures += 1
             continue
         if g != e:
