@@ -204,19 +204,30 @@ object DedupQueries {
          |WHERE jaccard >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin))
 
-  /** SimHash internals, shared by the query and `SimHashSpec`.
+  /** Parameterized SimHash sketch — `bits`-bit fingerprints, banded into
+    * `chunks` equal chunks, pairs kept at Hamming ≤ `maxHamming`.
     *
-    * 32-bit SimHash over shingle hashes: bit j of the fingerprint is the
-    * sign of Σ±1 over features (bit j of each shingle's xxhash64).
-    * Candidates come from banding the fingerprint into 4 byte chunks —
-    * pairs within Hamming distance ≤ 3 are guaranteed to agree on at
-    * least one chunk (pigeonhole); we post-filter to ham ≤ maxHamming
-    * with bit_count(xor). Everything is explode + codegen agg + equi
-    * join — the scale-safe shape. */
-  object SimHash {
-    val bits = 32
-    val chunks = 4
-    val maxHamming = 6
+    * Bit j of the fingerprint is the sign of Σ±1 over features (bit j of
+    * each shingle's xxhash64). Pairs within Hamming ≤ chunks−1 are
+    * *guaranteed* to agree on some chunk (pigeonhole); distances up to
+    * maxHamming are caught best-effort; the exact bit_count(xor)
+    * post-filter makes the output precise either way. Everything is
+    * explode + codegen agg + equi join — the scale-safe shape.
+    *
+    * Width rule (100 TB): the expected RANDOM-pair output is
+    * n²/2 · P(Ham(bits) ≤ maxHamming) = n²/2 · Σ_{k≤h} C(bits,k)/2^bits
+    * — a constant per-pair false-positive floor, so at fixed width the
+    * OUTPUT is quadratic no matter how the banding prunes (measured by
+    * `ScaleSpec`: 32/6 grows with exponent ≈ 2.0 on a random corpus).
+    * Pick (bits, maxHamming) so that floor ≪ the true-dup count: 32/6
+    * (P ≈ 2.6e-4) only suits fixture-scale corpora; 64/3 (P ≈ 2.4e-15)
+    * is negligible past n = 10⁹. Long packing caps bits at 64; wider
+    * sketches would shard the signature across two longs. */
+  class SimHashSketch(val bits: Int, val chunks: Int, val maxHamming: Int) {
+    require(bits > 0 && bits <= 64 && bits % chunks == 0,
+      s"bits must be in (0, 64] and divisible by chunks, got $bits/$chunks")
+    private val chunkBits = bits / chunks
+    require(chunkBits <= 32, s"chunk keys must fit an int-sized mask")
 
     /** (doc_id, sig) fingerprints. */
     def fingerprints(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
@@ -228,6 +239,8 @@ object DedupQueries {
         sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1)
           .otherwise(-1)).as(s"b$j")
       }
+      // Disjoint powers of two sum without carries (1L << 63 lands the
+      // two's-complement sign bit correctly), so + packs like bitwise-or.
       val sig = (0 until bits)
         .map(j => when(col(s"b$j") >= 0, 1L << j).otherwise(0L))
         .reduce(_ + _)
@@ -238,11 +251,13 @@ object DedupQueries {
 
     /** Candidate pairs with exact Hamming distance ≤ maxHamming. */
     def nearPairs(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val mask = (1L << chunkBits) - 1
       val fps = fingerprints(df)
       val banded = fps.select(col("doc_id"), col("sig"),
         explode(array((0 until chunks).map { c =>
           struct(lit(c).as("band"),
-            shiftright(col("sig"), c * 8).bitwiseAND(0xff).as("ckey"))
+            // The mask drops the arithmetic shift's sign extension.
+            shiftright(col("sig"), c * chunkBits).bitwiseAND(mask).as("ckey"))
         }: _*)).as("bk"))
         .select(col("doc_id"), col("sig"),
           col("bk.band").as("band"), col("bk.ckey").as("ckey"))
@@ -256,6 +271,11 @@ object DedupQueries {
         .distinct()
     }
   }
+
+  /** Fixture-scale SimHash instance (32-bit, byte chunks, ham ≤ 6),
+    * shared by q_dedup_simhash and `SimHashSpec`. See the width rule on
+    * [[SimHashSketch]] for why production corpora need 64/3. */
+  object SimHash extends SimHashSketch(32, 4, 6)
 
   /** q_dedup_simhash (T) — SimHash near-dup pairs (hamming ≤ 6 of 32).
     * Engine-specific hashing ⇒ no DuckDB twin; `SimHashSpec` pins

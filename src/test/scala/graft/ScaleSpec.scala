@@ -1,0 +1,130 @@
+package graft
+
+import graft.operators.{DedupQueries, SignLsh, VectorQueries}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.Tag
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale-stress tag — exclude with `sbt "testOnly * -- -l graft.ScaleStress"`. */
+object ScaleStress extends Tag("graft.ScaleStress")
+
+/** In-sandbox scale stress for the dedup family (VERDICT r4 #7): on a
+  * synthetic corpus with planted near-dups at three sizes (4× apart),
+  * candidate-pair counts must grow ~LINEARLY — the sub-quadratic claim
+  * made in the operators' scaladocs, measured instead of asserted.
+  *
+  * The growth exponent e between sizes n→4n is log₄(c(4n)/c(n)): e ≈ 1
+  * is linear, e ≈ 2 is all-pairs-in-disguise. Corpora are generated
+  * deterministically from xxhash64 (no fixtures, no RNG state): each doc
+  * is 20 words from a 5000-word vocabulary; ids ≡ 1 (mod 50) are
+  * near-copies of id−1 with the last word changed (→ ~n/50 planted
+  * pairs, a linear floor that keeps counts non-degenerate). Embeddings
+  * follow the same plant with a 1e-3 single-dim perturbation.
+  *
+  * Embedding dedup only stays linear if bitsPerBand follows
+  * [[SignLsh.bitsFor]] — at fixed bits the expected random-collision
+  * volume is bands·n²/2^bits (quadratic). The test sizes bits by the
+  * rule, which is exactly what a 100 TB deployment must do.
+  *
+  * Runtimes are printed (for the measured-exponent record) but not
+  * asserted — wall-clock on a shared CI box is noise; pair counts are
+  * the deterministic scale signal. */
+class ScaleSpec extends AnyFunSuite with SparkFixture {
+
+  private val sizes = Seq(2000L, 8000L, 32000L)
+  private val maxExponent = 1.35
+
+  private def syntheticDocs(n: Long): DataFrame = {
+    val base = spark.range(n).select(
+      col("id").as("doc_id"),
+      when(col("id") % 50 === 1, col("id") - 1).otherwise(col("id")).as("src"))
+    val words = (0 until 19).map(j =>
+      concat(lit("w"), pmod(xxhash64(col("src"), lit(j)), lit(5000)))) :+
+      concat(lit("w"), pmod(xxhash64(col("doc_id"), lit(19)), lit(5000)))
+    base.select(col("doc_id"), concat_ws(" ", words: _*).as("text"))
+  }
+
+  /** Same corpus but ids ≡ 1 (mod 50) are EXACT copies of id−1 (all 20
+    * words from src) — hamming-0 plants for the simhash volume test. */
+  private def syntheticExactDupDocs(n: Long): DataFrame = {
+    val base = spark.range(n).select(
+      col("id").as("doc_id"),
+      when(col("id") % 50 === 1, col("id") - 1).otherwise(col("id")).as("src"))
+    val words = (0 until 20).map(j =>
+      concat(lit("w"), pmod(xxhash64(col("src"), lit(j)), lit(5000))))
+    base.select(col("doc_id"), concat_ws(" ", words: _*).as("text"))
+  }
+
+  private def syntheticEmbeddings(n: Long): DataFrame = {
+    val base = spark.range(n).select(
+      col("id").as("vec_id"),
+      when(col("id") % 50 === 1, col("id") - 1).otherwise(col("id")).as("src"),
+      (col("id") % 50 === 1).as("planted"))
+    base.select(col("vec_id"), expr(
+      """transform(sequence(0, 63), d -> CAST(
+        |  (pmod(xxhash64(src, d), 2001) - 1000) / 1000.0
+        |  + CASE WHEN planted AND d = 0 THEN 0.001 ELSE 0.0 END AS FLOAT))"""
+        .stripMargin).as("embedding"))
+  }
+
+  /** Count candidates at each size, print counts/exponents/runtimes,
+    * assert every step's growth exponent is ~linear. */
+  private def assertLinear(name: String, count: Long => Long): Unit = {
+    val measured = sizes.map { n =>
+      val t0 = System.nanoTime()
+      val c = count(n)
+      (n, c, (System.nanoTime() - t0) / 1e9)
+    }
+    val exps = measured.sliding(2).map { case Seq((n1, c1, _), (n2, c2, _)) =>
+      math.log(c2.toDouble / c1) / math.log(n2.toDouble / n1)
+    }.toSeq
+    info(s"$name: " + measured.map { case (n, c, t) =>
+      f"n=$n%d pairs=$c%d (${t}%.1fs)" }.mkString(", ") +
+      ", exponents=" + exps.map(e => f"$e%.2f").mkString(", "))
+    measured.foreach { case (n, c, _) =>
+      assert(c >= n / 50 / 2, s"$name: counts degenerate at n=$n ($c pairs)")
+    }
+    exps.foreach(e => assert(e <= maxExponent,
+      s"$name: growth exponent $e exceeds $maxExponent — quadratic in disguise"))
+  }
+
+  test("minhash LSH candidate volume grows ~linearly", ScaleStress) {
+    assertLinear("minhash", n =>
+      DedupQueries.MinHashLsh.candidatePairs(syntheticDocs(n)).count())
+  }
+
+  test("64/3 simhash near-pair volume grows ~linearly", ScaleStress) {
+    // Width must follow corpus size (SimHashSketch width rule): the
+    // 32-bit/ham≤6 fixture instance has a ~2.6e-4 per-pair FP floor —
+    // measured exponent ≈ 2.0 on this corpus — while 64-bit/ham≤3
+    // (P ≈ 2.4e-15) leaves only the planted linear signal. Exact dups
+    // are planted for this one: simhash needs hundreds of features per
+    // doc for near-dup stability, and the 18-shingle synthetic docs
+    // would make near-dup recall the flaky part of a volume test.
+    val sketch = new DedupQueries.SimHashSketch(64, 4, 3)
+    assertLinear("simhash64", n =>
+      sketch.nearPairs(syntheticExactDupDocs(n)).count())
+  }
+
+  test("32/6 simhash FP floor is quadratic — the negative control", ScaleStress) {
+    // Pins the defect the width rule exists for: at fixed 32 bits the
+    // random-pair output grows with exponent ≈ 2. If this ever reads
+    // linear, the corpus degenerated and the test above proves nothing.
+    val counts = sizes.take(2).map(n =>
+      DedupQueries.SimHash.nearPairs(syntheticDocs(n)).count())
+    val e = math.log(counts(1).toDouble / counts(0)) / math.log(4.0)
+    info(f"32/6 simhash: pairs=${counts.mkString(", ")} exponent=$e%.2f")
+    assert(e > 1.5, s"expected the quadratic FP floor, measured exponent $e")
+  }
+
+  test("embedding-dedup candidates grow ~linearly when bits follow bitsFor",
+      ScaleStress) {
+    assertLinear("embedding", { n =>
+      val bits = SignLsh.bitsFor(n, targetBucketSize = 16)
+      VectorQueries.EmbeddingDedup
+        .candidatePairs(syntheticEmbeddings(n), bands = 4, bitsPerBand = bits)
+        .count()
+    })
+  }
+}
