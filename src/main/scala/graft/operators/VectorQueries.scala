@@ -190,22 +190,39 @@ object VectorQueries {
         .where(col("cos") >= threshold)
   }
 
-  /** q_dedup_embedding (T) — cosine near-dup pairs at ≥ 0.3 over the
-    * fixture embeddings. The fixtures are spread (max cross cosine
-    * ≈ 0.37), so a dedup-grade threshold like 0.9 would be vacuously
-    * empty on them; 0.3 exercises the full candidate+filter pipeline
-    * with non-empty output at every SF. 2 bits/band fits the low
-    * threshold (recall ≈ 0.83 at cosine 0.3; the 8-bit default targets
-    * real near-dup thresholds ≥ 0.9). Recall is approximate by design
-    * (LSH candidates only); `EmbeddingDedupSpec` pins exact behavior on
-    * planted near-identical vectors at a high threshold. */
+  /** q_dedup_embedding (T) — cosine near-duplicate pairs at a
+    * dedup-grade threshold (≥ 0.98) over the fixture embeddings plus a
+    * deterministic jittered copy of each (vec_id + 10⁶, one component
+    * nudged 1e-3): every fixture vector gains exactly one planted
+    * near-dup, recovered through the banded-LSH + exact-verify pipeline
+    * with non-degenerate output at every SF.
+    *
+    * Why planted: the fixture corpus is spread by construction (max
+    * cross cosine ≈ 0.37, FIXTURES.md), so a real dedup threshold finds
+    * nothing organic — and the r4 workaround (threshold 0.3 with
+    * 2-bit bands) was measured at 21 s / ~n²/2 candidate pairs at
+    * sf0.1, because low-threshold sign-LSH cannot prune: random pairs
+    * collide per bit with p₀ = 0.5 vs p = 0.597 at cosine 0.3, and no
+    * (bands, bits) choice separates those. Near-dup detection is the
+    * regime the operator exists for (p ≥ 0.99 at cosine 0.98 vs
+    * p₀ = 0.5 → 8-bit bands prune ~256×), and the planted corpus
+    * exercises it honestly. Candidate volume here is
+    * bands·(2n)²/2^bits/2 ≈ n²/128 — sub-second at sf0.1 (vs 21 s),
+    * linear-growth-verified by `ScaleSpec` when bits follow
+    * SignLsh.bitsFor. `EmbeddingDedupSpec` pins recall on the planted
+    * pairs and rejection of the spread originals. */
   val qDedupEmbedding: Q = Q(
     "q_dedup_embedding",
     (s, dir) => {
       import s.implicits._
-      EmbeddingDedup.nearPairs(
-          Tables.embeddings(s, dir).select($"vec_id", $"embedding"), 0.3,
-          bands = 4, bitsPerBand = 2)
+      val base = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
+      val jittered = base.select(
+        ($"vec_id" + 1000000L).as("vec_id"),
+        expr("""transform(embedding,
+          |  (x, i) -> CAST(CASE WHEN i = 0 THEN x + 0.001 ELSE x END AS FLOAT))"""
+          .stripMargin).as("embedding"))
+      EmbeddingDedup.nearPairs(base.unionByName(jittered), 0.98,
+          bands = 4, bitsPerBand = 8)
         .orderBy($"vec_a", $"vec_b")
     })
 

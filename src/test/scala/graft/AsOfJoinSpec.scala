@@ -60,6 +60,19 @@ class AsOfJoinSpec extends AnyFunSuite with SparkFixture {
       plan.contains("Sort [user_id"))
   }
 
+  test("downstream aggregation on the key reuses the as-of partitioning") {
+    import spark.implicits._
+    // outputPartitioning passes the left child's hash partitioning
+    // through, so the groupBy(user_id) must NOT add a third exchange on
+    // top of the two feeding the as-of.
+    val agg = AsOf.join(purchases, signups, "user_id", "ts", "s_user", "s_ts")
+      .groupBy($"user_id").agg(count(lit(1)).as("n"))
+    val plan = agg.queryExecution.executedPlan.toString
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges == 2,
+      s"expected only the two child exchanges, saw $exchanges:\n$plan")
+  }
+
   test("left rows with no prior right match get nulls (kept, not dropped)") {
     import spark.implicits._
     val l = Seq((1L, 100L, 10L), (2L, 100L, 50L)).toDF("id", "k", "t")

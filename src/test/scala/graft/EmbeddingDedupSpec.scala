@@ -47,13 +47,24 @@ class EmbeddingDedupSpec extends AnyFunSuite with SparkFixture {
     assert(EmbeddingDedup.nearPairs(d, 0.9).collect().isEmpty)
   }
 
-  test("fixture catalog query is non-empty and every pair clears the threshold") {
+  test("catalog query recovers every planted jittered twin, nothing else") {
+    import spark.implicits._
+    val n = Tables.embeddings(spark, sfDir).count()
     val rows = Catalog.byName("q_dedup_embedding").build(spark, sfDir).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      assert(r.getDouble(2) >= 0.3)
+      assert(r.getDouble(2) >= 0.98)
       assert(r.getLong(0) < r.getLong(1))
     }
+    // The planted corpus has exactly one near-dup per fixture vector
+    // (its +10⁶ jittered copy) and the originals are spread — so the
+    // output should be exactly the n planted pairs. LSH recall is
+    // probabilistic in general but deterministic given the seeded
+    // planes; a shortfall here means a plane grazes a vector.
+    val planted = rows.filter(r => r.getLong(1) == r.getLong(0) + 1000000L)
+    assert(planted.length == rows.length, "no non-planted pair can reach 0.98")
+    assert(rows.length >= (n * 9) / 10,
+      s"planted-twin recall ${rows.length}/$n below 90%")
   }
 
   test("fixture embeddings are spread: a 0.9 dedup threshold finds nothing") {
