@@ -174,7 +174,10 @@ case class AsOfJoinStrategy(spark: SparkSession) extends SparkStrategy {
   * Right-side columns should carry distinct names (rename before the
   * join) since the output is left.output ++ right.output; self-joins
   * need the two sides read (or aliased) independently — same caveat as
-  * any custom binary plan built from analyzed children. */
+  * any custom binary plan built from analyzed children. Key and time
+  * columns must be non-null: the merge reads them as primitives
+  * (a null would read as 0, not match "unknown"); filter nulls out
+  * before joining if the source allows them. */
 object AsOf {
   def join(
       left: DataFrame,

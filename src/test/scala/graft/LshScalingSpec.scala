@@ -65,6 +65,38 @@ class LshScalingSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("kNN multi-probe scan fraction shrinks as bits grow, keeping the neighbor") {
+    import org.apache.spark.sql.functions._
+    // The single-table kNN shape (q_vec_knn_lsh): probe bucket +
+    // Hamming-1 neighbors = (bits+1) of 2^bits buckets scanned, so the
+    // scanned fraction must fall geometrically with width — the r4
+    // critique was that fixed 4 bits scans ~31% of the table forever.
+    def scanned(bits: Int): Long = {
+      val lsh = new SignLsh(bits)
+      val all = lsh.bucketed(corpus)
+      val probe = all.where(col("vec_id") === 9000L)
+        .select(explode(lsh.probeBuckets(col("bucket"))).as("bucket"))
+      all.where(col("vec_id") =!= 9000L)
+        .join(probe, "bucket").select(col("vec_id")).distinct().count()
+    }
+    def neighborKept(bits: Int): Boolean = {
+      val lsh = new SignLsh(bits)
+      val all = lsh.bucketed(corpus)
+      val probe = all.where(col("vec_id") === 9000L)
+        .select(explode(lsh.probeBuckets(col("bucket"))).as("bucket"))
+      all.where(col("vec_id") === 9001L).join(probe, "bucket").count() > 0
+    }
+    val s4 = scanned(4)
+    val s8 = scanned(8)
+    info(s"kNN candidates of 401: bits=4 -> $s4, bits=8 -> $s8")
+    assert(s8 * 2 < s4, s"8 bits ($s8) must scan far less than 4 bits ($s4)")
+    assert(s8.toDouble / 401 < 0.15,
+      s"8-bit multi-probe must scan <15% of the table, scanned $s8/401")
+    // The near-identical planted neighbor (cosine ~0.99995) stays
+    // within the probed buckets at both widths — pruning, not loss.
+    assert(neighborKept(4) && neighborKept(8))
+  }
+
   test("bitsFor sizing rule keeps expected bucket size constant") {
     assert(SignLsh.bitsFor(500, 32) == 4)
     assert(SignLsh.bitsFor(1L << 40, 1L << 20) == 20)

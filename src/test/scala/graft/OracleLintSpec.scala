@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Static lints over the oracle contract (SURVEY.md §2 rules), mirroring
+  * tools/preflight.py so `sbt test` catches a bad oracle without needing
+  * the DuckDB side. The driver's compare is row-order-sensitive, so every
+  * oracle must impose a total order at the TOP level — an ORDER BY inside
+  * OVER(...) or a subquery orders nothing in the outer result. */
+class OracleLintSpec extends AnyFunSuite {
+
+  /** Scala twin of preflight.has_toplevel_order_by: an "order by" at
+    * paren depth 0. */
+  private def hasToplevelOrderBy(sql: String): Boolean = {
+    val s = sql.toLowerCase
+    var depth = 0
+    s.indices.exists { i =>
+      s(i) match {
+        case '(' => depth += 1; false
+        case ')' => depth -= 1; false
+        case _   => depth == 0 && s.startsWith("order by", i)
+      }
+    }
+  }
+
+  test("every multi-row-capable oracle has a top-level ORDER BY") {
+    // Single-row global aggregates are order-free by construction; every
+    // other oracle must end in a total sort. We can't know row counts
+    // statically, so the exemption list is explicit — a new global-agg
+    // query must be added here deliberately.
+    val singleRowGlobalAggs = Set("q_agg_global")
+    val offenders = Catalog.all
+      .flatMap(q => q.oracle.map(q.name -> _))
+      .filterNot { case (n, _) => singleRowGlobalAggs(n) }
+      .filterNot { case (_, sql) => hasToplevelOrderBy(sql) }
+      .map(_._1)
+    assert(offenders.isEmpty,
+      s"oracles without a top-level ORDER BY: ${offenders.mkString(", ")}")
+  }
+
+  test("the lint itself rejects OVER(ORDER BY) and subquery-only sorts") {
+    assert(!hasToplevelOrderBy("SELECT rank() OVER (ORDER BY x) FROM t"))
+    assert(!hasToplevelOrderBy("SELECT * FROM (SELECT x FROM t ORDER BY x)"))
+    assert(hasToplevelOrderBy("SELECT x FROM t ORDER BY lower(x)"))
+    assert(hasToplevelOrderBy(
+      "SELECT * FROM (SELECT x FROM t ORDER BY x) ORDER BY x"))
+  }
+
+  test("every query name maps to exactly one catalog entry and vice versa") {
+    assert(Catalog.all.map(_.name).distinct.size == Catalog.all.size)
+    assert(SparkEntry.queries.keySet == Catalog.all.map(_.name).toSet)
+    assert(SparkEntry.oracleSql.keySet ==
+      Catalog.all.filter(_.oracle.isDefined).map(_.name).toSet)
+  }
+
+  test("oracle count matches the SURVEY §2 contract (53 oracle rows)") {
+    assert(Catalog.all.count(_.oracle.isDefined) == 53)
+  }
+}
