@@ -288,6 +288,65 @@ object DedupQueries {
         .orderBy($"doc_a", $"doc_b")
     })
 
+  /** q_dedup_pipeline — the end-to-end keep-list a training-data pipeline
+    * actually ships: a document survives iff (a) it is the smallest
+    * doc_id among its exact duplicates (md5 group) and (b) no
+    * smaller-id near-duplicate exists (prefix-key candidate with 3-gram
+    * Jaccard ≥ 0.5 — #50's bucketing + q_dedup_ngram_jaccard's verify).
+    * Composes the dedup family into one decision, oracle-checked.
+    *
+    * Scale: rule (a) is one partial-aggregated shuffle on md5; rule (b)
+    * reuses the bucketed candidate join (never all-pairs) and the
+    * loser set is the distinct doc_b side — an anti join back against
+    * the corpus. Three shuffles total, all keyed, no driver state. */
+  val qDedupPipeline: Q = Q(
+    "q_dedup_pipeline",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val exactKeep = docs
+        .groupBy(md5($"text").as("h"))
+        .agg(min($"doc_id").as("doc_id"))
+        .select($"doc_id")
+      val keyed = docs
+        .withColumn("w", split(lower($"text"), " "))
+        .select(
+          substring(lower($"text"), 1, 40).as("k"),
+          $"doc_id",
+          array_distinct(Shingles.of("w")).as("sh"))
+      val nearLosers = keyed.as("a")
+        .join(keyed.as("b"),
+          col("a.k") === col("b.k") && col("a.doc_id") < col("b.doc_id"))
+        .select(
+          col("b.doc_id").as("doc_b"),
+          size(array_intersect(col("a.sh"), col("b.sh"))).cast(DoubleType)
+            .as("ni"),
+          (size(col("a.sh")) + size(col("b.sh"))).cast(DoubleType).as("nab"))
+        .where(round($"ni" / ($"nab" - $"ni"), 6) >= 0.5)
+        .select($"doc_b".as("doc_id"))
+        .distinct()
+      exactKeep
+        .join(nearLosers, Seq("doc_id"), "left_anti")
+        .orderBy($"doc_id")
+    },
+    oracle = Some(
+      s"""WITH keyed AS (
+         |  SELECT doc_id, md5(text) AS h, substring(lower(text), 1, 40) AS k,
+         |    list_distinct(${Shingles.sql("string_split(lower(text), ' ')")}) AS sh
+         |  FROM documents),
+         |exact_keep AS (SELECT MIN(doc_id) AS doc_id FROM keyed GROUP BY h),
+         |near_losers AS (
+         |  SELECT DISTINCT b.doc_id FROM keyed a JOIN keyed b
+         |    ON a.k = b.k AND a.doc_id < b.doc_id
+         |  WHERE ROUND(
+         |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |    (CAST(len(a.sh) + len(b.sh) AS DOUBLE) - len(list_intersect(a.sh, b.sh))),
+         |    6) >= 0.5)
+         |SELECT doc_id FROM exact_keep
+         |WHERE doc_id NOT IN (SELECT doc_id FROM near_losers)
+         |ORDER BY doc_id""".stripMargin))
+
   val all: Vector[Q] = Vector(
-    qDedupExact, qDedupNear, qDedupMinhash, qDedupNgramJaccard, qDedupSimhash)
+    qDedupExact, qDedupNear, qDedupMinhash, qDedupNgramJaccard, qDedupSimhash,
+    qDedupPipeline)
 }
