@@ -190,7 +190,63 @@ object TextQueries {
         .orderBy($"doc_id", $"win")
     })
 
+  /** q_text_filter_pipeline — the quality-gate keep decision a
+    * training-data pipeline ships, composed from #q_text_quality's
+    * oracle-matched features: a document survives iff its composite
+    * quality ≥ 0.65 AND its token count is in [20, 200]; reported as
+    * per-language survival stats. Thresholds are demo parameters tuned
+    * non-degenerate for the fixture distribution (378/500 kept at
+    * sf0.01) — a production pipeline tunes them per corpus. The
+    * threshold comparisons operate on the round(6) score that already
+    * hash-matches DuckDB, so the kept sets are engine-identical.
+    *
+    * Scale: per-row scoring (no shuffle) + one partial-aggregated
+    * hash agg on lang (≤ 5 groups). */
+  val qTextFilterPipeline: Q = Q(
+    "q_text_filter_pipeline",
+    (s, dir) => {
+      import s.implicits._
+      val scored = Tables.documents(s, dir)
+        .withColumn("w", split($"text", " "))
+        .withColumn("n_tok", size($"w").cast(LongType))
+        .withColumn("n_distinct", size(array_distinct($"w")).cast(LongType))
+        .withColumn("n_stop",
+          size(filter($"w", t => t === "the" || t === "a")).cast(LongType))
+        .withColumn("quality", round(
+          ($"n_distinct".cast(DoubleType) / $"n_tok") * 0.5 +
+            (lit(1.0) - $"n_stop".cast(DoubleType) / $"n_tok") * 0.3 +
+            least($"n_tok".cast(DoubleType) / 50.0, lit(1.0)) * 0.2, 6))
+      scored.groupBy($"lang")
+        .agg(
+          count(lit(1)).as("n_total"),
+          sum(when($"quality" >= 0.65 && $"n_tok".between(20, 200), 1L)
+            .otherwise(0L)).as("n_kept"))
+        .withColumn("keep_rate",
+          round($"n_kept".cast(DoubleType) / $"n_total", 6))
+        .orderBy($"lang")
+    },
+    oracle = Some(
+      """SELECT lang, COUNT(*) AS n_total,
+        |  CAST(SUM(CASE WHEN quality >= 0.65 AND n_tok BETWEEN 20 AND 200
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  ROUND(CAST(SUM(CASE WHEN quality >= 0.65 AND n_tok BETWEEN 20 AND 200
+        |      THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS keep_rate
+        |FROM (
+        |  SELECT doc_id, lang, n_tok,
+        |    ROUND((CAST(n_distinct AS DOUBLE) / n_tok) * 0.5
+        |        + (1.0 - CAST(n_stop AS DOUBLE) / n_tok) * 0.3
+        |        + least(CAST(n_tok AS DOUBLE) / 50.0, 1.0) * 0.2, 6) AS quality
+        |  FROM (
+        |    SELECT doc_id, lang,
+        |      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |      CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+        |      CAST(len(list_filter(string_split(text, ' '),
+        |        t -> t IN ('the', 'a'))) AS BIGINT) AS n_stop
+        |    FROM documents))
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin))
+
   val all: Vector[Q] =
     Vector(qTextTokenizeExplode, qTextWordcountTf, qTextStats,
-      qTextQuality, qTextTokenCount, qDocFingerprint)
+      qTextQuality, qTextTokenCount, qDocFingerprint, qTextFilterPipeline)
 }

@@ -53,7 +53,7 @@ class OracleLintSpec extends AnyFunSuite {
       Catalog.all.filter(_.oracle.isDefined).map(_.name).toSet)
   }
 
-  test("oracle count matches the SURVEY §2 contract (54 oracle rows)") {
-    assert(Catalog.all.count(_.oracle.isDefined) == 54)
+  test("oracle count matches the SURVEY §2 contract (55 oracle rows)") {
+    assert(Catalog.all.count(_.oracle.isDefined) == 55)
   }
 }
