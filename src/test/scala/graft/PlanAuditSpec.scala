@@ -72,6 +72,25 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
       s"aggregation must be codegen-fused:\n$p")
   }
 
+  test("q_dedup_pipeline joins stay equi (bucketed candidates + keyed anti)") {
+    val p = planOf("q_dedup_pipeline")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "pipeline must never degenerate to pairwise scans")
+    // The near-dup candidate join must be keyed on the prefix bucket —
+    // an equi join (SMJ or SHJ at scale, BHJ acceptable at fixture SF).
+    assert(p.contains("Join"), "candidate generation is a join by design")
+  }
+
+  test("q_text_filter_pipeline is one aggregation, no extra shuffle") {
+    val p = planOf("q_text_filter_pipeline")
+    // Per-row scoring + one hash agg on lang: exactly one shuffle;
+    // a second exchange would mean the scoring left the narrow
+    // pre-aggregation stage.
+    assert(p.contains("HashAggregate"))
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 1,
+      s"expected a single hash exchange on lang:\n$p")
+  }
+
   test("no query plan contains a cartesian product") {
     Catalog.all.foreach { q =>
       val p = Catalog.byName(q.name).build(spark, sfDir)
