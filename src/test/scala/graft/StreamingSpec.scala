@@ -138,6 +138,41 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(ids.toSeq == Seq(0L, 1L, 5L))
   }
 
+  test("q_stream_quality_filter: windowed survival stats match the batch scorer") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // (doc_id, ts, lang, text): one clear keeper (25 distinct words, no
+    // stopwords → quality 0.9, n_tok in band), one under the token band,
+    // one stopword-flooded (quality ≈ 0.128).
+    val keepText = (1 to 25).map(i => s"word$i").mkString(" ")
+    val shortText = "just a few little words here"
+    val stopText = Seq.fill(30)("the").mkString(" ")
+    val hour0: Seq[(Long, Timestamp, String, String)] = Seq(
+      (0L, ts(5), "en", keepText),
+      (1L, ts(15), "en", shortText),
+      (2L, ts(25), "de", stopText))
+    val input = MemoryStream[(Long, Timestamp, String, String)]
+    val df = StreamingQueries.qualityFilter(
+      input.toDF().toDF("doc_id", "ts", "lang", "text"))
+    val q = df.writeStream.format("memory").queryName("sqf")
+      .outputMode("append").start()
+    try {
+      input.addData(hour0)
+      q.processAllAvailable()
+      input.addData((9L, ts(125), "en", keepText)) // close hour 0
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("sqf").collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set(("en", 2L, 1L), ("de", 1L, 0L)),
+      s"hour-0 closed windows wrong: $got")
+    // Batch twin on the same rows: identical scorer, identical counts.
+    val batch = StreamingQueries.qualityFilter(
+        hour0.toDF("doc_id", "ts", "lang", "text"))
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == batch)
+  }
+
   test("#45 stateful per-user counter accumulates across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
