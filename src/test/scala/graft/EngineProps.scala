@@ -73,6 +73,21 @@ object EngineProps extends Properties("graft") with SparkFixture {
         last == want
     }
 
+  property("simhash banding pigeonhole: ham <= chunks-1 always shares a chunk") =
+    forAll(Gen.long, Gen.listOfN(3, Gen.chooseNum(0, 63))) { (sig, flipBits) =>
+      // The candidate-generation guarantee behind SimHashSketch(64,4,3):
+      // flipping at most chunks-1 = 3 bits cannot touch all 4 chunks,
+      // so at least one 16-bit chunk stays equal — the pair is always a
+      // band-join candidate. Pure bit math, no Spark.
+      val other = flipBits.distinct.foldLeft(sig)((s, b) => s ^ (1L << b))
+      val chunkBits = 16
+      val shares = (0 until 4).exists { c =>
+        ((sig >>> (c * chunkBits)) & 0xffffL) ==
+          ((other >>> (c * chunkBits)) & 0xffffL)
+      }
+      shares
+    }
+
   property("sessionize never splits a gap <= threshold or merges one above it") =
     forAll(Gen.listOf(Gen.chooseNum(0L, 500L))) { offsets =>
       import spark.implicits._
