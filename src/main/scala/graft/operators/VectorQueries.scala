@@ -226,6 +226,33 @@ object VectorQueries {
         .orderBy($"vec_a", $"vec_b")
     })
 
+  /** q_multimodal_frames (T) — the multimodal decode pipeline as a
+    * catalog query: the documents fixture supplies deterministic binary
+    * payloads (UTF-8 text bytes standing in for media — the fixtures
+    * carry no true media, and the codec is the documented
+    * [[MultimodalBinary.StubCodec]] stub), flowing through the typed
+    * decode → frame-sample → per-media stats pipeline. Payload bytes
+    * never shuffle: decode and sampling are narrow mapPartitions/filter;
+    * only (media_id, frame feature) rows reach the one aggregation
+    * shuffle. `MultimodalBinarySpec` pins determinism, frame counts and
+    * content sensitivity. */
+  val qMultimodalFrames: Q = Q(
+    "q_multimodal_frames",
+    (s, dir) => {
+      import s.implicits._
+      import MultimodalBinary._
+      val media = Tables.documents(s, dir)
+        .select($"doc_id", $"lang", $"text", $"n_chars")
+        .as[(Long, String, String, Long)]
+        .map { case (id, lang, text, nChars) =>
+          MediaFile(id, if (lang == "zh") "audio" else "image",
+            text.getBytes("UTF-8"),
+            MediaMeta(64, 64, 16000, nChars))
+        }
+      val frames = frameSample(decodeFrames(media, frameStride = 64), every = 2)
+      frameStats(s, frames).orderBy($"media_id")
+    })
+
   /** #54 q_vec_centroids — per-label mean vector via posexplode, reported
     * as the rounded L2 norm of each centroid (< 1 for spread clusters). */
   val qVecCentroids: Q = Q(
@@ -286,5 +313,5 @@ object VectorQueries {
 
   val all: Vector[Q] = Vector(
     qVecNormStats, qVecKnnBruteforce, qVecKnnLsh, qVecKnnIvf,
-    qDedupEmbedding, qVecCentroids, qMultimodalJoin)
+    qDedupEmbedding, qVecCentroids, qMultimodalJoin, qMultimodalFrames)
 }

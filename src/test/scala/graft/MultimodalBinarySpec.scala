@@ -67,4 +67,22 @@ class MultimodalBinarySpec extends AnyFunSuite with SparkFixture {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(stats == Map(1L -> 4L, 2L -> 8L))
   }
+
+  test("catalog query q_multimodal_frames: one row per doc, deterministic") {
+    import org.apache.spark.sql.functions._
+    val q = Catalog.byName("q_multimodal_frames")
+    val rows = q.build(spark, sfDir).collect()
+    val nDocs = Tables.documents(spark, sfDir).count()
+    assert(rows.length == nDocs, "every document becomes one media row")
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 1, "at least one sampled frame per media")
+      // StubCodec features are in [0,1]^8, so mean L1 lies in (0, 8].
+      assert(r.getDouble(2) > 0 && r.getDouble(2) <= 8.0)
+    }
+    // Deterministic: the stub codec hashes payload bytes, no randomness.
+    val again = q.build(spark, sfDir).collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+    // Content-sensitive: not all medias share the same mean feature.
+    assert(rows.map(_.getDouble(2)).distinct.length > 1)
+  }
 }
