@@ -28,6 +28,7 @@ object AnnIvf {
 
   /** Assign each row to its nearest centroid: adds an integer `cell`. */
   def assign(df: DataFrame, centroids: Seq[Array[Float]]): DataFrame = {
+    require(centroids.nonEmpty, "cannot assign against an empty codebook")
     // Bind each centroid as a literal column so vec_dot (codegen'd)
     // applies; compute all costs, argmin via array_position.
     val withCosts = centroids.zipWithIndex.foldLeft(df) { case (d, (c, j)) =>
@@ -55,6 +56,8 @@ object AnnIvf {
     * where empty cells necessarily appear. Empty cells keep their
     * previous centroid, so k never silently shrinks. */
   def train(df: DataFrame, k: Int, iters: Int): Seq[Array[Float]] = {
+    require(k > 0, s"k must be positive, got $k")
+    require(iters >= 0, s"iters must be non-negative, got $iters")
     var centroids: Seq[Array[Float]] = df
       .orderBy(col("vec_id")).limit(k)
       .select(col("embedding")).collect()
@@ -88,6 +91,8 @@ object AnnIvf {
       probeId: Long,
       nprobe: Int,
       topK: Int): DataFrame = {
+    require(nprobe >= 1 && topK >= 1,
+      s"nprobe/topK must be positive, got $nprobe/$topK")
     val assigned = assign(df, centroids)
     val probeRow = df.where(col("vec_id") === probeId)
       .select(col("embedding")).head()

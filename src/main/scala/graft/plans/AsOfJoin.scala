@@ -20,6 +20,11 @@ import org.apache.spark.sql.types.{DataType, IntegerType, LongType, TimestampNTZ
   * the full planner extension path with a single-pass merge instead of a
   * union+window.
   *
+  * Optional `toleranceMicros` bounds staleness (pandas merge_asof-style):
+  * a match older than left time − tolerance yields nulls instead. The
+  * unit is the time column's native unit — microseconds for timestamps,
+  * raw values for integral time columns. Merge state stays O(1).
+  *
   * Scale shape: EnsureRequirements inserts hash exchanges on the key and
   * per-partition (key, time) sorts from the declared requirements, then
   * each partition pair streams through one forward-only merge — the same
@@ -42,8 +47,12 @@ case class AsOfJoinPlan(
     leftKey: Expression,
     leftTime: Expression,
     rightKey: Expression,
-    rightTime: Expression)
+    rightTime: Expression,
+    toleranceMicros: Option[Long] = None)
   extends BinaryNode {
+
+  toleranceMicros.foreach(t =>
+    require(t >= 0L, s"tolerance must be non-negative, got $t"))
 
   Seq(leftKey, rightKey, leftTime, rightTime).foreach { e =>
     require(AsOfJoinPlan.comparableAsLong(e.dataType),
@@ -64,7 +73,8 @@ case class AsOfJoinExec(
     leftKey: Expression,
     leftTime: Expression,
     rightKey: Expression,
-    rightTime: Expression)
+    rightTime: Expression,
+    toleranceMicros: Option[Long] = None)
   extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -122,9 +132,14 @@ case class AsOfJoinExec(
       val rKT = UnsafeProjection.create(Seq(rKey, rTime))
       @inline def field(row: InternalRow, i: Int, isInt: Boolean): Long =
         if (isInt) row.getInt(i).toLong else row.getLong(i)
+      // Tolerance (bounded staleness, pandas merge_asof-style): a match
+      // older than t - tol is discarded at emit time. State stays O(1) —
+      // only the latest match and its time are kept.
+      val tol = toleranceMicros.getOrElse(Long.MaxValue)
       var rNext: InternalRow = if (rIter.hasNext) rIter.next() else null
       var lastMatch: InternalRow = null
       var lastMatchKey = 0L
+      var lastMatchTime = 0L
       lIter.map { l =>
         val lkt = lKT(l)
         val k = field(lkt, 0, lKeyIsInt)
@@ -141,13 +156,19 @@ case class AsOfJoinExec(
         while (advance) {
           val rkt = rKT(rNext)
           val rk = field(rkt, 0, rKeyIsInt)
-          if (rk < k || (rk == k && field(rkt, 1, rTimeIsInt) <= t)) {
-            if (rk == k) { lastMatch = rNext.copy(); lastMatchKey = k }
+          val rt = if (rk == k) field(rkt, 1, rTimeIsInt) else 0L
+          if (rk < k || (rk == k && rt <= t)) {
+            if (rk == k) {
+              lastMatch = rNext.copy(); lastMatchKey = k; lastMatchTime = rt
+            }
             rNext = if (rIter.hasNext) rIter.next() else null
             advance = rNext != null
           } else advance = false
         }
-        val m = if (lastMatch != null && lastMatchKey == k) lastMatch else nullRight
+        val m =
+          if (lastMatch != null && lastMatchKey == k && t - lastMatchTime <= tol)
+            lastMatch
+          else nullRight
         project(joined(l, m))
       }
     }
@@ -164,7 +185,8 @@ case class AsOfJoinStrategy(spark: SparkSession) extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case p: AsOfJoinPlan =>
       AsOfJoinExec(planLater(p.left), planLater(p.right),
-        p.leftKey, p.leftTime, p.rightKey, p.rightTime) :: Nil
+        p.leftKey, p.leftTime, p.rightKey, p.rightTime,
+        p.toleranceMicros) :: Nil
     case _ => Nil
   }
 }
@@ -185,7 +207,8 @@ object AsOf {
       leftKeyCol: String,
       leftTimeCol: String,
       rightKeyCol: String,
-      rightTimeCol: String): DataFrame = {
+      rightTimeCol: String,
+      toleranceMicros: Option[Long] = None): DataFrame = {
     val spark = left.sparkSession
     GraftShims.ofRows(spark, AsOfJoinPlan(
       left.queryExecution.analyzed,
@@ -193,6 +216,7 @@ object AsOf {
       GraftShims.expression(left.col(leftKeyCol)),
       GraftShims.expression(left.col(leftTimeCol)),
       GraftShims.expression(right.col(rightKeyCol)),
-      GraftShims.expression(right.col(rightTimeCol))))
+      GraftShims.expression(right.col(rightTimeCol)),
+      toleranceMicros))
   }
 }

@@ -128,6 +128,27 @@ class AsOfJoinSpec extends AnyFunSuite with SparkFixture {
     assert(rows(1).isNullAt(4))
   }
 
+  test("tolerance: stale matches beyond the bound yield nulls, fresh ones join") {
+    import spark.implicits._
+    val l = Seq((1L, 7L, 100L), (2L, 7L, 200L)).toDF("id", "k", "t")
+    val r = Seq((7L, 90L, "m")).toDF("rk", "rt", "tag")
+    // Unbounded: both left rows match the t=90 right row.
+    val unbounded = AsOf.join(l, r, "k", "t", "rk", "rt")
+      .orderBy($"id").collect()
+    assert(unbounded.forall(_.getString(5) == "m"))
+    // Tolerance 50: t=100 (staleness 10) keeps the match, t=200
+    // (staleness 110) is too stale and gets nulls — not dropped.
+    val bounded = AsOf.join(l, r, "k", "t", "rk", "rt", Some(50L))
+      .orderBy($"id").collect()
+    assert(bounded.length == 2)
+    assert(bounded(0).getString(5) == "m")
+    assert(bounded(1).isNullAt(4) && bounded(1).isNullAt(5))
+    // Boundary: staleness exactly == tolerance still matches (<=).
+    val edge = AsOf.join(l, r, "k", "t", "rk", "rt", Some(10L))
+      .orderBy($"id").collect()
+    assert(edge(0).getString(5) == "m")
+  }
+
   test("fixture precondition: signup timestamps unique per user") {
     // The q_join_self_asof_native DuckDB twin orders by (ts, event_id) at
     // nanosecond precision while AsOfJoinExec merges at microsecond
