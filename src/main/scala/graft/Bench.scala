@@ -35,6 +35,7 @@ object Bench {
     // round-over-round deltas were unreadable (r4 drifted +16% uniformly
     // with zero plan changes). Median-of-3 makes a real regression signal.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    require(reps >= 1, s"SPARK_GRAFT_BENCH_REPS must be >= 1, got $reps")
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       var firstErr: Option[String] = None
       val timings = (1 to reps).flatMap { _ =>

@@ -62,6 +62,10 @@ object AnnIvf {
       .orderBy(col("vec_id")).limit(k)
       .select(col("embedding")).collect()
       .map(_.getSeq[Float](0).toArray).toSeq
+    // "k never silently shrinks" (spec-pinned): a corpus smaller than k
+    // must fail loudly, not hand back a truncated codebook.
+    require(centroids.size == k,
+      s"corpus has only ${centroids.size} vectors, cannot train k=$k cells")
     for (_ <- 0 until iters) {
       val assigned = assign(df, centroids)
       val means = assigned

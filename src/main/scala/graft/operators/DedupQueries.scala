@@ -224,6 +224,7 @@ object DedupQueries {
     * is negligible past n = 10⁹. Long packing caps bits at 64; wider
     * sketches would shard the signature across two longs. */
   class SimHashSketch(val bits: Int, val chunks: Int, val maxHamming: Int) {
+    require(chunks > 0, s"chunks must be positive, got $chunks")
     require(bits > 0 && bits <= 64 && bits % chunks == 0,
       s"bits must be in (0, 64] and divisible by chunks, got $bits/$chunks")
     private val chunkBits = bits / chunks

@@ -94,16 +94,34 @@ object TextQueries {
     * and a weighted composite score. All ratios are int/int double
     * divisions (bit-identical across engines); round(6) avoids the
     * .5-boundary cases that terminating ratios (k/2^a) hit at 4 digits. */
+  /** The ONE quality scorer, shared by q_text_quality,
+    * q_text_filter_pipeline and the streaming
+    * [[graft.streaming.StreamingQueries.qualityFilter]] so the formula
+    * cannot drift between the oracle-checked batch queries and the
+    * stream: adds w / n_tok / n_distinct / n_stop / quality columns to
+    * any frame with a `text` column. */
+  object QualityScore {
+    def apply(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      df.withColumn("w", split(col("text"), " "))
+        .withColumn("n_tok", size(col("w")).cast(LongType))
+        .withColumn("n_distinct", size(array_distinct(col("w"))).cast(LongType))
+        .withColumn("n_stop",
+          size(filter(col("w"), t => t === "the" || t === "a")).cast(LongType))
+        .withColumn("quality", round(
+          (col("n_distinct").cast(DoubleType) / col("n_tok")) * 0.5 +
+            (lit(1.0) - col("n_stop").cast(DoubleType) / col("n_tok")) * 0.3 +
+            least(col("n_tok").cast(DoubleType) / 50.0, lit(1.0)) * 0.2, 6))
+
+    /** The keep gate of the filter pipelines (batch + streaming). */
+    def keep: org.apache.spark.sql.Column =
+      col("quality") >= 0.65 && col("n_tok").between(20, 200)
+  }
+
   val qTextQuality: Q = Q(
     "q_text_quality",
     (s, dir) => {
       import s.implicits._
-      Tables.documents(s, dir)
-        .withColumn("w", split($"text", " "))
-        .withColumn("n_tok", size($"w").cast(LongType))
-        .withColumn("n_distinct", size(array_distinct($"w")).cast(LongType))
-        .withColumn("n_stop",
-          size(filter($"w", t => t === "the" || t === "a")).cast(LongType))
+      QualityScore(Tables.documents(s, dir))
         .select(
           $"doc_id", $"n_tok",
           round($"n_distinct".cast(DoubleType) / $"n_tok", 6)
@@ -112,11 +130,7 @@ object TextQueries {
           // text is single-space joined: chars = sum(word lens) + (n-1)
           round(($"n_chars" - ($"n_tok" - 1)).cast(DoubleType) / $"n_tok", 6)
             .as("avg_word_len"),
-          round(
-            ($"n_distinct".cast(DoubleType) / $"n_tok") * 0.5 +
-              (lit(1.0) - $"n_stop".cast(DoubleType) / $"n_tok") * 0.3 +
-              least($"n_tok".cast(DoubleType) / 50.0, lit(1.0)) * 0.2, 6)
-            .as("quality"))
+          $"quality")
         .orderBy($"doc_id")
     },
     oracle = Some(
@@ -206,21 +220,11 @@ object TextQueries {
     "q_text_filter_pipeline",
     (s, dir) => {
       import s.implicits._
-      val scored = Tables.documents(s, dir)
-        .withColumn("w", split($"text", " "))
-        .withColumn("n_tok", size($"w").cast(LongType))
-        .withColumn("n_distinct", size(array_distinct($"w")).cast(LongType))
-        .withColumn("n_stop",
-          size(filter($"w", t => t === "the" || t === "a")).cast(LongType))
-        .withColumn("quality", round(
-          ($"n_distinct".cast(DoubleType) / $"n_tok") * 0.5 +
-            (lit(1.0) - $"n_stop".cast(DoubleType) / $"n_tok") * 0.3 +
-            least($"n_tok".cast(DoubleType) / 50.0, lit(1.0)) * 0.2, 6))
-      scored.groupBy($"lang")
+      QualityScore(Tables.documents(s, dir))
+        .groupBy($"lang")
         .agg(
           count(lit(1)).as("n_total"),
-          sum(when($"quality" >= 0.65 && $"n_tok".between(20, 200), 1L)
-            .otherwise(0L)).as("n_kept"))
+          sum(when(QualityScore.keep, 1L).otherwise(0L)).as("n_kept"))
         .withColumn("keep_rate",
           round($"n_kept".cast(DoubleType) / $"n_total", 6))
         .orderBy($"lang")

@@ -150,6 +150,9 @@ object VectorQueries {
     private def bandKeyed(
         df: org.apache.spark.sql.DataFrame,
         bands: Int, bitsPerBand: Int, seed: Long): org.apache.spark.sql.DataFrame = {
+      require(bands >= 1, s"bands must be >= 1, got $bands")
+      require(bitsPerBand >= 1 && bitsPerBand <= 30,
+        s"bitsPerBand must be in [1, 30] (int key packing), got $bitsPerBand")
       val planes = SignLsh.planes(bands * bitsPerBand, seed)
       val withPlanes = planes.zipWithIndex.foldLeft(df) { case (d, (p, j)) =>
         d.withColumn(s"_plane$j", typedLit(p.map(_.toFloat)))

@@ -134,8 +134,11 @@ case class AsOfJoinExec(
         if (isInt) row.getInt(i).toLong else row.getLong(i)
       // Tolerance (bounded staleness, pandas merge_asof-style): a match
       // older than t - tol is discarded at emit time. State stays O(1) —
-      // only the latest match and its time are kept.
-      val tol = toleranceMicros.getOrElse(Long.MaxValue)
+      // only the latest match and its time are kept. None is genuinely
+      // unbounded (not MaxValue: a MinValue sentinel time is staler
+      // than MaxValue microseconds and must still match when unbounded).
+      val unbounded = toleranceMicros.isEmpty
+      val tol = toleranceMicros.getOrElse(0L)
       var rNext: InternalRow = if (rIter.hasNext) rIter.next() else null
       var lastMatch: InternalRow = null
       var lastMatchKey = 0L
@@ -165,10 +168,18 @@ case class AsOfJoinExec(
             advance = rNext != null
           } else advance = false
         }
-        val m =
-          if (lastMatch != null && lastMatchKey == k && t - lastMatchTime <= tol)
-            lastMatch
-          else nullRight
+        // Overflow-safe staleness check: lastMatchTime <= t always holds
+        // (matches are only consumed at rt <= t), but t - lastMatchTime
+        // can exceed Long range for extreme integral sentinels, so
+        // compare against a saturated threshold instead of subtracting.
+        // Long.MinValue + tol cannot overflow (tol >= 0).
+        val freshEnough = lastMatch != null && lastMatchKey == k &&
+          (unbounded || {
+            val threshold =
+              if (t >= Long.MinValue + tol) t - tol else Long.MinValue
+            lastMatchTime >= threshold
+          })
+        val m = if (freshEnough) lastMatch else nullRight
         project(joined(l, m))
       }
     }

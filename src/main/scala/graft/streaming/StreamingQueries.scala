@@ -100,23 +100,13 @@ object StreamingQueries {
     * streaming ingest filter runs at 100 TB/day: score-as-you-read,
     * aggregate small. */
   def qualityFilter(docs: DataFrame): DataFrame = {
-    val scored = docs
-      .withColumn("w", split(col("text"), " "))
-      .withColumn("n_tok", size(col("w")).cast("long"))
-      .withColumn("n_distinct", size(array_distinct(col("w"))).cast("long"))
-      .withColumn("n_stop",
-        size(filter(col("w"), t => t === "the" || t === "a")).cast("long"))
-      .withColumn("quality", round(
-        (col("n_distinct").cast("double") / col("n_tok")) * 0.5 +
-          (lit(1.0) - col("n_stop").cast("double") / col("n_tok")) * 0.3 +
-          least(col("n_tok").cast("double") / 50.0, lit(1.0)) * 0.2, 6))
-    scored
+    import graft.operators.TextQueries.QualityScore
+    QualityScore(docs)
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 hour").as("win"), col("lang"))
       .agg(
         count(lit(1)).as("n_total"),
-        sum(when(col("quality") >= 0.65 && col("n_tok").between(20, 200), 1L)
-          .otherwise(0L)).as("n_kept"))
+        sum(when(QualityScore.keep, 1L).otherwise(0L)).as("n_kept"))
       .select(col("win.start").as("win_start"), col("lang"),
         col("n_total"), col("n_kept"))
   }

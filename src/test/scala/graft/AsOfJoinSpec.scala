@@ -149,6 +149,20 @@ class AsOfJoinSpec extends AnyFunSuite with SparkFixture {
     assert(edge(0).getString(5) == "m")
   }
 
+  test("tolerance: Long.MinValue sentinel time cannot overflow into a match") {
+    import spark.implicits._
+    // t - Long.MinValue wraps negative in naive subtraction, which would
+    // read as "fresh"; the saturated-threshold compare must reject it.
+    val l = Seq((1L, 7L, 10L)).toDF("id", "k", "t")
+    val r = Seq((7L, Long.MinValue, "ancient")).toDF("rk", "rt", "tag")
+    val row = AsOf.join(l, r, "k", "t", "rk", "rt", Some(5L)).head()
+    assert(row.isNullAt(4) && row.isNullAt(5),
+      "astronomically stale sentinel must not match a finite tolerance")
+    // And with no tolerance the sentinel is a legitimate match.
+    val row2 = AsOf.join(l, r, "k", "t", "rk", "rt").head()
+    assert(row2.getString(5) == "ancient")
+  }
+
   test("fixture precondition: signup timestamps unique per user") {
     // The q_join_self_asof_native DuckDB twin orders by (ts, event_id) at
     // nanosecond precision while AsOfJoinExec merges at microsecond

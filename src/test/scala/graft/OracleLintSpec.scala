@@ -10,17 +10,30 @@ import org.scalatest.funsuite.AnyFunSuite
 class OracleLintSpec extends AnyFunSuite {
 
   /** Scala twin of preflight.has_toplevel_order_by: an "order by" at
-    * paren depth 0. */
+    * paren depth 0, skipping quoted string literals (a paren inside
+    * '...' must not skew the depth) with whitespace runs collapsed. */
   private def hasToplevelOrderBy(sql: String): Boolean = {
-    val s = sql.toLowerCase
+    val s = sql.toLowerCase.split("\\s+").mkString(" ")
     var depth = 0
-    s.indices.exists { i =>
+    var i = 0
+    while (i < s.length) {
       s(i) match {
-        case '(' => depth += 1; false
-        case ')' => depth -= 1; false
-        case _   => depth == 0 && s.startsWith("order by", i)
+        case '\'' =>
+          i += 1
+          var open = true
+          while (i < s.length && open) {
+            if (s(i) == '\'' && i + 1 < s.length && s(i + 1) == '\'') i += 2
+            else if (s(i) == '\'') open = false
+            else i += 1
+          }
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ =>
+          if (depth == 0 && s.startsWith("order by", i)) return true
       }
+      i += 1
     }
+    false
   }
 
   test("every multi-row-capable oracle has a top-level ORDER BY") {
@@ -44,6 +57,12 @@ class OracleLintSpec extends AnyFunSuite {
     assert(hasToplevelOrderBy("SELECT x FROM t ORDER BY lower(x)"))
     assert(hasToplevelOrderBy(
       "SELECT * FROM (SELECT x FROM t ORDER BY x) ORDER BY x"))
+    // Quoted literals must not skew the depth count or match keywords.
+    assert(hasToplevelOrderBy(
+      "SELECT regexp_matches(t, '([a-z]') AS m FROM x ORDER BY m"))
+    assert(!hasToplevelOrderBy("SELECT ' order by ' FROM t"))
+    // Whitespace runs (newlines from stripMargin) collapse before scan.
+    assert(hasToplevelOrderBy("SELECT x FROM t ORDER\n   BY x"))
   }
 
   test("every query name maps to exactly one catalog entry and vice versa") {

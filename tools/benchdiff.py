@@ -40,8 +40,10 @@ def main():
     for name in sorted(set(old) | set(new)):
         a, b = old.get(name), new.get(name)
         if a is None or b is None:
-            print(f"{'ADDED' if a is None else 'REMOVED':8s} {name}"
-                  + (f" ({b:.2f}s)" if b is not None else ""))
+            shown = "" if b is None else (
+                f" ({b})" if isinstance(b, str) else f" ({b:.2f}s)")
+            print(f"{'ADDED' if a is None else 'REMOVED':8s} {name}{shown}")
+            regressions += isinstance(b, str)
             continue
         if isinstance(a, str) or isinstance(b, str):
             print(f"{'ERROR':8s} {name}: {a} -> {b}")
@@ -55,6 +57,8 @@ def main():
             regressions += delta > 0
     ot = sum(v for v in old.values() if not isinstance(v, str))
     nt = sum(v for v in new.values() if not isinstance(v, str))
+    # Totals over different query sets are still comparable enough to
+    # print; the ADDED/REMOVED lines above flag the set change itself.
     print(f"total: {ot:.1f}s -> {nt:.1f}s ({nt - ot:+.1f}s); "
           f"{regressions} significant regression(s)")
     sys.exit(1 if regressions else 0)

@@ -20,15 +20,30 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 def has_toplevel_order_by(sql):
     """True iff an ORDER BY appears at paren depth 0 — i.e. a total outer
     sort. A substring check would be fooled by OVER (ORDER BY ...) or a
-    subquery's sort, which order nothing in the outer result."""
-    s, depth = sql.lower(), 0
-    for i, ch in enumerate(s):
-        if ch == "(":
+    subquery's sort, which order nothing in the outer result. Quoted
+    string literals are skipped (a paren inside '...' must not skew the
+    depth count) and whitespace runs are collapsed so ORDER\\n  BY still
+    matches. Mirrored in Scala by OracleLintSpec.hasToplevelOrderBy."""
+    s = " ".join(sql.lower().split())
+    depth, i, n = 0, 0, len(s)
+    while i < n:
+        ch = s[i]
+        if ch == "'":  # skip the literal ('' escapes a quote inside it)
+            i += 1
+            while i < n:
+                if s[i] == "'" and i + 1 < n and s[i + 1] == "'":
+                    i += 2
+                elif s[i] == "'":
+                    break
+                else:
+                    i += 1
+        elif ch == "(":
             depth += 1
         elif ch == ")":
             depth -= 1
         elif depth == 0 and s.startswith("order by", i):
             return True
+        i += 1
     return False
 
 
