@@ -27,6 +27,7 @@ object Catalog {
       operators.AggQueries.all ++
       operators.WindowQueries.all ++
       operators.SortSetQueries.all ++
+      operators.ReshapeQueries.all ++
       functions.ScalarFuncQueries.all ++
       operators.TextQueries.all ++
       operators.DedupQueries.all ++
