@@ -157,6 +157,34 @@ object AggQueries {
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin))
 
+  /** q_agg_percentile (added r5) — exact interpolated percentiles per
+    * group: Spark's `percentile` and DuckDB's `quantile_cont` share the
+    * linear-interpolation definition (verified bit-identical at all
+    * three SFs). Exact percentile sorts within each group — fine for
+    * bounded groups; at 100 TB-scale cardinalities switch to
+    * `percentile_approx` (t-digest sketch, partial-aggregated), which
+    * is engine-specific and therefore deliberately not the oracle row. */
+  val qAggPercentile: Q = Q(
+    "q_agg_percentile",
+    (s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .groupBy($"l_returnflag")
+        .agg(
+          round(percentile($"l_quantity", lit(0.5)), 6).as("p50_qty"),
+          round(percentile($"l_quantity", lit(0.9)), 6).as("p90_qty"),
+          round(percentile($"l_extendedprice", lit(0.5)), 6).as("p50_price"))
+        .orderBy($"l_returnflag")
+    },
+    oracle = Some(
+      """SELECT l_returnflag,
+        |  ROUND(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
+        |  ROUND(quantile_cont(l_quantity, 0.9), 6) AS p90_qty,
+        |  ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS p50_price
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin))
+
   /** #21 q_agg_approx_hll (T) — HLL++ sketch distinct; engine-specific
     * sketch ⇒ no DuckDB oracle. `HllSpec` asserts within rsd of exact. */
   val qAggApproxHll: Q = Q(
@@ -200,5 +228,6 @@ object AggQueries {
 
   val all: Vector[Q] = Vector(
     qAggGlobal, qAggGroupby, qAggDistinct, qAggHaving,
-    qAggGroupingSets, qAggStats, qAggApproxHll, qAggCustomTyped)
+    qAggGroupingSets, qAggStats, qAggPercentile, qAggApproxHll,
+    qAggCustomTyped)
 }
