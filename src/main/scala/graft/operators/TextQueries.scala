@@ -250,7 +250,32 @@ object TextQueries {
         |GROUP BY lang
         |ORDER BY lang""".stripMargin))
 
+  /** q_sample_deterministic (added r5) — reproducible corpus sampling,
+    * the way a training-data pipeline actually subsamples: keep a doc
+    * iff the first byte of md5(doc_id) falls under the rate threshold.
+    * Unlike TABLESAMPLE/df.sample (engine-specific RNG streams), the
+    * hash gate is a pure function of the row — identical across
+    * engines, runs, partitionings and retries, and any row's membership
+    * is auditable after the fact. ~25/256 ≈ 9.8% expected rate.
+    * Per-row narrow filter — no shuffle, pushes nothing but reads only
+    * the needed columns. */
+  val qSampleDeterministic: Q = Q(
+    "q_sample_deterministic",
+    (s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .where(substring(md5($"doc_id".cast("string")), 1, 2) < "19")
+        .select($"doc_id", $"lang", $"n_chars")
+        .orderBy($"doc_id")
+    },
+    oracle = Some(
+      """SELECT doc_id, lang, n_chars
+        |FROM documents
+        |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '19'
+        |ORDER BY doc_id""".stripMargin))
+
   val all: Vector[Q] =
     Vector(qTextTokenizeExplode, qTextWordcountTf, qTextStats,
-      qTextQuality, qTextTokenCount, qDocFingerprint, qTextFilterPipeline)
+      qTextQuality, qTextTokenCount, qDocFingerprint, qTextFilterPipeline,
+      qSampleDeterministic)
 }
