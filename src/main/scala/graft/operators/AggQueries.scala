@@ -185,6 +185,34 @@ object AggQueries {
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin))
 
+  /** q_agg_stringagg (added r5) — ordered DISTINCT string aggregation
+    * (the listagg/string_agg reporting shape): languages seen per
+    * source, comma-joined in sorted order. Built as
+    * `array_join(sort_array(collect_set(...)))`: collect_SET state is
+    * bounded by the distinct-value count (here ≤ 5 langs), where a
+    * collect_list-then-distinct would buffer every input row per group
+    * — the difference between O(|domain|) and O(n) agg state at 100 TB.
+    * sort_array makes the set's arrival order irrelevant, so the row is
+    * deterministic and hash-matches DuckDB's ORDER BY string_agg. */
+  val qAggStringagg: Q = Q(
+    "q_agg_stringagg",
+    (s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .groupBy($"source")
+        .agg(
+          array_join(sort_array(collect_set($"lang")), ",").as("langs"),
+          count(lit(1)).as("n_docs"))
+        .orderBy($"source")
+    },
+    oracle = Some(
+      """SELECT source,
+        |  string_agg(DISTINCT lang, ',' ORDER BY lang) AS langs,
+        |  COUNT(*) AS n_docs
+        |FROM documents
+        |GROUP BY source
+        |ORDER BY source""".stripMargin))
+
   /** #21 q_agg_approx_hll (T) — HLL++ sketch distinct; engine-specific
     * sketch ⇒ no DuckDB oracle. `HllSpec` asserts within rsd of exact. */
   val qAggApproxHll: Q = Q(
@@ -228,6 +256,6 @@ object AggQueries {
 
   val all: Vector[Q] = Vector(
     qAggGlobal, qAggGroupby, qAggDistinct, qAggHaving,
-    qAggGroupingSets, qAggStats, qAggPercentile, qAggApproxHll,
-    qAggCustomTyped)
+    qAggGroupingSets, qAggStats, qAggPercentile, qAggStringagg,
+    qAggApproxHll, qAggCustomTyped)
 }
