@@ -288,6 +288,45 @@ object JoinQueries {
         |) WHERE event_type = 'purchase'
         |ORDER BY event_id""".stripMargin))
 
+  /** q_join_asof_tolerance (added r5) — the native as-of join with a
+    * 1-day staleness bound (AsOf.join's merge_asof-style tolerance):
+    * purchases whose most recent signup is older than a day get nulls
+    * instead of the stale attach. The twin replays the window
+    * formulation and post-CASEs the staleness bound, so the tolerance
+    * code path in AsOfJoinExec is itself oracle-checked (the
+    * exactly-at-bound case matches on both sides: <= in the exec,
+    * >= ts − INTERVAL in the twin). Same no-tie fixture precondition
+    * as q_join_self_asof_native. */
+  val qJoinAsofTolerance: Q = Q(
+    "q_join_asof_tolerance",
+    (s, dir) => {
+      import s.implicits._
+      val purchases = Tables.events(s, dir)
+        .where($"event_type" === "purchase")
+        .select($"event_id", $"user_id", $"ts")
+      val signups = Tables.events(s, dir)
+        .where($"event_type" === "signup")
+        .select($"user_id".as("s_user"), $"ts".as("s_ts"))
+      graft.plans.AsOf.join(purchases, signups, "user_id", "ts", "s_user", "s_ts",
+          toleranceMicros = Some(86400000000L)) // 1 day
+        .select($"event_id", $"user_id",
+          $"ts".cast("timestamp_ntz").as("ts"),
+          $"s_ts".cast("timestamp_ntz").as("last_signup_ts"))
+        .orderBy($"event_id")
+    },
+    oracle = Some(
+      """SELECT event_id, user_id, ts,
+        |  CASE WHEN last_signup_ts >= ts - INTERVAL 1 DAY
+        |       THEN last_signup_ts END AS last_signup_ts
+        |FROM (
+        |  SELECT event_id, user_id, ts, event_type,
+        |    last_value(CASE WHEN event_type = 'signup' THEN ts END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup_ts
+        |  FROM events WHERE event_type IN ('purchase','signup')
+        |) WHERE event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin))
+
   /** #14 q_join_interval — lineitems falling in any order-date month
     * window: equi join on the month truncation against a derived (tiny,
     * auto-broadcast) month calendar. */
@@ -318,5 +357,5 @@ object JoinQueries {
   val all: Vector[Q] = Vector(
     qJoinInner, qJoinBroadcast, qJoinMultiway, qJoinLeftOuter,
     qJoinFullOuter, qJoinSemi, qJoinAnti, qJoinThetaRange,
-    qJoinSelfAsof, qJoinSelfAsofNative, qJoinInterval)
+    qJoinSelfAsof, qJoinSelfAsofNative, qJoinAsofTolerance, qJoinInterval)
 }
