@@ -73,6 +73,21 @@ object EngineProps extends Properties("graft") with SparkFixture {
         last == want
     }
 
+  property("pivot then unpivot recovers the (key, value, count) triples") =
+    forAll(Gen.listOf(Gen.zip(Gen.chooseNum(0L, 3L), Gen.oneOf("a", "b", "c")))) {
+      rows =>
+        import spark.implicits._
+        val df = rows.toDF("k", "v")
+        val wide = df.groupBy($"k").pivot("v", Seq("a", "b", "c"))
+          .agg(count(lit(1)))
+        val back = wide.unpivot(Array($"k"), Array($"a", $"b", $"c"), "v", "n")
+          .where($"n".isNotNull && $"n" > 0)
+          .collect().map(r => ((r.getLong(0), r.getString(1)), r.getLong(2))).toMap
+        val want = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+          .map { case ((k, v), n) => ((k, v), n) }
+        back == want
+    }
+
   property("simhash banding pigeonhole: ham <= chunks-1 always shares a chunk") =
     forAll(Gen.long, Gen.listOfN(3, Gen.chooseNum(0, 63))) { (sig, flipBits) =>
       // The candidate-generation guarantee behind SimHashSketch(64,4,3):
