@@ -274,8 +274,36 @@ object TextQueries {
         |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '19'
         |ORDER BY doc_id""".stripMargin))
 
+  /** q_text_normalize (added r5) — canonicalize-before-dedup: lowercase,
+    * strip non-alphanumerics, collapse whitespace, trim; emit the
+    * canonical hash + length. This is the step that makes exact dedup
+    * robust to formatting noise (case, punctuation, spacing) — run it
+    * before q_dedup_exact's md5 group at ingest. Regexes stay in the
+    * RE2∩Java common subset (SURVEY §2 rule 5); Spark regexp_replace is
+    * global by default, DuckDB needs the 'g' flag. Narrow per-row
+    * projection, no shuffle. */
+  val qTextNormalize: Q = Q(
+    "q_text_normalize",
+    (s, dir) => {
+      import s.implicits._
+      val canon = trim(regexp_replace(
+        regexp_replace(lower($"text"), "[^a-z0-9 ]", ""), " +", " "))
+      Tables.documents(s, dir)
+        .select(
+          $"doc_id",
+          md5(canon).as("canon_h"),
+          length(canon).cast(LongType).as("canon_len"))
+        .orderBy($"doc_id")
+    },
+    oracle = Some(
+      """SELECT doc_id,
+        |  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS canon_h,
+        |  length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS canon_len
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin))
+
   val all: Vector[Q] =
     Vector(qTextTokenizeExplode, qTextWordcountTf, qTextStats,
       qTextQuality, qTextTokenCount, qDocFingerprint, qTextFilterPipeline,
-      qSampleDeterministic)
+      qSampleDeterministic, qTextNormalize)
 }
