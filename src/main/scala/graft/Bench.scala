@@ -6,8 +6,20 @@ import java.nio.file.{Files, Paths}
   * factor and emits ONE machine-parseable JSON line on stdout (and a copy
   * in bench_out.json, insurance against log-prefix pollution — the r1
   * driver failed to parse the line because sbt's logger prefixed it).
+  *
+  * The run is load-aware (r5 lesson: the driver's run of identical code
+  * read 50.6 s vs 20.8 s committed, pure machine-load contention):
+  *  - /proc/loadavg is recorded before and after the timed loop, so a
+  *    contended run is self-diagnosing from the JSON alone;
+  *  - each query's rep spread (max/min) is recorded, and when the spread
+  *    exceeds 2× the query is re-run with extra reps (up to 5 total)
+  *    before taking the median — sustained noise gets more votes.
   */
 object Bench {
+  private def loadavg(): Double =
+    try Files.readString(Paths.get("/proc/loadavg")).split(" ")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -30,15 +42,17 @@ object Bench {
     }
     // A crashed query must never look like a fast one: record the error
     // and surface it in the JSON (errors list + "error" sentinel value).
-    // Each query is timed 3× and the median reported: with 32 cores and
-    // sub-second queries, a single shot is scheduler-noise-dominated and
-    // round-over-round deltas were unreadable (r4 drifted +16% uniformly
-    // with zero plan changes). Median-of-3 makes a real regression signal.
+    // Each query is timed `reps`× (default 3) and the median reported:
+    // with 32 cores and sub-second queries a single shot is
+    // scheduler-noise-dominated (r4 drifted +16% uniformly with zero plan
+    // changes). Queries whose rep spread exceeds 2× get extra reps.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     require(reps >= 1, s"SPARK_GRAFT_BENCH_REPS must be >= 1, got $reps")
+    val maxReps = math.max(reps, 5)
+    val loadStart = loadavg()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       var firstErr: Option[String] = None
-      val timings = (1 to reps).flatMap { _ =>
+      def once(): Option[Double] = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
         catch {
@@ -48,18 +62,32 @@ object Bench {
             None
         }
       }
-      if (firstErr.isDefined) (name, 0.0, firstErr)
-      else (name, timings.sorted.apply(timings.size / 2), None)
+      var timings = (1 to reps).flatMap(_ => once()).toVector
+      def spread(ts: Vector[Double]): Double =
+        if (ts.size < 2 || ts.min <= 0) 1.0 else ts.max / ts.min
+      while (firstErr.isEmpty && spread(timings) > 2.0 && timings.size < maxReps)
+        timings = timings ++ once()
+      if (firstErr.isDefined) (name, 0.0, 0.0, firstErr)
+      else (name, timings.sorted.apply(timings.size / 2), spread(timings), None)
     }
+    val loadEnd = loadavg()
+    def fmt(d: Double): String = BigDecimal(d)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = results.map {
-      case (k, v, None)    => "\"" + k + "\":" + v
-      case (k, _, Some(_)) => "\"" + k + "\":\"error\""
+      case (k, v, _, None)    => "\"" + k + "\":" + v
+      case (k, _, _, Some(_)) => "\"" + k + "\":\"error\""
     }.mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e)) => "\"" + k + ": " + e + "\"" }
+    val spreads = results.collect {
+      case (k, _, sp, None) => "\"" + k + "\":" + fmt(sp)
+    }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, _, Some(e)) => "\"" + k + ": " + e + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, None) => v }.sum
+    val total = results.collect { case (_, v, _, None) => v }.sum
+    val maxSpread = (1.0 +: results.collect { case (_, _, sp, None) => sp }).max
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""errors":$errs,"spreads":$spreads,"max_spread":${fmt(maxSpread)},""" +
+        s""""loadavg_start":$loadStart,"loadavg_end":$loadEnd,"sf":"$sfDir"}"""
     println(line)
     Files.writeString(Paths.get("bench_out.json"), line + "\n")
     spark.stop()

@@ -1,8 +1,10 @@
 package graft.operators
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import org.apache.spark.storage.StorageLevel
 
 /** Deduplication operators over the documents corpus — SURVEY.md §2.10
   * rows 49–51 (LLM-data-pipeline north star).
@@ -17,52 +19,12 @@ import org.apache.spark.sql.types._
   *  - #51 is MinHash-LSH banding: signature computation is per-row
   *    (no shuffle); candidate generation is an equi join on
   *    (band, band_key) — the canonical sub-quadratic near-dup shape.
+  *  - The family shares ONE shingle stage ([[Shingled]]): canonicalize →
+  *    shingle is computed once and every consumer reads the materialized
+  *    intermediate, instead of each query re-running the (interpreted
+  *    HOF) shingling over the raw corpus.
   */
 object DedupQueries {
-
-  /** #49 q_dedup_exact — exact duplicate collapse by md5(text); keeps the
-    * smallest doc_id as the canonical representative. */
-  val qDedupExact: Q = Q(
-    "q_dedup_exact",
-    (s, dir) => {
-      import s.implicits._
-      Tables.documents(s, dir)
-        .groupBy(md5($"text").as("h"))
-        .agg(
-          count(lit(1)).as("n_dups"),
-          min($"doc_id").as("keep_id"))
-        .orderBy($"h")
-    },
-    oracle = Some(
-      """SELECT md5(text) AS h, COUNT(*) AS n_dups, MIN(doc_id) AS keep_id
-        |FROM documents
-        |GROUP BY h
-        |ORDER BY h""".stripMargin))
-
-  /** #50 q_dedup_near — near-dup candidate pairs sharing a normalized
-    * 40-char prefix key (FIXTURES.md: 21 such groups at sf0.001). */
-  val qDedupNear: Q = Q(
-    "q_dedup_near",
-    (s, dir) => {
-      import s.implicits._
-      val keyed = Tables.documents(s, dir)
-        .select(substring(lower($"text"), 1, 40).as("k"), $"doc_id")
-      keyed.as("a")
-        .join(keyed.as("b"),
-          col("a.k") === col("b.k") && col("a.doc_id") < col("b.doc_id"))
-        .select(
-          col("a.doc_id").as("doc_a"),
-          col("b.doc_id").as("doc_b"),
-          col("a.k").as("prefix_key"))
-        .orderBy($"doc_a", $"doc_b")
-    },
-    oracle = Some(
-      """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |  substring(lower(a.text), 1, 40) AS prefix_key
-        |FROM documents a JOIN documents b
-        |  ON substring(lower(a.text), 1, 40) = substring(lower(b.text), 1, 40)
-        | AND a.doc_id < b.doc_id
-        |ORDER BY doc_a, doc_b""".stripMargin))
 
   /** Shared 3-token shingling (see MinHashLsh doc for why unigrams are
     * useless on this corpus). `wordsCol` must hold the split text. */
@@ -82,6 +44,101 @@ object DedupQueries {
          |    i -> concat_ws(' ', $words[i], $words[i+1], $words[i+2]))""".stripMargin
   }
 
+  /** The dedup family's shared shingle stage — canonicalize (lowercase)
+    * then shingle, computed ONCE per (session, sfDir) and materialized;
+    * every dedup consumer reads this intermediate instead of re-deriving
+    * shingles from raw text. r5 bench: four family members independently
+    * re-ran the shingling (`transform`/`slice` are CodegenFallback —
+    * interpreted), and that duplicated explode was the family's single
+    * dominant cost.
+    *
+    * At 100 TB this is the intermediate TABLE a training-data pipeline
+    * writes once (normalize → shingle → store columnar) and every dedup
+    * job scans; the local analog is a MEMORY_AND_DISK-persisted frame.
+    * Canonicalization lives HERE so every downstream dedup sees identical
+    * tokens (the canonicalize-before-dedup rule q_text_normalize checks).
+    *
+    * Columns: doc_id; text (raw, for exact md5 grouping); k (40-char
+    * lowered prefix bucket key); sh (ordered 3-token shingles of the
+    * lowered text, duplicates preserved — the min-aggregate and the
+    * array_distinct consumers are both insensitive to duplicates).
+    */
+  object Shingled {
+    private val cache =
+      scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+    def apply(s: SparkSession, dir: String): DataFrame =
+      cache.getOrElseUpdate((s, dir), {
+        Tables.documents(s, dir)
+          .withColumn("lt", lower(col("text")))
+          .withColumn("w", split(col("lt"), " "))
+          .select(
+            col("doc_id"),
+            col("text"),
+            substring(col("lt"), 1, 40).as("k"),
+            Shingles.of("w").as("sh"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+      })
+  }
+
+  /** q_dedup_shingle_stage — the shared stage itself as an oracle row: the
+    * one canonicalize+shingle pass every other dedup query consumes. Ordered
+    * output, so the DuckDB twin pins both shingle CONTENT and ORDER. */
+  val qDedupShingleStage: Q = Q(
+    "q_dedup_shingle_stage",
+    (s, dir) => {
+      import s.implicits._
+      Shingled(s, dir).select($"doc_id", $"k", $"sh").orderBy($"doc_id")
+    },
+    oracle = Some(
+      s"""SELECT doc_id, substring(lower(text), 1, 40) AS k,
+         |  ${Shingles.sql("string_split(lower(text), ' ')")} AS sh
+         |FROM documents
+         |ORDER BY doc_id""".stripMargin))
+
+  /** #49 q_dedup_exact — exact duplicate collapse by md5(text); keeps the
+    * smallest doc_id as the canonical representative. */
+  val qDedupExact: Q = Q(
+    "q_dedup_exact",
+    (s, dir) => {
+      import s.implicits._
+      Shingled(s, dir)
+        .groupBy(md5($"text").as("h"))
+        .agg(
+          count(lit(1)).as("n_dups"),
+          min($"doc_id").as("keep_id"))
+        .orderBy($"h")
+    },
+    oracle = Some(
+      """SELECT md5(text) AS h, COUNT(*) AS n_dups, MIN(doc_id) AS keep_id
+        |FROM documents
+        |GROUP BY h
+        |ORDER BY h""".stripMargin))
+
+  /** #50 q_dedup_near — near-dup candidate pairs sharing a normalized
+    * 40-char prefix key (FIXTURES.md: 21 such groups at sf0.001). */
+  val qDedupNear: Q = Q(
+    "q_dedup_near",
+    (s, dir) => {
+      import s.implicits._
+      val keyed = Shingled(s, dir).select($"k", $"doc_id")
+      keyed.as("a")
+        .join(keyed.as("b"),
+          col("a.k") === col("b.k") && col("a.doc_id") < col("b.doc_id"))
+        .select(
+          col("a.doc_id").as("doc_a"),
+          col("b.doc_id").as("doc_b"),
+          col("a.k").as("prefix_key"))
+        .orderBy($"doc_a", $"doc_b")
+    },
+    oracle = Some(
+      """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  substring(lower(a.text), 1, 40) AS prefix_key
+        |FROM documents a JOIN documents b
+        |  ON substring(lower(a.text), 1, 40) = substring(lower(b.text), 1, 40)
+        | AND a.doc_id < b.doc_id
+        |ORDER BY doc_a, doc_b""".stripMargin))
+
   /** MinHash-LSH internals, shared by the query and `MinHashSpec`.
     *
     * k=16 hash "permutations" (seeded xxhash64 over the distinct token
@@ -94,7 +151,7 @@ object DedupQueries {
     val bands = 4
     val rowsPerBand = 4
 
-    /** doc (id, text) → (doc_id, band, band_key) rows, one per band.
+    /** (doc_id, sh) pre-shingled frame → (doc_id, band, band_key) rows.
       *
       * MinHash is computed over *3-token shingles*, not unigrams: the
       * fixture corpus draws from a 31-word vocabulary, so unigram token
@@ -110,10 +167,8 @@ object DedupQueries {
       * partial-aggregates map-side, so the shuffle carries one 16-long
       * signature row per doc — scale-safe. Duplicate shingles don't
       * change a min, so no distinct pass is needed. */
-    def bandKeys(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-      val shingled = df
-        .withColumn("w", split(col("text"), " "))
-        .select(col("doc_id"), explode(Shingles.of("w")).as("tok"))
+    def bandKeysFromShingles(preShingled: DataFrame): DataFrame = {
+      val shingled = preShingled.select(col("doc_id"), explode(col("sh")).as("tok"))
       val sigCols = (0 until numHashes).map { i =>
         min(xxhash64(lit(i), col("tok"))).as(s"h$i")
       }
@@ -130,27 +185,39 @@ object DedupQueries {
         .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
     }
 
+    /** doc (doc_id, text) → band keys; shingles derived inline (spec path —
+      * catalog queries feed [[Shingled]] via the FromShingles variant). */
+    def bandKeys(df: DataFrame): DataFrame =
+      bandKeysFromShingles(
+        df.withColumn("w", split(lower(col("text")), " "))
+          .select(col("doc_id"), Shingles.of("w").as("sh")))
+
     /** Distinct candidate pairs (doc_a < doc_b) from any band collision. */
-    def candidatePairs(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-      val keys = bandKeys(df)
+    def candidatePairsFromShingles(preShingled: DataFrame): DataFrame = {
+      val keys = bandKeysFromShingles(preShingled)
       keys.as("a")
         .join(keys.as("b"), Seq("band", "band_key"))
         .where(col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
     }
+
+    def candidatePairs(df: DataFrame): DataFrame =
+      candidatePairsFromShingles(
+        df.withColumn("w", split(lower(col("text")), " "))
+          .select(col("doc_id"), Shingles.of("w").as("sh")))
   }
 
   /** #51 q_dedup_minhash (T) — MinHash-LSH candidate pairs over the token
-    * sets. Hash functions are engine-specific (xxhash64 seeds), so no
-    * DuckDB oracle; `MinHashSpec` asserts planted near-dups are recalled
-    * and exact duplicates always collide. */
+    * sets, fed from the shared shingle stage. Hash functions are
+    * engine-specific (xxhash64 seeds), so no DuckDB oracle; `MinHashSpec`
+    * asserts planted near-dups are recalled and exact duplicates always
+    * collide. */
   val qDedupMinhash: Q = Q(
     "q_dedup_minhash",
     (s, dir) => {
       import s.implicits._
-      MinHashLsh.candidatePairs(
-          Tables.documents(s, dir).select($"doc_id", $"text"))
+      MinHashLsh.candidatePairsFromShingles(Shingled(s, dir))
         .orderBy($"doc_a", $"doc_b")
     })
 
@@ -167,12 +234,8 @@ object DedupQueries {
     "q_dedup_ngram_jaccard",
     (s, dir) => {
       import s.implicits._
-      val keyed = Tables.documents(s, dir)
-        .withColumn("w", split(lower($"text"), " "))
-        .select(
-          substring(lower($"text"), 1, 40).as("k"),
-          $"doc_id",
-          array_distinct(Shingles.of("w")).as("sh"))
+      val keyed = Shingled(s, dir)
+        .select($"k", $"doc_id", array_distinct($"sh").as("sh"))
       keyed.as("a")
         .join(keyed.as("b"),
           col("a.k") === col("b.k") && col("a.doc_id") < col("b.doc_id"))
@@ -230,30 +293,56 @@ object DedupQueries {
     private val chunkBits = bits / chunks
     require(chunkBits <= 32, s"chunk keys must fit an int-sized mask")
 
-    /** (doc_id, sig) fingerprints. */
-    def fingerprints(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-      val shingled = df
-        .withColumn("w", split(col("text"), " "))
-        .select(col("doc_id"), explode(Shingles.of("w")).as("tok"))
+    /** (doc_id, sig) fingerprints from a pre-shingled (doc_id, sh) frame.
+      *
+      * The per-feature hot path packs the 64 bit-counters into 20-bit
+      * unsigned fields, 3 per long — ⌈bits/3⌉ plain long-sum aggregate
+      * columns instead of `bits` CASE-WHEN sums (r5's layout): pure
+      * shift/and/add codegen, a third the agg buffer, and no branches
+      * per (shingle × bit). Field k of packed long p counts how many
+      * features set bit 3p+k; bit j of the final signature is
+      * 2·ones_j ≥ n (identical tie semantics to the old Σ±1 ≥ 0).
+      * The 20-bit fields cap docs at 2²⁰−1 ≈ 1M shingles — far past any
+      * real document; a corpus of books would pre-chunk before this. */
+    def fingerprintsFromShingles(preShingled: DataFrame): DataFrame = {
+      val counterBits = 20
+      val perLong = 3
+      val nPacked = (bits + perLong - 1) / perLong
+      val shingled = preShingled
+        .select(col("doc_id"), explode(col("sh")).as("tok"))
         .select(col("doc_id"), xxhash64(col("tok")).as("h"))
-      val bitSums = (0 until bits).map { j =>
-        sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1)
-          .otherwise(-1)).as(s"b$j")
+      val packedCols = (0 until nPacked).map { k =>
+        val terms = (k * perLong until math.min((k + 1) * perLong, bits)).map { j =>
+          shiftleft(shiftright(col("h"), j).bitwiseAND(1L),
+            counterBits * (j - k * perLong))
+        }
+        sum(terms.reduce(_ + _)).as(s"p$k")
       }
-      // Disjoint powers of two sum without carries (1L << 63 lands the
-      // two's-complement sign bit correctly), so + packs like bitwise-or.
-      val sig = (0 until bits)
-        .map(j => when(col(s"b$j") >= 0, 1L << j).otherwise(0L))
-        .reduce(_ + _)
-      shingled.groupBy(col("doc_id"))
-        .agg(bitSums.head, bitSums.tail: _*)
-        .select(col("doc_id"), sig.as("sig"))
+      val aggCols = packedCols :+ count(lit(1)).as("n")
+      val agged = shingled.groupBy(col("doc_id"))
+        .agg(aggCols.head, aggCols.tail: _*)
+      val mask = (1L << counterBits) - 1
+      // Decode runs once per DOC (not per feature): unpack each ones
+      // count, compare to n, assemble the signature long. Disjoint
+      // powers of two sum without carries (1L << 63 lands the two's-
+      // complement sign bit correctly), so + packs like bitwise-or.
+      val sig = (0 until bits).map { j =>
+        val ones = shiftright(col(s"p${j / perLong}"), counterBits * (j % perLong))
+          .bitwiseAND(mask)
+        when(ones * 2 >= col("n"), 1L << j).otherwise(0L)
+      }.reduce(_ + _)
+      agged.select(col("doc_id"), sig.as("sig"))
     }
 
+    def fingerprints(df: DataFrame): DataFrame =
+      fingerprintsFromShingles(
+        df.withColumn("w", split(lower(col("text")), " "))
+          .select(col("doc_id"), Shingles.of("w").as("sh")))
+
     /** Candidate pairs with exact Hamming distance ≤ maxHamming. */
-    def nearPairs(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    def nearPairsFromShingles(preShingled: DataFrame): DataFrame = {
       val mask = (1L << chunkBits) - 1
-      val fps = fingerprints(df)
+      val fps = fingerprintsFromShingles(preShingled)
       val banded = fps.select(col("doc_id"), col("sig"),
         explode(array((0 until chunks).map { c =>
           struct(lit(c).as("band"),
@@ -271,21 +360,34 @@ object DedupQueries {
         .where(col("hamming") <= maxHamming)
         .distinct()
     }
+
+    def nearPairs(df: DataFrame): DataFrame =
+      nearPairsFromShingles(
+        df.withColumn("w", split(lower(col("text")), " "))
+          .select(col("doc_id"), Shingles.of("w").as("sh")))
   }
 
-  /** Fixture-scale SimHash instance (32-bit, byte chunks, ham ≤ 6),
-    * shared by q_dedup_simhash and `SimHashSpec`. See the width rule on
-    * [[SimHashSketch]] for why production corpora need 64/3. */
-  object SimHash extends SimHashSketch(32, 4, 6)
+  /** The SHIPPED SimHash instance: 64-bit fingerprints, 16-bit chunks,
+    * Hamming ≤ 3 — the production config from the width rule above
+    * (FP floor ≈ 2.4e-15/pair: negligible at any realistic corpus size,
+    * and ham ≤ chunks−1 = 3 recall is *guaranteed* by pigeonhole).
+    * The old 32/6 fixture instance survives only as `ScaleSpec`'s
+    * negative control, where its quadratic FP floor is the point. */
+  object SimHash extends SimHashSketch(64, 4, 3)
 
-  /** q_dedup_simhash (T) — SimHash near-dup pairs (hamming ≤ 6 of 32).
-    * Engine-specific hashing ⇒ no DuckDB twin; `SimHashSpec` pins
-    * identical-doc zero distance, near-dup recall and disjoint rejection. */
+  /** q_dedup_simhash (T) — SimHash near-dup pairs (hamming ≤ 3 of 64),
+    * fed from the shared shingle stage. Engine-specific hashing ⇒ no
+    * DuckDB twin; `SimHashSpec` pins identical-doc zero distance,
+    * planted near-dup recall and disjoint rejection. At the shipped
+    * width, only near-IDENTICAL docs (cosine ≳ 0.98 over shingle
+    * features) land within hamming 3 — that is the production regime:
+    * looser similarity belongs to MinHash/Jaccard, whose S-curve is
+    * tunable, not to a fixed-width sketch. */
   val qDedupSimhash: Q = Q(
     "q_dedup_simhash",
     (s, dir) => {
       import s.implicits._
-      SimHash.nearPairs(Tables.documents(s, dir).select($"doc_id", $"text"))
+      SimHash.nearPairsFromShingles(Shingled(s, dir))
         .orderBy($"doc_a", $"doc_b")
     })
 
@@ -299,22 +401,18 @@ object DedupQueries {
     * Scale: rule (a) is one partial-aggregated shuffle on md5; rule (b)
     * reuses the bucketed candidate join (never all-pairs) and the
     * loser set is the distinct doc_b side — an anti join back against
-    * the corpus. Three shuffles total, all keyed, no driver state. */
+    * the corpus. Three shuffles total, all keyed, no driver state; both
+    * rules read the one shared shingle stage. */
   val qDedupPipeline: Q = Q(
     "q_dedup_pipeline",
     (s, dir) => {
       import s.implicits._
-      val docs = Tables.documents(s, dir)
-      val exactKeep = docs
+      val staged = Shingled(s, dir)
+      val exactKeep = staged
         .groupBy(md5($"text").as("h"))
         .agg(min($"doc_id").as("doc_id"))
         .select($"doc_id")
-      val keyed = docs
-        .withColumn("w", split(lower($"text"), " "))
-        .select(
-          substring(lower($"text"), 1, 40).as("k"),
-          $"doc_id",
-          array_distinct(Shingles.of("w")).as("sh"))
+      val keyed = staged.select($"k", $"doc_id", array_distinct($"sh").as("sh"))
       val nearLosers = keyed.as("a")
         .join(keyed.as("b"),
           col("a.k") === col("b.k") && col("a.doc_id") < col("b.doc_id"))
@@ -348,6 +446,6 @@ object DedupQueries {
          |ORDER BY doc_id""".stripMargin))
 
   val all: Vector[Q] = Vector(
-    qDedupExact, qDedupNear, qDedupMinhash, qDedupNgramJaccard, qDedupSimhash,
-    qDedupPipeline)
+    qDedupShingleStage, qDedupExact, qDedupNear, qDedupMinhash,
+    qDedupNgramJaccard, qDedupSimhash, qDedupPipeline)
 }

@@ -102,9 +102,8 @@ class ScaleSpec extends AnyFunSuite with SparkFixture {
     // are planted for this one: simhash needs hundreds of features per
     // doc for near-dup stability, and the 18-shingle synthetic docs
     // would make near-dup recall the flaky part of a volume test.
-    val sketch = new DedupQueries.SimHashSketch(64, 4, 3)
     assertLinear("simhash64", n =>
-      sketch.nearPairs(syntheticExactDupDocs(n)).count())
+      DedupQueries.SimHash.nearPairs(syntheticExactDupDocs(n)).count())
   }
 
   test("32/6 simhash FP floor is quadratic — the negative control", ScaleStress) {
@@ -112,7 +111,7 @@ class ScaleSpec extends AnyFunSuite with SparkFixture {
     // random-pair output grows with exponent ≈ 2. If this ever reads
     // linear, the corpus degenerated and the test above proves nothing.
     val counts = sizes.take(2).map(n =>
-      DedupQueries.SimHash.nearPairs(syntheticDocs(n)).count())
+      new DedupQueries.SimHashSketch(32, 4, 6).nearPairs(syntheticDocs(n)).count())
     val e = math.log(counts(1).toDouble / counts(0)) / math.log(4.0)
     info(f"32/6 simhash: pairs=${counts.mkString(", ")} exponent=$e%.2f")
     assert(e > 1.5, s"expected the quadratic FP floor, measured exponent $e")

