@@ -23,6 +23,7 @@ final case class Q(
 object Catalog {
   val all: Vector[Q] =
     operators.ScanQueries.all ++
+      sources.SourceQueries.all ++
       operators.JoinQueries.all ++
       operators.AggQueries.all ++
       operators.WindowQueries.all ++

@@ -256,12 +256,12 @@ object JoinQueries {
     * semantics are identical, it shares #13's DuckDB twin — so the
     * custom physical operator itself is oracle-checked.
     *
-    * Oracle precondition: the twin's window orders by (ts, event_id) at
-    * DuckDB's nanosecond timestamp precision, while AsOfJoinExec merges
-    * at microsecond precision with no event_id tiebreak. The two agree
-    * because no user has two signups in the same microsecond — asserted
-    * by AsOfJoinSpec "fixture precondition: signup timestamps unique per
-    * user", so a regenerated fixture fails the spec, not this oracle. */
+    * The right-side tiebreak (signup event_id) mirrors the twin's
+    * window ORDER BY (ts, event_id): among same-microsecond signups the
+    * max-event_id row wins on both sides, so oracle equality holds with
+    * NO fixture precondition (r5's no-tie assumption is gone — ties are
+    * now pinned deterministic by AsOfJoinSpec "tied right timestamps
+    * with a tiebreak"). */
   val qJoinSelfAsofNative: Q = Q(
     "q_join_self_asof_native",
     (s, dir) => {
@@ -271,8 +271,10 @@ object JoinQueries {
         .select($"event_id", $"user_id", $"ts")
       val signups = Tables.events(s, dir)
         .where($"event_type" === "signup")
-        .select($"user_id".as("s_user"), $"ts".as("s_ts"))
-      graft.plans.AsOf.join(purchases, signups, "user_id", "ts", "s_user", "s_ts")
+        .select($"user_id".as("s_user"), $"ts".as("s_ts"),
+          $"event_id".as("s_event"))
+      graft.plans.AsOf.join(purchases, signups, "user_id", "ts", "s_user", "s_ts",
+          rightTieBreakCol = Some("s_event"))
         .select($"event_id", $"user_id",
           $"ts".cast("timestamp_ntz").as("ts"),
           $"s_ts".cast("timestamp_ntz").as("last_signup_ts"))
@@ -295,8 +297,9 @@ object JoinQueries {
     * formulation and post-CASEs the staleness bound, so the tolerance
     * code path in AsOfJoinExec is itself oracle-checked (the
     * exactly-at-bound case matches on both sides: <= in the exec,
-    * >= ts − INTERVAL in the twin). Same no-tie fixture precondition
-    * as q_join_self_asof_native. */
+    * >= ts − INTERVAL in the twin). Same event_id tiebreak as
+    * q_join_self_asof_native, so tie handling needs no fixture
+    * precondition here either. */
   val qJoinAsofTolerance: Q = Q(
     "q_join_asof_tolerance",
     (s, dir) => {
@@ -306,9 +309,11 @@ object JoinQueries {
         .select($"event_id", $"user_id", $"ts")
       val signups = Tables.events(s, dir)
         .where($"event_type" === "signup")
-        .select($"user_id".as("s_user"), $"ts".as("s_ts"))
+        .select($"user_id".as("s_user"), $"ts".as("s_ts"),
+          $"event_id".as("s_event"))
       graft.plans.AsOf.join(purchases, signups, "user_id", "ts", "s_user", "s_ts",
-          toleranceMicros = Some(86400000000L)) // 1 day
+          toleranceMicros = Some(86400000000L), // 1 day
+          rightTieBreakCol = Some("s_event"))
         .select($"event_id", $"user_id",
           $"ts".cast("timestamp_ntz").as("ts"),
           $"s_ts".cast("timestamp_ntz").as("last_signup_ts"))

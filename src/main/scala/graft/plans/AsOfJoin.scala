@@ -25,6 +25,15 @@ import org.apache.spark.sql.types.{DataType, IntegerType, LongType, TimestampNTZ
   * unit is the time column's native unit — microseconds for timestamps,
   * raw values for integral time columns. Merge state stays O(1).
   *
+  * Optional `rightTieBreak` makes ties deterministic: among right rows
+  * sharing the exact same (key, time), the row with the GREATEST
+  * tiebreak value is attached. Implemented entirely through
+  * `requiredChildOrdering` — the right side sorts (key, time, tiebreak)
+  * ascending and the merge's last-consumed-wins rule then lands on the
+  * max tiebreak with zero extra merge state or comparisons. Without it,
+  * the matched TIME is still deterministic (it's the tied value) but
+  * which tied row's payload wins follows Spark's unstable sort.
+  *
   * Scale shape: EnsureRequirements inserts hash exchanges on the key and
   * per-partition (key, time) sorts from the declared requirements, then
   * each partition pair streams through one forward-only merge — the same
@@ -48,7 +57,8 @@ case class AsOfJoinPlan(
     leftTime: Expression,
     rightKey: Expression,
     rightTime: Expression,
-    toleranceMicros: Option[Long] = None)
+    toleranceMicros: Option[Long] = None,
+    rightTieBreak: Option[Expression] = None)
   extends BinaryNode {
 
   toleranceMicros.foreach(t =>
@@ -74,7 +84,8 @@ case class AsOfJoinExec(
     leftTime: Expression,
     rightKey: Expression,
     rightTime: Expression,
-    toleranceMicros: Option[Long] = None)
+    toleranceMicros: Option[Long] = None,
+    rightTieBreak: Option[Expression] = None)
   extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -85,10 +96,15 @@ case class AsOfJoinExec(
   override def requiredChildDistribution: Seq[Distribution] =
     Seq(ClusteredDistribution(Seq(leftKey)), ClusteredDistribution(Seq(rightKey)))
 
-  // Per-partition (key, time) sort on both sides enables the merge.
+  // Per-partition (key, time) sort on both sides enables the merge. The
+  // optional right tiebreak is APPENDED to the right sort: the merge
+  // consumes tied rows in tiebreak order and keeps the last, so the
+  // max-tiebreak row wins deterministically — the whole tie semantics
+  // costs one extra sort key, no merge-path changes.
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
     Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
-    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)))
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)) ++
+      rightTieBreak.map(SortOrder(_, Ascending)))
 
   // Rows stream out in left-partition order, so the left child's hash
   // partitioning (on the key) and the declared sort survive: a downstream
@@ -151,10 +167,9 @@ case class AsOfJoinExec(
         // remembering the latest row of key k (rows arrive time-ascending
         // within a key, so the last one consumed wins). Ties: among right
         // rows sharing the exact same (key, time), "last consumed" is the
-        // last in sort order, which Spark's unstable sort leaves
-        // unspecified — callers needing determinism under ties must make
-        // the right time unique per key (the fixture generator does; see
-        // AsOfJoinSpec "tied right timestamps").
+        // last in sort order — deterministic (max tiebreak) when
+        // rightTieBreak is set, otherwise whatever Spark's unstable sort
+        // produced (see AsOfJoinSpec "tied right timestamps").
         var advance = rNext != null
         while (advance) {
           val rkt = rKT(rNext)
@@ -197,7 +212,7 @@ case class AsOfJoinStrategy(spark: SparkSession) extends SparkStrategy {
     case p: AsOfJoinPlan =>
       AsOfJoinExec(planLater(p.left), planLater(p.right),
         p.leftKey, p.leftTime, p.rightKey, p.rightTime,
-        p.toleranceMicros) :: Nil
+        p.toleranceMicros, p.rightTieBreak) :: Nil
     case _ => Nil
   }
 }
@@ -219,7 +234,8 @@ object AsOf {
       leftTimeCol: String,
       rightKeyCol: String,
       rightTimeCol: String,
-      toleranceMicros: Option[Long] = None): DataFrame = {
+      toleranceMicros: Option[Long] = None,
+      rightTieBreakCol: Option[String] = None): DataFrame = {
     val spark = left.sparkSession
     GraftShims.ofRows(spark, AsOfJoinPlan(
       left.queryExecution.analyzed,
@@ -228,6 +244,7 @@ object AsOf {
       GraftShims.expression(left.col(leftTimeCol)),
       GraftShims.expression(right.col(rightKeyCol)),
       GraftShims.expression(right.col(rightTimeCol)),
-      toleranceMicros))
+      toleranceMicros,
+      rightTieBreakCol.map(c => GraftShims.expression(right.col(c)))))
   }
 }

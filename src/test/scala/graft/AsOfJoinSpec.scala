@@ -95,12 +95,11 @@ class AsOfJoinSpec extends AnyFunSuite with SparkFixture {
 
   test("tied right timestamps: matched time is the tie, payload unspecified") {
     import spark.implicits._
-    // Two right rows with the *same* (key, time). The operator pins the
-    // matched TIME (it is the tied value) but not which tied row's
-    // payload wins — Spark's sort is unstable across equal keys. The
-    // q_join_self_asof_native oracle only projects times, so it is safe
-    // iff the fixture has unique s_ts per user (it does — asserted by
-    // the "fixture precondition" test below).
+    // Two right rows with the *same* (key, time) and NO tiebreak. The
+    // operator pins the matched TIME (it is the tied value) but not
+    // which tied row's payload wins — Spark's sort is unstable across
+    // equal keys. Callers that project tied-row payloads should pass a
+    // tiebreak (next test).
     val l = Seq((1L, 7L, 100L)).toDF("id", "k", "t")
     val r = Seq((7L, 90L, "tieA"), (7L, 90L, "tieB"), (7L, 10L, "old"))
       .toDF("rk", "rt", "tag")
@@ -108,6 +107,24 @@ class AsOfJoinSpec extends AnyFunSuite with SparkFixture {
     assert(row.getLong(4) == 90L, "the tied time itself is deterministic")
     assert(Set("tieA", "tieB").contains(row.getString(5)),
       "payload must come from one of the tied rows")
+  }
+
+  test("tied right timestamps with a tiebreak: max tiebreak row wins") {
+    import spark.implicits._
+    // With rightTieBreak the ties are DETERMINISTIC: the right side
+    // sorts (key, time, tiebreak) and last-consumed-wins lands on the
+    // greatest tiebreak. Mirrors the window twin's ORDER BY (ts,
+    // event_id) last_value semantics — the r5 fixture no-tie
+    // precondition is gone.
+    val l = Seq((1L, 7L, 100L)).toDF("id", "k", "t")
+    val r = Seq((7L, 90L, 2L, "mid"), (7L, 90L, 3L, "winner"),
+        (7L, 90L, 1L, "low"), (7L, 10L, 9L, "old"))
+      .toDF("rk", "rt", "seq", "tag")
+    val row = AsOf.join(l, r, "k", "t", "rk", "rt",
+      rightTieBreakCol = Some("seq")).head()
+    assert(row.getLong(4) == 90L)
+    assert(row.getString(6) == "winner",
+      "the max-tiebreak tied row must be attached")
   }
 
   test("left time equal to right time matches (<=, not <)") {
@@ -163,19 +180,48 @@ class AsOfJoinSpec extends AnyFunSuite with SparkFixture {
     assert(row2.getString(5) == "ancient")
   }
 
-  test("fixture precondition: signup timestamps unique per user") {
-    // The q_join_self_asof_native DuckDB twin orders by (ts, event_id) at
-    // nanosecond precision while AsOfJoinExec merges at microsecond
-    // precision with no event_id tiebreak; they agree because no user has
-    // two signups in the same microsecond. Assert that, so a regenerated
-    // fixture that violates it fails HERE and not as an oracle flake.
+  test("catalog as-of rows agree with their window twins under planted ties") {
+    // End-to-end guard replacing the r5 fixture no-tie precondition: add
+    // a same-microsecond signup DUPLICATE for every signup (new unique
+    // event_ids above the fixture range) and check the native operator
+    // with the event_id tiebreak still matches the window formulation
+    // ordered by (ts, event_id) — i.e. oracle equality no longer depends
+    // on the fixture never growing ties.
     import spark.implicits._
-    val dups = Tables.events(spark, sfDir)
-      .where($"event_type" === "signup")
-      .groupBy($"user_id", $"ts").count()
-      .where($"count" > 1)
-      .count()
-    assert(dups == 0L, "fixture grew same-microsecond signups per user; " +
-      "the as-of oracle tie semantics are no longer guaranteed")
+    val events = Tables.events(spark, sfDir)
+      .select($"event_id", $"user_id", $"ts", $"event_type")
+    val maxId = events.agg(max($"event_id")).head().getLong(0)
+    val tied = events.where($"event_type" === "signup")
+      .select(($"event_id" + maxId + 1L).as("event_id"),
+        $"user_id", $"ts", $"event_type")
+    val withTies = events.unionByName(tied)
+
+    val purchases = withTies.where($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts")
+    val signups = withTies.where($"event_type" === "signup")
+      .select($"user_id".as("s_user"), $"ts".as("s_ts"),
+        $"event_id".as("s_event"))
+    val got = AsOf.join(purchases, signups, "user_id", "ts", "s_user", "s_ts",
+        rightTieBreakCol = Some("s_event"))
+      .select($"event_id", $"s_ts", $"s_event")
+      .collect()
+      .map(r => r.getLong(0) ->
+        (Option(r.get(1)).map(_.toString), Option(r.get(2)))).toMap
+
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = withTies
+      .withColumn("signup_ts", when($"event_type" === "signup", $"ts"))
+      .withColumn("signup_id", when($"event_type" === "signup", $"event_id"))
+      .withColumn("last_signup_ts", last($"signup_ts", ignoreNulls = true).over(w))
+      .withColumn("last_signup_id", last($"signup_id", ignoreNulls = true).over(w))
+      .where($"event_type" === "purchase")
+      .collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        (Option(r.getAs[Any]("last_signup_ts")).map(_.toString),
+          Option(r.getAs[Any]("last_signup_id")))).toMap
+
+    assert(got.size == want.size)
+    assert(got == want, "tiebreak semantics must match (ts, event_id) window order")
   }
 }
