@@ -175,33 +175,60 @@ object TextQueries {
         |FROM documents
         |ORDER BY doc_id""".stripMargin))
 
-  /** Winnowing-style document fingerprints, shared by the query and
-    * `FingerprintSpec`: xxhash64 over char 8-grams, minimum per 16-gram
-    * window — the classic local fingerprinting scheme (robust to
-    * insertions outside the window). Engine-specific hashes ⇒ T-row. */
+  /** True sliding-window winnowing fingerprints (Schleimer/Wilkerson/
+    * Aiken's MOSS scheme), shared by the query and `FingerprintSpec`:
+    * xxhash64 over char 8-grams, minimum of every SLIDING 16-gram
+    * window (rightmost-min tiebreak via the (h, pos) struct min), the
+    * selected (pos, hash) pairs deduplicated. Guarantee the r5 disjoint-
+    * bucket variant lacked: any substring match of length ≥ window +
+    * gram − 1 (= 23 chars) contains a full window on both sides, so the
+    * two documents MUST share a fingerprint no matter how the match is
+    * offset — `FingerprintSpec` pins exactly that boundary-straddling
+    * case.
+    *
+    * Scale: the sliding min is a windowed aggregate PARTITIONED BY
+    * doc_id — per-doc state only, no global sort, embarrassingly
+    * parallel across documents; output stays ~|text|/window rows per
+    * doc after the distinct (winnowing's density bound 2/(window+1)). */
   object Fingerprint {
     val gram = 8
     val window = 16
 
-    def fingerprints(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-      df.select(col("doc_id"), col("text"),
+    def fingerprints(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val hashes = df.select(col("doc_id"), col("text"),
           explode(expr(s"sequence(1, greatest(length(text) - ${gram - 1}, 1))"))
             .as("pos"))
-        .select(col("doc_id"),
-          expr(s"(pos - 1) div $window").as("win"),
+        .select(col("doc_id"), col("pos"),
           xxhash64(expr(s"substring(text, pos, $gram)")).as("h"))
-        .groupBy(col("doc_id"), col("win"))
-        .agg(min(col("h")).as("fp"))
+      val sliding = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(-(window - 1), 0)
+      val whole = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+      hashes
+        .select(col("doc_id"), col("pos"),
+          // struct min = min h, then min pos among equal h (the
+          // deterministic tiebreak; equal-hash repeats collapse anyway).
+          min(struct(col("h"), col("pos"))).over(sliding).as("m"),
+          count(lit(1)).over(whole).as("total"))
+        // Full windows only — except short docs (< window grams), whose
+        // last row's frame covers the entire doc and stands in for the
+        // single whole-document window.
+        .where(col("pos") >= window || col("pos") === col("total"))
+        .select(col("doc_id"),
+          col("m.pos").cast(LongType).as("pos"), col("m.h").as("fp"))
+        .distinct()
+    }
   }
 
-  /** q_doc_fingerprint (T) — winnowing fingerprint rows per document;
-    * `FingerprintSpec` pins identity/near-dup/disjoint behavior. */
+  /** q_doc_fingerprint (T) — winnowing-selected (position, hash) pairs
+    * per document; `FingerprintSpec` pins identity/near-dup/disjoint
+    * behavior plus the sliding-window boundary guarantee. */
   val qDocFingerprint: Q = Q(
     "q_doc_fingerprint",
     (s, dir) => {
       import s.implicits._
       Fingerprint.fingerprints(Tables.documents(s, dir))
-        .orderBy($"doc_id", $"win")
+        .orderBy($"doc_id", $"pos", $"fp")
     })
 
   /** q_text_filter_pipeline — the quality-gate keep decision a
