@@ -2,7 +2,7 @@ package graft
 
 import java.sql.Timestamp
 
-import graft.streaming.{StatefulCounts, StreamingQueries}
+import graft.streaming.{StatefulCounts, StatefulCountsTws, StreamingQueries}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
@@ -171,6 +171,60 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
         hour0.toDF("doc_id", "ts", "lang", "text"))
       .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3))).toSet
     assert(got == batch)
+  }
+
+  test("#45 transformWithState twin: counts accumulate, idle users evict on watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // transformWithState requires the RocksDB state store; scope the
+    // provider override to this query and restore the session default.
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[StatefulCounts.Ev]
+      val q = StatefulCountsTws(
+          input.toDS().withWatermark("ts", "10 minutes"))
+        .writeStream.format("memory").queryName("s45tws")
+        .outputMode("update").start()
+      try {
+        // b1: u1 twice, u2 once; timers armed at last-ts + 30min.
+        input.addData(
+          StatefulCounts.Ev(0L, ts(0), 1L, "a", 0.0),
+          StatefulCounts.Ev(1L, ts(1), 1L, "a", 0.0),
+          StatefulCounts.Ev(2L, ts(2), 2L, "a", 0.0))
+        q.processAllAvailable()
+        // b2: u3 at t=120 — processed under b1's watermark (still early).
+        input.addData(StatefulCounts.Ev(3L, ts(120), 3L, "a", 0.0))
+        q.processAllAvailable()
+        // b3: watermark is now 110min — u1 (due 31) and u2 (due 32)
+        // expire: state cleared, tombstone (user, 0) emitted.
+        input.addData(StatefulCounts.Ev(4L, ts(240), 3L, "a", 0.0))
+        q.processAllAvailable()
+        // b4: u1 returns — the count must RESTART at 1 (state evicted),
+        // not resume at 3.
+        input.addData(StatefulCounts.Ev(5L, ts(245), 1L, "a", 0.0))
+        q.processAllAvailable()
+      } finally q.stop()
+      val rows = spark.table("s45tws").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(rows.contains((1L, 2L)), s"pre-eviction count missing: $rows")
+      assert(rows.contains((1L, 0L)) && rows.contains((2L, 0L)),
+        s"watermark-driven eviction tombstones missing: $rows")
+      assert(rows.contains((1L, 1L)),
+        s"count must restart after eviction, got $rows")
+      assert(!rows.contains((1L, 3L)),
+        s"evicted state must not resume: $rows")
+      // Accumulation phase agrees with the mapGroupsWithState twin.
+      val twin = Seq((1L, 2L), (2L, 1L))
+      twin.foreach(t => assert(rows.contains(t)))
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None    => spark.conf.unset(providerKey)
+      }
+    }
   }
 
   test("#45 stateful per-user counter accumulates across micro-batches") {
