@@ -83,9 +83,17 @@ object Bench {
     val errs = results.collect { case (k, _, _, Some(e)) => "\"" + k + ": " + e + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, _, None) => v }.sum
+    // Sub-totals: the streaming replay rows (added r6) each pay ~1.5 s of
+    // fixed micro-batch machinery (source listing, checkpoint, start/
+    // stop) by design — break them out so round-over-round batch
+    // comparisons stay like-for-like.
+    val streamTotal = results.collect {
+      case (k, v, _, None) if k.startsWith("q_stream_") => v }.sum
     val maxSpread = (1.0 +: results.collect { case (_, _, sp, None) => sp }).max
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""batch_total":${fmt(total - streamTotal)},""" +
+        s""""streaming_total":${fmt(streamTotal)},""" +
         s""""errors":$errs,"spreads":$spreads,"max_spread":${fmt(maxSpread)},""" +
         s""""loadavg_start":$loadStart,"loadavg_end":$loadEnd,"sf":"$sfDir"}"""
     println(line)

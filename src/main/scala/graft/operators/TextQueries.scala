@@ -195,21 +195,22 @@ object TextQueries {
     val window = 16
 
     def fingerprints(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      // total grams is a SCALAR of the text (no second window pass):
+      // greatest(len - g + 1, 1), carried through the explode.
       val hashes = df.select(col("doc_id"), col("text"),
+          expr(s"greatest(length(text) - ${gram - 1}, 1)").as("total"),
           explode(expr(s"sequence(1, greatest(length(text) - ${gram - 1}, 1))"))
             .as("pos"))
-        .select(col("doc_id"), col("pos"),
+        .select(col("doc_id"), col("pos"), col("total"),
           xxhash64(expr(s"substring(text, pos, $gram)")).as("h"))
       val sliding = org.apache.spark.sql.expressions.Window
         .partitionBy("doc_id").orderBy("pos")
         .rowsBetween(-(window - 1), 0)
-      val whole = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
       hashes
-        .select(col("doc_id"), col("pos"),
+        .select(col("doc_id"), col("pos"), col("total"),
           // struct min = min h, then min pos among equal h (the
           // deterministic tiebreak; equal-hash repeats collapse anyway).
-          min(struct(col("h"), col("pos"))).over(sliding).as("m"),
-          count(lit(1)).over(whole).as("total"))
+          min(struct(col("h"), col("pos"))).over(sliding).as("m"))
         // Full windows only — except short docs (< window grams), whose
         // last row's frame covers the entire doc and stands in for the
         // single whole-document window.

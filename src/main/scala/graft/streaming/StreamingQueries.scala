@@ -2,8 +2,9 @@ package graft.streaming
 
 import graft.{Q, Tables}
 import graft.Dsl._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
 
 /** Streaming surface — SURVEY.md §2.9 rows 41–45.
   *
@@ -111,5 +112,96 @@ object StreamingQueries {
         col("n_total"), col("n_kept"))
   }
 
-  val all: Vector[Q] = Vector(qWindowTumblingBatch)
+  // ---- AvailableNow replay wrappers: the streaming rows as TIMED catalog
+  // entries (SURVEY §2's T definition says T rows still appear in
+  // `queries` so Bench times them — r5 registered only the batch twin).
+  // Each replays the events fixture through a real file-stream source +
+  // Trigger.AvailableNow, lands micro-batch output in parquet via
+  // foreachBatch (no driver-side collect), and returns the landed frame.
+  // What Bench measures is honest end-to-end streaming throughput at the
+  // SF: source listing, micro-batch planning, stateful exec, sink write.
+  // Watermarks never close windows in a one-shot replay (the final
+  // watermark is computed for the NEXT batch), so aggregations land via
+  // complete/update mode — same operators, same state path. ------------
+
+  object Replay {
+    /** File-stream sources read DIRECTORIES; stage the single-file
+      * events fixture into one (copy once per sfDir per JVM). */
+    private val staged =
+      scala.collection.concurrent.TrieMap.empty[String, String]
+
+    private def stagedEventsDir(dir: String): String =
+      staged.getOrElseUpdate(dir, {
+        val in = java.nio.file.Paths.get(dir, "events.parquet")
+        val d = java.nio.file.Paths.get("/tmp/graft_stream_replay",
+          dir.replaceAll("[^A-Za-z0-9.]+", "_"), "in")
+        java.nio.file.Files.createDirectories(d)
+        java.nio.file.Files.copy(in, d.resolve("events.parquet"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        d.toString
+      })
+
+    /** Replay the events fixture through `transform`; land and return. */
+    def run(
+        s: SparkSession, dir: String, name: String, mode: String)(
+        transform: DataFrame => DataFrame): DataFrame = {
+      val inDir = stagedEventsDir(dir)
+      val out = "/tmp/graft_stream_replay/" +
+        dir.replaceAll("[^A-Za-z0-9.]+", "_") + s"/out_$name"
+      val rawSchema = s.read.parquet(inDir).schema
+      val src = s.readStream.schema(rawSchema).parquet(inDir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val q = transform(src)
+        .writeStream
+        .outputMode(mode)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          batch.write.mode(if (id == 0L) "overwrite" else "append")
+            .parquet(out)
+        }
+        .start()
+      q.awaitTermination(300000)
+      s.read.parquet(out)
+    }
+  }
+
+  /** #41s–#45 + quality filter as replayed, Bench-timed T-rows. */
+  val qStreamTumbling: Q = Q(
+    "q_stream_tumbling",
+    (s, dir) => Replay.run(s, dir, "tumbling", "complete")(tumbling))
+
+  val qStreamSliding: Q = Q(
+    "q_stream_sliding",
+    (s, dir) => Replay.run(s, dir, "sliding", "complete")(sliding))
+
+  val qStreamSession: Q = Q(
+    "q_stream_session",
+    (s, dir) => Replay.run(s, dir, "session", "complete")(session))
+
+  val qStreamDedup: Q = Q(
+    "q_stream_dedup",
+    (s, dir) => Replay.run(s, dir, "dedup", "append")(dedup))
+
+  val qStreamStateful: Q = Q(
+    "q_stream_stateful",
+    (s, dir) => Replay.run(s, dir, "stateful", "update") { df =>
+      import df.sparkSession.implicits._
+      StatefulCounts(df.as[StatefulCounts.Ev]).toDF()
+    })
+
+  val qStreamQualityFilter: Q = Q(
+    "q_stream_quality_filter",
+    (s, dir) => Replay.run(s, dir, "quality", "complete") { df =>
+      // The documents fixture carries no event time; join text onto the
+      // replayed event stream by aligned ids (deterministic, narrow).
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("text"))
+      qualityFilter(
+        df.select(pmod(col("event_id"), lit(500)).as("doc_id"), col("ts"))
+          .join(broadcast(docs), "doc_id"))
+    })
+
+  val all: Vector[Q] = Vector(qWindowTumblingBatch,
+    qStreamTumbling, qStreamSliding, qStreamSession, qStreamDedup,
+    qStreamStateful, qStreamQualityFilter)
 }

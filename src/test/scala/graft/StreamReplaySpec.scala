@@ -49,4 +49,27 @@ class StreamReplaySpec extends AnyFunSuite with SparkFixture {
     assert(streamed == batch)
     assert(streamed.nonEmpty)
   }
+
+  test("catalog q_stream_tumbling replay row equals the oracle-checked batch twin") {
+    // The Bench-timed replay wrapper (complete mode, one-shot
+    // AvailableNow) must compute exactly the windows the oracle-checked
+    // q_window_tumbling_batch computes on the same fixture.
+    // The replay emits LTZ timestamps, the batch twin casts to NTZ for
+    // its oracle; normalize both to naive-UTC strings (session TZ=UTC).
+    def naive(v: Any): String = v match {
+      case t: java.sql.Timestamp      => t.toLocalDateTime.toString
+      case l: java.time.LocalDateTime => l.toString
+      case other                      => other.toString
+    }
+    val streamed = Catalog.byName("q_stream_tumbling").build(spark, sfDir)
+      .collect()
+      .map(r => (naive(r.get(0)), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val batch = Catalog.byName("q_window_tumbling_batch").build(spark, sfDir)
+      .collect()
+      .map(r => (naive(r.get(0)), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
 }
