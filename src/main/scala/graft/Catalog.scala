@@ -32,6 +32,7 @@ object Catalog {
       functions.ScalarFuncQueries.all ++
       operators.TextQueries.all ++
       operators.DedupQueries.all ++
+      operators.SkewJoin.all ++
       operators.VectorQueries.all ++
       streaming.StreamingQueries.all
 

@@ -91,6 +91,16 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
       s"expected a single hash exchange on lang:\n$p")
   }
 
+  test("q_join_skew_salted joins on (k, _salt) via a shuffle join") {
+    val p = planOf("q_join_skew_salted")
+    assert(p.contains("_salt"),
+      "the salt must be part of the physical join keys")
+    assert(!p.contains("BroadcastHashJoin"),
+      "dim side is hinted shuffle_hash — a broadcast would bypass the " +
+        "fact-side shuffle the salting exists to flatten")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
   test("no query plan contains a cartesian product") {
     Catalog.all.foreach { q =>
       val p = Catalog.byName(q.name).build(spark, sfDir)
