@@ -33,4 +33,52 @@ class PartitionedWriteSpec extends AnyFunSuite with SparkFixture {
     val want = li.where($"ship_year" === years.head).count()
     assert(filtered.count() == want)
   }
+
+  test("dynamic partition pruning fires on a dim-filtered partition join") {
+    // SURVEY §7 note (b): date-partitioned facts exist FOR dynamic
+    // partition pruning — the fact's partition filter is only knowable
+    // at runtime from the dim side's predicate, and DPP injects it into
+    // the scan as a dynamicpruning subquery (fed by the reused broadcast
+    // exchange). At 100 TB this is the difference between scanning one
+    // year and scanning the decade.
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_dpp").toString
+    Tables.lineitem(spark, sfDir)
+      .withColumn("ship_year", year($"l_shipdate"))
+      .write.mode("overwrite").partitionBy("ship_year").parquet(dir)
+    val fact = spark.read.parquet(dir)
+    val years = fact.select($"ship_year").distinct().as[Int].collect().sorted
+
+    // Dim carries the filter; the fact predicate on ship_year is only
+    // derivable THROUGH the join. The dim must be file-backed: a
+    // LocalRelation dim gets its Filter constant-folded away by
+    // ConvertToLocalRelation before the PartitionPruning rule looks for
+    // a selective predicate, and DPP never fires (real dims are tables).
+    val dimDir = Files.createTempDirectory("graft_dpp_dim").toString
+    years.map(y => (y, if (y == years.max) "target" else "rest"))
+      .toSeq.toDF("y", "tag")
+      .write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir)
+    val joined = fact.join(dim, $"ship_year" === $"y")
+      .where($"tag" === "target")
+
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"expected a dynamicpruning partition filter on the fact scan:\n$plan")
+
+    // The pruning must be real: the scan's partition-count metric after
+    // execution reads 1 of |years|.
+    val got = joined.count()
+    val want = fact.where($"ship_year" === years.max).count()
+    assert(got == want)
+    val scan = joined.queryExecution.executedPlan.collectLeaves()
+      .collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    scan.foreach { f =>
+      f.metrics.get("numPartitions").foreach { m =>
+        assert(m.value == 1,
+          s"DPP should scan 1 of ${years.length} partitions, read ${m.value}")
+      }
+    }
+  }
 }
