@@ -74,6 +74,20 @@ class FingerprintSpec extends AnyFunSuite with SparkFixture {
       s"${m(0L).size} fingerprints from $grams grams — winnowing density blown")
   }
 
+  test("typed winnowing is bit-identical to the declarative WindowExec form") {
+    // Same XXH64 (seed 42, UTF8String bytes), same packing, same
+    // selection rule — on the whole fixture corpus the two
+    // implementations must produce EXACTLY the same (doc_id, pos, fp)
+    // set. This is what licenses shipping the mapPartitions form.
+    val docs = Tables.documents(spark, sfDir)
+    val typed = Fingerprint.fingerprints(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val declarative = Fingerprint.fingerprintsDeclarative(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(typed == declarative)
+    assert(typed.nonEmpty)
+  }
+
   test("catalog query runs on the fixture corpus with bounded output") {
     val df = Catalog.byName("q_doc_fingerprint").build(spark, sfDir)
     val n = df.count()
