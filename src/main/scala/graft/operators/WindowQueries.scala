@@ -222,7 +222,56 @@ object WindowQueries {
         |GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin))
 
+  /** q_report_momentum (added r6) — the everyday composed REPORT shape a
+    * user of the engine actually ships, as one oracle row: fact⋈dim →
+    * monthly revenue per market segment → month-over-month delta (lag)
+    * → top-3 months per segment (row_number filter). Exercises join +
+    * partial-agg + two window functions + rank-filter in one plan.
+    *
+    * Scale: one shuffle on the join key, one on the (segment, month)
+    * agg key (5×80 groups), then windows over ≤ 80 rows per segment —
+    * the window input is the AGGREGATE, never the fact table. Deltas
+    * are exact: revenues are DECIMAL(18,2) sums surfaced as doubles
+    * (< 2⁵³, integer-exact), so subtraction is drift-free (rule 2). */
+  val qReportMomentum: Q = Q(
+    "q_report_momentum",
+    (s, dir) => {
+      import s.implicits._
+      val monthly = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), $"o_custkey" === $"c_custkey")
+        .groupBy($"c_mktsegment",
+          date_trunc("month", $"o_orderdate").cast("timestamp_ntz").as("month"))
+        .agg(sumMoney($"o_totalprice").as("revenue"))
+      val bySeg = Window.partitionBy($"c_mktsegment")
+      monthly
+        .withColumn("mom_delta",
+          round($"revenue" - lag($"revenue", 1).over(bySeg.orderBy($"month")), 2))
+        .withColumn("rnk",
+          row_number().over(bySeg.orderBy($"revenue".desc, $"month"))
+            .cast(LongType))
+        .where($"rnk" <= 3)
+        .select($"c_mktsegment", $"month", $"revenue", $"mom_delta", $"rnk")
+        .orderBy($"c_mktsegment", $"rnk")
+    },
+    oracle = Some(
+      """WITH monthly AS (
+        |  SELECT c_mktsegment,
+        |    CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY c_mktsegment, month),
+        |win AS (
+        |  SELECT c_mktsegment, month, revenue,
+        |    ROUND(revenue - lag(revenue, 1)
+        |      OVER (PARTITION BY c_mktsegment ORDER BY month), 2) AS mom_delta,
+        |    row_number()
+        |      OVER (PARTITION BY c_mktsegment ORDER BY revenue DESC, month) AS rnk
+        |  FROM monthly)
+        |SELECT c_mktsegment, month, revenue, mom_delta, rnk
+        |FROM win WHERE rnk <= 3
+        |ORDER BY c_mktsegment, rnk""".stripMargin))
+
   val all: Vector[Q] = Vector(
     qWinRank, qWinRunning, qWinLeadLag, qWinDistribution,
-    qWinRangeFrame, qSessionize)
+    qWinRangeFrame, qSessionize, qReportMomentum)
 }

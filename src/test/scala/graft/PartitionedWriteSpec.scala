@@ -81,4 +81,41 @@ class PartitionedWriteSpec extends AnyFunSuite with SparkFixture {
       }
     }
   }
+
+  test("bucketed tables merge-join with ZERO exchanges (co-located join)") {
+    // SURVEY §2.3 scale notes: pre-bucketing both sides of a recurring
+    // fact⋈fact join on the join key removes the shuffle entirely — at
+    // 100 TB this converts every downstream join on that key from a
+    // full-network exchange into local merges. Buckets land as external
+    // tables (in-memory session catalog, data under /tmp); the merge
+    // hint keeps the demonstration on the SMJ path a fact⋈fact join
+    // would take (broadcast would trivially avoid exchanges).
+    import spark.implicits._
+    val d1 = Files.createTempDirectory("graft_bkt_o").toString
+    val d2 = Files.createTempDirectory("graft_bkt_c").toString
+    try {
+      Tables.orders(spark, sfDir)
+        .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .option("path", d1).mode("overwrite").saveAsTable("b_orders")
+      Tables.customer(spark, sfDir)
+        .write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .option("path", d2).mode("overwrite").saveAsTable("b_customer")
+      val joined = spark.table("b_orders").hint("merge")
+        .join(spark.table("b_customer"), $"o_custkey" === $"c_custkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(!plan.contains("Exchange"),
+        s"bucketed-on-key join must not shuffle either side:\n$plan")
+      assert(plan.contains("SelectedBucketsCount"),
+        "scan must be bucket-aware")
+      // Equality with the plain (shuffling) join.
+      val want = Tables.orders(spark, sfDir)
+        .join(Tables.customer(spark, sfDir), $"o_custkey" === $"c_custkey")
+        .count()
+      assert(joined.count() == want)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_customer")
+    }
+  }
 }
