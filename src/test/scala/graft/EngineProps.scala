@@ -103,6 +103,39 @@ object EngineProps extends Properties("graft") with SparkFixture {
       shares
     }
 
+  property("typed winnow equals the brute-force all-windows reference") = {
+    // The shipped mapPartitions winnowing (monotonic deque + adjacent
+    // dedup) against a naive O(n·w) reference that materializes every
+    // window's min independently — same packed hashes, so any
+    // divergence is a deque/dedup logic bug. Pure functions: no Spark
+    // jobs, so this property affords real case volume.
+    import graft.operators.TextQueries.Fingerprint
+    def packedHashes(text: String): IndexedSeq[Long] = {
+      val n = math.max(text.length - Fingerprint.gram + 1, 1)
+      (0 until n).map { i =>
+        val u = org.apache.spark.unsafe.types.UTF8String.fromString(
+          text.substring(i, math.min(i + Fingerprint.gram, text.length)))
+        val h = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
+        ((h >>> 20) << 20) | (i + 1).toLong
+      }
+    }
+    def naive(text: String): Set[(Long, Long)] = {
+      val ph = packedHashes(text)
+      val wEff = math.min(Fingerprint.window, ph.length)
+      ((wEff - 1) until ph.length).map { e =>
+        val m = (e - wEff + 1 to e).map(ph).min
+        (m & ((1L << 20) - 1), m >>> 20)
+      }.toSet
+    }
+    val charGen = Gen.frequency(8 -> Gen.alphaLowerChar, 2 -> Gen.const(' '))
+    val textGen = Gen.chooseNum(0, 200)
+      .flatMap(n => Gen.listOfN(n, charGen)).map(_.mkString)
+    forAll(textGen) { text =>
+      Fingerprint.winnow(text).toSet == naive(text)
+    }
+  }
+
   property("sessionize never splits a gap <= threshold or merges one above it") =
     forAll(Gen.listOf(Gen.chooseNum(0L, 500L))) { offsets =>
       import spark.implicits._

@@ -101,6 +101,29 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("dedup family reads the SHARED shingle stage (InMemory scan, not re-shingle)") {
+    // The r6 shared-stage refactor only pays off if consumers actually
+    // hit the persisted intermediate — a regression back to per-query
+    // shingling would show a parquet scan of documents instead of an
+    // InMemoryTableScan. (Build one query first so the stage exists.)
+    Catalog.byName("q_dedup_shingle_stage").build(spark, sfDir).count()
+    Seq("q_dedup_minhash", "q_dedup_ngram_jaccard", "q_dedup_simhash",
+        "q_dedup_pipeline").foreach { name =>
+      val p = planOf(name)
+      assert(p.contains("InMemoryTableScan"),
+        s"$name must read the cached shingle stage:\n$p")
+    }
+  }
+
+  test("q_report_momentum windows run over the aggregate, not the fact") {
+    // Join shuffle + agg shuffle + one window repartition on the ~400-row
+    // aggregate; any more exchanges means the windows slid under the agg.
+    val p = planOf("q_report_momentum")
+    assert(p.contains("Window"))
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 4, s"expected <= 4 exchanges, got $exchanges:\n$p")
+  }
+
   test("no query plan contains a cartesian product") {
     Catalog.all.foreach { q =>
       val p = Catalog.byName(q.name).build(spark, sfDir)
