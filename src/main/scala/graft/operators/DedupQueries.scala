@@ -58,7 +58,9 @@ object DedupQueries {
     * Canonicalization lives HERE so every downstream dedup sees identical
     * tokens (the canonicalize-before-dedup rule q_text_normalize checks).
     *
-    * Columns: doc_id; text (raw, for exact md5 grouping); k (40-char
+    * Columns: doc_id; h (md5 of the RAW text — the exact-dedup key; the
+    * stage stores the 32-char digest, never the document body, so the
+    * cached intermediate stays narrow at any document size); k (40-char
     * lowered prefix bucket key); sh (ordered 3-token shingles of the
     * lowered text, duplicates preserved — the min-aggregate and the
     * array_distinct consumers are both insensitive to duplicates).
@@ -74,7 +76,7 @@ object DedupQueries {
           .withColumn("w", split(col("lt"), " "))
           .select(
             col("doc_id"),
-            col("text"),
+            md5(col("text")).as("h"),
             substring(col("lt"), 1, 40).as("k"),
             Shingles.of("w").as("sh"))
           .persist(StorageLevel.MEMORY_AND_DISK)
@@ -103,7 +105,7 @@ object DedupQueries {
     (s, dir) => {
       import s.implicits._
       Shingled(s, dir)
-        .groupBy(md5($"text").as("h"))
+        .groupBy($"h")
         .agg(
           count(lit(1)).as("n_dups"),
           min($"doc_id").as("keep_id"))
@@ -409,7 +411,7 @@ object DedupQueries {
       import s.implicits._
       val staged = Shingled(s, dir)
       val exactKeep = staged
-        .groupBy(md5($"text").as("h"))
+        .groupBy($"h")
         .agg(min($"doc_id").as("doc_id"))
         .select($"doc_id")
       val keyed = staged.select($"k", $"doc_id", array_distinct($"sh").as("sh"))
