@@ -97,7 +97,22 @@ object Bench {
         s""""errors":$errs,"spreads":$spreads,"max_spread":${fmt(maxSpread)},""" +
         s""""loadavg_start":$loadStart,"loadavg_end":$loadEnd,"sf":"$sfDir"}"""
     println(line)
-    Files.writeString(Paths.get("bench_out.json"), line + "\n")
+    // The driver captures only the TAIL of stdout (~2 KB) and parses the
+    // last {"metric"...} line it finds. The full line above outgrew that
+    // window once the catalog passed ~70 queries (r5's BENCH wrapper
+    // recorded parsed:null for exactly this reason), so ALSO emit a
+    // compact summary line LAST — it always fits, and the per-query
+    // detail stays in the full line + bench_out.json.
+    val compact =
+      s"""{"metric":"total","value":$total,"unit":"sec",""" +
+        s""""batch_total":${fmt(total - streamTotal)},""" +
+        s""""streaming_total":${fmt(streamTotal)},""" +
+        s""""n_queries":${results.size},"n_errors":${results.count(_._4.isDefined)},""" +
+        s""""max_spread":${fmt(maxSpread)},""" +
+        s""""loadavg_start":$loadStart,"loadavg_end":$loadEnd,""" +
+        s""""detail":"bench_out.json","sf":"$sfDir"}"""
+    println(compact)
+    Files.writeString(Paths.get("bench_out.json"), line + "\n" + compact + "\n")
     spark.stop()
   }
 }

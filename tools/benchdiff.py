@@ -24,12 +24,18 @@ def load(path):
     if isinstance(d, dict) and "queries" in d:
         return d["queries"]
     if isinstance(d, dict) and "tail" in d:
-        line = [l for l in d["tail"].splitlines() if l.startswith('{"metric"')]
-        if line:
-            return json.loads(line[-1])["queries"]
+        # Prefer the line carrying the per-query map; Bench also prints a
+        # compact summary line (no "queries") last for the driver's tail.
+        lines = [l for l in d["tail"].splitlines() if l.startswith('{"metric"')]
+        for l in reversed(lines):
+            parsed = json.loads(l)
+            if "queries" in parsed:
+                return parsed["queries"]
     for line in raw.splitlines():
         if line.startswith('{"metric"'):
-            return json.loads(line)["queries"]
+            parsed = json.loads(line)
+            if "queries" in parsed:
+                return parsed["queries"]
     raise SystemExit(f"no bench JSON found in {path}")
 
 
