@@ -19,4 +19,20 @@ class DeterminismSpec extends AnyFunSuite with SparkFixture {
       assert(a == b)
     }
   }
+
+  // T-rows have no DuckDB twin but every one is built on seeded hashes /
+  // deterministic state, so their RESULT SETS must also be partition-
+  // invariant (row order exempt — T-rows aren't hash-compared by the
+  // driver). Streaming replays re-run the whole AvailableNow pipeline
+  // per build, so this additionally pins replay reproducibility.
+  Catalog.all.filter(_.oracle.isEmpty).foreach { q =>
+    test(s"${q.name} (T) same result set at shuffle.partitions 4 vs 7") {
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      val a = q.build(spark, sfDir).collect().map(_.toString).sorted.toSeq
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      val b = q.build(spark, sfDir).collect().map(_.toString).sorted.toSeq
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      assert(a == b)
+    }
+  }
 }
