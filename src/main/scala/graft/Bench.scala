@@ -40,6 +40,18 @@ object Bench {
     SparkEntry.queries.foreach { case (_, fn) =>
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
     }
+    // Second warm pass at the TARGET SF, also untimed but with its total
+    // recorded in the JSON as warmup_sec: one-time cached setup (the
+    // shared shingle persist, the CSV/JSON exports) would otherwise land
+    // in rep 1 of whichever query runs first and be medianed out — the
+    // spread-retry loop would misread cache warm-up as machine noise,
+    // and the setup cost would be counted in NO query. This way every
+    // timed rep is steady state and the setup cost is visible.
+    val warmT0 = System.nanoTime()
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+    }
+    val warmupSec = (System.nanoTime() - warmT0) / 1e9
     // A crashed query must never look like a fast one: record the error
     // and surface it in the JSON (errors list + "error" sentinel value).
     // Each query is timed `reps`× (default 3) and the median reported:
@@ -95,6 +107,7 @@ object Bench {
         s""""batch_total":${fmt(total - streamTotal)},""" +
         s""""streaming_total":${fmt(streamTotal)},""" +
         s""""errors":$errs,"spreads":$spreads,"max_spread":${fmt(maxSpread)},""" +
+        s""""warmup_sec":${fmt(warmupSec)},""" +
         s""""loadavg_start":$loadStart,"loadavg_end":$loadEnd,"sf":"$sfDir"}"""
     println(line)
     // The driver captures only the TAIL of stdout (~2 KB) and parses the
@@ -108,7 +121,7 @@ object Bench {
         s""""batch_total":${fmt(total - streamTotal)},""" +
         s""""streaming_total":${fmt(streamTotal)},""" +
         s""""n_queries":${results.size},"n_errors":${results.count(_._4.isDefined)},""" +
-        s""""max_spread":${fmt(maxSpread)},""" +
+        s""""max_spread":${fmt(maxSpread)},"warmup_sec":${fmt(warmupSec)},""" +
         s""""loadavg_start":$loadStart,"loadavg_end":$loadEnd,""" +
         s""""detail":"bench_out.json","sf":"$sfDir"}"""
     println(compact)

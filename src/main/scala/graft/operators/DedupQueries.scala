@@ -333,7 +333,17 @@ object DedupQueries {
           .bitwiseAND(mask)
         when(ones * 2 >= col("n"), 1L << j).otherwise(0L)
       }.reduce(_ + _)
-      agged.select(col("doc_id"), sig.as("sig"))
+      // ENFORCE the 20-bit counter cap: a doc with >= 2^20 shingles
+      // would overflow a field into its neighbor and yield a garbage
+      // signature SILENTLY. assert_true folds into the sig expression
+      // (coalesce(null, 0) when fine) so column pruning can't drop it;
+      // oversized docs fail the job loudly instead.
+      val guarded = sig + coalesce(
+        expr(s"assert_true(n < ${1L << counterBits}, " +
+          s"'SimHash: document exceeds 2^$counterBits shingles — " +
+          "pre-chunk before sketching')").cast("long"),
+        lit(0L))
+      agged.select(col("doc_id"), guarded.as("sig"))
     }
 
     def fingerprints(df: DataFrame): DataFrame =

@@ -257,11 +257,15 @@ object JoinQueries {
     * custom physical operator itself is oracle-checked.
     *
     * The right-side tiebreak (signup event_id) mirrors the twin's
-    * window ORDER BY (ts, event_id): among same-microsecond signups the
-    * max-event_id row wins on both sides, so oracle equality holds with
-    * NO fixture precondition (r5's no-tie assumption is gone — ties are
-    * now pinned deterministic by AsOfJoinSpec "tied right timestamps
-    * with a tiebreak"). */
+    * window ORDER BY (ts, event_id): among same-microsecond SIGNUP ties
+    * the max-event_id row wins on both sides (r5's no-signup-tie fixture
+    * precondition is gone — pinned by AsOfJoinSpec's planted-ties test).
+    * Residual divergence: a signup sharing a purchase's exact
+    * microsecond with a LARGER event_id matches here (s_ts <= ts) but
+    * sorts after the purchase in the twin's window and is excluded there
+    * — an artifact of the window formulation, not a better semantic; no
+    * fixture row hits it (cross-type collisions would fail the oracle
+    * loudly, not silently). */
   val qJoinSelfAsofNative: Q = Q(
     "q_join_self_asof_native",
     (s, dir) => {

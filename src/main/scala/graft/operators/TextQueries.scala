@@ -178,8 +178,11 @@ object TextQueries {
   /** True sliding-window winnowing fingerprints (Schleimer/Wilkerson/
     * Aiken's MOSS scheme), shared by the query and `FingerprintSpec`:
     * xxhash64 over char 8-grams, minimum of every SLIDING 16-gram
-    * window (rightmost-min tiebreak via the (h, pos) struct min), the
-    * selected (pos, hash) pairs deduplicated. Guarantee the r5 disjoint-
+    * window (LEFTMOST-min tiebreak — the packed (h44, pos) min picks the
+    * smallest position among equal hashes; classic winnowing picks
+    * rightmost, but either fixed side preserves the match guarantee and
+    * the density bound, and leftmost is what a packed-long min gives for
+    * free), the selected (pos, hash) pairs deduplicated. Guarantee the r5 disjoint-
     * bucket variant lacked: any substring match of length ≥ window +
     * gram − 1 (= 23 chars) contains a full window on both sides, so the
     * two documents MUST share a fingerprint no matter how the match is
@@ -225,6 +228,11 @@ object TextQueries {
       * only win a contiguous run of windows). Returns (pos, fp) pairs. */
     private[graft] def winnow(text: String): Iterator[(Long, Long)] = {
       val n = math.max(text.length - gram + 1, 1)
+      // Enforce the 20-bit position field: beyond it the packed min's
+      // pos bits would bleed into the hash bits and corrupt selection
+      // silently. Book-sized inputs must pre-chunk.
+      require(n < (1 << 20),
+        s"winnowing supports < 2^20 grams per document, got $n — pre-chunk")
       val ph = new Array[Long](n)
       var i = 0
       while (i < n) {

@@ -73,11 +73,17 @@ object StatefulCountsTws {
       var lastTs = 0L
       rows.foreach { ev => n += 1; lastTs = math.max(lastTs, ev.ts.getTime) }
       count.update(n)
-      // One live timer per user: re-arming replaces the old deadline.
-      if (deadline.exists()) getHandle.deleteTimer(deadline.get())
-      val due = lastTs + idleGapMs
-      getHandle.registerTimer(due)
-      deadline.update(due)
+      // One live timer per user: re-arming replaces the old deadline —
+      // but never BACKWARD: an in-watermark late event must not lower an
+      // armed deadline (last-SEEN event time defines idleness), or the
+      // user gets evicted before the idle gap truly elapsed.
+      val prev = if (deadline.exists()) deadline.get() else Long.MinValue
+      val due = math.max(lastTs + idleGapMs, prev)
+      if (due != prev) {
+        if (prev != Long.MinValue) getHandle.deleteTimer(prev)
+        getHandle.registerTimer(due)
+        deadline.update(due)
+      }
       Iterator.single(UserCount(user, n))
     }
 

@@ -156,11 +156,21 @@ object StreamingQueries {
         .outputMode(mode)
         .trigger(Trigger.AvailableNow())
         .foreachBatch { (batch: DataFrame, id: Long) =>
-          batch.write.mode(if (id == 0L) "overwrite" else "append")
-            .parquet(out)
+          // Complete mode emits the FULL result every micro-batch —
+          // each snapshot must overwrite the last (append would
+          // duplicate every window once the replay spans >1 batch).
+          // Append/update emit deltas: overwrite batch 0, append after.
+          val writeMode =
+            if (mode == "complete" || id == 0L) "overwrite" else "append"
+          batch.write.mode(writeMode).parquet(out)
         }
         .start()
-      q.awaitTermination(300000)
+      if (!q.awaitTermination(300000)) {
+        q.stop()
+        throw new IllegalStateException(
+          s"streaming replay '$name' did not finish within 300 s — " +
+            "refusing to read a partial result")
+      }
       s.read.parquet(out)
     }
   }

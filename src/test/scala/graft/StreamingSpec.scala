@@ -227,6 +227,53 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("#45 tws: an in-watermark late event never lowers an armed deadline") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[StatefulCounts.Ev]
+      val q = StatefulCountsTws(
+          input.toDS().withWatermark("ts", "10 minutes"))
+        .writeStream.format("memory").queryName("s45late")
+        .outputMode("update").start()
+      def tombstones(): Int = spark.table("s45late").collect()
+        .count(r => r.getLong(0) == 1L && r.getLong(1) == 0L)
+      try {
+        // u1 last-seen t=100 → deadline 130.
+        input.addData(StatefulCounts.Ev(0L, ts(100), 1L, "a", 0.0))
+        q.processAllAvailable()
+        // Late-but-in-watermark u1 event at t=95: idleness is measured
+        // from last-SEEN (100), so the deadline must STAY 130 — the
+        // r6-draft bug re-armed it at 95+30=125.
+        input.addData(StatefulCounts.Ev(1L, ts(95), 1L, "a", 0.0))
+        q.processAllAvailable()
+        // Advance the watermark to 126: between the buggy deadline
+        // (125) and the correct one (130). u1 must NOT be evicted.
+        input.addData(StatefulCounts.Ev(2L, ts(136), 3L, "a", 0.0))
+        q.processAllAvailable()
+        input.addData(StatefulCounts.Ev(3L, ts(137), 3L, "a", 0.0))
+        q.processAllAvailable()
+        assert(tombstones() == 0,
+          "late event lowered the deadline — premature eviction")
+        // Push the watermark far past 130: NOW u1 evicts.
+        input.addData(StatefulCounts.Ev(4L, ts(300), 3L, "a", 0.0))
+        q.processAllAvailable()
+        input.addData(StatefulCounts.Ev(5L, ts(301), 3L, "a", 0.0))
+        q.processAllAvailable()
+        assert(tombstones() == 1, "idle user must still evict eventually")
+      } finally q.stop()
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None    => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("#45 stateful per-user counter accumulates across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
