@@ -50,6 +50,74 @@ class StreamReplaySpec extends AnyFunSuite with SparkFixture {
     assert(streamed.nonEmpty)
   }
 
+  test("multi-batch replay: complete-mode snapshots overwrite, append-mode deltas accumulate") {
+    // Split the fixture into TWO source files and force one file per
+    // micro-batch: the complete-mode agg emits its FULL result twice, so
+    // the sink must hold exactly the final snapshot (the r6-draft
+    // append-after-batch-0 bug would duplicate every window); the
+    // append-mode dedup emits per-batch deltas that must accumulate to
+    // the full unique-id set.
+    import spark.implicits._
+    val events = Tables.events(spark, sfDir)
+    val inDir = Files.createTempDirectory("graft_mb_in").toString
+    val half = events.count() / 2
+    events.where($"event_id" < half).coalesce(1).write
+      .mode("overwrite").parquet(inDir + "/f0")
+    events.where($"event_id" >= half).coalesce(1).write
+      .mode("overwrite").parquet(inDir + "/f1")
+    val srcDir = Files.createTempDirectory("graft_mb_src").toString
+    Seq("f0", "f1").foreach { f =>
+      val part = new java.io.File(inDir + s"/$f").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.copy(part.toPath, Paths.get(srcDir, s"$f.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    val schema = spark.read.parquet(srcDir).schema
+
+    def replay(mode: String, transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+               out: String): org.apache.spark.sql.DataFrame = {
+      var batches = 0
+      val q = transform(
+          spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1").parquet(srcDir))
+        .writeStream.outputMode(mode)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          batches += 1
+          val writeMode = if (mode == "complete" || id == 0L) "overwrite" else "append"
+          b.write.mode(writeMode).parquet(out)
+        }
+        .start()
+      assert(q.awaitTermination(120000))
+      assert(batches >= 2, s"expected a multi-batch replay, ran $batches")
+      spark.read.parquet(out)
+    }
+
+    // Complete-mode tumbling counts == batch computation (no dup windows).
+    val aggOut = Files.createTempDirectory("graft_mb_agg").toString
+    val streamed = replay("complete",
+      df => df.groupBy(window($"ts", "1 hour").as("w"), $"event_type")
+        .agg(count(lit(1)).as("n"))
+        .select($"w.start".as("win_start"), $"event_type", $"n"),
+      aggOut).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    val batch = events
+      .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .select($"w.start".as("win_start"), $"event_type", $"n").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+
+    // Append-mode dedup accumulates to the full unique-id set exactly once.
+    val dedupOut = Files.createTempDirectory("graft_mb_dedup").toString
+    val ids = replay("append",
+      df => df.withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark("event_id"),
+      dedupOut).select($"event_id").collect().map(_.getLong(0))
+    assert(ids.length == ids.distinct.length, "dedup must not re-emit ids")
+    assert(ids.length.toLong == events.select($"event_id").distinct().count())
+  }
+
   test("catalog q_stream_tumbling replay row equals the oracle-checked batch twin") {
     // The Bench-timed replay wrapper (complete mode, one-shot
     // AvailableNow) must compute exactly the windows the oracle-checked
