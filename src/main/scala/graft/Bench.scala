@@ -75,11 +75,15 @@ object Bench {
         }
       }
       var timings = (1 to reps).flatMap(_ => once()).toVector
+      // An error during the INITIAL reps marks the query broken; a
+      // failure during the optional spread-retry sampling must not
+      // discard reps that already succeeded — the valid median stands.
+      val initialErr = firstErr
       def spread(ts: Vector[Double]): Double =
         if (ts.size < 2 || ts.min <= 0) 1.0 else ts.max / ts.min
       while (firstErr.isEmpty && spread(timings) > 2.0 && timings.size < maxReps)
         timings = timings ++ once()
-      if (firstErr.isDefined) (name, 0.0, 0.0, firstErr)
+      if (initialErr.isDefined || timings.isEmpty) (name, 0.0, 0.0, firstErr)
       else (name, timings.sorted.apply(timings.size / 2), spread(timings), None)
     }
     val loadEnd = loadavg()

@@ -28,7 +28,15 @@ object Dsl {
   def sumRate(c: Column): Column = sum(dec4(c)).cast(DoubleType)
 
   /** Deterministic average: exact decimal sum / count, divided in double,
-    * rounded — identical in Spark and DuckDB regardless of row order. */
+    * rounded — identical in Spark and DuckDB regardless of row order.
+    *
+    * Residual boundary risk (documented, accepted): round(·, 4) half-up
+    * differs between engines only when the true quotient has exactly 5
+    * decimal digits ending in 5 AND is binary-inexact — requiring a
+    * group count of the form 2^a·5^b (b ≥ 1) with a sum landing the
+    * quotient on that boundary. Verified absent at all three fixture
+    * SFs (and fixtures are frozen, driver-generated); arbitrary data
+    * would use round(6) like the distribution-ratio rule. */
   def avgMoney(c: Column): Column = round(sumMoney(c) / count(lit(1)), 4)
   def avgRate(c: Column): Column  = round(sumRate(c) / count(lit(1)), 4)
 

@@ -14,8 +14,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     extensions.injectFunction((
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[functions.VecDot].getName, "vec_dot"),
-      (children: Seq[Expression]) =>
-        functions.VecDot(children.head, children(1))))
+      (children: Seq[Expression]) => {
+        // Arity-check here: an unchecked children(1) on a 1-arg call
+        // would surface as a raw IndexOutOfBounds with no SQL context.
+        if (children.size != 2)
+          throw new IllegalArgumentException(
+            s"vec_dot requires exactly 2 arguments (array<float>, " +
+              s"array<float>), got ${children.size}")
+        functions.VecDot(children.head, children(1))
+      }))
     extensions.injectPlannerStrategy(plans.AsOfJoinStrategy)
   }
 }

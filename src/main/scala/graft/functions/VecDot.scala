@@ -19,8 +19,9 @@ import org.apache.spark.sql.types._
   *
   * Fold order matches the composed form (ascending index, double
   * accumulation), so results are bit-identical — the DuckDB oracle twins
-  * are unaffected. Unequal lengths use the shorter prefix; null
-  * elements are not expected (fixture arrays are containsNull=false).
+  * are unaffected. Unequal lengths use the shorter prefix; a null
+  * ELEMENT in either array yields a null result (SQL-style propagation
+  * — reading it as 0.0 would silently corrupt the dot product).
   */
 case class VecDot(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -44,6 +45,8 @@ case class VecDot(left: Expression, right: Expression)
 
   override def prettyName: String = "vec_dot"
 
+  override def nullable: Boolean = true
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -51,6 +54,7 @@ case class VecDot(left: Expression, right: Expression)
     var s = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
       i += 1
     }
@@ -66,6 +70,7 @@ case class VecDot(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  $s += (double) $x.getFloat($i) * (double) $y.getFloat($i);
          |}
          |${ev.value} = $s;

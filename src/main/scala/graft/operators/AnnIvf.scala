@@ -78,7 +78,14 @@ object AnnIvf {
         byCell.get(c) match {
           case Some(rows) =>
             val arr = new Array[Float](centroids(c).length)
-            rows.foreach(r => arr(r.getInt(1)) = r.getDouble(2).toFloat)
+            // Round the mean at 1e-6 before the float cast: raw double
+            // avg() partial-sum order varies with shuffle partitioning,
+            // and an ulp of centroid drift can flip a borderline cell
+            // assignment on the next iteration — rounding makes the
+            // trained codebook partitioning-invariant (same rule every
+            // oracle row applies to float aggregates).
+            rows.foreach(r => arr(r.getInt(1)) =
+              (math.rint(r.getDouble(2) * 1e6) / 1e6).toFloat)
             arr
           case None => centroids(c) // empty cell keeps its centroid
         }

@@ -66,6 +66,11 @@ object DedupQueries {
     * array_distinct consumers are both insensitive to duplicates).
     */
   object Shingled {
+    // Lifetime note: entries persist for the JVM (no eviction) — sized
+    // for this program's shape of one or two sessions over at most three
+    // sfDirs. A service embedding this would key by dir only and
+    // unpersist on session close; at 100 TB the stage is a written table
+    // and this cache doesn't exist at all.
     private val cache =
       scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 

@@ -54,7 +54,12 @@ object MultimodalBinary {
   def decodeFrames(ds: Dataset[MediaFile], frameStride: Int): Dataset[Frame] =
     ds.mapPartitions { files =>
       files.flatMap { m =>
-        val n = math.max(1, m.payload.length / frameStride)
+        // Ceil division: the tail remainder becomes a final partial
+        // frame (frameFeature clamps at payload end), so EVERY payload
+        // byte reaches a feature — flooring dropped the trailing
+        // len % stride bytes and content sensitivity didn't cover them.
+        val n = math.max(1,
+          (m.payload.length + frameStride - 1) / frameStride)
         (0 until n).iterator.map { i =>
           Frame(m.media_id, i,
             StubCodec.frameFeature(m.payload, i * frameStride, (i + 1) * frameStride))

@@ -292,9 +292,16 @@ object TextQueries {
           explode(expr(s"sequence(1, greatest(length(text) - ${gram - 1}, 1))"))
             .as("pos"))
         .select(col("doc_id"), col("pos"), col("total"),
-          shiftleft(shiftrightunsigned(
+          // Same 20-bit pos-field guard as the typed winnow(): an
+          // oversized doc fails loudly instead of bleeding pos bits
+          // into the hash. assert_true folds into ph so pruning keeps it.
+          (shiftleft(shiftrightunsigned(
             xxhash64(expr(s"substring(text, pos, $gram)")), 20), 20)
-            .bitwiseOR(col("pos")).as("ph"))
+            .bitwiseOR(col("pos")) + coalesce(
+              expr(s"assert_true(total < ${1 << 20}, " +
+                "'winnowing supports < 2^20 grams per document — pre-chunk')")
+                .cast("long"),
+              lit(0L))).as("ph"))
       val byPos = org.apache.spark.sql.expressions.Window
         .partitionBy("doc_id").orderBy("pos")
       val sliding = byPos.rowsBetween(-(window - 1), 0)

@@ -201,14 +201,20 @@ object StreamingQueries {
 
   val qStreamQualityFilter: Q = Q(
     "q_stream_quality_filter",
-    (s, dir) => Replay.run(s, dir, "quality", "complete") { df =>
+    (s, dir) => {
       // The documents fixture carries no event time; join text onto the
       // replayed event stream by aligned ids (deterministic, narrow).
+      // Modulus = the ACTUAL doc count for the dir, so every document
+      // participates at every SF (a hard-coded 500 measured 10% of the
+      // corpus at sf0.1 and silently skewed cross-SF comparisons).
       val docs = Tables.documents(s, dir)
         .select(col("doc_id"), col("lang"), col("text"))
-      qualityFilter(
-        df.select(pmod(col("event_id"), lit(500)).as("doc_id"), col("ts"))
-          .join(broadcast(docs), "doc_id"))
+      val nDocs = docs.count()
+      Replay.run(s, dir, "quality", "complete") { df =>
+        qualityFilter(
+          df.select(pmod(col("event_id"), lit(nDocs)).as("doc_id"), col("ts"))
+            .join(broadcast(docs), "doc_id"))
+      }
     })
 
   val all: Vector[Q] = Vector(qWindowTumblingBatch,

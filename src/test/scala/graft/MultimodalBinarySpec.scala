@@ -19,13 +19,31 @@ class MultimodalBinarySpec extends AnyFunSuite with SparkFixture {
     spark.createDataset(files)(mediaEnc)
   }
 
-  test("decode yields payload/stride frames with fixed-width features") {
+  test("decode yields ceil(payload/stride) frames with fixed-width features") {
     val frames = MultimodalBinary.decodeFrames(ds(media(1L, 256), media(2L, 100)), 64)
       .collect()
     val byId = frames.groupBy(_.media_id)
-    assert(byId(1L).length == 4) // 256/64
-    assert(byId(2L).length == 1) // 100/64 floored, min 1
+    assert(byId(1L).length == 4) // 256/64 exact
+    assert(byId(2L).length == 2) // 100/64 → full frame + 36-byte tail frame
     assert(frames.forall(_.feature.length == MultimodalBinary.featureDim))
+  }
+
+  test("tail bytes reach a partial frame (content sensitivity has no blind spot)") {
+    // Two 100-byte payloads agreeing on the first 64 bytes but differing
+    // at byte 70: with floor framing both decoded identically (the tail
+    // was dropped); ceil framing must separate them in frame 1.
+    val base = Array.tabulate(100)(_.toByte)
+    val tweaked = base.clone(); tweaked(70) = (tweaked(70) + 1).toByte
+    val fs = MultimodalBinary.decodeFrames(ds(
+        MediaFile(1L, "image", base, MediaMeta(64, 64, 16000, 100)),
+        MediaFile(2L, "image", tweaked, MediaMeta(64, 64, 16000, 100))), 64)
+      .collect().groupBy(_.media_id)
+    assert(fs(1L).find(_.frame_idx == 0).get.feature.toSeq ==
+      fs(2L).find(_.frame_idx == 0).get.feature.toSeq,
+      "identical leading frames must match")
+    assert(fs(1L).find(_.frame_idx == 1).get.feature.toSeq !=
+      fs(2L).find(_.frame_idx == 1).get.feature.toSeq,
+      "a tail-byte difference must change the tail frame")
   }
 
   test("decode is deterministic and content-sensitive") {
