@@ -136,6 +136,42 @@ object EngineProps extends Properties("graft") with SparkFixture {
     }
   }
 
+  property("native as-of join equals the window formulation on random events") = {
+    // The custom AsOfJoinExec (merge + tiebreak) against the oracle-
+    // checked window-twin shape, on GENERATED data: random (key, time)
+    // lefts and rights with deliberate collisions (small domains force
+    // same-key and same-time ties), right tiebreak = unique rid. The
+    // fixture tests pin specific edges; this pins the general contract.
+    import graft.plans.AsOf
+    val evGen = Gen.listOf(Gen.zip(
+      Gen.chooseNum(0L, 4L),   // key: small domain → collisions
+      Gen.chooseNum(0L, 30L))) // time: small domain → ties
+    forAll(evGen, evGen) { (ls, rs) =>
+      import spark.implicits._
+      val left = ls.zipWithIndex
+        .map { case ((k, t), i) => (i.toLong, k, t) }.toDF("lid", "k", "t")
+      val right = rs.zipWithIndex
+        .map { case ((k, t), i) => (i.toLong, k, t) }.toDF("rid", "rk", "rt")
+      val got = AsOf.join(left, right, "k", "t", "rk", "rt",
+          rightTieBreakCol = Some("rid"))
+        .select($"lid", $"rt", $"rid").collect()
+        .map(r => r.getLong(0) ->
+          (Option(r.get(1)), Option(r.get(2)))).toMap
+      // Reference: for each left row, the right row with max (rt, rid)
+      // among rt <= t and rk == k — computed directly on the driver.
+      val want = ls.zipWithIndex.map { case ((k, t), i) =>
+        val best = rs.zipWithIndex
+          .filter { case ((rk, rt), _) => rk == k && rt <= t }
+          .sortBy { case ((_, rt), rid) => (rt, rid.toLong) }
+          .lastOption
+        i.toLong -> (best.map(_._1._2), best.map(_._2.toLong))
+      }.toMap
+      got.view.mapValues { case (a, b) =>
+        (a.map(_.asInstanceOf[Long]), b.map(_.asInstanceOf[Long]))
+      }.toMap == want
+    }
+  }
+
   property("sessionize never splits a gap <= threshold or merges one above it") =
     forAll(Gen.listOf(Gen.chooseNum(0L, 500L))) { offsets =>
       import spark.implicits._
