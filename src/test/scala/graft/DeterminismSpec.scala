@@ -9,13 +9,17 @@ import org.scalatest.funsuite.AnyFunSuite
   * serves both runs.) */
 class DeterminismSpec extends AnyFunSuite with SparkFixture {
 
+  /** Run body at partitions 7, always restoring the fixture default —
+    * an exception at 7 must not leak the setting into later suites. */
+  private def at7[A](body: => A): A =
+    try { spark.conf.set("spark.sql.shuffle.partitions", "7"); body }
+    finally spark.conf.set("spark.sql.shuffle.partitions", "4")
+
   Catalog.all.filter(_.oracle.isDefined).foreach { q =>
     test(s"${q.name} identical at shuffle.partitions 4 vs 7") {
       spark.conf.set("spark.sql.shuffle.partitions", "4")
       val a = q.build(spark, sfDir).collect().toSeq
-      spark.conf.set("spark.sql.shuffle.partitions", "7")
-      val b = q.build(spark, sfDir).collect().toSeq
-      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      val b = at7(q.build(spark, sfDir).collect().toSeq)
       assert(a == b)
     }
   }
@@ -29,9 +33,7 @@ class DeterminismSpec extends AnyFunSuite with SparkFixture {
     test(s"${q.name} (T) same result set at shuffle.partitions 4 vs 7") {
       spark.conf.set("spark.sql.shuffle.partitions", "4")
       val a = q.build(spark, sfDir).collect().map(_.toString).sorted.toSeq
-      spark.conf.set("spark.sql.shuffle.partitions", "7")
-      val b = q.build(spark, sfDir).collect().map(_.toString).sorted.toSeq
-      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      val b = at7(q.build(spark, sfDir).collect().map(_.toString).sorted.toSeq)
       assert(a == b)
     }
   }

@@ -59,26 +59,41 @@ class PartitionedWriteSpec extends AnyFunSuite with SparkFixture {
       .toSeq.toDF("y", "tag")
       .write.mode("overwrite").parquet(dimDir)
     val dim = spark.read.parquet(dimDir)
-    val joined = fact.join(dim, $"ship_year" === $"y")
-      .where($"tag" === "target")
 
-    val plan = joined.queryExecution.executedPlan.toString
-    assert(plan.contains("dynamicpruning"),
-      s"expected a dynamicpruning partition filter on the fact scan:\n$plan")
+    // AQE scoped OFF for the metric inspection: under AQE the fact scan
+    // sits inside QueryStageExec wrappers that plan.collect doesn't
+    // traverse (and AdaptiveSparkPlanExec is itself a leaf), so the
+    // numPartitions check would be dead code — the exact bug this
+    // version of the test replaces. DPP is an optimizer-rule feature
+    // and fires identically without AQE.
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val prior = spark.conf.getOption(aqeKey)
+    spark.conf.set(aqeKey, "false")
+    try {
+      val joined = fact.join(dim, $"ship_year" === $"y")
+        .where($"tag" === "target")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("dynamicpruning"),
+        s"expected a dynamicpruning partition filter on the fact scan:\n$plan")
 
-    // The pruning must be real: the scan's partition-count metric after
-    // execution reads 1 of |years|.
-    val got = joined.count()
-    val want = fact.where($"ship_year" === years.max).count()
-    assert(got == want)
-    val scan = joined.queryExecution.executedPlan.collectLeaves()
-      .collectFirst {
-        case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
-    scan.foreach { f =>
-      f.metrics.get("numPartitions").foreach { m =>
-        assert(m.value == 1,
-          s"DPP should scan 1 of ${years.length} partitions, read ${m.value}")
+      // The pruning must be REAL, not just present in the plan string:
+      // execute THIS DataFrame's plan (collect — count() would build a
+      // separate QueryExecution whose metrics we'd never see) and read
+      // the fact scan's partition-count metric.
+      val got = joined.collect().length.toLong
+      val want = fact.where($"ship_year" === years.max).count()
+      assert(got == want)
+      val factScan = joined.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.partitionFilters.nonEmpty => f
       }
+      assert(factScan.nonEmpty, "expected a partition-filtered fact scan")
+      val m = factScan.head.metrics("numPartitions")
+      assert(m.value == 1,
+        s"DPP should scan 1 of ${years.length} partitions, read ${m.value}")
+    } finally prior match {
+      case Some(v) => spark.conf.set(aqeKey, v)
+      case None    => spark.conf.unset(aqeKey)
     }
   }
 

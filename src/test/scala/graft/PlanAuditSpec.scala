@@ -125,9 +125,12 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
   }
 
   test("no query plan contains a cartesian product") {
-    Catalog.all.foreach { q =>
-      val p = Catalog.byName(q.name).build(spark, sfDir)
-        .queryExecution.executedPlan.toString
+    // Streaming replay rows are excluded: their build RUNS the whole
+    // AvailableNow replay and returns a bare parquet read of the landed
+    // output — auditing that scan is vacuous and costs a full replay
+    // each. Their incremental semantics live in StreamingSpec.
+    Catalog.all.filterNot(_.name.startsWith("q_stream_")).foreach { q =>
+      val p = planOf(q.name)
       assert(!p.contains("CartesianProduct"),
         s"${q.name} degenerated to a cartesian product")
     }

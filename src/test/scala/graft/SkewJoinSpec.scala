@@ -25,19 +25,10 @@ class SkewJoinSpec extends AnyFunSuite with SparkFixture {
     assert(salted.toSeq == plain.toSeq)
   }
 
-  test("salting actually spreads the hot key across salts") {
-    import spark.implicits._
-    val fact = (0 until 1000).map(i => (42L, i.toLong)).toDF("k", "row_id")
-    val salts = fact
-      .withColumn("_salt",
-        org.apache.spark.sql.functions.pmod(
-          org.apache.spark.sql.functions.hash($"row_id"),
-          org.apache.spark.sql.functions.lit(8)))
-      .groupBy($"_salt").count().collect()
-    assert(salts.length == 8, "all 8 salt values should be used")
-    assert(salts.map(_.getLong(1)).max < 1000,
-      "no single salt should hold the entire hot key")
-  }
+  // (A former test re-derived the salt expression inline and asserted
+  // its own copy of the formula — deleted: the partition-histogram test
+  // below exercises the REAL saltedInnerJoin path and is the actual
+  // spread proof.)
 
   test("salting beats the naive plan: hot-key partition histogram flattens") {
     import org.apache.spark.sql.functions._

@@ -40,7 +40,7 @@ class StreamReplaySpec extends AnyFunSuite with SparkFixture {
         batch.write.mode("overwrite").parquet(outDir)
       }
       .start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "replay must finish before reading")
 
     val streamed = spark.read.parquet(outDir)
       .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
