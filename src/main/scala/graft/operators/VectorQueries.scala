@@ -169,18 +169,33 @@ object VectorQueries {
     }
 
     /** Distinct candidate pairs (vec_a < vec_b) colliding in ≥ 1 band,
-      * with both embeddings attached for the exact re-rank. */
+      * with both embeddings attached for the exact re-rank.
+      *
+      * The per-side renames happen ABOVE the join, not below it: both
+      * join inputs are then the IDENTICAL `keyed` subtree, so Spark's
+      * ReuseExchange computes the bands·bits hyperplane projections and
+      * shuffles ONCE and replays the exchange for the other side (the
+      * r6-draft shape renamed below the join — different canonical
+      * plans, no reuse, double the dominant vec_dot compute). */
     def candidatePairs(
         df: org.apache.spark.sql.DataFrame,
         bands: Int = 4, bitsPerBand: Int = 8,
         seed: Long = 42L): org.apache.spark.sql.DataFrame = {
       val keyed = bandKeyed(df, bands, bitsPerBand, seed)
-      val a = keyed.select(col("band"), col("key"),
-        col("vec_id").as("vec_a"), col("embedding").as("ea"))
-      val b = keyed.select(col("band"), col("key"),
-        col("vec_id").as("vec_b"), col("embedding").as("eb"))
-      a.join(b, Seq("band", "key"))
-        .where(col("vec_a") < col("vec_b"))
+        .select(col("band"), col("key"), col("vec_id"), col("embedding"))
+      // shuffle_hash hint: at fixture SF Spark would broadcast one side
+      // — which both recomputes the keyed subtree (broadcast plans can't
+      // be ReusedExchange'd against a shuffle) AND is not the 100 TB
+      // plan (a corpus-sized side is never broadcastable). The hinted
+      // shuffle join is the at-scale shape at every SF, and the second
+      // exchange collapses to a ReusedExchange (asserted by
+      // PlanAuditSpec) so the projections genuinely run once.
+      keyed.as("a")
+        .join(keyed.as("b").hint("shuffle_hash"), Seq("band", "key"))
+        .where(col("a.vec_id") < col("b.vec_id"))
+        .select(
+          col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          col("a.embedding").as("ea"), col("b.embedding").as("eb"))
         .dropDuplicates(Seq("vec_a", "vec_b"))
     }
 

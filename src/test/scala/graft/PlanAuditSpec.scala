@@ -124,6 +124,19 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     assert(exchanges <= 4, s"expected <= 4 exchanges, got $exchanges:\n$p")
   }
 
+  test("q_dedup_embedding's self-join reuses one banded exchange") {
+    // Both sides of the candidate join must come from the SAME keyed
+    // subtree so the hyperplane projections + shuffle run once; a
+    // regression to per-side renames below the join (different
+    // canonical plans) silently doubles the dominant vec_dot compute.
+    val df = Catalog.byName("q_dedup_embedding").build(spark, sfDir)
+    df.collect() // AQE finalizes reuse at execution
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage") ||
+      p.contains("TableCacheQueryStage"),
+      s"banded self-join must reuse the keyed exchange:\n$p")
+  }
+
   test("no query plan contains a cartesian product") {
     // Streaming replay rows are excluded: their build RUNS the whole
     // AvailableNow replay and returns a bare parquet read of the landed
