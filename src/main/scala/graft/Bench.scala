@@ -77,40 +77,48 @@ object Bench {
       var timings = (1 to reps).flatMap(_ => once()).toVector
       // An error during the INITIAL reps marks the query broken; a
       // failure during the optional spread-retry sampling must not
-      // discard reps that already succeeded — the valid median stands.
+      // discard reps that already succeeded — the valid median stands,
+      // but the query is flagged FLAKY in the JSON (an intermittent
+      // crasher must never read as fully healthy).
       val initialErr = firstErr
       def spread(ts: Vector[Double]): Double =
         if (ts.size < 2 || ts.min <= 0) 1.0 else ts.max / ts.min
       while (firstErr.isEmpty && spread(timings) > 2.0 && timings.size < maxReps)
         timings = timings ++ once()
-      if (initialErr.isDefined || timings.isEmpty) (name, 0.0, 0.0, firstErr)
-      else (name, timings.sorted.apply(timings.size / 2), spread(timings), None)
+      val flaky = if (initialErr.isEmpty) firstErr else None
+      if (initialErr.isDefined || timings.isEmpty)
+        (name, 0.0, 0.0, firstErr, None)
+      else
+        (name, timings.sorted.apply(timings.size / 2), spread(timings), None, flaky)
     }
     val loadEnd = loadavg()
     def fmt(d: Double): String = BigDecimal(d)
       .setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = results.map {
-      case (k, v, _, None)    => "\"" + k + "\":" + v
-      case (k, _, _, Some(_)) => "\"" + k + "\":\"error\""
+      case (k, v, _, None, _)    => "\"" + k + "\":" + v
+      case (k, _, _, Some(_), _) => "\"" + k + "\":\"error\""
     }.mkString("{", ",", "}")
     val spreads = results.collect {
-      case (k, _, sp, None) => "\"" + k + "\":" + fmt(sp)
+      case (k, _, sp, None, _) => "\"" + k + "\":" + fmt(sp)
     }.mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, _, Some(e)) => "\"" + k + ": " + e + "\"" }
+    val errs = results.collect { case (k, _, _, Some(e), _) => "\"" + k + ": " + e + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, _, None) => v }.sum
+    val flaky = results.collect { case (k, _, _, _, Some(e)) => "\"" + k + ": " + e + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.collect { case (_, v, _, None, _) => v }.sum
     // Sub-totals: the streaming replay rows (added r6) each pay ~1.5 s of
     // fixed micro-batch machinery (source listing, checkpoint, start/
     // stop) by design — break them out so round-over-round batch
     // comparisons stay like-for-like.
     val streamTotal = results.collect {
-      case (k, v, _, None) if k.startsWith("q_stream_") => v }.sum
-    val maxSpread = (1.0 +: results.collect { case (_, _, sp, None) => sp }).max
+      case (k, v, _, None, _) if k.startsWith("q_stream_") => v }.sum
+    val maxSpread = (1.0 +: results.collect { case (_, _, sp, None, _) => sp }).max
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""batch_total":${fmt(total - streamTotal)},""" +
         s""""streaming_total":${fmt(streamTotal)},""" +
-        s""""errors":$errs,"spreads":$spreads,"max_spread":${fmt(maxSpread)},""" +
+        s""""errors":$errs,"flaky":$flaky,""" +
+        s""""spreads":$spreads,"max_spread":${fmt(maxSpread)},""" +
         s""""warmup_sec":${fmt(warmupSec)},""" +
         s""""loadavg_start":$loadStart,"loadavg_end":$loadEnd,"sf":"$sfDir"}"""
     println(line)
@@ -125,6 +133,7 @@ object Bench {
         s""""batch_total":${fmt(total - streamTotal)},""" +
         s""""streaming_total":${fmt(streamTotal)},""" +
         s""""n_queries":${results.size},"n_errors":${results.count(_._4.isDefined)},""" +
+        s""""n_flaky":${results.count(_._5.isDefined)},""" +
         s""""max_spread":${fmt(maxSpread)},"warmup_sec":${fmt(warmupSec)},""" +
         s""""loadavg_start":$loadStart,"loadavg_end":$loadEnd,""" +
         s""""detail":"bench_out.json","sf":"$sfDir"}"""

@@ -75,6 +75,12 @@ object DedupQueries {
       scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
     def apply(s: SparkSession, dir: String): DataFrame =
+      // Build under the map's lock: TrieMap.getOrElseUpdate may run the
+      // thunk twice under concurrent first calls, and the losing copy
+      // would stay persist-marked (pinned MEMORY_AND_DISK) for the JVM
+      // lifetime. The thunk is pure plan construction + a persist MARK
+      // (no job runs until a consumer acts), so holding the lock is µs.
+      cache.synchronized {
       cache.getOrElseUpdate((s, dir), {
         Tables.documents(s, dir)
           .withColumn("lt", lower(col("text")))
@@ -86,20 +92,31 @@ object DedupQueries {
             Shingles.of("w").as("sh"))
           .persist(StorageLevel.MEMORY_AND_DISK)
       })
+      }
   }
 
   /** q_dedup_shingle_stage — the shared stage itself as an oracle row: the
     * one canonicalize+shingle pass every other dedup query consumes. Ordered
-    * output, so the DuckDB twin pins both shingle CONTENT and ORDER. */
+    * output, so the DuckDB twin pins both shingle CONTENT and ORDER. The
+    * shingle LIST is projected as a U+0001-joined scalar (plus its length):
+    * the driver's pandas-side compare sorts/hashes cell values and cannot
+    * hash an array cell (r6: 'unhashable type: numpy.ndarray'), and a
+    * separator that can't occur in text keeps the flattening injective —
+    * equal strings ⟺ equal lists. */
   val qDedupShingleStage: Q = Q(
     "q_dedup_shingle_stage",
     (s, dir) => {
       import s.implicits._
-      Shingled(s, dir).select($"doc_id", $"k", $"sh").orderBy($"doc_id")
+      Shingled(s, dir)
+        .select($"doc_id", $"k",
+          size($"sh").cast("long").as("n_shingles"),
+          concat_ws("\u0001", $"sh").as("sh_flat"))
+        .orderBy($"doc_id")
     },
     oracle = Some(
       s"""SELECT doc_id, substring(lower(text), 1, 40) AS k,
-         |  ${Shingles.sql("string_split(lower(text), ' ')")} AS sh
+         |  len(${Shingles.sql("string_split(lower(text), ' ')")}) AS n_shingles,
+         |  array_to_string(${Shingles.sql("string_split(lower(text), ' ')")}, chr(1)) AS sh_flat
          |FROM documents
          |ORDER BY doc_id""".stripMargin))
 

@@ -125,29 +125,53 @@ object StreamingQueries {
   // complete/update mode — same operators, same state path. ------------
 
   object Replay {
+    /** Staging/output root, unique per JVM: two concurrent JVMs (a test
+      * run alongside a bench, say) must never overwrite each other's
+      * staged input or read a half-written output. The pid is stable for
+      * the process lifetime, so within one JVM the cache below still
+      * reuses the copy. */
+    private val root: java.nio.file.Path = java.nio.file.Paths.get(
+      "/tmp/graft_stream_replay", "jvm" + ProcessHandle.current().pid())
+
     /** File-stream sources read DIRECTORIES; stage the single-file
       * events fixture into one (copy once per sfDir per JVM). */
     private val staged =
       scala.collection.concurrent.TrieMap.empty[String, String]
 
     private def stagedEventsDir(dir: String): String =
-      staged.getOrElseUpdate(dir, {
-        val in = java.nio.file.Paths.get(dir, "events.parquet")
-        val d = java.nio.file.Paths.get("/tmp/graft_stream_replay",
-          dir.replaceAll("[^A-Za-z0-9.]+", "_"), "in")
-        java.nio.file.Files.createDirectories(d)
-        java.nio.file.Files.copy(in, d.resolve("events.parquet"),
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        d.toString
-      })
+      // Build under the map's lock: TrieMap.getOrElseUpdate may run the
+      // thunk twice under a concurrent first call, and two racing copies
+      // of the same file can interleave. Staging is a one-time millisecond
+      // copy, so a plain lock is the right tool.
+      staged.synchronized {
+        staged.getOrElseUpdate(dir, {
+          val in = java.nio.file.Paths.get(dir, "events.parquet")
+          val d = root.resolve(dir.replaceAll("[^A-Za-z0-9.]+", "_"))
+            .resolve("in")
+          java.nio.file.Files.createDirectories(d)
+          java.nio.file.Files.copy(in, d.resolve("events.parquet"),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          d.toString
+        })
+      }
 
-    /** Replay the events fixture through `transform`; land and return. */
+    /** Replay the events fixture through `transform`; land and return.
+      *
+      * `updateKeys`: required when mode = "update" — update mode emits a
+      * delta row per CHANGED key per micro-batch, so once the replay spans
+      * more than one batch the landed files hold several generations of
+      * the same key. Each batch is landed tagged with its batch id and the
+      * read-back keeps only the newest row per key; with a single batch
+      * this degenerates to exactly the old behavior. */
     def run(
-        s: SparkSession, dir: String, name: String, mode: String)(
+        s: SparkSession, dir: String, name: String, mode: String,
+        updateKeys: Seq[String] = Nil)(
         transform: DataFrame => DataFrame): DataFrame = {
+      require(mode != "update" || updateKeys.nonEmpty,
+        "update-mode replay needs the delta key to reconcile multi-batch output")
       val inDir = stagedEventsDir(dir)
-      val out = "/tmp/graft_stream_replay/" +
-        dir.replaceAll("[^A-Za-z0-9.]+", "_") + s"/out_$name"
+      val out = root.resolve(dir.replaceAll("[^A-Za-z0-9.]+", "_"))
+        .resolve(s"out_$name").toString
       val rawSchema = s.read.parquet(inDir).schema
       val src = s.readStream.schema(rawSchema).parquet(inDir)
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
@@ -162,7 +186,10 @@ object StreamingQueries {
           // Append/update emit deltas: overwrite batch 0, append after.
           val writeMode =
             if (mode == "complete" || id == 0L) "overwrite" else "append"
-          batch.write.mode(writeMode).parquet(out)
+          val tagged =
+            if (mode == "update") batch.withColumn("_batch", lit(id))
+            else batch
+          tagged.write.mode(writeMode).parquet(out)
         }
         .start()
       if (!q.awaitTermination(300000)) {
@@ -171,7 +198,17 @@ object StreamingQueries {
           s"streaming replay '$name' did not finish within 300 s — " +
             "refusing to read a partial result")
       }
-      s.read.parquet(out)
+      val landed = s.read.parquet(out)
+      if (mode == "update") {
+        // Newest generation per key wins — the same reconciliation a
+        // downstream table would run over an upsert changelog.
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(updateKeys.map(col): _*)
+          .orderBy(col("_batch").desc)
+        landed.withColumn("_rn", row_number().over(w))
+          .where(col("_rn") === 1)
+          .drop("_rn", "_batch")
+      } else landed
     }
   }
 
@@ -194,7 +231,8 @@ object StreamingQueries {
 
   val qStreamStateful: Q = Q(
     "q_stream_stateful",
-    (s, dir) => Replay.run(s, dir, "stateful", "update") { df =>
+    (s, dir) => Replay.run(s, dir, "stateful", "update",
+      updateKeys = Seq("user_id")) { df =>
       import df.sparkSession.implicits._
       StatefulCounts(df.as[StatefulCounts.Ev]).toDF()
     })

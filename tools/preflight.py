@@ -12,6 +12,7 @@ parquet, sort columns by name, and require exact value equality row by row.
 import sys, json, glob
 
 import duckdb
+import pyarrow as pa
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
@@ -77,6 +78,18 @@ def main():
         gcols, ecols = sorted(got.column_names), sorted(exp.column_names)
         if gcols != ecols:
             print(f"FAIL {name}: columns spark={gcols} duckdb={ecols}")
+            failures += 1
+            continue
+        # The driver's compare is pandas-based: it sort_values/hashes cell
+        # VALUES, and a nested cell (list/struct/map → numpy.ndarray/dict)
+        # is unhashable there even though arrow handles it fine here (r6:
+        # q_dedup_shingle_stage died driver-side with 'unhashable type:
+        # numpy.ndarray' while this preflight passed it). Flatten nested
+        # columns to scalars (e.g. concat_ws / to_json) before shipping.
+        nested = [c for c in gcols if pa.types.is_nested(got.schema.field(c).type)]
+        if nested:
+            print(f"FAIL {name}: nested result columns {nested} — the "
+                  "driver's pandas compare cannot hash them; project scalars")
             failures += 1
             continue
         gtypes = [str(got.schema.field(c).type) for c in gcols]
