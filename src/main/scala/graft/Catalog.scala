@@ -25,6 +25,7 @@ object Catalog {
     operators.ScanQueries.all ++
       sources.SourceQueries.all ++
       operators.JoinQueries.all ++
+      operators.CdcQueries.all ++
       operators.AggQueries.all ++
       operators.WindowQueries.all ++
       operators.SortSetQueries.all ++

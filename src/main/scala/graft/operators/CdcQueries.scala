@@ -1,0 +1,85 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Changelog/CDC application — the upsert ("MERGE INTO") every
+  * incrementally-maintained table needs: apply a batch of updates and
+  * inserts onto a base snapshot, newest generation per key winning.
+  *
+  * The reference repo has no code (README.md:1-2); this extends SURVEY.md
+  * §2.3's join family with the ETL idiom its north star implies — an ETL
+  * pipeline that lands daily increments must reconcile them against the
+  * running snapshot.
+  *
+  * Scale notes (100 TB):
+  *  - The apply is ONE hash shuffle on the merge key (union is free —
+  *    no shuffle — and the per-key newest-wins pick is a single
+  *    row_number over that one exchange). A join-based formulation
+  *    (anti join + union) would shuffle twice.
+  *  - At lakehouse scale the same decision runs per partition/file group
+  *    (MERGE with partition pruning on the change set's touched
+  *    partitions); the per-key semantics here are exactly those.
+  *  - Change batches are normally ≪ base, so AQE will broadcast the
+  *    change side of pruning joins; the newest-wins window is what
+  *    update-mode streaming replay also uses to reconcile multi-batch
+  *    output (StreamingQueries.Replay) — one shared semantics, batch and
+  *    stream.
+  */
+object CdcQueries {
+
+  /** q_merge_upsert — apply a derived change batch onto orders:
+    * updates (keys ≡ 0–9 mod 100: status → 'U', price + 100) and
+    * inserts (keys ≡ 10–11 mod 100 re-keyed past the base key space,
+    * status 'N'). Output = the merged snapshot, change rows winning on
+    * key collision. The change set is derived deterministically from the
+    * base table itself so the DuckDB twin can derive the identical batch.
+    */
+  val qMergeUpsert: Q = Q(
+    "q_merge_upsert",
+    (s, dir) => {
+      import s.implicits._
+      val base = Tables.orders(s, dir)
+        .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+      val updates = Tables.orders(s, dir)
+        .where(pmod($"o_orderkey", lit(100)) < 10)
+        .select($"o_orderkey", lit("U").as("o_orderstatus"),
+          ($"o_totalprice" + 100.0).as("o_totalprice"))
+      val inserts = Tables.orders(s, dir)
+        .where(pmod($"o_orderkey", lit(100)).between(10, 11))
+        .select(($"o_orderkey" + 100000000L).as("o_orderkey"),
+          lit("N").as("o_orderstatus"), $"o_totalprice")
+      val changes = updates.unionByName(inserts)
+      // Newest-wins on one shuffle: tag generations, keep rank 1 per key.
+      val tagged = changes.withColumn("gen", lit(1))
+        .unionByName(base.withColumn("gen", lit(0)))
+      val w = Window.partitionBy($"o_orderkey").orderBy($"gen".desc)
+      tagged
+        .withColumn("rn", row_number().over(w))
+        .where($"rn" === 1)
+        .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+        .orderBy($"o_orderkey")
+    },
+    oracle = Some(
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice, 0 AS gen
+        |  FROM orders),
+        |changes AS (
+        |  SELECT o_orderkey, 'U' AS o_orderstatus,
+        |         o_totalprice + 100.0 AS o_totalprice, 1 AS gen
+        |  FROM orders WHERE o_orderkey % 100 < 10
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000 AS o_orderkey, 'N' AS o_orderstatus,
+        |         o_totalprice, 1 AS gen
+        |  FROM orders WHERE o_orderkey % 100 BETWEEN 10 AND 11),
+        |tagged AS (SELECT * FROM changes UNION ALL SELECT * FROM base)
+        |SELECT o_orderkey, o_orderstatus, o_totalprice FROM (
+        |  SELECT *, ROW_NUMBER() OVER
+        |    (PARTITION BY o_orderkey ORDER BY gen DESC) AS rn
+        |  FROM tagged)
+        |WHERE rn = 1
+        |ORDER BY o_orderkey""".stripMargin))
+
+  val all: Vector[Q] = Vector(qMergeUpsert)
+}

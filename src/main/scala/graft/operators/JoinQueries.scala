@@ -363,8 +363,70 @@ object JoinQueries {
         |GROUP BY month
         |ORDER BY month""".stripMargin))
 
+  /** Bucketed-table setup for q_join_bucketed: orders and customer
+    * written ONCE per (session, sfDir) as bucketed+sorted external
+    * tables on the join key (8 buckets, in-memory session catalog, data
+    * under a per-JVM /tmp root). The write is the one-time layout cost a
+    * warehouse pays at ingest; every later join on the key is then
+    * exchange-free. Locked build for the same reason as
+    * DedupQueries.Shingled — racing first calls must not double-write. */
+  object Bucketed {
+    private val cache = scala.collection.concurrent.TrieMap
+      .empty[(org.apache.spark.sql.SparkSession, String), (String, String)]
+    private val root = java.nio.file.Paths.get(
+      "/tmp/graft_buckets", "jvm" + ProcessHandle.current().pid())
+
+    def apply(s: org.apache.spark.sql.SparkSession, dir: String): (String, String) =
+      cache.synchronized {
+        cache.getOrElseUpdate((s, dir), {
+          val tok = dir.replaceAll("[^A-Za-z0-9.]+", "_").replace('.', '_')
+          val (to, tc) = (s"b_orders_$tok", s"b_customer_$tok")
+          val base = root.resolve(tok)
+          java.nio.file.Files.createDirectories(base)
+          Tables.orders(s, dir)
+            .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+            .option("path", base.resolve("orders").toString)
+            .mode("overwrite").saveAsTable(to)
+          Tables.customer(s, dir)
+            .write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+            .option("path", base.resolve("customer").toString)
+            .mode("overwrite").saveAsTable(tc)
+          (to, tc)
+        })
+      }
+  }
+
+  /** q_join_bucketed (added r7) — the recurring fact⋈dim join on
+    * PRE-BUCKETED tables: both sides bucketed+sorted on the key, so the
+    * sort-merge join runs with ZERO exchanges and zero sorts (PlanAudit
+    * asserts the shape; the bucket-pruned scan shows
+    * SelectedBucketsCount). This is the co-location story at 100 TB:
+    * pay the shuffle once at write time, then every daily join on that
+    * key is a local merge. The merge hint keeps the demonstration on
+    * the SMJ path a fact⋈fact join would take. Oracle = the same join
+    * over the raw parquet — bucketing must not change a single row. */
+  val qJoinBucketed: Q = Q(
+    "q_join_bucketed",
+    (s, dir) => {
+      import s.implicits._
+      val (to, tc) = Bucketed(s, dir)
+      s.table(to).hint("merge")
+        .join(s.table(tc), $"o_custkey" === $"c_custkey")
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          sumMoney($"o_totalprice").as("revenue"))
+        .orderBy($"c_mktsegment")
+    },
+    oracle = Some(
+      """SELECT c_mktsegment, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin))
+
   val all: Vector[Q] = Vector(
     qJoinInner, qJoinBroadcast, qJoinMultiway, qJoinLeftOuter,
     qJoinFullOuter, qJoinSemi, qJoinAnti, qJoinThetaRange,
-    qJoinSelfAsof, qJoinSelfAsofNative, qJoinAsofTolerance, qJoinInterval)
+    qJoinSelfAsof, qJoinSelfAsofNative, qJoinAsofTolerance, qJoinInterval,
+    qJoinBucketed)
 }

@@ -436,8 +436,179 @@ object TextQueries {
         |FROM documents
         |ORDER BY doc_id""".stripMargin))
 
+  /** q_text_tfidf (added r7) — per-(doc, term) TF-IDF over the unigram
+    * vocabulary: tf = occurrences in the doc, df = docs containing the
+    * term, tfidf = tf · ln(N/df), corpus-universal terms (idf = 0)
+    * dropped. The score every retrieval/quality pipeline starts from.
+    *
+    * Scale (100 TB): tf is one partial-aggregated shuffle on
+    * (doc_id, term); df collapses to the VOCABULARY (bounded —
+    * word-like token universes are ≤ millions at any corpus size), so
+    * both the df side and the one-row N are broadcast — the big side is
+    * touched exactly twice, narrowly, and never re-shuffled. round(6)
+    * masks ln() libm ulp drift across engines (SURVEY §2 rule 2). */
+  val qTextTfidf: Q = Q(
+    "q_text_tfidf",
+    (s, dir) => {
+      import s.implicits._
+      val toks = Tables.documents(s, dir)
+        .select($"doc_id", explode(split(lower($"text"), " ")).as("term"))
+      val tf = toks.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      val df = toks.select($"doc_id", $"term").distinct()
+        .groupBy($"term").agg(count(lit(1)).as("df"))
+      val n = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+      tf.join(broadcast(df), "term")
+        .crossJoin(broadcast(n))
+        .select($"doc_id", $"term", $"tf", $"df",
+          round($"tf" * log($"n_docs".cast("double") / $"df"), 6).as("tfidf"))
+        .where($"tfidf" > 0.0)
+        .orderBy($"doc_id", $"term")
+    },
+    oracle = Some(
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents)
+        |SELECT doc_id, term, tf, df,
+        |  ROUND(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+        |FROM tf JOIN df USING (term), n
+        |WHERE ROUND(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) > 0.0
+        |ORDER BY doc_id, term""".stripMargin))
+
+  /** q_sample_stratified (added r7) — per-STRATUM deterministic
+    * downsampling: the language-rebalancing step an LLM data pipeline
+    * runs when one language dominates the crawl. Same auditable md5
+    * hash gate as q_sample_deterministic (pure function of the row —
+    * identical across engines, runs, partitionings, retries), but the
+    * threshold varies by stratum: 'en' (the overrepresented class,
+    * 44% of the corpus) keeps ~7.8% (0x14/256), every other language
+    * ~33% (0x55/256). Narrow per-row filter — no shuffle, nothing to
+    * skew; rebalancing 100 TB costs one scan. */
+  val qSampleStratified: Q = Q(
+    "q_sample_stratified",
+    (s, dir) => {
+      import s.implicits._
+      val thresh = when($"lang" === "en", "14").otherwise("55")
+      Tables.documents(s, dir)
+        .where(substring(md5($"doc_id".cast("string")), 1, 2) < thresh)
+        .select($"doc_id", $"lang", $"source")
+        .orderBy($"doc_id")
+    },
+    oracle = Some(
+      """SELECT doc_id, lang, source
+        |FROM documents
+        |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+        |  CASE WHEN lang = 'en' THEN '14' ELSE '55' END
+        |ORDER BY doc_id""".stripMargin))
+
+  /** q_text_redact_pii (added r7) — PII scrubbing, the redaction pass a
+    * training-data pipeline runs before anything else ships: match
+    * emails / phone numbers, count them, and replace with placeholder
+    * tokens. The fixture corpus carries no organic PII (31-word vocab),
+    * so the query PLANTS it deterministically from doc_id on both
+    * engines (emails on ids ≢ 0 mod 3, phones on even ids — counts are
+    * non-degenerate 0/1 mixes) and then redacts; the md5 of the redacted
+    * text pins the replacement byte-for-byte. Patterns stay in the
+    * RE2∩Java common subset (SURVEY §2 rule 5; no backrefs/lookahead).
+    * Narrow per-row projection — scrubbing 100 TB costs one scan, no
+    * shuffle, and the regexes are codegen'd per row. */
+  val qTextRedactPii: Q = Q(
+    "q_text_redact_pii",
+    (s, dir) => {
+      import s.implicits._
+      val emailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+      val phoneRe = "\\+[0-9]{7,15}"
+      val raw = concat(
+        $"text",
+        when(pmod($"doc_id", lit(3)) =!= 0,
+          concat(lit(" contact user"), $"doc_id", lit("@example.com")))
+          .otherwise(lit("")),
+        when(pmod($"doc_id", lit(2)) === 0,
+          concat(lit(" tel +1555010"), pmod($"doc_id", lit(10000))))
+          .otherwise(lit("")))
+      Tables.documents(s, dir)
+        .select($"doc_id", raw.as("raw"))
+        .select(
+          $"doc_id",
+          size(regexp_extract_all($"raw", lit(emailRe), lit(0)))
+            .cast("long").as("n_emails"),
+          size(regexp_extract_all($"raw", lit(phoneRe), lit(0)))
+            .cast("long").as("n_phones"),
+          md5(regexp_replace(
+            regexp_replace($"raw", emailRe, "<EMAIL>"),
+            phoneRe, "<PHONE>")).as("redacted_h"))
+        .orderBy($"doc_id")
+    },
+    oracle = Some(
+      """WITH withpii AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 3 <> 0
+        |         THEN ' contact user' || doc_id || '@example.com'
+        |         ELSE '' END ||
+        |    CASE WHEN doc_id % 2 = 0
+        |         THEN ' tel +1555010' || (doc_id % 10000)
+        |         ELSE '' END AS raw
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(raw, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS n_emails,
+        |  len(regexp_extract_all(raw, '\+[0-9]{7,15}')) AS n_phones,
+        |  md5(regexp_replace(
+        |    regexp_replace(raw, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+        |    '\+[0-9]{7,15}', '<PHONE>', 'g')) AS redacted_h
+        |FROM withpii
+        |ORDER BY doc_id""".stripMargin))
+
+  /** q_text_repetition (added r7) — within-document repetition score
+    * (the Gopher-style quality signal): fraction of 2-gram occurrences
+    * claimed by the single most frequent 2-gram, plus the distinct/total
+    * 2-gram ratio. High repetition marks boilerplate/spam; the SCORE is
+    * the operator — thresholding is the downstream pipeline's policy
+    * (a fixed flag on this fixture would be degenerate).
+    *
+    * Scale: one (doc, gram) partial-agg shuffle + one doc_id agg —
+    * both keyed, no pairs, no driver state. */
+  val qTextRepetition: Q = Q(
+    "q_text_repetition",
+    (s, dir) => {
+      import s.implicits._
+      val grams = Tables.documents(s, dir)
+        .withColumn("w", split(lower($"text"), " "))
+        .select($"doc_id",
+          explode(expr(
+            """transform(
+              |  sequence(1, greatest(size(w) - 1, 1)),
+              |  i -> concat_ws(' ', slice(w, i, 2)))""".stripMargin)).as("g"))
+      grams.groupBy($"doc_id", $"g").agg(count(lit(1)).as("n"))
+        .groupBy($"doc_id")
+        .agg(
+          sum($"n").as("tot_2grams"),
+          count(lit(1)).as("distinct_2grams"),
+          max($"n").as("max_2gram_n"))
+        .select($"doc_id", $"tot_2grams", $"distinct_2grams", $"max_2gram_n",
+          round($"max_2gram_n".cast(DoubleType) / $"tot_2grams", 6)
+            .as("rep_ratio"))
+        .orderBy($"doc_id")
+    },
+    oracle = Some(
+      """WITH w AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, greatest(len(w) - 1, 1) + 1),
+        |      i -> concat_ws(' ', w[i], w[i+1]))) AS g
+        |  FROM w),
+        |c AS (SELECT doc_id, g, COUNT(*) AS n FROM g GROUP BY 1, 2)
+        |SELECT doc_id, CAST(SUM(n) AS BIGINT) AS tot_2grams,
+        |  COUNT(*) AS distinct_2grams, MAX(n) AS max_2gram_n,
+        |  ROUND(CAST(MAX(n) AS DOUBLE) / SUM(n), 6) AS rep_ratio
+        |FROM c GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin))
+
   val all: Vector[Q] =
     Vector(qTextTokenizeExplode, qTextWordcountTf, qTextStats,
       qTextQuality, qTextTokenCount, qDocFingerprint, qTextFilterPipeline,
-      qSampleDeterministic, qTextNormalize)
+      qSampleDeterministic, qTextNormalize, qTextTfidf, qSampleStratified,
+      qTextRedactPii, qTextRepetition)
 }

@@ -199,16 +199,19 @@ object StreamingQueries {
             "refusing to read a partial result")
       }
       val landed = s.read.parquet(out)
-      if (mode == "update") {
-        // Newest generation per key wins — the same reconciliation a
-        // downstream table would run over an upsert changelog.
-        import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy(updateKeys.map(col): _*)
-          .orderBy(col("_batch").desc)
-        landed.withColumn("_rn", row_number().over(w))
-          .where(col("_rn") === 1)
-          .drop("_rn", "_batch")
-      } else landed
+      if (mode == "update") reconcileNewest(landed, updateKeys) else landed
+    }
+
+    /** Newest generation per key from a batch-tagged update changelog —
+      * the same newest-wins decision q_merge_upsert ships for CDC apply
+      * (one keyed shuffle, row_number pick). */
+    def reconcileNewest(landed: DataFrame, keys: Seq[String]): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(keys.map(col): _*)
+        .orderBy(col("_batch").desc)
+      landed.withColumn("_rn", row_number().over(w))
+        .where(col("_rn") === 1)
+        .drop("_rn", "_batch")
     }
   }
 

@@ -137,6 +137,64 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
       s"banded self-join must reuse the keyed exchange:\n$p")
   }
 
+  test("q_join_bucketed joins without exchanging either side") {
+    val p = planOf("q_join_bucketed")
+    assert(p.contains("SortMergeJoin"), s"expected SMJ:\n$p")
+    assert(p.contains("SelectedBucketsCount"), s"scan must be bucket-aware:\n$p")
+    // The only exchanges allowed sit ABOVE the join (group-by + final
+    // order-by); the join inputs come pre-bucketed from disk. A Sort may
+    // appear (multi-file buckets lose the sortBy guarantee) — a sort is
+    // local; the exchange is the network cost bucketing exists to kill.
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 2, s"bucketed join must not shuffle its inputs:\n$p")
+  }
+
+  test("q_merge_upsert applies the changelog on ONE keyed shuffle") {
+    val p = planOf("q_merge_upsert")
+    val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx == 1,
+      s"newest-wins apply must be a single hash shuffle on the merge key:\n$p")
+  }
+
+  test("q_text_tfidf broadcasts the vocabulary and corpus-count sides") {
+    val p = planOf("q_text_tfidf")
+    assert(p.contains("BroadcastHashJoin"),
+      s"df join must broadcast the vocabulary side:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"tf side must never shuffle for the df/N joins:\n$p")
+  }
+
+  test("runtime bloom filter prunes the fact scan under a selective dim join") {
+    // At 100 TB the fact side of a selective join should be pre-filtered
+    // by a bloom filter built from the dim side's join keys before the
+    // shuffle — Spark's InjectRuntimeFilter does exactly this. Thresholds
+    // are scoped down so the fixture-sized join triggers the same plan a
+    // warehouse-scale SMJ would get (the app-side size gate exists only
+    // to skip the overhead on small scans; broadcast is disabled because
+    // a broadcast join already prunes via its hashed relation).
+    import org.apache.spark.sql.functions.col
+    val confs = Map(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val old = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val dim = Tables.orders(spark, sfDir).where(col("o_orderstatus") === "P")
+      val fact = Tables.lineitem(spark, sfDir)
+      val j = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_quantity"))
+      val p = j.queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain") || p.toLowerCase.contains("bloomfilter"),
+        s"expected a runtime bloom filter on the fact side:\n$p")
+    } finally old.foreach { case (k, v) =>
+      v match {
+        case Some(x) => spark.conf.set(k, x)
+        case None    => spark.conf.unset(k)
+      }
+    }
+  }
+
   test("no query plan contains a cartesian product") {
     // Streaming replay rows are excluded: their build RUNS the whole
     // AvailableNow replay and returns a bare parquet read of the landed

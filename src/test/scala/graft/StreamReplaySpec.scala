@@ -118,6 +118,57 @@ class StreamReplaySpec extends AnyFunSuite with SparkFixture {
     assert(ids.length.toLong == events.select($"event_id").distinct().count())
   }
 
+  test("multi-batch update-mode replay reconciles newest-wins per key") {
+    // Two source files, one per micro-batch: any user with events in both
+    // halves is emitted TWICE by the update-mode stateful counter (its
+    // count after batch 0, then after batch 1) — the landed changelog
+    // holds several generations per key, and the product reconciliation
+    // (Replay.reconcileNewest, what Replay.run applies for update mode)
+    // must recover exactly the final per-user counts.
+    import spark.implicits._
+    import graft.streaming.{StatefulCounts, StreamingQueries}
+    val events = Tables.events(spark, sfDir)
+    val half = events.count() / 2
+    val srcDir = Files.createTempDirectory("graft_upd_src").toString
+    Seq(("f0", $"event_id" < half), ("f1", $"event_id" >= half))
+      .foreach { case (f, cond) =>
+        val tmp = Files.createTempDirectory(s"graft_upd_$f").toString
+        spark.read.parquet(s"$sfDir/events.parquet").where(cond)
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        Files.copy(part.toPath, Paths.get(srcDir, s"$f.parquet"),
+          StandardCopyOption.REPLACE_EXISTING)
+      }
+    val schema = spark.read.parquet(srcDir).schema
+    val out = Files.createTempDirectory("graft_upd_out").toString
+    val q = StatefulCounts(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(srcDir)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          .as[StatefulCounts.Ev])
+      .toDF()
+      .writeStream.outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        val writeMode = if (id == 0L) "overwrite" else "append"
+        b.withColumn("_batch", lit(id)).write.mode(writeMode).parquet(out)
+      }
+      .start()
+    assert(q.awaitTermination(120000))
+    val landed = spark.read.parquet(out)
+    assert(landed.select($"_batch").distinct().count() >= 2,
+      "expected a multi-batch replay")
+    val reconciled = StreamingQueries.Replay
+      .reconcileNewest(landed, Seq("user_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(landed.count() > reconciled.size,
+      "reconciliation must be non-vacuous (stale generations existed)")
+    val expect = events.groupBy($"user_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(reconciled == expect)
+  }
+
   test("catalog q_stream_tumbling replay row equals the oracle-checked batch twin") {
     // The Bench-timed replay wrapper (complete mode, one-shot
     // AvailableNow) must compute exactly the windows the oracle-checked
