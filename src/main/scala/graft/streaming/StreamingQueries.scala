@@ -240,6 +240,37 @@ object StreamingQueries {
       StatefulCounts(df.as[StatefulCounts.Ev]).toDF()
     })
 
+  /** q_stream_stateful_tws — the same per-user counter replayed through
+    * Spark 4's forward state API (`transformWithState`, named event-time
+    * timers + RocksDB state store). Unlike watermark-closed window aggs,
+    * the TIMERS do fire in an AvailableNow replay: after the data batch
+    * the watermark advances and the engine runs a timer-processing
+    * batch, so users idle ≥ 30 min before the corpus' end land an
+    * eviction tombstone (count 0) that newest-wins reconciliation keeps.
+    * The replay therefore demonstrates watermark-driven state eviction
+    * END-TO-END on a real file source — StreamReplaySpec derives the
+    * exact expected eviction set batch-side and pins it. */
+  val qStreamStatefulTws: Q = Q(
+    "q_stream_stateful_tws",
+    (s, dir) => {
+      // transformWithState requires the RocksDB provider; scope the
+      // switch to this replay and restore (a shared session must not
+      // leak provider changes into later HDFS-backed stateful queries).
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+        "state.RocksDBStateStoreProvider")
+      try Replay.run(s, dir, "stateful_tws", "update",
+        updateKeys = Seq("user_id")) { df =>
+        import df.sparkSession.implicits._
+        StatefulCountsTws(
+          df.withWatermark("ts", "10 minutes").as[StatefulCounts.Ev]).toDF()
+      } finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None    => s.conf.unset(key)
+      }
+    })
+
   val qStreamQualityFilter: Q = Q(
     "q_stream_quality_filter",
     (s, dir) => {
@@ -260,5 +291,5 @@ object StreamingQueries {
 
   val all: Vector[Q] = Vector(qWindowTumblingBatch,
     qStreamTumbling, qStreamSliding, qStreamSession, qStreamDedup,
-    qStreamStateful, qStreamQualityFilter)
+    qStreamStateful, qStreamStatefulTws, qStreamQualityFilter)
 }

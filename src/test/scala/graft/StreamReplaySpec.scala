@@ -169,6 +169,29 @@ class StreamReplaySpec extends AnyFunSuite with SparkFixture {
     assert(reconciled == expect)
   }
 
+  test("catalog q_stream_stateful_tws evicts exactly the watermark-idle users") {
+    // transformWithState's event-time timers FIRE in an AvailableNow
+    // replay (the engine runs a timer batch once the watermark advances
+    // past the data), so the reconciled output is: eviction tombstone
+    // (count 0) for every user idle >= 30 min before the final
+    // watermark (= max ts - 10 min), the plain running count for the
+    // rest. Derive that expectation batch-side and require equality —
+    // and require the eviction path to be non-vacuous on the fixture.
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir)
+    val wmMs = ev.agg(max($"ts")).head().getTimestamp(0).getTime - 10 * 60 * 1000L
+    val expect = ev.groupBy($"user_id")
+      .agg(count(lit(1)).as("n"), max($"ts").as("last_ts"))
+      .collect().map { r =>
+        val evicted = r.getTimestamp(2).getTime + 30 * 60 * 1000L < wmMs
+        (r.getLong(0), if (evicted) 0L else r.getLong(1))
+      }.toSet
+    val tws = Catalog.byName("q_stream_stateful_tws").build(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(tws == expect)
+    assert(tws.exists(_._2 == 0L), "expected at least one evicted user")
+  }
+
   test("catalog q_stream_tumbling replay row equals the oracle-checked batch twin") {
     // The Bench-timed replay wrapper (complete mode, one-shot
     // AvailableNow) must compute exactly the windows the oracle-checked
