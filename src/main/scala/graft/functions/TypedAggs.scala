@@ -52,4 +52,71 @@ object TypedAggs {
       Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
     override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
   }
+
+  /** Space-Saving heavy-hitters summary (Metwally et al.'s stream-summary,
+    * merged per the mergeable-summaries result): tracks at most `k`
+    * (term, count, err) entries. State is O(k) REGARDLESS of the term
+    * universe — this is how "top terms over 100 TB" runs without
+    * shuffling the vocabulary: each partition keeps k counters, the
+    * shuffle carries one k-entry buffer per partition, and the merged
+    * summary guarantees
+    *   - overestimate: reported ≥ true frequency ≥ reported − err;
+    *   - recall: every term with true frequency > n/k is present.
+    * Two regimes, both shipped: with k ≥ |vocabulary| no eviction ever
+    * happens, every err is 0 and the counts are EXACT and
+    * merge-order-independent (q_agg_heavy_hitters oracle-checks this
+    * regime against plain GROUP BY counts — the fixture vocabulary is 31
+    * lowered tokens, k = 64); with k < |vocabulary| the output depends
+    * on merge order but the guarantees above hold under ANY order —
+    * `HeavyHittersSpec` pins them on a planted skewed corpus.
+    *
+    * Eviction and the merge's kept-set tiebreak are deterministic
+    * ((count, term) ordering) so per-buffer behavior is reproducible. */
+  case class SSBuf(counts: Map[String, Long], errs: Map[String, Long])
+
+  class SpaceSaving(k: Int) extends Aggregator[String, SSBuf, SSBuf] {
+    require(k > 0, s"k must be positive, got $k")
+    override def zero: SSBuf = SSBuf(Map.empty, Map.empty)
+
+    override def reduce(b: SSBuf, term: String): SSBuf =
+      b.counts.get(term) match {
+        case Some(c) => b.copy(counts = b.counts.updated(term, c + 1))
+        case None if b.counts.size < k =>
+          SSBuf(b.counts.updated(term, 1L), b.errs.updated(term, 0L))
+        case None =>
+          // Classic Space-Saving step: the new term inherits the minimum
+          // counter (its worst-case prior frequency) as count m+1/err m.
+          val (mt, mc) = b.counts.minBy { case (t, c) => (c, t) }
+          SSBuf(
+            b.counts - mt + (term -> (mc + 1)),
+            b.errs - mt + (term -> mc))
+      }
+
+    override def merge(a: SSBuf, b: SSBuf): SSBuf = {
+      // A term absent from a FULL summary may still have occurred up to
+      // that summary's minimum counter times — credit it that upper
+      // bound (and the same uncertainty). A non-full summary stores
+      // every term it saw, so absence there truly means zero.
+      def floor(s: SSBuf): Long =
+        if (s.counts.size < k) 0L else s.counts.values.min
+      val (fa, fb) = (floor(a), floor(b))
+      val merged = (a.counts.keySet ++ b.counts.keySet).toSeq.map { t =>
+        (t,
+          a.counts.getOrElse(t, fa) + b.counts.getOrElse(t, fb),
+          a.errs.getOrElse(t, fa) + b.errs.getOrElse(t, fb))
+      }
+      val kept = merged.sortBy { case (t, c, _) => (-c, t) }.take(k)
+      SSBuf(
+        kept.map(x => x._1 -> x._2).toMap,
+        kept.map(x => x._1 -> x._3).toMap)
+    }
+
+    override def finish(r: SSBuf): SSBuf = r
+    override def bufferEncoder: Encoder[SSBuf] = Encoders.product[SSBuf]
+    override def outputEncoder: Encoder[SSBuf] = Encoders.product[SSBuf]
+  }
+
+  /** The shipped instance: k = 64 ≥ the 31-token fixture vocabulary —
+    * the exact, order-independent regime (see [[SpaceSaving]]). */
+  object SpaceSaving64 extends SpaceSaving(64)
 }

@@ -254,8 +254,35 @@ object AggQueries {
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin))
 
+  /** q_agg_heavy_hitters (added r7) — corpus-wide top terms via the
+    * Space-Saving summary UDAF (TypedAggs.SpaceSaving): O(k) state per
+    * partition no matter the term universe, one k-entry buffer per
+    * partition over the shuffle. Shipped at k = 64 ≥ the 31-token
+    * vocabulary — the exact, merge-order-independent regime, so the row
+    * is oracle-checked against plain GROUP BY counts (err provably 0);
+    * the k < vocabulary approximation guarantees are pinned by
+    * `HeavyHittersSpec` on a planted skewed corpus. */
+  val qAggHeavyHitters: Q = Q(
+    "q_agg_heavy_hitters",
+    (s, dir) => {
+      import s.implicits._
+      val ss = udaf(graft.functions.TypedAggs.SpaceSaving64)
+      Tables.documents(s, dir)
+        .select(explode(split(lower($"text"), " ")).as("term"))
+        .agg(ss($"term").as("ss"))
+        .select(explode($"ss.counts").as(Seq("term", "n")), $"ss.errs")
+        .select($"term", $"n", element_at($"errs", $"term").as("err"))
+        .orderBy($"n".desc, $"term")
+    },
+    oracle = Some(
+      """SELECT term, COUNT(*) AS n, CAST(0 AS BIGINT) AS err
+        |FROM (SELECT unnest(string_split(lower(text), ' ')) AS term
+        |      FROM documents)
+        |GROUP BY term
+        |ORDER BY n DESC, term""".stripMargin))
+
   val all: Vector[Q] = Vector(
     qAggGlobal, qAggGroupby, qAggDistinct, qAggHaving,
     qAggGroupingSets, qAggStats, qAggPercentile, qAggStringagg,
-    qAggApproxHll, qAggCustomTyped)
+    qAggApproxHll, qAggCustomTyped, qAggHeavyHitters)
 }

