@@ -225,6 +225,26 @@ object AggQueries {
         .orderBy($"event_type")
     })
 
+  /** q_agg_approx_percentile (T, added r7) — t-digest quantile sketch
+    * (`percentile_approx`, accuracy 1000): THE percentile form at 100 TB
+    * cardinalities — it partial-aggregates a bounded sketch per
+    * partition where exact `percentile` must materialize every value per
+    * group. Engine-specific sketch ⇒ no DuckDB oracle;
+    * `ApproxPercentileSpec` brackets each group's output between the
+    * exact 0.49/0.51 quantiles (rank error ≤ 1/accuracy ≪ 0.01) and
+    * pins determinism across partitionings. The exact twin
+    * (q_agg_percentile) stays the oracle row. */
+  val qAggApproxPercentile: Q = Q(
+    "q_agg_approx_percentile",
+    (s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .groupBy($"l_returnflag")
+        .agg(percentile_approx($"l_extendedprice", lit(0.5), lit(1000))
+          .as("p50_approx"))
+        .orderBy($"l_returnflag")
+    })
+
   /** #22 q_agg_custom_typed — weighted average via a typed Aggregator
     * UDAF; `TypedAggSpec` pins it to sum(x·w)/sum(w). Oracle-checked:
     * WeightedAvgCents' integer-hundredths buffer is order- and
@@ -284,5 +304,5 @@ object AggQueries {
   val all: Vector[Q] = Vector(
     qAggGlobal, qAggGroupby, qAggDistinct, qAggHaving,
     qAggGroupingSets, qAggStats, qAggPercentile, qAggStringagg,
-    qAggApproxHll, qAggCustomTyped, qAggHeavyHitters)
+    qAggApproxHll, qAggApproxPercentile, qAggCustomTyped, qAggHeavyHitters)
 }

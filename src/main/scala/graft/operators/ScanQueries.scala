@@ -106,6 +106,39 @@ object ScanQueries {
         |FROM lineitem
         |ORDER BY l_orderkey, l_linenumber, revenue, qty_bucket, flag_status""".stripMargin))
 
+  /** q_sql_report (added r7) — the `spark.sql(...)` ENTRY POINT itself:
+    * the same engine surface through literal ANSI SQL over registered
+    * temp views, proving a SQL-first user of the library gets the
+    * identical Catalyst plan the DataFrame DSL rows get (same analyzer,
+    * same optimizer — the DSL and SQL are two front-ends to one plan
+    * space). The query is a TPC-H-Q3-flavor segment/priority revenue
+    * report; the DuckDB twin is the same SQL modulo the decimal-cast
+    * idiom. */
+  val qSqlReport: Q = Q(
+    "q_sql_report",
+    (s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+      Tables.customer(s, dir).createOrReplaceTempView("customer_v")
+      // sql() analyzes eagerly, so the returned frame is bound to these
+      // views NOW — a later build for another dir re-registers them
+      // without disturbing this result.
+      s.sql(
+        """SELECT c_mktsegment, o_orderpriority, COUNT(*) AS n,
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+          |FROM orders_v JOIN customer_v ON o_custkey = c_custkey
+          |WHERE o_orderstatus = 'O'
+          |GROUP BY c_mktsegment, o_orderpriority
+          |ORDER BY c_mktsegment, o_orderpriority""".stripMargin)
+    },
+    oracle = Some(
+      """SELECT c_mktsegment, o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_orderstatus = 'O'
+        |GROUP BY c_mktsegment, o_orderpriority
+        |ORDER BY c_mktsegment, o_orderpriority""".stripMargin))
+
   val all: Vector[Q] =
-    Vector(qScanFull, qScanPrunePushdown, qFilterCompound, qProjectCase)
+    Vector(qScanFull, qScanPrunePushdown, qFilterCompound, qProjectCase,
+      qSqlReport)
 }

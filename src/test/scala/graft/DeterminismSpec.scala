@@ -29,7 +29,16 @@ class DeterminismSpec extends AnyFunSuite with SparkFixture {
   // invariant (row order exempt — T-rows aren't hash-compared by the
   // driver). Streaming replays re-run the whole AvailableNow pipeline
   // per build, so this additionally pins replay reproducibility.
-  Catalog.all.filter(_.oracle.isEmpty).foreach { q =>
+  //
+  // Exception: rows whose CONTRACT is an error bound rather than a value.
+  // The t-digest (percentile_approx) is measured partition-DEPENDENT —
+  // merge order shifts centroid representatives — and only guarantees
+  // rank error; ApproxPercentileSpec asserts that bracket per layout
+  // instead. (HLL stays in the sweep: its merge is a commutative
+  // register-max, hence invariant.)
+  private val errorBoundContract = Set("q_agg_approx_percentile")
+  Catalog.all.filter(q => q.oracle.isEmpty && !errorBoundContract(q.name))
+    .foreach { q =>
     test(s"${q.name} (T) same result set at shuffle.partitions 4 vs 7") {
       spark.conf.set("spark.sql.shuffle.partitions", "4")
       val a = q.build(spark, sfDir).collect().map(_.toString).sorted.toSeq
