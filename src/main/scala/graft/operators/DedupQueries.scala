@@ -479,7 +479,110 @@ object DedupQueries {
          |WHERE doc_id NOT IN (SELECT doc_id FROM near_losers)
          |ORDER BY doc_id""".stripMargin))
 
+  /** Iterative min-label propagation over an undirected pair graph —
+    * the connected-components engine behind q_dedup_components, shared
+    * with `ComponentsSpec`'s planted-chain cases.
+    *
+    * @param vertices one `doc_id` column (every vertex, incl. isolated)
+    * @param pairs    undirected edge list as (u, v) columns
+    * @return (doc_id, canon_id) — canon_id = component minimum
+    */
+  object Components {
+    def labels(vertices: DataFrame, pairs: DataFrame): DataFrame = {
+      val u = col("u"); val v = col("v")
+      val edges = pairs.select(u, v)
+        .union(pairs.select(v.as("u"), u.as("v")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        var labels = vertices
+          .select(col("doc_id"), col("doc_id").as("canon_id"))
+          .localCheckpoint(true)
+        var changed = 1L
+        var iter = 0
+        while (changed > 0 && iter < 25) {
+          val prop = edges.join(labels, edges("u") === labels("doc_id"))
+            .select(edges("v").as("doc_id"), col("canon_id"))
+          val next = labels.union(prop)
+            .groupBy(col("doc_id")).agg(min(col("canon_id")).as("canon_id"))
+            .localCheckpoint(true)
+          changed = next.as("n").join(labels.as("o"), "doc_id")
+            .where(col("n.canon_id") =!= col("o.canon_id")).count()
+          labels = next
+          iter += 1
+        }
+        require(changed == 0,
+          s"label propagation did not converge within $iter rounds — " +
+            "component diameter exceeds the cap; switch to star contraction")
+        labels
+      } finally edges.unpersist()
+    }
+  }
+
+  /** q_dedup_components (added r7) — TRANSITIVE dedup clustering: the
+    * near-dup pair set (prefix-bucket candidates at Jaccard ≥ 0.5, the
+    * same criterion q_dedup_pipeline applies) is a GRAPH, and the unit a
+    * pipeline actually dedups by is its connected component — A≈B≈C must
+    * collapse to one cluster even when A and C never pair directly.
+    * Output: every doc labeled with its component's minimum doc_id.
+    *
+    * Spark side: iterative min-label propagation — labels start as self;
+    * each round propagates labels across edges and keeps the per-vertex
+    * min; converged when no label changes. Each round is one keyed
+    * shuffle over the EDGE set (which LSH/bucketing keeps ≪ n²); rounds
+    * = component diameter. `localCheckpoint` truncates lineage per round
+    * so the plan stays flat; the driver holds only the changed-count.
+    * At 100 TB diameters you'd switch to large-star/small-star
+    * (Kiveris et al., O(log n) rounds) — same join/min primitive, noted
+    * here as the scale upgrade; near-dup components are shallow in
+    * practice, so diameter rounds are the honest default.
+    *
+    * The DuckDB twin computes the same fixpoint declaratively
+    * (WITH RECURSIVE reachability + min over the reach set), so the
+    * oracle pins the TRANSITIVE semantics, not just direct pairs. */
+  val qDedupComponents: Q = Q(
+    "q_dedup_components",
+    (s, dir) => {
+      import s.implicits._
+      val keyed = Shingled(s, dir)
+        .select($"k", $"doc_id", array_distinct($"sh").as("sh"))
+      val pairs = keyed.as("a")
+        .join(keyed.as("b"),
+          col("a.k") === col("b.k") && col("a.doc_id") < col("b.doc_id"))
+        .select(
+          col("a.doc_id").as("u"), col("b.doc_id").as("v"),
+          size(array_intersect(col("a.sh"), col("b.sh"))).cast(DoubleType)
+            .as("ni"),
+          (size(col("a.sh")) + size(col("b.sh"))).cast(DoubleType).as("nab"))
+        .where(round($"ni" / ($"nab" - $"ni"), 6) >= 0.5)
+        .select($"u", $"v")
+      Components.labels(
+          Shingled(s, dir).select($"doc_id"), pairs)
+        .orderBy($"doc_id")
+    },
+    oracle = Some(
+      s"""WITH RECURSIVE keyed AS (
+         |  SELECT doc_id, substring(lower(text), 1, 40) AS k,
+         |    list_distinct(${Shingles.sql("string_split(lower(text), ' ')")}) AS sh
+         |  FROM documents),
+         |pairs AS (
+         |  SELECT a.doc_id AS u, b.doc_id AS v
+         |  FROM keyed a JOIN keyed b ON a.k = b.k AND a.doc_id < b.doc_id
+         |  WHERE ROUND(
+         |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |    (CAST(len(a.sh) + len(b.sh) AS DOUBLE) - len(list_intersect(a.sh, b.sh))),
+         |    6) >= 0.5),
+         |edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         |labels AS (SELECT u AS doc_id, MIN(v) AS mn FROM reach GROUP BY u)
+         |SELECT d.doc_id,
+         |  LEAST(d.doc_id, COALESCE(l.mn, d.doc_id)) AS canon_id
+         |FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
+         |ORDER BY d.doc_id""".stripMargin))
+
   val all: Vector[Q] = Vector(
     qDedupShingleStage, qDedupExact, qDedupNear, qDedupMinhash,
-    qDedupNgramJaccard, qDedupSimhash, qDedupPipeline)
+    qDedupNgramJaccard, qDedupSimhash, qDedupPipeline, qDedupComponents)
 }
