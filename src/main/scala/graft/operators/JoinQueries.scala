@@ -373,8 +373,8 @@ object JoinQueries {
   object Bucketed {
     private val cache = scala.collection.concurrent.TrieMap
       .empty[(org.apache.spark.sql.SparkSession, String), (String, String)]
-    private val root = java.nio.file.Paths.get(
-      "/tmp/graft_buckets", "jvm" + ProcessHandle.current().pid())
+    private val root = graft.TmpRoots.register(java.nio.file.Paths.get(
+      "/tmp/graft_buckets", "jvm" + ProcessHandle.current().pid()))
 
     def apply(s: org.apache.spark.sql.SparkSession, dir: String): (String, String) =
       cache.synchronized {

@@ -130,8 +130,9 @@ object StreamingQueries {
       * staged input or read a half-written output. The pid is stable for
       * the process lifetime, so within one JVM the cache below still
       * reuses the copy. */
-    private val root: java.nio.file.Path = java.nio.file.Paths.get(
-      "/tmp/graft_stream_replay", "jvm" + ProcessHandle.current().pid())
+    private val root: java.nio.file.Path = graft.TmpRoots.register(
+      java.nio.file.Paths.get(
+        "/tmp/graft_stream_replay", "jvm" + ProcessHandle.current().pid()))
 
     /** File-stream sources read DIRECTORIES; stage the single-file
       * events fixture into one (copy once per sfDir per JVM). */
@@ -182,10 +183,13 @@ object StreamingQueries {
       // measured 2.9 → 1.7 s per replay going 32 → 8 at sf0.1. A
       // 100 TB stream sets this to match its key cardinality instead;
       // the knob is per-query (scoped + restored), exactly as a
-      // production job configures its own trigger.
+      // production job configures its own trigger. It stays OVERRIDABLE
+      // (spark.graft.replay.shufflePartitions) so DeterminismSpec's
+      // partition sweep really varies the streaming state layout instead
+      // of being silently pinned to one value.
       val pKey = "spark.sql.shuffle.partitions"
       val prevP = s.conf.get(pKey)
-      s.conf.set(pKey, "8")
+      s.conf.set(pKey, s.conf.get("spark.graft.replay.shufflePartitions", "8"))
       val landed = try {
         val q = transform(src)
           .writeStream
@@ -217,9 +221,25 @@ object StreamingQueries {
 
     /** Newest generation per key from a batch-tagged update changelog —
       * the same newest-wins decision q_merge_upsert ships for CDC apply
-      * (one keyed shuffle, row_number pick). */
+      * (one keyed shuffle, row_number pick).
+      *
+      * Precondition, ENFORCED: at most one row per (key, batch). A
+      * stateful operator can in principle emit two rows for one key in
+      * one micro-batch (transformWithState processes input rows, then
+      * expired timers — a count row plus a tombstone); _batch alone
+      * cannot order those, and a silent arbitrary pick would flip
+      * between runs. Today's single-file staging can't produce that
+      * (batch 0 runs under watermark 0, timers fire in a later batch);
+      * if a future multi-file staging does, fail loudly here instead of
+      * returning nondeterministic output. */
     def reconcileNewest(landed: DataFrame, keys: Seq[String]): DataFrame = {
       import org.apache.spark.sql.expressions.Window
+      val dup = landed.groupBy((keys :+ "_batch").map(col): _*)
+        .agg(count(lit(1)).as("c")).where(col("c") > 1).limit(1).collect()
+      require(dup.isEmpty,
+        s"update-mode replay emitted multiple rows for one key in one " +
+          s"micro-batch (${dup.mkString}); add a within-batch ordinal " +
+          "before reconciling")
       val w = Window.partitionBy(keys.map(col): _*)
         .orderBy(col("_batch").desc)
       landed.withColumn("_rn", row_number().over(w))

@@ -10,15 +10,30 @@ import org.scalatest.funsuite.AnyFunSuite
 class DeterminismSpec extends AnyFunSuite with SparkFixture {
 
   /** Run body at partitions 7, always restoring the fixture default —
-    * an exception at 7 must not leak the setting into later suites. */
+    * an exception at 7 must not leak the setting into later suites.
+    * The streaming replay override (spark.graft.replay.shufflePartitions)
+    * is varied IN LOCKSTEP: Replay.run re-pins shuffle partitions for
+    * its state stores, and without this the sweep would silently run
+    * every q_stream_* row at the same fixed layout twice. */
+  private val replayKey = "spark.graft.replay.shufflePartitions"
+  private def at4[A](body: => A): A = {
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set(replayKey, "4")
+    try body finally spark.conf.unset(replayKey)
+  }
   private def at7[A](body: => A): A =
-    try { spark.conf.set("spark.sql.shuffle.partitions", "7"); body }
-    finally spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      spark.conf.set(replayKey, "7")
+      body
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      spark.conf.unset(replayKey)
+    }
 
   Catalog.all.filter(_.oracle.isDefined).foreach { q =>
     test(s"${q.name} identical at shuffle.partitions 4 vs 7") {
-      spark.conf.set("spark.sql.shuffle.partitions", "4")
-      val a = q.build(spark, sfDir).collect().toSeq
+      val a = at4(q.build(spark, sfDir).collect().toSeq)
       val b = at7(q.build(spark, sfDir).collect().toSeq)
       assert(a == b)
     }
@@ -40,8 +55,7 @@ class DeterminismSpec extends AnyFunSuite with SparkFixture {
   Catalog.all.filter(q => q.oracle.isEmpty && !errorBoundContract(q.name))
     .foreach { q =>
     test(s"${q.name} (T) same result set at shuffle.partitions 4 vs 7") {
-      spark.conf.set("spark.sql.shuffle.partitions", "4")
-      val a = q.build(spark, sfDir).collect().map(_.toString).sorted.toSeq
+      val a = at4(q.build(spark, sfDir).collect().map(_.toString).sorted.toSeq)
       val b = at7(q.build(spark, sfDir).collect().map(_.toString).sorted.toSeq)
       assert(a == b)
     }
