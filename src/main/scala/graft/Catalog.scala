@@ -29,13 +29,15 @@ object Catalog {
       operators.AggQueries.all ++
       operators.WindowQueries.all ++
       operators.SortSetQueries.all ++
+      operators.LayoutQueries.all ++
       operators.ReshapeQueries.all ++
       functions.ScalarFuncQueries.all ++
       operators.TextQueries.all ++
       operators.DedupQueries.all ++
       operators.SkewJoin.all ++
       operators.VectorQueries.all ++
-      streaming.StreamingQueries.all
+      streaming.StreamingQueries.all ++
+      streaming.StreamJoinQueries.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 

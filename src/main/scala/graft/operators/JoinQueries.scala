@@ -424,9 +424,74 @@ object JoinQueries {
         |GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin))
 
+  /** q_join_bloom_filtered (added r7) — runtime BLOOM-FILTER pushdown on
+    * a shuffle join: orders filtered to one priority builds a bloom
+    * filter over its keys at runtime, and Catalyst's InjectRuntimeFilter
+    * pushes `bloom_filter_might_contain(xxhash64(l_orderkey))` into the
+    * lineitem scan, so ~80% of the fact rows die BEFORE the shuffle
+    * instead of after it. At 100 TB this is the difference between
+    * shuffling the whole fact table and shuffling the matching fifth —
+    * the fact⋈fact analogue of DPP (which needs a partition column;
+    * bloom filters work on any key). The thresholds assume cluster-scale
+    * scans (10 GB), so they are scoped to the fixture and the result is
+    * materialized UNDER the scope (optimization happens at action time —
+    * a lazily returned plan would optimize after the conf restore);
+    * broadcast is scoped off because the filter targets shuffle joins,
+    * which is what both sides being fact-sized forces anyway.
+    * PlanAuditSpec asserts the bloom expression sits in the scan's
+    * pushed data filters. Oracle = the same join unfiltered by any
+    * bloom: the filter may only drop NON-matching rows. */
+  val qJoinBloom: Q = Q(
+    "q_join_bloom_filtered",
+    (s, dir) => {
+      import s.implicits._
+      val rows = withBloomConfs(s) {
+        val dim = Tables.orders(s, dir)
+          .where($"o_orderpriority" === "1-URGENT")
+          .select($"o_orderkey")
+        val joined = Tables.lineitem(s, dir)
+          .join(dim, $"l_orderkey" === $"o_orderkey")
+          .groupBy($"l_returnflag")
+          .agg(count(lit(1)).as("n_items"),
+            sumRevenue($"l_extendedprice", $"l_discount").as("revenue"))
+          .orderBy($"l_returnflag")
+        (joined.collect(), joined.schema)
+      }
+      s.createDataFrame(java.util.Arrays.asList(rows._1: _*), rows._2)
+    },
+    oracle = Some(
+      """SELECT l_returnflag, COUNT(*) AS n_items,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        | AND o_orderpriority = '1-URGENT'
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin))
+
+  /** Scope the runtime-bloom-filter confs around `body` and restore.
+    * Package-visible so PlanAuditSpec audits the identical scope. */
+  private[graft] def withBloomConfs[A](s: org.apache.spark.sql.SparkSession)(
+      body: => A): A = {
+    val scoped = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      // Default assumes a ≥10 GB application-side scan; the fixture is
+      // smaller, the plan shape is what's under test.
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      // Both sides fact-sized at 100 TB ⇒ shuffle join, the shape the
+      // filter exists for (a broadcast join IS already the filter).
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prior = scoped.map { case (k, _) => k -> s.conf.getOption(k) }
+    scoped.foreach { case (k, v) => s.conf.set(k, v) }
+    try body
+    finally prior.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None)    => s.conf.unset(k)
+    }
+  }
+
   val all: Vector[Q] = Vector(
     qJoinInner, qJoinBroadcast, qJoinMultiway, qJoinLeftOuter,
     qJoinFullOuter, qJoinSemi, qJoinAnti, qJoinThetaRange,
     qJoinSelfAsof, qJoinSelfAsofNative, qJoinAsofTolerance, qJoinInterval,
-    qJoinBucketed)
+    qJoinBucketed, qJoinBloom)
 }

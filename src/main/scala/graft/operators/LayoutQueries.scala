@@ -1,0 +1,148 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.Dsl._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-layout operators — small-file compaction and sort-clustered
+  * writes (SURVEY.md §2 extension, r7). Derivation: north-star ETL; at
+  * 100 TB the LAYOUT of what a pipeline writes decides the cost of every
+  * later read: a streaming ingest lands thousands of small files per
+  * hour (file-listing and per-file open costs dominate scans), and an
+  * unclustered table makes every selective query a full scan. The two
+  * canonical maintenance passes are compaction (rewrite N small files
+  * into ceil(bytes/target) full ones) and sort-clustering (range-
+  * partition + sort on the hot predicate column so parquet row-group
+  * min/max stats prune).
+  *
+  * Both queries READ THROUGH the maintained layout and oracle-check
+  * against the raw tables: the layout pass must not change a single row.
+  * LayoutSpec asserts the physical claims (file counts, pruned scan).
+  */
+object LayoutQueries {
+
+  /** Per-(session, sfDir) one-time layout builds under a per-JVM /tmp
+    * root (same locked-build pattern as JoinQueries.Bucketed — racing
+    * first calls must not double-write). */
+  object Maintained {
+    private val cache = scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String), (String, String, Int)]
+    private val root = graft.TmpRoots.register(java.nio.file.Paths.get(
+      "/tmp/graft_layout", "jvm" + ProcessHandle.current().pid()))
+
+    /** Bytes one compacted output file targets. Production uses
+      * 128–1024 MiB; the fixture value is chosen so compaction is
+      * non-degenerate at every SF (>1 input file merges into ≥1 output
+      * file, and at sf0.1 into >1, exercising the ceil). */
+    val targetFileBytes: Long = 1L << 21 // 2 MiB
+
+    /** Returns (fragmentedDir, compactedDir, nCompactedFiles).
+      *
+      * The fragmented write simulates a micro-batch ingest: orders
+      * scattered over 64 files (at 100 TB this is an hour of streaming
+      * commits). Compaction then: list the fragment bytes (one
+      * filesystem listing — no data read), size the output as
+      * ceil(bytes / target), and rewrite through coalesce — a NARROW
+      * rewrite, no shuffle: each output task concatenates a set of
+      * input files, so the pass streams at IO speed and never
+      * materializes a partition in memory. (repartition would shuffle
+      * the whole table; it's only needed when output files must also be
+      * size-balanced against skewed inputs.) */
+    def apply(s: SparkSession, dir: String): (String, String, Int) =
+      cache.synchronized {
+        cache.getOrElseUpdate((s, dir), {
+          val tok = dir.replaceAll("[^A-Za-z0-9.]+", "_")
+          val base = root.resolve(tok)
+          val frag = base.resolve("orders_frag").toString
+          val compact = base.resolve("orders_compact").toString
+          Tables.orders(s, dir).repartition(64)
+            .write.mode("overwrite").parquet(frag)
+          val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+            s.sparkContext.hadoopConfiguration)
+          val bytes = fs.listStatus(new org.apache.hadoop.fs.Path(frag))
+            .filter(_.getPath.getName.endsWith(".parquet"))
+            .map(_.getLen).sum
+          val n = math.max(1,
+            math.ceil(bytes.toDouble / targetFileBytes).toInt)
+          s.read.parquet(frag).coalesce(n)
+            .write.mode("overwrite").parquet(compact)
+          (frag, compact, n)
+        })
+      }
+
+    /** Sort-clustered events: range-partitioned on user_id into 8 files,
+      * each sorted by (user_id, ts). Every parquet row group's user_id
+      * min/max then covers a narrow slice, so a selective user_id
+      * predicate prunes all but one file at planning/scan time — the
+      * single-column form of the Z-order/Hilbert clustering a multi-
+      * predicate 100 TB table would use. Distributed end to end:
+      * repartitionByRange samples the key, shuffles once, sorts within
+      * partitions (spillable), and writes — no driver materialization. */
+    private val sortedCache = scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String), String]
+
+    def sortedEvents(s: SparkSession, dir: String): String =
+      sortedCache.synchronized {
+        sortedCache.getOrElseUpdate((s, dir), {
+          val out = root.resolve(dir.replaceAll("[^A-Za-z0-9.]+", "_"))
+            .resolve("events_sorted").toString
+          Tables.events(s, dir)
+            .repartitionByRange(8, col("user_id"))
+            .sortWithinPartitions(col("user_id"), col("ts"))
+            .write.mode("overwrite").parquet(out)
+          out
+        })
+      }
+  }
+
+  /** q_layout_compact — read THROUGH the compacted layout: per-priority
+    * order counts and exact revenue totals over the table that was
+    * fragmented into 64 files and compacted to ceil(bytes/2 MiB).
+    * Oracle = the same agg over raw orders; compaction must be
+    * row-preserving. LayoutSpec asserts the file counts. */
+  val qLayoutCompact: Q = Q(
+    "q_layout_compact",
+    (s, dir) => {
+      import s.implicits._
+      val (_, compact, _) = Maintained(s, dir)
+      s.read.parquet(compact)
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          sumMoney($"o_totalprice").as("revenue"))
+        .orderBy($"o_orderpriority")
+    },
+    oracle = Some(
+      """SELECT o_orderpriority, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin))
+
+  /** q_layout_sorted_scan — a selective per-user slice read through the
+    * sort-clustered layout: user_id ≤ 1 (present at every SF) hits one
+    * of the 8 range files; the other 7 are skipped on their parquet
+    * min/max stats. Oracle = the same slice over raw events — identical
+    * rows, the layout only changes WHERE they sit. LayoutSpec asserts
+    * the scan reads fewer files/rows than the table holds. */
+  val qLayoutSortedScan: Q = Q(
+    "q_layout_sorted_scan",
+    (s, dir) => {
+      import s.implicits._
+      val sorted = Maintained.sortedEvents(s, dir)
+      s.read.parquet(sorted)
+        .where($"user_id" <= 1)
+        .groupBy($"user_id", $"event_type")
+        .agg(count(lit(1)).as("n"), sumMoney($"value").as("sum_value"))
+        .orderBy($"user_id", $"event_type")
+    },
+    oracle = Some(
+      """SELECT user_id, event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE user_id <= 1
+        |GROUP BY user_id, event_type
+        |ORDER BY user_id, event_type""".stripMargin))
+
+  val all: Vector[Q] = Vector(qLayoutCompact, qLayoutSortedScan)
+}

@@ -156,6 +156,19 @@ object StreamingQueries {
         })
       }
 
+    /** A fresh file-stream source over the staged events fixture, with
+      * the same nanos→µs ts conversion Tables.events applies. Exposed
+      * (package-private) so stream-stream joins can open a SECOND
+      * independent source over the same staged directory — each call is
+      * its own streaming relation with its own file tracking. */
+    private[streaming] def eventsSource(
+        s: SparkSession, dir: String): DataFrame = {
+      val inDir = stagedEventsDir(dir)
+      val rawSchema = s.read.parquet(inDir).schema
+      s.readStream.schema(rawSchema).parquet(inDir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    }
+
     /** Replay the events fixture through `transform`; land and return.
       *
       * `updateKeys`: required when mode = "update" — update mode emits a
@@ -170,12 +183,9 @@ object StreamingQueries {
         transform: DataFrame => DataFrame): DataFrame = {
       require(mode != "update" || updateKeys.nonEmpty,
         "update-mode replay needs the delta key to reconcile multi-batch output")
-      val inDir = stagedEventsDir(dir)
       val out = root.resolve(dir.replaceAll("[^A-Za-z0-9.]+", "_"))
         .resolve(s"out_$name").toString
-      val rawSchema = s.read.parquet(inDir).schema
-      val src = s.readStream.schema(rawSchema).parquet(inDir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val src = eventsSource(s, dir)
       // Streaming jobs size shuffle partitions to STATE, not to cores:
       // every stateful operator opens one state store per shuffle
       // partition per micro-batch, and at fixture state sizes (≤ a few

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Data-layout maintenance (LayoutQueries): compaction must merge the
+  * fragmented ingest into the computed file count without changing a
+  * row, and the sort-clustered layout must localize the hot predicate's
+  * rows so parquet min/max stats can skip the rest. */
+class LayoutSpec extends AnyFunSuite with SparkFixture {
+
+  private def parquetFiles(dir: String): Array[java.io.File] =
+    new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+
+  test("compaction merges 64 ingest files into ceil(bytes/target) without row changes") {
+    val (frag, compact, n) = operators.LayoutQueries.Maintained(spark, sfDir)
+    assert(parquetFiles(frag).length == 64)
+    val compactFiles = parquetFiles(compact)
+    assert(compactFiles.length == n)
+    val bytes = parquetFiles(frag).map(_.length).sum
+    assert(n == math.max(1, math.ceil(
+      bytes.toDouble / operators.LayoutQueries.Maintained.targetFileBytes).toInt))
+
+    // Row-preserving: the full multiset of order keys survives.
+    import spark.implicits._
+    val a = spark.read.parquet(frag).select($"o_orderkey")
+      .as[Long].collect().sorted
+    val b = spark.read.parquet(compact).select($"o_orderkey")
+      .as[Long].collect().sorted
+    assert(a.sameElements(b))
+  }
+
+  test("sort-clustered events localize each user slice to one range file") {
+    import spark.implicits._
+    val sorted = operators.LayoutQueries.Maintained.sortedEvents(spark, sfDir)
+    val files = parquetFiles(sorted)
+    assert(files.length == 8)
+
+    // The clustering property that makes min/max skipping work: the
+    // predicate's rows (user_id <= 1) live in exactly ONE of the 8
+    // files, so the other 7 files' row-group stats exclude them.
+    val filesWithSlice = files.count { f =>
+      spark.read.parquet(f.getAbsolutePath)
+        .where($"user_id" <= 1).limit(1).count() > 0
+    }
+    assert(filesWithSlice == 1,
+      s"user_id <= 1 should cluster into 1 file, found in $filesWithSlice")
+
+    // And the predicate reaches the parquet reader as a pushed filter,
+    // the other half of the skipping contract.
+    val q = Catalog.byName("q_layout_sorted_scan").build(spark, sfDir)
+    val explained = q.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(explained.contains("PushedFilters") &&
+      explained.matches("(?s).*PushedFilters: \\[[^\\]]*LessThanOrEqual\\(user_id,1\\).*"),
+      s"expected user_id <= 1 pushed to the parquet scan:\n$explained")
+  }
+
+  test("sorted-scan result equals the same slice over the raw table") {
+    import spark.implicits._
+    val viaLayout = Catalog.byName("q_layout_sorted_scan")
+      .build(spark, sfDir).collect().map(_.toSeq)
+    val raw = Tables.events(spark, sfDir)
+      .where($"user_id" <= 1)
+      .groupBy($"user_id", $"event_type")
+      .agg(count(lit(1)).as("n"), graft.Dsl.sumMoney($"value").as("sum_value"))
+      .orderBy($"user_id", $"event_type")
+      .collect().map(_.toSeq)
+    assert(viaLayout.map(_.toList).toList == raw.map(_.toList).toList)
+    assert(viaLayout.nonEmpty)
+  }
+}

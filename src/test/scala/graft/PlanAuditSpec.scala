@@ -51,6 +51,33 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
       "main table must be partitioned by bucket, not globally sorted")
   }
 
+  test("q_join_bloom_filtered injects a runtime bloom filter into the fact scan") {
+    import spark.implicits._
+    operators.JoinQueries.withBloomConfs(spark) {
+      val dim = Tables.orders(spark, sfDir)
+        .where($"o_orderpriority" === "1-URGENT")
+        .select($"o_orderkey")
+      val joined = Tables.lineitem(spark, sfDir)
+        .join(dim, $"l_orderkey" === $"o_orderkey")
+        .groupBy($"l_returnflag")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_items"))
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("might_contain") && p.contains("bloom_filter_agg"),
+        s"expected a runtime bloom filter on the lineitem side:\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        "the bloom filter must guard a shuffle join — broadcast wouldn't need it")
+      // The guard must sit BELOW the fact-side exchange — pre-shuffle
+      // pruning is the entire point at 100 TB.
+      val lines = p.linesIterator.toVector
+      val exchangeIdx = lines.indexWhere(l =>
+        l.contains("Exchange hashpartitioning(l_orderkey"))
+      val bloomIdx = lines.indexWhere(_.contains("might_contain"))
+      assert(exchangeIdx >= 0 && bloomIdx > exchangeIdx,
+        "bloom filter must prune before the fact shuffle, not after")
+    }
+  }
+
   test("q_topk compiles to TakeOrderedAndProject (no global sort)") {
     val p = planOf("q_topk")
     assert(p.contains("TakeOrderedAndProject"))

@@ -1,0 +1,93 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming joins (StreamJoinQueries): the replayed stream-static and
+  * stream-stream rows must equal their oracle-checked batch twins, and
+  * the stream-stream join must emit incrementally across micro-batches
+  * with bounded state (watermark + range condition). */
+class StreamJoinSpec extends AnyFunSuite with SparkFixture {
+
+  test("replayed stream-static enrich equals the batch twin") {
+    val streamed = Catalog.byName("q_stream_static_enrich")
+      .build(spark, sfDir)
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+      .toSet
+    // The batch twin casts win_start to ntz for its oracle; in the
+    // session's UTC zone the instant is identical.
+    val batch = Catalog.byName("q_enrich_batch").build(spark, sfDir)
+      .withColumn("win_start", col("win_start").cast("timestamp"))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+      .toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("replayed stream-stream join equals the batch twin row-for-row") {
+    val streamed = Catalog.byName("q_stream_stream_join")
+      .build(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val batch = Catalog.byName("q_join_event_pairs")
+      .build(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(streamed.sameElements(batch))
+    assert(streamed.nonEmpty)
+  }
+
+  test("stream-stream inner join emits matches incrementally across batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    def ts(min: Int) = new Timestamp(1700000000000L + min * 60000L)
+
+    val views = MemoryStream[(Long, Timestamp, Long, String)]
+    val purchases = MemoryStream[(Long, Timestamp, Long, String)]
+    def df(m: MemoryStream[(Long, Timestamp, Long, String)]) =
+      m.toDF.toDF("event_id", "ts", "user_id", "event_type")
+
+    val v = df(views).where($"event_type" === "view")
+      .select($"event_id".as("view_event_id"), $"user_id",
+        $"ts".as("v_ts"))
+      .withWatermark("v_ts", "10 minutes")
+    val p = df(purchases).where($"event_type" === "purchase")
+      .select($"event_id".as("purchase_event_id"),
+        $"user_id".as("p_user"), $"ts".as("p_ts"))
+      .withWatermark("p_ts", "10 minutes")
+    val joined = v.join(p,
+      $"user_id" === $"p_user" && $"p_ts" >= $"v_ts" &&
+        $"p_ts" <= $"v_ts" + expr("INTERVAL 1 HOUR"))
+      .select($"view_event_id", $"purchase_event_id")
+
+    val q = joined.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("ssj_test").start()
+    try {
+      // Batch 1: a view with no purchase yet — nothing emits, the view
+      // row waits in join state.
+      views.addData((1L, ts(0), 7L, "view"))
+      q.processAllAvailable()
+      assert(spark.table("ssj_test").count() == 0)
+
+      // Batch 2: a purchase 30 min later for the same user — the pair
+      // emits (inner-join match needs no watermark to fire).
+      purchases.addData((2L, ts(30), 7L, "purchase"))
+      q.processAllAvailable()
+      assert(spark.table("ssj_test").as[(Long, Long)].collect().toSet ==
+        Set((1L, 2L)))
+
+      // Batch 3: a purchase 2 h after the view — outside the range
+      // condition, no new pair.
+      purchases.addData((3L, ts(120), 7L, "purchase"))
+      q.processAllAvailable()
+      assert(spark.table("ssj_test").count() == 1)
+    } finally q.stop()
+  }
+}
