@@ -94,6 +94,27 @@ object LayoutQueries {
           out
         })
       }
+
+    /** Hive-style partitioned events (`event_type=.../`): the directory
+      * layout IS the index — a predicate on the partition column prunes
+      * whole directories at PLANNING time (no file even listed from the
+      * other four), which is how a 100 TB table bounds every daily query
+      * to its date slice. The partition column must be re-selected on
+      * read since the writer moves it out of the files into the paths. */
+    private val partitionedCache = scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String), String]
+
+    def partitionedEvents(s: SparkSession, dir: String): String =
+      partitionedCache.synchronized {
+        partitionedCache.getOrElseUpdate((s, dir), {
+          val out = root.resolve(dir.replaceAll("[^A-Za-z0-9.]+", "_"))
+            .resolve("events_by_type").toString
+          Tables.events(s, dir)
+            .write.partitionBy("event_type")
+            .mode("overwrite").parquet(out)
+          out
+        })
+      }
   }
 
   /** q_layout_compact — read THROUGH the compacted layout: per-priority
@@ -144,5 +165,33 @@ object LayoutQueries {
         |GROUP BY user_id, event_type
         |ORDER BY user_id, event_type""".stripMargin))
 
-  val all: Vector[Q] = Vector(qLayoutCompact, qLayoutSortedScan)
+  /** q_layout_partition_pruned — a one-type slice read through the
+    * Hive-partitioned layout: `event_type = 'purchase'` becomes a
+    * PartitionFilter that skips the other four directories before any
+    * file is opened (static partition pruning; the dynamic form is
+    * plan-audited in PartitionedWriteSpec). Oracle = the same slice
+    * over raw events. Per-day purchase volume — the daily-report query
+    * every partitioned warehouse table exists to serve. */
+  val qLayoutPartitionPruned: Q = Q(
+    "q_layout_partition_pruned",
+    (s, dir) => {
+      import s.implicits._
+      val parted = Maintained.partitionedEvents(s, dir)
+      s.read.parquet(parted)
+        .where($"event_type" === "purchase")
+        .groupBy(date_trunc("day", $"ts").cast("timestamp_ntz").as("day"))
+        .agg(count(lit(1)).as("n"), sumMoney($"value").as("sum_value"))
+        .orderBy($"day")
+    },
+    oracle = Some(
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE event_type = 'purchase'
+        |GROUP BY day
+        |ORDER BY day""".stripMargin))
+
+  val all: Vector[Q] = Vector(
+    qLayoutCompact, qLayoutSortedScan, qLayoutPartitionPruned)
 }

@@ -329,7 +329,67 @@ object VectorQueries {
         |GROUP BY lang
         |ORDER BY lang""".stripMargin))
 
+  /** q_vec_quantize (added r7) — int8 SCALAR QUANTIZATION of the
+    * embedding column: corpus-global [lo, hi] bounds (one tiny agg,
+    * broadcast back), each component affine-mapped to a 0–255 code via
+    * an explicit floor(z + 0.5) (the same literal expression on both
+    * engines — no dependence on either engine's round-half mode), then
+    * dequantized for the reconstruction error. Emits per-vector code
+    * checksum + MSE, the acceptance metric that decides whether the 4×
+    * compression is safe for the downstream ANN index. At 100 TB this
+    * is the op that makes the vector corpus fit: stats are a 1-row agg,
+    * the quantization itself is a narrow codegen'd HOF pass — no
+    * shuffle anywhere. */
+  val qVecQuantize: Q = Q(
+    "q_vec_quantize",
+    (s, dir) => {
+      import s.implicits._
+      val bounds = Tables.embeddings(s, dir).agg(
+        min(array_min(transform($"embedding", _.cast(DoubleType)))).as("lo"),
+        max(array_max(transform($"embedding", _.cast(DoubleType)))).as("hi"))
+      Tables.embeddings(s, dir)
+        .crossJoin(broadcast(bounds))
+        .withColumn("codes", transform($"embedding",
+          x => floor((x.cast(DoubleType) - $"lo") * lit(255.0) /
+            ($"hi" - $"lo") + lit(0.5))))
+        .withColumn("deq", transform($"codes",
+          c => $"lo" + c * ($"hi" - $"lo") / lit(255.0)))
+        .select(
+          $"vec_id",
+          aggregate($"codes", lit(0.0), _ + _).cast(LongType).as("code_sum"),
+          aggregate($"codes", lit(255.0), least(_, _)).cast(LongType)
+            .as("code_min"),
+          aggregate($"codes", lit(0.0), greatest(_, _)).cast(LongType)
+            .as("code_max"),
+          round(aggregate(
+            zip_with($"embedding", $"deq",
+              (x, d) => (x.cast(DoubleType) - d) * (x.cast(DoubleType) - d)),
+            lit(0.0), _ + _) / 64.0, 6).as("mse"))
+        .orderBy($"vec_id")
+    },
+    oracle = Some(
+      """WITH b AS (
+        |  SELECT min(list_min(list_transform(embedding, x -> CAST(x AS DOUBLE)))) AS lo,
+        |         max(list_max(list_transform(embedding, x -> CAST(x AS DOUBLE)))) AS hi
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id, embedding, lo, hi,
+        |    list_transform(embedding,
+        |      x -> floor((CAST(x AS DOUBLE) - lo) * 255.0 / (hi - lo) + 0.5)) AS codes
+        |  FROM embeddings, b)
+        |SELECT vec_id,
+        |  CAST(list_sum(codes) AS BIGINT) AS code_sum,
+        |  CAST(list_min(codes) AS BIGINT) AS code_min,
+        |  CAST(list_max(codes) AS BIGINT) AS code_max,
+        |  ROUND(list_sum(list_transform(range(1, 65), i ->
+        |    (CAST(embedding[i] AS DOUBLE) - (lo + codes[i] * (hi - lo) / 255.0))
+        |    * (CAST(embedding[i] AS DOUBLE) - (lo + codes[i] * (hi - lo) / 255.0))))
+        |    / 64.0, 6) AS mse
+        |FROM q
+        |ORDER BY vec_id""".stripMargin))
+
   val all: Vector[Q] = Vector(
     qVecNormStats, qVecKnnBruteforce, qVecKnnLsh, qVecKnnIvf,
-    qDedupEmbedding, qVecCentroids, qMultimodalJoin, qMultimodalFrames)
+    qDedupEmbedding, qVecCentroids, qMultimodalJoin, qMultimodalFrames,
+    qVecQuantize)
 }

@@ -44,6 +44,7 @@ object SourceQueries {
       fmt match {
         case "csv"  => w.option("header", "true").csv(out)
         case "json" => w.json(out)
+        case "orc"  => w.orc(out)
       }
       out
     })
@@ -70,5 +71,21 @@ object SourceQueries {
     },
     oracle = Some("SELECT * FROM customer ORDER BY c_custkey"))
 
-  val all: Vector[Q] = Vector(qSourceCsv, qSourceJson)
+  /** q_source_orc — ORC write→read round trip over customer. ORC is the
+    * columnar alternative a warehouse migration actually meets (Hive
+    * lineage); Spark bundles the reader/writer, with predicate pushdown
+    * and column pruning on the same DataSource V1 path as parquet. The
+    * explicit schema matters here too: ORC carries its own types, and
+    * the int32/int64 width split must survive the trip. */
+  val qSourceOrc: Q = Q(
+    "q_source_orc",
+    (s, dir) => {
+      import s.implicits._
+      s.read.schema(customerSchema)
+        .orc(export(s, dir, "orc"))
+        .orderBy($"c_custkey")
+    },
+    oracle = Some("SELECT * FROM customer ORDER BY c_custkey"))
+
+  val all: Vector[Q] = Vector(qSourceCsv, qSourceJson, qSourceOrc)
 }

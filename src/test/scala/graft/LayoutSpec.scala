@@ -57,6 +57,46 @@ class LayoutSpec extends AnyFunSuite with SparkFixture {
       s"expected user_id <= 1 pushed to the parquet scan:\n$explained")
   }
 
+  test("partitioned layout prunes 4 of 5 event_type directories at planning time") {
+    import spark.implicits._
+    val parted = operators.LayoutQueries.Maintained
+      .partitionedEvents(spark, sfDir)
+    val typeDirs = new java.io.File(parted).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("event_type="))
+    assert(typeDirs.length == 5)
+    val totalFiles = typeDirs.map(d =>
+      d.listFiles().count(_.getName.endsWith(".parquet"))).sum
+    val purchaseFiles = typeDirs
+      .find(_.getName == "event_type=purchase").get
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(purchaseFiles < totalFiles)
+
+    // AQE scoped off so the scan node is reachable for metric reads
+    // (same caveat as PartitionedWriteSpec's DPP check).
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val prior = spark.conf.getOption(aqeKey)
+    spark.conf.set(aqeKey, "false")
+    try {
+      val q = spark.read.parquet(parted)
+        .where($"event_type" === "purchase")
+        .groupBy($"user_id").count()
+      val p = q.queryExecution.executedPlan.toString
+      assert(p.contains("PartitionFilters") && p.contains("= purchase"),
+        s"expected a static partition filter on event_type:\n$p")
+      q.collect()
+      val scan = q.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      assert(scan.nonEmpty)
+      assert(scan.head.metrics("numFiles").value == purchaseFiles,
+        s"pruned scan must read only the purchase directory's files " +
+          s"(${scan.head.metrics("numFiles").value} vs $purchaseFiles)")
+    } finally prior match {
+      case Some(v) => spark.conf.set(aqeKey, v)
+      case None    => spark.conf.unset(aqeKey)
+    }
+  }
+
   test("sorted-scan result equals the same slice over the raw table") {
     import spark.implicits._
     val viaLayout = Catalog.byName("q_layout_sorted_scan")

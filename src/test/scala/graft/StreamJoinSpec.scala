@@ -90,4 +90,54 @@ class StreamJoinSpec extends AnyFunSuite with SparkFixture {
       assert(spark.table("ssj_test").count() == 1)
     } finally q.stop()
   }
+
+  test("stream-stream LEFT OUTER join emits null-padded rows on watermark advance") {
+    // The outer side can only emit its unmatched rows once the watermark
+    // proves no future match can arrive (v_ts + 1 h + 10 min delay has
+    // passed on BOTH inputs — the global watermark is their minimum).
+    // This is the semantics that makes outer stream joins safe at scale:
+    // state is held exactly until the time bound expires, then released
+    // as a null-padded emission.
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    def ts(min: Int) = new Timestamp(1700000000000L + min * 60000L)
+
+    val views = MemoryStream[(Long, Timestamp, Long)]
+    val purchases = MemoryStream[(Long, Timestamp, Long)]
+    val v = views.toDF.toDF("view_event_id", "v_ts", "user_id")
+      .withWatermark("v_ts", "10 minutes")
+    val p = purchases.toDF.toDF("purchase_event_id", "p_ts", "p_user")
+      .withWatermark("p_ts", "10 minutes")
+    val joined = v.join(p,
+      $"user_id" === $"p_user" && $"p_ts" >= $"v_ts" &&
+        $"p_ts" <= $"v_ts" + expr("INTERVAL 1 HOUR"),
+      "left_outer")
+      .select($"view_event_id", $"purchase_event_id")
+
+    val q = joined.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("ssj_outer_test").start()
+    try {
+      // An unmatched view: nothing may emit while a match is possible.
+      views.addData((1L, ts(0), 7L))
+      q.processAllAvailable()
+      assert(spark.table("ssj_outer_test").count() == 0)
+
+      // Advance BOTH watermarks far past ts0 + 1 h (+ the 10-min delay);
+      // the sentinel rows are for different users, so no pair forms.
+      views.addData((90L, ts(300), 8L))
+      purchases.addData((91L, ts(300), 9L))
+      q.processAllAvailable()
+      // State-eviction emissions land in a follow-up batch after the
+      // watermark update; poke one more cycle.
+      views.addData((92L, ts(310), 8L))
+      purchases.addData((93L, ts(310), 9L))
+      q.processAllAvailable()
+
+      val rows = spark.table("ssj_outer_test")
+        .as[(Long, Option[Long])].collect().toSet
+      assert(rows.contains((1L, None)),
+        s"expected the expired view emitted null-padded, got $rows")
+    } finally q.stop()
+  }
 }
