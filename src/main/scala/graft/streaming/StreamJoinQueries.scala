@@ -83,8 +83,11 @@ object StreamJoinQueries {
     })
 
   /** The funnel pair projection both twins share: view→purchase pairs of
-    * the same user within one hour, with the exact µs delay. */
-  private def pairs(views: DataFrame, purchases: DataFrame): DataFrame = {
+    * the same user within one hour, with the exact µs delay.
+    * `joinType` "inner" for the matched funnel, "left_outer" for the
+    * abandonment variant (views with no purchase emit null-padded). */
+  private def pairs(views: DataFrame, purchases: DataFrame,
+      joinType: String = "inner"): DataFrame = {
     val v = views
       .where(col("event_type") === "view")
       .select(col("event_id").as("view_event_id"), col("user_id"),
@@ -96,7 +99,8 @@ object StreamJoinQueries {
     v.join(p,
         col("user_id") === col("p_user") &&
           col("p_ts") >= col("v_ts") &&
-          col("p_ts") <= col("v_ts") + expr("INTERVAL 1 HOUR"))
+          col("p_ts") <= col("v_ts") + expr("INTERVAL 1 HOUR"),
+        joinType)
       .select(col("view_event_id"), col("purchase_event_id"),
         col("user_id"),
         (unix_micros(col("p_ts")) - unix_micros(col("v_ts")))
@@ -144,6 +148,29 @@ object StreamJoinQueries {
       }.orderBy($"view_event_id", $"purchase_event_id")
     })
 
+  /** q_stream_stream_outer — the LEFT OUTER form replayed end-to-end:
+    * views with no purchase within the hour emit null-padded, but ONLY
+    * once the global watermark proves no match can still arrive
+    * (v_ts + 1 h < final watermark) — the no-data micro-batch after the
+    * file replay performs exactly that state eviction, the same
+    * mechanism q_stream_stateful_tws demonstrates for timers. Views
+    * newer than the horizon are dropped with the query, unemitted:
+    * landed output ⊊ the batch left join BY DESIGN, and StreamJoinSpec
+    * pins the landed set to the exact watermark-derived expectation. */
+  val qStreamStreamOuter: Q = Q(
+    "q_stream_stream_outer",
+    (s, dir) => {
+      import s.implicits._
+      StreamingQueries.Replay.run(s, dir, "stream_outer", "append") { src =>
+        val views = src.withWatermark("ts", "10 minutes")
+        val purchases = StreamingQueries.Replay.eventsSource(s, dir)
+          .withWatermark("ts", "10 minutes")
+        pairs(views, purchases, "left_outer")
+      }.orderBy($"view_event_id",
+        $"purchase_event_id".asc_nulls_first)
+    })
+
   val all: Vector[Q] = Vector(
-    qEnrichBatch, qStreamStaticEnrich, qJoinEventPairs, qStreamStreamJoin)
+    qEnrichBatch, qStreamStaticEnrich, qJoinEventPairs, qStreamStreamJoin,
+    qStreamStreamOuter)
 }

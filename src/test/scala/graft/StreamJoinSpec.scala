@@ -43,6 +43,37 @@ class StreamJoinSpec extends AnyFunSuite with SparkFixture {
     assert(streamed.nonEmpty)
   }
 
+  test("replayed outer stream-stream join lands pairs + watermark-expired views") {
+    import spark.implicits._
+    val landed = Catalog.byName("q_stream_stream_outer")
+      .build(spark, sfDir).collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toSet
+
+    // Expectation, derived batch-side: every matched pair, plus every
+    // UNMATCHED view whose 1-hour horizon closed before the final
+    // watermark (max event time − 10 min delay). Views newer than that
+    // hold state the query drops unemitted at shutdown.
+    val ev = Tables.events(spark, sfDir)
+    val matched = Catalog.byName("q_join_event_pairs")
+      .build(spark, sfDir).collect()
+      .map(r => (r.getLong(0), Some(r.getLong(1)): Option[Long]))
+    val wmMicros = ev.agg(org.apache.spark.sql.functions.max(
+        unix_micros(col("ts")))).head.getLong(0) - 600000000L
+    val expiredUnmatched = ev.where(col("event_type") === "view")
+      .where(unix_micros(col("ts")) + 3600000000L < wmMicros)
+      .select(col("event_id"), col("user_id"), col("ts"))
+      .collect()
+      .filter(v => !matched.exists(_._1 == v.getLong(0)))
+      .map(v => (v.getLong(0), None: Option[Long]))
+    val expected = matched.toSet ++ expiredUnmatched
+    assert(landed == expected,
+      s"missing=${(expected -- landed).take(5)} extra=${(landed -- expected).take(5)}")
+    assert(expiredUnmatched.nonEmpty,
+      "fixture must exercise the null-padded expiry path")
+  }
+
   test("stream-stream inner join emits matches incrementally across batches") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -138,6 +169,17 @@ class StreamJoinSpec extends AnyFunSuite with SparkFixture {
         .as[(Long, Option[Long])].collect().toSet
       assert(rows.contains((1L, None)),
         s"expected the expired view emitted null-padded, got $rows")
+
+      // The eviction must also RELEASE the state (what bounds the join
+      // at scale): the final progress's state row count sits below the
+      // peak — expired rows left the store, they weren't just emitted.
+      // (Later sentinel rows re-grow the count, so the signal is any
+      // batch-over-batch DROP, not the final value.)
+      val totals = q.recentProgress.toSeq
+        .filter(_.stateOperators.nonEmpty)
+        .map(_.stateOperators.map(_.numRowsTotal).sum)
+      assert(totals.sliding(2).exists(w => w.size == 2 && w(1) < w(0)),
+        s"join state should shrink after watermark eviction: $totals")
     } finally q.stop()
   }
 }
