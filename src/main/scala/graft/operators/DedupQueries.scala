@@ -512,9 +512,74 @@ object DedupQueries {
         }
         require(changed == 0,
           s"label propagation did not converge within $iter rounds — " +
-            "component diameter exceeds the cap; switch to star contraction")
+            "component diameter exceeds the cap; use Components.star")
         labels
       } finally edges.unpersist()
+    }
+
+    /** Large-star/small-star contraction (Kiveris et al., "Connected
+      * Components in MapReduce and Beyond" — the public O(log n)-round
+      * algorithm): alternate
+      *   large-star: every neighbor LARGER than u re-points to
+      *     m = min(Γ⁺(u)) (strictly shrinks long tails), and
+      *   small-star: u and its ≤-neighbors all re-point to their min
+      *     (flattens local stars),
+      * until the edge set is a fixpoint — at which point every edge is
+      * (node → its component minimum). Rounds grow with log(diameter),
+      * not diameter: a 10⁶-node chain needs ~20 rounds where label
+      * propagation needs 10⁶. Each phase is one groupBy over the edge
+      * set (+ a broadcast-min join back), exactly the primitive mix the
+      * propagation loop uses, so the 100 TB cost model is unchanged —
+      * there are just O(log n) rounds of it. Same contract as
+      * [[labels]]; `ComponentsSpec` pins equivalence on random graphs
+      * and convergence on a chain 8× past the propagation cap. */
+    def star(vertices: DataFrame, pairs: DataFrame): DataFrame = {
+      def minNeighbor(e: DataFrame): DataFrame =
+        e.groupBy(col("u"))
+          .agg(least(min(col("v")), first(col("u"))).as("m"))
+
+      // large-star: emit (v, m(u)) for v > u, over the SYMMETRIZED set.
+      def largeStar(e: DataFrame): DataFrame = {
+        val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+        sym.join(minNeighbor(sym), "u")
+          .where(col("v") > col("u"))
+          .select(col("v").as("u"), col("m").as("v"))
+          .distinct()
+      }
+
+      // small-star: over edges pointed low-to-high ((v,u) with v ≤ u),
+      // re-point u and all its ≤-neighbors at their collective min.
+      def smallStar(e: DataFrame): DataFrame = {
+        val low = e.select(greatest(col("u"), col("v")).as("u"),
+          least(col("u"), col("v")).as("v"))
+        val withM = low.join(minNeighbor(low), "u")
+        withM.select(col("v").as("u"), col("m").as("v"))
+          .union(withM.select(col("u"), col("m").as("v")))
+          .where(col("u") =!= col("v"))
+          .distinct()
+      }
+
+      var edges = pairs.select(col("u"), col("v"))
+        .where(col("u") =!= col("v")).distinct().localCheckpoint(true)
+      var stable = false
+      var iter = 0
+      while (!stable && iter < 50) {
+        val next = smallStar(largeStar(edges)).localCheckpoint(true)
+        // Fixpoint when the canonical edge multiset is unchanged (both
+        // sets are distinct, so two anti-join counts decide equality).
+        stable = next.count() == edges.count() &&
+          next.join(edges, Seq("u", "v"), "left_anti").isEmpty
+        edges = next
+        iter += 1
+      }
+      require(stable, s"star contraction did not converge in $iter rounds")
+      // Fixpoint edges are (node → component min); isolated vertices
+      // (and each component's root) label themselves.
+      vertices.select(col("doc_id"))
+        .join(edges.select(col("u").as("doc_id"), col("v").as("root")),
+          Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          coalesce(col("root"), col("doc_id")).as("canon_id"))
     }
   }
 
@@ -531,10 +596,11 @@ object DedupQueries {
     * shuffle over the EDGE set (which LSH/bucketing keeps ≪ n²); rounds
     * = component diameter. `localCheckpoint` truncates lineage per round
     * so the plan stays flat; the driver holds only the changed-count.
-    * At 100 TB diameters you'd switch to large-star/small-star
-    * (Kiveris et al., O(log n) rounds) — same join/min primitive, noted
-    * here as the scale upgrade; near-dup components are shallow in
-    * practice, so diameter rounds are the honest default.
+    * For 100 TB diameters `Components.star` SHIPS the
+    * large-star/small-star form (Kiveris et al., O(log n) rounds —
+    * ComponentsSpec runs it on a path 8× past this loop's cap and pins
+    * equivalence on random graphs); near-dup components are shallow in
+    * practice, so diameter rounds stay the honest default here.
     *
     * The DuckDB twin computes the same fixpoint declaratively
     * (WITH RECURSIVE reachability + min over the reach set), so the
