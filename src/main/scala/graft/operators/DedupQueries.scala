@@ -605,24 +605,31 @@ object DedupQueries {
     * The DuckDB twin computes the same fixpoint declaratively
     * (WITH RECURSIVE reachability + min over the reach set), so the
     * oracle pins the TRANSITIVE semantics, not just direct pairs. */
+  /** The near-dup candidate edge set both components rows cluster:
+    * prefix-bucket candidates at shingle-Jaccard ≥ 0.5 (q_dedup_pipeline's
+    * criterion), as (u, v) with u < v. */
+  private def nearDupPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val keyed = Shingled(s, dir)
+      .select($"k", $"doc_id", array_distinct($"sh").as("sh"))
+    keyed.as("a")
+      .join(keyed.as("b"),
+        col("a.k") === col("b.k") && col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("u"), col("b.doc_id").as("v"),
+        size(array_intersect(col("a.sh"), col("b.sh"))).cast(DoubleType)
+          .as("ni"),
+        (size(col("a.sh")) + size(col("b.sh"))).cast(DoubleType).as("nab"))
+      .where(round($"ni" / ($"nab" - $"ni"), 6) >= 0.5)
+      .select($"u", $"v")
+  }
+
   val qDedupComponents: Q = Q(
     "q_dedup_components",
     (s, dir) => {
       import s.implicits._
-      val keyed = Shingled(s, dir)
-        .select($"k", $"doc_id", array_distinct($"sh").as("sh"))
-      val pairs = keyed.as("a")
-        .join(keyed.as("b"),
-          col("a.k") === col("b.k") && col("a.doc_id") < col("b.doc_id"))
-        .select(
-          col("a.doc_id").as("u"), col("b.doc_id").as("v"),
-          size(array_intersect(col("a.sh"), col("b.sh"))).cast(DoubleType)
-            .as("ni"),
-          (size(col("a.sh")) + size(col("b.sh"))).cast(DoubleType).as("nab"))
-        .where(round($"ni" / ($"nab" - $"ni"), 6) >= 0.5)
-        .select($"u", $"v")
       Components.labels(
-          Shingled(s, dir).select($"doc_id"), pairs)
+          Shingled(s, dir).select($"doc_id"), nearDupPairs(s, dir))
         .orderBy($"doc_id")
     },
     oracle = Some(
@@ -648,7 +655,24 @@ object DedupQueries {
          |FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
          |ORDER BY d.doc_id""".stripMargin))
 
+  /** q_dedup_components_star (added r7) — the SAME clustering through
+    * `Components.star` (large-star/small-star, O(log n) rounds): both
+    * algorithms must produce identical component-minimum labels, so this
+    * row shares q_dedup_components' recursive-CTE oracle verbatim — the
+    * scale-path algorithm is oracle-checked end-to-end on the organic
+    * fixture graph, not just on ComponentsSpec's planted ones. */
+  val qDedupComponentsStar: Q = Q(
+    "q_dedup_components_star",
+    (s, dir) => {
+      import s.implicits._
+      Components.star(
+          Shingled(s, dir).select($"doc_id"), nearDupPairs(s, dir))
+        .orderBy($"doc_id")
+    },
+    oracle = qDedupComponents.oracle)
+
   val all: Vector[Q] = Vector(
     qDedupShingleStage, qDedupExact, qDedupNear, qDedupMinhash,
-    qDedupNgramJaccard, qDedupSimhash, qDedupPipeline, qDedupComponents)
+    qDedupNgramJaccard, qDedupSimhash, qDedupPipeline, qDedupComponents,
+    qDedupComponentsStar)
 }
