@@ -29,6 +29,7 @@ object Catalog {
       operators.AggQueries.all ++
       operators.WindowQueries.all ++
       operators.SortSetQueries.all ++
+      operators.AnalyticsQueries.all ++
       operators.LayoutQueries.all ++
       operators.ReshapeQueries.all ++
       functions.ScalarFuncQueries.all ++

@@ -301,8 +301,43 @@ object AggQueries {
         |GROUP BY term
         |ORDER BY n DESC, term""".stripMargin))
 
+  /** q_agg_sketch_union (T, added r7) — MERGEABLE distinct sketches:
+    * per-day Datasketches-HLL sketches of active users
+    * (`hll_sketch_agg`), then the month total via `hll_union_agg` over
+    * the stored DAY sketches — never re-touching the events. This is
+    * the pre-aggregated-sketch-table pattern that makes "distinct over
+    * any date range" O(days) instead of O(rows) at 100 TB: sketches,
+    * unlike distinct counts, compose under union. The NULL-day row is
+    * the month union; per-day rows carry exact distincts alongside for
+    * the error contract. Engine-specific sketch bytes ⇒ no DuckDB
+    * oracle; `HllSpec` pins union-vs-direct consistency and the
+    * relative-error envelope against exact.
+    */
+  val qAggSketchUnion: Q = Q(
+    "q_agg_sketch_union",
+    (s, dir) => {
+      import s.implicits._
+      val daily = Tables.events(s, dir)
+        .groupBy(date_trunc("day", $"ts").as("day"))
+        .agg(
+          hll_sketch_agg($"user_id", lit(12)).as("sk"),
+          count_distinct($"user_id").as("exact_users"))
+      val dayRows = daily.select(
+        $"day".cast("timestamp_ntz").as("day"),
+        hll_sketch_estimate($"sk").as("approx_users"),
+        $"exact_users")
+      val monthRow = daily
+        .agg(hll_sketch_estimate(hll_union_agg($"sk")).as("approx_users"))
+        .crossJoin(
+          Tables.events(s, dir).agg(count_distinct($"user_id").as("exact_users")))
+        .select(lit(null).cast("timestamp_ntz").as("day"),
+          $"approx_users", $"exact_users")
+      dayRows.unionAll(monthRow).orderBy($"day".asc_nulls_last)
+    })
+
   val all: Vector[Q] = Vector(
     qAggGlobal, qAggGroupby, qAggDistinct, qAggHaving,
     qAggGroupingSets, qAggStats, qAggPercentile, qAggStringagg,
-    qAggApproxHll, qAggApproxPercentile, qAggCustomTyped, qAggHeavyHitters)
+    qAggApproxHll, qAggApproxPercentile, qAggCustomTyped, qAggHeavyHitters,
+    qAggSketchUnion)
 }

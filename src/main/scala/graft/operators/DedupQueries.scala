@@ -671,8 +671,67 @@ object DedupQueries {
     },
     oracle = qDedupComponents.oracle)
 
+  /** q_text_contamination (added r7) — benchmark DECONTAMINATION, the
+    * pass every training corpus runs before shipping: per non-benchmark
+    * document, the share of its distinct 3-token shingles that also
+    * occur anywhere in a held-out benchmark set; docs above 50% overlap
+    * are flagged as contaminated (eval data leaking into training).
+    * The benchmark here is the deterministic md5-gated ~5% doc sample
+    * (q_sample_deterministic's engine-portable gate); at sf0.01 the
+    * flag catches exactly the 3 organic near-dup partners of benchmark
+    * docs (profiled: the ratio distribution is 0–0.2 for everything
+    * else), so the 0/1 flag is non-degenerate.
+    *
+    * Shape: both sides read the SHARED persisted shingle stage (no
+    * re-shingling); the benchmark's distinct-shingle set is
+    * benchmark-sized — in production benchmarks (MMLU/GSM8K/…) are
+    * KILOBYTES against 100 TB of corpus, so it broadcasts and the
+    * corpus side is one narrow explode + a broadcast left-semi probe +
+    * one doc-keyed partial agg; the corpus never shuffles on shingle.
+    */
+  val qTextContamination: Q = Q(
+    "q_text_contamination",
+    (s, dir) => {
+      import s.implicits._
+      val gate = substring(md5($"doc_id".cast("string")), 1, 2) < "0d"
+      val sh = Shingled(s, dir)
+        .select($"doc_id", explode(array_distinct($"sh")).as("g"))
+      val bench = sh.where(gate).select($"g").distinct()
+      val rest = sh.where(not(gate))
+      val tot = rest.groupBy($"doc_id").agg(count(lit(1)).as("n_grams"))
+      val hits = rest.join(broadcast(bench), Seq("g"), "left_semi")
+        .groupBy($"doc_id").agg(count(lit(1)).as("n_hit"))
+      tot.join(hits, Seq("doc_id"), "left")
+        .select(
+          $"doc_id", $"n_grams",
+          coalesce($"n_hit", lit(0L)).as("n_hit"),
+          round(coalesce($"n_hit", lit(0L)) / $"n_grams", 6)
+            .as("contamination"),
+          (coalesce($"n_hit", lit(0L)) / $"n_grams" >= 0.5).cast(LongType)
+            .as("flagged"))
+        .orderBy($"doc_id")
+    },
+    oracle = Some(
+      s"""WITH sh AS (
+         |  SELECT doc_id, unnest(list_distinct(
+         |    ${Shingles.sql("string_split(lower(text), ' ')")})) AS g
+         |  FROM documents),
+         |bench AS (SELECT DISTINCT g FROM sh
+         |          WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '0d'),
+         |rest AS (SELECT * FROM sh
+         |         WHERE NOT substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '0d'),
+         |tot AS (SELECT doc_id, count(*) AS n_grams FROM rest GROUP BY doc_id),
+         |hits AS (SELECT r.doc_id, count(*) AS n_hit
+         |         FROM rest r JOIN bench b ON r.g = b.g GROUP BY r.doc_id)
+         |SELECT t.doc_id, t.n_grams,
+         |  coalesce(h.n_hit, 0) AS n_hit,
+         |  ROUND(coalesce(h.n_hit, 0) / t.n_grams, 6) AS contamination,
+         |  CAST(coalesce(h.n_hit, 0) / t.n_grams >= 0.5 AS BIGINT) AS flagged
+         |FROM tot t LEFT JOIN hits h ON t.doc_id = h.doc_id
+         |ORDER BY t.doc_id""".stripMargin))
+
   val all: Vector[Q] = Vector(
     qDedupShingleStage, qDedupExact, qDedupNear, qDedupMinhash,
     qDedupNgramJaccard, qDedupSimhash, qDedupPipeline, qDedupComponents,
-    qDedupComponentsStar)
+    qDedupComponentsStar, qTextContamination)
 }

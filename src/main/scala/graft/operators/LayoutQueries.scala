@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{Q, Tables}
 import graft.Dsl._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Data-layout operators — small-file compaction and sort-clustered
@@ -101,6 +101,56 @@ object LayoutQueries {
       * other four), which is how a 100 TB table bounds every daily query
       * to its date slice. The partition column must be re-selected on
       * read since the writer moves it out of the files into the paths. */
+    /** Morton (Z-order) interleave of two 16-bit keys: bit i of `a`
+      * lands at position 2i, bit i of `b` at 2i+1 — a static 32-term
+      * codegen'd bitwise expression, no UDF. Keys must already be
+      * range-normalized to [0, 65535] so both dimensions contribute
+      * equally to every prefix of the curve. */
+    def morton16(a: Column, b: Column): Column =
+      (0 until 16).map { i =>
+        shiftleft(a.bitwiseAND(lit(1L << i)), i)
+          .bitwiseOR(shiftleft(b.bitwiseAND(lit(1L << i)), i + 1))
+      }.reduce(_ bitwiseOR _)
+
+    /** Z-ORDERED events: both user_id and event day range-normalized to
+      * 16 bits, Morton-interleaved, then range-partitioned + sorted on
+      * the z value (8 files). Each file then covers a RECTANGLE-ish
+      * region of (user, day) space, so parquet min/max stats prune
+      * files for predicates on EITHER dimension — the property a
+      * single-column sort can't give (sortedEvents localizes user
+      * slices perfectly but spreads every day slice across all 8
+      * files). This is the standard multi-dimensional clustering recipe
+      * (Delta/Iceberg OPTIMIZE ZORDER BY): normalize → interleave →
+      * range-partition → sort-within → write; all distributed, the
+      * bounds come from a 1-row agg broadcast, never the driver. */
+    private val zorderCache = scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String), String]
+
+    def zorderedEvents(s: SparkSession, dir: String): String =
+      zorderCache.synchronized {
+        zorderCache.getOrElseUpdate((s, dir), {
+          val out = root.resolve(dir.replaceAll("[^A-Za-z0-9.]+", "_"))
+            .resolve("events_zorder").toString
+          val ev = Tables.events(s, dir)
+            .withColumn("ud", expr("unix_micros(ts) div 86400000000"))
+          val bounds = ev.agg(
+            min(col("user_id")).as("ulo"), max(col("user_id")).as("uhi"),
+            min(col("ud")).as("dlo"), max(col("ud")).as("dhi"))
+          val cols = Tables.events(s, dir).columns.map(col)
+          ev.crossJoin(broadcast(bounds))
+            .withColumn("su",
+              expr("(user_id - ulo) * 65535 div greatest(uhi - ulo, 1)"))
+            .withColumn("sd",
+              expr("(ud - dlo) * 65535 div greatest(dhi - dlo, 1)"))
+            .withColumn("z", morton16(col("su"), col("sd")))
+            .repartitionByRange(8, col("z"))
+            .sortWithinPartitions(col("z"))
+            .select(cols: _*)
+            .write.mode("overwrite").parquet(out)
+          out
+        })
+      }
+
     private val partitionedCache = scala.collection.concurrent.TrieMap
       .empty[(SparkSession, String), String]
 
@@ -192,6 +242,36 @@ object LayoutQueries {
         |GROUP BY day
         |ORDER BY day""".stripMargin))
 
+  /** q_layout_zorder — a TWO-dimensional slice (user range AND date
+    * range) read through the Z-ordered layout: Morton clustering keeps
+    * both predicate columns localized, so file-level min/max stats
+    * prune files for this slice where the single-column sorted layout
+    * only helps the user dimension (LayoutSpec asserts the contrast:
+    * a day slice lives in a strict subset of the z-layout's files but
+    * spans ALL of the user-sorted layout's). Both predicates are pushed
+    * to the parquet reader. Oracle = the same slice over raw events:
+    * clustering must not change a row. */
+  val qLayoutZorder: Q = Q(
+    "q_layout_zorder",
+    (s, dir) => {
+      import s.implicits._
+      val z = Maintained.zorderedEvents(s, dir)
+      s.read.parquet(z)
+        .where($"user_id".between(2, 5) &&
+          $"ts" < lit("2024-01-11 00:00:00").cast("timestamp"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), sumMoney($"value").as("sum_value"))
+        .orderBy($"event_type")
+    },
+    oracle = Some(
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE user_id BETWEEN 2 AND 5 AND ts < TIMESTAMP '2024-01-11 00:00:00'
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin))
+
   val all: Vector[Q] = Vector(
-    qLayoutCompact, qLayoutSortedScan, qLayoutPartitionPruned)
+    qLayoutCompact, qLayoutSortedScan, qLayoutPartitionPruned,
+    qLayoutZorder)
 }

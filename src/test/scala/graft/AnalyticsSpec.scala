@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structural invariants of the behavioral-analytics family
+  * (AnalyticsQueries) — the value-level truth is pinned by each row's
+  * DuckDB oracle; these tests assert the properties the oracles can't
+  * see: monotonicity, built-in identities, and plan shape. */
+class AnalyticsSpec extends AnyFunSuite with SparkFixture {
+
+  test("funnel step counts are monotonically non-increasing and conv starts at 1") {
+    val rows = Catalog.byName("q_funnel").build(spark, sfDir).collect()
+    assert(rows.length == 3)
+    val users = rows.map(_.getLong(2))
+    assert(users.zip(users.tail).forall { case (a, b) => a >= b },
+      s"funnel must narrow: ${users.mkString(",")}")
+    assert(users.head > 0)
+    assert(rows.head.getDouble(3) == 1.0) // step 1 conv vs itself
+    val convs = rows.map(_.getDouble(3))
+    assert(convs.forall(c => c >= 0.0 && c <= 1.0))
+  }
+
+  test("cohort retention: offset 0 is exactly 1.0 and every rate is in (0, 1]") {
+    val rows = Catalog.byName("q_cohort_retention").build(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (off, ret) = (r.getLong(1), r.getDouble(3))
+      assert(ret > 0.0 && ret <= 1.0, s"retention $ret out of range")
+      if (off == 0L)
+        assert(ret == 1.0,
+          s"every user is active in their first week, got $ret")
+    }
+  }
+
+  test("gap-fill produces one row per calendar day, zero-fills gaps, carries ffill") {
+    import spark.implicits._
+    val rows = Catalog.byName("q_ts_gapfill").build(spark, sfDir).collect()
+    val days = rows.map( // day is TIMESTAMP_NTZ ⇒ LocalDateTime in rows
+      _.getAs[java.time.LocalDateTime](0).toLocalDate.toEpochDay)
+    // Dense calendar: consecutive day numbers from min to max.
+    assert(days.zip(days.tail).forall { case (a, b) => b == a + 1L },
+      "calendar spine must be gap-free")
+    // Non-gap rows = observed days; gaps are zero-revenue by construction.
+    val observedDays = Tables.orders(spark, sfDir)
+      .select(date_trunc("day", $"o_orderdate").as("d")).distinct().count()
+    assert(rows.count(_.getLong(2) == 0L) == observedDays)
+    rows.filter(_.getLong(2) == 1L).foreach { r =>
+      assert(r.getDouble(1) == 0.0, "gap day revenue must be zero-filled")
+    }
+    // ffill never null after the first observed day, and equals revenue
+    // on every non-gap row.
+    rows.filter(_.getLong(2) == 0L).foreach { r =>
+      assert(r.getDouble(3) == r.getDouble(1))
+    }
+    assert(rows.drop(1).forall(!_.isNullAt(3)),
+      "forward fill must carry a value after the first observed day")
+  }
+
+  test("histogram bins partition the table: counts sum to row count, ids in [0,19]") {
+    val rows = Catalog.byName("q_hist_binned").build(spark, sfDir).collect()
+    val total = Tables.orders(spark, sfDir).count()
+    assert(rows.map(_.getLong(1)).sum == total)
+    assert(rows.forall(r => r.getLong(0) >= 0L && r.getLong(0) <= 19L))
+    // Both edge bins are populated (min and max rows must land somewhere).
+    assert(rows.exists(_.getLong(0) == 0L))
+    assert(rows.exists(_.getLong(0) == 19L))
+  }
+
+  test("z-score outliers are non-degenerate and every |z| clears the threshold") {
+    val rows = Catalog.byName("q_anomaly_zscore").build(spark, sfDir)
+      .collect()
+    val total = Tables.events(spark, sfDir).count()
+    assert(rows.nonEmpty, "fixture values are right-skewed; outliers exist")
+    assert(rows.length < total / 10,
+      "an anomaly flag that fires on >10% of rows is a broken threshold")
+    assert(rows.forall(r => math.abs(r.getDouble(3)) > 2.5))
+  }
+
+  test("incremental partial-state merge is indistinguishable from full recompute") {
+    import spark.implicits._
+    val merged = Catalog.byName("q_agg_incremental").build(spark, sfDir)
+      .collect().map(_.toSeq.toList).toList
+    val full = Tables.orders(spark, sfDir)
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).cast("long").as("n_orders"),
+        Dsl.sumMoney($"o_totalprice").as("total"))
+      .withColumn("avg_price", round($"total" / $"n_orders", 4))
+      .orderBy($"o_orderpriority")
+      .collect().map(_.toSeq.toList).toList
+    assert(merged == full)
+  }
+
+  test("funnel scans are event_type-pruned at the parquet reader") {
+    val q = Catalog.byName("q_funnel").build(spark, sfDir)
+    val explained = q.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // Each step's scan should push its event_type equality down.
+    Seq("view", "click", "purchase").foreach { t =>
+      assert(explained.contains(s"EqualTo(event_type,$t)"),
+        s"expected pushed filter for step '$t':\n$explained")
+    }
+  }
+
+  test("contamination ratios are in [0,1] and the flag is non-degenerate at sf0.01") {
+    // Profiled at sf0.01 (the oracle SF): 3 organic near-dups of
+    // benchmark docs sit at ratio 1.0; the rest are ≤ ~0.25. sf0.001's
+    // corpus is too small to plant flagged docs, so assert there on
+    // range only and on the flag threshold identity.
+    val rows = Catalog.byName("q_text_contamination").build(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (ratio, flagged) = (r.getDouble(3), r.getLong(4))
+      assert(ratio >= 0.0 && ratio <= 1.0)
+      assert((flagged == 1L) ==
+        (r.getLong(2).toDouble / r.getLong(1) >= 0.5))
+    }
+    // Benchmark docs themselves never appear in the report.
+    val gated = Tables.documents(spark, sfDir)
+      .where(substring(md5(col("doc_id").cast("string")), 1, 2) < "0d")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(rows.map(_.getLong(0)).toSet.intersect(gated).isEmpty)
+  }
+}

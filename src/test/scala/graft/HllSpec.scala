@@ -25,6 +25,36 @@ class HllSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("sketch union over day sketches matches direct sketching and exact counts") {
+    import spark.implicits._
+    val rows = Catalog.byName("q_agg_sketch_union").build(spark, sfDir)
+      .collect()
+    val (dayRows, unionRows) = rows.partition(!_.isNullAt(0))
+    assert(unionRows.length == 1 && dayRows.nonEmpty)
+
+    // Per-day estimates track the exact per-day distincts (lgK=12 ⇒
+    // ~1.6% rsd; fixture cardinalities are tiny so HLL is near-exact —
+    // allow 5%).
+    dayRows.foreach { r =>
+      val (approx, exact) = (r.getLong(1), r.getLong(2))
+      assert(math.abs(approx - exact) <= math.max(1L, (0.05 * exact).toLong),
+        s"day=${r.get(0)} approx=$approx exact=$exact")
+    }
+
+    // THE mergeability contract: the union of per-day sketches equals
+    // sketching the whole table directly — partial sketch states
+    // compose losslessly, which is what makes the stored-sketch-table
+    // pattern sound at 100 TB.
+    val direct = Tables.events(spark, sfDir)
+      .agg(hll_sketch_estimate(hll_sketch_agg($"user_id", lit(12))))
+      .as[Long].head()
+    assert(unionRows.head.getLong(1) == direct,
+      "union-of-parts must equal sketch-of-whole")
+    val exactMonth = unionRows.head.getLong(2)
+    assert(math.abs(unionRows.head.getLong(1) - exactMonth) <=
+      math.max(1L, (0.05 * exactMonth).toLong))
+  }
+
   test("approx distinct is exact at tiny cardinality (15 users at sf0.001)") {
     import spark.implicits._
     val a = Tables.events(spark, sfDir)

@@ -97,6 +97,69 @@ class LayoutSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("z-order clusters BOTH dimensions where the single-column sort clusters one") {
+    import spark.implicits._
+    val z = operators.LayoutQueries.Maintained.zorderedEvents(spark, sfDir)
+    val sorted = operators.LayoutQueries.Maintained.sortedEvents(spark, sfDir)
+    val zFiles = parquetFiles(z)
+    assert(zFiles.length == 8)
+
+    def filesWith(files: Array[java.io.File],
+        pred: org.apache.spark.sql.Column): Int =
+      files.count { f =>
+        spark.read.parquet(f.getAbsolutePath).where(pred).limit(1)
+          .count() > 0
+      }
+
+    val dayPred = $"ts" < lit("2024-01-11 00:00:00").cast("timestamp")
+    val userPred = $"user_id".between(2, 5)
+
+    // The 2-D slice (the catalog row's predicate) lives in a strict
+    // subset of the z-layout's files — file min/max stats can skip the
+    // rest for a predicate on EITHER column.
+    val both = filesWith(zFiles, dayPred && userPred)
+    assert(both < 8, s"2-D slice should not span all z files ($both)")
+
+    // The contrast that justifies Morton over a plain sort: a DAY slice
+    // is localized by the z-layout but spans every user-sorted file
+    // (days are uniform within each user range).
+    val dayZ = filesWith(zFiles, dayPred)
+    val daySorted = filesWith(parquetFiles(sorted), dayPred)
+    assert(daySorted == 8,
+      s"user-sorted layout cannot localize a day slice ($daySorted)")
+    assert(dayZ < daySorted,
+      s"z-layout must beat the sorted layout on the day dimension " +
+        s"($dayZ vs $daySorted)")
+
+    // Row preservation: clustering is a rewrite, never a filter.
+    assert(spark.read.parquet(z).count() ==
+      Tables.events(spark, sfDir).count())
+
+    // Both predicates reach the parquet reader on the catalog row.
+    val q = Catalog.byName("q_layout_zorder").build(spark, sfDir)
+    val explained = q.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(explained.contains("PushedFilters") &&
+      explained.contains("GreaterThanOrEqual(user_id,2)") &&
+      explained.contains("LessThan(ts,"),
+      s"expected both dimensions pushed:\n$explained")
+  }
+
+  test("morton16 interleaves bits exactly (scala reference on random keys)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val pairs = Seq.fill(200)((rnd.nextInt(65536).toLong,
+      rnd.nextInt(65536).toLong))
+    def ref(a: Long, b: Long): Long =
+      (0 until 16).map(i => (((a >> i) & 1L) << (2 * i)) |
+        (((b >> i) & 1L) << (2 * i + 1))).reduce(_ | _)
+    val got = pairs.toDF("a", "b")
+      .select(operators.LayoutQueries.Maintained
+        .morton16(col("a"), col("b")).as("z"))
+      .as[Long].collect()
+    assert(got.toSeq == pairs.map { case (a, b) => ref(a, b) })
+  }
+
   test("sorted-scan result equals the same slice over the raw table") {
     import spark.implicits._
     val viaLayout = Catalog.byName("q_layout_sorted_scan")
