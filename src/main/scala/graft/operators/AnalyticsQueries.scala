@@ -304,7 +304,72 @@ object AnalyticsQueries {
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin))
 
+  /** q_ts_ewma — exponentially weighted moving average (α = 1/4) of
+    * each user's event values, the classic streaming smoother:
+    * ewma₁ = x₁; ewmaᵢ = α·xᵢ + (1−α)·ewmaᵢ₋₁, carried in EXACT
+    * fixed-point micro-units with HALF_UP at each step. The integer
+    * recurrence eᵢ = (centsᵢ·10⁴ + 3·eᵢ₋₁ + 2) div 4 IS the spec: a
+    * float chain is engine-unportable by construction (0.75·a-6dp-value
+    * ends in .25/.50/.75 of the next digit, so every ~100th step lands
+    * EXACTLY on a rounding boundary where decimal-string and binary
+    * round() disagree — observed immediately in preflight); integer
+    * arithmetic has no representation to disagree about, and the final
+    * e/10⁶ division is one exact-input IEEE op in both engines.
+    *
+    * Spark-first shape: the recurrence is inherently SEQUENTIAL per
+    * key — no window function expresses it without the numerically
+    * explosive (1−α)^(−i) rescaling trick — so this is the sort-based
+    * scale path: repartition on user_id, secondary sort within
+    * partitions on (user, ts, id), ONE typed mapPartitions pass
+    * carrying O(1) state per key (the same machinery as the winnowing
+    * deque and AsOfJoinExec's merge). Distributed across keys, linear
+    * in time, no driver state. The DuckDB twin replays the identical
+    * integer recurrence declaratively via WITH RECURSIVE over per-user
+    * row numbers — the oracle pins every step of the chain, not just
+    * the endpoints.
+    */
+  val qTsEwma: Q = Q(
+    "q_ts_ewma",
+    (s, dir) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .select($"user_id", $"event_id", unix_micros($"ts").as("tsus"),
+          $"value")
+        .as[(Long, Long, Long, Double)]
+        .repartition($"user_id")
+        .sortWithinPartitions($"user_id", $"tsus", $"event_id")
+        .mapPartitions { it =>
+          var curUser = Long.MinValue
+          var prev = 0L // ewma in exact 1e-6 units
+          it.map { case (u, id, _, x) =>
+            val cents = math.rint(x * 100).toLong // exact: 2-dp fixture
+            prev =
+              if (u != curUser) cents * 10000L
+              else (cents * 10000L + 3L * prev + 2L) / 4L
+            curUser = u
+            (id, u, prev / 1e6)
+          }
+        }
+        .toDF("event_id", "user_id", "ewma")
+        .orderBy($"event_id")
+    },
+    oracle = Some(
+      """WITH RECURSIVE base AS (
+        |  SELECT user_id, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS cents,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |ew AS (
+        |  SELECT user_id, event_id, rn, cents * 10000 AS e
+        |  FROM base WHERE rn = 1
+        |  UNION ALL
+        |  SELECT b.user_id, b.event_id, b.rn,
+        |    (b.cents * 10000 + 3 * ew.e + 2) // 4 AS e
+        |  FROM ew JOIN base b ON b.user_id = ew.user_id AND b.rn = ew.rn + 1)
+        |SELECT event_id, user_id, CAST(e AS DOUBLE) / 1000000 AS ewma
+        |FROM ew ORDER BY event_id""".stripMargin))
+
   val all: Vector[Q] = Vector(
     qFunnel, qCohortRetention, qTsGapfill, qHistBinned,
-    qAnomalyZscore, qAggIncremental)
+    qAnomalyZscore, qAggIncremental, qTsEwma)
 }

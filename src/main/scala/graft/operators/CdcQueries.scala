@@ -81,5 +81,46 @@ object CdcQueries {
         |WHERE rn = 1
         |ORDER BY o_orderkey""".stripMargin))
 
-  val all: Vector[Q] = Vector(qMergeUpsert)
+  /** q_dim_scd2 (added r7) — build a TYPE-2 slowly-changing dimension
+    * from a changelog: each user's 'signup' events, read as attribute-
+    * change records, become versioned dimension rows with an exclusive
+    * [valid_from, valid_to) effective range (valid_to = the next
+    * change's timestamp via lead) and an is_current flag on the open
+    * row. This is the dimension-history table every warehouse keeps so
+    * facts can join the attribute AS OF their own date (the point-in-
+    * time join itself is covered by q_join_interval / the native as-of
+    * operator — this row ships the BUILD).
+    *
+    * Scale: one keyed shuffle on user_id + a per-user ordered window
+    * over that user's CHANGE rows only (the changelog, pruned at the
+    * scan by the pushed event_type filter — never the full stream).
+    * Exactly-one-current-per-user is a structural invariant the spec
+    * pins; the oracle pins the ranges themselves.
+    */
+  val qDimScd2: Q = Q(
+    "q_dim_scd2",
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      Tables.events(s, dir)
+        .where($"event_type" === "signup")
+        .select($"user_id", $"event_id", $"value".as("attr"),
+          $"ts".as("vf"), lead($"ts", 1).over(w).as("vt"))
+        .select($"user_id", $"event_id", $"attr",
+          $"vf".cast("timestamp_ntz").as("valid_from"),
+          $"vt".cast("timestamp_ntz").as("valid_to"),
+          $"vt".isNull.cast("long").as("is_current"))
+        .orderBy($"user_id", $"valid_from", $"event_id")
+    },
+    oracle = Some(
+      """SELECT user_id, event_id, value AS attr,
+        |  ts AS valid_from,
+        |  lead(ts, 1) OVER w AS valid_to,
+        |  CAST(lead(ts, 1) OVER w IS NULL AS BIGINT) AS is_current
+        |FROM events
+        |WHERE event_type = 'signup'
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, valid_from, event_id""".stripMargin))
+
+  val all: Vector[Q] = Vector(qMergeUpsert, qDimScd2)
 }

@@ -103,6 +103,59 @@ class AnalyticsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("ewma matches a driver-side sequential reference per user") {
+    import spark.implicits._
+    val got = Catalog.byName("q_ts_ewma").build(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // Independent reference: collect the raw events, replay the exact
+    // fixed-point recurrence per user in plain Scala.
+    val events = Tables.events(spark, sfDir)
+      .select($"user_id", $"event_id", unix_micros($"ts"), $"value")
+      .as[(Long, Long, Long, Double)].collect()
+    val expected = events.groupBy(_._1).iterator.flatMap { case (_, rows) =>
+      var prev = 0L
+      var first = true
+      rows.sortBy(r => (r._3, r._2)).map { case (_, id, _, x) =>
+        val cents = math.rint(x * 100).toLong
+        prev =
+          if (first) cents * 10000L
+          else (cents * 10000L + 3L * prev + 2L) / 4L
+        first = false
+        id -> prev / 1e6
+      }
+    }.toMap
+    assert(got == expected)
+    // Partitioning-invariance: the sequential chain must not depend on
+    // how keys were distributed.
+    val few = Catalog.byName("q_ts_ewma").build(spark, sfDir)
+      .repartition(1).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(few == expected)
+  }
+
+  test("scd2 dimension has exactly one current open-ended row per user") {
+    val rows = Catalog.byName("q_dim_scd2").build(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val byUser = rows.groupBy(_.getLong(0))
+    byUser.foreach { case (u, versions) =>
+      // Exactly one current row, and it is the only null valid_to.
+      assert(versions.count(_.getLong(5) == 1L) == 1, s"user $u")
+      assert(versions.count(_.isNullAt(4)) == 1, s"user $u")
+      // Ranges chain without gaps or overlaps: sorted by valid_from,
+      // each row's valid_to equals the next row's valid_from.
+      val sorted = versions.sortBy(
+        _.getAs[java.time.LocalDateTime](3).toString)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(!a.isNullAt(4) &&
+            a.getAs[java.time.LocalDateTime](4) ==
+              b.getAs[java.time.LocalDateTime](3),
+            s"user $u has a gap/overlap in its version chain")
+        case _ => ()
+      }
+    }
+  }
+
   test("contamination ratios are in [0,1] and the flag is non-degenerate at sf0.01") {
     // Profiled at sf0.01 (the oracle SF): 3 organic near-dups of
     // benchmark docs sit at ratio 1.0; the rest are ≤ ~0.25. sf0.001's
