@@ -37,6 +37,7 @@ object Catalog {
       operators.DedupQueries.all ++
       operators.SkewJoin.all ++
       operators.VectorQueries.all ++
+      operators.PqQuantizer.all ++
       streaming.StreamingQueries.all ++
       streaming.StreamJoinQueries.all
 
