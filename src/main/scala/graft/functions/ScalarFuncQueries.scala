@@ -1,6 +1,7 @@
 package graft.functions
 
 import graft.{Q, Tables}
+import graft.Dsl._
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -183,6 +184,60 @@ object ScalarFuncQueries {
         |GROUP BY bucket
         |ORDER BY bucket""".stripMargin))
 
+  /** q_null_semantics (added r7) — the NULL contract in one oracle row,
+    * because engines disagree here more than anywhere else: (1) NULL
+    * group keys aggregate into ONE group; (2) count(*) counts rows but
+    * count(col) skips NULLs; (3) SUM skips NULLs; (4) null-safe
+    * equality (Spark `<=>` ≡ DuckDB IS NOT DISTINCT FROM) joins the
+    * NULL group to itself where plain `=` would drop it; (5) ascending
+    * NULLS FIRST ordering — stated explicitly since Spark defaults
+    * NULLS FIRST but DuckDB defaults NULLS LAST. Derived NULLs (every
+    * 7th user's key, every 'error' value) keep the row deterministic
+    * from fixture data alone.
+    *
+    * Shape: two partial-agg shuffles on the same 8-value key domain +
+    * a domain-sized null-safe join — at 100 TB the join inputs are
+    * key-domain-sized, so this is broadcast territory; the semantics,
+    * not the volume, are the point.
+    */
+  val qNullSemantics: Q = Q(
+    "q_null_semantics",
+    (s, dir) => {
+      import s.implicits._
+      val keyed = Tables.events(s, dir)
+        .withColumn("k",
+          when(pmod($"user_id", lit(7)) === 0, lit(null).cast("long"))
+            .otherwise(pmod($"user_id", lit(7))))
+        .withColumn("v",
+          when($"event_type" === "error", lit(null).cast("double"))
+            .otherwise($"value"))
+      val a1 = keyed.groupBy($"k").agg(
+        count(lit(1)).as("n_rows"),
+        count($"v").as("n_vals"),
+        sum(dec2($"v")).cast(DoubleType).as("sum_v"))
+      val a2 = keyed.groupBy($"k".as("k2")).agg(
+        countDistinct($"user_id").as("n_users"))
+      a1.join(a2, $"k" <=> $"k2")
+        .select($"k", $"n_rows", $"n_vals", $"sum_v", $"n_users")
+        .orderBy($"k".asc_nulls_first)
+    },
+    oracle = Some(
+      """WITH keyed AS (
+        |  SELECT CASE WHEN user_id % 7 = 0 THEN NULL ELSE user_id % 7 END AS k,
+        |    CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v,
+        |    user_id
+        |  FROM events),
+        |a1 AS (
+        |  SELECT k, count(*) AS n_rows, count(v) AS n_vals,
+        |    CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+        |  FROM keyed GROUP BY k),
+        |a2 AS (SELECT k AS k2, count(DISTINCT user_id) AS n_users
+        |       FROM keyed GROUP BY k)
+        |SELECT k, n_rows, n_vals, sum_v, n_users
+        |FROM a1 JOIN a2 ON k IS NOT DISTINCT FROM k2
+        |ORDER BY k NULLS FIRST""".stripMargin))
+
   val all: Vector[Q] =
-    Vector(qStrFuncs, qDateFuncs, qMathFuncs, qArrayFuncs, qJsonExtract)
+    Vector(qStrFuncs, qDateFuncs, qMathFuncs, qArrayFuncs, qJsonExtract,
+      qNullSemantics)
 }
