@@ -11,7 +11,7 @@ class PqSpec extends AnyFunSuite with SparkFixture {
   import operators.PqQuantizer
 
   private lazy val emb = Tables.embeddings(spark, sfDir)
-  private lazy val codebooks = PqQuantizer.train(emb, iters = 3)
+  private lazy val codebooks = PqQuantizer.Codebooks(spark, sfDir)
   private lazy val encoded = PqQuantizer.encode(emb, codebooks)
 
   test("codes are 32-bit-packed, one row per vector, deterministic across partitionings") {
