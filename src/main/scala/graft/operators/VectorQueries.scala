@@ -125,7 +125,7 @@ object VectorQueries {
     (s, dir) => {
       import s.implicits._
       val emb = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
-      AnnIvf.search(emb, AnnIvf.train(emb, k = 8, iters = 3),
+      AnnIvf.search(emb, AnnIvf.Models(s, dir, k = 8, iters = 3),
         probeId = 0L, nprobe = 3, topK = 5)
     })
 

@@ -222,6 +222,53 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("q_anomaly_zscore broadcasts the 5-row stats table back onto the scan") {
+    val p = planOf("q_anomaly_zscore")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the per-type stats join must broadcast, never shuffle the events:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"stats join regressed to SMJ:\n$p")
+  }
+
+  test("q_hist_binned is one partial-agg shuffle over a broadcast-bounded scan") {
+    val p = planOf("q_hist_binned")
+    val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx == 1,
+      s"histogram must shuffle once (the 20-bin agg), got $hashEx:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"bounds must attach via broadcast:\n$p")
+  }
+
+  test("q_text_contamination probes the benchmark set via broadcast semi join") {
+    val p = planOf("q_text_contamination")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"benchmark membership must be a broadcast semi probe:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the corpus side must never shuffle on the shingle key:\n$p")
+  }
+
+  test("q_agg_incremental prunes both partition scans on the split date") {
+    val p = formattedPlan("q_agg_incremental")
+    assert(p.contains("PushedFilters"))
+    assert(p.contains("LessThan(o_orderdate") &&
+      p.contains("GreaterThanOrEqual(o_orderdate"),
+      s"base and delta scans must both push the date split to parquet:\n$p")
+  }
+
+  test("q_ts_ewma shuffles once on user_id; the chain itself is narrow") {
+    val p = planOf("q_ts_ewma")
+    val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx == 1,
+      s"the EWMA pass needs exactly the one user_id repartition, got $hashEx:\n$p")
+  }
+
+  test("q_vec_pq encoding is shuffle-free (codebook is broadcast literal state)") {
+    val p = planOf("q_vec_pq")
+    val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx == 0,
+      s"PQ encode must be a narrow pass — codebooks are literals, " +
+        s"no join, no agg before the final sort:\n$p")
+  }
+
   test("no query plan contains a cartesian product") {
     // Streaming replay rows are excluded: their build RUNS the whole
     // AvailableNow replay and returns a bare parquet read of the landed
