@@ -195,5 +195,20 @@ object PqQuantizer {
         .orderBy(col("vec_id"))
     })
 
-  val all: Vector[Q] = Vector(qVecPq)
+  /** q_vec_knn_pq (T) — the PQ SEARCH path as a catalog row, completing
+    * the ANN trio (q_vec_knn_lsh buckets, q_vec_knn_ivf cells, this one
+    * codes): top-5 neighbors of probe vec_id=0 by ADC over the cached
+    * codebook — candidates are scored from their 32-bit codes alone.
+    * PqSpec pins recall/order-agreement vs the exact brute force. */
+  val qVecKnnPq: Q = Q(
+    "q_vec_knn_pq",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val books = Codebooks(s, dir)
+      val probeVec = emb.where(col("vec_id") === 0L)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      adcSearch(encode(emb, books), books, probeVec, probeId = 0L, topK = 5)
+    })
+
+  val all: Vector[Q] = Vector(qVecPq, qVecKnnPq)
 }
