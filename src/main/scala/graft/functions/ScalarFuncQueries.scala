@@ -195,7 +195,8 @@ object ScalarFuncQueries {
     * 7th user's key, every 'error' value) keep the row deterministic
     * from fixture data alone.
     *
-    * Shape: two partial-agg shuffles on the same 8-value key domain +
+    * Shape: two partial-agg shuffles on the same 7-value key domain
+    * (NULL + residues 1–6) +
     * a domain-sized null-safe join — at 100 TB the join inputs are
     * key-domain-sized, so this is broadcast territory; the semantics,
     * not the volume, are the point.

@@ -288,8 +288,14 @@ object AnalyticsQueries {
       def partial(df: DataFrame): DataFrame =
         df.groupBy($"o_orderpriority")
           .agg(count(lit(1)).as("cnt"), sum(dec2($"o_totalprice")).as("sdec"))
+      // The two partitions must COVER the table: a NULL o_orderdate
+      // satisfies neither `< split` nor `>= split` (three-valued logic)
+      // and would silently vanish from the merge while the full-recompute
+      // oracle counts it — so NULL dates are pinned to the delta side.
+      // (Fixture dates are non-null; the guard is for the contract.)
       partial(o.where($"o_orderdate" < split))
-        .unionAll(partial(o.where($"o_orderdate" >= split)))
+        .unionAll(partial(o.where($"o_orderdate" >= split ||
+          $"o_orderdate".isNull)))
         .groupBy($"o_orderpriority")
         .agg(sum($"cnt").cast(LongType).as("n_orders"),
           sum($"sdec").cast(DoubleType).as("total"))

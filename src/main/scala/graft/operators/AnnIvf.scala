@@ -26,19 +26,22 @@ object AnnIvf {
     lit(cNorm2) - lit(2.0) * expr(s"vec_dot($vec, _ivf_c)")
   }
 
-  /** Assign each row to its nearest centroid: adds an integer `cell`. */
-  def assign(df: DataFrame, centroids: Seq[Array[Float]]): DataFrame = {
+  /** Assign each row to its nearest centroid: adds integer `outCol`.
+    * Column names are parameters so PQ's per-subspace encoding reuses
+    * this same cost/argmin instead of re-implementing it. */
+  def assign(df: DataFrame, centroids: Seq[Array[Float]],
+      vecCol: String = "embedding", outCol: String = "cell"): DataFrame = {
     require(centroids.nonEmpty, "cannot assign against an empty codebook")
     // Bind each centroid as a literal column so vec_dot (codegen'd)
     // applies; compute all costs, argmin via array_position.
     val withCosts = centroids.zipWithIndex.foldLeft(df) { case (d, (c, j)) =>
       d.withColumn("_ivf_c", typedLit(c.toSeq))
-        .withColumn(s"_cost$j", cellCost("embedding", c))
+        .withColumn(s"_cost$j", cellCost(vecCol, c))
         .drop("_ivf_c")
     }
     val costArr = array(centroids.indices.map(j => col(s"_cost$j")): _*)
     withCosts
-      .withColumn("cell",
+      .withColumn(outCol,
         (array_position(costArr, array_min(costArr)) - 1).cast("int"))
       .drop(centroids.indices.map(j => s"_cost$j"): _*)
   }
@@ -100,16 +103,15 @@ object AnnIvf {
     * quantizer (same locked-build pattern as PqQuantizer.Codebooks).
     * Without it each bench rep re-runs the full Lloyd loop. */
   object Models {
-    private val cache = scala.collection.concurrent.TrieMap
-      .empty[(org.apache.spark.sql.SparkSession, String, Int, Int),
-        Seq[Array[Float]]]
+    private val cache = new graft.Memo[
+      (org.apache.spark.sql.SparkSession, String, Int, Int),
+      Seq[Array[Float]]]
 
     def apply(s: org.apache.spark.sql.SparkSession, dir: String,
         k: Int, iters: Int): Seq[Array[Float]] =
-      cache.synchronized {
-        cache.getOrElseUpdate((s, dir, k, iters),
-          train(graft.Tables.embeddings(s, dir)
-            .select(col("vec_id"), col("embedding")), k, iters))
+      cache((s, dir, k, iters)) {
+        train(graft.Tables.embeddings(s, dir)
+          .select(col("vec_id"), col("embedding")), k, iters)
       }
   }
 

@@ -71,17 +71,14 @@ object DedupQueries {
     // sfDirs. A service embedding this would key by dir only and
     // unpersist on session close; at 100 TB the stage is a written table
     // and this cache doesn't exist at all.
-    private val cache =
-      scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    private val cache = new graft.Memo[(SparkSession, String), DataFrame]
 
     def apply(s: SparkSession, dir: String): DataFrame =
-      // Build under the map's lock: TrieMap.getOrElseUpdate may run the
-      // thunk twice under concurrent first calls, and the losing copy
-      // would stay persist-marked (pinned MEMORY_AND_DISK) for the JVM
+      // graft.Memo serializes first calls: a racing losing copy would
+      // stay persist-marked (pinned MEMORY_AND_DISK) for the JVM
       // lifetime. The thunk is pure plan construction + a persist MARK
-      // (no job runs until a consumer acts), so holding the lock is µs.
-      cache.synchronized {
-      cache.getOrElseUpdate((s, dir), {
+      // (no job runs until a consumer acts), so the lock hold is µs.
+      cache((s, dir)) {
         Tables.documents(s, dir)
           .withColumn("lt", lower(col("text")))
           .withColumn("w", split(col("lt"), " "))
@@ -91,7 +88,6 @@ object DedupQueries {
             substring(col("lt"), 1, 40).as("k"),
             Shingles.of("w").as("sh"))
           .persist(StorageLevel.MEMORY_AND_DISK)
-      })
       }
   }
 

@@ -371,14 +371,14 @@ object JoinQueries {
     * exchange-free. Locked build for the same reason as
     * DedupQueries.Shingled — racing first calls must not double-write. */
   object Bucketed {
-    private val cache = scala.collection.concurrent.TrieMap
-      .empty[(org.apache.spark.sql.SparkSession, String), (String, String)]
+    private val cache = new graft.Memo[
+      (org.apache.spark.sql.SparkSession, String), (String, String)]
     private val root = graft.TmpRoots.register(java.nio.file.Paths.get(
       "/tmp/graft_buckets", "jvm" + ProcessHandle.current().pid()))
 
     def apply(s: org.apache.spark.sql.SparkSession, dir: String): (String, String) =
-      cache.synchronized {
-        cache.getOrElseUpdate((s, dir), {
+      cache((s, dir)) {
+        locally {
           val tok = dir.replaceAll("[^A-Za-z0-9.]+", "_").replace('.', '_')
           val (to, tc) = (s"b_orders_$tok", s"b_customer_$tok")
           val base = root.resolve(tok)
@@ -392,7 +392,7 @@ object JoinQueries {
             .option("path", base.resolve("customer").toString)
             .mode("overwrite").saveAsTable(tc)
           (to, tc)
-        })
+        }
       }
   }
 

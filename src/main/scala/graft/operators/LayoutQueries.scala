@@ -26,8 +26,8 @@ object LayoutQueries {
     * root (same locked-build pattern as JoinQueries.Bucketed — racing
     * first calls must not double-write). */
   object Maintained {
-    private val cache = scala.collection.concurrent.TrieMap
-      .empty[(SparkSession, String), (String, String, Int)]
+    private val cache = new graft.Memo[(SparkSession, String),
+      (String, String, Int)]
     private val root = graft.TmpRoots.register(java.nio.file.Paths.get(
       "/tmp/graft_layout", "jvm" + ProcessHandle.current().pid()))
 
@@ -50,8 +50,7 @@ object LayoutQueries {
       * the whole table; it's only needed when output files must also be
       * size-balanced against skewed inputs.) */
     def apply(s: SparkSession, dir: String): (String, String, Int) =
-      cache.synchronized {
-        cache.getOrElseUpdate((s, dir), {
+      cache((s, dir)) {
           val tok = dir.replaceAll("[^A-Za-z0-9.]+", "_")
           val base = root.resolve(tok)
           val frag = base.resolve("orders_frag").toString
@@ -68,7 +67,6 @@ object LayoutQueries {
           s.read.parquet(frag).coalesce(n)
             .write.mode("overwrite").parquet(compact)
           (frag, compact, n)
-        })
       }
 
     /** Sort-clustered events: range-partitioned on user_id into 8 files,
@@ -79,12 +77,10 @@ object LayoutQueries {
       * predicate 100 TB table would use. Distributed end to end:
       * repartitionByRange samples the key, shuffles once, sorts within
       * partitions (spillable), and writes — no driver materialization. */
-    private val sortedCache = scala.collection.concurrent.TrieMap
-      .empty[(SparkSession, String), String]
+    private val sortedCache = new graft.Memo[(SparkSession, String), String]
 
     def sortedEvents(s: SparkSession, dir: String): String =
-      sortedCache.synchronized {
-        sortedCache.getOrElseUpdate((s, dir), {
+      sortedCache((s, dir)) {
           val out = root.resolve(dir.replaceAll("[^A-Za-z0-9.]+", "_"))
             .resolve("events_sorted").toString
           Tables.events(s, dir)
@@ -92,15 +88,8 @@ object LayoutQueries {
             .sortWithinPartitions(col("user_id"), col("ts"))
             .write.mode("overwrite").parquet(out)
           out
-        })
       }
 
-    /** Hive-style partitioned events (`event_type=.../`): the directory
-      * layout IS the index — a predicate on the partition column prunes
-      * whole directories at PLANNING time (no file even listed from the
-      * other four), which is how a 100 TB table bounds every daily query
-      * to its date slice. The partition column must be re-selected on
-      * read since the writer moves it out of the files into the paths. */
     /** Morton (Z-order) interleave of two 16-bit keys: bit i of `a`
       * lands at position 2i, bit i of `b` at 2i+1 — a static 32-term
       * codegen'd bitwise expression, no UDF. Keys must already be
@@ -123,12 +112,10 @@ object LayoutQueries {
       * (Delta/Iceberg OPTIMIZE ZORDER BY): normalize → interleave →
       * range-partition → sort-within → write; all distributed, the
       * bounds come from a 1-row agg broadcast, never the driver. */
-    private val zorderCache = scala.collection.concurrent.TrieMap
-      .empty[(SparkSession, String), String]
+    private val zorderCache = new graft.Memo[(SparkSession, String), String]
 
     def zorderedEvents(s: SparkSession, dir: String): String =
-      zorderCache.synchronized {
-        zorderCache.getOrElseUpdate((s, dir), {
+      zorderCache((s, dir)) {
           val out = root.resolve(dir.replaceAll("[^A-Za-z0-9.]+", "_"))
             .resolve("events_zorder").toString
           val ev = Tables.events(s, dir)
@@ -148,22 +135,24 @@ object LayoutQueries {
             .select(cols: _*)
             .write.mode("overwrite").parquet(out)
           out
-        })
       }
 
-    private val partitionedCache = scala.collection.concurrent.TrieMap
-      .empty[(SparkSession, String), String]
+    /** Hive-style partitioned events (`event_type=.../`): the directory
+      * layout IS the index — a predicate on the partition column prunes
+      * whole directories at PLANNING time (no file even listed from the
+      * other four), which is how a 100 TB table bounds every daily query
+      * to its date slice. The partition column must be re-selected on
+      * read since the writer moves it out of the files into the paths. */
+    private val partitionedCache = new graft.Memo[(SparkSession, String), String]
 
     def partitionedEvents(s: SparkSession, dir: String): String =
-      partitionedCache.synchronized {
-        partitionedCache.getOrElseUpdate((s, dir), {
+      partitionedCache((s, dir)) {
           val out = root.resolve(dir.replaceAll("[^A-Za-z0-9.]+", "_"))
             .resolve("events_by_type").toString
           Tables.events(s, dir)
             .write.partitionBy("event_type")
             .mode("overwrite").parquet(out)
           out
-        })
       }
   }
 

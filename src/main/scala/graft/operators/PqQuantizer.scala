@@ -7,8 +7,9 @@ import org.apache.spark.sql.functions._
 /** Product quantization (PQ) — the OTHER half of the classic IVF-PQ ANN
   * stack (AnnIvf is the coarse half): split each 64-d embedding into
   * m = 8 contiguous 8-d subvectors, train an independent 16-centroid
-  * codebook per subspace (Lloyd, reusing AnnIvf.train on the sliced
-  * column), and encode every vector as 8 four-bit centroid ids — 32
+  * codebook per subspace (a joint Lloyd loop — all subspaces per
+  * iteration in one job; see train()), and encode every vector as 8
+  * four-bit centroid ids — 32
   * bits per vector, a 64× compression of the 256-byte float payload.
   * Approximate distances then come from per-subspace lookup tables
   * (ADC): 8 table probes + adds per candidate, no float vector ever
@@ -91,35 +92,21 @@ object PqQuantizer {
     * encode/search, exactly as a production index would persist it.
     * Same locked-build pattern as the layout and shingle caches. */
   object Codebooks {
-    private val cache = scala.collection.concurrent.TrieMap
-      .empty[(org.apache.spark.sql.SparkSession, String), Seq[Seq[Array[Float]]]]
+    private val cache = new graft.Memo[
+      (org.apache.spark.sql.SparkSession, String), Seq[Seq[Array[Float]]]]
 
     def apply(s: org.apache.spark.sql.SparkSession, dir: String)
         : Seq[Seq[Array[Float]]] =
-      cache.synchronized {
-        cache.getOrElseUpdate((s, dir),
-          train(Tables.embeddings(s, dir), iters = 3))
-      }
+      cache((s, dir))(train(Tables.embeddings(s, dir), iters = 3))
   }
 
   /** Argmin centroid id for `vecCol` against one subspace codebook —
-    * same ‖c‖² − 2·x·c cost as AnnIvf.assign, codegen'd via vec_dot. */
+    * AnnIvf.assign's ‖c‖² − 2·x·c cost/argmin, reused with per-subspace
+    * column names. */
   private def argminCode(
       df: DataFrame, vecCol: String,
-      cents: Seq[Array[Float]], out: String): DataFrame = {
-    val withCosts = cents.zipWithIndex.foldLeft(df) { case (d, (c, i)) =>
-      val cNorm2 = c.map(x => x.toDouble * x).sum
-      d.withColumn("_pq_c", typedLit(c.toSeq))
-        .withColumn(s"_pqcost$i",
-          lit(cNorm2) - lit(2.0) * expr(s"vec_dot($vecCol, _pq_c)"))
-        .drop("_pq_c")
-    }
-    val arr = array(cents.indices.map(i => col(s"_pqcost$i")): _*)
-    withCosts
-      .withColumn(out,
-        (array_position(arr, array_min(arr)) - 1).cast("int"))
-      .drop(cents.indices.map(i => s"_pqcost$i"): _*)
-  }
+      cents: Seq[Array[Float]], out: String): DataFrame =
+    AnnIvf.assign(df, cents, vecCol, out)
 
   /** Encode every vector: adds `code` (the 8 ids packed 4 bits each
     * into one long) and `mse` (round-6 per-dim reconstruction error —
@@ -187,15 +174,14 @@ object PqQuantizer {
     * each time. Local analog: MEMORY_AND_DISK persist, same lifetime
     * discipline as DedupQueries.Shingled. */
   object Encoded {
-    private val cache = scala.collection.concurrent.TrieMap
-      .empty[(org.apache.spark.sql.SparkSession, String), DataFrame]
+    private val cache = new graft.Memo[
+      (org.apache.spark.sql.SparkSession, String), DataFrame]
 
     def apply(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
-      cache.synchronized {
-        cache.getOrElseUpdate((s, dir),
-          encode(Tables.embeddings(s, dir), Codebooks(s, dir))
-            .select(col("vec_id"), col("code"), col("mse"))
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      cache((s, dir)) {
+        encode(Tables.embeddings(s, dir), Codebooks(s, dir))
+          .select(col("vec_id"), col("code"), col("mse"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       }
   }
 

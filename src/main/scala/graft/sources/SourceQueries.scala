@@ -33,11 +33,13 @@ object SourceQueries {
 
   /** One export per (format, sfDir) per JVM; overwrite on first use so a
     * stale /tmp tree from an earlier run can never leak in. */
-  private val exported =
-    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+  private val exported = new graft.Memo[(String, String), String]
 
   private def export(s: SparkSession, dir: String, fmt: String): String =
-    exported.getOrElseUpdate((fmt, dir), {
+    // graft.Memo also closes the previous unlocked getOrElseUpdate's
+    // race: two first calls could both run the overwrite-write.
+    exported((fmt, dir)) {
+      locally {
       val out = "/tmp/graft_sources/" +
         dir.replaceAll("[^A-Za-z0-9.]+", "_") + s"/customer_$fmt"
       val w = Tables.customer(s, dir).write.mode("overwrite")
@@ -47,7 +49,8 @@ object SourceQueries {
         case "orc"  => w.orc(out)
       }
       out
-    })
+      }
+    }
 
   /** q_source_csv — CSV write→read round trip over customer. */
   val qSourceCsv: Q = Q(

@@ -136,16 +136,13 @@ object StreamingQueries {
 
     /** File-stream sources read DIRECTORIES; stage the single-file
       * events fixture into one (copy once per sfDir per JVM). */
-    private val staged =
-      scala.collection.concurrent.TrieMap.empty[String, String]
+    private val staged = new graft.Memo[String, String]
 
     private def stagedEventsDir(dir: String): String =
-      // Build under the map's lock: TrieMap.getOrElseUpdate may run the
-      // thunk twice under a concurrent first call, and two racing copies
-      // of the same file can interleave. Staging is a one-time millisecond
-      // copy, so a plain lock is the right tool.
-      staged.synchronized {
-        staged.getOrElseUpdate(dir, {
+      // graft.Memo serializes first calls — two racing copies of the
+      // same file could interleave. Staging is a one-time ms copy.
+      staged(dir) {
+        locally {
           val in = java.nio.file.Paths.get(dir, "events.parquet")
           val d = root.resolve(dir.replaceAll("[^A-Za-z0-9.]+", "_"))
             .resolve("in")
@@ -153,7 +150,7 @@ object StreamingQueries {
           java.nio.file.Files.copy(in, d.resolve("events.parquet"),
             java.nio.file.StandardCopyOption.REPLACE_EXISTING)
           d.toString
-        })
+        }
       }
 
     /** A fresh file-stream source over the staged events fixture, with
@@ -317,9 +314,7 @@ object StreamingQueries {
   /** Doc counts are fixture constants — cache per (session, dir) so the
     * bench's repeated reps don't pay a count() job each (it was ~15% of
     * this row's wall). */
-  private val docCount =
-    scala.collection.concurrent.TrieMap
-      .empty[(SparkSession, String), Long]
+  private val docCount = new graft.Memo[(SparkSession, String), Long]
 
   val qStreamQualityFilter: Q = Q(
     "q_stream_quality_filter",
@@ -331,7 +326,7 @@ object StreamingQueries {
       // corpus at sf0.1 and silently skewed cross-SF comparisons).
       val docs = Tables.documents(s, dir)
         .select(col("doc_id"), col("lang"), col("text"))
-      val nDocs = docCount.getOrElseUpdate((s, dir), docs.count())
+      val nDocs = docCount((s, dir))(docs.count())
       Replay.run(s, dir, "quality", "complete") { df =>
         qualityFilter(
           df.select(pmod(col("event_id"), lit(nDocs)).as("doc_id"), col("ts"))

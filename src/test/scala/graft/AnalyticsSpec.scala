@@ -125,12 +125,10 @@ class AnalyticsSpec extends AnyFunSuite with SparkFixture {
       }
     }.toMap
     assert(got == expected)
-    // Partitioning-invariance: the sequential chain must not depend on
-    // how keys were distributed.
-    val few = Catalog.byName("q_ts_ewma").build(spark, sfDir)
-      .repartition(1).collect()
-      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
-    assert(few == expected)
+    // Partitioning-invariance of the chain (repartition(user_id) under
+    // different shuffle-partition counts) is covered by DeterminismSpec's
+    // 4-vs-7 sweep — re-collecting the same query here with a coalesced
+    // OUTPUT would not vary the input distribution and proves nothing.
   }
 
   test("scd2 dimension has exactly one current open-ended row per user") {
