@@ -122,5 +122,57 @@ object CdcQueries {
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY user_id, valid_from, event_id""".stripMargin))
 
-  val all: Vector[Q] = Vector(qMergeUpsert, qDimScd2)
+  /** q_gdpr_erasure (added r7) — right-to-be-forgotten applied to the
+    * event stream: a deterministic erasure list (md5-gated ~9% of
+    * users — in production, the DSR queue) is anti-joined out of the
+    * fact table, and the output carries the PROOF alongside the
+    * surviving per-type stats: remaining rows for erased users
+    * (must be 0) and the erased-user count, computed in the same plan.
+    * Erasure is the one pipeline op that must be provably COMPLETE —
+    * reporting the deletion without verifying it is an audit failure.
+    *
+    * Scale: the erasure list is DSR-queue-sized — broadcast — so the
+    * pass is one narrow anti-join filter over the fact scan plus a
+    * domain-sized agg; no fact shuffle on user_id. At 100 TB the same
+    * anti join runs per partition and the rewrite is the compaction
+    * path (LayoutQueries) with the filter fused in.
+    */
+  val qGdprErasure: Q = Q(
+    "q_gdpr_erasure",
+    (s, dir) => {
+      import s.implicits._
+      val gate = substring(md5($"user_id".cast("string")), 1, 2) < "18"
+      val ev = Tables.events(s, dir)
+      val erase = ev.select($"user_id").distinct().where(gate)
+      val kept = ev.join(broadcast(erase), Seq("user_id"), "left_anti")
+      val proof = kept.where(gate) // same predicate on the survivors
+        .agg(count(lit(1)).as("leaked_rows"))
+        .crossJoin(erase.agg(count(lit(1)).as("erased_users")))
+      kept.groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          countDistinct($"user_id").as("n_users"))
+        .crossJoin(broadcast(proof))
+        .orderBy($"event_type")
+    },
+    oracle = Some(
+      """WITH erase AS (
+        |  SELECT DISTINCT user_id FROM events
+        |  WHERE substring(md5(CAST(user_id AS VARCHAR)), 1, 2) < '18'),
+        |kept AS (
+        |  SELECT * FROM events
+        |  WHERE user_id NOT IN (SELECT user_id FROM erase)),
+        |proof AS (
+        |  SELECT
+        |    (SELECT count(*) FROM kept
+        |     WHERE substring(md5(CAST(user_id AS VARCHAR)), 1, 2) < '18')
+        |      AS leaked_rows,
+        |    (SELECT count(*) FROM erase) AS erased_users)
+        |SELECT event_type, count(*) AS n,
+        |  count(DISTINCT user_id) AS n_users,
+        |  leaked_rows, erased_users
+        |FROM kept, proof
+        |GROUP BY event_type, leaked_rows, erased_users
+        |ORDER BY event_type""".stripMargin))
+
+  val all: Vector[Q] = Vector(qMergeUpsert, qDimScd2, qGdprErasure)
 }

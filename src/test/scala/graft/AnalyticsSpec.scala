@@ -154,6 +154,17 @@ class AnalyticsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("gdpr erasure is complete and non-vacuous: proof columns hold") {
+    val rows = Catalog.byName("q_gdpr_erasure").build(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(3) == 0L, "no erased user's rows may survive")
+      assert(r.getLong(4) > 0L, "the erasure list must be non-empty")
+      assert(r.getLong(1) > 0L && r.getLong(2) > 0L,
+        "erasure must not wipe the table")
+    }
+  }
+
   test("contamination ratios are in [0,1] and the flag is non-degenerate at sf0.01") {
     // Profiled at sf0.01 (the oracle SF): 3 organic near-dups of
     // benchmark docs sit at ratio 1.0; the rest are ≤ ~0.25. sf0.001's
