@@ -40,6 +40,25 @@ object Dsl {
   def avgMoney(c: Column): Column = round(sumMoney(c) / count(lit(1)), 4)
   def avgRate(c: Column): Column  = round(sumRate(c) / count(lit(1)), 4)
 
+  /** Deterministic sampling gate: keep a row iff the first md5 byte of
+    * the key falls under `thresh` (two lowercase hex digits; rate ≈
+    * parseInt(thresh,16)/256). A pure function of the row — identical
+    * across engines, runs, partitionings and retries, and any row's
+    * membership is auditable after the fact (unlike RNG TABLESAMPLE).
+    * Shared by reproducible sampling, stratified sampling, benchmark
+    * decontamination, and GDPR erasure; [[md5GateSql]] is the DuckDB
+    * twin (same gate, same threshold, byte-identical md5 hex). */
+  def md5Gate(key: Column, thresh: String): Column =
+    md5Gate(key, lit(thresh))
+
+  /** Column-threshold variant (per-stratum rates, e.g. stratified
+    * sampling's per-language thresholds). */
+  def md5Gate(key: Column, thresh: Column): Column =
+    substring(md5(key.cast(StringType)), 1, 2) < thresh
+
+  def md5GateSql(keyExpr: String, thresh: String): String =
+    s"substring(md5(CAST($keyExpr AS VARCHAR)), 1, 2) < '$thresh'"
+
   /** Exact SUM of price·(1−discount) revenue. The scale-8 product sum can
     * exceed double's 53-bit exact-integer range at sf0.1+ (≈5e17 in 1e-8
     * units), where Spark's and DuckDB's decimal→double conversions differ

@@ -141,17 +141,25 @@ object CdcQueries {
     "q_gdpr_erasure",
     (s, dir) => {
       import s.implicits._
-      val gate = substring(md5($"user_id".cast("string")), 1, 2) < "18"
+      val gate = graft.Dsl.md5Gate($"user_id", "18")
       val ev = Tables.events(s, dir)
       val erase = ev.select($"user_id").distinct().where(gate)
       val kept = ev.join(broadcast(erase), Seq("user_id"), "left_anti")
-      val proof = kept.where(gate) // same predicate on the survivors
-        .agg(count(lit(1)).as("leaked_rows"))
-        .crossJoin(erase.agg(count(lit(1)).as("erased_users")))
+      // Proof folded into the ONE survivor aggregation: the per-type agg
+      // carries a conditional leaked-row count, totaled by a window over
+      // the 5-row domain result — no second fact scan. (The erasure-list
+      // build is the only other fact scan here because the fixture
+      // derives the list from the facts; production receives it as an
+      // external DSR table.)
+      val wAll = org.apache.spark.sql.expressions.Window
+        .rowsBetween(Long.MinValue, Long.MaxValue)
       kept.groupBy($"event_type")
         .agg(count(lit(1)).as("n"),
-          countDistinct($"user_id").as("n_users"))
-        .crossJoin(broadcast(proof))
+          countDistinct($"user_id").as("n_users"),
+          sum(when(gate, 1L).otherwise(0L)).as("lk"))
+        .withColumn("leaked_rows", sum($"lk").over(wAll).cast("long"))
+        .drop("lk")
+        .crossJoin(broadcast(erase.agg(count(lit(1)).as("erased_users"))))
         .orderBy($"event_type")
     },
     oracle = Some(

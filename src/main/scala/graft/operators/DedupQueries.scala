@@ -689,7 +689,7 @@ object DedupQueries {
     "q_text_contamination",
     (s, dir) => {
       import s.implicits._
-      val gate = substring(md5($"doc_id".cast("string")), 1, 2) < "0d"
+      val gate = graft.Dsl.md5Gate($"doc_id", "0d")
       val sh = Shingled(s, dir)
         .select($"doc_id", explode(array_distinct($"sh")).as("g"))
       val bench = sh.where(gate).select($"g").distinct()

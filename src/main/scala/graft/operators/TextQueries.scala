@@ -398,7 +398,7 @@ object TextQueries {
     (s, dir) => {
       import s.implicits._
       Tables.documents(s, dir)
-        .where(substring(md5($"doc_id".cast("string")), 1, 2) < "19")
+        .where(graft.Dsl.md5Gate($"doc_id", "19"))
         .select($"doc_id", $"lang", $"n_chars")
         .orderBy($"doc_id")
     },
@@ -492,7 +492,7 @@ object TextQueries {
       import s.implicits._
       val thresh = when($"lang" === "en", "14").otherwise("55")
       Tables.documents(s, dir)
-        .where(substring(md5($"doc_id".cast("string")), 1, 2) < thresh)
+        .where(graft.Dsl.md5Gate($"doc_id", thresh))
         .select($"doc_id", $"lang", $"source")
         .orderBy($"doc_id")
     },

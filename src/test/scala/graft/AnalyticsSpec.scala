@@ -156,12 +156,14 @@ class AnalyticsSpec extends AnyFunSuite with SparkFixture {
 
   test("gdpr erasure is complete and non-vacuous: proof columns hold") {
     val rows = Catalog.byName("q_gdpr_erasure").build(spark, sfDir).collect()
-    assert(rows.nonEmpty)
+    // Every event type must SURVIVE erasure (a groupBy row exists only
+    // for non-empty groups, so n > 0 alone would be tautological — the
+    // real invariant is that no type vanished entirely).
+    assert(rows.map(_.getString(0)).toSet ==
+      Set("click", "error", "purchase", "signup", "view"))
     rows.foreach { r =>
       assert(r.getLong(3) == 0L, "no erased user's rows may survive")
       assert(r.getLong(4) > 0L, "the erasure list must be non-empty")
-      assert(r.getLong(1) > 0L && r.getLong(2) > 0L,
-        "erasure must not wipe the table")
     }
   }
 
@@ -181,7 +183,7 @@ class AnalyticsSpec extends AnyFunSuite with SparkFixture {
     }
     // Benchmark docs themselves never appear in the report.
     val gated = Tables.documents(spark, sfDir)
-      .where(substring(md5(col("doc_id").cast("string")), 1, 2) < "0d")
+      .where(Dsl.md5Gate(col("doc_id"), "0d"))
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(rows.map(_.getLong(0)).toSet.intersect(gated).isEmpty)
   }
