@@ -64,8 +64,20 @@ object LayoutQueries {
             .map(_.getLen).sum
           val n = math.max(1,
             math.ceil(bytes.toDouble / targetFileBytes).toInt)
-          s.read.parquet(frag).coalesce(n)
+          // coalesce can only LOWER the scan's partition count: with the
+          // default 128 MiB maxPartitionBytes the 64 fragments pack into
+          // a handful of read partitions, and once the table outgrows
+          // ~targetBytes×partitions the compacted dir would silently hold
+          // fewer than n files. Scoping maxPartitionBytes to the target
+          // for this one rewrite makes the scan yield ≥ n partitions at
+          // ANY scale, so coalesce(n) lands exactly n — still narrow, no
+          // shuffle (review finding, latent beyond fixture sizes).
+          val pKey = "spark.sql.files.maxPartitionBytes"
+          val prev = s.conf.get(pKey)
+          s.conf.set(pKey, targetFileBytes.toString)
+          try s.read.parquet(frag).coalesce(n)
             .write.mode("overwrite").parquet(compact)
+          finally s.conf.set(pKey, prev)
           (frag, compact, n)
       }
 

@@ -153,6 +153,12 @@ object StreamingQueries {
         }
       }
 
+    /** The staged fixture's schema is a per-dir constant — memoized so
+      * every replay build (and every timed bench rep) doesn't re-pay
+      * the file-listing + footer-read driver job `.schema` costs. */
+    private val stagedSchema =
+      new graft.Memo[(SparkSession, String), org.apache.spark.sql.types.StructType]
+
     /** A fresh file-stream source over the staged events fixture, with
       * the same nanos→µs ts conversion Tables.events applies. Exposed
       * (package-private) so stream-stream joins can open a SECOND
@@ -161,7 +167,7 @@ object StreamingQueries {
     private[streaming] def eventsSource(
         s: SparkSession, dir: String): DataFrame = {
       val inDir = stagedEventsDir(dir)
-      val rawSchema = s.read.parquet(inDir).schema
+      val rawSchema = stagedSchema((s, inDir))(s.read.parquet(inDir).schema)
       s.readStream.schema(rawSchema).parquet(inDir)
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     }

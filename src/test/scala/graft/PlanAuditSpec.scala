@@ -199,14 +199,10 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     // warehouse-scale SMJ would get (the app-side size gate exists only
     // to skip the overhead on small scans; broadcast is disabled because
     // a broadcast join already prunes via its hashed relation).
+    // Same scope as the product query — withBloomConfs exists precisely
+    // so this audit and q_join_bloom_filtered can never drift apart.
     import org.apache.spark.sql.functions.col
-    val confs = Map(
-      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
-      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
-      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
-    val old = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
-    try {
-      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    operators.JoinQueries.withBloomConfs(spark) {
       val dim = Tables.orders(spark, sfDir).where(col("o_orderstatus") === "P")
       val fact = Tables.lineitem(spark, sfDir)
       val j = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
@@ -214,11 +210,6 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
       val p = j.queryExecution.optimizedPlan.toString
       assert(p.contains("might_contain") || p.toLowerCase.contains("bloomfilter"),
         s"expected a runtime bloom filter on the fact side:\n$p")
-    } finally old.foreach { case (k, v) =>
-      v match {
-        case Some(x) => spark.conf.set(k, x)
-        case None    => spark.conf.unset(k)
-      }
     }
   }
 
