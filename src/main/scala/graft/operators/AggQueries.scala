@@ -335,9 +335,44 @@ object AggQueries {
       dayRows.unionAll(monthRow).orderBy($"day".asc_nulls_last)
     })
 
+  /** q_agg_minmax_by (added r7) — argmin/argmax aggregation: each
+    * customer's highest- and lowest-value order key via max_by/min_by,
+    * the "which row won" aggregate every leaderboard needs without a
+    * window+filter detour. Ties are the classic nondeterminism trap:
+    * the ordering key here is exact-cents × 10⁷ + orderkey — integer,
+    * collision-free (orderkey ≪ 10⁷ at every SF), identical in both
+    * engines — so the argmin/argmax is total. One partial-agg shuffle;
+    * max_by's state is one (value, key) pair per group per partition. */
+  val qAggMinmaxBy: Q = Q(
+    "q_agg_minmax_by",
+    (s, dir) => {
+      import s.implicits._
+      val key = round($"o_totalprice" * 100).cast(LongType) * 10000000L +
+        $"o_orderkey"
+      Tables.orders(s, dir)
+        .groupBy($"o_custkey")
+        .agg(
+          max_by($"o_orderkey", key).as("best_order"),
+          min_by($"o_orderkey", key).as("worst_order"),
+          max(dec2($"o_totalprice")).cast(DoubleType).as("max_price"))
+        .orderBy($"o_custkey")
+    },
+    oracle = Some(
+      """SELECT o_custkey,
+        |  max_by(o_orderkey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) * 10000000 + o_orderkey)
+        |    AS best_order,
+        |  min_by(o_orderkey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) * 10000000 + o_orderkey)
+        |    AS worst_order,
+        |  CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS max_price
+        |FROM orders
+        |GROUP BY o_custkey
+        |ORDER BY o_custkey""".stripMargin))
+
   val all: Vector[Q] = Vector(
     qAggGlobal, qAggGroupby, qAggDistinct, qAggHaving,
     qAggGroupingSets, qAggStats, qAggPercentile, qAggStringagg,
     qAggApproxHll, qAggApproxPercentile, qAggCustomTyped, qAggHeavyHitters,
-    qAggSketchUnion)
+    qAggSketchUnion, qAggMinmaxBy)
 }

@@ -271,7 +271,45 @@ object WindowQueries {
         |FROM win WHERE rnk <= 3
         |ORDER BY c_mktsegment, rnk""".stripMargin))
 
+  /** q_win_value_funcs (added r7) — the VALUE window functions
+    * (first_value / last_value / nth_value), completing §2.5 alongside
+    * rank/offset/frame/distribution rows: per customer in order-date
+    * order, the first, last and second order keys. first/nth run over
+    * the default growing frame (unbounded preceding → current row, so
+    * nth is NULL until the nth row arrives — both engines agree);
+    * last_value REQUIRES the explicit unbounded-following frame — over
+    * the default frame it degenerates to "current row", the classic
+    * window-function bug this row pins against. Unique tiebreak
+    * (orderdate, orderkey) per rule 1. */
+  val qWinValueFuncs: Q = Q(
+    "q_win_value_funcs",
+    (s, dir) => {
+      import s.implicits._
+      val wRun = Window.partitionBy($"o_custkey")
+        .orderBy($"o_orderdate", $"o_orderkey")
+      val wAll = wRun.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, dir)
+        .select(
+          $"o_orderkey", $"o_custkey",
+          first($"o_orderkey").over(wRun).as("first_key"),
+          last($"o_orderkey").over(wAll).as("last_key"),
+          nth_value($"o_orderkey", 2).over(wRun).as("second_key"))
+        .orderBy($"o_orderkey")
+    },
+    oracle = Some(
+      """SELECT o_orderkey, o_custkey,
+        |  first_value(o_orderkey) OVER w AS first_key,
+        |  last_value(o_orderkey) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |    AS last_key,
+        |  nth_value(o_orderkey, 2) OVER w AS second_key
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin))
+
   val all: Vector[Q] = Vector(
     qWinRank, qWinRunning, qWinLeadLag, qWinDistribution,
-    qWinRangeFrame, qSessionize, qReportMomentum)
+    qWinRangeFrame, qSessionize, qReportMomentum, qWinValueFuncs)
 }
