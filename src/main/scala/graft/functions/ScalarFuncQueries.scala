@@ -238,7 +238,42 @@ object ScalarFuncQueries {
         |FROM a1 JOIN a2 ON k IS NOT DISTINCT FROM k2
         |ORDER BY k NULLS FIRST""".stripMargin))
 
+  /** q_map_funcs (added r7) — the MAP column surface completing §2.8
+    * (arrays and JSON have their own rows): per-row map construction,
+    * scalar key lookup, cardinality, and ordered key/value listings.
+    * Dialect notes: DuckDB's element_at/map_extract return a LIST (the
+    * twin unwraps with [1]); both engines preserve construction order
+    * in map_keys/map_values, which is what makes the joined listings
+    * deterministic. Narrow codegen'd projection, no shuffle. */
+  val qMapFuncs: Q = Q(
+    "q_map_funcs",
+    (s, dir) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .withColumn("m", map(
+          lit("type"), $"event_type",
+          lit("user"), $"user_id".cast(StringType)))
+        .select(
+          $"event_id",
+          element_at($"m", "type").as("mtype"),
+          size($"m").cast(LongType).as("m_size"),
+          array_join(map_keys($"m"), ",").as("mkeys"),
+          array_join(map_values($"m"), ",").as("mvals"))
+        .orderBy($"event_id")
+    },
+    oracle = Some(
+      """SELECT event_id,
+        |  map_extract(m, 'type')[1] AS mtype,
+        |  CAST(cardinality(m) AS BIGINT) AS m_size,
+        |  array_to_string(map_keys(m), ',') AS mkeys,
+        |  array_to_string(map_values(m), ',') AS mvals
+        |FROM (SELECT event_id,
+        |        map(['type', 'user'],
+        |            [event_type, CAST(user_id AS VARCHAR)]) AS m
+        |      FROM events)
+        |ORDER BY event_id""".stripMargin))
+
   val all: Vector[Q] =
     Vector(qStrFuncs, qDateFuncs, qMathFuncs, qArrayFuncs, qJsonExtract,
-      qNullSemantics)
+      qNullSemantics, qMapFuncs)
 }
