@@ -202,9 +202,14 @@ object AnalyticsQueries {
       import s.implicits._
       val o = Tables.orders(s, dir)
       val b = o.agg(min($"o_totalprice").as("lo"), max($"o_totalprice").as("hi"))
+      // Width guarded with greatest(_, 1e-12) — the zorderedEvents bounds
+      // pattern: equal [lo,hi] would make the quotient 0/0, which Spark
+      // floors to bin 0 but DuckDB maps to a NULL bin. With the guard
+      // both engines put a constant column in bin 0.
       o.crossJoin(broadcast(b))
         .withColumn("bin",
-          least(floor(($"o_totalprice" - $"lo") / (($"hi" - $"lo") / 20.0)),
+          least(floor(($"o_totalprice" - $"lo") /
+            greatest(($"hi" - $"lo") / 20.0, lit(1e-12))),
             lit(19L)).cast(LongType))
         .groupBy($"bin")
         .agg(count(lit(1)).as("n"), sumMoney($"o_totalprice").as("total"))
@@ -214,7 +219,8 @@ object AnalyticsQueries {
       """WITH b AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi
         |           FROM orders)
         |SELECT
-        |  CAST(least(floor((o_totalprice - lo) / ((hi - lo) / 20.0)), 19) AS BIGINT) AS bin,
+        |  CAST(least(floor((o_totalprice - lo) /
+        |    greatest((hi - lo) / 20.0, 1e-12)), 19) AS BIGINT) AS bin,
         |  count(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders, b
@@ -244,10 +250,19 @@ object AnalyticsQueries {
         count(lit(1)).as("n"),
         sum(dec2($"value")).cast(DoubleType).as("s"),
         sum(dec2($"value") * dec2($"value")).cast(DoubleType).as("ss"))
+      // Degenerate-group guard (n > 1 AND variance > 0), computed with
+      // the IDENTICAL variance expression in both engines so the filter
+      // decision cannot diverge: a 1-row or all-equal group lands the
+      // FP variance at ~0 with either sign, where Spark z = 0/0 = NaN
+      // (which PASSES abs(z) > 2.5 — NaN sorts above everything) while
+      // DuckDB 0/0 = NULL filters out, and a tiny-negative variance
+      // hard-errors DuckDB's sqrt. Unreachable at the frozen fixtures;
+      // the guard pins the contract for any input.
       ev.join(broadcast(stats), "event_type")
-        .withColumn("z",
-          ($"value" - $"s" / $"n") /
-            sqrt($"ss" / $"n" - ($"s" / $"n") * ($"s" / $"n")))
+        .withColumn("variance",
+          $"ss" / $"n" - ($"s" / $"n") * ($"s" / $"n"))
+        .where($"n" > 1 && $"variance" > 0.0)
+        .withColumn("z", ($"value" - $"s" / $"n") / sqrt($"variance"))
         .where(abs($"z") > 2.5)
         .select($"event_id", $"event_type", $"value", round($"z", 4).as("z"))
         .orderBy($"event_id")
@@ -261,7 +276,8 @@ object AnalyticsQueries {
         |SELECT event_id, e.event_type, value,
         |  ROUND((value - s/n) / sqrt(ss/n - (s/n)*(s/n)), 4) AS z
         |FROM events e JOIN s ON e.event_type = s.event_type
-        |WHERE abs((value - s/n) / sqrt(ss/n - (s/n)*(s/n))) > 2.5
+        |WHERE n > 1 AND ss/n - (s/n)*(s/n) > 0
+        |  AND abs((value - s/n) / sqrt(ss/n - (s/n)*(s/n))) > 2.5
         |ORDER BY event_id""".stripMargin))
 
   /** q_agg_incremental — incremental aggregate (materialized-view)

@@ -163,17 +163,17 @@ object CdcQueries {
         .orderBy($"event_type")
     },
     oracle = Some(
-      """WITH erase AS (
-        |  SELECT DISTINCT user_id FROM events
-        |  WHERE substring(md5(CAST(user_id AS VARCHAR)), 1, 2) < '18'),
-        |kept AS (
-        |  SELECT * FROM events
-        |  WHERE user_id NOT IN (SELECT user_id FROM erase)),
-        |proof AS (
-        |  SELECT
-        |    (SELECT count(*) FROM kept
-        |     WHERE substring(md5(CAST(user_id AS VARCHAR)), 1, 2) < '18')
-        |      AS leaked_rows,
+      s"""WITH erase AS (
+         |  SELECT DISTINCT user_id FROM events
+         |  WHERE ${graft.Dsl.md5GateSql("user_id", "18")}),
+         |kept AS (
+         |  SELECT * FROM events
+         |  WHERE user_id NOT IN (SELECT user_id FROM erase)),
+         |proof AS (
+         |  SELECT
+         |    (SELECT count(*) FROM kept
+         |     WHERE ${graft.Dsl.md5GateSql("user_id", "18")})
+         |      AS leaked_rows,
         |    (SELECT count(*) FROM erase) AS erased_users)
         |SELECT event_type, count(*) AS n,
         |  count(DISTINCT user_id) AS n_users,

@@ -713,9 +713,9 @@ object DedupQueries {
          |    ${Shingles.sql("string_split(lower(text), ' ')")})) AS g
          |  FROM documents),
          |bench AS (SELECT DISTINCT g FROM sh
-         |          WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '0d'),
+         |          WHERE ${graft.Dsl.md5GateSql("doc_id", "0d")}),
          |rest AS (SELECT * FROM sh
-         |         WHERE NOT substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '0d'),
+         |         WHERE NOT ${graft.Dsl.md5GateSql("doc_id", "0d")}),
          |tot AS (SELECT doc_id, count(*) AS n_grams FROM rest GROUP BY doc_id),
          |hits AS (SELECT r.doc_id, count(*) AS n_hit
          |         FROM rest r JOIN bench b ON r.g = b.g GROUP BY r.doc_id)

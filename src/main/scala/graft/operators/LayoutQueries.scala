@@ -68,16 +68,18 @@ object LayoutQueries {
           // default 128 MiB maxPartitionBytes the 64 fragments pack into
           // a handful of read partitions, and once the table outgrows
           // ~targetBytes×partitions the compacted dir would silently hold
-          // fewer than n files. Scoping maxPartitionBytes to the target
+          // fewer than n files. Sizing maxPartitionBytes to the target
           // for this one rewrite makes the scan yield ≥ n partitions at
           // ANY scale, so coalesce(n) lands exactly n — still narrow, no
-          // shuffle (review finding, latent beyond fixture sizes).
-          val pKey = "spark.sql.files.maxPartitionBytes"
-          val prev = s.conf.get(pKey)
-          s.conf.set(pKey, targetFileBytes.toString)
-          try s.read.parquet(frag).coalesce(n)
+          // shuffle. The conf lives on a CLONED session (isolated
+          // SQLConf, shared context) so a query planned concurrently on
+          // `s` never sees the tiny split size — set/restore on the
+          // shared conf would leak for the whole write job's duration.
+          val s2 = s.newSession()
+          s2.conf.set("spark.sql.files.maxPartitionBytes",
+            targetFileBytes.toString)
+          s2.read.parquet(frag).coalesce(n)
             .write.mode("overwrite").parquet(compact)
-          finally s.conf.set(pKey, prev)
           (frag, compact, n)
       }
 

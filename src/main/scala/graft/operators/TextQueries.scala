@@ -403,10 +403,10 @@ object TextQueries {
         .orderBy($"doc_id")
     },
     oracle = Some(
-      """SELECT doc_id, lang, n_chars
-        |FROM documents
-        |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '19'
-        |ORDER BY doc_id""".stripMargin))
+      s"""SELECT doc_id, lang, n_chars
+         |FROM documents
+         |WHERE ${graft.Dsl.md5GateSql("doc_id", "19")}
+         |ORDER BY doc_id""".stripMargin))
 
   /** q_text_normalize (added r5) — canonicalize-before-dedup: lowercase,
     * strip non-alphanumerics, collapse whitespace, trim; emit the
