@@ -5,10 +5,12 @@ package graft
   * `TrieMap.getOrElseUpdate` alone may run the build thunk twice under
   * concurrent first calls — and for thunks that persist() a DataFrame or
   * write files, the losing copy stays pinned/half-written for the JVM
-  * lifetime. Holding the map's lock around the build serializes first
-  * calls; every builder in this codebase is pure plan construction, a
-  * persist MARK, or a one-time bounded write, so the critical section is
-  * short by design.
+  * lifetime. Per-key latching: each key installs a lazy cell atomically
+  * (`putIfAbsent` — creating a cell never runs the build), then forces it
+  * outside any map-wide lock. The winning cell's `lazy val` serializes
+  * concurrent first calls FOR THAT KEY only, so long builds (Lloyd
+  * training, parquet rewrites) no longer block unrelated keys or cache
+  * hits — only same-key waiters block, which is the semantics we want.
   *
   * Lifetime: entries live for the JVM (no eviction) — sized for this
   * program's shape of one or two sessions over at most three sfDirs. A
@@ -17,7 +19,13 @@ package graft
   * exist at all.
   */
 final class Memo[K, V] {
-  private val m = scala.collection.concurrent.TrieMap.empty[K, V]
-  def apply(k: K)(build: => V): V =
-    m.synchronized(m.getOrElseUpdate(k, build))
+  private final class Cell(build: () => V) { lazy val value: V = build() }
+  private val m = scala.collection.concurrent.TrieMap.empty[K, Cell]
+  def apply(k: K)(build: => V): V = {
+    val cell = new Cell(() => build)
+    (m.putIfAbsent(k, cell) match {
+      case Some(existing) => existing
+      case None           => cell
+    }).value
+  }
 }

@@ -365,9 +365,11 @@ object AnalyticsQueries {
           var prev = 0L // ewma in exact 1e-6 units
           it.map { case (u, id, _, x) =>
             val cents = math.rint(x * 100).toLong // exact: 2-dp fixture
+            // floorDiv, not `/`: DuckDB's `//` floors toward -inf, so a
+            // negative accumulator would diverge under truncating division.
             prev =
               if (u != curUser) cents * 10000L
-              else (cents * 10000L + 3L * prev + 2L) / 4L
+              else Math.floorDiv(cents * 10000L + 3L * prev + 2L, 4L)
             curUser = u
             (id, u, prev / 1e6)
           }

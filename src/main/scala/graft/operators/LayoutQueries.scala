@@ -138,11 +138,15 @@ object LayoutQueries {
             min(col("user_id")).as("ulo"), max(col("user_id")).as("uhi"),
             min(col("ud")).as("dlo"), max(col("ud")).as("dhi"))
           val cols = Tables.events(s, dir).columns.map(col)
+          // Divide-first quantize: `(x - lo) * 65535` overflows Long once
+          // the key range exceeds ~1.4e14, silently destroying clustering.
+          // Bucket width = range div 65536 (floor, min 1) keeps every
+          // intermediate ≤ the raw range; least() caps the top edge.
           ev.crossJoin(broadcast(bounds))
             .withColumn("su",
-              expr("(user_id - ulo) * 65535 div greatest(uhi - ulo, 1)"))
+              expr("least((user_id - ulo) div greatest((uhi - ulo) div 65536, 1), 65535)"))
             .withColumn("sd",
-              expr("(ud - dlo) * 65535 div greatest(dhi - dlo, 1)"))
+              expr("least((ud - dlo) div greatest((dhi - dlo) div 65536, 1), 65535)"))
             .withColumn("z", morton16(col("su"), col("sd")))
             .repartitionByRange(8, col("z"))
             .sortWithinPartitions(col("z"))

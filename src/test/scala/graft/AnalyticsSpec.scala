@@ -119,7 +119,7 @@ class AnalyticsSpec extends AnyFunSuite with SparkFixture {
         val cents = math.rint(x * 100).toLong
         prev =
           if (first) cents * 10000L
-          else (cents * 10000L + 3L * prev + 2L) / 4L
+          else Math.floorDiv(cents * 10000L + 3L * prev + 2L, 4L)
         first = false
         id -> prev / 1e6
       }

@@ -41,15 +41,18 @@ class HllSpec extends AnyFunSuite with SparkFixture {
         s"day=${r.get(0)} approx=$approx exact=$exact")
     }
 
-    // THE mergeability contract: the union of per-day sketches equals
-    // sketching the whole table directly — partial sketch states
-    // compose losslessly, which is what makes the stored-sketch-table
-    // pattern sound at 100 TB.
+    // THE mergeability contract: the union of per-day sketches tracks
+    // sketching the whole table directly. Datasketches only guarantees
+    // NEAR-identity (union can transition sketch modes), so assert the
+    // same 5% envelope as the per-day rows rather than exact equality —
+    // exact == held at this fixture's tiny cardinality but is not part
+    // of the HLL contract and would break on an SF or lgK change.
     val direct = Tables.events(spark, sfDir)
       .agg(hll_sketch_estimate(hll_sketch_agg($"user_id", lit(12))))
       .as[Long].head()
-    assert(unionRows.head.getLong(1) == direct,
-      "union-of-parts must equal sketch-of-whole")
+    assert(math.abs(unionRows.head.getLong(1) - direct) <=
+      math.max(1L, (0.05 * direct).toLong),
+      "union-of-parts must track sketch-of-whole within 5%")
     val exactMonth = unionRows.head.getLong(2)
     assert(math.abs(unionRows.head.getLong(1) - exactMonth) <=
       math.max(1L, (0.05 * exactMonth).toLong))
