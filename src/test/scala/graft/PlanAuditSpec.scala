@@ -142,6 +142,33 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("text family reads the SHARED token stage (InMemory scan, not re-split)") {
+    // r8 mirror of the dedup pin: the Tokenized memo only pays off if
+    // every token consumer hits the persisted intermediate — a
+    // regression back to per-query split(text) would show a parquet
+    // scan of documents instead of an InMemoryTableScan.
+    graft.operators.TextQueries.Tokenized(spark, sfDir).count()
+    Seq("q_text_tokenize_explode", "q_text_wordcount_tf", "q_text_quality",
+        "q_text_token_count", "q_text_tfidf", "q_text_filter_pipeline",
+        "q_text_repetition").foreach { name =>
+      val p = planOf(name)
+      assert(p.contains("InMemoryTableScan"),
+        s"$name must read the cached token stage:\n$p")
+    }
+  }
+
+  test("q_text_repetition is shuffle-free: per-row statistic, zero exchanges") {
+    // The repetition score is per-document; the r8 rewrite computes it
+    // inside one projection (array_sort + aggregate HOF). The only
+    // allowed exchange is the final presentation orderBy's range
+    // partitioning — anything more means the explode+agg shape crept
+    // back.
+    val p = planOf("q_text_repetition")
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 1, s"expected at most the orderBy exchange:\n$p")
+    assert(!p.contains("Generate"), s"no explode should remain:\n$p")
+  }
+
   test("q_report_momentum windows run over the aggregate, not the fact") {
     // Join shuffle + agg shuffle + one window repartition on the ~400-row
     // aggregate; any more exchanges means the windows slid under the agg.
