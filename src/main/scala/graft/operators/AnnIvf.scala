@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** IVF (inverted-file) ANN index — the coarse-quantizer scale path for
@@ -19,31 +19,30 @@ import org.apache.spark.sql.functions._
   */
 object AnnIvf {
 
-  /** Squared-distance cost of a vector column vs one centroid, up to the
-    * per-row constant ‖x‖²: cost_j = ‖c_j‖² − 2·x·c_j. */
-  private def cellCost(vec: String, centroid: Array[Float]): Column = {
-    val cNorm2 = centroid.map(x => x.toDouble * x).sum
-    lit(cNorm2) - lit(2.0) * expr(s"vec_dot($vec, _ivf_c)")
-  }
-
   /** Assign each row to its nearest centroid: adds integer `outCol`.
     * Column names are parameters so PQ's per-subspace encoding reuses
-    * this same cost/argmin instead of re-implementing it. */
+    * this same cost/argmin instead of re-implementing it.
+    *
+    * Plan width is O(1) in k (fixed r8): the whole codebook binds as ONE
+    * 2-D array literal and the per-cell cost ‖c_j‖² − 2·x·c_j is a
+    * single indexed `transform` over it (vec_dot stays codegen'd inside
+    * the lambda), then argmin via array_position(array_min). The r7
+    * form materialized one `_cost$j` projection column per centroid —
+    * fine at k=8, fatal at the documented production k ≈ 32 768, where
+    * a 32k-column projection would kill the analyzer and codegen. Here
+    * the plan carries exactly two extra expressions at any k; the k×d
+    * literal itself is a few MB at production sizes — the same payload
+    * a broadcast variable would carry, just embedded in the plan. */
   def assign(df: DataFrame, centroids: Seq[Array[Float]],
       vecCol: String = "embedding", outCol: String = "cell"): DataFrame = {
     require(centroids.nonEmpty, "cannot assign against an empty codebook")
-    // Bind each centroid as a literal column so vec_dot (codegen'd)
-    // applies; compute all costs, argmin via array_position.
-    val withCosts = centroids.zipWithIndex.foldLeft(df) { case (d, (c, j)) =>
-      d.withColumn("_ivf_c", typedLit(c.toSeq))
-        .withColumn(s"_cost$j", cellCost(vecCol, c))
-        .drop("_ivf_c")
-    }
-    val costArr = array(centroids.indices.map(j => col(s"_cost$j")): _*)
-    withCosts
-      .withColumn(outCol,
-        (array_position(costArr, array_min(costArr)) - 1).cast("int"))
-      .drop(centroids.indices.map(j => s"_cost$j"): _*)
+    val cb = typedLit(centroids.map(_.toSeq))
+    val cn = typedLit(centroids.map(_.map(x => x.toDouble * x).sum))
+    val costs = transform(cb, (c, j) =>
+      element_at(cn, j + 1) -
+        lit(2.0) * call_function("vec_dot", col(vecCol), c))
+    df.withColumn(outCol,
+      (array_position(costs, array_min(costs)) - 1).cast("int"))
   }
 
   /** Train a k-cell codebook with `iters` Lloyd iterations.

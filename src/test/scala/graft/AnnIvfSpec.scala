@@ -56,6 +56,27 @@ class AnnIvfSpec extends AnyFunSuite with SparkFixture {
     assert(a.values.forall(c => c >= 0 && c < 64))
   }
 
+  test("k=256: assignment works and plan width is O(1) in k") {
+    // The r7 assign built one projection column per centroid — a shape
+    // that dies at the documented production k ≈ 32 768. The r8 argmin
+    // binds the codebook as one 2-D literal; this pins both that the
+    // assignment still totally partitions the table at a k two orders
+    // above the catalog query's, and that NO Project in the optimized
+    // plan widens with k (the r7 form projected k extra columns).
+    val cb = AnnIvf.train(emb, k = 256, iters = 1)
+    assert(cb.size == 256)
+    val assigned = AnnIvf.assign(emb, cb)
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    assigned.queryExecution.optimizedPlan.collect { case p: Project =>
+      assert(p.projectList.size <= emb.columns.length + 1,
+        s"projection must not widen with k: ${p.projectList.map(_.name)}")
+    }
+    val a = assigned.select("vec_id", "cell")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a.size == emb.count(), "every vector lands in exactly one cell")
+    assert(a.values.forall(c => c >= 0 && c < 256))
+  }
+
   test("empty cells keep their centroid instead of collapsing k") {
     // Two identical init vectors tie their cells' costs; argmin sends
     // every tied point to the first cell, guaranteeing the second goes
