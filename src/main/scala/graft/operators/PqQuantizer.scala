@@ -185,6 +185,84 @@ object PqQuantizer {
       }
   }
 
+  /** The COMPOSED IVF-PQ index per (session, sfDir): one narrow pass
+    * assigns every vector its coarse IVF cell AND its packed PQ code,
+    * persisted as the (vec_id, cell, code) triple — the exact shape a
+    * production 10⁹-vector index keeps hot (4-byte code + small int
+    * cell per vector; floats stay cold). Cell count k=8 matches the
+    * catalog IVF row's codebook so the two share the trained model. */
+  object IvfPqIndex {
+    val ivfK = 8
+    val ivfIters = 3
+    private val cache = new graft.Memo[
+      (org.apache.spark.sql.SparkSession, String), DataFrame]
+
+    def apply(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+      cache((s, dir)) {
+        val cells = AnnIvf.assign(
+          Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
+          AnnIvf.Models(s, dir, ivfK, ivfIters))
+        encode(cells, Codebooks(s, dir))
+          .select(col("vec_id"), col("cell"), col("code"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }
+  }
+
+  /** The production ANN query pipeline, composed end to end: coarse IVF
+    * cell filter (touch only `nprobe` of k cells) → ADC over the 32-bit
+    * codes of the surviving candidates (no floats) → EXACT re-rank of
+    * the ADC top-`rerankN` against the float corpus (a broadcast-joined
+    * 50-row probe set — the only point floats are read, and for 50
+    * rows, not n). This is what a 10⁹-vector index actually executes
+    * per query; the standalone IVF and ADC rows exist to pin each half.
+    *
+    * Scale: candidates never leave their partitions until the ADC
+    * top-`rerankN` limit (a TakeOrderedAndProject — partial per
+    * partition, tiny final); the re-rank side is `rerankN` rows
+    * broadcast against a vec_id-keyed point lookup. */
+  def ivfPqSearch(
+      index: DataFrame, floats: DataFrame,
+      ivfCodebook: Seq[Array[Float]], pqCodebooks: Seq[Seq[Array[Float]]],
+      probeVec: Array[Float], probeId: Long,
+      nprobe: Int, rerankN: Int, topK: Int): DataFrame = {
+    require(nprobe >= 1 && rerankN >= topK && topK >= 1,
+      s"need nprobe>=1, rerankN>=topK>=1; got $nprobe/$rerankN/$topK")
+    val probeCells = ivfCodebook.zipWithIndex
+      .map { case (c, j) =>
+        (c.zip(probeVec).map { case (a, b) =>
+          (a.toDouble - b) * (a.toDouble - b) }.sum, j)
+      }
+      .sortBy(_._1).take(nprobe).map(_._2)
+    val shortlist = adcSearch(
+      index.where(col("cell").isin(probeCells: _*)),
+      pqCodebooks, probeVec, probeId, rerankN)
+    floats
+      .join(broadcast(shortlist), "vec_id")
+      .withColumn("_p", typedLit(probeVec.toSeq))
+      .select(col("vec_id"), col("sim_adc"),
+        round(expr("vec_dot(embedding, _p)"), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(topK)
+  }
+
+  /** q_vec_knn_ivfpq (T) — the composed pipeline as a catalog row:
+    * top-5 neighbors of probe vec_id=0 via cell filter → ADC top-50 →
+    * exact re-rank. Engine-specific model state ⇒ no DuckDB oracle;
+    * PqSpec pins multi-probe recall vs brute force (composition ≥
+    * ADC-only) and that returned sims equal the exact brute-force
+    * values (the re-rank contract). */
+  val qVecKnnIvfPq: Q = Q(
+    "q_vec_knn_ivfpq",
+    (s, dir) => {
+      val probeVec = Tables.embeddings(s, dir).where(col("vec_id") === 0L)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      ivfPqSearch(
+        IvfPqIndex(s, dir), Tables.embeddings(s, dir),
+        AnnIvf.Models(s, dir, IvfPqIndex.ivfK, IvfPqIndex.ivfIters),
+        Codebooks(s, dir), probeVec, probeId = 0L,
+        nprobe = 3, rerankN = 50, topK = 5)
+    })
+
   /** q_vec_pq (T) — the PQ index as a catalog row: per-vector packed
     * 32-bit code + reconstruction MSE over the embeddings table (read
     * through the persisted codes table). Engine-specific k-means state
@@ -209,5 +287,5 @@ object PqQuantizer {
         probeId = 0L, topK = 5)
     })
 
-  val all: Vector[Q] = Vector(qVecPq, qVecKnnPq)
+  val all: Vector[Q] = Vector(qVecPq, qVecKnnPq, qVecKnnIvfPq)
 }
