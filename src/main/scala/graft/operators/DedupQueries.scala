@@ -726,8 +726,101 @@ object DedupQueries {
          |FROM tot t LEFT JOIN hits h ON t.doc_id = h.doc_id
          |ORDER BY t.doc_id""".stripMargin))
 
+  /** The fuzzy-entity stage shared by the catalog row and ScaleSpec's
+    * volume check: a 12-char squeezed "entity name" per document (the
+    * shape of an exchange symbol / address / ticker in a crypto ETL),
+    * with typo-grade mutations PLANTED deterministically from doc_id on
+    * both engines — the fixture vocabulary carries no organic typos, so
+    * the row plants what it then finds, exactly as q_text_redact_pii
+    * plants PII. Mutations sit at positions 8 (substitution) and 10
+    * (deletion), strictly AFTER the 6-char blocking prefix, so a
+    * planted typo never escapes its block.
+    *
+    * Why block-then-compare: Levenshtein admits no shuffle key on its
+    * own (it is not a metric embedding); production entity dedup blocks
+    * on a cheap surrogate (prefix, phonetic key, sorted-neighborhood)
+    * and compares only within blocks. Candidate volume is
+    * Σ bucket² — bounded only if the BLOCK KEY's selectivity grows
+    * with the corpus (longer prefixes / composite keys), the same rule
+    * SignLsh.bitsFor applies to embedding LSH; ScaleSpec measures the
+    * growth exponent under a log₁₀-scaled prefix to pin it. */
+  def fuzzyEntities(docs: org.apache.spark.sql.DataFrame, blockLen: Int)
+      : org.apache.spark.sql.DataFrame =
+    docs
+      .withColumn("b",
+        expr("substring(replace(lower(text), ' ', ''), 1, 12)"))
+      .withColumn("m1", expr(
+        "CASE WHEN doc_id % 7 = 3 " +
+          "THEN substring(b, 1, 7) || 'z' || substring(b, 9) ELSE b END"))
+      .withColumn("name", expr(
+        "CASE WHEN doc_id % 13 = 6 " +
+          "THEN substring(m1, 1, 9) || substring(m1, 11) ELSE m1 END"))
+      .select(col("doc_id"), col("name"),
+        expr(s"substring(name, 1, $blockLen)").as("blk"))
+
+  /** ScaleSpec's blocking-key rule (the prefix analog of
+    * SignLsh.bitsFor): hold expected bucket size at `targetBucketSize`
+    * by giving the key ~log₂(n/target) bits of selectivity. Natural-
+    * language-ish squeezed prefixes carry ~2 bits of effective entropy
+    * per character (letter frequencies + word-boundary repetition —
+    * measured on the ScaleSpec corpus, where a fixed prefix reads
+    * exponent ≈ 1.9), so chars = log₂(n/target)/2, plus the leading
+    * character. The catalog row pins blockLen=6 because its oracle SQL
+    * is one static string across all fixture SFs. */
+  def fuzzyBlockLen(n: Long, targetBucketSize: Int = 16): Int =
+    1 + math.ceil(
+      math.log(n.toDouble / targetBucketSize) / math.log(2) / 2.0).toInt
+
+  /** q_dedup_fuzzy (added r8) — typo-grade entity dedup via edit
+    * distance, the dedup class the token/shingle family cannot see: a
+    * single-character symbol or address variant shares no 3-shingle
+    * with its original, but sits at Levenshtein 1. Candidates come
+    * from 6-char prefix blocks (NEVER all-pairs — see fuzzyEntities);
+    * a pair survives at 1 ≤ lev ≤ 2 (0 = exact dup, q_dedup_exact's
+    * job; ≥3 = different entity). `levenshtein` is built-in on both
+    * engines with identical unit-cost semantics, so the row is
+    * oracle-eligible, unlike the hash-family T rows. */
+  val qDedupFuzzy: Q = Q(
+    "q_dedup_fuzzy",
+    (s, dir) => {
+      import s.implicits._
+      val ents = fuzzyEntities(Tables.documents(s, dir), 6)
+      ents.as("a")
+        .join(ents.as("b"),
+          col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
+        .where(levenshtein(col("a.name"), col("b.name")).between(1, 2))
+        .select(
+          col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.name").as("name_a"), col("b.name").as("name_b"),
+          levenshtein(col("a.name"), col("b.name")).cast("long").as("lev"))
+        .orderBy($"doc_a", $"doc_b")
+    },
+    oracle = Some(
+      """WITH ents AS (
+        |  SELECT doc_id, name, substring(name, 1, 6) AS blk FROM (
+        |    SELECT doc_id,
+        |      CASE WHEN doc_id % 13 = 6
+        |           THEN substring(m1, 1, 9) || substring(m1, 11)
+        |           ELSE m1 END AS name
+        |    FROM (
+        |      SELECT doc_id,
+        |        CASE WHEN doc_id % 7 = 3
+        |             THEN substring(b, 1, 7) || 'z' || substring(b, 9)
+        |             ELSE b END AS m1
+        |      FROM (
+        |        SELECT doc_id,
+        |          substring(replace(lower(text), ' ', ''), 1, 12) AS b
+        |        FROM documents))))
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  a.name AS name_a, b.name AS name_b,
+        |  CAST(levenshtein(a.name, b.name) AS BIGINT) AS lev
+        |FROM ents a JOIN ents b
+        |  ON a.blk = b.blk AND a.doc_id < b.doc_id
+        |WHERE levenshtein(a.name, b.name) BETWEEN 1 AND 2
+        |ORDER BY doc_a, doc_b""".stripMargin))
+
   val all: Vector[Q] = Vector(
     qDedupShingleStage, qDedupExact, qDedupNear, qDedupMinhash,
     qDedupNgramJaccard, qDedupSimhash, qDedupPipeline, qDedupComponents,
-    qDedupComponentsStar, qTextContamination)
+    qDedupComponentsStar, qTextContamination, qDedupFuzzy)
 }

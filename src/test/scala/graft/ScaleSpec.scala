@@ -117,6 +117,46 @@ class ScaleSpec extends AnyFunSuite with SparkFixture {
     assert(e > 1.5, s"expected the quadratic FP floor, measured exponent $e")
   }
 
+  test("fuzzy-dedup blocked candidates grow ~linearly when the prefix follows fuzzyBlockLen",
+      ScaleStress) {
+    // Same rule as SignLsh.bitsFor, applied to prefix blocking: the
+    // block key's selectivity must grow ~log(n) to hold bucket sizes
+    // O(1); at a FIXED prefix the candidate volume is sum(bucket^2) =
+    // quadratic-in-expectation. Counts are the blocked JOIN pairs (the
+    // work the levenshtein filter must then touch), the honest volume
+    // metric for block-then-compare dedup.
+    def pairs(n: Long, len: Int): Long = {
+      val ents = DedupQueries.fuzzyEntities(syntheticDocs(n), len)
+      ents.as("a").join(ents.as("b"),
+        col("a.blk") === col("b.blk") &&
+          col("a.doc_id") < col("b.doc_id")).count()
+    }
+    val measured = sizes.map(n =>
+      (n, pairs(n, DedupQueries.fuzzyBlockLen(n))))
+    // Unlike the hash families, prefix selectivity arrives in INTEGER
+    // characters, so per-step exponents oscillate around 1 (a char
+    // lands "late", then over-corrects: measured 1.80, 0.82). The
+    // scale claim is the END-TO-END 16x growth exponent.
+    val (n1, c1) = measured.head
+    val (n3, c3) = measured.last
+    val e = math.log(c3.toDouble / c1) / math.log(n3.toDouble / n1)
+    info(s"fuzzy: " + measured.map { case (n, c) => s"n=$n pairs=$c" }
+      .mkString(", ") + f", end-to-end exponent=$e%.2f")
+    measured.foreach { case (n, c) =>
+      assert(c >= n / 50 / 2, s"fuzzy: counts degenerate at n=$n ($c pairs)")
+    }
+    assert(e <= maxExponent,
+      s"fuzzy: end-to-end exponent $e exceeds $maxExponent")
+    // Negative control (the defect the rule exists for): freeze the
+    // prefix at the smallest size's length and the volume must read
+    // clearly super-linear.
+    val frozen = DedupQueries.fuzzyBlockLen(sizes.head)
+    val fc = sizes.take(2).map(n => pairs(n, frozen))
+    val fe = math.log(fc(1).toDouble / fc(0)) / math.log(4.0)
+    info(f"fuzzy frozen-prefix control: pairs=${fc.mkString(", ")} exponent=$fe%.2f")
+    assert(fe > 1.5, s"expected the quadratic floor, measured $fe")
+  }
+
   test("embedding-dedup candidates grow ~linearly when bits follow bitsFor",
       ScaleStress) {
     assertLinear("embedding", { n =>
