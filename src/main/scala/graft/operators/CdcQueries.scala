@@ -182,5 +182,77 @@ object CdcQueries {
         |GROUP BY event_type, leaked_rows, erased_users
         |ORDER BY event_type""".stripMargin))
 
-  val all: Vector[Q] = Vector(qMergeUpsert, qDimScd2, qGdprErasure)
+  /** q_gdpr_erasure_multi (added r8) — the DSR as it actually arrives:
+    * one subject list, EVERY table keyed by that subject. The erasure
+    * list derives from the subject REGISTRY (customer — the master
+    * entity table whose custkey domain covers events.user_id and
+    * orders.o_custkey per FIXTURES.md), so after each per-table
+    * anti-join the md5 gate IS an exact membership re-check: any row
+    * whose key passes the gate would be on the list, making the
+    * per-table `leaked_rows` column (pinned 0 by the oracle) a real
+    * completeness proof, not a tautology of the join that just ran.
+    * One plan: three broadcast anti-join-filtered scans → three
+    * domain-sized aggs → union → one-row erased-count cross join.
+    *
+    * Scale: same argument as q_gdpr_erasure per table — the DSR list
+    * broadcasts, facts never shuffle on the subject key, and each
+    * table's pass fuses into its compaction rewrite. The union is of
+    * three 1-row aggregates. */
+  val qGdprErasureMulti: Q = Q(
+    "q_gdpr_erasure_multi",
+    (s, dir) => {
+      import s.implicits._
+      def gate(c: org.apache.spark.sql.Column) = graft.Dsl.md5Gate(c, "18")
+      val erase = Tables.customer(s, dir)
+        .select($"c_custkey".as("k")).where(gate($"k"))
+      def proof(df: org.apache.spark.sql.DataFrame,
+          key: String, tbl: String) =
+        df.join(broadcast(erase), df(key) === col("k"), "left_anti")
+          .agg(
+            count(lit(1)).as("n_kept"),
+            countDistinct(col(key)).as("n_subjects"),
+            sum(when(gate(col(key)), 1L).otherwise(0L)).as("leaked_rows"))
+          .select(lit(tbl).as("tbl"),
+            $"n_kept", $"n_subjects", $"leaked_rows")
+      proof(Tables.events(s, dir), "user_id", "events")
+        .unionAll(proof(Tables.orders(s, dir), "o_custkey", "orders"))
+        .unionAll(proof(Tables.customer(s, dir), "c_custkey", "customer"))
+        .crossJoin(broadcast(
+          erase.agg(count(lit(1)).as("erased_subjects"))))
+        .orderBy($"tbl")
+    },
+    oracle = Some(
+      s"""WITH erase AS (
+         |  SELECT c_custkey AS k FROM customer
+         |  WHERE ${graft.Dsl.md5GateSql("c_custkey", "18")}),
+         |n AS (SELECT count(*) AS erased_subjects FROM erase),
+         |ke AS (SELECT * FROM events
+         |       WHERE user_id NOT IN (SELECT k FROM erase)),
+         |ko AS (SELECT * FROM orders
+         |       WHERE o_custkey NOT IN (SELECT k FROM erase)),
+         |kc AS (SELECT * FROM customer
+         |       WHERE c_custkey NOT IN (SELECT k FROM erase))
+         |SELECT * FROM (
+         |  SELECT 'events' AS tbl, count(*) AS n_kept,
+         |    count(DISTINCT user_id) AS n_subjects,
+         |    CAST(SUM(CASE WHEN ${graft.Dsl.md5GateSql("user_id", "18")}
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS leaked_rows,
+         |    (SELECT erased_subjects FROM n) AS erased_subjects
+         |  FROM ke
+         |  UNION ALL
+         |  SELECT 'orders', count(*), count(DISTINCT o_custkey),
+         |    CAST(SUM(CASE WHEN ${graft.Dsl.md5GateSql("o_custkey", "18")}
+         |      THEN 1 ELSE 0 END) AS BIGINT),
+         |    (SELECT erased_subjects FROM n)
+         |  FROM ko
+         |  UNION ALL
+         |  SELECT 'customer', count(*), count(DISTINCT c_custkey),
+         |    CAST(SUM(CASE WHEN ${graft.Dsl.md5GateSql("c_custkey", "18")}
+         |      THEN 1 ELSE 0 END) AS BIGINT),
+         |    (SELECT erased_subjects FROM n)
+         |  FROM kc)
+         |ORDER BY tbl""".stripMargin))
+
+  val all: Vector[Q] = Vector(
+    qMergeUpsert, qDimScd2, qGdprErasure, qGdprErasureMulti)
 }
