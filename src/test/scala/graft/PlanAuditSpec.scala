@@ -169,6 +169,45 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("Generate"), s"no explode should remain:\n$p")
   }
 
+  test("q_dedup_fuzzy compares within blocks: equi join, never a cross product") {
+    // Levenshtein has no shuffle key of its own — the operator is only
+    // scale-sane because the edit-distance filter runs AFTER an equi
+    // join on the block prefix. A regression to a theta/cross join
+    // (e.g. someone 'simplifying' the blocked join away) would be
+    // all-pairs at 100 TB.
+    val p = planOf("q_dedup_fuzzy")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"fuzzy dedup must stay block-keyed:\n$p")
+    assert(p.contains("levenshtein"), "edit distance must be in-plan")
+  }
+
+  test("q_gdpr_erasure_multi: every table filters via broadcast anti join") {
+    // The DSR list is queue-sized; each of the three subject-keyed
+    // tables must anti-join against a BROADCAST of it — a single
+    // SortMergeJoin here would shuffle a fact table on the subject key
+    // just to delete ~10% of subjects.
+    val p = planOf("q_gdpr_erasure_multi")
+    val antis = p.linesIterator.count(l =>
+      l.contains("BroadcastHashJoin") && l.contains("LeftAnti"))
+    assert(antis >= 3, s"expected 3 broadcast anti joins, found $antis:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"facts must never shuffle on the subject key:\n$p")
+  }
+
+  test("q_vec_knn_ivfpq: partial top-k over codes, broadcast re-rank over floats") {
+    // The composed ANN pipeline's scale contract: the ADC shortlist is
+    // a TakeOrderedAndProject (per-partition partial top-k, tiny
+    // final — not a global sort), and the float corpus is only touched
+    // through a BROADCAST join of that 50-row shortlist.
+    val p = planOf("q_vec_knn_ivfpq")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"ADC top-k must be a partial top-k:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the re-rank must broadcast the shortlist:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the float corpus must not shuffle for a 50-row re-rank:\n$p")
+  }
+
   test("q_report_momentum windows run over the aggregate, not the fact") {
     // Join shuffle + agg shuffle + one window repartition on the ~400-row
     // aggregate; any more exchanges means the windows slid under the agg.
