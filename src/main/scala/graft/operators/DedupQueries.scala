@@ -819,8 +819,74 @@ object DedupQueries {
         |WHERE levenshtein(a.name, b.name) BETWEEN 1 AND 2
         |ORDER BY doc_a, doc_b""".stripMargin))
 
+  /** q_dedup_sorted_neighborhood (added r8) — the VOLUME-OPTIMAL
+    * refinement of blocked fuzzy dedup: sort entities within each
+    * block and compare only rank-neighbors within a window of w=4,
+    * so within-block candidate volume drops from bucket²/2 to
+    * bucket·(w−1) — LINEAR in the bucket, which is what lets the
+    * block be coarser (4-char prefix here vs q_dedup_fuzzy's 6) and
+    * recall higher for same-prefix variants, at the price of missing
+    * pairs more than w−1 sort positions apart.
+    *
+    * Spark shape: the rank is a window PARTITIONED BY block (never a
+    * global Window.orderBy — no single-partition funnel), and the
+    * neighbor pairing is a PURE EQUI JOIN: the left side explodes
+    * offsets 1..w−1 and joins on (blk, rn + off) = (blk, rn), so the
+    * planner sees a plain keyed shuffle join, not a range/theta
+    * condition. The DuckDB twin states the same pairing as
+    * `b.rn − a.rn BETWEEN 1 AND 3` — declaratively identical. */
+  val qDedupSortedNeighborhood: Q = Q(
+    "q_dedup_sorted_neighborhood",
+    (s, dir) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"blk").orderBy($"name", $"doc_id")
+      val ranked = fuzzyEntities(Tables.documents(s, dir), 4)
+        .withColumn("rn", row_number().over(w))
+      val lhs = ranked
+        .withColumn("off", explode(typedLit(Seq(1, 2, 3))))
+        .select($"blk", ($"rn" + $"off").as("rn2"),
+          $"doc_id".as("doc_a"), $"name".as("name_a"))
+      lhs.join(ranked
+            .select($"blk", $"rn".as("rn2"),
+              $"doc_id".as("doc_b"), $"name".as("name_b")),
+          Seq("blk", "rn2"))
+        .where(levenshtein($"name_a", $"name_b").between(1, 2))
+        .select($"doc_a", $"doc_b", $"name_a", $"name_b",
+          levenshtein($"name_a", $"name_b").cast("long").as("lev"))
+        .orderBy($"doc_a", $"doc_b")
+    },
+    oracle = Some(
+      """WITH ents AS (
+        |  SELECT doc_id, name, substring(name, 1, 4) AS blk FROM (
+        |    SELECT doc_id,
+        |      CASE WHEN doc_id % 13 = 6
+        |           THEN substring(m1, 1, 9) || substring(m1, 11)
+        |           ELSE m1 END AS name
+        |    FROM (
+        |      SELECT doc_id,
+        |        CASE WHEN doc_id % 7 = 3
+        |             THEN substring(b, 1, 7) || 'z' || substring(b, 9)
+        |             ELSE b END AS m1
+        |      FROM (
+        |        SELECT doc_id,
+        |          substring(replace(lower(text), ' ', ''), 1, 12) AS b
+        |        FROM documents)))),
+        |ranked AS (
+        |  SELECT doc_id, name, blk,
+        |    row_number() OVER (PARTITION BY blk ORDER BY name, doc_id) AS rn
+        |  FROM ents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  a.name AS name_a, b.name AS name_b,
+        |  CAST(levenshtein(a.name, b.name) AS BIGINT) AS lev
+        |FROM ranked a JOIN ranked b
+        |  ON a.blk = b.blk AND b.rn - a.rn BETWEEN 1 AND 3
+        |WHERE levenshtein(a.name, b.name) BETWEEN 1 AND 2
+        |ORDER BY doc_a, doc_b""".stripMargin))
+
   val all: Vector[Q] = Vector(
     qDedupShingleStage, qDedupExact, qDedupNear, qDedupMinhash,
     qDedupNgramJaccard, qDedupSimhash, qDedupPipeline, qDedupComponents,
-    qDedupComponentsStar, qTextContamination, qDedupFuzzy)
+    qDedupComponentsStar, qTextContamination, qDedupFuzzy,
+    qDedupSortedNeighborhood)
 }

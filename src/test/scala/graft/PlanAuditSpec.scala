@@ -181,6 +181,17 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("levenshtein"), "edit distance must be in-plan")
   }
 
+  test("q_dedup_sorted_neighborhood: per-block window, equi-join pairing") {
+    // Two scale contracts: the rank window is PARTITIONED (a global
+    // Window.orderBy would funnel the corpus to one task), and the
+    // neighbor pairing reaches the planner as a keyed equi join — the
+    // BETWEEN form of the same predicate would plan as BNLJ.
+    val p = planOf("q_dedup_sorted_neighborhood")
+    assert(p.contains("Window"))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"rank pairing must stay an equi join:\n$p")
+  }
+
   test("q_gdpr_erasure_multi: every table filters via broadcast anti join") {
     // The DSR list is queue-sized; each of the three subject-keyed
     // tables must anti-join against a BROADCAST of it — a single
