@@ -38,6 +38,7 @@ object Catalog {
       operators.SkewJoin.all ++
       operators.VectorQueries.all ++
       operators.PqQuantizer.all ++
+      Vector(functions.CountMin.qAggCountmin) ++
       streaming.StreamingQueries.all ++
       streaming.StreamJoinQueries.all
 
