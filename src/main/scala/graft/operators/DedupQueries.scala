@@ -884,9 +884,82 @@ object DedupQueries {
         |WHERE levenshtein(a.name, b.name) BETWEEN 1 AND 2
         |ORDER BY doc_a, doc_b""".stripMargin))
 
+  /** q_dedup_ppjoin (added r8) — EXACT set-similarity join via prefix
+    * filtering (the PPJoin/AllPairs family, Bayardo et al. / Xiao et
+    * al.): ALL pairs with shingle-set Jaccard ≥ 0.5, sub-quadratically,
+    * with NO loss. The one theorem doing the work: under any single
+    * GLOBAL total order of tokens, two sets with Jaccard ≥ t must share
+    * a token within each one's first |x| − ⌈t·|x|⌉ + 1 tokens — so
+    * candidates = pairs sharing a PREFIX token, and rare-token-first
+    * ordering (ascending corpus frequency) makes those prefix buckets
+    * the smallest possible. This completes the set-similarity triangle:
+    * q_dedup_ngram_jaccard is exact-but-lossy (prefix-KEY blocking can
+    * miss pairs), MinHash-LSH is complete-ish-but-approximate; PPJoin
+    * is exact AND complete — which is why its DuckDB twin can be the
+    * brute-force ALL-PAIRS join: a hash match against ground truth
+    * proves the pruning lossless, not just plausible.
+    *
+    * Scale shape: token frequencies collapse to the shingle vocabulary
+    * (corpus-bounded, broadcast); per-doc rare-first ranking is one
+    * doc-keyed window; candidate generation is an equi self-join on the
+    * prefix token (buckets = docs sharing a RARE shingle — small by
+    * construction); verification joins the candidate ids back to the
+    * shingle stage (doc-keyed) and computes exact intersection sizes.
+    * Every join is keyed; nothing is all-pairs. */
+  val qDedupPpjoin: Q = Q(
+    "q_dedup_ppjoin",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Shingled(s, dir)
+        .select($"doc_id", array_distinct($"sh").as("sh"))
+      val ex = docs.select($"doc_id", size($"sh").as("len"),
+        explode($"sh").as("g"))
+      val freq = ex.groupBy($"g").agg(count(lit(1)).as("f"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"doc_id").orderBy($"f", $"g")
+      val prefix = ex.join(broadcast(freq), "g")
+        .withColumn("rn", row_number().over(w))
+        .where($"rn" <= $"len" - ceil($"len" * 0.5) + 1)
+        .select($"doc_id", $"g")
+      val cand = prefix.as("a")
+        .join(prefix.as("b"),
+          col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      cand
+        .join(docs.select($"doc_id".as("doc_a"), $"sh".as("sha")), "doc_a")
+        .join(docs.select($"doc_id".as("doc_b"), $"sh".as("shb")), "doc_b")
+        .select($"doc_a", $"doc_b",
+          size(array_intersect($"sha", $"shb")).cast(DoubleType).as("ni"),
+          (size($"sha") + size($"shb")).cast(DoubleType).as("nab"))
+        .select($"doc_a", $"doc_b",
+          round($"ni" / ($"nab" - $"ni"), 6).as("jaccard"))
+        .where($"jaccard" >= 0.5)
+        .orderBy($"doc_a", $"doc_b")
+    },
+    oracle = Some(
+      // Deliberately ALL-PAIRS: the ground truth the prefix filter must
+      // reproduce exactly. (Fine at oracle scale; the sub-quadratic
+      // plan is the Spark side's job.)
+      s"""SELECT doc_a, doc_b, jaccard FROM (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    ROUND(
+         |      CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |      (CAST(len(a.sh) + len(b.sh) AS DOUBLE) - len(list_intersect(a.sh, b.sh))),
+         |      6) AS jaccard
+         |  FROM (SELECT doc_id,
+         |          list_distinct(${Shingles.sql("string_split(lower(text), ' ')")}) AS sh
+         |        FROM documents) a
+         |  JOIN (SELECT doc_id,
+         |          list_distinct(${Shingles.sql("string_split(lower(text), ' ')")}) AS sh
+         |        FROM documents) b
+         |    ON a.doc_id < b.doc_id)
+         |WHERE jaccard >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin))
+
   val all: Vector[Q] = Vector(
     qDedupShingleStage, qDedupExact, qDedupNear, qDedupMinhash,
     qDedupNgramJaccard, qDedupSimhash, qDedupPipeline, qDedupComponents,
     qDedupComponentsStar, qTextContamination, qDedupFuzzy,
-    qDedupSortedNeighborhood)
+    qDedupSortedNeighborhood, qDedupPpjoin)
 }

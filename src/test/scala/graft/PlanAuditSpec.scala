@@ -181,6 +181,18 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("levenshtein"), "edit distance must be in-plan")
   }
 
+  test("q_dedup_ppjoin: broadcast token frequencies, keyed joins only") {
+    // The lossless prefix filter is only scale-sane if the frequency
+    // side broadcasts (vocabulary-bounded) and candidate generation +
+    // verification stay keyed equi joins — all-pairs must exist ONLY
+    // in the DuckDB twin.
+    val p = planOf("q_dedup_ppjoin")
+    assert(p.contains("BroadcastHashJoin"),
+      s"token frequencies must broadcast:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"ppjoin must never go all-pairs:\n$p")
+  }
+
   test("q_dedup_sorted_neighborhood: per-block window, equi-join pairing") {
     // Two scale contracts: the rank window is PARTITIONED (a global
     // Window.orderBy would funnel the corpus to one task), and the
