@@ -119,4 +119,34 @@ object TypedAggs {
   /** The shipped instance: k = 64 ≥ the 31-token fixture vocabulary —
     * the exact, order-independent regime (see [[SpaceSaving]]). */
   object SpaceSaving64 extends SpaceSaving(64)
+
+  /** Bounded top-k by (score DESC, id ASC) — the aggregate that makes
+    * batch kNN scale: grouping scored candidates by probe with this
+    * aggregator ships AT MOST k rows per (partition, probe) across the
+    * shuffle, where the window-function form (`row_number() ≤ k`)
+    * shuffles EVERY score row first. State is a k-bounded sorted vector;
+    * reduce/merge keep it trimmed, and the (−score, id) tiebreak makes
+    * the result a pure function of the input SET — partitioning- and
+    * merge-order-invariant, which is what lets q_vec_knn_batch
+    * hash-match a DuckDB row_number() twin. (Exact doubles compare
+    * exactly: scores are round(6)-ed BEFORE aggregation on both
+    * engines, so ordering decisions are bit-identical.) */
+  class TopKByScore(k: Int)
+      extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
+    require(k > 0, s"k must be positive, got $k")
+    private def trim(s: Seq[(Double, Long)]): Seq[(Double, Long)] =
+      s.sortBy { case (score, id) => (-score, id) }.take(k)
+    override def zero: Seq[(Double, Long)] = Vector.empty
+    override def reduce(b: Seq[(Double, Long)], a: (Double, Long)): Seq[(Double, Long)] =
+      trim(b :+ a)
+    override def merge(a: Seq[(Double, Long)], b: Seq[(Double, Long)]): Seq[(Double, Long)] =
+      trim(a ++ b)
+    override def finish(r: Seq[(Double, Long)]): Seq[(Double, Long)] = r
+    override def bufferEncoder: Encoder[Seq[(Double, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
+    override def outputEncoder: Encoder[Seq[(Double, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
+  }
+
+  object Top5ByScore extends TopKByScore(5)
 }

@@ -388,8 +388,64 @@ object VectorQueries {
         |FROM q
         |ORDER BY vec_id""".stripMargin))
 
+  /** q_vec_knn_batch (added r8) — exact top-5 neighbors for a whole
+    * PROBE SET in one plan: the kNN-GRAPH build shape (offline graph
+    * construction, contrastive-pair mining, dedup seeding), where
+    * single-probe rows are the online shape. Probes are the md5-gated
+    * ~6% sample (bounded, broadcast); the corpus is scanned ONCE for
+    * the entire batch.
+    *
+    * The scale decision is the aggregation: scores group by probe
+    * through [[graft.functions.TypedAggs.TopKByScore]], a bounded-heap
+    * typed Aggregator — map-side partial top-k means AT MOST k rows per
+    * (partition, probe) cross the shuffle. The window form
+    * (row_number ≤ k) would shuffle all |probes|·n score rows — at
+    * 10⁹×10⁴ that is the difference between a working job and an
+    * exabyte shuffle. The deterministic (−sim, vec_id) trim order makes
+    * the aggregate a pure function of the score SET, which is why this
+    * T-shaped engine state can still hash-match a DuckDB row_number()
+    * twin (scores round(6)-ed BEFORE ranking on both engines). */
+  val qVecKnnBatch: Q = Q(
+    "q_vec_knn_batch",
+    (s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
+      val probes = broadcast(
+        emb.where(graft.Dsl.md5Gate($"vec_id", "10"))
+          .select($"vec_id".as("p_id"), $"embedding".as("p")))
+      emb.crossJoin(probes)
+        .where($"vec_id" =!= $"p_id")
+        .select($"p_id", round(dot("embedding", "p"), 6).as("sim"), $"vec_id")
+        .as[(Long, Double, Long)]
+        .groupByKey(_._1)
+        .mapValues(r => (r._2, r._3))
+        .agg(graft.functions.TypedAggs.Top5ByScore.toColumn.name("top"))
+        .toDF("p_id", "top")
+        .select($"p_id", posexplode($"top"))
+        .select($"p_id", ($"pos" + 1).cast(LongType).as("rank"),
+          $"col._2".as("vec_id"), $"col._1".as("sim"))
+        .orderBy($"p_id", $"rank")
+    },
+    oracle = Some(
+      s"""WITH probes AS (
+         |  SELECT vec_id AS p_id, embedding AS p FROM embeddings
+         |  WHERE ${graft.Dsl.md5GateSql("vec_id", "10")}),
+         |scored AS (
+         |  SELECT p_id, e.vec_id,
+         |    ROUND(list_sum(list_transform(range(1, 65),
+         |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(p[i] AS DOUBLE))), 6) AS sim
+         |  FROM probes, embeddings e
+         |  WHERE e.vec_id <> p_id),
+         |ranked AS (
+         |  SELECT p_id, vec_id, sim,
+         |    row_number() OVER (PARTITION BY p_id ORDER BY sim DESC, vec_id) AS rank
+         |  FROM scored)
+         |SELECT p_id, rank, vec_id, sim
+         |FROM ranked WHERE rank <= 5
+         |ORDER BY p_id, rank""".stripMargin))
+
   val all: Vector[Q] = Vector(
     qVecNormStats, qVecKnnBruteforce, qVecKnnLsh, qVecKnnIvf,
     qDedupEmbedding, qVecCentroids, qMultimodalJoin, qMultimodalFrames,
-    qVecQuantize)
+    qVecQuantize, qVecKnnBatch)
 }

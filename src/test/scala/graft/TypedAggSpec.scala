@@ -61,4 +61,32 @@ class TypedAggSpec extends AnyFunSuite with SparkFixture {
     assert(rows.length == 3) // returnflags A, N, R
     rows.foreach(r => assert(r.getDouble(1) > 0))
   }
+
+  test("TopKByScore is a pure function of the input set: any order, any split") {
+    // The batch-kNN contract: the bounded-heap aggregate must land on
+    // the same top-k no matter how rows are ordered or partitioned —
+    // including ties, which break by ascending id.
+    val agg = new TypedAggs.TopKByScore(3)
+    val rows: Seq[(Double, Long)] =
+      Seq((0.9, 7L), (0.9, 3L), (0.5, 1L), (0.7, 9L), (0.7, 2L), (0.1, 8L))
+    val expected = Seq((0.9, 3L), (0.9, 7L), (0.7, 2L))
+    def run(order: Seq[(Double, Long)], splitAt: Int): Seq[(Double, Long)] = {
+      val (l, r) = order.splitAt(splitAt)
+      agg.merge(
+        l.foldLeft(agg.zero)(agg.reduce),
+        r.foldLeft(agg.zero)(agg.reduce))
+    }
+    for (p <- rows.permutations.take(50); s <- 0 to rows.size)
+      assert(run(p, s) == expected, s"perm $p split $s")
+  }
+
+  test("catalog query q_vec_knn_batch ranks 1..5 per probe, sims non-increasing") {
+    val rows = Catalog.byName("q_vec_knn_batch").build(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length % 5 == 0)
+    rows.grouped(5).foreach { g =>
+      assert(g.map(_.getLong(1)).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+      val sims = g.map(_.getDouble(3)).toSeq
+      assert(sims == sims.sorted.reverse, s"sims not ranked: $sims")
+    }
+  }
 }
