@@ -768,8 +768,12 @@ object DedupQueries {
     * character. The catalog row pins blockLen=6 because its oracle SQL
     * is one static string across all fixture SFs. */
   def fuzzyBlockLen(n: Long, targetBucketSize: Int = 16): Int =
-    1 + math.ceil(
-      math.log(n.toDouble / targetBucketSize) / math.log(2) / 2.0).toInt
+    // Floor of 2: at n <= target the log goes non-positive and an
+    // unguarded result of <= 1 would silently yield near-empty prefixes
+    // (one giant bucket — the exact quadratic failure the rule exists
+    // to prevent).
+    math.max(2, 1 + math.ceil(
+      math.log(n.toDouble / targetBucketSize) / math.log(2) / 2.0).toInt)
 
   /** q_dedup_fuzzy (added r8) — typo-grade entity dedup via edit
     * distance, the dedup class the token/shingle family cannot see: a

@@ -340,7 +340,46 @@ object StreamingQueries {
       }
     })
 
+  /** q_stream_countmin (T) — the Count-Min sketch maintained
+    * INCREMENTALLY over the event stream, then queried: the replay
+    * folds every micro-batch into one sketch buffer (typed agg state —
+    * partial buffers merge map-side, so the single-key state partition
+    * receives one buffer per input partition per batch, never rows),
+    * and the build then reads the landed sketch back and answers the
+    * same top-10 frequency question as the batch row. Because CM merge
+    * is EXACT (entrywise add), the streamed sketch equals the batch
+    * sketch BIT-FOR-BIT no matter how the stream was micro-batched —
+    * CountMinSpec pins that equality and the row-level agreement with
+    * q_agg_countmin. This is the always-fresh sketch-table pattern: a
+    * 100 TB pipeline keeps per-window sketch rows and unions on read;
+    * the global fold here is its one-key special case. */
+  val qStreamCountmin: Q = Q(
+    "q_stream_countmin",
+    (s, dir) => {
+      import graft.functions.CountMin
+      import org.apache.spark.sql.functions._
+      val landed = Replay.run(s, dir, "countmin", "complete") { df =>
+        import df.sparkSession.implicits._
+        df.select(col("user_id")).as[Long]
+          .groupByKey(_ => 0)
+          .agg(CountMin.Sketch.toColumn.name("sk"))
+          .toDF("g", "sk")
+      }
+      // The landed sketch is bounded model state (d×w longs) — same
+      // collect discipline as the PQ LUTs.
+      val sk = landed.head().getSeq[Long](1).toArray
+      import s.implicits._
+      graft.Tables.events(s, dir)
+        .groupBy($"user_id").agg(count(lit(1)).as("n_exact"))
+        .orderBy($"n_exact".desc, $"user_id")
+        .limit(10)
+        .withColumn("n_est", CountMin.estimate($"user_id", sk))
+        .withColumn("overcount", $"n_est" - $"n_exact")
+        .orderBy($"n_exact".desc, $"user_id")
+    })
+
   val all: Vector[Q] = Vector(qWindowTumblingBatch,
     qStreamTumbling, qStreamSliding, qStreamSession, qStreamDedup,
-    qStreamStateful, qStreamStatefulTws, qStreamQualityFilter)
+    qStreamStateful, qStreamStatefulTws, qStreamQualityFilter,
+    qStreamCountmin)
 }

@@ -80,6 +80,28 @@ class CountMinSpec extends AnyFunSuite with SparkFixture {
     assert(again.sameElements(sketch))
   }
 
+  test("streamed sketch equals the batch sketch bit-for-bit, and the rows agree") {
+    // Exact mergeability is what makes the incremental sketch-table
+    // pattern sound: however the stream was micro-batched, folding the
+    // batches must land on the very counters one batch pass produces.
+    val streamed = graft.streaming.StreamingQueries.Replay
+      .run(spark, sfDir, "countmin_spec", "complete") { df =>
+        import df.sparkSession.implicits._
+        df.select(col("user_id")).as[Long]
+          .groupByKey(_ => 0)
+          .agg(Sketch.toColumn.name("sk"))
+          .toDF("g", "sk")
+      }.head().getSeq[Long](1).toArray
+    assert(streamed.sameElements(sketch),
+      "stream-folded sketch must equal the batch sketch exactly")
+    val a = Catalog.byName("q_stream_countmin").build(spark, sfDir)
+      .collect().map(_.toSeq)
+    val b = Catalog.byName("q_agg_countmin").build(spark, sfDir)
+      .collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq,
+      "streamed and batch top-10 frequency answers must agree")
+  }
+
   test("catalog row: top-10 rows, overcount >= 0, est column consistent") {
     val rows = Catalog.byName("q_agg_countmin").build(spark, sfDir).collect()
     assert(rows.length == 10)
