@@ -924,10 +924,16 @@ object DedupQueries {
       val prefix = ex.join(broadcast(freq), "g")
         .withColumn("rn", row_number().over(w))
         .where($"rn" <= $"len" - ceil($"len" * 0.5) + 1)
-        .select($"doc_id", $"g")
+        .select($"doc_id", $"g", $"len")
       val cand = prefix.as("a")
         .join(prefix.as("b"),
-          col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+          col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id") &&
+            // AllPairs length filter: J(A,B) >= t forces
+            // t*max(|A|,|B|) <= min(|A|,|B|) — a NECESSARY condition,
+            // so dropping pairs that violate it stays lossless while
+            // sparing them the exact-intersection verify.
+            greatest(col("a.len"), col("b.len")) * 0.5 <=
+              least(col("a.len"), col("b.len")))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
       cand
