@@ -99,23 +99,42 @@ object CountMin {
       }
   }
 
-  /** q_agg_countmin (T) — the sketch answering the canonical question:
-    * estimated frequencies for the top-10 users alongside exact counts
-    * and the (always ≥ 0) overcount. Engine-specific hash state ⇒ no
-    * DuckDB oracle; CountMinSpec pins the one-sided guarantee and the
-    * e·N/w error bound over the WHOLE key domain, exact mergeability,
-    * hash parity, and partitioning-invariance. */
+  /** The shared readback: top-10 users by exact count, with the
+    * sketch's estimate and the (always ≥ 0) overcount. ONE definition
+    * consumed by both the batch and streaming rows — CountMinSpec pins
+    * their row-level agreement, and a tiebreak/limit edit applied to
+    * only one of them would fail that pin for a reason unrelated to
+    * sketch semantics. */
+  def topFreq(s: SparkSession, dir: String, sk: Array[Long])
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    graft.Tables.events(s, dir)
+      .groupBy($"user_id").agg(count(lit(1)).as("n_exact"))
+      .orderBy($"n_exact".desc, $"user_id")
+      .limit(10)
+      .withColumn("n_est", estimate($"user_id", sk))
+      .withColumn("overcount", $"n_est" - $"n_exact")
+      .orderBy($"n_exact".desc, $"user_id")
+  }
+
+  /** The stream-side fold: every micro-batch's keys into ONE sketch
+    * buffer (single-group typed agg — partial buffers merge map-side).
+    * Shared by q_stream_countmin and CountMinSpec's equality pin. */
+  def streamFold(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    df.select(col("user_id")).as[Long]
+      .groupByKey(_ => 0)
+      .agg(Sketch.toColumn.name("sk"))
+      .toDF("g", "sk")
+  }
+
+  /** q_agg_countmin (T) — the sketch answering the canonical question
+    * (see [[topFreq]]). Engine-specific hash state ⇒ no DuckDB oracle;
+    * CountMinSpec pins the one-sided guarantee and the e·N/w error
+    * bound over the WHOLE key domain, exact mergeability, hash parity,
+    * and partitioning-invariance. */
   val qAggCountmin: graft.Q = graft.Q(
     "q_agg_countmin",
-    (s, dir) => {
-      import s.implicits._
-      val sk = Sketches(s, dir)
-      graft.Tables.events(s, dir)
-        .groupBy($"user_id").agg(count(lit(1)).as("n_exact"))
-        .orderBy($"n_exact".desc, $"user_id")
-        .limit(10)
-        .withColumn("n_est", estimate($"user_id", sk))
-        .withColumn("overcount", $"n_est" - $"n_exact")
-        .orderBy($"n_exact".desc, $"user_id")
-    })
+    (s, dir) => topFreq(s, dir, Sketches(s, dir)))
 }

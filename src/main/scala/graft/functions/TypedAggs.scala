@@ -136,9 +136,18 @@ object TypedAggs {
     require(k > 0, s"k must be positive, got $k")
     private def trim(s: Seq[(Double, Long)]): Seq[(Double, Long)] =
       s.sortBy { case (score, id) => (-score, id) }.take(k)
+    /** (−score, id) order: a BEATS b iff higher score, or equal score
+      * and smaller id. */
+    @inline private def beats(a: (Double, Long), b: (Double, Long)): Boolean =
+      a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
     override def zero: Seq[(Double, Long)] = Vector.empty
     override def reduce(b: Seq[(Double, Long)], a: (Double, Long)): Seq[(Double, Long)] =
-      trim(b :+ a)
+      // Hot path: the buffer is trim-sorted, so once it's full the
+      // overwhelmingly common case — a score no better than the current
+      // k-th — is a single comparison, no copy, no sort. Only genuine
+      // top-k entrants (≤ k·ln n expected over a stream of n) pay the
+      // re-sort.
+      if (b.size >= k && !beats(a, b.last)) b else trim(b :+ a)
     override def merge(a: Seq[(Double, Long)], b: Seq[(Double, Long)]): Seq[(Double, Long)] =
       trim(a ++ b)
     override def finish(r: Seq[(Double, Long)]): Seq[(Double, Long)] = r

@@ -138,15 +138,21 @@ object LayoutQueries {
             min(col("user_id")).as("ulo"), max(col("user_id")).as("uhi"),
             min(col("ud")).as("dlo"), max(col("ud")).as("dhi"))
           val cols = Tables.events(s, dir).columns.map(col)
-          // Divide-first quantize: `(x - lo) * 65535` overflows Long once
-          // the key range exceeds ~1.4e14, silently destroying clustering.
-          // Bucket width = range div 65536 (floor, min 1) keeps every
-          // intermediate ≤ the raw range; least() caps the top edge.
+          // Quantize through DOUBLE: `(x - lo) * 65535` in Long overflows
+          // once the key range exceeds ~1.4e14, but integer divide-first
+          // bucketing is wrong too — for ranges BELOW 65536 it leaves the
+          // value unscaled, so a small dimension (days: 0..29) occupies 5
+          // low morton bits while a larger one (users) claims every high
+          // bit and the interleave degenerates to a single-column sort.
+          // floor((x-lo)*65535.0/range) normalizes BOTH dimensions to the
+          // full 16-bit lattice at any range: exact below 2^53, and past
+          // that the ~1-ulp error moves a key at most one bucket —
+          // irrelevant for clustering, no overflow ever.
           ev.crossJoin(broadcast(bounds))
-            .withColumn("su",
-              expr("least((user_id - ulo) div greatest((uhi - ulo) div 65536, 1), 65535)"))
-            .withColumn("sd",
-              expr("least((ud - dlo) div greatest((dhi - dlo) div 65536, 1), 65535)"))
+            .withColumn("su", expr(
+              "CAST(floor((user_id - ulo) * 65535.0 / greatest(uhi - ulo, 1)) AS BIGINT)"))
+            .withColumn("sd", expr(
+              "CAST(floor((ud - dlo) * 65535.0 / greatest(dhi - dlo, 1)) AS BIGINT)"))
             .withColumn("z", morton16(col("su"), col("sd")))
             .repartitionByRange(8, col("z"))
             .sortWithinPartitions(col("z"))

@@ -357,25 +357,11 @@ object StreamingQueries {
     "q_stream_countmin",
     (s, dir) => {
       import graft.functions.CountMin
-      import org.apache.spark.sql.functions._
-      val landed = Replay.run(s, dir, "countmin", "complete") { df =>
-        import df.sparkSession.implicits._
-        df.select(col("user_id")).as[Long]
-          .groupByKey(_ => 0)
-          .agg(CountMin.Sketch.toColumn.name("sk"))
-          .toDF("g", "sk")
-      }
+      val landed =
+        Replay.run(s, dir, "countmin", "complete")(CountMin.streamFold)
       // The landed sketch is bounded model state (d×w longs) — same
       // collect discipline as the PQ LUTs.
-      val sk = landed.head().getSeq[Long](1).toArray
-      import s.implicits._
-      graft.Tables.events(s, dir)
-        .groupBy($"user_id").agg(count(lit(1)).as("n_exact"))
-        .orderBy($"n_exact".desc, $"user_id")
-        .limit(10)
-        .withColumn("n_est", CountMin.estimate($"user_id", sk))
-        .withColumn("overcount", $"n_est" - $"n_exact")
-        .orderBy($"n_exact".desc, $"user_id")
+      CountMin.topFreq(s, dir, landed.head().getSeq[Long](1).toArray)
     })
 
   val all: Vector[Q] = Vector(qWindowTumblingBatch,

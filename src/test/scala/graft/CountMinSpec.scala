@@ -85,13 +85,8 @@ class CountMinSpec extends AnyFunSuite with SparkFixture {
     // pattern sound: however the stream was micro-batched, folding the
     // batches must land on the very counters one batch pass produces.
     val streamed = graft.streaming.StreamingQueries.Replay
-      .run(spark, sfDir, "countmin_spec", "complete") { df =>
-        import df.sparkSession.implicits._
-        df.select(col("user_id")).as[Long]
-          .groupByKey(_ => 0)
-          .agg(Sketch.toColumn.name("sk"))
-          .toDF("g", "sk")
-      }.head().getSeq[Long](1).toArray
+      .run(spark, sfDir, "countmin_spec", "complete")(streamFold)
+      .head().getSeq[Long](1).toArray
     assert(streamed.sameElements(sketch),
       "stream-folded sketch must equal the batch sketch exactly")
     val a = Catalog.byName("q_stream_countmin").build(spark, sfDir)

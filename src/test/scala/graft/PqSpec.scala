@@ -63,15 +63,23 @@ class PqSpec extends AnyFunSuite with SparkFixture {
     gated.take(24)
   }
 
+  /** Same rounding route as Spark's round(x, 6): BigDecimal HALF_UP on
+    * the exact binary double. A rint(x*1e6)/1e6 shortcut is half-EVEN
+    * on a pre-rounded product and diverges on .5-boundary values. */
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private def exactDot(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i).toDouble * b(i); i += 1 }
+    s
+  }
+
   private def exactTop(probeId: Long, k: Int): Seq[Long] = {
     val p = floatsById(probeId)
     floatsById.iterator
       .filter(_._1 != probeId)
-      .map { case (id, v) =>
-        var s = 0.0; var i = 0
-        while (i < v.length) { s += v(i).toDouble * p(i); i += 1 }
-        (id, math.rint(s * 1e6) / 1e6)
-      }
+      .map { case (id, v) => (id, round6(exactDot(v, p))) }
       .toSeq.sortBy { case (id, s) => (-s, id) }.take(k).map(_._1)
   }
 
@@ -112,10 +120,8 @@ class PqSpec extends AnyFunSuite with SparkFixture {
       // Re-rank contract: every returned sim equals the exact dot
       // (round 6) — the float re-read really did replace the ADC score.
       composed.foreach { r =>
-        val p = floatsById(pid); val v = floatsById(r.getLong(0))
-        var s = 0.0; var i = 0
-        while (i < v.length) { s += v(i).toDouble * p(i); i += 1 }
-        assert(r.getDouble(2) == math.rint(s * 1e6) / 1e6,
+        assert(r.getDouble(2) ==
+          round6(exactDot(floatsById(r.getLong(0)), floatsById(pid))),
           s"probe $pid vec ${r.getLong(0)}: re-ranked sim must be exact")
       }
       val adc5 = PqQuantizer
