@@ -393,7 +393,132 @@ object AnalyticsQueries {
         |SELECT event_id, user_id, CAST(e AS DOUBLE) / 1000000 AS ewma
         |FROM ew ORDER BY event_id""".stripMargin))
 
+  /** q_ts_ohlc — hourly OHLC (open/high/low/close) candlestick bars per
+    * event type: the canonical market-data resample of the north-star
+    * crypto-ETL domain (tick stream → bar series). Open/close are the
+    * first/last tick VALUE within the bar, high/low the extremes, plus
+    * tick count and exact volume.
+    *
+    * Determinism: first/last tick selected with min_by/max_by on
+    * event_id — unique and ts-ordered by fixture contract, so no
+    * tie to break (the q_agg_minmax_by rule: argmin keys must be
+    * total orders); high/low are order-independent maxima of exact
+    * 2-dp doubles; volume is the exact decimal sum.
+    *
+    * Shape: ONE partial-agg shuffle onto a (hours × event_types)-sized
+    * result — all five aggregates are commutative monoids, so map-side
+    * combine collapses each partition to bar-domain size before the
+    * exchange. At 100 TB of ticks this is the same incremental-merge
+    * story as q_agg_incremental: per-bar partials merge associatively,
+    * so late data re-aggregates only its own bar. */
+  val qTsOhlc: Q = Q(
+    "q_ts_ohlc",
+    (s, dir) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .groupBy(date_trunc("hour", $"ts").as("bar"), $"event_type")
+        .agg(
+          min_by($"value", $"event_id").as("open"),
+          max($"value").as("high"),
+          min($"value").as("low"),
+          max_by($"value", $"event_id").as("close"),
+          count(lit(1)).as("n_ticks"),
+          sumMoney($"value").as("volume"))
+        .select($"bar".cast("timestamp_ntz").as("bar"), $"event_type",
+          $"open", $"high", $"low", $"close", $"n_ticks", $"volume")
+        .orderBy($"bar", $"event_type")
+    },
+    oracle = Some(
+      """SELECT date_trunc('hour', ts) AS bar, event_type,
+        |  min_by(value, event_id) AS open,
+        |  max(value) AS high,
+        |  min(value) AS low,
+        |  max_by(value, event_id) AS close,
+        |  count(*) AS n_ticks,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS volume
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY bar, event_type""".stripMargin))
+
+  /** q_ts_interpolate — LINEAR interpolation across daily-revenue gaps,
+    * completing the gap-repair pair with q_ts_gapfill's forward fill:
+    * each missing day gets prev + (next − prev) · (days-since-prev /
+    * days-between-observations). The standard repair for rate-like
+    * series where LOCF understates a rising trend.
+    *
+    * Determinism: prev/next are exact decimal-summed doubles carried by
+    * ignoreNulls windows; the interpolation weight is a quotient of
+    * small integer day-counts; the final expression is the IDENTICAL
+    * literal IEEE chain (one divide, one multiply, one add, correctly
+    * rounded each) in both engines — no rounding needed, same argument
+    * as q_anomaly_zscore.
+    *
+    * Shape: identical to q_ts_gapfill — facts collapse to a DAY-grained
+    * aggregate (one partial-agg shuffle); spine generation and both
+    * ignoreNulls windows run over the CALENDAR, whose size is the date
+    * domain, so the single-partition ordered windows are bounded by
+    * construction at any fact scale. */
+  val qTsInterpolate: Q = Q(
+    "q_ts_interpolate",
+    (s, dir) => {
+      import s.implicits._
+      val daily = Tables.orders(s, dir)
+        .groupBy(date_trunc("day", $"o_orderdate").as("day"))
+        .agg(sumMoney($"o_totalprice").as("revenue"))
+      val cal = daily.agg(min($"day").as("lo"), max($"day").as("hi"))
+        .select(explode(sequence($"lo", $"hi", expr("interval 1 day"))).as("day"))
+      val wPrev = Window.orderBy($"day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wNext = Window.orderBy($"day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      cal.join(daily, Seq("day"), "left")
+        .withColumn("prev_val", last($"revenue", ignoreNulls = true).over(wPrev))
+        .withColumn("prev_day",
+          last(when($"revenue".isNotNull, $"day"), ignoreNulls = true).over(wPrev))
+        .withColumn("next_val", first($"revenue", ignoreNulls = true).over(wNext))
+        .withColumn("next_day",
+          first(when($"revenue".isNotNull, $"day"), ignoreNulls = true).over(wNext))
+        .select(
+          $"day".cast("timestamp_ntz").as("day"),
+          when($"revenue".isNull, 1L).otherwise(0L).as("is_gap"),
+          when($"revenue".isNotNull, $"revenue")
+            .otherwise($"prev_val" + ($"next_val" - $"prev_val") *
+              (datediff($"day", $"prev_day").cast(DoubleType) /
+                datediff($"next_day", $"prev_day").cast(DoubleType)))
+            .as("revenue"))
+        .orderBy($"day")
+    },
+    oracle = Some(
+      """WITH daily AS (
+        |  SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |  FROM orders GROUP BY 1),
+        |b AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
+        |cal AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM b),
+        |filled AS (
+        |  SELECT cal.day, d.revenue,
+        |    last_value(d.revenue IGNORE NULLS) OVER (ORDER BY cal.day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_val,
+        |    last_value(CASE WHEN d.revenue IS NOT NULL THEN cal.day END IGNORE NULLS)
+        |      OVER (ORDER BY cal.day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_day,
+        |    first_value(d.revenue IGNORE NULLS) OVER (ORDER BY cal.day
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_val,
+        |    first_value(CASE WHEN d.revenue IS NOT NULL THEN cal.day END IGNORE NULLS)
+        |      OVER (ORDER BY cal.day
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_day
+        |  FROM cal LEFT JOIN daily d ON cal.day = d.day)
+        |SELECT day,
+        |  CAST(CASE WHEN revenue IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_gap,
+        |  CASE WHEN revenue IS NOT NULL THEN revenue
+        |       ELSE prev_val + (next_val - prev_val) *
+        |         (CAST(CAST(day AS DATE) - CAST(prev_day AS DATE) AS DOUBLE) /
+        |          CAST(CAST(next_day AS DATE) - CAST(prev_day AS DATE) AS DOUBLE))
+        |  END AS revenue
+        |FROM filled
+        |ORDER BY day""".stripMargin))
+
   val all: Vector[Q] = Vector(
     qFunnel, qCohortRetention, qTsGapfill, qHistBinned,
-    qAnomalyZscore, qAggIncremental, qTsEwma)
+    qAnomalyZscore, qAggIncremental, qTsEwma, qTsOhlc, qTsInterpolate)
 }

@@ -187,4 +187,66 @@ class AnalyticsSpec extends AnyFunSuite with SparkFixture {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(rows.map(_.getLong(0)).toSet.intersect(gated).isEmpty)
   }
+
+  test("ohlc bars: low ≤ open/close ≤ high, ticks partition the stream, " +
+    "open/close match the min/max event_id ticks") {
+    import spark.implicits._
+    val rows = Catalog.byName("q_ts_ohlc").build(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (o, h, l, c) =
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(l <= o && o <= h, s"open $o outside [$l,$h]")
+      assert(l <= c && c <= h, s"close $c outside [$l,$h]")
+    }
+    // Every tick lands in exactly one bar.
+    assert(rows.map(_.getLong(6)).sum ==
+      Tables.events(spark, sfDir).count())
+    // Open/close really are the first/last tick by event_id within the
+    // bar (the determinism contract: event_id is unique and ts-ordered).
+    val byBar = Tables.events(spark, sfDir)
+      .select(date_trunc("hour", $"ts").cast("timestamp_ntz").as("bar"),
+        $"event_type", $"event_id", $"value")
+      .collect()
+      .groupBy(r => (r.getAs[java.time.LocalDateTime](0), r.getString(1)))
+    rows.foreach { r =>
+      val ticks = byBar((r.getAs[java.time.LocalDateTime](0), r.getString(1)))
+      assert(r.getDouble(2) == ticks.minBy(_.getLong(2)).getDouble(3))
+      assert(r.getDouble(5) == ticks.maxBy(_.getLong(2)).getDouble(3))
+    }
+  }
+
+  test("linear interpolation: exact on observed days, strictly between " +
+    "neighbors inside gaps, dense spine") {
+    val rows = Catalog.byName("q_ts_interpolate").build(spark, sfDir).collect()
+    val days = rows.map(
+      _.getAs[java.time.LocalDateTime](0).toLocalDate.toEpochDay)
+    assert(days.zip(days.tail).forall { case (a, b) => b == a + 1L },
+      "calendar spine must be gap-free")
+    // First/last spine days are observed by construction (bounds come
+    // from the data), so every gap is interior ⇒ revenue never null.
+    assert(rows.forall(!_.isNullAt(2)))
+    // On gap runs the interpolation is linear: equal per-day increments
+    // between the surrounding observed values.
+    val vals = rows.map(_.getDouble(2))
+    val gaps = rows.map(_.getLong(1))
+    var i = 0
+    var nGapRuns = 0
+    while (i < rows.length) {
+      if (gaps(i) == 1L) {
+        val start = i - 1 // observed (spine edges are observed)
+        var j = i
+        while (j < rows.length && gaps(j) == 1L) j += 1
+        val step = (vals(j) - vals(start)) / (j - start)
+        (i until j).foreach { k =>
+          val expect = vals(start) + step * (k - start)
+          assert(math.abs(vals(k) - expect) < 1e-6,
+            s"gap day $k not on the line: ${vals(k)} vs $expect")
+        }
+        nGapRuns += 1
+        i = j
+      } else i += 1
+    }
+    assert(nGapRuns > 0, "fixture must exercise at least one gap run")
+  }
 }

@@ -341,6 +341,28 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
       s"the EWMA pass needs exactly the one user_id repartition, got $hashEx:\n$p")
   }
 
+  test("q_ts_ohlc is ONE partial-agg shuffle onto the bar domain") {
+    val p = planOf("q_ts_ohlc")
+    val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx == 1,
+      s"all five bar aggregates are monoids — map-side combine must leave " +
+        s"exactly the one (bar, type) shuffle, got $hashEx:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"nothing in the bar resample may funnel to one partition:\n$p")
+  }
+
+  test("q_ts_interpolate windows run over the calendar spine, not the facts") {
+    val p = planOf("q_ts_interpolate")
+    // One fact shuffle (the daily partial agg); the ignoreNulls windows
+    // and the spine join order globally but over a DAY-domain-sized
+    // frame — the same boundedness contract q_ts_gapfill pins.
+    val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx <= 2,
+      s"only the day-grained aggregate (and spine join) may hash-shuffle, " +
+        s"got $hashEx:\n$p")
+    assert(p.contains("Window"), "interpolation must use window carry")
+  }
+
   test("q_vec_pq encoding is shuffle-free (codebook is broadcast literal state)") {
     val p = planOf("q_vec_pq")
     val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
