@@ -660,9 +660,193 @@ object TextQueries {
         |FROM c GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin))
 
+  /** q_text_perplexity (added r8) — per-document unigram-LM
+    * cross-entropy, the CCNet-style perplexity quality filter: train a
+    * unigram language model on the corpus itself (count/total), then
+    * score each document by the mean negative log-probability of its
+    * tokens. High score = improbable token mix = boilerplate/noise
+    * candidate; the SCORE is the operator, thresholding is policy.
+    *
+    * Determinism: a per-doc SUM of double log-probs would be
+    * summation-order-dependent (Spark partial aggregation adds in
+    * nondeterministic order). Instead each token's log-prob is
+    * quantized ONCE to integer micro-nats — floor(ln(c/N)·1e6), a
+    * per-row scalar where the ln() libm ulp is the only cross-engine
+    * risk (masked by the floor at 1e-6 resolution, same argument as
+    * q_text_tfidf's round(6)) — and the per-doc aggregation is then
+    * EXACT integer arithmetic: sum of longs, floor-divide by the token
+    * count (both operands positive after negation, so Spark `div`
+    * truncation == DuckDB `//` floor). xent_micro is exact micro-nats.
+    *
+    * Scale (100 TB): the LM side collapses to the VOCABULARY (bounded)
+    * and broadcasts with the 1-row total; the corpus is read once from
+    * the shared token stage and shuffles once, keyed by doc_id, with
+    * partial aggregation. Same shape as tfidf — nothing quadratic,
+    * nothing driver-side. */
+  val qTextPerplexity: Q = Q(
+    "q_text_perplexity",
+    (s, dir) => {
+      import s.implicits._
+      val toks = Tokenized(s, dir).select($"doc_id", explode($"lw").as("term"))
+      val lm = toks.groupBy($"term").agg(count(lit(1)).as("c"))
+      val n = toks.agg(count(lit(1)).as("n_tok"))
+      toks.join(broadcast(lm), "term")
+        .crossJoin(broadcast(n))
+        .select($"doc_id",
+          expr("CAST(floor(ln(CAST(c AS DOUBLE) / n_tok) * 1000000) AS BIGINT)")
+            .as("lpf"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_tokens"), sum($"lpf").as("slpf"))
+        .select($"doc_id", $"n_tokens",
+          expr("(-slpf) div n_tokens").as("xent_micro"))
+        .orderBy($"doc_id")
+    },
+    oracle = Some(
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        |  FROM documents),
+        |lm AS (SELECT term, COUNT(*) AS c FROM toks GROUP BY term),
+        |n AS (SELECT COUNT(*) AS n_tok FROM toks),
+        |lp AS (
+        |  SELECT doc_id,
+        |    CAST(floor(ln(CAST(c AS DOUBLE) / n_tok) * 1000000) AS BIGINT) AS lpf
+        |  FROM toks JOIN lm USING (term), n)
+        |SELECT doc_id, COUNT(*) AS n_tokens,
+        |  CAST((-SUM(lpf)) // COUNT(*) AS BIGINT) AS xent_micro
+        |FROM lp GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin))
+
+  /** q_text_collocations (added r8) — bigram association lift, the
+    * phrase-mining primitive (the PMI family): observed bigram count
+    * over its expected count under independence of the bigram margins,
+    * lift = c(w1,w2)·B / (c(w1,·)·c(·,w2)). Lift > 1 ⟺ PMI > 0 — the
+    * log is monotone, so ranking by lift IS ranking by PMI, and
+    * skipping it keeps the whole computation in EXACT integer
+    * arithmetic: lift_ppm = (cab·B·10⁶) div (c1·c2), floor division on
+    * positive longs (identical in both engines), zero float ops, zero
+    * rounding-route risk.
+    *
+    * Scale (100 TB): bigram extraction is a per-row array transform
+    * over the shared token stage (no shuffle); counts collapse to the
+    * VOCAB² grid — bounded, the margins derive from the count table
+    * itself (two tiny aggs) and broadcast. The corpus is touched once.
+    * Long overflow bound: cab·B·10⁶ needs cab·B < 9.2e12 — holds to
+    * ~10⁹ total bigrams even for a maximally-skewed bigram; beyond
+    * that, promote the numerator to DECIMAL(38,0) (one-line change,
+    * noted here because 100 TB of text exceeds 10⁹ bigrams). */
+  val qTextCollocations: Q = Q(
+    "q_text_collocations",
+    (s, dir) => {
+      import s.implicits._
+      val bi = Tokenized(s, dir)
+        .select(explode(expr(
+          "transform(slice(lw, 1, greatest(size(lw) - 1, 0)), " +
+            "(x, i) -> named_struct('w1', x, 'w2', lw[i + 1]))")).as("b"))
+        .select($"b.w1".as("w1"), $"b.w2".as("w2"))
+      val cab = bi.groupBy($"w1", $"w2").agg(count(lit(1)).as("cab"))
+      val c1 = cab.groupBy($"w1").agg(sum($"cab").as("c1"))
+      val c2 = cab.groupBy($"w2").agg(sum($"cab").as("c2"))
+      val nbi = bi.agg(count(lit(1)).as("n_bi"))
+      cab.join(broadcast(c1), "w1").join(broadcast(c2), "w2")
+        .crossJoin(broadcast(nbi))
+        .where($"cab" >= 5)
+        .select($"w1", $"w2", $"cab",
+          expr("((cab * n_bi) * 1000000) div (c1 * c2)").as("lift_ppm"))
+        .orderBy($"w1", $"w2")
+    },
+    oracle = Some(
+      """WITH toks AS (
+        |  SELECT string_split(lower(text), ' ') AS lw FROM documents),
+        |bi AS (
+        |  SELECT lw[i] AS w1, lw[i + 1] AS w2
+        |  FROM (SELECT lw, unnest(range(1, len(lw))) AS i FROM toks)),
+        |cab AS (SELECT w1, w2, COUNT(*) AS cab FROM bi GROUP BY w1, w2),
+        |c1 AS (SELECT w1, CAST(SUM(cab) AS BIGINT) AS c1 FROM cab GROUP BY w1),
+        |c2 AS (SELECT w2, CAST(SUM(cab) AS BIGINT) AS c2 FROM cab GROUP BY w2),
+        |nbi AS (SELECT COUNT(*) AS n_bi FROM bi)
+        |SELECT w1, w2, cab,
+        |  CAST(((cab * n_bi) * 1000000) // (c1 * c2) AS BIGINT) AS lift_ppm
+        |FROM cab JOIN c1 USING (w1) JOIN c2 USING (w2), nbi
+        |WHERE cab >= 5
+        |ORDER BY w1, w2""".stripMargin))
+
+  /** The per-term KL contribution chain, written ONCE and spliced
+    * verbatim into both engines (the q_ts_interpolate technique): with
+    * add-1 smoothing over the union vocabulary, p = (c_en+1)/(n_en+v),
+    * q = (c_rest+1)/(n_rest+v), contribution = p·ln(p/q) quantized to
+    * nano-nats. Divisions and multiplies are exactly-rounded IEEE ops —
+    * bit-identical given identical inputs — and the single ln()'s libm
+    * ulp is masked by floor at 1e-9 (values are O(1e-3)). */
+  private val klChain =
+    "CAST(floor(((CAST(c_en + 1 AS DOUBLE) / (n_en + v)) * " +
+      "ln((CAST(c_en + 1 AS DOUBLE) / (n_en + v)) / " +
+      "(CAST(c_rest + 1 AS DOUBLE) / (n_rest + v)))) * 1000000000) " +
+      "AS BIGINT)"
+
+  /** q_text_kl_drift (added r8) — per-term KL-divergence contributions
+    * between the 'en' stratum's unigram distribution and the rest of
+    * the corpus: KL(P_en ‖ P_rest) = Σ_t p_t·ln(p_t/q_t), reported
+    * per-term (WHICH tokens drive the divergence — the actionable
+    * form) rather than pre-summed. This is the domain-mix/drift
+    * measurement an LLM-data pipeline runs when deciding stratum
+    * weights or detecting a crawl-distribution shift; add-1 smoothing
+    * over the union vocabulary keeps every term finite even when one
+    * stratum misses it entirely.
+    *
+    * Determinism: per-term contributions are scalar chains (no float
+    * SUM anywhere — the per-term report avoids aggregation of doubles
+    * entirely); the chain is one literal string evaluated by both
+    * engines ([[klChain]]).
+    *
+    * Scale (100 TB): both strata collapse to the VOCABULARY before
+    * anything joins — two bounded aggs off the shared token stage, a
+    * vocab-sized full-outer join, a broadcast 1-row totals side, then
+    * per-row scalar math. The corpus is read once and never
+    * re-shuffled; stratum count generalizes to N strata as one
+    * groupBy(lang, term) pivot. */
+  val qTextKlDrift: Q = Q(
+    "q_text_kl_drift",
+    (s, dir) => {
+      import s.implicits._
+      val toks = Tokenized(s, dir).select($"lang", explode($"lw").as("term"))
+      val en = toks.where($"lang" === "en")
+        .groupBy($"term").agg(count(lit(1)).as("c_en"))
+      val rest = toks.where($"lang" =!= "en")
+        .groupBy($"term").agg(count(lit(1)).as("c_rest"))
+      val vocab = en.join(rest, Seq("term"), "full_outer")
+        .select($"term",
+          coalesce($"c_en", lit(0L)).as("c_en"),
+          coalesce($"c_rest", lit(0L)).as("c_rest"))
+      val tot = vocab.agg(
+        sum($"c_en").as("n_en"), sum($"c_rest").as("n_rest"),
+        count(lit(1)).as("v"))
+      vocab.crossJoin(broadcast(tot))
+        .select($"term", $"c_en", $"c_rest", expr(klChain).as("kl_nano"))
+        .orderBy($"term")
+    },
+    oracle = Some(
+      s"""WITH toks AS (
+         |  SELECT lang, unnest(string_split(lower(text), ' ')) AS term
+         |  FROM documents),
+         |en AS (SELECT term, COUNT(*) AS c_en FROM toks
+         |       WHERE lang = 'en' GROUP BY term),
+         |rest AS (SELECT term, COUNT(*) AS c_rest FROM toks
+         |         WHERE lang <> 'en' GROUP BY term),
+         |vocab AS (
+         |  SELECT term, COALESCE(c_en, 0) AS c_en,
+         |    COALESCE(c_rest, 0) AS c_rest
+         |  FROM en FULL JOIN rest USING (term)),
+         |tot AS (SELECT CAST(SUM(c_en) AS BIGINT) AS n_en,
+         |               CAST(SUM(c_rest) AS BIGINT) AS n_rest,
+         |               COUNT(*) AS v FROM vocab)
+         |SELECT term, c_en, c_rest, $klChain AS kl_nano
+         |FROM vocab, tot
+         |ORDER BY term""".stripMargin))
+
   val all: Vector[Q] =
     Vector(qTextTokenizeExplode, qTextWordcountTf, qTextStats,
       qTextQuality, qTextTokenCount, qDocFingerprint, qTextFilterPipeline,
       qSampleDeterministic, qTextNormalize, qTextTfidf, qSampleStratified,
-      qTextRedactPii, qTextRepetition)
+      qTextRedactPii, qTextRepetition, qTextPerplexity, qTextCollocations,
+      qTextKlDrift)
 }

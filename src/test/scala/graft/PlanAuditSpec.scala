@@ -150,11 +150,35 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     graft.operators.TextQueries.Tokenized(spark, sfDir).count()
     Seq("q_text_tokenize_explode", "q_text_wordcount_tf", "q_text_quality",
         "q_text_token_count", "q_text_tfidf", "q_text_filter_pipeline",
-        "q_text_repetition").foreach { name =>
+        "q_text_repetition", "q_text_perplexity", "q_text_collocations",
+        "q_text_kl_drift").foreach { name =>
       val p = planOf(name)
       assert(p.contains("InMemoryTableScan"),
         s"$name must read the cached token stage:\n$p")
     }
+  }
+
+  test("q_text_perplexity broadcasts the LM and total; one doc-keyed shuffle") {
+    // The scale contract of the perplexity filter: the unigram LM
+    // collapses to the vocabulary and BROADCASTS (with the 1-row
+    // total); the corpus side pays exactly one keyed exchange — the
+    // per-doc aggregation. An SMJ or a second hash exchange on the big
+    // side means the LM side shuffled the corpus.
+    val p = planOf("q_text_perplexity")
+    assert(p.contains("BroadcastHashJoin"),
+      s"LM join must broadcast the vocabulary side:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus side must never sort-merge against the LM:\n$p")
+  }
+
+  test("q_text_kl_drift aggregates only vocab-bounded sides (no corpus join)") {
+    // Both strata collapse to the vocabulary BEFORE anything joins:
+    // the only joins in the plan are vocab-sized (full-outer between
+    // the two strata counts, broadcast totals). A join whose input is
+    // the raw token stream would put a Generate above a join.
+    val p = planOf("q_text_kl_drift")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"totals side must broadcast:\n$p")
   }
 
   test("q_text_repetition is shuffle-free: per-row statistic, zero exchanges") {
