@@ -84,6 +84,32 @@ object StreamingQueries {
       .select(col("w.start").as("sess_start"), col("w.end").as("sess_end"),
         col("user_id"), col("n_events"))
 
+  /** q_stream_ohlc (added r8) — the oracle-checked q_ts_ohlc bar
+    * builder run INCREMENTALLY: hourly OHLC candlesticks per event
+    * type over the unbounded tick stream. This is the operator the
+    * batch row's doc-comment promises ("late data merges per-bar"),
+    * demonstrated: all five aggregates are commutative monoids —
+    * min_by/max_by on the unique ts-ordered event_id (open/close),
+    * order-independent high/low extremes, exact decimal volume — so
+    * each micro-batch folds into per-bar state without ever reordering
+    * or replaying ticks, and a late tick touches exactly its own bar's
+    * state row. State is bounded by open bars × event types.
+    * StreamReplaySpec pins replay == the oracle-checked batch row. */
+  def ohlc(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(
+        min_by(col("value"), col("event_id")).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), col("event_id")).as("close"),
+        count(lit(1)).as("n_ticks"),
+        sumMoney(col("value")).as("volume"))
+      .select(col("w.start").as("bar"), col("event_type"),
+        col("open"), col("high"), col("low"), col("close"),
+        col("n_ticks"), col("volume"))
+
   /** #44 q_stream_dedup — exactly-once event_id dedup within the
     * watermark horizon (state evicted as the watermark advances). */
   def dedup(events: DataFrame): DataFrame =
@@ -274,6 +300,10 @@ object StreamingQueries {
     "q_stream_session",
     (s, dir) => Replay.run(s, dir, "session", "complete")(session))
 
+  val qStreamOhlc: Q = Q(
+    "q_stream_ohlc",
+    (s, dir) => Replay.run(s, dir, "ohlc", "complete")(ohlc))
+
   val qStreamDedup: Q = Q(
     "q_stream_dedup",
     (s, dir) => Replay.run(s, dir, "dedup", "append")(dedup))
@@ -367,5 +397,5 @@ object StreamingQueries {
   val all: Vector[Q] = Vector(qWindowTumblingBatch,
     qStreamTumbling, qStreamSliding, qStreamSession, qStreamDedup,
     qStreamStateful, qStreamStatefulTws, qStreamQualityFilter,
-    qStreamCountmin)
+    qStreamCountmin, qStreamOhlc)
 }

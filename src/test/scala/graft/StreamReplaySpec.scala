@@ -214,4 +214,26 @@ class StreamReplaySpec extends AnyFunSuite with SparkFixture {
     assert(streamed == batch)
     assert(streamed.nonEmpty)
   }
+
+  test("catalog q_stream_ohlc replay row equals the oracle-checked batch bars") {
+    // Every OHLC aggregate is a commutative monoid, so the
+    // incrementally-folded bars must equal the batch row EXACTLY —
+    // open/close included, because the min_by/max_by ordering key
+    // (event_id) is unique by fixture contract. Same LTZ/NTZ
+    // normalization as the tumbling twin above.
+    def naive(v: Any): String = v match {
+      case t: java.sql.Timestamp      => t.toLocalDateTime.toString
+      case l: java.time.LocalDateTime => l.toString
+      case other                      => other.toString
+    }
+    def key(r: org.apache.spark.sql.Row) =
+      (naive(r.get(0)), r.getString(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getLong(6), r.getDouble(7))
+    val streamed = Catalog.byName("q_stream_ohlc").build(spark, sfDir)
+      .collect().map(key).toSet
+    val batch = Catalog.byName("q_ts_ohlc").build(spark, sfDir)
+      .collect().map(key).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
 }
