@@ -36,6 +36,7 @@ object Catalog {
       operators.TextQueries.all ++
       operators.DedupQueries.all ++
       operators.SkewJoin.all ++
+      operators.GraphQueries.all ++
       operators.VectorQueries.all ++
       operators.PqQuantizer.all ++
       Vector(functions.CountMin.qAggCountmin) ++

@@ -1,0 +1,123 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over the purchase graph — SURVEY.md §2.10b.
+  *
+  * The dedup family already ships the UNDIRECTED iterative algorithm
+  * (connected components, both propagation and large-star/small-star);
+  * this family adds the DIRECTED one: PageRank over customer→supplier
+  * purchase edges, the centrality measure behind "which suppliers
+  * concentrate demand flow" — and, in the LLM-data north star, the
+  * domain-authority signal crawl pipelines feed into quality scoring
+  * (a page's rank is a keep/drop feature exactly like perplexity).
+  *
+  * Determinism across engines is the hard part, solved the same way as
+  * q_text_perplexity: the ENTIRE recurrence is integer fixed-point.
+  * Ranks live in micro-units (node starts at 1,000,000); each
+  * iteration computes
+  *
+  *   pr'(v) = 150000 + (850 · (S(v) + D div N)) div 1000
+  *
+  * where S(v) = Σ_{u→v} (pr(u) div deg(u)) — integer floor-division
+  * contributions, summed exactly as longs — and D is the pooled rank
+  * of DANGLING nodes (suppliers have no out-edges in a bipartite
+  * purchase graph; dropping their mass would leak ~50% of the total,
+  * so it redistributes uniformly, the standard Brin–Page fix). Every
+  * operand is positive, so Spark's truncating `div` and DuckDB's
+  * flooring `//` agree, and the result is bit-identical with no float
+  * op anywhere. The div-truncation dissipates ≤ deg−1 micro-units per
+  * node per round — deterministic, identical in both engines.
+  *
+  * Scale (100 TB): each iteration is ONE keyed shuffle (contributions
+  * grouped by dst) over the edge set plus two broadcast scalars
+  * (dangling pool, node count); degrees are computed once and joined
+  * by key. Rounds are a fixed constant here (3) — production runs
+  * until a rank-delta threshold, same driver-side convergence counter
+  * as Components.labels. The driver holds no per-node state. Long
+  * overflow bound: 850·(S+D/N) needs total graph mass < 1.1e16
+  * micro-units ≈ 1e10 nodes — beyond that, rescale the fixed-point
+  * unit (ranks are relative, the unit is free).
+  *
+  * Plan-shape pins: PlanAuditSpec asserts no cartesian product
+  * catalog-wide; the only cross joins here are 1-row broadcast
+  * scalars. */
+object GraphQueries {
+
+  /** Distinct customer→supplier edges from the order/lineitem facts.
+    * Node ids are prefixed ('c'/'s') because the two key domains are
+    * both dense-from-0 integers (FIXTURES.md) and would collide. */
+  private def edges(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+      .join(
+        Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(
+        concat(lit("c"), col("o_custkey")).as("src"),
+        concat(lit("s"), col("l_suppkey")).as("dst"))
+      .distinct()
+
+  val qGraphPagerank: Q = Q(
+    "q_graph_pagerank",
+    (s, dir) => {
+      import s.implicits._
+      val e = edges(s, dir)
+      val nodes = e.select($"src".as("node"))
+        .union(e.select($"dst".as("node"))).distinct()
+      val deg = e.groupBy($"src").agg(count(lit(1)).as("deg"))
+      val nn = nodes.agg(count(lit(1)).as("n_nodes"))
+      var ranks = nodes.select($"node", lit(1000000L).as("pr"))
+      for (_ <- 1 to 3) {
+        val contrib = e
+          .join(broadcast(deg), "src")
+          .join(ranks.withColumnRenamed("node", "src"), "src")
+          .groupBy($"dst").agg(sum(expr("pr div deg")).as("s"))
+        val dangling = ranks
+          .join(deg.select($"src".as("node")), Seq("node"), "left_anti")
+          .agg(coalesce(sum($"pr"), lit(0L)).as("d"))
+        ranks = nodes
+          .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
+          .crossJoin(broadcast(dangling))
+          .crossJoin(broadcast(nn))
+          .select($"node",
+            expr("150000 + (850 * (coalesce(s, 0) + d div n_nodes)) div 1000")
+              .as("pr"))
+      }
+      ranks.select($"node", $"pr".as("pr_micro")).orderBy($"node")
+    },
+    oracle = Some {
+      // Three unrolled iterations of the identical integer recurrence.
+      def step(k: Int): String = {
+        val prev = if (k == 1) "r0" else s"r${k - 1}"
+        s"""s$k AS (
+           |  SELECT e.dst AS node, CAST(SUM(r.pr // d.deg) AS BIGINT) AS s
+           |  FROM edges e JOIN $prev r ON e.src = r.node
+           |  JOIN deg d ON d.src = e.src
+           |  GROUP BY e.dst),
+           |d$k AS (
+           |  SELECT CAST(COALESCE(SUM(pr), 0) AS BIGINT) AS d FROM $prev
+           |  WHERE node NOT IN (SELECT src FROM deg)),
+           |r$k AS (
+           |  SELECT n.node,
+           |    CAST(150000 + (850 * (COALESCE(s.s, 0) + d.d // nn.n_nodes))
+           |      // 1000 AS BIGINT) AS pr
+           |  FROM nodes n LEFT JOIN s$k s ON n.node = s.node, d$k d, nn)""".stripMargin
+      }
+      s"""WITH edges AS (
+         |  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+         |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+         |nn AS (SELECT COUNT(*) AS n_nodes FROM nodes),
+         |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pr FROM nodes),
+         |${step(1)},
+         |${step(2)},
+         |${step(3)}
+         |SELECT node, pr AS pr_micro FROM r3
+         |ORDER BY node""".stripMargin
+    })
+
+  val all: Vector[Q] = Vector(qGraphPagerank)
+}

@@ -1,0 +1,82 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavioral pins for the PageRank row (GraphQueries.scala) beyond the
+  * oracle hash-match: the invariants that make the numbers MEAN
+  * something, checked on the sf0.001 purchase graph. */
+class GraphSpec extends AnyFunSuite with SparkFixture {
+
+  private lazy val rows =
+    Catalog.byName("q_graph_pagerank").build(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+
+  test("mass is conserved up to deterministic div dissipation") {
+    // Each of the 3 rounds loses < 1 micro-unit per (edge, node) to
+    // integer floor division — the loss bound is structural, not a
+    // tolerance knob. Total mass must stay within that envelope of
+    // n_nodes × 1e6 and never exceed it.
+    val n = rows.length.toLong
+    val total = rows.map(_._2).sum
+    val full = n * 1000000L
+    assert(total <= full, s"mass grew: $total > $full")
+    // Dissipation bound: per round, each node's contribution loses
+    // < deg ≤ n micro-units and the redistribution div loses < 1000
+    // per node after the 850·/1000 step.
+    assert(full - total < 3L * n * 2000,
+      s"dissipated ${full - total} micro-units — more than the div bound")
+  }
+
+  test("sinks outrank sources: demand flow concentrates on suppliers") {
+    // The purchase graph is bipartite customer→supplier: after any
+    // iteration every supplier holds strictly more than any customer
+    // (customers keep only the base + dangling share).
+    val (supp, cust) = rows.partition(_._1.startsWith("s"))
+    assert(supp.nonEmpty && cust.nonEmpty)
+    assert(supp.map(_._2).min > cust.map(_._2).max,
+      "some supplier ranked below a customer")
+  }
+
+  test("sources are exactly uniform: rank depends only on in-edges") {
+    // No customer has an in-edge, so all customers must land the
+    // identical base + dangling-share value — any spread would mean
+    // nondeterminism or a leak of out-degree into the rank.
+    val cust = rows.filter(_._1.startsWith("c")).map(_._2).distinct
+    assert(cust.length == 1, s"customer ranks not uniform: $cust")
+  }
+
+  test("supplier rank order matches weighted in-degree order") {
+    // With uniform customer ranks, round-1 supplier rank is monotone in
+    // Σ_{c→s} 1/deg(c); by round 3 customers are still uniform (no
+    // in-edges), so the FINAL supplier ranking must equal the
+    // weighted-in-degree ranking — PageRank on this graph is exactly
+    // demand-share centrality, and a mismatch means the recurrence
+    // mixed up src/dst somewhere.
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    val orders = Tables.orders(s, sfDir)
+      .select($"o_orderkey", concat(lit("c"), $"o_custkey").as("src"))
+    val li = Tables.lineitem(s, sfDir)
+      .select($"l_orderkey", concat(lit("s"), $"l_suppkey").as("dst"))
+    val e = orders.join(li, $"o_orderkey" === $"l_orderkey")
+      .select($"src", $"dst").distinct()
+    val deg = e.groupBy($"src").agg(count(lit(1)).as("deg"))
+    val wdeg = e.join(deg, "src")
+      .groupBy($"dst").agg(sum(lit(1000000L) / $"deg").as("w"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val supp = rows.filter(_._1.startsWith("s"))
+    val byRank = supp.sortBy(-_._2).map(_._1)
+    val byWdeg = supp.map(_._1).sortBy(n => -wdeg(n))
+    // Ties in w produce arbitrary order — compare rank VALUES through
+    // the weight map instead of sequences: monotone means no inversion
+    // pair exists.
+    val inversions = for {
+      a <- supp; b <- supp
+      if a._2 > b._2 && wdeg(a._1) < wdeg(b._1) - 1e-6
+    } yield (a._1, b._1)
+    assert(inversions.isEmpty,
+      s"rank inverts weighted in-degree for: ${inversions.take(5).toList}; " +
+        s"rank order ${byRank.take(5).toList} vs wdeg ${byWdeg.take(5).toList}")
+  }
+}
