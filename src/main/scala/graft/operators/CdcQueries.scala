@@ -253,6 +253,84 @@ object CdcQueries {
          |  FROM kc)
          |ORDER BY tbl""".stripMargin))
 
+  /** q_cdc_snapshot_diff (added r8) — the INVERSE of q_merge_upsert:
+    * given two table snapshots, recover the change set between them
+    * (added / removed / changed per key). This is the reconciliation
+    * every migration, backfill audit, and replication-lag check runs —
+    * "what actually differs between yesterday's landing and today's" —
+    * and the generator for a changelog when the upstream can't emit
+    * one. Snapshot B is derived deterministically from the base so the
+    * DuckDB twin derives the identical pair: keys ≡ 0–4 (mod 100)
+    * removed, ≡ 5–14 repriced (+50) and restatused, ≡ 15–16 re-keyed
+    * past the key space as additions.
+    *
+    * Scale (100 TB): ONE co-partitioned full-outer join on the key —
+    * both sides shuffle once, unchanged rows (the overwhelming
+    * majority in a real diff) die in the post-join filter before any
+    * wide output exists. A lakehouse diff additionally prunes
+    * untouched partitions/files by stats before the join; the per-key
+    * semantics are exactly these. */
+  val qCdcSnapshotDiff: Q = Q(
+    "q_cdc_snapshot_diff",
+    (s, dir) => {
+      import s.implicits._
+      val base = Tables.orders(s, dir)
+        .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+      val snapB = Tables.orders(s, dir)
+        .crossJoin(broadcast(
+          Tables.orders(s, dir).agg(max($"o_orderkey").as("mk"))))
+        .where(pmod($"o_orderkey", lit(100)) >= 5)
+        .select(
+          when(pmod($"o_orderkey", lit(100)).between(15, 16),
+            $"o_orderkey" + $"mk").otherwise($"o_orderkey").as("o_orderkey"),
+          when(pmod($"o_orderkey", lit(100)).between(5, 14), lit("X"))
+            .otherwise($"o_orderstatus").as("o_orderstatus"),
+          when(pmod($"o_orderkey", lit(100)).between(5, 14),
+            $"o_totalprice" + lit(50.0)).otherwise($"o_totalprice")
+            .as("o_totalprice"))
+      val a = base.select($"o_orderkey",
+        $"o_orderstatus".as("status_a"), $"o_totalprice".as("price_a"))
+      val b = snapB.select($"o_orderkey",
+        $"o_orderstatus".as("status_b"), $"o_totalprice".as("price_b"))
+      a.join(b, Seq("o_orderkey"), "full_outer")
+        .select($"o_orderkey",
+          when($"status_a".isNull, lit("added"))
+            .when($"status_b".isNull, lit("removed"))
+            .when($"status_a" =!= $"status_b" ||
+              $"price_a" =!= $"price_b", lit("changed"))
+            .otherwise(lit("same")).as("op"),
+          $"status_a", $"status_b", $"price_a", $"price_b")
+        .where($"op" =!= "same")
+        .orderBy($"op", $"o_orderkey")
+    },
+    oracle = Some(
+      """WITH mk AS (SELECT max(o_orderkey) AS mk FROM orders),
+        |b AS (
+        |  SELECT
+        |    CASE WHEN o_orderkey % 100 BETWEEN 15 AND 16
+        |         THEN o_orderkey + mk.mk ELSE o_orderkey END AS o_orderkey,
+        |    CASE WHEN o_orderkey % 100 BETWEEN 5 AND 14
+        |         THEN 'X' ELSE o_orderstatus END AS status_b,
+        |    CASE WHEN o_orderkey % 100 BETWEEN 5 AND 14
+        |         THEN o_totalprice + 50.0 ELSE o_totalprice END AS price_b
+        |  FROM orders, mk
+        |  WHERE o_orderkey % 100 >= 5),
+        |a AS (SELECT o_orderkey, o_orderstatus AS status_a,
+        |        o_totalprice AS price_a FROM orders),
+        |d AS (
+        |  SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+        |    CASE WHEN a.o_orderkey IS NULL THEN 'added'
+        |         WHEN b.o_orderkey IS NULL THEN 'removed'
+        |         WHEN a.status_a <> b.status_b
+        |           OR a.price_a <> b.price_b THEN 'changed'
+        |         ELSE 'same' END AS op,
+        |    a.status_a, b.status_b, a.price_a, b.price_b
+        |  FROM a FULL JOIN b ON a.o_orderkey = b.o_orderkey)
+        |SELECT o_orderkey, op, status_a, status_b, price_a, price_b
+        |FROM d WHERE op <> 'same'
+        |ORDER BY op, o_orderkey""".stripMargin))
+
   val all: Vector[Q] = Vector(
-    qMergeUpsert, qDimScd2, qGdprErasure, qGdprErasureMulti)
+    qMergeUpsert, qDimScd2, qGdprErasure, qGdprErasureMulti,
+    qCdcSnapshotDiff)
 }

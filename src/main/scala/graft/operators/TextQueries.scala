@@ -843,10 +843,49 @@ object TextQueries {
          |FROM vocab, tot
          |ORDER BY term""".stripMargin))
 
+  /** q_sample_fixed_k (added r8) — EXACTLY k documents per stratum,
+    * completing the sampling triple: q_sample_deterministic draws a
+    * RATE globally, q_sample_stratified draws a rate PER stratum, and
+    * this row draws a fixed COUNT per stratum — the shape of a held-out
+    * eval set ("25 docs per language, stable across reruns"). Ranking
+    * inside each stratum is by md5(doc_id) — an auditable pure function
+    * of the row, so membership is reproducible across engines, runs,
+    * partitionings and retries — with doc_id as the collision tiebreak
+    * (md5 is injective on these inputs, but the ORDER must be total by
+    * construction, not by luck).
+    *
+    * Scale (100 TB): one stratum-keyed exchange. The row_number window
+    * sorts each stratum, which is fine to ~10⁸ rows per stratum; past
+    * that, swap the window for the bounded-heap top-k aggregator the
+    * vector family ships (TopKAgg keeps k rows of state per stratum,
+    * no sort) — the SEMANTICS (smallest k md5s per stratum) are
+    * deliberately identical so the swap is mechanical. */
+  val qSampleFixedK: Q = Q(
+    "q_sample_fixed_k",
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"lang")
+        .orderBy(md5($"doc_id".cast(StringType)), $"doc_id")
+      Tables.documents(s, dir)
+        .select($"doc_id", $"lang", $"source")
+        .withColumn("rn", row_number().over(w).cast(LongType))
+        .where($"rn" <= 25)
+        .orderBy($"lang", $"rn")
+    },
+    oracle = Some(
+      """SELECT doc_id, lang, source, rn FROM (
+        |  SELECT doc_id, lang, source,
+        |    row_number() OVER (
+        |      PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 25
+        |ORDER BY lang, rn""".stripMargin))
+
   val all: Vector[Q] =
     Vector(qTextTokenizeExplode, qTextWordcountTf, qTextStats,
       qTextQuality, qTextTokenCount, qDocFingerprint, qTextFilterPipeline,
       qSampleDeterministic, qTextNormalize, qTextTfidf, qSampleStratified,
       qTextRedactPii, qTextRepetition, qTextPerplexity, qTextCollocations,
-      qTextKlDrift)
+      qTextKlDrift, qSampleFixedK)
 }
