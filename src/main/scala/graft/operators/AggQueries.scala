@@ -370,9 +370,51 @@ object AggQueries {
         |GROUP BY o_custkey
         |ORDER BY o_custkey""".stripMargin))
 
+  /** q_agg_mode (added r8) — DETERMINISTIC per-group mode: the peak
+    * activity hour per event type (most frequent hour-of-day, ties
+    * broken toward the smaller hour). Mode is the imputation/profiling
+    * aggregate every EDA pass wants, but both engines' built-in
+    * `mode()` leaves ties ENGINE-CHOICE (DuckDB documents arbitrary
+    * tie-break) — so the operator derives it as count + row_number
+    * with a total order (n DESC, h ASC), which is the only way a mode
+    * can be oracle-checked at all. The derivation IS the point: a
+    * nondeterministic aggregate becomes deterministic by making its
+    * tie-break explicit.
+    *
+    * Scale (100 TB): counts collapse to the (event_type × 24) grid
+    * before the window — the raw stream partial-aggregates map-side,
+    * one bounded shuffle, and the row_number runs over a domain-sized
+    * table. */
+  val qAggMode: Q = Q(
+    "q_agg_mode",
+    (s, dir) => {
+      import s.implicits._
+      val counts = Tables.events(s, dir)
+        .groupBy($"event_type", hour($"ts").cast(LongType).as("h"))
+        .agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"event_type").orderBy($"n".desc, $"h".asc)
+      counts.withColumn("rn", row_number().over(w))
+        .where($"rn" === 1)
+        .select($"event_type", $"h".as("mode_hour"), $"n")
+        .orderBy($"event_type")
+    },
+    oracle = Some(
+      """WITH c AS (
+        |  SELECT event_type, CAST(date_part('hour', ts) AS BIGINT) AS h,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT event_type, h, n,
+        |    row_number() OVER (
+        |      PARTITION BY event_type ORDER BY n DESC, h ASC) AS rn
+        |  FROM c)
+        |SELECT event_type, h AS mode_hour, n FROM r WHERE rn = 1
+        |ORDER BY event_type""".stripMargin))
+
   val all: Vector[Q] = Vector(
     qAggGlobal, qAggGroupby, qAggDistinct, qAggHaving,
     qAggGroupingSets, qAggStats, qAggPercentile, qAggStringagg,
     qAggApproxHll, qAggApproxPercentile, qAggCustomTyped, qAggHeavyHitters,
-    qAggSketchUnion, qAggMinmaxBy)
+    qAggSketchUnion, qAggMinmaxBy, qAggMode)
 }

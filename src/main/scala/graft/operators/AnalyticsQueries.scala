@@ -518,7 +518,56 @@ object AnalyticsQueries {
         |FROM filled
         |ORDER BY day""".stripMargin))
 
+  /** q_ts_autocorr (added r8) — lag-k autocorrelation of the daily
+    * revenue series for k = 1..7: the seasonality detector (a weekly
+    * cycle shows as a lag-7 peak) every forecasting pipeline runs
+    * before choosing a model. Pairs are formed by CALENDAR-day offset
+    * (a self-join on day = day + k), not row offset — with gap days a
+    * row-lag window would silently compare non-adjacent days and the
+    * "lag" would mean nothing.
+    *
+    * Determinism: corr is a float moment aggregate (summation-order
+    * ulp), masked by round(4) — the q_agg_stats rule. The pair
+    * formation itself is exact (timestamps at midnight, interval
+    * arithmetic identical in both engines).
+    *
+    * Scale (100 TB): the raw facts collapse to the DAY domain first
+    * (one partial-agg shuffle); the 7 self-joins and the per-lag corr
+    * all run over the day-domain table — bounded by the calendar, not
+    * the data. At 100 TB this is the same plan. */
+  val qTsAutocorr: Q = Q(
+    "q_ts_autocorr",
+    (s, dir) => {
+      import s.implicits._
+      val daily = Tables.orders(s, dir)
+        .groupBy(date_trunc("day", $"o_orderdate").as("day"))
+        .agg(sumMoney($"o_totalprice").as("rev"))
+      val pairs = (1 to 7).map { k =>
+        daily.as("a").join(daily.as("b"),
+            col("a.day") === col("b.day") + expr(s"interval $k days"))
+          .select(lit(k.toLong).as("lag"),
+            col("a.rev").as("x"), col("b.rev").as("y"))
+      }.reduce(_ unionAll _)
+      pairs.groupBy($"lag")
+        .agg(count(lit(1)).as("n_pairs"), round(corr($"x", $"y"), 4).as("acf"))
+        .orderBy($"lag")
+    },
+    oracle = Some(
+      """WITH daily AS (
+        |  SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+        |  FROM orders GROUP BY 1),
+        |pairs AS (
+        |  SELECT k.lag, a.rev AS x, b.rev AS y
+        |  FROM (SELECT unnest(range(1, 8)) AS lag) k
+        |  JOIN daily a ON true
+        |  JOIN daily b ON a.day = b.day + to_days(CAST(k.lag AS INTEGER)))
+        |SELECT lag, COUNT(*) AS n_pairs, ROUND(corr(x, y), 4) AS acf
+        |FROM pairs GROUP BY lag
+        |ORDER BY lag""".stripMargin))
+
   val all: Vector[Q] = Vector(
     qFunnel, qCohortRetention, qTsGapfill, qHistBinned,
-    qAnomalyZscore, qAggIncremental, qTsEwma, qTsOhlc, qTsInterpolate)
+    qAnomalyZscore, qAggIncremental, qTsEwma, qTsOhlc, qTsInterpolate,
+    qTsAutocorr)
 }
