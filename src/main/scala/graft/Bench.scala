@@ -63,7 +63,8 @@ object Bench {
       operators.LayoutQueries.Maintained(spark, sfDir)
       operators.LayoutQueries.Maintained.sortedEvents(spark, sfDir)
       operators.LayoutQueries.Maintained.partitionedEvents(spark, sfDir)
-      operators.LayoutQueries.Maintained.zorderedEvents(spark, sfDir) }
+      operators.LayoutQueries.Maintained.zorderedEvents(spark, sfDir)
+      operators.LayoutQueries.Maintained.typeDim(spark, sfDir) }
     warmItem("bucketed_tables") {
       operators.JoinQueries.Bucketed(spark, sfDir) }
     warmItem("ann_models") {

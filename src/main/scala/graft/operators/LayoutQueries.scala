@@ -178,6 +178,28 @@ object LayoutQueries {
             .mode("overwrite").parquet(out)
           out
       }
+
+    /** File-backed event-type dimension (type → funnel category) for
+      * the DPP row. Must be a FILE source, not a LocalRelation: Spark
+      * constant-folds a literal dim's Filter away before the
+      * PartitionPruning rule looks for a selective predicate, and DPP
+      * never fires — the exact gotcha PartitionedWriteSpec documents.
+      * Derived from the partitioned layout's own type values, so it
+      * exists for any SF. */
+    private val dimCache = new graft.Memo[(SparkSession, String), String]
+
+    def typeDim(s: SparkSession, dir: String): String =
+      dimCache((s, dir)) {
+          val out = root.resolve(dir.replaceAll("[^A-Za-z0-9.]+", "_"))
+            .resolve("event_type_dim").toString
+          Tables.events(s, dir).select(col("event_type")).distinct()
+            .withColumn("category",
+              when(col("event_type").isin("purchase", "signup"),
+                "conversion").otherwise("engagement"))
+            .coalesce(1)
+            .write.mode("overwrite").parquet(out)
+          out
+      }
   }
 
   /** q_layout_compact — read THROUGH the compacted layout: per-priority
@@ -284,7 +306,47 @@ object LayoutQueries {
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin))
 
+  /** q_layout_dpp (added r8) — DYNAMIC partition pruning, completing
+    * the pruning pair with q_layout_partition_pruned's static form:
+    * the fact predicate on the partition column is NOT in the query —
+    * it is only derivable at runtime THROUGH the join, from the dim
+    * side's `category = 'conversion'` filter. Catalyst's
+    * PartitionPruning rule injects a dynamicpruning subquery into the
+    * fact scan (fed by the reused broadcast exchange), so only the
+    * matching type directories are ever listed. At 100 TB this is the
+    * difference between scanning the two conversion partitions and
+    * scanning all of them — on a predicate the user never wrote on the
+    * fact.
+    *
+    * Oracle = the same join over raw events: pruning may only skip
+    * non-matching partitions, never change a row. PlanAuditSpec pins
+    * the dynamicpruning filter in the fact scan. */
+  val qLayoutDpp: Q = Q(
+    "q_layout_dpp",
+    (s, dir) => {
+      import s.implicits._
+      val fact = s.read.parquet(Maintained.partitionedEvents(s, dir))
+      val dim = s.read.parquet(Maintained.typeDim(s, dir))
+      fact.join(dim, Seq("event_type"))
+        .where($"category" === "conversion")
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), sumMoney($"value").as("sum_value"))
+        .orderBy($"event_type")
+    },
+    oracle = Some(
+      """WITH dim AS (
+        |  SELECT DISTINCT event_type,
+        |    CASE WHEN event_type IN ('purchase', 'signup')
+        |         THEN 'conversion' ELSE 'engagement' END AS category
+        |  FROM events)
+        |SELECT e.event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events e JOIN dim ON e.event_type = dim.event_type
+        |WHERE dim.category = 'conversion'
+        |GROUP BY e.event_type
+        |ORDER BY e.event_type""".stripMargin))
+
   val all: Vector[Q] = Vector(
     qLayoutCompact, qLayoutSortedScan, qLayoutPartitionPruned,
-    qLayoutZorder)
+    qLayoutZorder, qLayoutDpp)
 }

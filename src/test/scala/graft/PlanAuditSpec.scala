@@ -171,6 +171,28 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
       s"corpus side must never sort-merge against the LM:\n$p")
   }
 
+  test("q_layout_dpp injects a dynamicpruning filter into the fact scan") {
+    // The row's reason to exist: the fact predicate on the partition
+    // column arrives only THROUGH the join, so the scan must carry a
+    // dynamicpruning subquery — without it the query reads all five
+    // type directories and the layout bought nothing. AQE scoped off
+    // for the inspection only (under AQE the scan hides inside
+    // QueryStageExec wrappers; DPP itself is an optimizer rule and
+    // fires identically either way — PartitionedWriteSpec's note).
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val prior = spark.conf.getOption(aqeKey)
+    spark.conf.set(aqeKey, "false")
+    try {
+      val p = Catalog.byName("q_layout_dpp").build(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(p.contains("dynamicpruning"),
+        s"expected a dynamicpruning partition filter on the fact scan:\n$p")
+    } finally prior match {
+      case Some(v) => spark.conf.set(aqeKey, v)
+      case None    => spark.conf.unset(aqeKey)
+    }
+  }
+
   test("q_text_kl_drift aggregates only vocab-bounded sides (no corpus join)") {
     // Both strata collapse to the vocabulary BEFORE anything joins:
     // the only joins in the plan are vocab-sized (full-outer between
