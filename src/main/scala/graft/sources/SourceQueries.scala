@@ -2,6 +2,7 @@ package graft.sources
 
 import graft.{Q, Tables}
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Ingest-format sources as oracle-checked catalog rows — SURVEY.md §2.1
@@ -90,5 +91,117 @@ object SourceQueries {
     },
     oracle = Some("SELECT * FROM customer ORDER BY c_custkey"))
 
-  val all: Vector[Q] = Vector(qSourceCsv, qSourceJson, qSourceOrc)
+  /** One file per document under `<out>/doc_<id>.txt` — the shape
+    * multimodal corpora actually arrive in (an object-store prefix of
+    * image/audio/text blobs, one object per item). Built ONCE per
+    * (jvm, sfDir): executor-side nio writes, driver only clears the
+    * stale tree. local[*] shares one FS so this doubles as the read
+    * fixture; on a cluster the target would be shared storage — and in
+    * production the files pre-exist, this builder IS the upstream. */
+  private val docFiles = new graft.Memo[(SparkSession, String), String]
+
+  private def exportDocFiles(s: SparkSession, dir: String): String =
+    docFiles((s, dir)) {
+      val out = "/tmp/graft_sources/" +
+        dir.replaceAll("[^A-Za-z0-9.]+", "_") + "/docs_bin"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.toSeq.foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(out))
+      new java.io.File(out).mkdirs()
+      Tables.documents(s, dir).select("doc_id", "text")
+        .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+          it.foreach { r =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(out, s"doc_${r.getLong(0)}.txt"),
+              r.getString(1)
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          }
+        }
+      out
+    }
+
+  /** q_source_binaryfile — whole-file binary ingestion, the first step of
+    * every multimodal pipeline (SURVEY §2.10: images/audio/video are
+    * opaque binary columns + typed metadata). `binaryFile` lists the
+    * prefix distributedly, one task per file batch, and yields
+    * (path, modificationTime, length, content) with NO decode — bytes
+    * move lazily and never shuffle here (the projection collapses each
+    * file to id + length + digest before anything wide).
+    *
+    * The oracle closes the loop over CONTENT, not just listing: doc_id
+    * parsed from the path, byte length and md5 of the bytes must equal
+    * DuckDB's view of the source column the files were spawned from
+    * (corpus profiled pure ASCII at every sf — FIXTURES.md — so DuckDB
+    * `length(text)` = byte length; md5 hashes UTF-8 bytes identically in
+    * both engines). */
+  val qSourceBinaryfile: Q = Q(
+    "q_source_binaryfile",
+    (s, dir) => {
+      import s.implicits._
+      s.read.format("binaryFile").option("pathGlobFilter", "*.txt")
+        .load(exportDocFiles(s, dir))
+        .select(
+          regexp_extract($"path", "doc_(\\d+)\\.txt$", 1)
+            .cast(LongType).as("doc_id"),
+          length($"content").cast(LongType).as("nbytes"),
+          md5($"content").as("h"))
+        .orderBy($"doc_id")
+    },
+    oracle = Some(
+      """SELECT doc_id, length(text) AS nbytes, md5(text) AS h
+        |FROM documents ORDER BY doc_id""".stripMargin))
+
+  /** Evolving-schema export: v1 files predate the `o_orderpriority`
+    * column (even orderkeys), v2 files carry it (odd). Deterministic
+    * key split — both engines can name each row's file generation. */
+  private val evolved = new graft.Memo[(SparkSession, String), String]
+
+  private def exportEvolved(s: SparkSession, dir: String): String =
+    evolved((s, dir)) {
+      val out = "/tmp/graft_sources/" +
+        dir.replaceAll("[^A-Za-z0-9.]+", "_") + "/orders_evolving"
+      val o = Tables.orders(s, dir)
+      o.where(expr("o_orderkey % 2 = 0")).drop("o_orderpriority")
+        .write.mode("overwrite").parquet(s"$out/v1")
+      o.where(expr("o_orderkey % 2 = 1"))
+        .write.mode("overwrite").parquet(s"$out/v2")
+      out
+    }
+
+  /** q_source_schema_evolution — `mergeSchema` read across parquet file
+    * generations, the unavoidable long-lived-table situation (a column
+    * added in year 3 of a 100 TB table exists in no earlier file).
+    * Spark merges the per-file footer schemas at PLANNING time (one
+    * footer read per file, no data pass) and fills the missing column
+    * with NULL for pre-evolution files; the oracle reconstructs the
+    * same view from the base table with a CASE on the generation key.
+    * Pins the two failure modes that matter: NULL-fill (not error, not
+    * default-value) for old files, and type/width stability of the
+    * shared columns across generations. */
+  val qSourceSchemaEvolution: Q = Q(
+    "q_source_schema_evolution",
+    (s, dir) => {
+      import s.implicits._
+      val root = exportEvolved(s, dir)
+      s.read.option("mergeSchema", "true")
+        .parquet(s"$root/v1", s"$root/v2")
+        .select(
+          $"o_orderkey", $"o_custkey", $"o_orderstatus",
+          $"o_totalprice",
+          $"o_orderdate".cast("timestamp_ntz").as("o_orderdate"),
+          $"o_orderpriority")
+        .orderBy($"o_orderkey")
+    },
+    oracle = Some(
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate,
+        |  CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END
+        |    AS o_orderpriority
+        |FROM orders ORDER BY o_orderkey""".stripMargin))
+
+  val all: Vector[Q] = Vector(
+    qSourceCsv, qSourceJson, qSourceOrc, qSourceBinaryfile,
+    qSourceSchemaEvolution)
 }
