@@ -75,10 +75,25 @@ object Bench {
     warmItem("source_exports") {
       Seq("q_source_csv", "q_source_json", "q_source_orc").foreach(n =>
         SparkEntry.queries(n)(spark, sfDir).count()) }
-    warmItem("rest") {
-      SparkEntry.queries.foreach { case (_, fn) =>
-        try fn(spark, sfDir).count() catch { case _: Throwable => () }
-      }
+    // The remainder warm pass runs every catalog query once at the
+    // target SF. Itemized two ways (r8: "rest" had grown to a 160 s
+    // opaque blob): batch vs streaming sub-totals — the streaming rows
+    // pay fixed replay machinery per run and dominate — and a per-query
+    // breakdown whose top-10 ships in the JSON as `warm_slowest`, so a
+    // warmup regression is attributable to a QUERY, not a phase.
+    val warmPerQuery = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    def warmQuery(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      warmPerQuery += name -> (System.nanoTime() - t0) / 1e9
+    }
+    warmItem("rest_batch") {
+      SparkEntry.queries.filterNot(_._1.startsWith("q_stream_"))
+        .foreach { case (n, fn) => warmQuery(n, fn) }
+    }
+    warmItem("rest_streaming") {
+      SparkEntry.queries.filter(_._1.startsWith("q_stream_"))
+        .foreach { case (n, fn) => warmQuery(n, fn) }
     }
     val warmupSec = warmItems.map(_._2).sum
     // A crashed query must never look like a fast one: record the error
@@ -167,6 +182,9 @@ object Bench {
     val warmDetail = warmItems
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    val warmSlowest = warmPerQuery.sortBy(-_._2).take(10)
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""batch_total":${fmt(total - streamTotal)},""" +
@@ -175,6 +193,7 @@ object Bench {
         s""""spreads":$spreads,"max_spread":${fmt(maxSpread)},""" +
         s""""reps":$repsDetail,""" +
         s""""warmup_sec":${fmt(warmupSec)},"warmup_items":$warmDetail,""" +
+        s""""warm_slowest":$warmSlowest,""" +
         s""""loadavg_start":$loadStart,"loadavg_end":$loadEnd,"sf":"$sfDir"}"""
     println(line)
     // The driver captures only the TAIL of stdout (~2 KB) and parses the
