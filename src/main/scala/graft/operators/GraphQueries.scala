@@ -203,5 +203,71 @@ object GraphQueries {
         |     JOIN edges e2 ON e2.u = e1.v
         |     JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v) AS n_triangles""".stripMargin))
 
-  val all: Vector[Q] = Vector(qGraphPagerank, qGraphTriangles)
+  /** q_graph_common_neighbors — LINK PREDICTION by common-neighbor
+    * count over the same frequent-co-purchase graph as
+    * [[qGraphTriangles]] (the persisted edge set is shared): for every
+    * NON-adjacent part pair, how many parts are co-purchase neighbors
+    * of both — the classic "customers who bought these also bought"
+    * recommendation score, and the simplest of the neighborhood link
+    * predictors (Adamic-Adar/Jaccard are the same wedge aggregation
+    * with a different weight).
+    *
+    * Shape: wedges enumerate as pairs of neighbors of a shared center
+    * (the symmetric neighbor list self-joined on the center — one keyed
+    * shuffle), aggregate to (pair → count), then one ANTI join removes
+    * already-connected pairs (predicting an existing edge is vacuous)
+    * and TakeOrderedAndProject keeps the top 20 under the total
+    * (cn DESC, u, v) order — partial top-k per partition, no global
+    * sort. Wedge volume is the same Σ C(deg, 2) the triangle row
+    * bounds; a skewed production graph would reuse its degree-ordered
+    * orientation here too (score only oriented wedges, halving volume
+    * and capping the hub blow-up). */
+  val qGraphCommonNeighbors: Q = Q(
+    "q_graph_common_neighbors",
+    (s, dir) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, dir)
+        .select($"l_orderkey", $"l_partkey").distinct()
+      val pairs = li.as("a")
+        .join(li.as("b"),
+          $"a.l_orderkey" === $"b.l_orderkey" &&
+            $"a.l_partkey" < $"b.l_partkey")
+        .select($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
+      val edges = edgeCache((s, dir)) {
+        pairs.groupBy($"u", $"v")
+          .agg(count(lit(1)).as("c")).where($"c" >= 2)
+          .select($"u", $"v")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }
+      val nb = edges.select($"u".as("ctr"), $"v".as("n"))
+        .union(edges.select($"v".as("ctr"), $"u".as("n")))
+      val wedges = nb.as("x")
+        .join(nb.as("y"), $"x.ctr" === $"y.ctr" && $"x.n" < $"y.n")
+        .select($"x.n".as("u"), $"y.n".as("v"))
+      wedges.groupBy($"u", $"v").agg(count(lit(1)).as("cn"))
+        .join(edges, Seq("u", "v"), "left_anti")
+        .orderBy($"cn".desc, $"u", $"v")
+        .limit(20)
+    },
+    oracle = Some(
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pairs AS (
+        |  SELECT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM li a JOIN li b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |edges AS (SELECT u, v FROM pairs GROUP BY u, v HAVING COUNT(*) >= 2),
+        |nb AS (SELECT u AS ctr, v AS n FROM edges
+        |       UNION ALL SELECT v AS ctr, u AS n FROM edges),
+        |cn AS (
+        |  SELECT x.n AS u, y.n AS v, COUNT(*) AS cn
+        |  FROM nb x JOIN nb y ON x.ctr = y.ctr AND x.n < y.n
+        |  GROUP BY x.n, y.n)
+        |SELECT cn.u, cn.v, cn.cn FROM cn
+        |WHERE NOT EXISTS (SELECT 1 FROM edges e
+        |                  WHERE e.u = cn.u AND e.v = cn.v)
+        |ORDER BY cn.cn DESC, cn.u, cn.v
+        |LIMIT 20""".stripMargin))
+
+  val all: Vector[Q] =
+    Vector(qGraphPagerank, qGraphTriangles, qGraphCommonNeighbors)
 }

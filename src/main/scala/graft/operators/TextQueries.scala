@@ -882,10 +882,54 @@ object TextQueries {
         |WHERE rn <= 25
         |ORDER BY lang, rn""".stripMargin))
 
+  /** q_sample_weighted (added r8) — WEIGHTED sampling without
+    * replacement, completing the sampling family (uniform gate /
+    * stratified rates / fixed-k): keep the k = 100 documents most
+    * favored by a weight ∝ length draw — the "sample long documents
+    * preferentially" knob a curriculum/quality-mix pipeline turns.
+    *
+    * The technique is the A-ES (Efraimidis–Spirtas) weighted reservoir
+    * made ENGINE-PORTABLE: A-ES ranks items by u^(1/w) (u uniform),
+    * and for INTEGER w that distribution is exactly the MAX of w
+    * independent uniforms — P(max ≤ x) = x^w. So each doc's rank key is
+    * max over j ∈ [1, w] of md5(doc_id ⊕ j): hash-only, no ln/pow, no
+    * float at all — both engines compute the identical 32-hex key and
+    * the identical top-k, which is what lets a WEIGHTED sample be
+    * hash-matched at all (a float-key formulation would die on ulp
+    * boundaries; the q_ts_ewma lesson applied to sampling). Weight =
+    * n_chars div 16 + 1 (≈ 9–28), so the hash fan-out is bounded and
+    * the selection provably biases long docs (spec-pinned).
+    *
+    * Scale: per-row transform of w hashes (narrow, codegen'd) + one
+    * TakeOrderedAndProject top-k — per-partition partial top-k, k rows
+    * per partition cross the wire, no global sort. Sampling stays a
+    * pure function of the row: reproducible, auditable, retry-safe. */
+  val qSampleWeighted: Q = Q(
+    "q_sample_weighted",
+    (s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select($"doc_id", $"lang",
+          (expr("n_chars div 16") + 1).cast(LongType).as("w"))
+        .withColumn("k", array_max(expr(
+          "transform(sequence(1, w), " +
+            "j -> md5(concat(CAST(doc_id AS STRING), '_', CAST(j AS STRING))))")))
+        .orderBy($"k".desc, $"doc_id")
+        .limit(100)
+    },
+    oracle = Some(
+      """SELECT doc_id, lang, w,
+        |  list_max(list_transform(range(1, CAST(w + 1 AS INT)),
+        |    j -> md5(concat(CAST(doc_id AS VARCHAR), '_',
+        |                    CAST(j AS VARCHAR))))) AS k
+        |FROM (SELECT doc_id, lang, n_chars // 16 + 1 AS w FROM documents)
+        |ORDER BY k DESC, doc_id
+        |LIMIT 100""".stripMargin))
+
   val all: Vector[Q] =
     Vector(qTextTokenizeExplode, qTextWordcountTf, qTextStats,
       qTextQuality, qTextTokenCount, qDocFingerprint, qTextFilterPipeline,
       qSampleDeterministic, qTextNormalize, qTextTfidf, qSampleStratified,
       qTextRedactPii, qTextRepetition, qTextPerplexity, qTextCollocations,
-      qTextKlDrift, qSampleFixedK)
+      qTextKlDrift, qSampleFixedK, qSampleWeighted)
 }

@@ -394,8 +394,124 @@ object StreamingQueries {
       CountMin.topFreq(s, dir, landed.head().getSeq[Long](1).toArray)
     })
 
+  /** Staging for q_stream_upsert: the events fixture split into FOUR
+    * single-file chunks keyed by event_id mod 4, so a
+    * `maxFilesPerTrigger = 1` replay runs four genuine micro-batches —
+    * and because every chunk spans the full time range, per-user merges
+    * COLLIDE across batches (a time-sliced split would make each merge
+    * trivially disjoint and test nothing). */
+  private[graft] object UpsertStage {
+    private val root: java.nio.file.Path = graft.TmpRoots.register(
+      java.nio.file.Paths.get("/tmp/graft_stream_upsert",
+        "jvm" + ProcessHandle.current().pid()))
+
+    private val chunked = new graft.Memo[(SparkSession, String), String]
+
+    def inDir(s: SparkSession, dir: String): String =
+      chunked((s, dir)) {
+        val out = root.resolve(dir.replaceAll("[^A-Za-z0-9.]+", "_"))
+          .resolve("in_chunks").toString
+        val raw = s.read.parquet(s"$dir/events.parquet")
+        (0 until 4).foreach { c =>
+          raw.where(pmod(col("event_id"), lit(4)) === c)
+            .coalesce(1)
+            .write.mode(if (c == 0) "overwrite" else "append").parquet(out)
+        }
+        out
+      }
+
+    def stateDir(dir: String): String =
+      root.resolve(dir.replaceAll("[^A-Za-z0-9.]+", "_"))
+        .resolve("state").toString
+  }
+
+  /** q_stream_upsert (added r8) — STREAMING UPSERT SINK: each
+    * micro-batch is MERGED into a keyed parquet state table via
+    * foreachBatch, maintaining the per-user LATEST-event snapshot — the
+    * "materialize current state from a changelog" pattern every CDC
+    * consumer runs (the streaming twin of q_merge_upsert's batch apply,
+    * and the sink-side complement of q_stream_stateful's operator-state
+    * form: here the state lives in the TABLE, queryable between
+    * batches, not in the stream engine).
+    *
+    * Per batch: newest-wins within the batch (one keyed window), then
+    * newest-wins against the stored snapshot, then atomically republish
+    * (localCheckpoint materializes the merge before the overwrite —
+    * the local stand-in for the write-new-snapshot-then-swap-pointer
+    * commit a lakehouse MERGE performs; the state table never holds a
+    * half-merged view). Batch 0 resets the table, so every invocation
+    * is self-contained.
+    *
+    * THE ORACLE-ELIGIBILITY ARGUMENT (first O-row in the streaming
+    * family): newest-wins on the TOTAL key (ts, event_id) is
+    * associative, commutative and idempotent, so the final snapshot is
+    * invariant to micro-batch slicing — four batches, one, or any
+    * interleaving produce bit-identical state. The DuckDB twin is the
+    * plain batch argmax; the hash match proves the incremental fold
+    * exactly reproduces it.
+    *
+    * Scale: each merge shuffles |batch keys| + |snapshot| rows on the
+    * key — at 100 TB the snapshot side prunes to the key partitions the
+    * batch touches (MERGE partition pruning), cost ∝ churn, not state. */
+  val qStreamUpsert: Q = Q(
+    "q_stream_upsert",
+    (s, dir) => {
+      import s.implicits._
+      val inDir = UpsertStage.inDir(s, dir)
+      val state = UpsertStage.stateDir(dir)
+      def latest(df: DataFrame): DataFrame = {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"))
+          .orderBy(col("ts").desc, col("event_id").desc)
+        df.withColumn("_rn", row_number().over(w))
+          .where(col("_rn") === 1).drop("_rn")
+      }
+      val schema = s.read.parquet(inDir).schema
+      val src = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // Small-state shuffle sizing, same scoped knob as Replay.run.
+      val pKey = "spark.sql.shuffle.partitions"
+      val prevP = s.conf.get(pKey)
+      s.conf.set(pKey, s.conf.get("spark.graft.replay.shufflePartitions", "8"))
+      try {
+        val q = src.writeStream
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            val bs = batch.sparkSession
+            val bl = latest(batch)
+            val merged =
+              if (id == 0L) bl
+              else latest(bs.read.parquet(state).unionByName(bl))
+            merged.localCheckpoint(eager = true)
+              .write.mode("overwrite").parquet(state)
+            ()
+          }
+          .start()
+        if (!q.awaitTermination(300000)) {
+          q.stop()
+          throw new IllegalStateException(
+            "q_stream_upsert replay did not finish within 300 s")
+        }
+      } finally s.conf.set(pKey, prevP)
+      s.read.parquet(state)
+        .select($"user_id", $"ts".cast("timestamp_ntz").as("last_ts"),
+          $"event_id".as("last_event_id"),
+          $"event_type".as("last_type"), $"value".as("last_value"))
+        .orderBy($"user_id")
+    },
+    oracle = Some(
+      """SELECT user_id, ts AS last_ts, event_id AS last_event_id,
+        |  event_type AS last_type, value AS last_value
+        |FROM (SELECT *, row_number() OVER
+        |        (PARTITION BY user_id ORDER BY ts DESC, event_id DESC)
+        |        AS rn
+        |      FROM events)
+        |WHERE rn = 1
+        |ORDER BY user_id""".stripMargin))
+
   val all: Vector[Q] = Vector(qWindowTumblingBatch,
     qStreamTumbling, qStreamSliding, qStreamSession, qStreamDedup,
     qStreamStateful, qStreamStatefulTws, qStreamQualityFilter,
-    qStreamCountmin, qStreamOhlc)
+    qStreamCountmin, qStreamOhlc, qStreamUpsert)
 }

@@ -236,4 +236,39 @@ class StreamReplaySpec extends AnyFunSuite with SparkFixture {
     assert(streamed == batch)
     assert(streamed.nonEmpty)
   }
+
+  test("q_stream_upsert: 4-chunk staging, state equals batch argmax, rerun idempotent") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    def run() = Catalog.byName("q_stream_upsert").build(s, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.get(1).toString, r.getLong(2),
+        r.getString(3), r.getDouble(4))).toSet
+    val first = run()
+    // The staging contract the multi-batch claim rests on: 4 data files,
+    // so maxFilesPerTrigger=1 ⇒ 4 micro-batches and the batch>0 merge
+    // path genuinely executes (a single-file stage would silently test
+    // only the overwrite branch).
+    val inDir = streaming.StreamingQueries.UpsertStage.inDir(s, sfDir)
+    val parts = new java.io.File(inDir).listFiles
+      .count(_.getName.endsWith(".parquet"))
+    assert(parts == 4, s"expected 4 staged chunk files, got $parts")
+    // Incremental fold == batch argmax (the oracle's claim, pinned
+    // engine-side too so a DuckDB dialect change can't mask a drift).
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+    val batch = Tables.events(s, sfDir)
+      .withColumn("rn", row_number().over(w)).where($"rn" === 1)
+      .select($"user_id", $"ts".cast("timestamp_ntz"), $"event_id",
+        $"event_type", $"value")
+      .collect()
+      .map(r => (r.getLong(0), r.get(1).toString, r.getLong(2),
+        r.getString(3), r.getDouble(4))).toSet
+    assert(first == batch)
+    assert(first.nonEmpty)
+    // Re-running the whole replay must republish the identical snapshot
+    // (batch 0 resets; newest-wins is idempotent).
+    assert(run() == first)
+  }
 }
