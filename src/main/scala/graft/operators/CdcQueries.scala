@@ -330,7 +330,75 @@ object CdcQueries {
         |FROM d WHERE op <> 'same'
         |ORDER BY op, o_orderkey""".stripMargin))
 
+  /** q_merge_delete (added r8) — the FULL CDC op set applied in one
+    * MERGE: updates, inserts AND deletes (q_merge_upsert covers U/I;
+    * real changelogs — Debezium, binlog, lakehouse CDF — carry D rows,
+    * and a merge that can't retire keys strands them forever). Change
+    * batch derived deterministically from the base: keys ≡ 0–9 mod 100
+    * update (status 'U', price + 100), 10–11 insert past the key space,
+    * 12–14 DELETE. Apply = the same single-shuffle newest-wins pick as
+    * q_merge_upsert, with one more step: if the winning generation is a
+    * delete tombstone the key is dropped from the snapshot — the
+    * filter runs AFTER the rank so a delete genuinely retires the key
+    * rather than just losing to it. Still exactly ONE keyed shuffle;
+    * at lakehouse scale the tombstone becomes a deletion-vector entry,
+    * same decision per key. The spec-grade invariant is in the oracle:
+    * deleted keys are absent, inserted keys present, updated keys carry
+    * the new generation. */
+  val qMergeDelete: Q = Q(
+    "q_merge_delete",
+    (s, dir) => {
+      import s.implicits._
+      val base = Tables.orders(s, dir)
+        .select($"o_orderkey", $"o_orderstatus", $"o_totalprice",
+          lit("K").as("op"), lit(0).as("gen"))
+      val updates = Tables.orders(s, dir)
+        .where(pmod($"o_orderkey", lit(100)) < 10)
+        .select($"o_orderkey", lit("U").as("o_orderstatus"),
+          ($"o_totalprice" + 100.0).as("o_totalprice"),
+          lit("U").as("op"), lit(1).as("gen"))
+      val inserts = Tables.orders(s, dir)
+        .where(pmod($"o_orderkey", lit(100)).between(10, 11))
+        .select(($"o_orderkey" + 100000000L).as("o_orderkey"),
+          lit("N").as("o_orderstatus"), $"o_totalprice",
+          lit("I").as("op"), lit(1).as("gen"))
+      val deletes = Tables.orders(s, dir)
+        .where(pmod($"o_orderkey", lit(100)).between(12, 14))
+        .select($"o_orderkey", lit("D").as("o_orderstatus"),
+          lit(0.0).as("o_totalprice"), lit("D").as("op"),
+          lit(1).as("gen"))
+      val tagged = base.unionByName(updates).unionByName(inserts)
+        .unionByName(deletes)
+      val w = Window.partitionBy($"o_orderkey").orderBy($"gen".desc)
+      tagged
+        .withColumn("rn", row_number().over(w))
+        .where($"rn" === 1 && $"op" =!= "D")
+        .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+        .orderBy($"o_orderkey")
+    },
+    oracle = Some(
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |         'K' AS op, 0 AS gen FROM orders),
+        |changes AS (
+        |  SELECT o_orderkey, 'U' AS o_orderstatus,
+        |         o_totalprice + 100.0 AS o_totalprice, 'U' AS op, 1 AS gen
+        |  FROM orders WHERE o_orderkey % 100 < 10
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, 'N', o_totalprice, 'I', 1
+        |  FROM orders WHERE o_orderkey % 100 BETWEEN 10 AND 11
+        |  UNION ALL
+        |  SELECT o_orderkey, 'D', 0.0, 'D', 1
+        |  FROM orders WHERE o_orderkey % 100 BETWEEN 12 AND 14),
+        |tagged AS (SELECT * FROM base UNION ALL SELECT * FROM changes)
+        |SELECT o_orderkey, o_orderstatus, o_totalprice FROM (
+        |  SELECT *, ROW_NUMBER() OVER
+        |    (PARTITION BY o_orderkey ORDER BY gen DESC) AS rn
+        |  FROM tagged)
+        |WHERE rn = 1 AND op <> 'D'
+        |ORDER BY o_orderkey""".stripMargin))
+
   val all: Vector[Q] = Vector(
     qMergeUpsert, qDimScd2, qGdprErasure, qGdprErasureMulti,
-    qCdcSnapshotDiff)
+    qCdcSnapshotDiff, qMergeDelete)
 }

