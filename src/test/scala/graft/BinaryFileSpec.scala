@@ -32,11 +32,13 @@ class BinaryFileSpec extends AnyFunSuite with SparkFixture {
       .collect().toMap
     // Re-read a handful of files through the source WITH content and
     // decode: digests agreeing but bytes differing would mean the md5
-    // column lied about what `content` holds.
+    // column lied about what `content` holds. The path comes from the
+    // export helper itself (which also triggers the export when this
+    // test runs alone) — a hardcoded copy would keep reading a stale
+    // tree if the export location ever drifted.
     val files = s.read.format("binaryFile")
       .option("pathGlobFilter", "*.txt")
-      .load("/tmp/graft_sources/" +
-        sfDir.replaceAll("[^A-Za-z0-9.]+", "_") + "/docs_bin")
+      .load(sources.SourceQueries.exportDocFiles(s, sfDir))
       .limit(20).collect()
     assert(files.nonEmpty)
     files.foreach { r =>
@@ -46,5 +48,24 @@ class BinaryFileSpec extends AnyFunSuite with SparkFixture {
       assert(new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
         == texts(id), s"content mismatch for doc $id")
     }
+  }
+
+  test("corpus is pure ASCII — the oracle's byte-length = char-length premise") {
+    // q_source_binaryfile's DuckDB twin compares Spark's BYTE length of
+    // the file content against DuckDB's CHARACTER length(text); those
+    // agree iff the corpus is single-byte. FIXTURES.md profiles it so,
+    // but a fixture regeneration could silently break the premise and
+    // surface as an unexplained oracle hash mismatch — this pins the
+    // contract where the failure would name it.
+    val s = spark
+    import s.implicits._
+    val offenders = Tables.documents(s, sfDir)
+      .select($"doc_id", $"text").as[(Long, String)]
+      .collect()
+      .filter { case (_, t) =>
+        t.getBytes(java.nio.charset.StandardCharsets.UTF_8).length != t.length }
+    assert(offenders.isEmpty,
+      s"non-ASCII documents break the binaryfile oracle: " +
+        s"${offenders.take(3).map(_._1).toList}")
   }
 }

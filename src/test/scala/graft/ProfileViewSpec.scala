@@ -21,8 +21,10 @@ class ProfileViewSpec extends AnyFunSuite with SparkFixture {
       assert(r.getLong(2) == n, "n_rows must be the table row count")
       assert(r.getLong(3) == 0L, "fixture has no nulls")
     }
-    // independent distinct counts, one column at a time (the row
-    // computes all five in ONE pass via Expand — same numbers required)
+    // independent distinct counts recomputed here one column at a time
+    // (the row's plan is deliberately per-column single-distinct scans,
+    // NEVER the multi-distinct Expand path — PlanAuditSpec pins that;
+    // either way these numbers must match)
     Seq("l_quantity", "l_returnflag", "l_linestatus").foreach { c =>
       val d = li.select(countDistinct(col(c))).head().getLong(0)
       assert(prof(c).getLong(4) == d, s"n_distinct($c)")
