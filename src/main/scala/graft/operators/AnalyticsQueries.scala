@@ -365,11 +365,12 @@ object AnalyticsQueries {
           var prev = 0L // ewma in exact 1e-6 units
           it.map { case (u, id, _, x) =>
             val cents = math.rint(x * 100).toLong // exact: 2-dp fixture
-            // floorDiv, not `/`: DuckDB's `//` floors toward -inf, so a
-            // negative accumulator would diverge under truncating division.
+            // Plain `/`, not floorDiv: DuckDB's BIGINT `//` truncates
+            // toward zero (measured: -7 // 4 = -1), exactly like Scala
+            // Long `/` — so truncation IS the portable semantics here.
             prev =
               if (u != curUser) cents * 10000L
-              else Math.floorDiv(cents * 10000L + 3L * prev + 2L, 4L)
+              else (cents * 10000L + 3L * prev + 2L) / 4L
             curUser = u
             (id, u, prev / 1e6)
           }
@@ -566,6 +567,79 @@ object AnalyticsQueries {
         |FROM pairs GROUP BY lag
         |ORDER BY lag""".stripMargin))
 
+  /** q_ts_holt (added r8) — HOLT double exponential smoothing (level +
+    * trend, α = β = 1/4): the forecasting smoother for trending series,
+    * where plain EWMA ([[qTsEwma]]) systematically lags — crypto volume
+    * ramps are exactly this shape. Extends the established integer
+    * fixed-point discipline to COUPLED recurrences:
+    *
+    *   lᵢ = (centsᵢ·10⁴ + 3·(lᵢ₋₁ + bᵢ₋₁) + 2) tdiv 4
+    *   bᵢ = ((lᵢ − lᵢ₋₁) + 3·bᵢ₋₁ + 2)        tdiv 4
+    *
+    * with l₁ = cents₁·10⁴, b₁ = 0, all in exact micro-units. The trend
+    * numerator CAN go negative (a falling series), so the division
+    * semantics for negatives is load-bearing here, not theoretical:
+    * DuckDB's BIGINT `//` TRUNCATES toward zero (measured in preflight:
+    * -7 // 4 = -1, not -2), which is exactly Scala Long `/` — so plain
+    * truncating division on both sides is the portable choice, and a
+    * floorDiv "fix" is what actually diverges (observed: 1-microunit
+    * drift at the first negative trend step).
+    *
+    * Same scale path as EWMA: sequential per key ⇒ repartition(user) +
+    * secondary sort + ONE typed mapPartitions carrying two longs of
+    * state; the twin replays both chained columns via WITH RECURSIVE —
+    * every step of BOTH recurrences is oracle-pinned. */
+  val qTsHolt: Q = Q(
+    "q_ts_holt",
+    (s, dir) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .select($"user_id", $"event_id", unix_micros($"ts").as("tsus"),
+          $"value")
+        .as[(Long, Long, Long, Double)]
+        .repartition($"user_id")
+        .sortWithinPartitions($"user_id", $"tsus", $"event_id")
+        .mapPartitions { it =>
+          var curUser = Long.MinValue
+          var l = 0L
+          var b = 0L
+          it.map { case (u, id, _, x) =>
+            val cents = math.rint(x * 100).toLong // exact: 2-dp fixture
+            if (u != curUser) { l = cents * 10000L; b = 0L }
+            else {
+              val lPrev = l
+              l = (cents * 10000L + 3L * (lPrev + b) + 2L) / 4L
+              b = ((l - lPrev) + 3L * b + 2L) / 4L
+            }
+            curUser = u
+            (id, u, l / 1e6, b / 1e6)
+          }
+        }
+        .toDF("event_id", "user_id", "level", "trend")
+        .orderBy($"event_id")
+    },
+    oracle = Some(
+      """WITH RECURSIVE base AS (
+        |  SELECT user_id, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS cents,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |h AS (
+        |  SELECT user_id, event_id, rn, cents * 10000 AS l,
+        |    CAST(0 AS BIGINT) AS b
+        |  FROM base WHERE rn = 1
+        |  UNION ALL
+        |  SELECT nx.user_id, nx.event_id, nx.rn,
+        |    (nx.cents * 10000 + 3 * (h.l + h.b) + 2) // 4 AS l,
+        |    (((nx.cents * 10000 + 3 * (h.l + h.b) + 2) // 4) - h.l
+        |      + 3 * h.b + 2) // 4 AS b
+        |  FROM h JOIN base nx
+        |    ON nx.user_id = h.user_id AND nx.rn = h.rn + 1)
+        |SELECT event_id, user_id,
+        |  CAST(l AS DOUBLE) / 1000000 AS level,
+        |  CAST(b AS DOUBLE) / 1000000 AS trend
+        |FROM h ORDER BY event_id""".stripMargin))
+
   /** Materialized base JOIN view for q_view_incremental_join: orders
     * before the snapshot date joined to customer, persisted once per
     * (session, dir) — the stand-in for the STORED view table a real
@@ -706,5 +780,5 @@ object AnalyticsQueries {
   val all: Vector[Q] = Vector(
     qFunnel, qCohortRetention, qTsGapfill, qHistBinned,
     qAnomalyZscore, qAggIncremental, qTsEwma, qTsOhlc, qTsInterpolate,
-    qTsAutocorr, qViewIncrementalJoin, qProfileTable)
+    qTsAutocorr, qViewIncrementalJoin, qProfileTable, qTsHolt)
 }
