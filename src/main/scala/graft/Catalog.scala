@@ -39,6 +39,7 @@ object Catalog {
       operators.GraphQueries.all ++
       operators.VectorQueries.all ++
       operators.PqQuantizer.all ++
+      operators.StatQueries.all ++
       Vector(functions.CountMin.qAggCountmin) ++
       streaming.StreamingQueries.all ++
       streaming.StreamJoinQueries.all

@@ -1,0 +1,329 @@
+package graft
+package operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Dsl._
+
+/** Statistical / financial analytics rows (SURVEY.md §2.10b additions, r8):
+  * the indicator math a market-data (crypto-ETL-shaped) pipeline derives
+  * from a tick/event stream, plus classical categorical statistics.
+  *
+  * Reference basis: /root/reference contains no code (SURVEY.md §0), so
+  * these rows derive from the survey's north star — time-series analytics
+  * over an event log — not from any reference file.
+  *
+  * Determinism strategy (SURVEY.md §2 rules): every moment (Σx, Σx²,
+  * Σxy) is an EXACT decimal sum (fixture numerics are 2-dp exact,
+  * FIXTURES.md); derived ratios are computed with a textually identical
+  * IEEE double expression in both engines and rounded once. No raw
+  * double aggregate is ever emitted.
+  */
+object StatQueries {
+
+  /** q_ts_drawdown — per-user running-peak drawdown over the cumulative
+    * value series: cum(t) = Σ value so far, peak(t) = max cum so far,
+    * drawdown(t) = peak − cum; report each user's max drawdown, peak and
+    * final total. THE risk metric for any cumulative-PnL series.
+    *
+    * Shape: one keyed window sort per user (two stacked frames over the
+    * same ordering — Spark plans a single sort+window node), then a
+    * partial-agg shuffle on user_id. All arithmetic stays in
+    * DECIMAL(28,2) (running sums of 2-dp values): subtraction and max
+    * are exact, so the result is bit-identical in any engine, any order.
+    * Scale: windows partition by user_id — at 100 TB the per-user
+    * series is the unit of parallelism (no global sort); skewed users
+    * would shard by (user, day) with per-shard partials merged by the
+    * same monoid. */
+  val qTsDrawdown: Q = Q(
+    "q_ts_drawdown",
+    (s, dir) => {
+      import s.implicits._
+      val run = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, dir)
+        .withColumn("cum", sum(dec2($"value")).over(run))
+        .withColumn("peak", max($"cum").over(run))
+        .groupBy($"user_id")
+        .agg(
+          count(lit(1)).as("n_events"),
+          max($"peak" - $"cum").cast(DoubleType).as("max_drawdown"),
+          max($"peak").cast(DoubleType).as("peak"),
+          max($"cum").cast(DoubleType).as("peak_check"),
+          sum(dec2($"value")).cast(DoubleType).as("total"))
+        .drop("peak_check")
+        .orderBy($"user_id")
+    },
+    oracle = Some(
+      """SELECT user_id, COUNT(*) AS n_events,
+        |  CAST(MAX(peak - cum) AS DOUBLE) AS max_drawdown,
+        |  CAST(MAX(peak) AS DOUBLE) AS peak,
+        |  CAST(SUM(v) AS DOUBLE) AS total
+        |FROM (
+        |  SELECT user_id, v, cum,
+        |    MAX(cum) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS peak
+        |  FROM (
+        |    SELECT user_id, ts, event_id, v,
+        |      SUM(v) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |        AS cum
+        |    FROM (SELECT user_id, ts, event_id,
+        |            CAST(value AS DECIMAL(18,2)) AS v FROM events)))
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin))
+
+  /** q_win_bollinger — Bollinger bands over a trailing 7-row frame per
+    * user: rolling mean ± 2σ from EXACT decimal moments (Σv, Σv² over
+    * the frame), plus a band-breach flag. The canonical rolling
+    * volatility indicator.
+    *
+    * Determinism: frame sums are decimal-exact; mean/σ/bands use the
+    * identical double expression in both engines (IEEE + correctly
+    * rounded sqrt ⇒ same bits), surfaced via round(·,6). The variance is
+    * clamped at 0 (greatest) because a constant frame can land the FP
+    * expression at a tiny negative, where Spark's sqrt yields NaN but
+    * DuckDB's errors — the clamp pins the contract identically.
+    * The breach flag compares value against UNROUNDED band expressions —
+    * both engines evaluate the same FP comparison, so the flag cannot
+    * disagree with the displayed bands' unrounded ancestors.
+    * Scale: same per-user window unit as q_ts_drawdown; the frame is
+    * O(1) rows, so state per key is constant. */
+  val qWinBollinger: Q = Q(
+    "q_win_bollinger",
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        .rowsBetween(-6, Window.currentRow)
+      Tables.events(s, dir)
+        .withColumn("n", count(lit(1)).over(w))
+        .withColumn("s", sum(dec2($"value")).over(w).cast(DoubleType))
+        .withColumn("ss",
+          sum(dec2($"value") * dec2($"value")).over(w).cast(DoubleType))
+        .withColumn("mean", $"s" / $"n")
+        .withColumn("sd",
+          sqrt(greatest($"ss" / $"n" - ($"s" / $"n") * ($"s" / $"n"), lit(0.0))))
+        .select(
+          $"event_id", $"user_id", $"value",
+          round($"mean", 6).as("mid"),
+          round($"mean" + $"sd" * 2.0, 6).as("upper"),
+          round($"mean" - $"sd" * 2.0, 6).as("lower"),
+          when($"value" > $"mean" + $"sd" * 2.0 ||
+               $"value" < $"mean" - $"sd" * 2.0, 1)
+            .otherwise(0).cast(IntegerType).as("breach"))
+        .orderBy($"event_id")
+    },
+    oracle = Some(
+      """SELECT event_id, user_id, value,
+        |  ROUND(s/n, 6) AS mid,
+        |  ROUND(s/n + 2.0 * sqrt(greatest(ss/n - (s/n)*(s/n), 0.0)), 6) AS upper,
+        |  ROUND(s/n - 2.0 * sqrt(greatest(ss/n - (s/n)*(s/n), 0.0)), 6) AS lower,
+        |  CAST(CASE WHEN value > s/n + 2.0 * sqrt(greatest(ss/n - (s/n)*(s/n), 0.0))
+        |         OR value < s/n - 2.0 * sqrt(greatest(ss/n - (s/n)*(s/n), 0.0))
+        |       THEN 1 ELSE 0 END AS INTEGER) AS breach
+        |FROM (
+        |  SELECT event_id, user_id, value,
+        |    COUNT(*) OVER w AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS s,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)))
+        |         OVER w AS DOUBLE) AS ss
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |ORDER BY event_id""".stripMargin))
+
+  /** q_agg_corr — grouped Pearson correlation from exact moments:
+    * corr(l_quantity, l_discount) and corr(l_quantity, l_tax) per
+    * returnflag, computed as (nΣxy − ΣxΣy)/(√(nΣx²−(Σx)²)·√(nΣy²−(Σy)²))
+    * where every Σ is an exact decimal sum.
+    *
+    * Built-in `corr` is deliberately NOT used: both engines implement it
+    * as an order-sensitive streaming double fold (Welford-style), so its
+    * low bits depend on partitioning — unusable under a bit-equality
+    * oracle (SURVEY §2 rule 2). The moment form costs one extra column
+    * per pair and is exactly mergeable, which is also why it is the
+    * 100 TB shape: moments are monoid partials (map-side combine, one
+    * keyed shuffle, 3-group output), where a Welford merge tree is not
+    * reproducible run-to-run.
+    *
+    * Bounds: x ≤ ~50 (2-dp), y ≤ ~0.1 (2-dp) ⇒ Σxy over 6e5 rows ≤ 3e6
+    * at scale 4 — far inside both DECIMAL(38,4) and double's 2⁵³ exact
+    * range, so the decimal→double surfacing is exact (no ulp hazard). */
+  val qAggCorr: Q = Q(
+    "q_agg_corr",
+    (s, dir) => {
+      import s.implicits._
+      def corrOf(x: Column, y: Column): Column = {
+        val n  = count(lit(1)).cast(DoubleType)
+        val sx = sum(dec2(x)).cast(DoubleType)
+        val sy = sum(dec2(y)).cast(DoubleType)
+        val sxx = sum(dec2(x) * dec2(x)).cast(DoubleType)
+        val syy = sum(dec2(y) * dec2(y)).cast(DoubleType)
+        val sxy = sum(dec2(x) * dec2(y)).cast(DoubleType)
+        round((n * sxy - sx * sy) /
+          (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+      }
+      Tables.lineitem(s, dir)
+        .groupBy($"l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          corrOf($"l_quantity", $"l_discount").as("corr_qty_disc"),
+          corrOf($"l_quantity", $"l_tax").as("corr_qty_tax"))
+        .orderBy($"l_returnflag")
+    },
+    oracle = Some {
+      def c(x: String, y: String) =
+        s"""ROUND((CAST(COUNT(*) AS DOUBLE) * CAST(SUM(CAST($x AS DECIMAL(18,2)) * CAST($y AS DECIMAL(18,2))) AS DOUBLE)
+           |  - CAST(SUM(CAST($x AS DECIMAL(18,2))) AS DOUBLE) * CAST(SUM(CAST($y AS DECIMAL(18,2))) AS DOUBLE))
+           | / (sqrt(CAST(COUNT(*) AS DOUBLE) * CAST(SUM(CAST($x AS DECIMAL(18,2)) * CAST($x AS DECIMAL(18,2))) AS DOUBLE)
+           |      - CAST(SUM(CAST($x AS DECIMAL(18,2))) AS DOUBLE) * CAST(SUM(CAST($x AS DECIMAL(18,2))) AS DOUBLE))
+           |  * sqrt(CAST(COUNT(*) AS DOUBLE) * CAST(SUM(CAST($y AS DECIMAL(18,2)) * CAST($y AS DECIMAL(18,2))) AS DOUBLE)
+           |      - CAST(SUM(CAST($y AS DECIMAL(18,2))) AS DOUBLE) * CAST(SUM(CAST($y AS DECIMAL(18,2))) AS DOUBLE))), 6)""".stripMargin
+      s"""SELECT l_returnflag, COUNT(*) AS n,
+         |  ${c("l_quantity", "l_discount")} AS corr_qty_disc,
+         |  ${c("l_quantity", "l_tax")} AS corr_qty_tax
+         |FROM lineitem
+         |GROUP BY l_returnflag
+         |ORDER BY l_returnflag""".stripMargin
+    })
+
+  /** q_events_markov — first-order event-type transition matrix: for
+    * each user's time-ordered event stream, count (prev → next) pairs
+    * and the transition probability per source state. Sequence-mining /
+    * next-action-model groundwork over any clickstream.
+    *
+    * Shape: one window sort per user for the lag, then a 25-group agg
+    * (5×5 state pairs) with map-side partials; the per-source totals
+    * come from a second tiny window over the 25-row AGGREGATE, not the
+    * event table. p = cnt/total is one double division of two exact
+    * longs — identical IEEE result in both engines — rounded once. */
+  val qEventsMarkov: Q = Q(
+    "q_events_markov",
+    (s, dir) => {
+      import s.implicits._
+      val seq = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val counts = Tables.events(s, dir)
+        .withColumn("prev_type", lag($"event_type", 1).over(seq))
+        .where($"prev_type".isNotNull)
+        .groupBy($"prev_type", $"event_type")
+        .agg(count(lit(1)).as("cnt"))
+      counts
+        .withColumn("total", sum($"cnt").over(Window.partitionBy($"prev_type")))
+        .select(
+          $"prev_type", $"event_type", $"cnt",
+          round($"cnt".cast(DoubleType) / $"total".cast(DoubleType), 6).as("p"))
+        .orderBy($"prev_type", $"event_type")
+    },
+    oracle = Some(
+      """SELECT prev_type, event_type, cnt,
+        |  ROUND(CAST(cnt AS DOUBLE) / CAST(SUM(cnt) OVER (PARTITION BY prev_type) AS DOUBLE), 6) AS p
+        |FROM (
+        |  SELECT prev_type, event_type, COUNT(*) AS cnt
+        |  FROM (
+        |    SELECT event_type,
+        |      lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |    FROM events)
+        |  WHERE prev_type IS NOT NULL
+        |  GROUP BY prev_type, event_type)
+        |ORDER BY prev_type, event_type""".stripMargin))
+
+  /** q_ab_chisquare — chi-square contingency diagnostics for an A/B
+    * split: cohort = user_id % 2 crossed with event_type; per cell the
+    * observed count, expected count under independence, and the cell's
+    * χ² contribution. The experimentation-analysis primitive.
+    *
+    * The SCALAR χ² statistic (Σ over cells) is deliberately NOT emitted:
+    * it would sum 10 doubles in engine-dependent order (rule 2). The
+    * per-cell table carries strictly more information, and each cell's
+    * expected/contrib derive from exact integer margins (row_tot ×
+    * col_tot < 2⁵³) through one identical double expression. Shape: one
+    * 10-group agg with partials; margins via windows over the 10-row
+    * aggregate — nothing wide ever re-shuffles. */
+  val qAbChisquare: Q = Q(
+    "q_ab_chisquare",
+    (s, dir) => {
+      import s.implicits._
+      val cells = Tables.events(s, dir)
+        .withColumn("cohort", ($"user_id" % 2).cast(IntegerType))
+        .groupBy($"cohort", $"event_type")
+        .agg(count(lit(1)).as("obs"))
+      val withMargins = cells
+        .withColumn("row_tot", sum($"obs").over(Window.partitionBy($"cohort")))
+        .withColumn("col_tot", sum($"obs").over(Window.partitionBy($"event_type")))
+        .withColumn("n", sum($"obs").over(Window.partitionBy()))
+      withMargins
+        .withColumn("expected",
+          ($"row_tot" * $"col_tot").cast(DoubleType) / $"n".cast(DoubleType))
+        .select(
+          $"cohort", $"event_type", $"obs",
+          round($"expected", 6).as("expected"),
+          round(($"obs".cast(DoubleType) - $"expected") *
+                ($"obs".cast(DoubleType) - $"expected") / $"expected", 6)
+            .as("contrib"))
+        .orderBy($"cohort", $"event_type")
+    },
+    oracle = Some(
+      """SELECT cohort, event_type, obs,
+        |  ROUND(expected, 6) AS expected,
+        |  ROUND((CAST(obs AS DOUBLE) - expected) * (CAST(obs AS DOUBLE) - expected) / expected, 6) AS contrib
+        |FROM (
+        |  SELECT cohort, event_type, obs,
+        |    CAST(SUM(obs) OVER (PARTITION BY cohort) * SUM(obs) OVER (PARTITION BY event_type) AS DOUBLE)
+        |      / CAST(SUM(obs) OVER () AS DOUBLE) AS expected
+        |  FROM (
+        |    SELECT CAST(user_id % 2 AS INTEGER) AS cohort, event_type, COUNT(*) AS obs
+        |    FROM events GROUP BY 1, 2))
+        |ORDER BY cohort, event_type""".stripMargin))
+
+  /** q_skyline — Pareto frontier (skyline) per brand over
+    * (p_retailprice ↓, p_size ↓): parts not dominated by any same-brand
+    * part that is ≤ on both axes and < on at least one. Multi-objective
+    * "best offers" — the classic non-join-expressible operator.
+    *
+    * Technique: the O(n log n) sweep, NOT the O(n²) NOT EXISTS the
+    * oracle uses. Sort each brand by price (cents, exact long); a row
+    * survives iff its size is strictly below the min size over all
+    * STRICTLY cheaper rows (RANGE frame to −1 cent — dominance via
+    * cheaper-or-equal-size) AND it has the min size within its own
+    * price point (equal-price dominance; ties on both axes survive —
+    * no strict edge). Two window frames over one sort, zero self-joins.
+    * Scale: partitioned by brand; an unpartitioned skyline would
+    * range-repartition on price, compute per-partition frontiers, then
+    * merge frontiers (each O(output)) — same sweep, one extra exchange. */
+  val qSkyline: Q = Q(
+    "q_skyline",
+    (s, dir) => {
+      import s.implicits._
+      val cents = (dec2($"p_retailprice") * 100).cast(LongType)
+      val cheaper = Window.partitionBy($"p_brand").orderBy($"cents")
+        .rangeBetween(Window.unboundedPreceding, -1)
+      val samePrice = Window.partitionBy($"p_brand", $"cents")
+      Tables.part(s, dir)
+        .withColumn("cents", cents)
+        .withColumn("min_size_cheaper", min($"p_size").over(cheaper))
+        .withColumn("min_size_same", min($"p_size").over(samePrice))
+        .where(($"min_size_cheaper".isNull ||
+                $"p_size" < $"min_size_cheaper") &&
+               $"p_size" === $"min_size_same")
+        .select($"p_brand", $"p_partkey", $"p_retailprice", $"p_size")
+        .orderBy($"p_brand", $"p_partkey")
+    },
+    oracle = Some(
+      """SELECT p_brand, p_partkey, p_retailprice, p_size
+        |FROM part p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM part q
+        |  WHERE q.p_brand = p.p_brand
+        |    AND q.p_retailprice <= p.p_retailprice
+        |    AND q.p_size <= p.p_size
+        |    AND (q.p_retailprice < p.p_retailprice OR q.p_size < p.p_size))
+        |ORDER BY p_brand, p_partkey""".stripMargin))
+
+  val all: Vector[Q] = Vector(
+    qTsDrawdown, qWinBollinger, qAggCorr, qEventsMarkov,
+    qAbChisquare, qSkyline)
+}

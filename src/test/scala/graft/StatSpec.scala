@@ -1,0 +1,142 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structural invariants of the statistical/indicator family
+  * (StatQueries) — value-level truth is pinned by each row's DuckDB
+  * oracle; these tests assert what the oracle can't see: agreement with
+  * an independent brute-force reference (the skyline sweep vs O(n²)
+  * dominance, drawdown vs a sequential fold) and the distribution
+  * identities (probabilities sum to 1, χ² margins reconcile, |corr| ≤ 1).
+  */
+class StatSpec extends AnyFunSuite with SparkFixture {
+
+  test("skyline sweep equals brute-force dominance on the full fixture") {
+    import spark.implicits._
+    val swept = Catalog.byName("q_skyline").build(spark, sfDir)
+      .select("p_brand", "p_partkey").as[(String, Long)].collect().toSet
+    // Independent O(n²) reference, computed driver-side on the 200-row
+    // fixture: p survives iff no same-brand q with q ≤ p on both axes
+    // and < on at least one (ties on both axes survive).
+    val parts = Tables.part(spark, sfDir)
+      .select("p_brand", "p_partkey", "p_retailprice", "p_size")
+      .as[(String, Long, Double, Int)].collect()
+    val brute = parts.filter { case (b, _, price, size) =>
+      !parts.exists { case (b2, _, price2, size2) =>
+        b2 == b && price2 <= price && size2 <= size &&
+          (price2 < price || size2 < size)
+      }
+    }.map(p => (p._1, p._2)).toSet
+    assert(swept == brute,
+      s"sweep minus brute: ${swept -- brute}; brute minus sweep: ${brute -- swept}")
+    assert(brute.nonEmpty && brute.size < parts.length,
+      "fixture must make the skyline non-trivial")
+  }
+
+  test("drawdown matches a sequential per-user fold, and peak >= drawdown >= 0") {
+    import spark.implicits._
+    val got = Catalog.byName("q_ts_drawdown").build(spark, sfDir)
+      .select("user_id", "max_drawdown", "peak", "total")
+      .as[(Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // Sequential reference: exact cents arithmetic over the (ts,
+    // event_id)-ordered series — the definitionally correct single-pass
+    // form the windowed plan must reproduce.
+    val ref = Tables.events(spark, sfDir)
+      .select("user_id", "ts", "event_id", "value")
+      .as[(Long, java.sql.Timestamp, Long, Double)].collect()
+      .sortBy(e => (e._2.getTime, e._3))
+      .groupBy(_._1)
+      .map { case (uid, es) =>
+        var cum, peak, dd = 0L // cents
+        es.foreach { e =>
+          cum += math.round(e._4 * 100)
+          peak = math.max(peak, cum)
+          dd = math.max(dd, peak - cum)
+        }
+        uid -> ((dd / 100.0, peak / 100.0, cum / 100.0))
+      }
+    assert(got.keySet == ref.keySet)
+    got.foreach { case (uid, (dd, peak, total)) =>
+      val (rdd, rpeak, rtotal) = ref(uid)
+      assert(dd == rdd && peak == rpeak && total == rtotal,
+        s"user $uid: got ($dd,$peak,$total) want ($rdd,$rpeak,$rtotal)")
+      assert(dd >= 0.0 && peak >= total - 1e-9)
+    }
+  }
+
+  test("bollinger bands bracket the mid and flag exactly the outliers") {
+    import spark.implicits._
+    val rows = Catalog.byName("q_win_bollinger").build(spark, sfDir)
+      .select("value", "mid", "upper", "lower", "breach")
+      .as[(Double, Double, Double, Double, Int)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (v, mid, up, lo, breach) =>
+      assert(up >= mid && mid >= lo, s"band order violated: $lo $mid $up")
+      // The flag compares against UNROUNDED bands; displayed bands are
+      // round(·,6) of the same expressions, so any disagreement with the
+      // displayed interval can only sit within the rounding quantum.
+      if (v > up + 1e-6 || v < lo - 1e-6) assert(breach == 1)
+      if (v <= up - 1e-6 && v >= lo + 1e-6) assert(breach == 0)
+    }
+    assert(rows.exists(_._5 == 1), "fixture must produce some breaches")
+    assert(rows.count(_._5 == 1) < rows.length / 4,
+      "a 2-sigma band must flag a minority of points")
+  }
+
+  test("grouped correlation is within [-1,1] and matches a double-pass reference") {
+    import spark.implicits._
+    val got = Catalog.byName("q_agg_corr").build(spark, sfDir)
+      .select("l_returnflag", "corr_qty_disc")
+      .as[(String, Double)].collect().toMap
+    val data = Tables.lineitem(spark, sfDir)
+      .select("l_returnflag", "l_quantity", "l_discount")
+      .as[(String, Double, Double)].collect().groupBy(_._1)
+    got.foreach { case (flag, c) =>
+      assert(math.abs(c) <= 1.0)
+      val xs = data(flag).map(_._2); val ys = data(flag).map(_._3)
+      val n = xs.length.toDouble
+      val (sx, sy) = (xs.sum, ys.sum)
+      val sxx = xs.map(x => x * x).sum
+      val syy = ys.map(y => y * y).sum
+      val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum
+      val ref = (n * sxy - sx * sy) /
+        (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+      // Reference sums raw doubles (order-sensitive low bits) vs the
+      // query's exact decimal moments — agree to analytic tolerance.
+      assert(math.abs(c - ref) < 1e-6, s"$flag: $c vs $ref")
+    }
+  }
+
+  test("markov transition rows: probabilities sum to 1 per source, counts reconcile") {
+    import spark.implicits._
+    val rows = Catalog.byName("q_events_markov").build(spark, sfDir)
+      .select("prev_type", "cnt", "p").as[(String, Long, Double)].collect()
+    rows.groupBy(_._1).foreach { case (src, grp) =>
+      val psum = grp.map(_._3).sum
+      assert(math.abs(psum - 1.0) < 1e-4, s"$src: p sums to $psum")
+    }
+    val events = Tables.events(spark, sfDir)
+    val expectedTransitions =
+      events.count() - events.select("user_id").distinct().count()
+    assert(rows.map(_._2).sum == expectedTransitions,
+      "every non-first event is exactly one transition")
+  }
+
+  test("chi-square cells: margins reconcile and contributions are non-negative") {
+    import spark.implicits._
+    val rows = Catalog.byName("q_ab_chisquare").build(spark, sfDir)
+      .select("cohort", "obs", "expected", "contrib")
+      .as[(Int, Long, Double, Double)].collect()
+    assert(rows.map(_._1).distinct.sorted.sameElements(Array(0, 1)))
+    rows.foreach { case (_, _, exp, contrib) =>
+      assert(exp > 0.0 && contrib >= 0.0)
+    }
+    // Under independence the expected counts per cohort sum to that
+    // cohort's observed margin (rounding quantum only).
+    rows.groupBy(_._1).foreach { case (_, grp) =>
+      assert(math.abs(grp.map(_._3).sum - grp.map(_._2).sum) < 1e-3)
+    }
+    assert(rows.map(_._2).sum == Tables.events(spark, sfDir).count())
+  }
+}
