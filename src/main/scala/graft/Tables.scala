@@ -27,16 +27,31 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = apply(s, d, "lineitem")
-  /** `events.ts` is stored as parquet TIMESTAMP(NANOS) which Spark 4
-    * refuses outright; with `spark.sql.legacy.parquet.nanosAsLong=true`
-    * (set in every session builder) it reads as a raw nanos long. All
-    * fixture values are µs-exact (FIXTURES.md), so the integer division
-    * to micros is lossless. Kept as session-TZ TimestampType (UTC) —
-    * queries that emit `ts` cast to timestamp_ntz in their final
-    * projection so the written parquet matches DuckDB's naive TIMESTAMP. */
+  /** Normalize an events-shaped `ts` column to session-TZ TimestampType
+    * (UTC) regardless of the fixture generation's physical encoding.
+    * Two encodings have shipped: parquet TIMESTAMP(NANOS), which Spark 4
+    * only reads via `spark.sql.legacy.parquet.nanosAsLong=true` (set in
+    * every session builder) as a raw nanos long — all fixture values are
+    * µs-exact (FIXTURES.md) so `div 1000` to micros is lossless — and
+    * parquet timestamp[us] with isAdjustedToUTC=false, which Spark reads
+    * as TIMESTAMP_NTZ; casting NTZ→TIMESTAMP reinterprets the wall clock
+    * in the session TZ (UTC here), i.e. identity on the stored instants.
+    * Dispatch is on the (pre-read) schema, so the streaming sources can
+    * use the same normalization on their staged copies. Queries that
+    * emit `ts` cast to timestamp_ntz in their final projection so the
+    * written parquet matches DuckDB's naive TIMESTAMP. */
+  def normalizeTs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case LongType =>
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    case org.apache.spark.sql.types.TimestampNTZType =>
+      df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    case org.apache.spark.sql.types.TimestampType => df
+    case other =>
+      throw new IllegalStateException(s"unexpected events.ts type: $other")
+  }
+
   def events(s: SparkSession, d: String): DataFrame =
-    apply(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normalizeTs(apply(s, d, "events"))
   def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 }

@@ -194,8 +194,7 @@ object StreamingQueries {
         s: SparkSession, dir: String): DataFrame = {
       val inDir = stagedEventsDir(dir)
       val rawSchema = stagedSchema((s, inDir))(s.read.parquet(inDir).schema)
-      s.readStream.schema(rawSchema).parquet(inDir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      graft.Tables.normalizeTs(s.readStream.schema(rawSchema).parquet(inDir))
     }
 
     /** Replay the events fixture through `transform`; land and return.
@@ -476,9 +475,9 @@ object StreamingQueries {
         df.withColumn("_rn", row_number().over(w))
           .where(col("_rn") === 1).drop("_rn")
       }
-      val src = s.readStream.schema(UpsertStage.schema(s, inDir))
-        .option("maxFilesPerTrigger", 1).parquet(inDir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val src = graft.Tables.normalizeTs(
+        s.readStream.schema(UpsertStage.schema(s, inDir))
+          .option("maxFilesPerTrigger", 1).parquet(inDir))
       // Small-state shuffle sizing, same scoped knob as Replay.run.
       val pKey = "spark.sql.shuffle.partitions"
       val prevP = s.conf.get(pKey)

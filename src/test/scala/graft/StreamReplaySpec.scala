@@ -22,11 +22,11 @@ class StreamReplaySpec extends AnyFunSuite with SparkFixture {
       StandardCopyOption.REPLACE_EXISTING)
     val outDir = Files.createTempDirectory("graft_stream_out").toString
 
-    // Raw schema: ts arrives as nanos LONG (legacy nanosAsLong read),
-    // converted exactly as Tables.events does.
+    // Raw schema: ts normalized exactly as Tables.events does (handles
+    // both the nanos-LONG and timestamp[us]/NTZ fixture encodings).
     val rawSchema = spark.read.parquet(inDir.toString).schema
     def aggregateEvents(df: org.apache.spark.sql.DataFrame) =
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      graft.Tables.normalizeTs(df)
         .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
         .agg(count(lit(1)).as("n"))
         .select($"w.start".as("win_start"), $"event_type", $"n")
@@ -145,7 +145,7 @@ class StreamReplaySpec extends AnyFunSuite with SparkFixture {
     val q = StatefulCounts(
         spark.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1").parquet(srcDir)
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          .transform(graft.Tables.normalizeTs)
           .as[StatefulCounts.Ev])
       .toDF()
       .writeStream.outputMode("update")
