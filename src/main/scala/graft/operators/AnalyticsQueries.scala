@@ -777,8 +777,67 @@ object AnalyticsQueries {
          |ORDER BY col_name""".stripMargin
     })
 
+  /** q_ts_seasonal — day-of-week SEASONAL decomposition of daily event
+    * volume: observed = seasonal + remainder, where the seasonal
+    * component is the mean daily total for that weekday. The additive
+    * profile every ops dashboard runs ("is Monday low because Mondays
+    * are low?"), and the missing member of the ts family between
+    * smoothing (ewma/holt: trend) and anomaly scoring (zscore: residual
+    * scale) — this row produces the deseasonalized residual those
+    * detectors should actually consume.
+    *
+    * Determinism: daily totals in exact cents (the q_ts_ewma base); the
+    * per-weekday mean is `(Σ cents · 1e6) div n_days` — positive
+    * operands, so Spark's truncating `div` and DuckDB's `//` agree —
+    * and the remainder is pure integer subtraction (negative-safe).
+    * Weekday numbering: Spark `weekday()` (0=Mon) + 1 aligns with
+    * DuckDB `isodow()` (1=Mon..7); `dayofweek` is NOT portable (Spark
+    * 1=Sun vs DuckDB 0=Sun), which this row pins.
+    *
+    * Shape: facts collapse to DAY grain in one partial-agg shuffle
+    * (the q_ts_gapfill funnel); the weekday profile is a 7-row
+    * broadcast joined back to the calendar-sized daily table. At 100 TB
+    * of ticks the only full-data pass is the day-grain partial agg. */
+  val qTsSeasonal: Q = Q(
+    "q_ts_seasonal",
+    (s, dir) => {
+      import s.implicits._
+      val daily = Tables.events(s, dir)
+        .groupBy(date_trunc("day", $"ts").as("day"))
+        .agg(sum(expr("cast(round(value * 100) as bigint)")).as("cents"))
+      val profile = daily
+        .groupBy((weekday($"day") + 1).cast("long").as("dow"))
+        .agg(expr("(sum(cents) * 1000000) div count(*)").as("sea_micro"))
+      daily.withColumn("dow", (weekday($"day") + 1).cast("long"))
+        .join(broadcast(profile), "dow")
+        .select(
+          $"day".cast("timestamp_ntz").as("day"), $"dow",
+          ($"cents".cast("double") / 100d).as("observed"),
+          ($"sea_micro".cast("double") / 100000000d).as("seasonal"),
+          (($"cents" * 1000000L - $"sea_micro").cast("double") / 100000000d)
+            .as("remainder"))
+        .orderBy($"day")
+    },
+    oracle = Some(
+      """WITH daily AS (
+        |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |    SUM(CAST(round(value * 100) AS BIGINT)) AS cents
+        |  FROM events GROUP BY 1),
+        |profile AS (
+        |  SELECT isodow(day) AS dow,
+        |    (SUM(cents) * 1000000) // COUNT(*) AS sea_micro
+        |  FROM daily GROUP BY 1)
+        |SELECT d.day, p.dow,
+        |  CAST(d.cents AS DOUBLE) / 100 AS observed,
+        |  CAST(p.sea_micro AS DOUBLE) / 100000000 AS seasonal,
+        |  CAST(d.cents * 1000000 - p.sea_micro AS DOUBLE) / 100000000
+        |    AS remainder
+        |FROM daily d JOIN profile p ON isodow(d.day) = p.dow
+        |ORDER BY day""".stripMargin))
+
   val all: Vector[Q] = Vector(
     qFunnel, qCohortRetention, qTsGapfill, qHistBinned,
     qAnomalyZscore, qAggIncremental, qTsEwma, qTsOhlc, qTsInterpolate,
-    qTsAutocorr, qViewIncrementalJoin, qProfileTable, qTsHolt)
+    qTsAutocorr, qViewIncrementalJoin, qProfileTable, qTsHolt,
+    qTsSeasonal)
 }

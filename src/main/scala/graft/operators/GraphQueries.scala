@@ -267,6 +267,72 @@ object GraphQueries {
         |ORDER BY cn.cn DESC, cn.u, cn.v
         |LIMIT 20""".stripMargin))
 
+  /** q_graph_resource_alloc — WEIGHTED link prediction by the
+    * Resource-Allocation index (Zhou/Lü/Zhang 2009) over the same
+    * frequent-co-purchase graph: RA(u,v) = Σ_{z ∈ N(u)∩N(v)} 1/deg(z).
+    * Completes the neighborhood-predictor pair with
+    * [[qGraphCommonNeighbors]]: CN counts shared neighbors flatly, RA
+    * discounts hub centers — a shared neighbor that co-occurs with
+    * everything carries little signal, the same inverse-frequency idea
+    * as IDF. Chosen over Adamic-Adar (1/log deg) because 1/deg is
+    * RATIONAL: in micro-units the contribution is `1000000 div deg(z)`,
+    * exact integers end to end — both engines truncate positive
+    * division identically, so the score is bit-stable with no float op
+    * anywhere (the q_graph_pagerank discipline).
+    *
+    * Shape: same single keyed wedge self-join as CN — the center's
+    * degree is joined onto the neighbor list BEFORE wedge expansion
+    * (deg is node-domain-sized, the join is keyed on ctr), so each
+    * wedge carries its weight and the pair-agg is one partial-agg
+    * shuffle. Anti join drops existing edges; TakeOrderedAndProject
+    * keeps the top 20 under the total (ra_micro DESC, u, v) order.
+    * Wedge volume identical to CN/triangles: Σ C(deg, 2), with the
+    * same degree-ordered-orientation escape hatch on a skewed graph. */
+  val qGraphResourceAlloc: Q = Q(
+    "q_graph_resource_alloc",
+    (s, dir) => {
+      import s.implicits._
+      val edges = coEdges(s, dir)
+      val nb = edges.select($"u".as("ctr"), $"v".as("n"))
+        .union(edges.select($"v".as("ctr"), $"u".as("n")))
+      val deg = nb.groupBy($"ctr").agg(count(lit(1)).as("deg"))
+      val wnb = nb.join(deg, "ctr")
+        .select($"ctr", $"n", expr("1000000 div deg").as("w"))
+      val wedges = wnb.as("x")
+        .join(wnb.as("y"), $"x.ctr" === $"y.ctr" && $"x.n" < $"y.n")
+        .select($"x.n".as("u"), $"y.n".as("v"), $"x.w".as("w"))
+      wedges.groupBy($"u", $"v").agg(sum($"w").as("ra_micro"))
+        .join(edges, Seq("u", "v"), "left_anti")
+        .select($"u", $"v", $"ra_micro",
+          ($"ra_micro".cast("double") / 1000000d).as("ra"))
+        .orderBy($"ra_micro".desc, $"u", $"v")
+        .limit(20)
+    },
+    oracle = Some(
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pairs AS (
+        |  SELECT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM li a JOIN li b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |edges AS (SELECT u, v FROM pairs GROUP BY u, v HAVING COUNT(*) >= 2),
+        |nb AS (SELECT u AS ctr, v AS n FROM edges
+        |       UNION ALL SELECT v AS ctr, u AS n FROM edges),
+        |deg AS (SELECT ctr, COUNT(*) AS deg FROM nb GROUP BY ctr),
+        |wnb AS (SELECT nb.ctr, nb.n, 1000000 // d.deg AS w
+        |        FROM nb JOIN deg d ON d.ctr = nb.ctr),
+        |ra AS (
+        |  SELECT x.n AS u, y.n AS v, CAST(SUM(x.w) AS BIGINT) AS ra_micro
+        |  FROM wnb x JOIN wnb y ON x.ctr = y.ctr AND x.n < y.n
+        |  GROUP BY x.n, y.n)
+        |SELECT ra.u, ra.v, ra.ra_micro,
+        |  CAST(ra.ra_micro AS DOUBLE) / 1000000 AS ra
+        |FROM ra
+        |WHERE NOT EXISTS (SELECT 1 FROM edges e
+        |                  WHERE e.u = ra.u AND e.v = ra.v)
+        |ORDER BY ra.ra_micro DESC, ra.u, ra.v
+        |LIMIT 20""".stripMargin))
+
   val all: Vector[Q] =
-    Vector(qGraphPagerank, qGraphTriangles, qGraphCommonNeighbors)
+    Vector(qGraphPagerank, qGraphTriangles, qGraphCommonNeighbors,
+      qGraphResourceAlloc)
 }

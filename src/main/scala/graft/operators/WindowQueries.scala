@@ -309,7 +309,63 @@ object WindowQueries {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_orderkey""".stripMargin))
 
+  /** q_win_running_distinct — the running COUNT(DISTINCT) no SQL window
+    * frame can express directly (DISTINCT aggregates are not legal over
+    * frames in either engine): per user, how many distinct event types
+    * they have touched as of each event — the classic "breadth of
+    * engagement so far" feature, and the textbook rewrite: mark each
+    * row that is the FIRST occurrence of its (user, type), then a
+    * running SUM of the marks.
+    *
+    * The first-occurrence mark deliberately avoids a second partition
+    * key: with rows ordered by (event_type, ts, event_id) WITHIN the
+    * user partition, a row starts a new type-run iff its lag differs —
+    * so BOTH windows share the user_id partitioning and the plan is
+    * ONE keyed exchange with two in-partition sorts, instead of the
+    * naive (user, type)-partitioned first pass that would shuffle the
+    * stream twice. IS DISTINCT FROM handles the partition-first row
+    * (lag NULL) identically in both engines.
+    *
+    * Scale: both sorts are per-user in-partition (no global sort); the
+    * running sum is the same single-pass frame as q_win_running. Skewed
+    * users are the q_join_skew_salted story — a hot user's partition
+    * sorts alone, everything else streams. */
+  val qWinRunningDistinct: Q = Q(
+    "q_win_running_distinct",
+    (s, dir) => {
+      import s.implicits._
+      val byType = Window.partitionBy($"user_id")
+        .orderBy($"event_type", $"ts", $"event_id")
+      val byTime = Window.partitionBy($"user_id")
+        .orderBy($"ts", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, dir)
+        .withColumn("is_new",
+          when(not(lag($"event_type", 1).over(byType) <=> $"event_type"), 1L)
+            .otherwise(0L))
+        .select(
+          $"event_id", $"user_id", $"ts".cast("timestamp_ntz").as("ts"),
+          $"event_type",
+          sum($"is_new").over(byTime).as("n_types_seen"))
+        .orderBy($"event_id")
+    },
+    oracle = Some(
+      """WITH flagged AS (
+        |  SELECT event_id, user_id, ts, event_type,
+        |    CASE WHEN lag(event_type) OVER (
+        |        PARTITION BY user_id ORDER BY event_type, ts, event_id)
+        |      IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS is_new
+        |  FROM events)
+        |SELECT event_id, user_id, ts, event_type,
+        |  CAST(SUM(is_new) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS n_types_seen
+        |FROM flagged
+        |ORDER BY event_id""".stripMargin))
+
   val all: Vector[Q] = Vector(
     qWinRank, qWinRunning, qWinLeadLag, qWinDistribution,
-    qWinRangeFrame, qSessionize, qReportMomentum, qWinValueFuncs)
+    qWinRangeFrame, qSessionize, qReportMomentum, qWinValueFuncs,
+    qWinRunningDistinct)
 }

@@ -282,4 +282,33 @@ class AnalyticsSpec extends AnyFunSuite with SparkFixture {
     }
     assert(nGapRuns > 0, "fixture must exercise at least one gap run")
   }
+
+  test("seasonal decomposition: additivity holds, profile is the exact " +
+      "per-weekday mean, and the calendar is fully covered") {
+    val rows = Catalog.byName("q_ts_seasonal").build(spark, sfDir)
+      .collect()
+      .map(r => (r.getAs[java.time.LocalDateTime]("day"), r.getLong(1),
+        r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    // events span Jan 1-30 2024 (FIXTURES.md) => 30 distinct days
+    assert(rows.length == 30)
+    assert(rows.map(_._1).distinct.length == 30)
+    rows.foreach { case (day, dow, obs, sea, rem) =>
+      assert(dow >= 1 && dow <= 7)
+      // Spark weekday()+1 must equal ISO day-of-week of the calendar day
+      assert(dow == day.getDayOfWeek.getValue.toLong)
+      // additivity: the decomposition reassembles the observation
+      assert(math.abs(obs - (sea + rem)) < 1e-9,
+        s"$day: $obs != $sea + $rem")
+    }
+    // profile = truncating integer mean of the observed days per weekday,
+    // recomputed from the row's own observed values (exact 2-dp cents)
+    rows.groupBy(_._2).foreach { case (_, g) =>
+      val cents = g.map(r => math.round(r._3 * 100))
+      val expMicro = cents.map(_ * 1000000L).sum / cents.length
+      g.foreach { case (day, _, _, sea, _) =>
+        assert(math.round(sea * 100000000d) == expMicro,
+          s"$day: seasonal $sea != mean micro $expMicro")
+      }
+    }
+  }
 }

@@ -98,4 +98,22 @@ class GoldenSpec extends AnyFunSuite with SparkFixture {
       .select($"text").distinct().count()
     assert(Catalog.byName("q_dedup_exact").build(spark, sfDir).count() == nDistinct)
   }
+
+  test("q_win_running_distinct replays exactly against a driver-side " +
+      "seen-set per user") {
+    val rows = Catalog.byName("q_win_running_distinct").build(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(3), r.getLong(4)))
+    assert(rows.length == 1000) // every event emits a row at sf0.001
+    rows.groupBy(_._2).foreach { case (user, g) =>
+      val seen = scala.collection.mutable.Set.empty[String]
+      // output is ORDER BY event_id, and event_id is in ts order by
+      // fixture contract, so replay in emitted order
+      g.sortBy(_._1).foreach { case (id, _, tpe, n) =>
+        seen += tpe
+        assert(n == seen.size.toLong,
+          s"user $user event $id: running distinct $n != ${seen.size}")
+      }
+    }
+  }
 }

@@ -79,4 +79,56 @@ class GraphSpec extends AnyFunSuite with SparkFixture {
       s"rank inverts weighted in-degree for: ${inversions.take(5).toList}; " +
         s"rank order ${byRank.take(5).toList} vs wdeg ${byWdeg.take(5).toList}")
   }
+
+  test("resource-allocation top-20 matches a brute-force recompute") {
+    // Independent reconstruction of the co-purchase graph and the RA
+    // index: adjacency from scratch (>= 2 shared orders), integer
+    // micro-unit weights, driver-side wedge enumeration. Exact equality
+    // with the catalog row, including the (ra_micro DESC, u, v) order.
+    val s = spark
+    import s.implicits._
+    val li = Tables.lineitem(s, sfDir)
+      .select($"l_orderkey", $"l_partkey").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byOrder = li.groupBy(_._1).map { case (_, xs) =>
+      xs.map(_._2).distinct.sorted }
+    val pairCounts = scala.collection.mutable.Map
+      .empty[(Long, Long), Int].withDefaultValue(0)
+    byOrder.foreach { parts =>
+      for (i <- parts.indices; j <- (i + 1) until parts.length)
+        pairCounts((parts(i), parts(j))) += 1
+    }
+    // .iterator first: Map#collect over tuple results would rebuild a
+    // MAP keyed on u, silently collapsing every (u, *) edge to one
+    val edges = pairCounts.iterator
+      .collect { case (p, c) if c >= 2 => p }.toSet
+    val adj = scala.collection.mutable.Map
+      .empty[Long, scala.collection.mutable.Set[Long]]
+    edges.foreach { case (u, v) =>
+      adj.getOrElseUpdate(u, scala.collection.mutable.Set.empty) += v
+      adj.getOrElseUpdate(v, scala.collection.mutable.Set.empty) += u
+    }
+    val ra = scala.collection.mutable.Map
+      .empty[(Long, Long), Long].withDefaultValue(0L)
+    adj.foreach { case (z, nbrs) =>
+      val w = 1000000L / nbrs.size
+      val ns = nbrs.toSeq.sorted
+      for (i <- ns.indices; j <- (i + 1) until ns.length)
+        ra((ns(i), ns(j))) += w
+    }
+    val expected = ra.toSeq
+      .filterNot { case (p, _) => edges(p) }
+      .sortBy { case ((u, v), m) => (-m, u, v) }
+      .take(20)
+      .map { case ((u, v), m) => (u, v, m) }
+    val got = Catalog.byName("q_graph_resource_alloc").build(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    assert(got == expected)
+    // the double projection is exactly the micro score / 1e6
+    val doubles = Catalog.byName("q_graph_resource_alloc")
+      .build(spark, sfDir).collect()
+      .map(r => (r.getLong(2), r.getDouble(3)))
+    doubles.foreach { case (m, d) => assert(d == m.toDouble / 1000000d) }
+  }
 }

@@ -481,4 +481,31 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
         s"${q.name} degenerated to a cartesian product")
     }
   }
+
+  test("q_win_running_distinct shuffles once: both windows share the " +
+      "user_id partitioning") {
+    val p = planOf("q_win_running_distinct")
+    // The first-occurrence mark deliberately orders by (type, ts, id)
+    // WITHIN the user partition instead of partitioning by (user, type):
+    // one exchange on user_id, two in-partition sorts. A second hash
+    // exchange means the rewrite regressed to the two-shuffle form.
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1,
+      s"expected exactly one user_id exchange:\n$p")
+    assert(p.contains("Window"), "must plan as window functions")
+  }
+
+  test("q_graph_resource_alloc stays keyed end to end with a partial top-k") {
+    val p = planOf("q_graph_resource_alloc")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "wedge enumeration must be the keyed self-join, never all-pairs")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 must be partial per partition, not a global sort:\n$p")
+  }
+
+  test("q_ts_seasonal broadcasts the 7-row weekday profile") {
+    val p = planOf("q_ts_seasonal")
+    assert(p.contains("BroadcastHashJoin"),
+      s"profile join must broadcast, not shuffle the daily table:\n$p")
+  }
 }
