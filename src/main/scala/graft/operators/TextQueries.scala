@@ -926,10 +926,95 @@ object TextQueries {
         |ORDER BY k DESC, doc_id
         |LIMIT 100""".stripMargin))
 
+  /** q_text_bm25 (added r8) — BM25 relevance of every document to a
+    * fixed query ('data', 'query', 'spark'), the ranking function
+    * behind query-targeted training-data selection (retrieve-then-keep
+    * pipelines score candidate documents against a task description
+    * exactly like this). k1 = 1.2, b = 0.75 — the standard constants —
+    * and BOTH are rational, which makes the whole per-term score a
+    * ratio of exact integers once avgdl = T/N is substituted in:
+    *
+    *   score_t = idf·tf·(k1+1)/(tf + k1(1−b+b·dl/avgdl))
+    *           = idf_micro · 22·T·tf  div  (10·T·tf + 3·T + 9·dl·N)
+    *
+    * (multiply through by 10·T; T = total tokens, N = docs, dl = doc
+    * length). The ONLY float op is the idf — the Robertson–Sparck-Jones
+    * form 1 + (N−df+0.5)/(df+0.5) simplifies to (2N+2)/(2df+1), an
+    * exact rational — quantized ONCE per term to integer micro-nats via
+    * floor(ln(·)·1e6), the identical masked-ulp argument as
+    * q_text_perplexity; everything after is exact long arithmetic with
+    * positive operands (truncating div ≡ DuckDB //). Per-doc score =
+    * exact SUM of per-term integers.
+    *
+    * Scale (100 TB): tf filters the token stream to the QUERY terms at
+    * the scan (a 3-element isin — predicate on the shared token stage),
+    * so the only doc-keyed shuffle is over matching (doc, term) pairs;
+    * idf is a query-sized broadcast, N/T are 1-row broadcasts, and dl
+    * is a narrow per-row projection of the token stage. Long-overflow
+    * bound: idf_micro·22·T·tf needs T·tf < 4e10 at idf ≈ 10 nats —
+    * beyond ~10⁹ tokens promote the numerator to DECIMAL(38,0), same
+    * note as q_text_collocations. */
+  val qTextBm25: Q = Q(
+    "q_text_bm25",
+    (s, dir) => {
+      import s.implicits._
+      val qterms = Seq("data", "query", "spark")
+      val toks = Tokenized(s, dir)
+        .select($"doc_id", explode($"lw").as("term"))
+      val dl = Tokenized(s, dir)
+        .select($"doc_id", size($"lw").cast(LongType).as("dl"))
+      val nd = Tokenized(s, dir).agg(count(lit(1)).as("n_docs"))
+      val tt = toks.agg(count(lit(1)).as("n_toks"))
+      val tf = toks.where($"term".isin(qterms: _*))
+        .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      val idf = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(nd))
+        .select($"term",
+          expr("CAST(floor(ln(CAST(2*n_docs + 2 AS DOUBLE) / (2*df + 1))" +
+            " * 1000000) AS BIGINT)").as("idf_micro"))
+      tf.join(broadcast(idf), "term")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(nd)).crossJoin(broadcast(tt))
+        .select($"doc_id",
+          expr("(idf_micro * 22 * n_toks * tf) div " +
+            "(10*n_toks*tf + 3*n_toks + 9*dl*n_docs)").as("s_micro"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_terms_hit"), sum($"s_micro").as("bm25_micro"))
+        .select($"doc_id", $"n_terms_hit", $"bm25_micro",
+          ($"bm25_micro".cast(DoubleType) / 1000000d).as("bm25"))
+        .orderBy($"doc_id")
+    },
+    oracle = Some(
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        |  FROM documents),
+        |dl AS (SELECT doc_id, len(string_split(lower(text), ' ')) AS dl
+        |       FROM documents),
+        |nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |tt AS (SELECT COUNT(*) AS n_toks FROM toks),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+        |       WHERE term IN ('data', 'query', 'spark') GROUP BY 1, 2),
+        |idf AS (
+        |  SELECT term,
+        |    CAST(floor(ln(CAST(2*n_docs + 2 AS DOUBLE) / (2*df + 1))
+        |      * 1000000) AS BIGINT) AS idf_micro
+        |  FROM (SELECT term, COUNT(*) AS df FROM tf GROUP BY term), nd),
+        |sc AS (
+        |  SELECT tf.doc_id,
+        |    (idf_micro * 22 * n_toks * tf) //
+        |      (10*n_toks*tf + 3*n_toks + 9*dl.dl*n_docs) AS s_micro
+        |  FROM tf JOIN idf USING (term)
+        |    JOIN dl ON dl.doc_id = tf.doc_id, nd, tt)
+        |SELECT doc_id, COUNT(*) AS n_terms_hit,
+        |  CAST(SUM(s_micro) AS BIGINT) AS bm25_micro,
+        |  CAST(CAST(SUM(s_micro) AS BIGINT) AS DOUBLE) / 1000000 AS bm25
+        |FROM sc GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin))
+
   val all: Vector[Q] =
     Vector(qTextTokenizeExplode, qTextWordcountTf, qTextStats,
       qTextQuality, qTextTokenCount, qDocFingerprint, qTextFilterPipeline,
       qSampleDeterministic, qTextNormalize, qTextTfidf, qSampleStratified,
       qTextRedactPii, qTextRepetition, qTextPerplexity, qTextCollocations,
-      qTextKlDrift, qSampleFixedK, qSampleWeighted)
+      qTextKlDrift, qSampleFixedK, qSampleWeighted, qTextBm25)
 }

@@ -116,4 +116,36 @@ class GoldenSpec extends AnyFunSuite with SparkFixture {
       }
     }
   }
+
+  test("q_text_bm25 replays exactly against a driver-side integer " +
+      "recompute from raw tokens") {
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase
+        .split(" ", -1).toSeq)
+    val qterms = Seq("data", "query", "spark")
+    val n = docs.length.toLong
+    val t = docs.map(_._2.length.toLong).sum
+    val df = qterms.map(q =>
+      q -> docs.count(_._2.contains(q)).toLong).toMap
+    val idf = df.map { case (q, d) =>
+      q -> math.floor(math.log((2 * n + 2).toDouble / (2 * d + 1))
+        * 1000000).toLong
+    }
+    val expected = docs.flatMap { case (id, toks) =>
+      val dl = toks.length.toLong
+      val terms = qterms.map(q => q -> toks.count(_ == q).toLong)
+        .filter(_._2 > 0)
+      if (terms.isEmpty) None
+      else {
+        val score = terms.map { case (q, tf) =>
+          (idf(q) * 22 * t * tf) / (10 * t * tf + 3 * t + 9 * dl * n)
+        }.sum
+        Some((id, terms.size.toLong, score))
+      }
+    }.sortBy(_._1).toSeq
+    val got = Catalog.byName("q_text_bm25").build(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected)
+  }
 }

@@ -151,7 +151,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     Seq("q_text_tokenize_explode", "q_text_wordcount_tf", "q_text_quality",
         "q_text_token_count", "q_text_tfidf", "q_text_filter_pipeline",
         "q_text_repetition", "q_text_perplexity", "q_text_collocations",
-        "q_text_kl_drift").foreach { name =>
+        "q_text_kl_drift", "q_text_bm25").foreach { name =>
       val p = planOf(name)
       assert(p.contains("InMemoryTableScan"),
         s"$name must read the cached token stage:\n$p")
@@ -507,5 +507,18 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     val p = planOf("q_ts_seasonal")
     assert(p.contains("BroadcastHashJoin"),
       s"profile join must broadcast, not shuffle the daily table:\n$p")
+  }
+
+  test("q_text_bm25 broadcasts idf and the corpus scalars; no SMJ") {
+    // Same scale contract as perplexity: the query-sized idf table and
+    // the 1-row N/T scalars broadcast; the corpus pays keyed exchanges
+    // only on the query-term-filtered (doc, term) stream. A
+    // SortMergeJoin would mean a corpus-sized side shuffled against
+    // the query side.
+    val p = planOf("q_text_bm25")
+    assert(p.contains("BroadcastHashJoin"),
+      s"idf join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no corpus-vs-query sort-merge expected:\n$p")
   }
 }
