@@ -640,6 +640,86 @@ object AnalyticsQueries {
         |  CAST(b AS DOUBLE) / 1000000 AS trend
         |FROM h ORDER BY event_id""".stripMargin))
 
+  /** q_ts_cusum (added r8) — one-sided CUSUM changepoint detection
+    * (Page 1954) per user: the sequential detector that catches a
+    * sustained upward SHIFT in the mean long before any fixed-window
+    * z-score does, because evidence ACCUMULATES instead of being
+    * re-windowed away — the standard drift alarm for metered streams.
+    *
+    *   sᵢ = max(0, sᵢ₋₁ + centsᵢ·10⁶ − target − slack),  s₀ = 0
+    *
+    * with target = the user's integer-mean in micro-cents
+    * ((Σcents·10⁶) div n, positive ⇒ truncating div portable), slack =
+    * target div 10 (the standard δ/2 allowance, here 10% of level so it
+    * stays rational), alarm at s > 2·target. The recurrence itself has
+    * NO division — max(0, ·) plus exact additions of (possibly
+    * negative) longs — so there is no rounding route at all between the
+    * engines; the two divisions both happen once, on positive operands,
+    * before the scan.
+    *
+    * Scale: the same sequential-per-key path as q_ts_ewma/q_ts_holt —
+    * repartition(user) + secondary sort + ONE typed mapPartitions
+    * carrying one long of state — plus one keyed agg to compute the
+    * per-user target, joined back on the SAME key the scan partitions
+    * by. DuckDB twin replays the recurrence via WITH RECURSIVE, every
+    * step oracle-pinned. */
+  val qTsCusum: Q = Q(
+    "q_ts_cusum",
+    (s, dir) => {
+      import s.implicits._
+      val base = Tables.events(s, dir)
+        .select($"user_id", $"event_id", unix_micros($"ts").as("tsus"),
+          expr("cast(round(value * 100) as bigint)").as("cents"))
+      val tgt = base.groupBy($"user_id")
+        .agg(expr("(sum(cents) * 1000000) div count(*)").as("target"))
+      base.join(tgt, "user_id")
+        .select($"user_id", $"event_id", $"tsus", $"cents", $"target",
+          expr("target div 10").as("k"))
+        .as[(Long, Long, Long, Long, Long, Long)]
+        .repartition($"user_id")
+        .sortWithinPartitions($"user_id", $"tsus", $"event_id")
+        .mapPartitions { it =>
+          var curUser = Long.MinValue
+          var acc = 0L
+          it.map { case (u, id, _, cents, target, k) =>
+            if (u != curUser) acc = 0L
+            acc = math.max(0L, acc + cents * 1000000L - target - k)
+            curUser = u
+            (id, u, acc / 1e8, acc > 2L * target)
+          }
+        }
+        .toDF("event_id", "user_id", "cusum", "alarm")
+        .orderBy($"event_id")
+    },
+    oracle = Some(
+      """WITH RECURSIVE base AS (
+        |  SELECT user_id, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS cents,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |tgt AS (
+        |  SELECT user_id, (SUM(cents) * 1000000) // COUNT(*) AS target
+        |  FROM base GROUP BY user_id),
+        |b2 AS (
+        |  SELECT b.user_id, b.event_id, b.cents, b.rn,
+        |    CAST(t.target AS BIGINT) AS target,
+        |    CAST(t.target // 10 AS BIGINT) AS k
+        |  FROM base b JOIN tgt t USING (user_id)),
+        |c AS (
+        |  SELECT user_id, event_id, rn, target, k,
+        |    GREATEST(CAST(0 AS BIGINT), cents * 1000000 - target - k) AS s
+        |  FROM b2 WHERE rn = 1
+        |  UNION ALL
+        |  SELECT nx.user_id, nx.event_id, nx.rn, nx.target, nx.k,
+        |    GREATEST(CAST(0 AS BIGINT),
+        |      c.s + nx.cents * 1000000 - nx.target - nx.k) AS s
+        |  FROM c JOIN b2 nx
+        |    ON nx.user_id = c.user_id AND nx.rn = c.rn + 1)
+        |SELECT event_id, user_id,
+        |  CAST(s AS DOUBLE) / 100000000 AS cusum,
+        |  s > 2 * target AS alarm
+        |FROM c ORDER BY event_id""".stripMargin))
+
   /** Materialized base JOIN view for q_view_incremental_join: orders
     * before the snapshot date joined to customer, persisted once per
     * (session, dir) — the stand-in for the STORED view table a real
@@ -839,5 +919,5 @@ object AnalyticsQueries {
     qFunnel, qCohortRetention, qTsGapfill, qHistBinned,
     qAnomalyZscore, qAggIncremental, qTsEwma, qTsOhlc, qTsInterpolate,
     qTsAutocorr, qViewIncrementalJoin, qProfileTable, qTsHolt,
-    qTsSeasonal)
+    qTsSeasonal, qTsCusum)
 }

@@ -311,4 +311,39 @@ class AnalyticsSpec extends AnyFunSuite with SparkFixture {
       }
     }
   }
+
+  test("cusum matches a driver-side sequential reference, resets at 0, " +
+      "and the fixture drives both signs of the increment") {
+    import spark.implicits._
+    val got = Catalog.byName("q_ts_cusum").build(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), (r.getDouble(2), r.getBoolean(3)))).toMap
+    val events = Tables.events(spark, sfDir)
+      .select($"user_id", $"event_id", unix_micros($"ts"), $"value")
+      .as[(Long, Long, Long, Double)].collect()
+    var sawClamp = false
+    var sawGrowth = false
+    val expected = events.groupBy(_._1).iterator.flatMap { case (_, rows) =>
+      val cents = rows.map(r => math.rint(r._4 * 100).toLong)
+      val target = cents.map(_ * 1000000L).sum / cents.length
+      val k = target / 10L
+      var acc = 0L
+      rows.sortBy(r => (r._3, r._2)).map { case (_, id, _, x) =>
+        val c = math.rint(x * 100).toLong
+        val raw = acc + c * 1000000L - target - k
+        if (raw < 0) sawClamp = true else sawGrowth = true
+        acc = math.max(0L, raw)
+        id -> (acc / 1e8, acc > 2L * target)
+      }
+    }.toMap
+    assert(got == expected)
+    // Non-degeneracy: the max(0, .) clamp and the accumulation path must
+    // BOTH fire on the fixture, or the detector semantics are untested.
+    assert(sawClamp && sawGrowth)
+    // The alarm must be non-vacuous in at least one direction: at
+    // fixture scale some rows alarm and most do not.
+    val alarms = got.values.count(_._2)
+    assert(alarms > 0 && alarms < got.size,
+      s"degenerate alarm rate: $alarms of ${got.size}")
+  }
 }
