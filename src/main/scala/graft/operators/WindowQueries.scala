@@ -364,8 +364,51 @@ object WindowQueries {
         |FROM flagged
         |ORDER BY event_id""".stripMargin))
 
+  /** q_win_rolling_median — exact 5-row rolling MEDIAN of event value
+    * per user (added r8): the robust smoother that ignores a single
+    * spike entirely, where the mean family (q_win_running's frame avg,
+    * q_ts_ewma) drags it in — medians are what metering dashboards
+    * deploy against fat-tailed value distributions.
+    *
+    * Determinism is the interesting part: windowed median interpolates
+    * between the two middle values on even frames, and Spark computes
+    * `lo + (hi−lo)·frac` while DuckDB's quantile_cont may associate
+    * differently — an ulp-divergence route on arbitrary doubles. Closed
+    * by medianing exact CENTS (integers): lo, hi and their midpoint
+    * x.5 are all exactly representable, so every formula shape yields
+    * the bit-identical double, and the final /100 is one shared IEEE
+    * division. The same move as the ts family's fixed-point, applied to
+    * an order statistic.
+    *
+    * Scale: one keyed exchange on user_id; the 5-row frame is O(1)
+    * state per row inside the sorted partition. An exact percentile
+    * over an UNBOUNDED frame would instead hold the full history per
+    * key — that shape belongs to q_agg_percentile (grouped, not
+    * windowed) or the t-digest sketch row. */
+  val qWinRollingMedian: Q = Q(
+    "q_win_rolling_median",
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        .rowsBetween(-4, Window.currentRow)
+      Tables.events(s, dir)
+        .select($"event_id", $"user_id",
+          $"ts".cast("timestamp_ntz").as("ts"),
+          (percentile(expr("cast(round(value * 100) as bigint)"),
+            lit(0.5)).over(w) / 100d).as("med5"))
+        .orderBy($"event_id")
+    },
+    oracle = Some(
+      """SELECT event_id, user_id, ts,
+        |  CAST(median(CAST(round(value * 100) AS BIGINT)) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE) / 100
+        |    AS med5
+        |FROM events
+        |ORDER BY event_id""".stripMargin))
+
   val all: Vector[Q] = Vector(
     qWinRank, qWinRunning, qWinLeadLag, qWinDistribution,
     qWinRangeFrame, qSessionize, qReportMomentum, qWinValueFuncs,
-    qWinRunningDistinct)
+    qWinRunningDistinct, qWinRollingMedian)
 }

@@ -148,4 +148,28 @@ class GoldenSpec extends AnyFunSuite with SparkFixture {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(got == expected)
   }
+
+  test("q_win_rolling_median replays exactly against driver-side frame " +
+      "medians over cents") {
+    import spark.implicits._
+    val got = Catalog.byName("q_win_rolling_median").build(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val events = Tables.events(spark, sfDir)
+      .select($"user_id", $"event_id",
+        org.apache.spark.sql.functions.unix_micros($"ts"), $"value")
+      .as[(Long, Long, Long, Double)].collect()
+    val expected = events.groupBy(_._1).iterator.flatMap { case (_, rows) =>
+      val ordered = rows.sortBy(r => (r._3, r._2))
+      ordered.indices.map { i =>
+        val frame = ordered.slice(math.max(0, i - 4), i + 1)
+          .map(r => math.rint(r._4 * 100).toLong).sorted
+        val n = frame.length
+        val med =
+          if (n % 2 == 1) frame(n / 2).toDouble
+          else (frame(n / 2 - 1) + frame(n / 2)) / 2.0
+        ordered(i)._2 -> med / 100d
+      }
+    }.toMap
+    assert(got == expected)
+  }
 }
