@@ -323,7 +323,55 @@ object StatQueries {
         |    AND (q.p_retailprice < p.p_retailprice OR q.p_size < p.p_size))
         |ORDER BY p_brand, p_partkey""".stripMargin))
 
+  /** q_events_attribution (added r8) — LAST-TOUCH attribution: every
+    * purchase credited to the user's most recent preceding click, with
+    * the click-to-convert latency. The core marketing/behavioral join
+    * that [[qEventsMarkov]] (aggregate transitions) and q_funnel
+    * (fixed stage order) don't answer: WHICH interaction gets credit
+    * for THIS conversion, per conversion.
+    *
+    * Expressed as a running `max(CASE click THEN ts END)` over the
+    * user's ordered stream — a conditional cumulative window, not a
+    * join: the as-of-join formulation ([[q_join_self_asof]] family)
+    * would shuffle clicks and purchases separately and merge; here one
+    * keyed exchange orders the stream once and every purchase reads
+    * its answer from O(1) running state. Purchases with no prior click
+    * surface NULL credit (first-session conversions — kept, not
+    * dropped: their count is the direct-traffic metric).
+    *
+    * Determinism: timestamps compare as exact integer micros
+    * (unix_micros/epoch_us), the latency is exact integer subtraction,
+    * and NULL propagates identically through both engines. */
+  val qEventsAttribution: Q = Q(
+    "q_events_attribution",
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, dir)
+        .withColumn("last_click_us",
+          max(when($"event_type" === "click", unix_micros($"ts"))).over(w))
+        .where($"event_type" === "purchase")
+        .select($"event_id", $"user_id",
+          $"ts".cast("timestamp_ntz").as("ts"),
+          $"last_click_us",
+          (unix_micros($"ts") - $"last_click_us").as("gap_us"))
+        .orderBy($"event_id")
+    },
+    oracle = Some(
+      """SELECT event_id, user_id, ts, last_click_us,
+        |  epoch_us(ts) - last_click_us AS gap_us
+        |FROM (
+        |  SELECT event_id, user_id, ts, event_type,
+        |    max(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS last_click_us
+        |  FROM events)
+        |WHERE event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin))
+
   val all: Vector[Q] = Vector(
     qTsDrawdown, qWinBollinger, qAggCorr, qEventsMarkov,
-    qAbChisquare, qSkyline)
+    qAbChisquare, qSkyline, qEventsAttribution)
 }

@@ -172,4 +172,29 @@ class GoldenSpec extends AnyFunSuite with SparkFixture {
     }.toMap
     assert(got == expected)
   }
+
+  test("q_events_attribution replays a running last-click exactly and " +
+      "keeps direct conversions as NULL credit") {
+    import spark.implicits._
+    val got = Catalog.byName("q_events_attribution").build(spark, sfDir)
+      .collect().map { r =>
+        r.getLong(0) -> (if (r.isNullAt(3)) None else Some(r.getLong(3)))
+      }.toMap
+    val events = Tables.events(spark, sfDir)
+      .select($"user_id", $"event_id",
+        org.apache.spark.sql.functions.unix_micros($"ts"), $"event_type")
+      .as[(Long, Long, Long, String)].collect()
+    val expected = events.groupBy(_._1).iterator.flatMap { case (_, rows) =>
+      var lastClick: Option[Long] = None
+      rows.sortBy(r => (r._3, r._2)).flatMap { case (_, id, us, tpe) =>
+        if (tpe == "click") { lastClick = Some(us); None }
+        else if (tpe == "purchase") Some(id -> lastClick)
+        else None
+      }
+    }.toMap
+    assert(got == expected)
+    // both attribution outcomes must occur on the fixture
+    assert(got.values.exists(_.isEmpty), "no direct (NULL) conversion")
+    assert(got.values.exists(_.nonEmpty), "no attributed conversion")
+  }
 }
