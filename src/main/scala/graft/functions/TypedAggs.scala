@@ -38,7 +38,7 @@ object TypedAggs {
       if (java.lang.Double.isNaN(v) || java.lang.Double.isInfinite(v))
         throw new IllegalArgumentException(
           s"WeightedAvgCents requires finite 2-decimal inputs, got $v")
-      math.rint(v * 100.0).toLong
+      math.round(v * 100.0) // HALF_UP, matching SQL round() in both engines
     }
     override def zero: (Long, Long) = (0L, 0L)
     override def reduce(b: (Long, Long), a: (Double, Double)): (Long, Long) =

@@ -364,7 +364,7 @@ object AnalyticsQueries {
           var curUser = Long.MinValue
           var prev = 0L // ewma in exact 1e-6 units
           it.map { case (u, id, _, x) =>
-            val cents = math.rint(x * 100).toLong // exact: 2-dp fixture
+            val cents = math.round(x * 100) // HALF_UP == both engines' round()
             // Plain `/`, not floorDiv: DuckDB's BIGINT `//` truncates
             // toward zero (measured: -7 // 4 = -1), exactly like Scala
             // Long `/` — so truncation IS the portable semantics here.
@@ -604,7 +604,7 @@ object AnalyticsQueries {
           var l = 0L
           var b = 0L
           it.map { case (u, id, _, x) =>
-            val cents = math.rint(x * 100).toLong // exact: 2-dp fixture
+            val cents = math.round(x * 100) // HALF_UP == both engines' round()
             if (u != curUser) { l = cents * 10000L; b = 0L }
             else {
               val lPrev = l
@@ -659,20 +659,25 @@ object AnalyticsQueries {
     *
     * Scale: the same sequential-per-key path as q_ts_ewma/q_ts_holt —
     * repartition(user) + secondary sort + ONE typed mapPartitions
-    * carrying one long of state — plus one keyed agg to compute the
-    * per-user target, joined back on the SAME key the scan partitions
-    * by. DuckDB twin replays the recurrence via WITH RECURSIVE, every
-    * step oracle-pinned. */
+    * carrying one long of state — with the per-user target computed as
+    * an unbounded window aggregate on the same user_id partitioning
+    * (ONE fact scan; a groupBy+join-back would scan twice). DuckDB twin
+    * replays the recurrence via WITH RECURSIVE, every step
+    * oracle-pinned. */
   val qTsCusum: Q = Q(
     "q_ts_cusum",
     (s, dir) => {
       import s.implicits._
-      val base = Tables.events(s, dir)
+      // target as an unbounded per-user WINDOW aggregate, not a
+      // groupBy+join-back: the join form scans the fact table twice
+      // and pays a second user_id exchange (caught in review r8); the
+      // window shares the one keyed exchange the sequential scan needs.
+      Tables.events(s, dir)
         .select($"user_id", $"event_id", unix_micros($"ts").as("tsus"),
           expr("cast(round(value * 100) as bigint)").as("cents"))
-      val tgt = base.groupBy($"user_id")
-        .agg(expr("(sum(cents) * 1000000) div count(*)").as("target"))
-      base.join(tgt, "user_id")
+        .withColumn("target",
+          expr("(sum(cents) over (partition by user_id) * 1000000)" +
+            " div (count(*) over (partition by user_id))"))
         .select($"user_id", $"event_id", $"tsus", $"cents", $"target",
           expr("target div 10").as("k"))
         .as[(Long, Long, Long, Long, Long, Long)]
@@ -875,21 +880,29 @@ object AnalyticsQueries {
     * 1=Sun vs DuckDB 0=Sun), which this row pins.
     *
     * Shape: facts collapse to DAY grain in one partial-agg shuffle
-    * (the q_ts_gapfill funnel); the weekday profile is a 7-row
-    * broadcast joined back to the calendar-sized daily table. At 100 TB
-    * of ticks the only full-data pass is the day-grain partial agg. */
+    * (the q_ts_gapfill funnel); the weekday profile is then a WINDOW
+    * over the calendar-sized daily aggregate — a groupBy+join-back
+    * formulation would branch the plan through `daily` twice and re-run
+    * the fact scan (caught in review r8). At 100 TB of ticks the only
+    * full-data pass is the day-grain partial agg; everything after is
+    * calendar-sized. */
   val qTsSeasonal: Q = Q(
     "q_ts_seasonal",
     (s, dir) => {
       import s.implicits._
+      // The weekday profile is a WINDOW over the day-grain aggregate,
+      // not a groupBy+join-back: `daily` is calendar-sized, so a second
+      // branch through it would re-run the one expensive pass (the
+      // day-grain partial agg over the facts) — the window form keeps
+      // exactly one fact scan and reshuffles only the tiny daily table.
       val daily = Tables.events(s, dir)
         .groupBy(date_trunc("day", $"ts").as("day"))
         .agg(sum(expr("cast(round(value * 100) as bigint)")).as("cents"))
-      val profile = daily
-        .groupBy((weekday($"day") + 1).cast("long").as("dow"))
-        .agg(expr("(sum(cents) * 1000000) div count(*)").as("sea_micro"))
-      daily.withColumn("dow", (weekday($"day") + 1).cast("long"))
-        .join(broadcast(profile), "dow")
+        .withColumn("dow", (weekday($"day") + 1).cast("long"))
+      daily
+        .withColumn("sea_micro",
+          expr("(sum(cents) over (partition by dow) * 1000000)" +
+            " div (count(*) over (partition by dow))"))
         .select(
           $"day".cast("timestamp_ntz").as("day"), $"dow",
           ($"cents".cast("double") / 100d).as("observed"),

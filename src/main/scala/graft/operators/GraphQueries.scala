@@ -46,6 +46,30 @@ import org.apache.spark.sql.functions._
   * scalars. */
 object GraphQueries {
 
+  /** Shared scaffold of the neighborhood link predictors (review r8:
+    * previously two hand-synced copies): symmetric neighbor list over
+    * the co-purchase edges, weighted wedge self-join on the center,
+    * pair aggregation, and the anti join that drops already-connected
+    * pairs. `withWeight` attaches the per-(ctr, n) weight column "w" —
+    * lit(1) gives common-neighbor counts, the center's inverse degree
+    * gives the RA index; any future orientation/skew fix lands here
+    * once and serves every predictor. Returns (u, v, score) unsorted —
+    * callers pick their own top-k projection. */
+  private def linkPredict(
+      s: SparkSession, dir: String)(
+      withWeight: DataFrame => DataFrame): DataFrame = {
+    import s.implicits._
+    val edges = coEdges(s, dir)
+    val nb = edges.select($"u".as("ctr"), $"v".as("n"))
+      .union(edges.select($"v".as("ctr"), $"u".as("n")))
+    val wnb = withWeight(nb)
+    val wedges = wnb.as("x")
+      .join(wnb.as("y"), $"x.ctr" === $"y.ctr" && $"x.n" < $"y.n")
+      .select($"x.n".as("u"), $"y.n".as("v"), $"x.w".as("w"))
+    wedges.groupBy($"u", $"v").agg(sum($"w").as("score"))
+      .join(edges, Seq("u", "v"), "left_anti")
+  }
+
   /** Distinct customer→supplier edges from the order/lineitem facts.
     * Node ids are prefixed ('c'/'s') because the two key domains are
     * both dense-from-0 integers (FIXTURES.md) and would collide. */
@@ -237,14 +261,8 @@ object GraphQueries {
     "q_graph_common_neighbors",
     (s, dir) => {
       import s.implicits._
-      val edges = coEdges(s, dir)
-      val nb = edges.select($"u".as("ctr"), $"v".as("n"))
-        .union(edges.select($"v".as("ctr"), $"u".as("n")))
-      val wedges = nb.as("x")
-        .join(nb.as("y"), $"x.ctr" === $"y.ctr" && $"x.n" < $"y.n")
-        .select($"x.n".as("u"), $"y.n".as("v"))
-      wedges.groupBy($"u", $"v").agg(count(lit(1)).as("cn"))
-        .join(edges, Seq("u", "v"), "left_anti")
+      linkPredict(s, dir)(nb => nb.withColumn("w", lit(1L)))
+        .select($"u", $"v", $"score".as("cn"))
         .orderBy($"cn".desc, $"u", $"v")
         .limit(20)
     },
@@ -292,19 +310,13 @@ object GraphQueries {
     "q_graph_resource_alloc",
     (s, dir) => {
       import s.implicits._
-      val edges = coEdges(s, dir)
-      val nb = edges.select($"u".as("ctr"), $"v".as("n"))
-        .union(edges.select($"v".as("ctr"), $"u".as("n")))
-      val deg = nb.groupBy($"ctr").agg(count(lit(1)).as("deg"))
-      val wnb = nb.join(deg, "ctr")
-        .select($"ctr", $"n", expr("1000000 div deg").as("w"))
-      val wedges = wnb.as("x")
-        .join(wnb.as("y"), $"x.ctr" === $"y.ctr" && $"x.n" < $"y.n")
-        .select($"x.n".as("u"), $"y.n".as("v"), $"x.w".as("w"))
-      wedges.groupBy($"u", $"v").agg(sum($"w").as("ra_micro"))
-        .join(edges, Seq("u", "v"), "left_anti")
-        .select($"u", $"v", $"ra_micro",
-          ($"ra_micro".cast("double") / 1000000d).as("ra"))
+      val ra = linkPredict(s, dir) { nb =>
+        val deg = nb.groupBy($"ctr").agg(count(lit(1)).as("deg"))
+        nb.join(deg, "ctr")
+          .select($"ctr", $"n", expr("1000000 div deg").as("w"))
+      }
+      ra.select($"u", $"v", $"score".as("ra_micro"),
+          ($"score".cast("double") / 1000000d).as("ra"))
         .orderBy($"ra_micro".desc, $"u", $"v")
         .limit(20)
     },

@@ -964,7 +964,10 @@ object TextQueries {
       val dl = Tokenized(s, dir)
         .select($"doc_id", size($"lw").cast(LongType).as("dl"))
       val nd = Tokenized(s, dir).agg(count(lit(1)).as("n_docs"))
-      val tt = toks.agg(count(lit(1)).as("n_toks"))
+      // T from the cached per-doc lengths — counting the exploded token
+      // stream would pay a corpus-sized explode for one scalar
+      val tt = Tokenized(s, dir)
+        .agg(sum(size($"lw")).cast(LongType).as("n_toks"))
       val tf = toks.where($"term".isin(qterms: _*))
         .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
       val idf = tf.groupBy($"term").agg(count(lit(1)).as("df"))

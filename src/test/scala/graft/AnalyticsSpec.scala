@@ -116,7 +116,7 @@ class AnalyticsSpec extends AnyFunSuite with SparkFixture {
       var prev = 0L
       var first = true
       rows.sortBy(r => (r._3, r._2)).map { case (_, id, _, x) =>
-        val cents = math.rint(x * 100).toLong
+        val cents = math.round(x * 100)
         prev =
           if (first) cents * 10000L
           else (cents * 10000L + 3L * prev + 2L) / 4L
@@ -144,7 +144,7 @@ class AnalyticsSpec extends AnyFunSuite with SparkFixture {
     val expected = events.groupBy(_._1).iterator.flatMap { case (_, rows) =>
       var l = 0L; var b = 0L; var first = true
       rows.sortBy(r => (r._3, r._2)).map { case (_, id, _, x) =>
-        val cents = math.rint(x * 100).toLong
+        val cents = math.round(x * 100)
         if (first) { l = cents * 10000L; b = 0L; first = false }
         else {
           val lPrev = l
@@ -324,12 +324,12 @@ class AnalyticsSpec extends AnyFunSuite with SparkFixture {
     var sawClamp = false
     var sawGrowth = false
     val expected = events.groupBy(_._1).iterator.flatMap { case (_, rows) =>
-      val cents = rows.map(r => math.rint(r._4 * 100).toLong)
+      val cents = rows.map(r => math.round(r._4 * 100))
       val target = cents.map(_ * 1000000L).sum / cents.length
       val k = target / 10L
       var acc = 0L
       rows.sortBy(r => (r._3, r._2)).map { case (_, id, _, x) =>
-        val c = math.rint(x * 100).toLong
+        val c = math.round(x * 100)
         val raw = acc + c * 1000000L - target - k
         if (raw < 0) sawClamp = true else sawGrowth = true
         acc = math.max(0L, raw)

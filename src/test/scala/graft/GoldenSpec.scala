@@ -121,8 +121,8 @@ class GoldenSpec extends AnyFunSuite with SparkFixture {
       "recompute from raw tokens") {
     val docs = Tables.documents(spark, sfDir)
       .select("doc_id", "text").collect()
-      .map(r => r.getLong(0) -> r.getString(1).toLowerCase
-        .split(" ", -1).toSeq)
+      .map(r => r.getLong(0) -> r.getString(1)
+        .toLowerCase(java.util.Locale.ROOT).split(" ", -1).toSeq)
     val qterms = Seq("data", "query", "spark")
     val n = docs.length.toLong
     val t = docs.map(_._2.length.toLong).sum
@@ -162,7 +162,7 @@ class GoldenSpec extends AnyFunSuite with SparkFixture {
       val ordered = rows.sortBy(r => (r._3, r._2))
       ordered.indices.map { i =>
         val frame = ordered.slice(math.max(0, i - 4), i + 1)
-          .map(r => math.rint(r._4 * 100).toLong).sorted
+          .map(r => math.round(r._4 * 100)).sorted
         val n = frame.length
         val med =
           if (n % 2 == 1) frame(n / 2).toDouble

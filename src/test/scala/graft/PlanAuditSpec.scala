@@ -503,10 +503,17 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
       s"top-20 must be partial per partition, not a global sort:\n$p")
   }
 
-  test("q_ts_seasonal broadcasts the 7-row weekday profile") {
-    val p = planOf("q_ts_seasonal")
-    assert(p.contains("BroadcastHashJoin"),
-      s"profile join must broadcast, not shuffle the daily table:\n$p")
+  test("q_ts_seasonal and q_ts_cusum scan the fact table exactly once") {
+    // Both rows were rewritten in review r8 from groupBy+join-back to a
+    // window formulation precisely so the one expensive pass (the fact
+    // scan) is not duplicated — pin that it stays single.
+    Seq("q_ts_seasonal", "q_ts_cusum").foreach { name =>
+      val p = planOf(name)
+      val scans = p.linesIterator.count(l =>
+        l.contains("Scan parquet") || l.contains("FileScan parquet"))
+      assert(scans == 1, s"$name: expected one events scan, got $scans:\n$p")
+      assert(p.contains("Window"), s"$name must use the window form:\n$p")
+    }
   }
 
   test("q_text_bm25 broadcasts idf and the corpus scalars; no SMJ") {
