@@ -46,27 +46,96 @@ import org.apache.spark.sql.functions._
   * scalars. */
 object GraphQueries {
 
-  /** Shared scaffold of the neighborhood link predictors (review r8:
-    * previously two hand-synced copies): symmetric neighbor list over
-    * the co-purchase edges, weighted wedge self-join on the center,
-    * pair aggregation, and the anti join that drops already-connected
-    * pairs. `withWeight` attaches the per-(ctr, n) weight column "w" —
-    * lit(1) gives common-neighbor counts, the center's inverse degree
-    * gives the RA index; any future orientation/skew fix lands here
-    * once and serves every predictor. Returns (u, v, score) unsorted —
-    * callers pick their own top-k projection. */
+  /** DEGREE-ORDERED wedge enumeration for the link predictors (r8
+    * verdict item #1). Every wedge u–z–v contributes to the (u,v)
+    * score, so — unlike triangle counting, where only the apex copy
+    * matters — the TOTAL wedge volume Σ_z C(deg(z),2) is the exact
+    * size of the score-contribution set and no enumeration scheme can
+    * shrink it (Σ_pairs CN(u,v) = #wedges). What orientation CAN do,
+    * and does here, is recover the full counts from three disjoint
+    * oriented classes so that the avoidable part is bounded and the
+    * unavoidable part is pure output:
+    *
+    * Orient each edge toward its higher-(degree, id) endpoint
+    * (lo → hi, exactly the [[qGraphTriangles]] orientation; outdeg ≤
+    * √(2m) for every node — Schank & Wagner). A wedge's two edges then
+    * land in exactly one class:
+    *   - OUT-OUT  (z→u, z→v): pairs of out-neighbors of the center.
+    *     Volume Σ C(outdeg,2) ≤ m·√(2m) — skew-proof.
+    *   - MIXED    (u→z, z→v): in-neighbor × out-neighbor. Per-center
+    *     volume indeg·outdeg ≤ indeg·√(2m); summed ≤ 2m·√(2m). The
+    *     join's per-row amplification is the out-list, never the hub
+    *     list — and NO post-filter: every generated row is kept.
+    *   - IN-IN    (u→z, v→z): pairs of in-neighbors — the hub class.
+    *     Volume Σ C(indeg,2) is NOT bounded by orientation, and
+    *     cannot be: each row is a distinct real contribution (a hub
+    *     adjacent to both u and v adds w(hub) to that pair's score),
+    *     so its size is a lower bound for ANY exact algorithm. What
+    *     matters at 100× is that generation distributes: the join is
+    *     sort-merge on the center key, which AQE's skew-join splits
+    *     chunk-by-chunk (skewed side split, other side replicated) —
+    *     no single task owns C(hubdeg,2).
+    *
+    * Each unordered wedge is emitted exactly once: its orientation
+    * pattern is fixed by the (deg, id) total order, and within a class
+    * the id-inequality (or least/greatest for MIXED, whose endpoints
+    * come from different sides) canonicalizes the pair. vs the r8
+    * symmetric-list self-join this also halves the join input (m
+    * oriented rows, not 2m symmetric) and drops the probe waste from
+    * od·id cross terms.
+    *
+    * `weight` builds the per-center weight table (ctr, w) from the
+    * degree table (ctr, deg) — lit(1) gives common-neighbor counts,
+    * 1e6 div deg gives the RA index. Weights ride the oriented edge
+    * rows (wlo/whi joined once, node-domain keyed) so no post-wedge
+    * weight join touches the big table. Returns one row per wedge:
+    * (u, v, w, cls) with cls ∈ {out_out, mixed, in_in} — the tag is a
+    * constant-folded literal for GraphSpec's per-class volume pins. */
+  private[graft] def orientedWedges(
+      s: SparkSession, edges: DataFrame)(
+      weight: DataFrame => DataFrame): DataFrame = {
+    import s.implicits._
+    val deg = edges.select($"u".as("ctr"))
+      .union(edges.select($"v".as("ctr")))
+      .groupBy($"ctr").agg(count(lit(1)).as("deg"))
+    val wt = weight(deg)
+    val loIsU = $"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v")
+    val o = edges
+      .join(deg.select($"ctr".as("u"), $"deg".as("du")), "u")
+      .join(deg.select($"ctr".as("v"), $"deg".as("dv")), "v")
+      .select(
+        when(loIsU, $"u").otherwise($"v").as("lo"),
+        when(loIsU, $"v").otherwise($"u").as("hi"))
+      .join(wt.select($"ctr".as("lo"), $"w".as("wlo")), "lo")
+      .join(wt.select($"ctr".as("hi"), $"w".as("whi")), "hi")
+    val outOut = o.as("x")
+      .join(o.as("y"), $"x.lo" === $"y.lo" && $"x.hi" < $"y.hi")
+      .select($"x.hi".as("u"), $"y.hi".as("v"),
+        $"x.wlo".as("w"), lit("out_out").as("cls"))
+    val mixed = o.as("x")
+      .join(o.as("y"), $"x.hi" === $"y.lo")
+      .select(least($"x.lo", $"y.hi").as("u"),
+        greatest($"x.lo", $"y.hi").as("v"),
+        $"x.whi".as("w"), lit("mixed").as("cls"))
+    val inIn = o.as("x")
+      .join(o.as("y"), $"x.hi" === $"y.hi" && $"x.lo" < $"y.lo")
+      .select($"x.lo".as("u"), $"y.lo".as("v"),
+        $"x.whi".as("w"), lit("in_in").as("cls"))
+    outOut.union(mixed).union(inIn)
+  }
+
+  /** Shared scaffold of the neighborhood link predictors: oriented
+    * wedge enumeration (see [[orientedWedges]]), pair aggregation, and
+    * the anti join that drops already-connected pairs. Returns
+    * (u, v, score) unsorted — callers pick their own top-k
+    * projection. */
   private def linkPredict(
       s: SparkSession, dir: String)(
-      withWeight: DataFrame => DataFrame): DataFrame = {
+      weight: DataFrame => DataFrame): DataFrame = {
     import s.implicits._
     val edges = coEdges(s, dir)
-    val nb = edges.select($"u".as("ctr"), $"v".as("n"))
-      .union(edges.select($"v".as("ctr"), $"u".as("n")))
-    val wnb = withWeight(nb)
-    val wedges = wnb.as("x")
-      .join(wnb.as("y"), $"x.ctr" === $"y.ctr" && $"x.n" < $"y.n")
-      .select($"x.n".as("u"), $"y.n".as("v"), $"x.w".as("w"))
-    wedges.groupBy($"u", $"v").agg(sum($"w").as("score"))
+    orientedWedges(s, edges)(weight)
+      .groupBy($"u", $"v").agg(sum($"w").as("score"))
       .join(edges, Seq("u", "v"), "left_anti")
   }
 
@@ -247,21 +316,20 @@ object GraphQueries {
     * predictors (Adamic-Adar/Jaccard are the same wedge aggregation
     * with a different weight).
     *
-    * Shape: wedges enumerate as pairs of neighbors of a shared center
-    * (the symmetric neighbor list self-joined on the center — one keyed
-    * shuffle), aggregate to (pair → count), then one ANTI join removes
-    * already-connected pairs (predicting an existing edge is vacuous)
-    * and TakeOrderedAndProject keeps the top 20 under the total
+    * Shape: degree-ordered class-split wedge enumeration (see
+    * [[orientedWedges]] — the skew analysis lives there), aggregate to
+    * (pair → count), then one ANTI join removes already-connected
+    * pairs (predicting an existing edge is vacuous) and
+    * TakeOrderedAndProject keeps the top 20 under the total
     * (cn DESC, u, v) order — partial top-k per partition, no global
-    * sort. Wedge volume is the same Σ C(deg, 2) the triangle row
-    * bounds; a skewed production graph would reuse its degree-ordered
-    * orientation here too (score only oriented wedges, halving volume
-    * and capping the hub blow-up). */
+    * sort. The DuckDB twin keeps the naive symmetric-list form — the
+    * class split is count-preserving by construction, and the
+    * hash-match proves it. */
   val qGraphCommonNeighbors: Q = Q(
     "q_graph_common_neighbors",
     (s, dir) => {
       import s.implicits._
-      linkPredict(s, dir)(nb => nb.withColumn("w", lit(1L)))
+      linkPredict(s, dir)(deg => deg.select($"ctr", lit(1L).as("w")))
         .select($"u", $"v", $"score".as("cn"))
         .orderBy($"cn".desc, $"u", $"v")
         .limit(20)
@@ -298,22 +366,19 @@ object GraphQueries {
     * division identically, so the score is bit-stable with no float op
     * anywhere (the q_graph_pagerank discipline).
     *
-    * Shape: same single keyed wedge self-join as CN — the center's
-    * degree is joined onto the neighbor list BEFORE wedge expansion
-    * (deg is node-domain-sized, the join is keyed on ctr), so each
-    * wedge carries its weight and the pair-agg is one partial-agg
-    * shuffle. Anti join drops existing edges; TakeOrderedAndProject
-    * keeps the top 20 under the total (ra_micro DESC, u, v) order.
-    * Wedge volume identical to CN/triangles: Σ C(deg, 2), with the
-    * same degree-ordered-orientation escape hatch on a skewed graph. */
+    * Shape: same oriented class-split wedge enumeration as CN (see
+    * [[orientedWedges]]) — the center's weight 1e6 div deg rides the
+    * oriented edge rows (node-domain keyed joins happen BEFORE wedge
+    * expansion), so the pair-agg is one partial-agg shuffle over
+    * already-weighted wedges. Anti join drops existing edges;
+    * TakeOrderedAndProject keeps the top 20 under the total
+    * (ra_micro DESC, u, v) order. */
   val qGraphResourceAlloc: Q = Q(
     "q_graph_resource_alloc",
     (s, dir) => {
       import s.implicits._
-      val ra = linkPredict(s, dir) { nb =>
-        val deg = nb.groupBy($"ctr").agg(count(lit(1)).as("deg"))
-        nb.join(deg, "ctr")
-          .select($"ctr", $"n", expr("1000000 div deg").as("w"))
+      val ra = linkPredict(s, dir) { deg =>
+        deg.select($"ctr", expr("1000000 div deg").as("w"))
       }
       ra.select($"u", $"v", $"score".as("ra_micro"),
           ($"score".cast("double") / 1000000d).as("ra"))

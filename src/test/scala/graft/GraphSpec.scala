@@ -131,4 +131,92 @@ class GraphSpec extends AnyFunSuite with SparkFixture {
       .map(r => (r.getLong(2), r.getDouble(3)))
     doubles.foreach { case (m, d) => assert(d == m.toDouble / 1000000d) }
   }
+
+  test("oriented wedge classes on a planted hub: bounded classes obey " +
+    "m·√(2m), hub class is output-intrinsic, counts recover exactly") {
+    // Planted skew: hub 0 adjacent to every ring node (D = 40) + a ring
+    // over 1..40 — the graph where the naive symmetric self-join puts
+    // C(40,2) = 780 wedges in the hub's single join key. The r8-verdict
+    // fix (degree-ordered class split, GraphQueries.orientedWedges)
+    // must (a) keep the two avoidable classes under the Schank–Wagner
+    // bound, (b) spend on the hub class EXACTLY its real contribution
+    // count — every in_in row is a distinct (pair ← hub) score term,
+    // the intrinsic output lower bound no exact algorithm beats — and
+    // (c) reproduce the naive per-pair counts bit-for-bit.
+    val s = spark
+    import org.apache.spark.sql.functions.lit
+    import s.implicits._
+    val D = 40
+    val star = (1 to D).map(i => (0L, i.toLong))
+    val ring = (1 until D).map(i => (i.toLong, (i + 1).toLong)) :+
+      (1L, D.toLong)
+    val planted = (star ++ ring).distinct
+    val edges = planted.toDF("u", "v")
+    val wedges = operators.GraphQueries
+      .orientedWedges(s, edges)(deg => deg.select($"ctr", lit(1L).as("w")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+
+    // brute-force ground truth: symmetric adjacency, all neighbor pairs
+    val adj = (planted.flatMap { case (u, v) => Seq(u -> v, v -> u) })
+      .groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2).toSet }
+    val brute = scala.collection.mutable.Map
+      .empty[(Long, Long), Long].withDefaultValue(0L)
+    adj.foreach { case (_, ns) =>
+      val sorted = ns.toSeq.sorted
+      for (i <- sorted.indices; j <- (i + 1) until sorted.length)
+        brute((sorted(i), sorted(j))) += 1L
+    }
+    val m = planted.size
+    val bound = m * math.sqrt(2.0 * m)
+
+    // (a) the avoidable classes stay under m·√(2m) — while the naive
+    // volume Σ C(deg,2) on this graph is dominated by the hub's 780
+    val avoidable = wedges.count(w => w._4 != "in_in")
+    val naive = adj.values.map(ns => ns.size.toLong * (ns.size - 1) / 2).sum
+    assert(avoidable <= bound,
+      s"out_out+mixed volume $avoidable exceeds m·√(2m) = $bound")
+    assert(avoidable < naive,
+      s"bounded classes $avoidable not below naive Σ C(deg,2) = $naive")
+
+    // (b) every class is pure output — row counts equal a driver-side
+    // simulation of the orientation, wedge by wedge (no waste factor,
+    // no duplicate emission). The hub's C(D,2) leaf pairs land in
+    // in_in, the intrinsic output no exact algorithm beats.
+    val degOf = adj.map { case (n, ns) => n -> ns.size }
+    def ord(n: Long) = (degOf(n), n)
+    val lt = Ordering[(Int, Long)].lt _
+    val expectClass = scala.collection.mutable.Map
+      .empty[String, Long].withDefaultValue(0L)
+    adj.foreach { case (z, ns) =>
+      val (outs, ins) = ns.partition(n => lt(ord(z), ord(n)))
+      expectClass("out_out") += outs.size.toLong * (outs.size - 1) / 2
+      expectClass("in_in") += ins.size.toLong * (ins.size - 1) / 2
+      expectClass("mixed") += outs.size.toLong * ins.size
+    }
+    val gotClass = wedges.groupBy(_._4)
+      .map { case (c, xs) => c -> xs.size.toLong }
+    assert(gotClass == expectClass.toMap.filter(_._2 > 0),
+      s"per-class volumes $gotClass diverge from simulated $expectClass")
+    assert(expectClass("in_in") >= D.toLong * (D - 1) / 2,
+      "hub leaf pairs must all be in_in")
+
+    // (c) total class-split counts == brute force, pair by pair
+    val got = wedges.groupBy(w => (w._1, w._2))
+      .map { case (p, xs) => p -> xs.map(_._3).sum }
+    assert(got == brute.toMap,
+      s"class-split counts diverge from brute force: " +
+        s"${(got.toSet diff brute.toMap.toSet).take(5)}")
+
+    // and per-node out-degree obeys √(2m) (the TriangleSpec invariant,
+    // now pinned on the predictors' own planted-skew graph)
+    val deg = adj.map { case (n, ns) => n -> ns.size }
+    def key(n: Long) = (deg(n), n)
+    val outdeg = planted
+      .map { case (u, v) =>
+        if (Ordering[(Int, Long)].lt(key(u), key(v))) u else v }
+      .groupBy(identity).map(_._2.size)
+    assert(outdeg.max <= math.sqrt(2.0 * m) + 1,
+      s"max oriented out-degree ${outdeg.max} breaks √(2m)")
+  }
 }
