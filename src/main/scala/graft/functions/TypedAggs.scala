@@ -38,7 +38,12 @@ object TypedAggs {
       if (java.lang.Double.isNaN(v) || java.lang.Double.isInfinite(v))
         throw new IllegalArgumentException(
           s"WeightedAvgCents requires finite 2-decimal inputs, got $v")
-      math.round(v * 100.0) // HALF_UP, matching SQL round() in both engines
+      // math.round = floor(x+0.5) (half toward +∞); SQL round() is half
+      // AWAY FROM ZERO — they differ only on exact negative .5 ties,
+      // which 2-dp-exact inputs cannot produce (v*100 of a 2-dp value is
+      // never a .5 tie, only integers ± float error ≪ 0.5). If inputs
+      // ever gain sub-cent precision, switch to BigDecimal HALF_UP.
+      math.round(v * 100.0)
     }
     override def zero: (Long, Long) = (0L, 0L)
     override def reduce(b: (Long, Long), a: (Double, Double)): (Long, Long) =

@@ -350,32 +350,53 @@ object AnalyticsQueries {
     * row numbers — the oracle pins every step of the chain, not just
     * the endpoints.
     */
+  /** The EWMA recurrence over (user, id, tsUs, value) rows, extracted
+    * so AnalyticsSpec can drive it with PLANTED NEGATIVE values: the
+    * fixture's values are non-negative, so the query alone never
+    * exercises a negative numerator, but the division's sign semantics
+    * are load-bearing — Scala Long `/` truncates toward zero exactly
+    * like DuckDB's BIGINT `//` (measured: -7 // 4 = -1), while
+    * Math.floorDiv would round toward −∞ and diverge on any negative
+    * non-exact quotient. The spec pins the truncation outcome on a
+    * planted negative chain; the query is this chain over the fixture
+    * verbatim. */
+  private[graft] def ewmaChain(
+      ds: org.apache.spark.sql.Dataset[(Long, Long, Long, Double)])
+      : DataFrame = {
+    val s = ds.sparkSession
+    import s.implicits._
+    // .as[] keeps the source's column names — rename so the chain is
+    // callable on any (user, id, tsUs, value)-shaped input
+    ds.toDF("u", "id", "tsus", "x").as[(Long, Long, Long, Double)]
+      .repartition($"u")
+      .sortWithinPartitions($"u", $"tsus", $"id")
+      .mapPartitions { it =>
+        var curUser = Long.MinValue
+        var prev = 0L // ewma in exact 1e-6 units
+        it.map { case (u, id, _, x) =>
+          val cents = math.round(x * 100) // HALF_UP == both engines' round()
+          // Plain `/`, not floorDiv: DuckDB's BIGINT `//` truncates
+          // toward zero (measured: -7 // 4 = -1), exactly like Scala
+          // Long `/` — so truncation IS the portable semantics here.
+          prev =
+            if (u != curUser) cents * 10000L
+            else (cents * 10000L + 3L * prev + 2L) / 4L
+          curUser = u
+          (id, u, prev / 1e6)
+        }
+      }
+      .toDF("event_id", "user_id", "ewma")
+  }
+
   val qTsEwma: Q = Q(
     "q_ts_ewma",
     (s, dir) => {
       import s.implicits._
-      Tables.events(s, dir)
-        .select($"user_id", $"event_id", unix_micros($"ts").as("tsus"),
-          $"value")
-        .as[(Long, Long, Long, Double)]
-        .repartition($"user_id")
-        .sortWithinPartitions($"user_id", $"tsus", $"event_id")
-        .mapPartitions { it =>
-          var curUser = Long.MinValue
-          var prev = 0L // ewma in exact 1e-6 units
-          it.map { case (u, id, _, x) =>
-            val cents = math.round(x * 100) // HALF_UP == both engines' round()
-            // Plain `/`, not floorDiv: DuckDB's BIGINT `//` truncates
-            // toward zero (measured: -7 // 4 = -1), exactly like Scala
-            // Long `/` — so truncation IS the portable semantics here.
-            prev =
-              if (u != curUser) cents * 10000L
-              else (cents * 10000L + 3L * prev + 2L) / 4L
-            curUser = u
-            (id, u, prev / 1e6)
-          }
-        }
-        .toDF("event_id", "user_id", "ewma")
+      ewmaChain(
+        Tables.events(s, dir)
+          .select($"user_id", $"event_id", unix_micros($"ts").as("tsus"),
+            $"value")
+          .as[(Long, Long, Long, Double)])
         .orderBy($"event_id")
     },
     oracle = Some(

