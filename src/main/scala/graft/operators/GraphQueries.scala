@@ -34,9 +34,10 @@ import org.apache.spark.sql.functions._
   * Scale (100 TB): each iteration is ONE keyed shuffle (contributions
   * grouped by dst) over the edge set plus two broadcast scalars
   * (dangling pool, node count); degrees are computed once and joined
-  * by key. Rounds are a fixed constant here (3) — production runs
-  * until a rank-delta threshold, same driver-side convergence counter
-  * as Components.labels. The driver holds no per-node state. Long
+  * by key. The oracle row runs a fixed 3 rounds (bit-pinnable in SQL);
+  * the delta-threshold production form is [[pagerankConverged]], pinned
+  * equal to the unrolled form when capped at the same round count.
+  * The driver holds no per-node state. Long
   * overflow bound: 850·(S+D/N) needs total graph mass < 1.1e16
   * micro-units ≈ 1e10 nodes — beyond that, rescale the fixed-point
   * unit (ranks are relative, the unit is free).
@@ -152,32 +153,96 @@ object GraphQueries {
         concat(lit("s"), col("l_suppkey")).as("dst"))
       .distinct()
 
+  /** The purchase graph in the shape every PageRank form consumes:
+    * (nodes, edges, out-degrees, 1-row node count). */
+  private def prGraph(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    import s.implicits._
+    val e = edges(s, dir)
+    val nodes = e.select($"src".as("node"))
+      .union(e.select($"dst".as("node"))).distinct()
+    val deg = e.groupBy($"src").agg(count(lit(1)).as("deg"))
+    val nn = nodes.agg(count(lit(1)).as("n_nodes"))
+    (nodes, e, deg, nn)
+  }
+
+  /** ONE integer PageRank round — ranks → next ranks. Shared verbatim
+    * by the fixed-3 oracle row and [[pagerankConverged]], so GraphSpec
+    * can pin the production loop equal to the unrolled form
+    * round-for-round. */
+  private def prRound(s: SparkSession, nodes: DataFrame, e: DataFrame,
+      deg: DataFrame, nn: DataFrame, ranks: DataFrame): DataFrame = {
+    import s.implicits._
+    val contrib = e
+      .join(broadcast(deg), "src")
+      .join(ranks.withColumnRenamed("node", "src"), "src")
+      .groupBy($"dst").agg(sum(expr("pr div deg")).as("s"))
+    val dangling = ranks
+      .join(deg.select($"src".as("node")), Seq("node"), "left_anti")
+      .agg(coalesce(sum($"pr"), lit(0L)).as("d"))
+    nodes
+      .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
+      .crossJoin(broadcast(dangling))
+      .crossJoin(broadcast(nn))
+      .select($"node",
+        expr("150000 + (850 * (coalesce(s, 0) + d div n_nodes)) div 1000")
+          .as("pr"))
+  }
+
+  /** PRODUCTION PageRank: iterate [[prRound]] until the max per-node
+    * rank delta drops to `tolMicro` micro-units or `maxRounds` caps the
+    * run — the delta-threshold form the fixed-3 oracle row documents,
+    * with the same driver-side convergence counter as
+    * `Components.labels`: one O(1) scalar action per round, never
+    * per-node driver state. Returns (ranks, roundsRun); roundsRun <
+    * maxRounds means the threshold was met (hitting the cap returns the
+    * capped approximation — the standard production trade: rank ORDER
+    * stabilizes long before the values do).
+    *
+    * Per round: one keyed shuffle (contributions by dst) + two 1-row
+    * broadcast scalars + one keyed delta join — identical cost shape to
+    * the oracle row's unrolled rounds. `localCheckpoint` truncates the
+    * per-round lineage so round k's plan doesn't replay rounds 1..k−1
+    * (on a multi-executor cluster prefer reliable `checkpoint` to
+    * survive executor loss; local mode has no such failure domain).
+    * Graph inputs are persisted across rounds and released in
+    * `finally`. Convergence is geometric (damping 0.85 contracts every
+    * perturbation), so tol 10⁴ µ-units ≈ 1% lands in ~30 rounds from a
+    * cold start regardless of graph size. */
+  private[graft] def pagerankConverged(
+      s: SparkSession, dir: String, tolMicro: Long = 10000L,
+      maxRounds: Int = 50): (DataFrame, Int) = {
+    import s.implicits._
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val (nodes0, e0, deg0, nn) = prGraph(s, dir)
+    val nodes = nodes0.persist(lvl)
+    val e = e0.persist(lvl)
+    val deg = deg0.persist(lvl)
+    try {
+      var ranks = nodes.select($"node", lit(1000000L).as("pr"))
+        .localCheckpoint(true)
+      var iter = 0
+      var delta = Long.MaxValue
+      while (delta > tolMicro && iter < maxRounds) {
+        val next = prRound(s, nodes, e, deg, nn, ranks)
+          .localCheckpoint(true)
+        delta = next.as("n").join(ranks.as("o"), "node")
+          .agg(max(abs($"n.pr" - $"o.pr")).as("d")).head().getLong(0)
+        ranks = next
+        iter += 1
+      }
+      (ranks, iter)
+    } finally { nodes.unpersist(); e.unpersist(); deg.unpersist() }
+  }
+
   val qGraphPagerank: Q = Q(
     "q_graph_pagerank",
     (s, dir) => {
       import s.implicits._
-      val e = edges(s, dir)
-      val nodes = e.select($"src".as("node"))
-        .union(e.select($"dst".as("node"))).distinct()
-      val deg = e.groupBy($"src").agg(count(lit(1)).as("deg"))
-      val nn = nodes.agg(count(lit(1)).as("n_nodes"))
+      val (nodes, e, deg, nn) = prGraph(s, dir)
       var ranks = nodes.select($"node", lit(1000000L).as("pr"))
-      for (_ <- 1 to 3) {
-        val contrib = e
-          .join(broadcast(deg), "src")
-          .join(ranks.withColumnRenamed("node", "src"), "src")
-          .groupBy($"dst").agg(sum(expr("pr div deg")).as("s"))
-        val dangling = ranks
-          .join(deg.select($"src".as("node")), Seq("node"), "left_anti")
-          .agg(coalesce(sum($"pr"), lit(0L)).as("d"))
-        ranks = nodes
-          .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
-          .crossJoin(broadcast(dangling))
-          .crossJoin(broadcast(nn))
-          .select($"node",
-            expr("150000 + (850 * (coalesce(s, 0) + d div n_nodes)) div 1000")
-              .as("pr"))
-      }
+      for (_ <- 1 to 3)
+        ranks = prRound(s, nodes, e, deg, nn, ranks)
       ranks.select($"node", $"pr".as("pr_micro")).orderBy($"node")
     },
     oracle = Some {
@@ -409,7 +474,67 @@ object GraphQueries {
         |ORDER BY ra.ra_micro DESC, ra.u, ra.v
         |LIMIT 20""".stripMargin))
 
+  /** q_graph_adamic_adar — the third neighborhood predictor, completing
+    * the family: AA(u,v) = Σ_{z ∈ N(u)∩N(v)} 1/ln(deg(z)) (Adamic &
+    * Adar 2003's "Friends and neighbors on the Web" weighting — a
+    * gentler hub discount than RA's 1/deg). The irrational ln is made
+    * engine-portable with the q_text_perplexity technique: quantize
+    * ONCE per center to integer micro-nats — floor(ln(deg)·1e6), where
+    * the libm ulp is masked by the floor at 1e-6 resolution — then the
+    * weight 1e12 div ln_micro is exact integer division and every
+    * downstream sum/compare is exact long arithmetic, bit-identical in
+    * both engines. A wedge CENTER always has deg ≥ 2 (it neighbors
+    * both endpoints) so its ln_micro ≥ 693147 — but the weight table
+    * covers every node (weights ride the oriented edges for both
+    * endpoints, and a degree-1 spoke is a legal wedge endpoint), so
+    * the deg=1 rows guard the divisor with greatest(·, 1); their
+    * weight value is arbitrary because it is never summed.
+    *
+    * Shape: identical to CN/RA — one [[orientedWedges]] call with a
+    * different per-center weight. */
+  val qGraphAdamicAdar: Q = Q(
+    "q_graph_adamic_adar",
+    (s, dir) => {
+      import s.implicits._
+      val aa = linkPredict(s, dir) { deg =>
+        deg.select($"ctr", expr(
+          "1000000000000 div greatest(" +
+            "CAST(floor(ln(CAST(deg AS DOUBLE)) * 1000000) AS BIGINT), 1)")
+          .as("w"))
+      }
+      aa.select($"u", $"v", $"score".as("aa_micro"),
+          ($"score".cast("double") / 1000000d).as("aa"))
+        .orderBy($"aa_micro".desc, $"u", $"v")
+        .limit(20)
+    },
+    oracle = Some(
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pairs AS (
+        |  SELECT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM li a JOIN li b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |edges AS (SELECT u, v FROM pairs GROUP BY u, v HAVING COUNT(*) >= 2),
+        |nb AS (SELECT u AS ctr, v AS n FROM edges
+        |       UNION ALL SELECT v AS ctr, u AS n FROM edges),
+        |deg AS (SELECT ctr, COUNT(*) AS deg FROM nb GROUP BY ctr),
+        |wnb AS (SELECT nb.ctr, nb.n,
+        |          1000000000000 // greatest(
+        |            CAST(floor(ln(CAST(d.deg AS DOUBLE)) * 1000000) AS BIGINT), 1)
+        |            AS w
+        |        FROM nb JOIN deg d ON d.ctr = nb.ctr),
+        |aa AS (
+        |  SELECT x.n AS u, y.n AS v, CAST(SUM(x.w) AS BIGINT) AS aa_micro
+        |  FROM wnb x JOIN wnb y ON x.ctr = y.ctr AND x.n < y.n
+        |  GROUP BY x.n, y.n)
+        |SELECT aa.u, aa.v, aa.aa_micro,
+        |  CAST(aa.aa_micro AS DOUBLE) / 1000000 AS aa
+        |FROM aa
+        |WHERE NOT EXISTS (SELECT 1 FROM edges e
+        |                  WHERE e.u = aa.u AND e.v = aa.v)
+        |ORDER BY aa.aa_micro DESC, aa.u, aa.v
+        |LIMIT 20""".stripMargin))
+
   val all: Vector[Q] =
     Vector(qGraphPagerank, qGraphTriangles, qGraphCommonNeighbors,
-      qGraphResourceAlloc)
+      qGraphResourceAlloc, qGraphAdamicAdar)
 }

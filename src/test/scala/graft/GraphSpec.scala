@@ -80,6 +80,30 @@ class GraphSpec extends AnyFunSuite with SparkFixture {
         s"rank order ${byRank.take(5).toList} vs wdeg ${byWdeg.take(5).toList}")
   }
 
+  test("pagerank production loop capped at 3 rounds equals the unrolled " +
+    "oracle form node-for-node") {
+    val (r3, n3) = operators.GraphQueries.pagerankConverged(
+      spark, sfDir, tolMicro = 0L, maxRounds = 3)
+    assert(n3 == 3)
+    val got = r3.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == rows.toMap,
+      "delta-threshold loop diverges from the fixed-3 oracle recurrence")
+  }
+
+  test("pagerank production loop converges on the fixture graph before " +
+    "the round cap, keeping the structural invariants") {
+    val (rc, n) = operators.GraphQueries.pagerankConverged(spark, sfDir)
+    assert(n < 50, s"no convergence within the cap ($n rounds)")
+    assert(n > 3, "tol=1% should take more than the oracle's 3 rounds — " +
+      "a too-early stop means the delta is measured wrong")
+    val conv = rc.collect().map(r => (r.getString(0), r.getLong(1)))
+    val (supp, cust) = conv.partition(_._1.startsWith("s"))
+    assert(supp.map(_._2).min > cust.map(_._2).max,
+      "converged ranks lost supplier/customer separation")
+    assert(cust.map(_._2).distinct.length == 1,
+      "converged customer ranks not uniform")
+  }
+
   test("resource-allocation top-20 matches a brute-force recompute") {
     // Independent reconstruction of the co-purchase graph and the RA
     // index: adjacency from scratch (>= 2 shared orders), integer
