@@ -907,36 +907,68 @@ object DedupQueries {
     * (corpus-bounded, broadcast); per-doc rare-first ranking is one
     * doc-keyed window; candidate generation is an equi self-join on the
     * prefix token (buckets = docs sharing a RARE shingle — small by
-    * construction); verification joins the candidate ids back to the
-    * shingle stage (doc-keyed) and computes exact intersection sizes.
-    * Every join is keyed; nothing is all-pairs. */
+    * construction), pruned further by the AllPairs length bound and
+    * (r9) PPJoin's positional bound — see [[ppjoinCandidates]];
+    * verification joins the candidate ids back to the shingle stage
+    * (doc-keyed) and computes exact intersection sizes. Every join is
+    * keyed; nothing is all-pairs. */
+  /** PPJoin candidate pairs at Jaccard ≥ 0.5: the equi self-join on
+    * rare-first prefix tokens, filtered by the AllPairs LENGTH bound
+    * and — when `positional` — PPJoin's POSITIONAL bound (the "PP"):
+    * a pair matched on a prefix token at 1-based rare-first positions
+    * (pa, pb) can share at most 1 + min(|A|−pa, |B|−pb) tokens (the
+    * match itself plus both suffixes), while J ≥ t needs overlap
+    * ≥ ⌈t·(|A|+|B|)/(1+t)⌉ — rows whose own bound can't reach that
+    * are dropped BEFORE the distinct + exact-intersection verify.
+    * Lossless: a truly-similar pair's FIRST common token in the global
+    * order sits inside both prefixes and all the overlap at-or-after
+    * it, so that row's bound ≥ the true overlap ≥ the threshold — at
+    * least one matched row always survives. The flag exists so
+    * PpjoinSpec can pin the candidate-count reduction and the
+    * equality of the surviving pair set. */
+  private[graft] def ppjoinCandidates(
+      s: SparkSession, dir: String, positional: Boolean): DataFrame = {
+    import s.implicits._
+    val docs = Shingled(s, dir)
+      .select($"doc_id", array_distinct($"sh").as("sh"))
+    val ex = docs.select($"doc_id", size($"sh").as("len"),
+      explode($"sh").as("g"))
+    val freq = ex.groupBy($"g").agg(count(lit(1)).as("f"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"f", $"g")
+    val prefix = ex.join(broadcast(freq), "g")
+      .withColumn("rn", row_number().over(w))
+      .where($"rn" <= $"len" - ceil($"len" * 0.5) + 1)
+      .select($"doc_id", $"g", $"len", $"rn")
+    // AllPairs length filter: J(A,B) >= t forces
+    // t*max(|A|,|B|) <= min(|A|,|B|) — a NECESSARY condition, so
+    // dropping pairs that violate it stays lossless while sparing
+    // them the exact-intersection verify.
+    val lengthOk =
+      greatest(col("a.len"), col("b.len")) * 0.5 <=
+        least(col("a.len"), col("b.len"))
+    // Positional filter: overlap ≤ 1 + min(suffix lengths past the
+    // matched prefix position); required overlap for t = 0.5 is
+    // ⌈(|A|+|B|)/3⌉ (α = ⌈t·(la+lb)/(1+t)⌉).
+    val positionOk =
+      lit(1) + least(col("a.len") - col("a.rn"),
+        col("b.len") - col("b.rn")) >=
+        ceil((col("a.len") + col("b.len")) / 3.0)
+    val cond = col("a.g") === col("b.g") &&
+      col("a.doc_id") < col("b.doc_id") &&
+      (if (positional) lengthOk && positionOk else lengthOk)
+    prefix.as("a").join(prefix.as("b"), cond)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
   val qDedupPpjoin: Q = Q(
     "q_dedup_ppjoin",
     (s, dir) => {
       import s.implicits._
       val docs = Shingled(s, dir)
         .select($"doc_id", array_distinct($"sh").as("sh"))
-      val ex = docs.select($"doc_id", size($"sh").as("len"),
-        explode($"sh").as("g"))
-      val freq = ex.groupBy($"g").agg(count(lit(1)).as("f"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy($"doc_id").orderBy($"f", $"g")
-      val prefix = ex.join(broadcast(freq), "g")
-        .withColumn("rn", row_number().over(w))
-        .where($"rn" <= $"len" - ceil($"len" * 0.5) + 1)
-        .select($"doc_id", $"g", $"len")
-      val cand = prefix.as("a")
-        .join(prefix.as("b"),
-          col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id") &&
-            // AllPairs length filter: J(A,B) >= t forces
-            // t*max(|A|,|B|) <= min(|A|,|B|) — a NECESSARY condition,
-            // so dropping pairs that violate it stays lossless while
-            // sparing them the exact-intersection verify.
-            greatest(col("a.len"), col("b.len")) * 0.5 <=
-              least(col("a.len"), col("b.len")))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
-      cand
+      ppjoinCandidates(s, dir, positional = true)
         .join(docs.select($"doc_id".as("doc_a"), $"sh".as("sha")), "doc_a")
         .join(docs.select($"doc_id".as("doc_b"), $"sh".as("shb")), "doc_b")
         .select($"doc_a", $"doc_b",
