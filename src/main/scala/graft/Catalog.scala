@@ -34,6 +34,7 @@ object Catalog {
       operators.ReshapeQueries.all ++
       functions.ScalarFuncQueries.all ++
       operators.TextQueries.all ++
+      operators.BpeTokenizer.all ++
       operators.DedupQueries.all ++
       operators.SkewJoin.all ++
       operators.GraphQueries.all ++
