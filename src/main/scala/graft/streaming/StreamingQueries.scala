@@ -218,7 +218,9 @@ object StreamingQueries {
       // every stateful operator opens one state store per shuffle
       // partition per micro-batch, and at fixture state sizes (≤ a few
       // thousand keys/windows) 32 stores are pure fixed overhead —
-      // measured 2.9 → 1.7 s per replay going 32 → 8 at sf0.1. A
+      // measured 2.9 → 1.7 s per replay going 32 → 8 at sf0.1, and 8 →
+      // 4 shaves the store setup further with state still ≤ a few
+      // hundred keys per store. A
       // 100 TB stream sets this to match its key cardinality instead;
       // the knob is per-query (scoped + restored), exactly as a
       // production job configures its own trigger. It stays OVERRIDABLE
@@ -227,7 +229,7 @@ object StreamingQueries {
       // of being silently pinned to one value.
       val pKey = "spark.sql.shuffle.partitions"
       val prevP = s.conf.get(pKey)
-      s.conf.set(pKey, s.conf.get("spark.graft.replay.shufflePartitions", "8"))
+      s.conf.set(pKey, s.conf.get("spark.graft.replay.shufflePartitions", "4"))
       val landed = try {
         val q = transform(src)
           .writeStream
@@ -481,7 +483,7 @@ object StreamingQueries {
       // Small-state shuffle sizing, same scoped knob as Replay.run.
       val pKey = "spark.sql.shuffle.partitions"
       val prevP = s.conf.get(pKey)
-      s.conf.set(pKey, s.conf.get("spark.graft.replay.shufflePartitions", "8"))
+      s.conf.set(pKey, s.conf.get("spark.graft.replay.shufflePartitions", "4"))
       try {
         val q = src.writeStream
           .trigger(Trigger.AvailableNow())
