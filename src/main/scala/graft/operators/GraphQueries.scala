@@ -94,6 +94,16 @@ object GraphQueries {
     * constant-folded literal for GraphSpec's per-class volume pins. */
   private[graft] def orientedWedges(
       s: SparkSession, edges: DataFrame)(
+      weight: DataFrame => DataFrame): DataFrame =
+    wedgesOf(s, orientWeighted(s, edges)(weight))
+
+  /** The weighted oriented edge list (lo, hi, wlo, whi) — a five-join
+    * pipeline over node-domain tables that every wedge class self-joins
+    * TWICE; built once here so callers can persist it (six uncached
+    * evaluations measured 4-10x on the fixture — the whole point of
+    * the persisted-stage discipline coEdges already follows). */
+  private def orientWeighted(
+      s: SparkSession, edges: DataFrame)(
       weight: DataFrame => DataFrame): DataFrame = {
     import s.implicits._
     val deg = edges.select($"u".as("ctr"))
@@ -101,7 +111,7 @@ object GraphQueries {
       .groupBy($"ctr").agg(count(lit(1)).as("deg"))
     val wt = weight(deg)
     val loIsU = $"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v")
-    val o = edges
+    edges
       .join(deg.select($"ctr".as("u"), $"deg".as("du")), "u")
       .join(deg.select($"ctr".as("v"), $"deg".as("dv")), "v")
       .select(
@@ -109,6 +119,12 @@ object GraphQueries {
         when(loIsU, $"v").otherwise($"u").as("hi"))
       .join(wt.select($"ctr".as("lo"), $"w".as("wlo")), "lo")
       .join(wt.select($"ctr".as("hi"), $"w".as("whi")), "hi")
+  }
+
+  /** The three oriented wedge classes over a (lo, hi, wlo, whi) table
+    * (see the class analysis on [[orientedWedges]]). */
+  private def wedgesOf(s: SparkSession, o: DataFrame): DataFrame = {
+    import s.implicits._
     val outOut = o.as("x")
       .join(o.as("y"), $"x.lo" === $"y.lo" && $"x.hi" < $"y.hi")
       .select($"x.hi".as("u"), $"y.hi".as("v"),
@@ -125,17 +141,27 @@ object GraphQueries {
     outOut.union(mixed).union(inIn)
   }
 
+  /** Weighted oriented edge tables, persisted per (session, dir,
+    * predictor) — the m-row stage each predictor's three wedge classes
+    * scan six times. */
+  private val orientedCache =
+    new graft.Memo[(SparkSession, String, String), DataFrame]
+
   /** Shared scaffold of the neighborhood link predictors: oriented
     * wedge enumeration (see [[orientedWedges]]), pair aggregation, and
     * the anti join that drops already-connected pairs. Returns
     * (u, v, score) unsorted — callers pick their own top-k
     * projection. */
   private def linkPredict(
-      s: SparkSession, dir: String)(
+      s: SparkSession, dir: String, name: String)(
       weight: DataFrame => DataFrame): DataFrame = {
     import s.implicits._
     val edges = coEdges(s, dir)
-    orientedWedges(s, edges)(weight)
+    val o = orientedCache((s, dir, name)) {
+      orientWeighted(s, edges)(weight)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    wedgesOf(s, o)
       .groupBy($"u", $"v").agg(sum($"w").as("score"))
       .join(edges, Seq("u", "v"), "left_anti")
   }
@@ -394,7 +420,7 @@ object GraphQueries {
     "q_graph_common_neighbors",
     (s, dir) => {
       import s.implicits._
-      linkPredict(s, dir)(deg => deg.select($"ctr", lit(1L).as("w")))
+      linkPredict(s, dir, "cn")(deg => deg.select($"ctr", lit(1L).as("w")))
         .select($"u", $"v", $"score".as("cn"))
         .orderBy($"cn".desc, $"u", $"v")
         .limit(20)
@@ -442,7 +468,7 @@ object GraphQueries {
     "q_graph_resource_alloc",
     (s, dir) => {
       import s.implicits._
-      val ra = linkPredict(s, dir) { deg =>
+      val ra = linkPredict(s, dir, "ra") { deg =>
         deg.select($"ctr", expr("1000000 div deg").as("w"))
       }
       ra.select($"u", $"v", $"score".as("ra_micro"),
@@ -496,7 +522,7 @@ object GraphQueries {
     "q_graph_adamic_adar",
     (s, dir) => {
       import s.implicits._
-      val aa = linkPredict(s, dir) { deg =>
+      val aa = linkPredict(s, dir, "aa") { deg =>
         deg.select($"ctr", expr(
           "1000000000000 div greatest(" +
             "CAST(floor(ln(CAST(deg AS DOUBLE)) * 1000000) AS BIGINT), 1)")
@@ -534,7 +560,67 @@ object GraphQueries {
         |ORDER BY aa.aa_micro DESC, aa.u, aa.v
         |LIMIT 20""".stripMargin))
 
+  /** q_graph_jaccard_neighbors — the fourth classic neighborhood
+    * predictor, completing the family (CN / RA / AA / Jaccard):
+    * J(u,v) = |N(u)∩N(v)| / |N(u)∪N(v)| = cn / (deg(u)+deg(v)−cn) —
+    * the normalized form that ranks a pair by overlap RELATIVE to the
+    * neighborhoods' size, so two 3-degree parts sharing 2 neighbors
+    * outrank two hubs sharing 3. Exact arithmetic: the ratio is
+    * RATIONAL, scored as 1e6·cn div (du+dv−cn) micro-units
+    * (denominator ≥ max(du,dv) ≥ 1, never zero; all operands positive
+    * so both engines truncate identically — the RA discipline, no
+    * float op anywhere).
+    *
+    * Shape: the unweighted wedge aggregation (the persisted "cn"
+    * oriented stage is SHARED with q_graph_common_neighbors — zero new
+    * heavy stages), then two node-domain keyed degree joins on the
+    * aggregated pair table (pairs ≪ wedges) and the same anti join +
+    * top-20 projection. */
+  val qGraphJaccardNeighbors: Q = Q(
+    "q_graph_jaccard_neighbors",
+    (s, dir) => {
+      import s.implicits._
+      val edges = coEdges(s, dir)
+      val deg = edges.select($"u".as("n"))
+        .union(edges.select($"v".as("n")))
+        .groupBy($"n").agg(count(lit(1)).as("deg"))
+      val cn = linkPredict(s, dir, "cn")(
+        d => d.select($"ctr", lit(1L).as("w")))
+      cn.join(deg.select($"n".as("u"), $"deg".as("du")), "u")
+        .join(deg.select($"n".as("v"), $"deg".as("dv")), "v")
+        .select($"u", $"v",
+          expr("1000000 * score div (du + dv - score)").as("j_micro"),
+          $"score".as("cn"))
+        .orderBy($"j_micro".desc, $"u", $"v")
+        .limit(20)
+    },
+    oracle = Some(
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pairs AS (
+        |  SELECT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM li a JOIN li b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |edges AS (SELECT u, v FROM pairs GROUP BY u, v HAVING COUNT(*) >= 2),
+        |nb AS (SELECT u AS ctr, v AS n FROM edges
+        |       UNION ALL SELECT v AS ctr, u AS n FROM edges),
+        |deg AS (SELECT ctr AS n, COUNT(*) AS deg FROM nb GROUP BY ctr),
+        |cn AS (
+        |  SELECT x.n AS u, y.n AS v, COUNT(*) AS cn
+        |  FROM nb x JOIN nb y ON x.ctr = y.ctr AND x.n < y.n
+        |  GROUP BY x.n, y.n),
+        |scored AS (
+        |  SELECT cn.u, cn.v,
+        |    CAST(1000000 * cn.cn AS BIGINT) // (du.deg + dv.deg - cn.cn)
+        |      AS j_micro,
+        |    cn.cn AS cn
+        |  FROM cn JOIN deg du ON du.n = cn.u JOIN deg dv ON dv.n = cn.v)
+        |SELECT u, v, j_micro, cn FROM scored
+        |WHERE NOT EXISTS (SELECT 1 FROM edges e
+        |                  WHERE e.u = scored.u AND e.v = scored.v)
+        |ORDER BY j_micro DESC, u, v
+        |LIMIT 20""".stripMargin))
+
   val all: Vector[Q] =
     Vector(qGraphPagerank, qGraphTriangles, qGraphCommonNeighbors,
-      qGraphResourceAlloc, qGraphAdamicAdar)
+      qGraphResourceAlloc, qGraphAdamicAdar, qGraphJaccardNeighbors)
 }

@@ -239,6 +239,35 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
       s"ppjoin must never go all-pairs:\n$p")
   }
 
+  test("link predictors: wedge classes read the persisted oriented " +
+    "stage, keyed joins only") {
+    // The r9 class-split is only a win if the six self-join sides scan
+    // the persisted m-row oriented table (InMemoryTableScan) instead of
+    // re-deriving the five-join pipeline (measured 4-10x), and every
+    // wedge class stays a keyed equi join.
+    for (name <- Seq("q_graph_common_neighbors", "q_graph_resource_alloc",
+      "q_graph_adamic_adar", "q_graph_jaccard_neighbors")) {
+      val p = planOf(name)
+      assert(p.contains("InMemoryTableScan"),
+        s"$name must read the persisted oriented stage:\n${p.take(2000)}")
+      assert(!p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("CartesianProduct"),
+        s"$name wedge enumeration must stay keyed:\n${p.take(2000)}")
+    }
+  }
+
+  test("q_text_bpe_tokens: vocab-level encode broadcast-joins back, one " +
+    "token-stage scan family") {
+    // The scale contract: the per-word encode output is vocab-sized and
+    // must BROADCAST onto the token stage (a shuffled join would move
+    // the corpus for a dictionary lookup); no cartesian anywhere.
+    val p = planOf("q_text_bpe_tokens")
+    assert(p.contains("BroadcastHashJoin"),
+      s"encoded vocab must broadcast onto the token stage:\n${p.take(2000)}")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), s"bpe must stay keyed:\n${p.take(2000)}")
+  }
+
   test("q_dedup_sorted_neighborhood: per-block window, equi-join pairing") {
     // Two scale contracts: the rank window is PARTITIONED (a global
     // Window.orderBy would funnel the corpus to one task), and the
