@@ -620,7 +620,224 @@ object GraphQueries {
         |ORDER BY j_micro DESC, u, v
         |LIMIT 20""".stripMargin))
 
+  /** Symmetric neighbor table (ctr, n) of the canonical (u < v) edge
+    * set — each undirected edge as two directed rows, the shape BFS and
+    * k-core peel both consume. */
+  private def nbOf(s: SparkSession, edges: DataFrame): DataFrame = {
+    import s.implicits._
+    edges.select($"u".as("ctr"), $"v".as("n"))
+      .unionAll(edges.select($"v".as("ctr"), $"u".as("n")))
+  }
+
+  /** ONE BFS expansion: the unseen distinct neighbors of the frontier.
+    * Shared verbatim by the unrolled oracle row and [[bfsConverged]] so
+    * GraphSpec can pin the production loop equal to the unrolled form
+    * level-for-level. Both joins are keyed (node-grained): expand on the
+    * frontier key, then anti-join the seen set. */
+  private def bfsStep(
+      s: SparkSession, nb: DataFrame, seen: DataFrame,
+      frontier: DataFrame): DataFrame = {
+    import s.implicits._
+    frontier.select($"node".as("ctr")).join(nb, "ctr")
+      .select($"n".as("node")).distinct()
+      .join(seen, Seq("node"), "left_anti")
+  }
+
+  /** q_graph_bfs — multi-hop breadth-first search over the
+    * frequent-co-purchase graph ([[coEdges]], shared persisted stage):
+    * hop distance from a deterministic seed (the minimum part id in the
+    * edge set — the global min node always appears on the u side of the
+    * canonical u < v representation, so `min(u)` IS the min node). BFS
+    * is the reachability primitive under the "related products within k
+    * recommendation hops" query, and — in the LLM-data north star — the
+    * crawl-frontier expansion that seeds corpus collection from a
+    * trusted domain set.
+    *
+    * Shape (the 100 TB part): per level ONE keyed join (frontier ⋈
+    * neighbor table on the center key) + one distinct + one keyed anti
+    * join against the seen set — no driver state beyond the loop
+    * counter, no per-node collect. Level-synchronous BFS is exactly
+    * Pregel's shape; frontier skew on a hub expands through the
+    * sort-merge join AQE splits, same argument as the in-in wedge class
+    * on [[orientedWedges]]. The oracle row runs a fixed 3 hops
+    * (bit-pinnable as unrolled SQL); [[bfsConverged]] is the
+    * until-frontier-empty production form, pinned hop-for-hop equal by
+    * GraphSpec. */
+  val qGraphBfs: Q = Q(
+    "q_graph_bfs",
+    (s, dir) => {
+      import s.implicits._
+      val edges = coEdges(s, dir)
+      val nb = nbOf(s, edges)
+      val seed = edges.agg(min($"u").as("node"))
+        .select($"node", lit(0L).as("dist"))
+      var seen: DataFrame = seed
+      var frontier: DataFrame = seed.select($"node")
+      for (k <- 1 to 3) {
+        val next = bfsStep(s, nb, seen, frontier)
+        seen = seen.unionAll(next.select($"node", lit(k.toLong).as("dist")))
+        frontier = next
+      }
+      seen.orderBy($"dist", $"node")
+    },
+    oracle = Some(
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pairs AS (
+        |  SELECT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM li a JOIN li b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |edges AS (SELECT u, v FROM pairs GROUP BY u, v HAVING COUNT(*) >= 2),
+        |nb AS (SELECT u AS ctr, v AS n FROM edges
+        |       UNION ALL SELECT v AS ctr, u AS n FROM edges),
+        |d0 AS (SELECT min(u) AS node, CAST(0 AS BIGINT) AS dist FROM edges),
+        |n1 AS (
+        |  SELECT f.node, CAST(1 AS BIGINT) AS dist FROM (
+        |    SELECT DISTINCT nb.n AS node FROM nb JOIN d0 ON nb.ctr = d0.node) f
+        |  WHERE f.node NOT IN (SELECT node FROM d0)),
+        |n2 AS (
+        |  SELECT f.node, CAST(2 AS BIGINT) AS dist FROM (
+        |    SELECT DISTINCT nb.n AS node FROM nb JOIN n1 ON nb.ctr = n1.node) f
+        |  WHERE f.node NOT IN (SELECT node FROM d0 UNION ALL SELECT node FROM n1)),
+        |n3 AS (
+        |  SELECT f.node, CAST(3 AS BIGINT) AS dist FROM (
+        |    SELECT DISTINCT nb.n AS node FROM nb JOIN n2 ON nb.ctr = n2.node) f
+        |  WHERE f.node NOT IN (SELECT node FROM d0 UNION ALL SELECT node FROM n1
+        |                       UNION ALL SELECT node FROM n2))
+        |SELECT node, dist FROM (
+        |  SELECT * FROM d0 UNION ALL SELECT * FROM n1
+        |  UNION ALL SELECT * FROM n2 UNION ALL SELECT * FROM n3)
+        |ORDER BY dist, node""".stripMargin))
+
+  /** PRODUCTION BFS: expand [[bfsStep]] until the frontier empties or
+    * `maxHops` caps the run — the until-converged form the fixed-3
+    * oracle row documents, with the pagerankConverged discipline: one
+    * O(1) scalar action per level (frontier count), `localCheckpoint`
+    * truncating per-level lineage (reliable `checkpoint` on a real
+    * cluster), graph inputs persisted across levels and released in
+    * `finally`. Returns (node, dist) for the seed's entire connected
+    * component and the number of levels run. */
+  private[graft] def bfsConverged(
+      s: SparkSession, dir: String, maxHops: Int = 50): (DataFrame, Int) = {
+    import s.implicits._
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = coEdges(s, dir)
+    val nb = nbOf(s, edges).persist(lvl)
+    try {
+      val seed = edges.agg(min($"u").as("node"))
+        .select($"node", lit(0L).as("dist"))
+      var seen = seed.localCheckpoint(true)
+      var frontier = seed.select($"node").localCheckpoint(true)
+      var hops = 0
+      var frontierSize = frontier.count()
+      while (frontierSize > 0 && hops < maxHops) {
+        hops += 1
+        val next = bfsStep(s, nb, seen, frontier).localCheckpoint(true)
+        seen = seen
+          .unionAll(next.select($"node", lit(hops.toLong).as("dist")))
+          .localCheckpoint(true)
+        frontier = next
+        frontierSize = frontier.count()
+      }
+      (seen, hops)
+    } finally { nb.unpersist() }
+  }
+
+  /** ONE k-core peel round: drop every node whose degree in the current
+    * subgraph is below k, and every edge touching a dropped node.
+    * Shared verbatim by the unrolled oracle row and [[kcoreConverged]].
+    * Cost shape: one partial-agg degree shuffle + two node-keyed semi
+    * joins per round — nothing touches the driver. */
+  private def kcorePeel(
+      s: SparkSession, e: DataFrame, k: Int): DataFrame = {
+    import s.implicits._
+    val keep = nbOf(s, e).groupBy($"ctr").agg(count(lit(1)).as("deg"))
+      .where($"deg" >= k).select($"ctr")
+    e.join(keep.select($"ctr".as("u")), Seq("u"), "left_semi")
+      .join(keep.select($"ctr".as("v")), Seq("v"), "left_semi")
+      .select($"u", $"v")
+  }
+
+  /** q_graph_kcore — k-core decomposition (k = 2) of the
+    * frequent-co-purchase graph by iterated peeling: repeatedly remove
+    * nodes with degree < k until the remainder is the maximal subgraph
+    * where every node keeps ≥ k neighbors. The 2-core strips pendant
+    * chains, leaving the cyclic backbone — the graph-cleaning step
+    * before community detection, and the "dense co-purchase cluster"
+    * filter in recommendation mining. (Degree-1 spokes are most of any
+    * birthday-bounded co-occurrence graph, so the peel is where the
+    * volume drops.)
+    *
+    * The oracle row runs a FIXED 3 peel rounds and emits the surviving
+    * nodes with their degree in the 3-times-peeled subgraph — the
+    * observable loop state, bit-pinnable as nested SQL. The
+    * until-fixpoint production form is [[kcoreConverged]]; GraphSpec
+    * pins it equal to the unrolled form when capped at 3 rounds and
+    * pins the converged result's fixpoint property (min degree ≥ k and
+    * one further peel removes nothing). */
+  val qGraphKcore: Q = Q(
+    "q_graph_kcore",
+    (s, dir) => {
+      import s.implicits._
+      var e = coEdges(s, dir)
+      for (_ <- 1 to 3) e = kcorePeel(s, e, 2)
+      nbOf(s, e).groupBy($"ctr").agg(count(lit(1)).as("deg"))
+        .select($"ctr".as("node"), $"deg")
+        .orderBy($"node")
+    },
+    oracle = Some {
+      def peel(k: Int): String = {
+        val prev = s"e${k - 1}"
+        s"""k$k AS (
+           |  SELECT n FROM (
+           |    SELECT u AS n FROM $prev UNION ALL SELECT v AS n FROM $prev) x
+           |  GROUP BY n HAVING COUNT(*) >= 2),
+           |e$k AS (
+           |  SELECT u, v FROM $prev
+           |  WHERE u IN (SELECT n FROM k$k) AND v IN (SELECT n FROM k$k))"""
+          .stripMargin
+      }
+      s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |pairs AS (
+         |  SELECT a.l_partkey AS u, b.l_partkey AS v
+         |  FROM li a JOIN li b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+         |e0 AS (SELECT u, v FROM pairs GROUP BY u, v HAVING COUNT(*) >= 2),
+         |${peel(1)},
+         |${peel(2)},
+         |${peel(3)}
+         |SELECT n AS node, COUNT(*) AS deg FROM (
+         |  SELECT u AS n FROM e3 UNION ALL SELECT v AS n FROM e3) x
+         |GROUP BY n
+         |ORDER BY node""".stripMargin
+    })
+
+  /** PRODUCTION k-core: iterate [[kcorePeel]] until the edge count
+    * stops shrinking (the fixpoint — peeling is monotone decreasing, so
+    * a stable count IS convergence) or `maxRounds` caps the run. Same
+    * loop discipline as [[pagerankConverged]]: one O(1) scalar per
+    * round, per-round `localCheckpoint`, no per-node driver state.
+    * Returns the core's edge set and the rounds run (the last round is
+    * the no-op fixpoint check). */
+  private[graft] def kcoreConverged(
+      s: SparkSession, dir: String, k: Int = 2, maxRounds: Int = 50)
+      : (DataFrame, Int) = {
+    var e = coEdges(s, dir).localCheckpoint(true)
+    var n = e.count()
+    var rounds = 0
+    var shrunk = true
+    while (shrunk && rounds < maxRounds) {
+      rounds += 1
+      val next = kcorePeel(s, e, k).localCheckpoint(true)
+      val m = next.count()
+      shrunk = m < n
+      e = next
+      n = m
+    }
+    (e, rounds)
+  }
+
   val all: Vector[Q] =
     Vector(qGraphPagerank, qGraphTriangles, qGraphCommonNeighbors,
-      qGraphResourceAlloc, qGraphAdamicAdar, qGraphJaccardNeighbors)
+      qGraphResourceAlloc, qGraphAdamicAdar, qGraphJaccardNeighbors,
+      qGraphBfs, qGraphKcore)
 }
