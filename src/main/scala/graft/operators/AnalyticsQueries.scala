@@ -949,9 +949,157 @@ object AnalyticsQueries {
         |FROM daily d JOIN profile p ON isodow(d.day) = p.dow
         |ORDER BY day""".stripMargin))
 
+  /** q_profile_skew — JOIN-KEY SKEW profiling over the fact table's
+    * l_partkey: per-key frequency, the top-10 heavy hitters, each key's
+    * share of all rows and its multiple of the average key load — the
+    * diagnostic a 100 TB pipeline runs BEFORE choosing a join strategy
+    * (it is literally the input to this repo's own SkewJoin salting
+    * decision: skew_x_avg ≫ 1 ⇒ salt or AQE-split that key). Exact
+    * integer ppm arithmetic: share_ppm = c·10⁶ div n_rows,
+    * skew_x_avg_ppm = c·n_keys·10⁶ div n_rows (= c/avg in ppm) — all
+    * operands positive longs, both engines truncate identically.
+    *
+    * Scale: ONE partial-agg shuffle collapses the facts to the key
+    * domain; the two scalars (n_keys, n_rows) aggregate the COUNT
+    * table, not the facts, and broadcast; top-10 is
+    * TakeOrderedAndProject (per-partition partial top-k, no global
+    * sort). Overflow: c·n_keys·10⁶ < 9.2e18 holds to ~10⁶ keys of 10⁶
+    * rows each; past that, compute in DECIMAL(38,0) (documented,
+    * one-line). */
+  val qProfileSkew: Q = Q(
+    "q_profile_skew",
+    (s, dir) => {
+      import s.implicits._
+      val counts = Tables.lineitem(s, dir)
+        .groupBy($"l_partkey").agg(count(lit(1)).as("c"))
+      val tot = counts.agg(count(lit(1)).as("n_keys"),
+        sum($"c").cast(LongType).as("n_rows"))
+      counts.crossJoin(broadcast(tot))
+        .select($"l_partkey", $"c", $"n_keys", $"n_rows",
+          expr("c * 1000000 div n_rows").as("share_ppm"),
+          expr("c * n_keys * 1000000 div n_rows").as("skew_x_avg_ppm"))
+        .orderBy($"c".desc, $"l_partkey")
+        .limit(10)
+    },
+    oracle = Some(
+      """WITH counts AS (
+        |  SELECT l_partkey, COUNT(*) AS c FROM lineitem GROUP BY l_partkey),
+        |tot AS (
+        |  SELECT COUNT(*) AS n_keys, CAST(SUM(c) AS BIGINT) AS n_rows
+        |  FROM counts)
+        |SELECT l_partkey, c, n_keys, n_rows,
+        |  c * 1000000 // n_rows AS share_ppm,
+        |  c * n_keys * 1000000 // n_rows AS skew_x_avg_ppm
+        |FROM counts, tot
+        |ORDER BY c DESC, l_partkey
+        |LIMIT 10""".stripMargin))
+
+  /** q_anomaly_mad — ROBUST outlier detection by Median Absolute
+    * Deviation, the companion to q_anomaly_zscore: mean/stddev move
+    * with the outliers they hunt (one 10⁶ spike inflates σ enough to
+    * hide the 10³ ones), while median/MAD have a 50% breakdown point.
+    * Per event type: median value, MAD, and the count/ppm of rows
+    * beyond the 3σ-equivalent fence median ± 3·1.4826·MAD (1.4826 =
+    * 1/Φ⁻¹(¾), the consistency constant that scales MAD to σ under
+    * normality).
+    *
+    * Exactness: everything runs in integer CENTS. "Median" is the
+    * LOWER median — the value at rank (n+1) div 2 under the value
+    * order — a value the multiset determines uniquely, so the twin's
+    * row_number tie-arbitrariness is harmless. The fence multiplies in
+    * integer space: thr_cents = (3·14826·mad_cents) div 10000. Two
+    * median extractions (values, then deviations) and one final
+    * per-type agg — no float op anywhere.
+    *
+    * Scale: both median passes use the [[StatQueries.bucketNtile]]
+    * rank decomposition idea directly: rank-at-position via per-bucket
+    * offsets (dollar buckets — value-range-bounded domains) + a
+    * bucket-partitioned distributed window; no single-partition window
+    * ever sees the fact table. The deviation pass re-reads the typed
+    * fact rows joined to the 5-row median table (broadcast). */
+  val qAnomalyMad: Q = Q(
+    "q_anomaly_mad",
+    (s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+        .select($"event_type", $"event_id",
+          ($"value".cast(DecimalType(18, 2)) * 100).cast(LongType)
+            .as("cents"))
+      // rank-at-position median, grouped by event_type: bucket = $10
+      // blocks of cents; offset windows run over the (type × bucket)
+      // table; in-bucket row_number is partitioned (distributed).
+      def lowerMedian(df: DataFrame, valueCol: String): DataFrame = {
+        val withB = df.withColumn("bkt", expr(s"$valueCol div 1000"))
+        val buckets = withB.groupBy($"event_type", $"bkt")
+          .agg(count(lit(1)).as("bc"))
+        val wCum = Window.partitionBy($"event_type").orderBy($"bkt")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val offsets = buckets
+          .withColumn("off", sum($"bc").over(wCum) - $"bc")
+          .select($"event_type", $"bkt", $"off")
+        val totals = buckets.groupBy($"event_type")
+          .agg(sum($"bc").cast(LongType).as("n"))
+        val wIn = Window.partitionBy($"event_type", $"bkt")
+          .orderBy(col(valueCol), $"event_id")
+        withB.join(broadcast(offsets), Seq("event_type", "bkt"))
+          .join(broadcast(totals), "event_type")
+          .withColumn("rn", row_number().over(wIn).cast(LongType) + $"off")
+          .where($"rn" === expr("(n + 1) div 2"))
+          .select($"event_type", col(valueCol).as("med"), $"n")
+      }
+      val med = lowerMedian(ev, "cents")
+      val dev = ev.join(broadcast(med.select($"event_type", $"med")),
+          "event_type")
+        .select($"event_type", $"event_id",
+          abs($"cents" - $"med").as("dev"), $"cents")
+      val mad = lowerMedian(
+        dev.select($"event_type", $"event_id", $"dev"), "dev")
+        .select($"event_type", $"med".as("mad_cents"))
+      dev.join(broadcast(med.select($"event_type", $"med", $"n")),
+          "event_type")
+        .join(broadcast(mad), "event_type")
+        .groupBy($"event_type", $"med", $"mad_cents", $"n")
+        .agg(sum(when($"dev" > expr("3 * 14826 * mad_cents div 10000"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+        .select($"event_type", $"n", $"med".as("median_cents"),
+          $"mad_cents", $"n_outliers",
+          expr("n_outliers * 1000000 div n").as("outlier_ppm"))
+        .orderBy($"event_type")
+    },
+    oracle = Some(
+      """WITH ev AS (
+        |  SELECT event_type, event_id,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events),
+        |med AS (
+        |  SELECT event_type, cents AS med, n FROM (
+        |    SELECT event_type, cents,
+        |      row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
+        |      COUNT(*) OVER (PARTITION BY event_type) AS n
+        |    FROM ev) WHERE rn = (n + 1) // 2),
+        |dev AS (
+        |  SELECT ev.event_type, ev.event_id,
+        |    abs(ev.cents - med.med) AS dev
+        |  FROM ev JOIN med ON ev.event_type = med.event_type),
+        |mad AS (
+        |  SELECT event_type, dev AS mad_cents FROM (
+        |    SELECT event_type, dev,
+        |      row_number() OVER (PARTITION BY event_type ORDER BY dev) AS rn,
+        |      COUNT(*) OVER (PARTITION BY event_type) AS n
+        |    FROM dev) WHERE rn = (n + 1) // 2)
+        |SELECT d.event_type, m.n, m.med AS median_cents, a.mad_cents,
+        |  CAST(SUM(CASE WHEN d.dev > 3 * 14826 * a.mad_cents // 10000
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  CAST(SUM(CASE WHEN d.dev > 3 * 14826 * a.mad_cents // 10000
+        |    THEN 1 ELSE 0 END) AS BIGINT) * 1000000 // m.n AS outlier_ppm
+        |FROM dev d JOIN med m ON d.event_type = m.event_type
+        |JOIN mad a ON d.event_type = a.event_type
+        |GROUP BY d.event_type, m.n, m.med, a.mad_cents
+        |ORDER BY d.event_type""".stripMargin))
+
   val all: Vector[Q] = Vector(
     qFunnel, qCohortRetention, qTsGapfill, qHistBinned,
     qAnomalyZscore, qAggIncremental, qTsEwma, qTsOhlc, qTsInterpolate,
     qTsAutocorr, qViewIncrementalJoin, qProfileTable, qTsHolt,
-    qTsSeasonal, qTsCusum)
+    qTsSeasonal, qTsCusum, qProfileSkew, qAnomalyMad)
 }

@@ -1,7 +1,7 @@
 package graft
 package operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -371,7 +371,214 @@ object StatQueries {
         |WHERE event_type = 'purchase'
         |ORDER BY event_id""".stripMargin))
 
+  /** Global NTILE over an unbounded entity table WITHOUT a global
+    * single-partition window — the q_win_distribution technique,
+    * factored out: global rank = per-bucket offset (computed on the
+    * BUCKET table, whose size is the value domain, not the entity
+    * count) + row_number within the bucket (a DISTRIBUTED window,
+    * partitioned by bucket). The ntile bucket formula then mirrors the
+    * SQL-standard split (first n%k tiles get one extra row), so the
+    * DuckDB twin can write plain `ntile(k) OVER (ORDER BY ...)`.
+    *
+    * `bucketCol` must be a coarsening of the leading sort key and
+    * `tieCols` the remaining total order within a bucket — together
+    * they must form the same total order the twin's OVER clause names.
+    * At 100 TB the bucket tables stay bounded because they are
+    * value-range-domains (days, counts, $100 spend buckets), which do
+    * not grow with row count. */
+  private def bucketNtile(
+      s: SparkSession, df: DataFrame, k: Int,
+      bucketCol: Column, tieCols: Seq[Column], out: String): DataFrame = {
+    import s.implicits._
+    val withB = df.withColumn("__bkt", bucketCol)
+    val buckets = withB.groupBy($"__bkt").agg(count(lit(1)).as("__c"))
+    val wCum = Window.orderBy($"__bkt")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = buckets
+      .withColumn("__off", sum($"__c").over(wCum) - $"__c")
+      .select($"__bkt", $"__off")
+    val total = buckets.agg(sum($"__c").cast(LongType).as("__n"))
+    val wIn = Window.partitionBy($"__bkt").orderBy(tieCols: _*)
+    withB.join(broadcast(offsets), "__bkt")
+      .crossJoin(broadcast(total))
+      .withColumn("__rn", row_number().over(wIn).cast(LongType) + $"__off")
+      .withColumn("__base", expr(s"__n div $k"))
+      .withColumn("__extra", $"__n" % k)
+      .withColumn(out,
+        when($"__rn" <= ($"__base" + 1) * $"__extra",
+          expr("(__rn - 1) div (__base + 1)") + 1)
+          .otherwise(
+            $"__extra" + expr("(__rn - 1 - (__base + 1) * __extra) div __base") + 1)
+          .cast(LongType))
+      .drop("__bkt", "__off", "__n", "__rn", "__base", "__extra")
+  }
+
+  /** q_events_rfm — RFM customer scoring (Recency / Frequency /
+    * Monetary, the classic direct-marketing segmentation): per user,
+    * days since last purchase (relative to the stream's last purchase —
+    * a data-relative anchor, so the row is frozen-fixture stable),
+    * purchase count, and exact spend; each dimension quintiled 1–5 and
+    * composed into the 111–555 RFM cell. Score convention: 5 = best
+    * (most recent / most frequent / highest spend).
+    *
+    * Determinism: recency is integer day math on micros; monetary
+    * ranks by EXACT cents (sum of DECIMAL(18,2) × 100 as long) so
+    * quintile boundaries never sit on a float; every tie inside a
+    * quintile sort is broken by user_id — a total order, which is what
+    * makes ntile deterministic in both engines.
+    *
+    * Scale (100 TB): the fact table collapses to per-user aggregates
+    * in one partial-agg shuffle. The three global quintiles then use
+    * [[bucketNtile]] — NO single-partition window ever sees the user
+    * table: ranks come from bucket-partitioned distributed windows
+    * plus offsets over bounded value-domain bucket tables (31 days /
+    * small counts / $100 spend buckets). The DuckDB twin writes plain
+    * ntile(5) windows; the hash-match proves the decomposition. */
+  val qEventsRfm: Q = Q(
+    "q_events_rfm",
+    (s, dir) => {
+      import s.implicits._
+      val p = Tables.events(s, dir)
+        .where($"event_type" === "purchase")
+        .select($"user_id", unix_micros($"ts").as("us"), $"value")
+      val anchor = p.agg(max($"us").as("now_us"))
+      val agg = p.groupBy($"user_id")
+        .agg(max($"us").as("last_us"),
+          count(lit(1)).as("frequency"),
+          sum(dec2($"value")).as("sv"))
+        .crossJoin(broadcast(anchor))
+        .select($"user_id",
+          expr("(now_us - last_us) div 86400000000").as("recency_days"),
+          $"frequency",
+          ($"sv" * 100).cast(LongType).as("mon_cents"),
+          $"sv".cast(DoubleType).as("monetary"))
+      val qr = bucketNtile(s, agg, 5,
+        $"recency_days", Seq($"user_id"), "qr")
+      val qf = bucketNtile(s, qr, 5,
+        $"frequency", Seq($"user_id"), "qf")
+      val qm = bucketNtile(s, qf, 5,
+        expr("mon_cents div 10000"), Seq($"mon_cents", $"user_id"), "qm")
+      qm.select($"user_id", $"recency_days", $"frequency", $"monetary",
+          (lit(6L) - $"qr").as("r_score"),
+          $"qf".as("f_score"),
+          $"qm".as("m_score"),
+          ((lit(6L) - $"qr") * 100 + $"qf" * 10 + $"qm").as("rfm_cell"))
+        .orderBy($"user_id")
+    },
+    oracle = Some(
+      """WITH p AS (
+        |  SELECT user_id, epoch_us(ts) AS us, CAST(value AS DECIMAL(18,2)) AS v
+        |  FROM events WHERE event_type = 'purchase'),
+        |anchor AS (SELECT MAX(us) AS now_us FROM p),
+        |agg AS (
+        |  SELECT user_id,
+        |    (a.now_us - MAX(us)) // 86400000000 AS recency_days,
+        |    COUNT(*) AS frequency,
+        |    CAST(SUM(v) * 100 AS BIGINT) AS mon_cents,
+        |    CAST(SUM(v) AS DOUBLE) AS monetary
+        |  FROM p, anchor a GROUP BY user_id, a.now_us),
+        |sc AS (
+        |  SELECT user_id, recency_days, frequency, monetary,
+        |    ntile(5) OVER (ORDER BY recency_days, user_id) AS qr,
+        |    ntile(5) OVER (ORDER BY frequency, user_id) AS qf,
+        |    ntile(5) OVER (ORDER BY mon_cents, user_id) AS qm
+        |  FROM agg)
+        |SELECT user_id, recency_days, frequency, monetary,
+        |  6 - qr AS r_score, qf AS f_score, qm AS m_score,
+        |  (6 - qr) * 100 + qf * 10 + qm AS rfm_cell
+        |FROM sc ORDER BY user_id""".stripMargin))
+
+  /** q_agg_moments — per-group skewness and excess kurtosis from EXACT
+    * decimal power sums, completing the moment family (q_agg_stats has
+    * mean/stddev, q_agg_corr the cross-moment). Spark's built-in
+    * `skewness`/`kurtosis` stream doubles in partition order — banned
+    * by the determinism rules — so the operator aggregates Σx, Σx²,
+    * Σx³, Σx⁴ as decimals (l_quantity is 2-dp exact; x⁴ ≤ 50⁴ needs
+    * scale-8 headroom DECIMAL(38,8) gives trivially), converts each
+    * exact sum to double ONCE, and derives the central moments with a
+    * TEXTUALLY IDENTICAL IEEE expression in both engines — including
+    * m2^1.5 written as m2·sqrt(m2), because sqrt is correctly rounded
+    * by IEEE 754 while libm pow is not and may differ between engines.
+    *
+    * Scale: one partial-agg shuffle to |groups| rows; the power sums
+    * are the mergeable monoid state, so this is also the shape you'd
+    * stream or incrementalize. */
+  val qAggMoments: Q = Q(
+    "q_agg_moments",
+    (s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(dec2($"l_quantity")).as("s1"),
+          sum(dec2($"l_quantity") * dec2($"l_quantity")).as("s2"),
+          sum(dec2($"l_quantity") * dec2($"l_quantity") * dec2($"l_quantity"))
+            .as("s3"),
+          sum(dec2($"l_quantity") * dec2($"l_quantity") * dec2($"l_quantity")
+            * dec2($"l_quantity")).as("s4"))
+        .select($"l_returnflag", $"n",
+          expr(
+            """round((CAST(s3 AS DOUBLE) / n
+              |  - 3 * (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n)
+              |  + 2 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+              |    * (CAST(s1 AS DOUBLE) / n))
+              | / ((CAST(s2 AS DOUBLE) / n
+              |    - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+              |   * sqrt(CAST(s2 AS DOUBLE) / n
+              |    - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))), 6)"""
+              .stripMargin).as("skewness"),
+          expr(
+            """round((CAST(s4 AS DOUBLE) / n
+              |  - 4 * (CAST(s1 AS DOUBLE) / n) * (CAST(s3 AS DOUBLE) / n)
+              |  + 6 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+              |    * (CAST(s2 AS DOUBLE) / n)
+              |  - 3 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+              |    * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+              | / ((CAST(s2 AS DOUBLE) / n
+              |    - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+              |   * (CAST(s2 AS DOUBLE) / n
+              |    - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)))
+              | - 3, 6)""".stripMargin).as("kurtosis"))
+        .orderBy($"l_returnflag")
+    },
+    oracle = Some(
+      """WITH m AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS s1,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,2))
+        |      * CAST(l_quantity AS DECIMAL(18,2))) AS s2,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,2))
+        |      * CAST(l_quantity AS DECIMAL(18,2))
+        |      * CAST(l_quantity AS DECIMAL(18,2))) AS s3,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,2))
+        |      * CAST(l_quantity AS DECIMAL(18,2))
+        |      * CAST(l_quantity AS DECIMAL(18,2))
+        |      * CAST(l_quantity AS DECIMAL(18,2))) AS s4
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  ROUND((CAST(s3 AS DOUBLE) / n
+        |    - 3 * (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n)
+        |    + 2 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+        |      * (CAST(s1 AS DOUBLE) / n))
+        |   / ((CAST(s2 AS DOUBLE) / n
+        |      - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+        |     * sqrt(CAST(s2 AS DOUBLE) / n
+        |      - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))), 6)
+        |    AS skewness,
+        |  ROUND((CAST(s4 AS DOUBLE) / n
+        |    - 4 * (CAST(s1 AS DOUBLE) / n) * (CAST(s3 AS DOUBLE) / n)
+        |    + 6 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+        |      * (CAST(s2 AS DOUBLE) / n)
+        |    - 3 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+        |      * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+        |   / ((CAST(s2 AS DOUBLE) / n
+        |      - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+        |     * (CAST(s2 AS DOUBLE) / n
+        |      - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)))
+        |   - 3, 6) AS kurtosis
+        |FROM m ORDER BY l_returnflag""".stripMargin))
+
   val all: Vector[Q] = Vector(
     qTsDrawdown, qWinBollinger, qAggCorr, qEventsMarkov,
-    qAbChisquare, qSkyline, qEventsAttribution)
+    qAbChisquare, qSkyline, qEventsAttribution, qEventsRfm, qAggMoments)
 }

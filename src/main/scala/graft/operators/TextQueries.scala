@@ -1014,10 +1014,62 @@ object TextQueries {
         |FROM sc GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin))
 
+  /** q_text_entropy — per-document unigram Shannon entropy, the
+    * lexical-diversity quality signal (a near-zero-entropy document is
+    * a repeated-token artifact; the Gopher/RefinedWeb filter family
+    * thresholds on exactly this). H = Σ_w (c/n)·ln(n/c) over the
+    * document's own token distribution.
+    *
+    * Determinism (the q_text_perplexity technique, inverted): each
+    * distinct word contributes c · floor(ln(n/c)·1e6) micro-nats —
+    * quantized ONCE per (c, n) pair where the libm ulp is masked by
+    * the floor — and the per-doc total divides by n in integer space
+    * (all operands ≥ 0, so Spark `div` == DuckDB `//`). Exact long
+    * arithmetic end to end after the one quantization.
+    *
+    * Scale: per-doc term counts partial-aggregate on (doc_id, term)
+    * before the one keyed shuffle; n comes from the token array length
+    * (no second scan); nothing touches the driver. */
+  val qTextEntropy: Q = Q(
+    "q_text_entropy",
+    (s, dir) => {
+      import s.implicits._
+      Tokenized(s, dir)
+        .select($"doc_id", size($"lw").cast(LongType).as("n"),
+          explode($"lw").as("term"))
+        .groupBy($"doc_id", $"n", $"term")
+        .agg(count(lit(1)).as("c"))
+        .select($"doc_id", $"n",
+          expr("c * CAST(floor(ln(CAST(n AS DOUBLE) / c) * 1000000) AS BIGINT)")
+            .as("h"))
+        .groupBy($"doc_id", $"n")
+        .agg(count(lit(1)).as("distinct_terms"), sum($"h").as("sh"))
+        .select($"doc_id", $"n".as("n_tokens"), $"distinct_terms",
+          expr("sh div n").as("entropy_micro"))
+        .orderBy($"doc_id")
+    },
+    oracle = Some(
+      """WITH toks AS (
+        |  SELECT doc_id, len(string_split(lower(text), ' ')) AS n,
+        |    unnest(string_split(lower(text), ' ')) AS term
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n, term, COUNT(*) AS c
+        |  FROM toks GROUP BY doc_id, n, term),
+        |h AS (
+        |  SELECT doc_id, n,
+        |    c * CAST(floor(ln(CAST(n AS DOUBLE) / c) * 1000000) AS BIGINT) AS h
+        |  FROM c)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+        |  COUNT(*) AS distinct_terms,
+        |  CAST(SUM(h) // n AS BIGINT) AS entropy_micro
+        |FROM h GROUP BY doc_id, n
+        |ORDER BY doc_id""".stripMargin))
+
   val all: Vector[Q] =
     Vector(qTextTokenizeExplode, qTextWordcountTf, qTextStats,
       qTextQuality, qTextTokenCount, qDocFingerprint, qTextFilterPipeline,
       qSampleDeterministic, qTextNormalize, qTextTfidf, qSampleStratified,
       qTextRedactPii, qTextRepetition, qTextPerplexity, qTextCollocations,
-      qTextKlDrift, qSampleFixedK, qSampleWeighted, qTextBm25)
+      qTextKlDrift, qSampleFixedK, qSampleWeighted, qTextBm25, qTextEntropy)
 }
