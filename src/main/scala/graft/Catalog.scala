@@ -40,6 +40,7 @@ object Catalog {
       operators.GraphQueries.all ++
       operators.VectorQueries.all ++
       operators.PqQuantizer.all ++
+      operators.Pca.all ++
       operators.StatQueries.all ++
       Vector(functions.CountMin.qAggCountmin) ++
       streaming.StreamingQueries.all ++
