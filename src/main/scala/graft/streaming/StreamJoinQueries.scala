@@ -161,7 +161,8 @@ object StreamJoinQueries {
     "q_stream_stream_outer",
     (s, dir) => {
       import s.implicits._
-      StreamingQueries.Replay.run(s, dir, "stream_outer", "append") { src =>
+      StreamingQueries.Replay.run(s, dir, "stream_outer", "append",
+        watermarkBatch = true) { src =>
         val views = src.withWatermark("ts", "10 minutes")
         val purchases = StreamingQueries.Replay.eventsSource(s, dir)
           .withWatermark("ts", "10 minutes")

@@ -205,9 +205,22 @@ object StreamingQueries {
       * the same key. Each batch is landed tagged with its batch id and the
       * read-back keeps only the newest row per key; with a single batch
       * this degenerates to exactly the old behavior. */
+    /** `watermarkBatch`: keep the post-data no-data micro-batch. The
+      * replay DISABLES it by default — after AvailableNow drains the
+      * files, the extra batch exists only to act on the advanced
+      * watermark, and for complete-mode aggs it just re-emits the full
+      * snapshot (a wasted rewrite) while append/update rows without
+      * watermark-gated output emit nothing (a wasted planning round:
+      * ~0.2–0.4 s per replay of pure fixed cost). Rows whose SEMANTICS
+      * live in that batch must pass true: event-time timers
+      * (q_stream_stateful_tws' eviction tombstones) and outer-join
+      * null padding (q_stream_stream_outer) both fire exactly when the
+      * watermark advances past the data — with the batch disabled they
+      * would silently emit nothing. Scoped + restored like the
+      * shuffle-partition knob. */
     def run(
         s: SparkSession, dir: String, name: String, mode: String,
-        updateKeys: Seq[String] = Nil)(
+        updateKeys: Seq[String] = Nil, watermarkBatch: Boolean = false)(
         transform: DataFrame => DataFrame): DataFrame = {
       require(mode != "update" || updateKeys.nonEmpty,
         "update-mode replay needs the delta key to reconcile multi-batch output")
@@ -230,6 +243,9 @@ object StreamingQueries {
       val pKey = "spark.sql.shuffle.partitions"
       val prevP = s.conf.get(pKey)
       s.conf.set(pKey, s.conf.get("spark.graft.replay.shufflePartitions", "4"))
+      val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+      val prevNd = s.conf.get(ndKey)
+      s.conf.set(ndKey, watermarkBatch.toString)
       val landed = try {
         val q = transform(src)
           .writeStream
@@ -255,7 +271,10 @@ object StreamingQueries {
               "refusing to read a partial result")
         }
         s.read.parquet(out)
-      } finally s.conf.set(pKey, prevP)
+      } finally {
+        s.conf.set(pKey, prevP)
+        s.conf.set(ndKey, prevNd)
+      }
       if (mode == "update") reconcileNewest(landed, updateKeys) else landed
     }
 
@@ -338,7 +357,7 @@ object StreamingQueries {
       s.conf.set(key, "org.apache.spark.sql.execution.streaming." +
         "state.RocksDBStateStoreProvider")
       try Replay.run(s, dir, "stateful_tws", "update",
-        updateKeys = Seq("user_id")) { df =>
+        updateKeys = Seq("user_id"), watermarkBatch = true) { df =>
         import df.sparkSession.implicits._
         StatefulCountsTws(
           df.withWatermark("ts", "10 minutes").as[StatefulCounts.Ev]).toDF()
