@@ -41,6 +41,7 @@ object Catalog {
       operators.VectorQueries.all ++
       operators.PqQuantizer.all ++
       operators.Pca.all ++
+      operators.PrepQueries.all ++
       operators.StatQueries.all ++
       Vector(functions.CountMin.qAggCountmin) ++
       streaming.StreamingQueries.all ++
