@@ -1097,9 +1097,76 @@ object AnalyticsQueries {
         |GROUP BY d.event_type, m.n, m.med, a.mad_cents
         |ORDER BY d.event_type""".stripMargin))
 
+  /** q_ts_streaks — GAPS-AND-ISLANDS: per-user consecutive-day
+    * activity streaks (the login-streak / habit metric, and the
+    * canonical SQL islands pattern): collapse events to distinct
+    * active days, then day − row_number() is CONSTANT exactly within a
+    * run of consecutive days — the island id — and a per-(user,island)
+    * agg yields each streak's start and length. Reported per user:
+    * streak count, total active days, the longest streak and its start
+    * day (ties toward the EARLIEST start, made explicit by a min over
+    * the longest length rather than an engine-choice arg-max).
+    *
+    * Determinism: day numbers are exact integer micros div 86400e6;
+    * row_number runs under the per-user (day) order, unique after the
+    * distinct. All arithmetic is integer.
+    *
+    * Scale: distinct on (user, day) partial-aggregates map-side; both
+    * windows partition by user (distributed — per-entity series is the
+    * unit of parallelism); the streak and per-user aggs are keyed
+    * shuffles of day-grained (tiny) tables. */
+  val qTsStreaks: Q = Q(
+    "q_ts_streaks",
+    (s, dir) => {
+      import s.implicits._
+      val days = Tables.events(s, dir)
+        .select($"user_id",
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .distinct()
+      val w = Window.partitionBy($"user_id").orderBy($"day")
+      val streaks = days
+        .withColumn("grp", $"day" - row_number().over(w))
+        .groupBy($"user_id", $"grp")
+        .agg(min($"day").as("start_day"), count(lit(1)).as("len"))
+      val per = streaks.groupBy($"user_id")
+        .agg(count(lit(1)).as("n_streaks"),
+          sum($"len").cast(LongType).as("n_active_days"),
+          max($"len").as("longest_streak"))
+      per.join(streaks,
+          per("user_id") === streaks("user_id") &&
+            per("longest_streak") === streaks("len"))
+        .groupBy(per("user_id"), $"n_streaks", $"n_active_days",
+          $"longest_streak")
+        .agg(min($"start_day").as("longest_start_day"))
+        .orderBy(per("user_id"))
+    },
+    oracle = Some(
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+        |  FROM events),
+        |isl AS (
+        |  SELECT user_id, day,
+        |    day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+        |      AS grp
+        |  FROM days),
+        |streaks AS (
+        |  SELECT user_id, grp, MIN(day) AS start_day, COUNT(*) AS len
+        |  FROM isl GROUP BY user_id, grp),
+        |per AS (
+        |  SELECT user_id, COUNT(*) AS n_streaks,
+        |    CAST(SUM(len) AS BIGINT) AS n_active_days,
+        |    MAX(len) AS longest_streak
+        |  FROM streaks GROUP BY user_id)
+        |SELECT p.user_id, p.n_streaks, p.n_active_days, p.longest_streak,
+        |  MIN(s.start_day) AS longest_start_day
+        |FROM per p JOIN streaks s
+        |  ON s.user_id = p.user_id AND s.len = p.longest_streak
+        |GROUP BY p.user_id, p.n_streaks, p.n_active_days, p.longest_streak
+        |ORDER BY p.user_id""".stripMargin))
+
   val all: Vector[Q] = Vector(
     qFunnel, qCohortRetention, qTsGapfill, qHistBinned,
     qAnomalyZscore, qAggIncremental, qTsEwma, qTsOhlc, qTsInterpolate,
     qTsAutocorr, qViewIncrementalJoin, qProfileTable, qTsHolt,
-    qTsSeasonal, qTsCusum, qProfileSkew, qAnomalyMad)
+    qTsSeasonal, qTsCusum, qProfileSkew, qAnomalyMad, qTsStreaks)
 }

@@ -489,9 +489,79 @@ object JoinQueries {
     }
   }
 
+  /** q_join_asof_nearest — the NEAREST direction of the as-of family
+    * (pandas merge_asof direction='nearest' / kdb aj with both-sided
+    * search), completing the trio with backward (#13/#13b) and
+    * backward+tolerance: each purchase matches its nearest click in
+    * EITHER time direction within the user, ties broken toward the
+    * earlier (backward) candidate — merge_asof's own rule.
+    *
+    * Formulation: two stacked frames over ONE per-user sort — the
+    * running max of click micros up to the current row (backward
+    * candidate) and the running min from the current row on (forward
+    * candidate) — then a pure-scalar CASE picks the closer side.
+    * Spark plans both frames over a single sort+window pair; no join
+    * node at all, which is the right physical shape for a self as-of
+    * (the generic range-join would rescan the click side per
+    * purchase).
+    *
+    * Determinism: timestamps compare as exact integer micros; the
+    * tie rule is explicit in the CASE (<= keeps backward); NULL
+    * (no click on one side) falls through COALESCE identically in
+    * both engines.
+    *
+    * Scale: one keyed window sort per user — the per-entity series is
+    * the unit of parallelism, no global sort, no shuffle beyond the
+    * user keying (same argument as q_events_attribution). */
+  val qJoinAsofNearest: Q = Q(
+    "q_join_asof_nearest",
+    (s, dir) => {
+      import s.implicits._
+      val wAll = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val wBack = wAll.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wFwd = wAll.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      Tables.events(s, dir)
+        .where($"event_type".isin("purchase", "click"))
+        .withColumn("click_us",
+          when($"event_type" === "click", unix_micros($"ts")))
+        .withColumn("back_us", max($"click_us").over(wBack))
+        .withColumn("fwd_us", min($"click_us").over(wFwd))
+        .where($"event_type" === "purchase")
+        .withColumn("us", unix_micros($"ts"))
+        .withColumn("nearest_click_us",
+          when($"back_us".isNull, $"fwd_us")
+            .when($"fwd_us".isNull, $"back_us")
+            .when($"us" - $"back_us" <= $"fwd_us" - $"us", $"back_us")
+            .otherwise($"fwd_us"))
+        .select($"event_id", $"user_id",
+          $"ts".cast("timestamp_ntz").as("ts"),
+          $"nearest_click_us",
+          ($"nearest_click_us" - $"us").as("signed_gap_us"))
+        .orderBy($"event_id")
+    },
+    oracle = Some(
+      """SELECT event_id, user_id, ts, nearest_click_us,
+        |  nearest_click_us - us AS signed_gap_us
+        |FROM (
+        |  SELECT event_id, user_id, ts, event_type, epoch_us(ts) AS us,
+        |    max(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS back_us,
+        |    min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS fwd_us
+        |  FROM events WHERE event_type IN ('purchase', 'click'))
+        |CROSS JOIN LATERAL (SELECT
+        |  CASE WHEN back_us IS NULL THEN fwd_us
+        |       WHEN fwd_us IS NULL THEN back_us
+        |       WHEN us - back_us <= fwd_us - us THEN back_us
+        |       ELSE fwd_us END AS nearest_click_us)
+        |WHERE event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin))
+
   val all: Vector[Q] = Vector(
     qJoinInner, qJoinBroadcast, qJoinMultiway, qJoinLeftOuter,
     qJoinFullOuter, qJoinSemi, qJoinAnti, qJoinThetaRange,
     qJoinSelfAsof, qJoinSelfAsofNative, qJoinAsofTolerance, qJoinInterval,
-    qJoinBucketed, qJoinBloom)
+    qJoinBucketed, qJoinBloom, qJoinAsofNearest)
 }

@@ -434,31 +434,48 @@ object StatQueries {
     * plus offsets over bounded value-domain bucket tables (31 days /
     * small counts / $100 spend buckets). The DuckDB twin writes plain
     * ntile(5) windows; the hash-match proves the decomposition. */
+  /** Per-user RFM aggregate, persisted per (session, dir): each of the
+    * three quintile passes reads it THREE times (rows + bucket counts +
+    * total), so nine scans of a chained un-persisted plan would
+    * re-derive the purchase aggregation — and each other's windows —
+    * combinatorially (the first cut planned 43 single-partition
+    * exchanges; PlanAuditSpec now pins ≤ 6). */
+  private val rfmAggCache = new graft.Memo[(SparkSession, String), DataFrame]
+
   val qEventsRfm: Q = Q(
     "q_events_rfm",
     (s, dir) => {
       import s.implicits._
-      val p = Tables.events(s, dir)
-        .where($"event_type" === "purchase")
-        .select($"user_id", unix_micros($"ts").as("us"), $"value")
-      val anchor = p.agg(max($"us").as("now_us"))
-      val agg = p.groupBy($"user_id")
-        .agg(max($"us").as("last_us"),
-          count(lit(1)).as("frequency"),
-          sum(dec2($"value")).as("sv"))
-        .crossJoin(broadcast(anchor))
-        .select($"user_id",
-          expr("(now_us - last_us) div 86400000000").as("recency_days"),
-          $"frequency",
-          ($"sv" * 100).cast(LongType).as("mon_cents"),
-          $"sv".cast(DoubleType).as("monetary"))
-      val qr = bucketNtile(s, agg, 5,
-        $"recency_days", Seq($"user_id"), "qr")
-      val qf = bucketNtile(s, qr, 5,
-        $"frequency", Seq($"user_id"), "qf")
-      val qm = bucketNtile(s, qf, 5,
-        expr("mon_cents div 10000"), Seq($"mon_cents", $"user_id"), "qm")
-      qm.select($"user_id", $"recency_days", $"frequency", $"monetary",
+      val agg = rfmAggCache((s, dir)) {
+        val p = Tables.events(s, dir)
+          .where($"event_type" === "purchase")
+          .select($"user_id", unix_micros($"ts").as("us"), $"value")
+        val anchor = p.agg(max($"us").as("now_us"))
+        p.groupBy($"user_id")
+          .agg(max($"us").as("last_us"),
+            count(lit(1)).as("frequency"),
+            sum(dec2($"value")).as("sv"))
+          .crossJoin(broadcast(anchor))
+          .select($"user_id",
+            expr("(now_us - last_us) div 86400000000").as("recency_days"),
+            $"frequency",
+            ($"sv" * 100).cast(LongType).as("mon_cents"),
+            $"sv".cast(DoubleType).as("monetary"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }
+      // The three quintiles are INDEPENDENT functions of the persisted
+      // aggregate (not a chain): each pass's bucket/offset side plans
+      // read the InMemory scan, and the score tables join back keyed
+      // on user_id.
+      def pass(bucket: Column, ties: Seq[Column], out: String) =
+        bucketNtile(s, agg, 5, bucket, ties, out)
+          .select($"user_id", col(out))
+      agg
+        .join(pass($"recency_days", Seq($"user_id"), "qr"), "user_id")
+        .join(pass($"frequency", Seq($"user_id"), "qf"), "user_id")
+        .join(pass(expr("mon_cents div 10000"),
+          Seq($"mon_cents", $"user_id"), "qm"), "user_id")
+        .select($"user_id", $"recency_days", $"frequency", $"monetary",
           (lit(6L) - $"qr").as("r_score"),
           $"qf".as("f_score"),
           $"qm".as("m_score"),

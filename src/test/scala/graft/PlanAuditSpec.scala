@@ -557,4 +557,69 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("SortMergeJoin"),
       s"no corpus-vs-query sort-merge expected:\n$p")
   }
+
+  test("q_events_rfm: quintile windows partition by bucket; only " +
+    "domain-sized sides run single-partition") {
+    // The whole point of bucketNtile: the USER table is never fed to an
+    // unpartitioned window. Each of the three passes contributes one
+    // bucket-partitioned window over the users plus two tiny
+    // single-partition sides (bucket cumsum + 1-row total).
+    val p = planOf("q_events_rfm")
+    assert(p.contains("hashpartitioning(__bkt"),
+      s"per-user ranks must come from bucket-partitioned windows:\n$p")
+    // Every downstream read (3 passes × rows/buckets/total + the final
+    // join spine) must go through the persisted per-user aggregate —
+    // at runtime the events fixture is scanned once to materialize it.
+    // Exchange/scan LINE counts are not pinned: each InMemoryTableScan
+    // re-prints the cached child plan, so strings multiply without the
+    // runtime multiplying.
+    val imts = p.linesIterator.count(_.contains("InMemoryTableScan"))
+    assert(imts >= 4,
+      s"quintile passes must read the persisted aggregate " +
+        s"(got $imts InMemory scans):\n$p")
+  }
+
+  test("q_anomaly_mad: both median extractions run bucket-partitioned") {
+    val p = planOf("q_anomaly_mad")
+    assert(p.contains("hashpartitioning(event_type"),
+      s"medians must rank within (type, bucket) partitions:\n$p")
+    // offsets/totals attach via broadcast — the events never sort-merge
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
+      s"median model joins must broadcast:\n$p")
+  }
+
+  test("q_join_asof_nearest contains no join operator at all") {
+    // Nearest-direction as-of via two stacked frames over one per-user
+    // sort: the correct physical shape is window-only. Any Join node
+    // means the formulation regressed to a range join.
+    val p = planOf("q_join_asof_nearest")
+    assert(!p.contains("Join"), s"expected a join-free window plan:\n$p")
+    assert(p.contains("hashpartitioning(user_id"),
+      s"windows must partition by user:\n$p")
+  }
+
+  test("q_ts_streaks windows partition by user; no global sort of days") {
+    val p = planOf("q_ts_streaks")
+    assert(p.contains("hashpartitioning(user_id"),
+      s"island windows must partition by user_id:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"no stage of the streak pipeline is single-partition:\n$p")
+  }
+
+  test("q_vec_pca: one moment-cell aggregation; projection is a narrow " +
+    "vec_dot scan") {
+    val p = planOf("q_vec_pca")
+    assert(p.contains("vec_dot"),
+      s"projection must go through the codegen'd vec_dot:\n$p")
+    val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx == 0,
+      s"the projection scan must not shuffle (model is driver state), " +
+        s"got $hashEx exchanges:\n$p")
+  }
+
+  test("q_prep_impute_mean broadcasts the 3-row means back onto the scan") {
+    val p = planOf("q_prep_impute_mean")
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
+      s"group-means must attach via broadcast:\n$p")
+  }
 }
