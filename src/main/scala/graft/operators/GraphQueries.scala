@@ -266,6 +266,13 @@ object GraphQueries {
     (s, dir) => {
       import s.implicits._
       val (nodes, e, deg, nn) = prGraph(s, dir)
+      // Deliberately UN-checkpointed, unlike the bfs/kcore rows: the
+      // whole 3-round recurrence plans as ONE job whose repeated
+      // rank/edge subplans deduplicate through exchange reuse —
+      // measured 2.4 s; eager per-round localCheckpoint forces the
+      // graph-input stages to re-materialize per round and regressed
+      // the row to 7.7 s. (The production loop still checkpoints —
+      // unbounded round counts need bounded lineage.)
       var ranks = nodes.select($"node", lit(1000000L).as("pr"))
       for (_ <- 1 to 3)
         ranks = prRound(s, nodes, e, deg, nn, ranks)
@@ -671,11 +678,17 @@ object GraphQueries {
       val nb = nbOf(s, edges)
       val seed = edges.agg(min($"u").as("node"))
         .select($"node", lit(0L).as("dist"))
-      var seen: DataFrame = seed
+      // localCheckpoint per level truncates the lineage — an unrolled
+      // chain re-embeds each level's plan in every later level's seen
+      // set AND frontier (~4× per level ⇒ 64× the base stage by level
+      // 3; measured 5.2 s vs 0.6 s at sf0.1). Same device as the
+      // converged loops; the checkpoint changes no value.
+      var seen: DataFrame = seed.localCheckpoint(true)
       var frontier: DataFrame = seed.select($"node")
       for (k <- 1 to 3) {
-        val next = bfsStep(s, nb, seen, frontier)
+        val next = bfsStep(s, nb, seen, frontier).localCheckpoint(true)
         seen = seen.unionAll(next.select($"node", lit(k.toLong).as("dist")))
+          .localCheckpoint(true)
         frontier = next
       }
       seen.orderBy($"dist", $"node")
@@ -778,8 +791,12 @@ object GraphQueries {
     "q_graph_kcore",
     (s, dir) => {
       import s.implicits._
+      // localCheckpoint per peel: each round references the previous
+      // edge set FOUR times (degree union ×2 + two semi joins), so an
+      // unrolled chain re-derives round 1 4³ = 64 times by round 3 —
+      // measured 29 s vs 1 s at sf0.1. Values unchanged.
       var e = coEdges(s, dir)
-      for (_ <- 1 to 3) e = kcorePeel(s, e, 2)
+      for (_ <- 1 to 3) e = kcorePeel(s, e, 2).localCheckpoint(true)
       nbOf(s, e).groupBy($"ctr").agg(count(lit(1)).as("deg"))
         .select($"ctr".as("node"), $"deg")
         .orderBy($"node")
