@@ -853,8 +853,51 @@ object GraphQueries {
     (e, rounds)
   }
 
+  /** q_graph_degree_hist — the degree distribution of the
+    * frequent-co-purchase graph: (degree → node count), plus each
+    * degree's share of nodes in exact ppm. THE first diagnostic run on
+    * any production graph — it is what tells you whether the wedge
+    * enumeration needs orientation (heavy tail) and what k-core peeling
+    * will strip (the degree-1 mass), i.e. the input to this family's
+    * own strategy choices. Exact integer arithmetic throughout.
+    *
+    * Scale: degrees are one partial-agg shuffle over the edge list;
+    * the histogram aggregates the node-domain degree table down to the
+    * degree domain (bounded by max degree); the 1-row total broadcasts. */
+  val qGraphDegreeHist: Q = Q(
+    "q_graph_degree_hist",
+    (s, dir) => {
+      import s.implicits._
+      val edges = coEdges(s, dir)
+      val deg = edges.select($"u".as("n"))
+        .union(edges.select($"v".as("n")))
+        .groupBy($"n").agg(count(lit(1)).as("deg"))
+      val hist = deg.groupBy($"deg").agg(count(lit(1)).as("n_nodes"))
+      val tot = hist.agg(sum($"n_nodes").cast(org.apache.spark.sql.types.LongType).as("n_total"))
+      hist.crossJoin(broadcast(tot))
+        .select($"deg", $"n_nodes",
+          expr("n_nodes * 1000000 div n_total").as("share_ppm"))
+        .orderBy($"deg")
+    },
+    oracle = Some(
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pairs AS (
+        |  SELECT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM li a JOIN li b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |edges AS (SELECT u, v FROM pairs GROUP BY u, v HAVING COUNT(*) >= 2),
+        |deg AS (
+        |  SELECT n, COUNT(*) AS deg FROM (
+        |    SELECT u AS n FROM edges UNION ALL SELECT v AS n FROM edges) x
+        |  GROUP BY n),
+        |hist AS (SELECT deg, COUNT(*) AS n_nodes FROM deg GROUP BY deg),
+        |tot AS (SELECT CAST(SUM(n_nodes) AS BIGINT) AS n_total FROM hist)
+        |SELECT deg, n_nodes, n_nodes * 1000000 // n_total AS share_ppm
+        |FROM hist, tot
+        |ORDER BY deg""".stripMargin))
+
   val all: Vector[Q] =
     Vector(qGraphPagerank, qGraphTriangles, qGraphCommonNeighbors,
       qGraphResourceAlloc, qGraphAdamicAdar, qGraphJaccardNeighbors,
-      qGraphBfs, qGraphKcore)
+      qGraphBfs, qGraphKcore, qGraphDegreeHist)
 }

@@ -201,7 +201,44 @@ object SourceQueries {
         |    AS o_orderpriority
         |FROM orders ORDER BY o_orderkey""".stripMargin))
 
+  /** q_source_text — raw line-oriented text round trip, completing the
+    * source family (csv/json/orc/binaryFile/text): the documents corpus
+    * as newline-delimited TSV lines through `spark.read.text`, the
+    * format raw crawl dumps and log shipping actually arrive in (one
+    * record per line, schema applied AFTER ingest). The writer emits
+    * `doc_id\tlang\ttext` (the fixture text is space-separated words —
+    * no tabs or newlines, FIXTURES.md — so the framing is unambiguous);
+    * the reader splits the untyped `value` line back into typed
+    * columns entirely in the engine. Oracle = the parquet-side
+    * documents table: the hash-match proves the round trip losslessly
+    * through the untyped format. Scale: text is splittable by line, so
+    * the read parallelizes like any other source; the parse is a
+    * per-row projection. */
+  private val textExported = new graft.Memo[String, String]
+
+  val qSourceText: Q = Q(
+    "q_source_text",
+    (s, dir) => {
+      import s.implicits._
+      val out = textExported(dir) {
+        val o = "/tmp/graft_sources/" +
+          dir.replaceAll("[^A-Za-z0-9.]+", "_") + "/documents_text"
+        Tables.documents(s, dir)
+          .select(concat_ws("\t", $"doc_id", $"lang", $"text").as("value"))
+          .write.mode("overwrite").text(o)
+        o
+      }
+      s.read.text(out)
+        .select(split($"value", "\t").as("f"))
+        .select(
+          element_at($"f", 1).cast(LongType).as("doc_id"),
+          element_at($"f", 2).as("lang"),
+          element_at($"f", 3).as("text"))
+        .orderBy($"doc_id")
+    },
+    oracle = Some("SELECT doc_id, lang, text FROM documents ORDER BY doc_id"))
+
   val all: Vector[Q] = Vector(
     qSourceCsv, qSourceJson, qSourceOrc, qSourceBinaryfile,
-    qSourceSchemaEvolution)
+    qSourceSchemaEvolution, qSourceText)
 }
