@@ -42,6 +42,7 @@ object Catalog {
       operators.PqQuantizer.all ++
       operators.Pca.all ++
       operators.PrepQueries.all ++
+      operators.DqQueries.all ++
       operators.StatQueries.all ++
       Vector(functions.CountMin.qAggCountmin) ++
       streaming.StreamingQueries.all ++

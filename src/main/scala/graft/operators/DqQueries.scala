@@ -1,0 +1,144 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.Dsl._
+import org.apache.spark.sql.functions._
+
+/** Data-quality gates — the checks a production ingest runs BEFORE any
+  * downstream operator sees the data (SURVEY.md §2.10b governance).
+  * Reference repo (/root/reference) is an empty stub (README.md:1-2),
+  * so the surface follows the north star: a 100 TB pipeline promotes a
+  * batch only if its expectation suite and referential audit pass.
+  *
+  * Both rows follow the q_profile_table report discipline: ONE
+  * aggregation pass computes every statistic, and the per-rule report
+  * rows come from unpivoting the 1-row aggregate over the bounded rule
+  * domain — never from N separate scans. Rates are integer ppm
+  * (n·10⁶ div total), the micro-unit device that keeps the whole
+  * report in exact long arithmetic.
+  */
+object DqQueries {
+
+  /** q_dq_expectations — EXPECTATION SUITE over the order/lineitem
+    * facts: five domain rules (non-positive quantity, discount outside
+    * [0, 0.1], tax above 0.08, ship-before-order, ship-after-horizon)
+    * evaluated in ONE pass over the joined facts. The fixtures
+    * deliberately violate ship-before-order on ~47% of rows
+    * (FIXTURES.md pins that TPC-H's date invariant does NOT hold
+    * here), so the suite is non-degenerate: three rules pass, one
+    * fires massively, one guards the horizon — exactly the mixed
+    * verdict a real gate renders. Scale: one keyed fact-fact join
+    * (orders side is ¼ the rows; AQE picks the join strategy) + one
+    * partial agg collapsing to a single row; the stack unpivot runs on
+    * that 1 row. Comparisons on 2-dp-exact doubles against 2-dp
+    * literals are bit-identical in both engines. */
+  val qDqExpectations: Q = Q(
+    "q_dq_expectations",
+    (s, dir) => {
+      import s.implicits._
+      val j = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), $"l_orderkey" === $"o_orderkey")
+      val agg = j.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when($"l_quantity" <= 0, 1L).otherwise(0L)).as("c1"),
+        sum(when($"l_discount" < 0 || $"l_discount" > 0.1, 1L).otherwise(0L))
+          .as("c2"),
+        sum(when($"l_tax" > 0.08, 1L).otherwise(0L)).as("c3"),
+        sum(when($"l_shipdate" < $"o_orderdate", 1L).otherwise(0L)).as("c4"),
+        sum(when($"l_shipdate" > lit("2001-12-31").cast("timestamp_ntz"), 1L)
+          .otherwise(0L)).as("c5"))
+      agg.select(
+          expr("stack(5, 'discount_range', c2, 'quantity_nonpositive', c1, " +
+            "'ship_after_horizon', c5, 'ship_before_order', c4, " +
+            "'tax_range', c3) AS (rule, n_bad)"),
+          $"n_rows")
+        .withColumn("bad_ppm", expr("n_bad * 1000000 div n_rows"))
+        .orderBy($"rule")
+    },
+    oracle = Some(
+      """WITH j AS (
+        |  SELECT l_quantity, l_discount, l_tax, l_shipdate, o_orderdate
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |a AS (
+        |  SELECT COUNT(*) AS n_rows,
+        |    CAST(SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+        |    CAST(SUM(CASE WHEN l_tax > 0.08 THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+        |    CAST(SUM(CASE WHEN l_shipdate < o_orderdate THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c4,
+        |    CAST(SUM(CASE WHEN l_shipdate > TIMESTAMP '2001-12-31 00:00:00'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS c5
+        |  FROM j),
+        |r AS (
+        |  SELECT 'quantity_nonpositive' AS rule, c1 AS n_bad, n_rows FROM a
+        |  UNION ALL SELECT 'discount_range', c2, n_rows FROM a
+        |  UNION ALL SELECT 'tax_range', c3, n_rows FROM a
+        |  UNION ALL SELECT 'ship_before_order', c4, n_rows FROM a
+        |  UNION ALL SELECT 'ship_after_horizon', c5, n_rows FROM a)
+        |SELECT rule, n_bad, n_rows, n_bad * 1000000 // n_rows AS bad_ppm
+        |FROM r
+        |ORDER BY rule""".stripMargin))
+
+  /** q_dq_orphans — REFERENTIAL-INTEGRITY audit across the three fact
+    * FKs (lineitem→part, lineitem→supplier, orders→customer). The
+    * fixtures hold integrity (0 orphans — profiled, all SFs), which
+    * would make the audit vacuous, so the row models the scenario the
+    * audit exists for: a dimension purge (the q_gdpr_erasure device —
+    * md5 gate retires ~10% of each dimension's keys, a deterministic
+    * pure function of the key, identical in both engines) strands the
+    * facts that referenced the purged rows, and the audit must count
+    * exactly them. Scale: each dimension is broadcast-sized by
+    * definition; three broadcast anti-join counts + three narrow fact
+    * scans, unioned into a domain-sized (3-row) report — the fact
+    * table never shuffles. */
+  val qDqOrphans: Q = Q(
+    "q_dq_orphans",
+    (s, dir) => {
+      import s.implicits._
+      def audit(fk: String, fact: org.apache.spark.sql.DataFrame,
+          key: String, dim: org.apache.spark.sql.DataFrame,
+          dimKey: String) = {
+        val kept = dim.where(not(md5Gate(col(dimKey), "1a")))
+          .select(col(dimKey).as(key))
+        val total = fact.agg(count(lit(1)).as("n_rows"))
+        fact.select(col(key))
+          .join(broadcast(kept), Seq(key), "left_anti")
+          .agg(count(lit(1)).as("n_orphans"))
+          .crossJoin(broadcast(total))
+          .select(lit(fk).as("fk"), $"n_orphans", $"n_rows",
+            expr("n_orphans * 1000000 div n_rows").as("orphan_ppm"))
+      }
+      audit("lineitem.l_partkey->part",
+          Tables.lineitem(s, dir), "l_partkey",
+          Tables.part(s, dir), "p_partkey")
+        .unionAll(audit("lineitem.l_suppkey->supplier",
+          Tables.lineitem(s, dir), "l_suppkey",
+          Tables.supplier(s, dir), "s_suppkey"))
+        .unionAll(audit("orders.o_custkey->customer",
+          Tables.orders(s, dir), "o_custkey",
+          Tables.customer(s, dir), "c_custkey"))
+        .orderBy($"fk")
+    },
+    oracle = Some {
+      def one(fk: String, fact: String, key: String, dim: String,
+          dimKey: String) =
+        s"""SELECT '$fk' AS fk,
+           |  (SELECT COUNT(*) FROM $fact WHERE $key NOT IN
+           |    (SELECT $dimKey FROM $dim
+           |     WHERE NOT ${md5GateSql(dimKey, "1a")})) AS n_orphans,
+           |  (SELECT COUNT(*) FROM $fact) AS n_rows""".stripMargin
+      s"""WITH r AS (
+         |${one("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey")}
+         |UNION ALL
+         |${one("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey")}
+         |UNION ALL
+         |${one("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey")})
+         |SELECT fk, n_orphans, n_rows,
+         |  n_orphans * 1000000 // n_rows AS orphan_ppm
+         |FROM r
+         |ORDER BY fk""".stripMargin
+    })
+
+  val all: Vector[Q] = Vector(qDqExpectations, qDqOrphans)
+}

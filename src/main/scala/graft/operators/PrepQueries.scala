@@ -122,5 +122,223 @@ object PrepQueries {
         |FROM lineitem, stats
         |ORDER BY 1, 2, 3, 4, 5""".stripMargin))
 
-  val all: Vector[Q] = Vector(qPrepImputeMean, qPrepScaleMinmax)
+  /** q_prep_standardize — per-group Z-SCORE standardization of
+    * events.value, the scaling most models expect (complement of
+    * [[qPrepScaleMinmax]]'s min-max). Fit: per event_type, exact
+    * integer-cents moments (n, Σc, Σc²) — value is 2-dp exact
+    * (FIXTURES.md), so c = value·100 is an exact Long and both sums are
+    * exact BIGINT in both engines (headroom: Σc² tops out ≈1.1e14 at
+    * sf0.1; the decimal-widening path documented on
+    * [[graft.functions.TypedAggs]] applies past ~8e8 rows/group).
+    * Transform: z = (c − μ)/σ with μ = Σc/n and σ = √(Σc²/n − μ²)
+    * computed in double with the IDENTICAL expression text in both
+    * engines (population σ; cents cancel, so z of cents = z of value),
+    * rounded once at 6 dp. Scale: fit is one partial-agg shuffle
+    * collapsing to 5 groups, broadcast back into a narrow scan — the
+    * StandardScaler fit+transform shape. */
+  val qPrepStandardize: Q = Q(
+    "q_prep_standardize",
+    (s, dir) => {
+      import s.implicits._
+      val base = Tables.events(s, dir).select(
+        $"event_id", $"event_type",
+        (dec2($"value") * 100).cast(LongType).as("c"))
+      val stats = base.groupBy($"event_type").agg(
+        count(lit(1)).as("n"), sum($"c").as("sc"), sum($"c" * $"c").as("sq"))
+      val model = stats.select(
+        $"event_type",
+        ($"sc".cast(DoubleType) / $"n").as("mu"),
+        sqrt($"sq".cast(DoubleType) / $"n" -
+          ($"sc".cast(DoubleType) / $"n") * ($"sc".cast(DoubleType) / $"n"))
+          .as("sig"))
+      base.join(broadcast(model), "event_type")
+        .select($"event_id", $"event_type",
+          round(($"c" - $"mu") / $"sig", 6).as("z"))
+        .orderBy($"event_id")
+    },
+    oracle = Some(
+      """WITH base AS (
+        |  SELECT event_id, event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM events),
+        |stats AS (
+        |  SELECT event_type, COUNT(*) AS n, SUM(c) AS sc, SUM(c*c) AS sq
+        |  FROM base GROUP BY event_type),
+        |model AS (
+        |  SELECT event_type,
+        |    CAST(sc AS DOUBLE) / n AS mu,
+        |    sqrt(CAST(sq AS DOUBLE) / n -
+        |      (CAST(sc AS DOUBLE) / n) * (CAST(sc AS DOUBLE) / n)) AS sig
+        |  FROM stats)
+        |SELECT event_id, event_type, ROUND((c - mu) / sig, 6) AS z
+        |FROM base JOIN model USING (event_type)
+        |ORDER BY event_id""".stripMargin))
+
+  /** q_prep_bucketize — EXACT QUANTILE BINNING (equal-frequency
+    * quartiles) of l_extendedprice, the discretization step behind
+    * decile features and monotonic binning. The naive form is
+    * NTILE(4) OVER (ORDER BY …) — a single-partition global window, the
+    * one shape that cannot scale. Here the global rank is assembled
+    * scalably instead (the q_win_distribution device): cents div 30000
+    * coarse-bins rows into a ≤400-row BOUNDED price-range domain, the
+    * cumulative window runs over THAT domain only, and the true rank is
+    * per-bin offset + a bin-partitioned row_number (total tiebreak on
+    * the unique physical key). Bucket assignment is then pure integer
+    * arithmetic, qb = (rank−1)·4 div n + 1, identical in both engines —
+    * the twin keeps the naive global row_number form, so the hash match
+    * proves the decomposition exact. Everything downstream of the scan
+    * is integer cents; the only doubles are final /100 presentations of
+    * <2^53 integers (exact). */
+  val qPrepBucketize: Q = Q(
+    "q_prep_bucketize",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val base = Tables.lineitem(s, dir).select(
+        $"l_orderkey", $"l_linenumber", $"l_partkey",
+        (dec2($"l_extendedprice") * 100).cast(LongType).as("c"))
+        .withColumn("bin", expr("c div 30000"))
+      val cnts = base.groupBy($"bin").agg(count(lit(1)).as("nb"))
+      val offs = cnts.withColumn("off",
+        coalesce(sum($"nb").over(Window.orderBy($"bin")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      val rn = row_number().over(Window.partitionBy($"bin")
+        .orderBy($"c", $"l_orderkey", $"l_linenumber", $"l_partkey"))
+      val n = base.agg(count(lit(1)).as("n"))
+      base.withColumn("rn", rn)
+        .join(broadcast(offs.select($"bin", $"off")), "bin")
+        .crossJoin(broadcast(n))
+        .withColumn("bucket", expr("((off + rn - 1) * 4) div n + 1"))
+        .groupBy($"bucket")
+        .agg(count(lit(1)).as("n_rows"),
+          (min($"c").cast(DoubleType) / 100).as("min_price"),
+          (max($"c").cast(DoubleType) / 100).as("max_price"),
+          (sum($"c").cast(DoubleType) / 100).as("sum_price"))
+        .orderBy($"bucket")
+    },
+    oracle = Some(
+      """WITH base AS (
+        |  SELECT l_orderkey, l_linenumber, l_partkey,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM lineitem),
+        |r AS (
+        |  SELECT c,
+        |    row_number() OVER
+        |      (ORDER BY c, l_orderkey, l_linenumber, l_partkey) AS rank,
+        |    COUNT(*) OVER () AS n
+        |  FROM base)
+        |SELECT ((rank - 1) * 4) // n + 1 AS bucket, COUNT(*) AS n_rows,
+        |  CAST(MIN(c) AS DOUBLE) / 100 AS min_price,
+        |  CAST(MAX(c) AS DOUBLE) / 100 AS max_price,
+        |  CAST(SUM(c) AS DOUBLE) / 100 AS sum_price
+        |FROM r GROUP BY bucket
+        |ORDER BY bucket""".stripMargin))
+
+  /** q_prep_onehot — ONE-HOT ENCODING of the event_type categorical
+    * into five 0/1 indicator columns (the closed 5-value domain is a
+    * fixture contract, FIXTURES.md). Pure narrow projection — encoding
+    * 100 TB costs one scan, no shuffle, and the indicators are
+    * codegen'd CASE expressions. Unknown categories surface as all-zero
+    * rows rather than silently vanishing (the is_other audit column
+    * counts them — 0 on the fixtures, a canary on drifted data). */
+  val qPrepOnehot: Q = Q(
+    "q_prep_onehot",
+    (s, dir) => {
+      import s.implicits._
+      val cats = Seq("click", "error", "purchase", "signup", "view")
+      val flags = cats.map(c =>
+        when($"event_type" === c, 1).otherwise(0).as(s"is_$c"))
+      val other = when(not($"event_type".isin(cats: _*)), 1).otherwise(0)
+        .as("is_other")
+      Tables.events(s, dir)
+        .select($"event_id" +: flags :+ other: _*)
+        .orderBy($"event_id")
+    },
+    oracle = Some(
+      """SELECT event_id,
+        |  CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_click,
+        |  CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_error,
+        |  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_purchase,
+        |  CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END AS is_signup,
+        |  CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS is_view,
+        |  CASE WHEN event_type NOT IN
+        |    ('click','error','purchase','signup','view')
+        |    THEN 1 ELSE 0 END AS is_other
+        |FROM events
+        |ORDER BY event_id""".stripMargin))
+
+  /** q_prep_split — deterministic TRAIN/TEST SPLIT, the step every
+    * training run starts with. The md5 gate on event_id ('cc'/256 ≈
+    * 79.7% train) is a pure function of the row — the split is
+    * reproducible across engines, runs, partitionings and retries, and
+    * any row's assignment is auditable after the fact, none of which
+    * holds for RNG splits. Output is the per-(split, class) profile —
+    * counts and exact-cents value sums — i.e. the balance check that
+    * decides whether the split is usable. One partial-agg shuffle to
+    * 10 groups; splitting 100 TB costs one scan. */
+  val qPrepSplit: Q = Q(
+    "q_prep_split",
+    (s, dir) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .select(
+          when(md5Gate($"event_id", "cc"), "train").otherwise("test")
+            .as("split"),
+          $"event_type", dec2($"value").as("v"))
+        .groupBy($"split", $"event_type")
+        .agg(count(lit(1)).as("n"), sum($"v").cast(DoubleType).as("sum_value"))
+        .orderBy($"split", $"event_type")
+    },
+    oracle = Some(
+      s"""SELECT
+         |  CASE WHEN ${md5GateSql("event_id", "cc")}
+         |    THEN 'train' ELSE 'test' END AS split,
+         |  event_type, COUNT(*) AS n,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         |FROM events
+         |GROUP BY 1, 2
+         |ORDER BY 1, 2""".stripMargin))
+
+  /** q_prep_hash_features — the HASHING TRICK (feature hashing):
+    * project the unbounded (event_type × props.k) categorical cross —
+    * 500 live combinations here, unbounded in production — into a FIXED
+    * 8-bucket count vector per user, the representation that lets
+    * downstream models take categorical streams without a vocabulary
+    * build. The bucket function must be identical in both engines, so
+    * it avoids each engine's native hash (Spark murmur3 ≠ DuckDB hash):
+    * ascii(first hex char of md5(feature)) % 8 — md5 hex is
+    * byte-identical everywhere and ascii/% are portable. Per-user
+    * vectors via SUM(CASE) — ONE partial-agg shuffle on user_id
+    * carrying 8 ints per user; no pivot machinery, no second pass. */
+  val qPrepHashFeatures: Q = Q(
+    "q_prep_hash_features",
+    (s, dir) => {
+      import s.implicits._
+      val feat = concat($"event_type", lit("#"),
+        get_json_object($"props", "$.k"))
+      val bucket = ascii(substring(md5(feat), 1, 1)) % 8
+      val flags = (0 until 8).map(i =>
+        sum(when($"b" === i, 1L).otherwise(0L)).as(s"f$i"))
+      Tables.events(s, dir)
+        .select($"user_id", bucket.as("b"))
+        .groupBy($"user_id")
+        .agg(flags.head, flags.tail: _*)
+        .orderBy($"user_id")
+    },
+    oracle = Some {
+      val b = "ascii(substring(md5(event_type || '#' || (props->>'k')), 1, 1)) % 8"
+      val cols = (0 until 8)
+        .map(i =>
+          s"  CAST(SUM(CASE WHEN $b = $i THEN 1 ELSE 0 END) AS BIGINT) AS f$i")
+        .mkString(",\n")
+      s"""SELECT user_id,
+         |$cols
+         |FROM events
+         |GROUP BY user_id
+         |ORDER BY user_id""".stripMargin
+    })
+
+  val all: Vector[Q] = Vector(
+    qPrepImputeMean, qPrepScaleMinmax, qPrepStandardize, qPrepBucketize,
+    qPrepOnehot, qPrepSplit, qPrepHashFeatures)
 }
