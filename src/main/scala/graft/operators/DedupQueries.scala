@@ -628,28 +628,61 @@ object DedupQueries {
           Shingled(s, dir).select($"doc_id"), nearDupPairs(s, dir))
         .orderBy($"doc_id")
     },
-    oracle = Some(
-      s"""WITH RECURSIVE keyed AS (
-         |  SELECT doc_id, substring(lower(text), 1, 40) AS k,
-         |    list_distinct(${Shingles.sql("string_split(lower(text), ' ')")}) AS sh
-         |  FROM documents),
-         |pairs AS (
-         |  SELECT a.doc_id AS u, b.doc_id AS v
-         |  FROM keyed a JOIN keyed b ON a.k = b.k AND a.doc_id < b.doc_id
-         |  WHERE ROUND(
-         |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-         |    (CAST(len(a.sh) + len(b.sh) AS DOUBLE) - len(list_intersect(a.sh, b.sh))),
-         |    6) >= 0.5),
-         |edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
-         |reach(u, v) AS (
-         |  SELECT u, v FROM edges
-         |  UNION
-         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
-         |labels AS (SELECT u AS doc_id, MIN(v) AS mn FROM reach GROUP BY u)
-         |SELECT d.doc_id,
-         |  LEAST(d.doc_id, COALESCE(l.mn, d.doc_id)) AS canon_id
-         |FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
-         |ORDER BY d.doc_id""".stripMargin))
+    oracle = Some(componentLabelsSql(
+      "SELECT doc_id, canon_id FROM comp ORDER BY doc_id")))
+
+  /** Shared recursive-CTE twin of [[Components]] over [[nearDupPairs]]:
+    * the `comp(doc_id, canon_id)` labeling that qDedupComponents,
+    * qDedupComponentsStar and qDedupClusterSizes all finish from —
+    * one definition so the three oracles can never drift apart. */
+  private def componentLabelsSql(select: String): String =
+    s"""WITH RECURSIVE keyed AS (
+       |  SELECT doc_id, substring(lower(text), 1, 40) AS k,
+       |    list_distinct(${Shingles.sql("string_split(lower(text), ' ')")}) AS sh
+       |  FROM documents),
+       |pairs AS (
+       |  SELECT a.doc_id AS u, b.doc_id AS v
+       |  FROM keyed a JOIN keyed b ON a.k = b.k AND a.doc_id < b.doc_id
+       |  WHERE ROUND(
+       |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+       |    (CAST(len(a.sh) + len(b.sh) AS DOUBLE) - len(list_intersect(a.sh, b.sh))),
+       |    6) >= 0.5),
+       |edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+       |reach(u, v) AS (
+       |  SELECT u, v FROM edges
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+       |labels AS (SELECT u AS doc_id, MIN(v) AS mn FROM reach GROUP BY u),
+       |comp AS (
+       |  SELECT d.doc_id,
+       |    LEAST(d.doc_id, COALESCE(l.mn, d.doc_id)) AS canon_id
+       |  FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id)
+       |$select""".stripMargin
+
+  /** q_dedup_cluster_sizes — DUPLICATE-CLUSTER SIZE HISTOGRAM, the
+    * audit a dedup pipeline reports before dropping anything: how many
+    * clusters of each size exist (size 1 = unique docs), from the same
+    * transitive near-dup clustering as [[qDedupComponents]] (shared
+    * label stage AND shared oracle CTE — the histogram is a fixpoint
+    * summary, so any drift in the clustering fails this row too).
+    * Scale: two keyed partial aggs collapsing the doc-domain label
+    * table to the size domain (bounded by the largest cluster) —
+    * nothing beyond the components cost it already shares. */
+  val qDedupClusterSizes: Q = Q(
+    "q_dedup_cluster_sizes",
+    (s, dir) => {
+      import s.implicits._
+      Components.labels(
+          Shingled(s, dir).select($"doc_id"), nearDupPairs(s, dir))
+        .groupBy($"canon_id").agg(count(lit(1)).as("sz"))
+        .groupBy($"sz").agg(count(lit(1)).as("n_clusters"))
+        .orderBy($"sz")
+    },
+    oracle = Some(componentLabelsSql(
+      """SELECT sz, COUNT(*) AS n_clusters FROM (
+        |  SELECT canon_id, COUNT(*) AS sz FROM comp GROUP BY canon_id)
+        |GROUP BY sz
+        |ORDER BY sz""".stripMargin)))
 
   /** q_dedup_components_star (added r7) — the SAME clustering through
     * `Components.star` (large-star/small-star, O(log n) rounds): both
@@ -1002,6 +1035,6 @@ object DedupQueries {
   val all: Vector[Q] = Vector(
     qDedupShingleStage, qDedupExact, qDedupNear, qDedupMinhash,
     qDedupNgramJaccard, qDedupSimhash, qDedupPipeline, qDedupComponents,
-    qDedupComponentsStar, qTextContamination, qDedupFuzzy,
+    qDedupComponentsStar, qDedupClusterSizes, qTextContamination, qDedupFuzzy,
     qDedupSortedNeighborhood, qDedupPpjoin)
 }

@@ -3,6 +3,7 @@ package graft.operators
 import graft.{Q, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
 
 /** Graph analytics over the purchase graph — SURVEY.md §2.10b.
   *
@@ -896,8 +897,141 @@ object GraphQueries {
         |FROM hist, tot
         |ORDER BY deg""".stripMargin))
 
+  /** q_graph_clustering_coeff — LOCAL CLUSTERING COEFFICIENT per node,
+    * cc(n) = 2·tri(n)/(deg(n)·(deg(n)−1)): how close each part's
+    * co-purchase neighborhood is to a clique — the node-level
+    * community-density signal whose global sum [[qGraphTriangles]]
+    * already reports. Needs triangles PER CORNER, so the oriented
+    * wedge closure keeps its (src, u, v) triple (an inner-join count
+    * would lose the corners) and explodes each triangle to its three
+    * nodes — 3 rows per triangle, then one node-keyed partial agg.
+    * Same Schank–Wagner degree-ordered orientation as the triangle
+    * count (out-degree ≤ √(2m), hub-proof); cc in exact integer ppm,
+    * 2·tri·10⁶ div deg(deg−1). The twin enumerates triangles naively
+    * from the canonical u<v edges (a<b<c, each triangle once) — the
+    * hash match proves the oriented corner accounting exact. */
+  val qGraphClusteringCoeff: Q = Q(
+    "q_graph_clustering_coeff",
+    (s, dir) => {
+      import s.implicits._
+      val edges = coEdges(s, dir)
+      val deg = edges.select($"u".as("n"))
+        .union(edges.select($"v".as("n")))
+        .groupBy($"n").agg(count(lit(1)).as("deg"))
+      val oriented = edges
+        .join(deg.select($"n".as("u"), $"deg".as("du")), "u")
+        .join(deg.select($"n".as("v"), $"deg".as("dv")), "v")
+        .select(
+          when($"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v"), $"u")
+            .otherwise($"v").as("src"),
+          when($"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v"), $"v")
+            .otherwise($"u").as("dst"))
+      val wedges = oriented.as("x")
+        .join(oriented.as("y"),
+          $"x.src" === $"y.src" && $"x.dst" < $"y.dst")
+        .select($"x.src".as("a"), $"x.dst".as("u"), $"y.dst".as("v"))
+      val tris = wedges.join(edges, Seq("u", "v"), "left_semi")
+      val triCnt = tris
+        .select(explode(array($"a", $"u", $"v")).as("n"))
+        .groupBy($"n").agg(count(lit(1)).as("tri"))
+      deg.join(triCnt, Seq("n"), "left")
+        .where($"deg" >= 2)
+        .select($"n", $"deg", coalesce($"tri", lit(0L)).as("tri"))
+        .withColumn("cc_ppm", expr("tri * 2000000 div (deg * (deg - 1))"))
+        .orderBy($"n")
+    },
+    oracle = Some(
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pairs AS (
+        |  SELECT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM li a JOIN li b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |edges AS (SELECT u, v FROM pairs GROUP BY u, v HAVING COUNT(*) >= 2),
+        |deg AS (
+        |  SELECT n, COUNT(*) AS deg FROM (
+        |    SELECT u AS n FROM edges UNION ALL SELECT v AS n FROM edges) x
+        |  GROUP BY n),
+        |tris AS (
+        |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM edges e1
+        |    JOIN edges e2 ON e2.u = e1.v
+        |    JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |corners AS (
+        |  SELECT a AS n FROM tris UNION ALL SELECT b FROM tris
+        |  UNION ALL SELECT c FROM tris),
+        |tcnt AS (SELECT n, COUNT(*) AS tri FROM corners GROUP BY n)
+        |SELECT d.n, d.deg, COALESCE(t.tri, 0) AS tri,
+        |  COALESCE(t.tri, 0) * 2000000 // (d.deg * (d.deg - 1)) AS cc_ppm
+        |FROM deg d LEFT JOIN tcnt t ON d.n = t.n
+        |WHERE d.deg >= 2
+        |ORDER BY d.n""".stripMargin))
+
+  /** q_graph_assortativity — DEGREE ASSORTATIVITY (Newman 2002): the
+    * Pearson correlation of endpoint degrees over the symmetrized edge
+    * list — do high-degree parts co-purchase with other hubs (r > 0)
+    * or with the periphery (r < 0)? With [[qGraphDegreeHist]] this is
+    * the second standard whole-graph diagnostic, and it decides
+    * whether hub-salting is even needed: a disassortative graph
+    * concentrates wedge volume on hub-leaf pairs, exactly what the
+    * oriented enumeration neutralizes.
+    *
+    * Determinism: degrees are COUNTS, so every Pearson ingredient
+    * (n, Σ, Σ², Σxy over edge ends) is exact integer; r is one
+    * textually identical double expression (the q_ts_cross_corr
+    * discipline). Scale: two node-keyed joins attach degrees to
+    * edges, then one 1-row agg — no wedge expansion anywhere. */
+  val qGraphAssortativity: Q = Q(
+    "q_graph_assortativity",
+    (s, dir) => {
+      import s.implicits._
+      val edges = coEdges(s, dir)
+      val deg = edges.select($"u".as("n"))
+        .union(edges.select($"v".as("n")))
+        .groupBy($"n").agg(count(lit(1)).as("deg"))
+      val sym = edges.unionAll(edges.select($"v".as("u"), $"u".as("v")))
+      val m = sym
+        .join(deg.select($"n".as("u"), $"deg".as("du")), "u")
+        .join(deg.select($"n".as("v"), $"deg".as("dv")), "v")
+        .agg(count(lit(1)).as("n"),
+          sum($"du").as("sx"), sum($"dv").as("sy"),
+          sum($"du" * $"dv").as("sxy"),
+          sum($"du" * $"du").as("sxx"), sum($"dv" * $"dv").as("syy"))
+      m.select($"n".as("n_edge_ends"),
+          round(($"n" * $"sxy" - $"sx" * $"sy").cast(DoubleType) /
+            (sqrt(($"n" * $"sxx" - $"sx" * $"sx").cast(DoubleType)) *
+             sqrt(($"n" * $"syy" - $"sy" * $"sy").cast(DoubleType))), 6)
+            .as("assortativity"))
+        .orderBy($"n_edge_ends")
+    },
+    oracle = Some(
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pairs AS (
+        |  SELECT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM li a JOIN li b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |edges AS (SELECT u, v FROM pairs GROUP BY u, v HAVING COUNT(*) >= 2),
+        |deg AS (
+        |  SELECT n, COUNT(*) AS deg FROM (
+        |    SELECT u AS n FROM edges UNION ALL SELECT v AS n FROM edges) x
+        |  GROUP BY n),
+        |sym AS (SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges),
+        |m AS (
+        |  SELECT COUNT(*) AS n,
+        |    CAST(SUM(a.deg) AS BIGINT) AS sx, CAST(SUM(b.deg) AS BIGINT) AS sy,
+        |    CAST(SUM(a.deg * b.deg) AS BIGINT) AS sxy,
+        |    CAST(SUM(a.deg * a.deg) AS BIGINT) AS sxx,
+        |    CAST(SUM(b.deg * b.deg) AS BIGINT) AS syy
+        |  FROM sym JOIN deg a ON sym.u = a.n JOIN deg b ON sym.v = b.n)
+        |SELECT n AS n_edge_ends,
+        |  ROUND(CAST(n*sxy - sx*sy AS DOUBLE) /
+        |    (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) *
+        |     sqrt(CAST(n*syy - sy*sy AS DOUBLE))), 6) AS assortativity
+        |FROM m
+        |ORDER BY n_edge_ends""".stripMargin))
+
   val all: Vector[Q] =
     Vector(qGraphPagerank, qGraphTriangles, qGraphCommonNeighbors,
       qGraphResourceAlloc, qGraphAdamicAdar, qGraphJaccardNeighbors,
-      qGraphBfs, qGraphKcore, qGraphDegreeHist)
+      qGraphBfs, qGraphKcore, qGraphDegreeHist, qGraphClusteringCoeff,
+      qGraphAssortativity)
 }

@@ -559,9 +559,55 @@ object JoinQueries {
         |WHERE event_type = 'purchase'
         |ORDER BY event_id""".stripMargin))
 
+  /** q_join_asof_forward — the FORWARD direction of the as-of family
+    * (merge_asof direction='forward'), completing the direction set
+    * with backward (#13/#13b), backward+tolerance and nearest: each
+    * purchase matches the FIRST signup at-or-after it within the user
+    * — "what does this user do next", the lead-conversion counterpart
+    * of backward's attribution lookup.
+    *
+    * Mirror of #13's window formulation: first non-null signup ts over
+    * the (current row → unbounded following) frame of the SAME
+    * per-user sort. Ties at the purchase's exact microsecond follow
+    * the (ts, event_id) window order identically in both engines —
+    * the frame starts AT the current row, so a same-microsecond signup
+    * with a larger event_id is the match.
+    *
+    * Scale: one keyed window sort per user, no join node — the
+    * per-entity series is the unit of parallelism (same argument as
+    * q_join_asof_nearest). */
+  val qJoinAsofForward: Q = Q(
+    "q_join_asof_forward",
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id")
+        .orderBy($"ts", $"event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      Tables.events(s, dir)
+        .where($"event_type".isin("purchase", "signup"))
+        .withColumn("signup_ts",
+          when($"event_type" === "signup", $"ts"))
+        .withColumn("next_signup_ts",
+          first($"signup_ts", ignoreNulls = true).over(w))
+        .where($"event_type" === "purchase")
+        .select($"event_id", $"user_id",
+          $"ts".cast("timestamp_ntz").as("ts"),
+          $"next_signup_ts".cast("timestamp_ntz").as("next_signup_ts"))
+        .orderBy($"event_id")
+    },
+    oracle = Some(
+      """SELECT event_id, user_id, ts, next_signup_ts FROM (
+        |  SELECT event_id, user_id, ts, event_type,
+        |    first_value(CASE WHEN event_type = 'signup' THEN ts END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_signup_ts
+        |  FROM events WHERE event_type IN ('purchase','signup')
+        |) WHERE event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin))
+
   val all: Vector[Q] = Vector(
     qJoinInner, qJoinBroadcast, qJoinMultiway, qJoinLeftOuter,
     qJoinFullOuter, qJoinSemi, qJoinAnti, qJoinThetaRange,
     qJoinSelfAsof, qJoinSelfAsofNative, qJoinAsofTolerance, qJoinInterval,
-    qJoinBucketed, qJoinBloom, qJoinAsofNearest)
+    qJoinBucketed, qJoinBloom, qJoinAsofNearest, qJoinAsofForward)
 }

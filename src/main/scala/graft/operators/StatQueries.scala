@@ -595,7 +595,75 @@ object StatQueries {
         |   - 3, 6) AS kurtosis
         |FROM m ORDER BY l_returnflag""".stripMargin))
 
+  /** q_ts_cross_corr — LAGGED CROSS-CORRELATION between the daily
+    * view-count and purchase-count series (lags 0–3 days): does view
+    * traffic lead purchases, the standard lead-lag screen before any
+    * causal claim. Completes the correlation family: q_agg_corr is
+    * same-key Pearson, q_ts_autocorr is one series against itself,
+    * this is two series with a shift.
+    *
+    * Determinism: both series are COUNTS, so every Pearson ingredient
+    * (n, Σx, Σy, Σxy, Σx², Σy²) is exact integer; r touches floating
+    * point exactly once in a textually identical expression — the
+    * numerator/denominators assembled in exact arithmetic, converted
+    * to double, with m2^0.5 via IEEE-correct sqrt (the q_agg_moments
+    * discipline). Scale: the raw scan collapses to the DAY domain in
+    * one partial-agg shuffle; the lag self-join and the per-lag aggs
+    * run on that bounded domain table (30 rows here, ~10³ for years of
+    * data) — broadcast-sized regardless of event volume. */
+  val qTsCrossCorr: Q = Q(
+    "q_ts_cross_corr",
+    (s, dir) => {
+      import s.implicits._
+      val daily = Tables.events(s, dir)
+        .groupBy(to_date(date_trunc("day", $"ts")).as("day"))
+        .agg(
+          sum(when($"event_type" === "view", 1L).otherwise(0L)).as("x"),
+          sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("y"))
+      val lags = Seq(0, 1, 2, 3).toDF("lag")
+      val pairs = daily.select($"day", $"x").crossJoin(broadcast(lags))
+        .join(daily.select($"day".as("yday"), $"y"),
+          expr("yday = date_add(day, lag)"))
+      val m = pairs.groupBy($"lag").agg(
+        count(lit(1)).as("n"),
+        sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"y").as("sxy"),
+        sum($"x" * $"x").as("sxx"), sum($"y" * $"y").as("syy"))
+      m.select($"lag", $"n".as("n_days"),
+          round(($"n" * $"sxy" - $"sx" * $"sy").cast(DoubleType) /
+            (sqrt(($"n" * $"sxx" - $"sx" * $"sx").cast(DoubleType)) *
+             sqrt(($"n" * $"syy" - $"sy" * $"sy").cast(DoubleType))), 6)
+            .as("r"))
+        .orderBy($"lag")
+    },
+    oracle = Some(
+      """WITH daily AS (
+        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS x,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |lags AS (SELECT CAST(range AS INTEGER) AS lag FROM range(0, 4)),
+        |pairs AS (
+        |  SELECT l.lag, a.x, b.y
+        |  FROM daily a CROSS JOIN lags l
+        |  JOIN daily b ON b.day = a.day + l.lag),
+        |m AS (
+        |  SELECT lag, COUNT(*) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x*y) AS BIGINT) AS sxy,
+        |    CAST(SUM(x*x) AS BIGINT) AS sxx, CAST(SUM(y*y) AS BIGINT) AS syy
+        |  FROM pairs GROUP BY lag)
+        |SELECT lag, n AS n_days,
+        |  ROUND(CAST(n*sxy - sx*sy AS DOUBLE) /
+        |    (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) *
+        |     sqrt(CAST(n*syy - sy*sy AS DOUBLE))), 6) AS r
+        |FROM m
+        |ORDER BY lag""".stripMargin))
+
   val all: Vector[Q] = Vector(
     qTsDrawdown, qWinBollinger, qAggCorr, qEventsMarkov,
-    qAbChisquare, qSkyline, qEventsAttribution, qEventsRfm, qAggMoments)
+    qAbChisquare, qSkyline, qEventsAttribution, qEventsRfm, qAggMoments,
+    qTsCrossCorr)
 }

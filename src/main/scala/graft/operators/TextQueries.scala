@@ -1066,10 +1066,103 @@ object TextQueries {
         |FROM h GROUP BY doc_id, n
         |ORDER BY doc_id""".stripMargin))
 
+  /** q_text_ttr — per-document LEXICAL RICHNESS: type-token ratio and
+    * hapax share, the vocabulary-diversity quality signals next to
+    * [[qTextEntropy]]'s distributional one (TTR is what degrades first
+    * on template-generated spam: many tokens, few types). All counts,
+    * so the whole report stays in exact integer ppm (types·10⁶ div
+    * tokens; hapax·10⁶ div types) — no float anywhere. Reads the
+    * SHARED token stage; one (doc, term) partial agg collapses
+    * occurrences before the doc-keyed shuffle, then one doc agg —
+    * the same two-level shape as TF-IDF's tf stage. */
+  val qTextTtr: Q = Q(
+    "q_text_ttr",
+    (s, dir) => {
+      import s.implicits._
+      Tokenized(s, dir)
+        .select($"doc_id", explode($"lw").as("term"))
+        .groupBy($"doc_id", $"term").agg(count(lit(1)).as("c"))
+        .groupBy($"doc_id").agg(
+          sum($"c").as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          sum(when($"c" === 1, 1L).otherwise(0L)).as("n_hapax"))
+        .select($"doc_id", $"n_tokens", $"n_types", $"n_hapax",
+          expr("n_types * 1000000 div n_tokens").as("ttr_ppm"),
+          expr("n_hapax * 1000000 div n_types").as("hapax_ppm"))
+        .orderBy($"doc_id")
+    },
+    oracle = Some(
+      """WITH tf AS (
+        |  SELECT doc_id, term, COUNT(*) AS c FROM (
+        |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        |    FROM documents)
+        |  GROUP BY doc_id, term),
+        |a AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |    COUNT(*) AS n_types,
+        |    CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+        |  FROM tf GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, n_types, n_hapax,
+        |  n_types * 1000000 // n_tokens AS ttr_ppm,
+        |  n_hapax * 1000000 // n_types AS hapax_ppm
+        |FROM a
+        |ORDER BY doc_id""".stripMargin))
+
+  /** q_text_keywords — KEYWORD EXTRACTION: the top-3 TF-IDF terms per
+    * document, i.e. [[qTextTfidf]]'s score put to its canonical use
+    * (tags/topics per doc). Ranking happens on the ROUNDED score —
+    * both engines compute the identical round-6 double, so the order
+    * (score DESC, term ASC tiebreak) is engine-invariant even where
+    * raw ln ulps could differ. The window partitions by doc_id — the
+    * per-doc series is the unit of parallelism, no global window. */
+  val qTextKeywords: Q = Q(
+    "q_text_keywords",
+    (s, dir) => {
+      import s.implicits._
+      val toks = Tokenized(s, dir)
+        .select($"doc_id", explode($"lw").as("term"))
+      val tf = toks.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      val df = toks.select($"doc_id", $"term").distinct()
+        .groupBy($"term").agg(count(lit(1)).as("df"))
+      val n = Tokenized(s, dir).agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(broadcast(df), "term")
+        .crossJoin(broadcast(n))
+        .select($"doc_id", $"term",
+          round($"tf" * log($"n_docs".cast("double") / $"df"), 6).as("tfidf"))
+      val w = Window.partitionBy($"doc_id")
+        .orderBy($"tfidf".desc, $"term")
+      scored.withColumn("rank", row_number().over(w).cast(LongType))
+        .where($"rank" <= 3)
+        .select($"doc_id", $"rank", $"term", $"tfidf")
+        .orderBy($"doc_id", $"rank")
+    },
+    oracle = Some(
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT doc_id, term,
+        |    ROUND(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+        |  FROM tf JOIN df USING (term), n),
+        |ranked AS (
+        |  SELECT doc_id, term, tfidf,
+        |    row_number() OVER
+        |      (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+        |  FROM scored)
+        |SELECT doc_id, rank, term, tfidf
+        |FROM ranked
+        |WHERE rank <= 3
+        |ORDER BY doc_id, rank""".stripMargin))
+
   val all: Vector[Q] =
     Vector(qTextTokenizeExplode, qTextWordcountTf, qTextStats,
       qTextQuality, qTextTokenCount, qDocFingerprint, qTextFilterPipeline,
       qSampleDeterministic, qTextNormalize, qTextTfidf, qSampleStratified,
       qTextRedactPii, qTextRepetition, qTextPerplexity, qTextCollocations,
-      qTextKlDrift, qSampleFixedK, qSampleWeighted, qTextBm25, qTextEntropy)
+      qTextKlDrift, qSampleFixedK, qSampleWeighted, qTextBm25, qTextEntropy,
+      qTextTtr, qTextKeywords)
 }

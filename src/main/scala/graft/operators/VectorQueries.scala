@@ -483,8 +483,143 @@ object VectorQueries {
         |WHERE sim >= 0.25
         |ORDER BY sim DESC, vec_id""".stripMargin))
 
+  /** q_vec_centroid_sims — INTER-CLASS SEPARATION matrix: cosine
+    * similarity between every pair of label centroids (45 pairs over
+    * the 10 classes), the embedding-space confusion diagnostic that
+    * says which classes an ANN index / classifier will struggle to
+    * separate — and the triangle-inequality bound table the IVF cell
+    * pruning in q_vec_knn_ivf leans on. Same component layout as
+    * [[qVecCentroids]] (posexplode → per-(label, pos) mean); the pair
+    * stage joins centroid COMPONENTS on pos — a 640-row bounded-domain
+    * table however many vectors exist, so the pair matrix is
+    * broadcast-sized by construction (the per-vector corpus collapses
+    * in the first agg and never reappears). round(·,4) on the one
+    * float pipeline (mean components → dot/norms), the qVecCentroids
+    * determinism envelope. */
+  /** Per-label centroid COMPONENTS (label, pos, c) — the 640-row
+    * bounded model table [[qVecCentroidSims]] and [[qVecSilhouette]]
+    * both fit from (10 labels × 64 dims; same layout as
+    * [[qVecCentroids]]). One partial-agg shuffle collapses the corpus
+    * to this domain-sized table however many vectors exist. */
+  private def centroidComponents(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    Tables.embeddings(s, dir)
+      .select($"label", posexplode($"embedding").as(Seq("pos", "x")))
+      .groupBy($"label", $"pos")
+      .agg((sum($"x".cast(DoubleType)) / count(lit(1))).as("c"))
+  }
+
+  val qVecCentroidSims: Q = Q(
+    "q_vec_centroid_sims",
+    (s, dir) => {
+      import s.implicits._
+      val cent = centroidComponents(s, dir)
+      val nrm = cent.groupBy($"label")
+        .agg(sqrt(sum($"c" * $"c")).as("nrm"))
+      val dot = cent.as("a")
+        .join(cent.as("b"),
+          $"a.pos" === $"b.pos" && $"a.label" < $"b.label")
+        .groupBy($"a.label".as("label_a"), $"b.label".as("label_b"))
+        .agg(sum($"a.c" * $"b.c").as("dot"))
+      dot
+        .join(nrm.select($"label".as("label_a"), $"nrm".as("na")), "label_a")
+        .join(nrm.select($"label".as("label_b"), $"nrm".as("nb")), "label_b")
+        .select($"label_a", $"label_b",
+          round($"dot" / ($"na" * $"nb"), 4).as("cos_sim"))
+        .orderBy($"label_a", $"label_b")
+    },
+    oracle = Some(
+      """WITH comps AS (
+        |  SELECT label, i, CAST(embedding[i] AS DOUBLE) AS x
+        |  FROM embeddings, range(1, 65) t(i)),
+        |cent AS (
+        |  SELECT label, i, SUM(x) / COUNT(*) AS c
+        |  FROM comps GROUP BY label, i),
+        |nrm AS (SELECT label, sqrt(SUM(c * c)) AS nrm FROM cent GROUP BY label),
+        |dot AS (
+        |  SELECT a.label AS label_a, b.label AS label_b,
+        |    SUM(a.c * b.c) AS dot
+        |  FROM cent a JOIN cent b ON a.i = b.i AND a.label < b.label
+        |  GROUP BY a.label, b.label)
+        |SELECT label_a, label_b,
+        |  ROUND(dot / (na.nrm * nb.nrm), 4) AS cos_sim
+        |FROM dot
+        |  JOIN nrm na ON na.label = label_a
+        |  JOIN nrm nb ON nb.label = label_b
+        |ORDER BY label_a, label_b""".stripMargin))
+
+  /** q_vec_silhouette — CLUSTER-QUALITY SCORING by simplified
+    * silhouette (centroid form): per vector, a = distance to its own
+    * label's centroid, b = distance to the nearest OTHER centroid,
+    * s = (b−a)/max(a,b); reported as the per-label mean — the standard
+    * "are these embedding classes actually separated" metric, the
+    * evaluation counterpart of [[qVecCentroidSims]]'s geometry table.
+    *
+    * Distances come from DOT PRODUCTS, not coordinate differences:
+    * the corpus is unit-normalized (FIXTURES.md, norms 1 ± 1.2e-7), so
+    * ‖x−c‖² = 1 + ‖c‖² − 2x·c — both engines apply the identical
+    * formula, so the unit-norm approximation cancels in the compare.
+    * The medoid-free centroid form is the one that scales: full
+    * silhouette is all-pairs (n²d); this is n·k·d with k = 10.
+    *
+    * Shape: corpus → 640-row component model (one partial agg); the
+    * per-vector pass joins components on pos (broadcast) and collapses
+    * to (vec, centroid) dots — n·k rows — then per-vector a/b and one
+    * label agg. round(4) envelope on the mean (qVecCentroids rule). */
+  val qVecSilhouette: Q = Q(
+    "q_vec_silhouette",
+    (s, dir) => {
+      import s.implicits._
+      val cent = centroidComponents(s, dir)
+        .select($"label".as("clabel"), $"pos", $"c")
+      val cn2 = cent.groupBy($"clabel").agg(sum($"c" * $"c").as("cn2"))
+      val dots = Tables.embeddings(s, dir)
+        .select($"vec_id", $"label", posexplode($"embedding").as(Seq("pos", "x")))
+        .join(broadcast(cent), "pos")
+        .groupBy($"vec_id", $"label", $"clabel")
+        .agg(sum($"x".cast(DoubleType) * $"c").as("dot"))
+      val dist = dots.join(broadcast(cn2), "clabel")
+        .select($"vec_id", $"label", $"clabel",
+          sqrt(lit(1.0) + $"cn2" - lit(2.0) * $"dot").as("d"))
+      val ab = dist.groupBy($"vec_id", $"label").agg(
+        max(when($"clabel" === $"label", $"d")).as("a"),
+        min(when($"clabel" =!= $"label", $"d")).as("b"))
+      ab.select($"label", (($"b" - $"a") / greatest($"a", $"b")).as("sil"))
+        .groupBy($"label")
+        .agg(count(lit(1)).as("n_vecs"),
+          round(avg($"sil"), 4).as("mean_silhouette"))
+        .orderBy($"label")
+    },
+    oracle = Some(
+      """WITH comps AS (
+        |  SELECT vec_id, label, i, CAST(embedding[i] AS DOUBLE) AS x
+        |  FROM embeddings, range(1, 65) t(i)),
+        |cent AS (
+        |  SELECT label AS clabel, i, SUM(x) / COUNT(*) AS c
+        |  FROM comps GROUP BY label, i),
+        |cn2 AS (SELECT clabel, SUM(c * c) AS cn2 FROM cent GROUP BY clabel),
+        |dots AS (
+        |  SELECT vec_id, label, clabel, SUM(x * c) AS dot
+        |  FROM comps JOIN cent USING (i)
+        |  GROUP BY vec_id, label, clabel),
+        |dist AS (
+        |  SELECT vec_id, label, clabel, sqrt(1.0 + cn2 - 2.0 * dot) AS d
+        |  FROM dots JOIN cn2 USING (clabel)),
+        |ab AS (
+        |  SELECT vec_id, label,
+        |    MAX(CASE WHEN clabel = label THEN d END) AS a,
+        |    MIN(CASE WHEN clabel <> label THEN d END) AS b
+        |  FROM dist GROUP BY vec_id, label)
+        |SELECT label, COUNT(*) AS n_vecs,
+        |  ROUND(AVG((b - a) / greatest(a, b)), 4) AS mean_silhouette
+        |FROM ab
+        |GROUP BY label
+        |ORDER BY label""".stripMargin))
+
   val all: Vector[Q] = Vector(
     qVecNormStats, qVecKnnBruteforce, qVecKnnLsh, qVecKnnIvf,
     qDedupEmbedding, qVecCentroids, qMultimodalJoin, qMultimodalFrames,
-    qVecQuantize, qVecKnnBatch, qVecRangeSearch)
+    qVecQuantize, qVecKnnBatch, qVecRangeSearch, qVecCentroidSims,
+    qVecSilhouette)
 }

@@ -622,4 +622,42 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
       s"group-means must attach via broadcast:\n$p")
   }
+
+  test("q_prep_bucketize: fact windows partition by bin; only the bounded " +
+    "bin/total sides are single-partition") {
+    val p = planOf("q_prep_bucketize")
+    assert(p.contains("hashpartitioning(bin"),
+      s"the in-bin row_number must run bin-partitioned:\n$p")
+    // Allowed single-partition stages: the ≤400-row bin-offset cumsum
+    // window and the 1-row total. The 600k-row fact side must never
+    // collapse to one partition — that is the NTILE scale-killer this
+    // query exists to avoid.
+    val single = p.linesIterator.count(_.contains("Exchange SinglePartition"))
+    assert(single <= 2,
+      s"expected only the two domain-sized single-partition sides, " +
+        s"got $single:\n$p")
+  }
+
+  test("q_prep_hash_features is one user-keyed shuffle, no pivot pass") {
+    val p = planOf("q_prep_hash_features")
+    val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx == 1,
+      s"SUM(CASE) vectors must form in a single user_id exchange, " +
+        s"got $hashEx:\n$p")
+  }
+
+  test("q_dq_orphans: every fk audit anti-joins against a broadcast dim") {
+    val p = planOf("q_dq_orphans")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"orphan checks must be broadcast anti joins:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the fact side must never shuffle for a dimension audit:\n$p")
+  }
+
+  test("q_graph_clustering_coeff: wedge closure stays equi (no cartesian)") {
+    val p = planOf("q_graph_clustering_coeff")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"corner accounting must ride the keyed wedge join:\n$p")
+  }
 }
