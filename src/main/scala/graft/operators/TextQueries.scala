@@ -1158,11 +1158,108 @@ object TextQueries {
         |WHERE rank <= 3
         |ORDER BY doc_id, rank""".stripMargin))
 
+  /** q_text_bigram_lm — BIGRAM language-model cross-entropy per doc,
+    * the order-2 companion of [[qTextPerplexity]]'s unigram row: each
+    * bigram contributes floor(ln(c(w1,w2)/c(w1·))·10⁶) micro-nats —
+    * p(w2|w1) is the conditional MLE — and the per-doc total
+    * integer-divides by the bigram count. Unigram-vs-bigram xent is
+    * the first LM ablation a corpus-quality pipeline reports (how much
+    * does local context compress the text). Same determinism contract:
+    * ln is quantized ONCE per (cab, c1) pair in a textually identical
+    * expression, everything after is exact long arithmetic.
+    *
+    * Scale: bigram extraction is the per-row array transform of
+    * [[qTextCollocations]] over the shared token stage; the LM is the
+    * VOCAB²-bounded count grid with its margins (broadcast), so the
+    * corpus re-joins the model without shuffling on the bigram. */
+  val qTextBigramLm: Q = Q(
+    "q_text_bigram_lm",
+    (s, dir) => {
+      import s.implicits._
+      val bi = Tokenized(s, dir)
+        .select($"doc_id", explode(expr(
+          "transform(slice(lw, 1, greatest(size(lw) - 1, 0)), " +
+            "(x, i) -> named_struct('w1', x, 'w2', lw[i + 1]))")).as("b"))
+        .select($"doc_id", $"b.w1".as("w1"), $"b.w2".as("w2"))
+      val cab = bi.groupBy($"w1", $"w2").agg(count(lit(1)).as("cab"))
+      val c1 = cab.groupBy($"w1").agg(sum($"cab").as("c1"))
+      val lm = cab.join(c1, "w1")
+      bi.join(broadcast(lm), Seq("w1", "w2"))
+        .select($"doc_id",
+          expr("CAST(floor(ln(CAST(cab AS DOUBLE) / c1) * 1000000) AS BIGINT)")
+            .as("lpf"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum($"lpf").as("slpf"))
+        .select($"doc_id", $"n_bigrams",
+          expr("(-slpf) div n_bigrams").as("xent_micro"))
+        .orderBy($"doc_id")
+    },
+    oracle = Some(
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS lw FROM documents),
+        |bi AS (
+        |  SELECT doc_id, lw[i] AS w1, lw[i + 1] AS w2
+        |  FROM (SELECT doc_id, lw, unnest(range(1, len(lw))) AS i FROM toks)),
+        |cab AS (SELECT w1, w2, COUNT(*) AS cab FROM bi GROUP BY w1, w2),
+        |c1 AS (SELECT w1, CAST(SUM(cab) AS BIGINT) AS c1 FROM cab GROUP BY w1),
+        |lp AS (
+        |  SELECT doc_id,
+        |    CAST(floor(ln(CAST(cab AS DOUBLE) / c1) * 1000000) AS BIGINT) AS lpf
+        |  FROM bi JOIN cab USING (w1, w2) JOIN c1 USING (w1))
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        |  CAST((-SUM(lpf)) // COUNT(*) AS BIGINT) AS xent_micro
+        |FROM lp GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin))
+
+  /** q_sample_balanced — CLASS-BALANCED downsampling: every language
+    * keeps exactly m docs, where m = the minority class's count — the
+    * rebalancing a classifier-training set gets when stratified RATES
+    * (q_sample_stratified) aren't enough and exact per-class parity is
+    * required. Selection within each class is by md5 ORDER (not a
+    * threshold gate): rank docs by md5(doc_id) and keep the first m —
+    * deterministic, auditable, and exactly-m by construction (a rate
+    * gate only hits m in expectation). doc_id tiebreak makes the order
+    * total; both engines rank the identical md5 hex strings.
+    *
+    * Scale: class counts are a domain-sized agg (broadcast 1-row min);
+    * the rank is a class-partitioned window — per-class series is the
+    * unit of parallelism. A 100 TB corpus with a huge majority class
+    * ranks within each class in parallel; no global sort. */
+  val qSampleBalanced: Q = Q(
+    "q_sample_balanced",
+    (s, dir) => {
+      import s.implicits._
+      val m = Tables.documents(s, dir)
+        .groupBy($"lang").agg(count(lit(1)).as("n"))
+        .agg(min($"n").as("m"))
+      val w = Window.partitionBy($"lang")
+        .orderBy(md5($"doc_id".cast("string")), $"doc_id")
+      Tables.documents(s, dir)
+        .withColumn("rk", row_number().over(w).cast(LongType))
+        .crossJoin(broadcast(m))
+        .where($"rk" <= $"m")
+        .select($"doc_id", $"lang", $"rk")
+        .orderBy($"doc_id")
+    },
+    oracle = Some(
+      """WITH m AS (
+        |  SELECT MIN(n) AS m FROM (
+        |    SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang)),
+        |ranked AS (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)
+        |SELECT doc_id, lang, rk
+        |FROM ranked, m
+        |WHERE rk <= m
+        |ORDER BY doc_id""".stripMargin))
+
   val all: Vector[Q] =
     Vector(qTextTokenizeExplode, qTextWordcountTf, qTextStats,
       qTextQuality, qTextTokenCount, qDocFingerprint, qTextFilterPipeline,
       qSampleDeterministic, qTextNormalize, qTextTfidf, qSampleStratified,
       qTextRedactPii, qTextRepetition, qTextPerplexity, qTextCollocations,
       qTextKlDrift, qSampleFixedK, qSampleWeighted, qTextBm25, qTextEntropy,
-      qTextTtr, qTextKeywords)
+      qTextTtr, qTextKeywords, qTextBigramLm, qSampleBalanced)
 }
