@@ -344,6 +344,24 @@ object GraphQueries {
     * query built first would silently define the edges the other uses
     * (Memo ignores the second thunk) — a one-sided edit would produce
     * order-dependent results with no failing test naming the cause. */
+  private val degCache = new graft.Memo[(SparkSession, String), DataFrame]
+
+  /** Degree table (n, deg) of [[coEdges]], persisted once per
+    * (session, dir) — five rows (triangles, jaccard, degree-hist,
+    * clustering-coeff, assortativity) consume the identical table, and
+    * like the edge set it must have ONE definition: an inlined copy per
+    * row would recompute a node-domain aggregate per query and invite
+    * silent drift. Node-domain sized (≪ edges), cheap to hold. */
+  private def coDegrees(s: SparkSession, dir: String): DataFrame =
+    degCache((s, dir)) {
+      import s.implicits._
+      val edges = coEdges(s, dir)
+      edges.select($"u".as("n"))
+        .union(edges.select($"v".as("n")))
+        .groupBy($"n").agg(count(lit(1)).as("deg"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
   private def coEdges(s: SparkSession, dir: String): DataFrame =
     edgeCache((s, dir)) {
       import s.implicits._
@@ -368,9 +386,7 @@ object GraphQueries {
       // (deg, orientation, closure probe, edge count) and must not
       // re-expand the pairs stage each time
       val edges = coEdges(s, dir)
-      val deg = edges.select($"u".as("n"))
-        .union(edges.select($"v".as("n")))
-        .groupBy($"n").agg(count(lit(1)).as("deg"))
+      val deg = coDegrees(s, dir)
       // orient: src = lower (deg, id) endpoint → dst = higher
       val oriented = edges
         .join(deg.select($"n".as("u"), $"deg".as("du")), "u")
@@ -588,10 +604,7 @@ object GraphQueries {
     "q_graph_jaccard_neighbors",
     (s, dir) => {
       import s.implicits._
-      val edges = coEdges(s, dir)
-      val deg = edges.select($"u".as("n"))
-        .union(edges.select($"v".as("n")))
-        .groupBy($"n").agg(count(lit(1)).as("deg"))
+      val deg = coDegrees(s, dir)
       val cn = linkPredict(s, dir, "cn")(
         d => d.select($"ctr", lit(1L).as("w")))
       cn.join(deg.select($"n".as("u"), $"deg".as("du")), "u")
@@ -869,10 +882,7 @@ object GraphQueries {
     "q_graph_degree_hist",
     (s, dir) => {
       import s.implicits._
-      val edges = coEdges(s, dir)
-      val deg = edges.select($"u".as("n"))
-        .union(edges.select($"v".as("n")))
-        .groupBy($"n").agg(count(lit(1)).as("deg"))
+      val deg = coDegrees(s, dir)
       val hist = deg.groupBy($"deg").agg(count(lit(1)).as("n_nodes"))
       val tot = hist.agg(sum($"n_nodes").cast(org.apache.spark.sql.types.LongType).as("n_total"))
       hist.crossJoin(broadcast(tot))
@@ -915,9 +925,7 @@ object GraphQueries {
     (s, dir) => {
       import s.implicits._
       val edges = coEdges(s, dir)
-      val deg = edges.select($"u".as("n"))
-        .union(edges.select($"v".as("n")))
-        .groupBy($"n").agg(count(lit(1)).as("deg"))
+      val deg = coDegrees(s, dir)
       val oriented = edges
         .join(deg.select($"n".as("u"), $"deg".as("du")), "u")
         .join(deg.select($"n".as("v"), $"deg".as("dv")), "v")
@@ -985,9 +993,7 @@ object GraphQueries {
     (s, dir) => {
       import s.implicits._
       val edges = coEdges(s, dir)
-      val deg = edges.select($"u".as("n"))
-        .union(edges.select($"v".as("n")))
-        .groupBy($"n").agg(count(lit(1)).as("deg"))
+      val deg = coDegrees(s, dir)
       val sym = edges.unionAll(edges.select($"v".as("u"), $"u".as("v")))
       val m = sym
         .join(deg.select($"n".as("u"), $"deg".as("du")), "u")
