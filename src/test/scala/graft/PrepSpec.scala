@@ -1,0 +1,130 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Independent (DuckDB-free) verification of the feature-prep family —
+  * each test recomputes the semantics driver-side from the raw fixture
+  * and compares against the catalog row, so a same-bug-both-engines
+  * oracle coincidence cannot survive (SURVEY.md §5 layering). */
+class PrepSpec extends AnyFunSuite with SparkFixture {
+
+  test("q_prep_bucketize equals a driver-side exact quartile recompute") {
+    import spark.implicits._
+    val cents = Tables.lineitem(spark, sfDir)
+      .select(
+        graft.Dsl.dec2($"l_extendedprice") * 100,
+        $"l_orderkey", $"l_linenumber", $"l_partkey")
+      .collect()
+      .map(r => (r.getDecimal(0).longValueExact(),
+        r.getAs[Number](1).longValue, r.getAs[Number](2).longValue,
+        r.getAs[Number](3).longValue))
+      .sortBy(identity)
+    val n = cents.length
+    val want = cents.zipWithIndex
+      .groupBy { case (_, i) => i.toLong * 4 / n + 1 }
+      .map { case (b, rows) =>
+        val cs = rows.map(_._1._1)
+        (b, rows.length.toLong, cs.min / 100.0, cs.max / 100.0,
+          cs.sum / 100.0)
+      }
+      .toSeq.sortBy(_._1)
+    val got = Catalog.byName("q_prep_bucketize").build(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))
+      .toSeq
+    assert(got == want)
+  }
+
+  test("q_prep_standardize: per-class z-scores have mean ~0 and var ~1, " +
+    "and invert back to the raw cents") {
+    import spark.implicits._
+    val rows = Catalog.byName("q_prep_standardize").build(spark, sfDir)
+      .join(Tables.events(spark, sfDir).select($"event_id", $"value"),
+        "event_id")
+      .select($"event_type", $"z", $"value")
+      .collect()
+      .groupBy(_.getString(0))
+    assert(rows.keySet ==
+      Set("click", "error", "purchase", "signup", "view"))
+    rows.foreach { case (et, rs) =>
+      val zs = rs.map(_.getDouble(1))
+      val mean = zs.sum / zs.length
+      val varZ = zs.map(z => z * z).sum / zs.length - mean * mean
+      assert(math.abs(mean) < 1e-4, s"$et: z mean $mean")
+      assert(math.abs(varZ - 1.0) < 1e-2, s"$et: z variance $varZ")
+      // Monotone: the largest z must belong to the largest value.
+      val byZ = rs.sortBy(_.getDouble(1))
+      assert(byZ.last.getDouble(2) == rs.map(_.getDouble(2)).max)
+    }
+  }
+
+  test("q_prep_split partitions every event exactly once, ~80/20") {
+    val out = Catalog.byName("q_prep_split").build(spark, sfDir).collect()
+    val n = Tables.events(spark, sfDir).count()
+    assert(out.map(_.getAs[Long]("n")).sum == n)
+    val train = out.filter(_.getString(0) == "train").map(_.getAs[Long]("n")).sum
+    val frac = train.toDouble / n
+    assert(frac > 0.72 && frac < 0.88, s"train fraction $frac")
+  }
+
+  test("q_prep_hash_features: bucket counts per user sum to the user's " +
+    "event count, and bucketing matches a driver md5 recompute") {
+    import spark.implicits._
+    val got = Catalog.byName("q_prep_hash_features").build(spark, sfDir)
+      .collect()
+      .map(r => r.getLong(0) -> (1 to 8).map(i => r.getLong(i)).toVector)
+      .toMap
+    val raw = Tables.events(spark, sfDir)
+      .select($"user_id", $"event_type",
+        org.apache.spark.sql.functions.get_json_object($"props", "$.k")
+          .as("k"))
+      .collect()
+    val want = raw.groupBy(_.getLong(0)).map { case (u, rs) =>
+      val counts = Array.fill(8)(0L)
+      rs.foreach { r =>
+        val feat = r.getString(1) + "#" + r.getString(2)
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(feat.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        counts(hex.charAt(0).toInt % 8) += 1
+      }
+      u -> counts.toVector
+    }
+    assert(got == want)
+    got.foreach { case (u, cs) =>
+      assert(cs.sum == raw.count(_.getLong(0) == u))
+    }
+  }
+
+  test("q_dq_orphans counts exactly the facts stranded by the planted purge") {
+    import spark.implicits._
+    val out = Catalog.byName("q_dq_orphans").build(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def md5Hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val keptParts = Tables.part(spark, sfDir).select($"p_partkey")
+      .collect().map(_.getLong(0))
+      .filterNot(k => md5Hex(k.toString).substring(0, 2) < "1a").toSet
+    val wantOrphans = Tables.lineitem(spark, sfDir).select($"l_partkey")
+      .collect().map(_.getLong(0)).count(k => !keptParts(k))
+    assert(out("lineitem.l_partkey->part") == wantOrphans.toLong)
+    assert(out.values.forall(_ > 0),
+      "the planted purge must make every audit row non-degenerate")
+  }
+
+  test("q_sample_balanced keeps exactly the minority count per class") {
+    import spark.implicits._
+    val perLang = Catalog.byName("q_sample_balanced").build(spark, sfDir)
+      .groupBy($"lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val classCounts = Tables.documents(spark, sfDir)
+      .groupBy($"lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val m = classCounts.values.min
+    assert(perLang.keySet == classCounts.keySet)
+    assert(perLang.values.forall(_ == m),
+      s"every class must keep exactly $m docs: $perLang")
+  }
+}
