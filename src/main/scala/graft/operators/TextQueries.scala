@@ -1255,11 +1255,54 @@ object TextQueries {
         |WHERE rk <= m
         |ORDER BY doc_id""".stripMargin))
 
+  /** q_text_char_trigrams — per-language CHARACTER-TRIGRAM profile
+    * (top-10 by frequency): the feature table the [[LangId]] n-gram
+    * heuristic is built on, surfaced as an oracle row — LangId itself
+    * is a T-row (its scoring isn't SQL-expressible), but the profile
+    * underneath it is pure counting, so THIS row pins the extraction
+    * against DuckDB. Trigram extraction is a per-row position
+    * transform + explode (narrow, codegen'd, word boundaries
+    * included); counts collapse onto the bounded (lang, trigram)
+    * domain in one partial-agg shuffle; the top-10 window partitions
+    * by lang. All integer; count-desc ties break on the trigram. */
+  val qTextCharTrigrams: Q = Q(
+    "q_text_char_trigrams",
+    (s, dir) => {
+      import s.implicits._
+      val tri = Tables.documents(s, dir)
+        .where(length($"text") >= 3)
+        .select($"lang", explode(expr(
+          "transform(sequence(1, length(text) - 2), " +
+            "i -> substring(lower(text), i, 3))")).as("g"))
+      val cnt = tri.groupBy($"lang", $"g").agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy($"lang").orderBy($"c".desc, $"g")
+      cnt.withColumn("rk", row_number().over(w).cast(LongType))
+        .where($"rk" <= 10)
+        .select($"lang", $"rk", $"g", $"c")
+        .orderBy($"lang", $"rk")
+    },
+    oracle = Some(
+      """WITH tri AS (
+        |  SELECT lang, substring(lower(text), i, 3) AS g
+        |  FROM (SELECT lang, text,
+        |          unnest(range(1, len(text) - 1)) AS i
+        |        FROM documents WHERE len(text) >= 3)),
+        |cnt AS (SELECT lang, g, COUNT(*) AS c FROM tri GROUP BY lang, g),
+        |ranked AS (
+        |  SELECT lang, g, c,
+        |    row_number() OVER (PARTITION BY lang ORDER BY c DESC, g) AS rk
+        |  FROM cnt)
+        |SELECT lang, rk, g, c
+        |FROM ranked
+        |WHERE rk <= 10
+        |ORDER BY lang, rk""".stripMargin))
+
   val all: Vector[Q] =
     Vector(qTextTokenizeExplode, qTextWordcountTf, qTextStats,
       qTextQuality, qTextTokenCount, qDocFingerprint, qTextFilterPipeline,
       qSampleDeterministic, qTextNormalize, qTextTfidf, qSampleStratified,
       qTextRedactPii, qTextRepetition, qTextPerplexity, qTextCollocations,
       qTextKlDrift, qSampleFixedK, qSampleWeighted, qTextBm25, qTextEntropy,
-      qTextTtr, qTextKeywords, qTextBigramLm, qSampleBalanced)
+      qTextTtr, qTextKeywords, qTextBigramLm, qSampleBalanced,
+      qTextCharTrigrams)
 }
