@@ -273,7 +273,36 @@ object ScalarFuncQueries {
         |      FROM events)
         |ORDER BY event_id""".stripMargin))
 
+  /** q_bitwise_funcs — the BITWISE battery (AND/OR/XOR, shifts,
+    * popcount), the scalar substrate the SimHash/fingerprint family is
+    * built from, exercised as its own oracle row: per event_id k, a
+    * 4-bit band extract ((k >> 2) & 15), a shift-mix (k ^ (k << 3)
+    * masked to 62 bits so the shift can't sign-overflow differently),
+    * and bit_count(k). All pure integer ops with identical two's-
+    * complement semantics in both engines; narrow codegen'd scan, no
+    * shuffle. */
+  val qBitwiseFuncs: Q = Q(
+    "q_bitwise_funcs",
+    (s, dir) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .select($"event_id",
+          (shiftright($"event_id", 2).bitwiseAND(lit(15L))).as("band"),
+          ($"event_id".bitwiseXOR(
+            shiftleft($"event_id", 3).bitwiseAND(lit(0x3fffffffffffffffL))))
+            .as("mix"),
+          bit_count($"event_id").cast(IntegerType).as("popcnt"))
+        .orderBy($"event_id")
+    },
+    oracle = Some(
+      """SELECT event_id,
+        |  (event_id >> 2) & 15 AS band,
+        |  xor(event_id, (event_id << 3) & 4611686018427387903) AS mix,
+        |  CAST(bit_count(event_id) AS INTEGER) AS popcnt
+        |FROM events
+        |ORDER BY event_id""".stripMargin))
+
   val all: Vector[Q] =
     Vector(qStrFuncs, qDateFuncs, qMathFuncs, qArrayFuncs, qJsonExtract,
-      qNullSemantics, qMapFuncs)
+      qNullSemantics, qMapFuncs, qBitwiseFuncs)
 }

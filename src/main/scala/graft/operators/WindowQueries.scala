@@ -407,8 +407,76 @@ object WindowQueries {
         |FROM events
         |ORDER BY event_id""".stripMargin))
 
+  /** q_win_rolling_corr — ROLLING 7-day Pearson correlation between
+    * daily event count and daily exact-cents value per event type: the
+    * moving volume↔revenue coupling monitor, and the window-frame
+    * composition of the q_ts_cross_corr discipline — every Pearson
+    * ingredient (Σn, Σv, Σnv, Σn², Σv²) is an exact-integer window SUM
+    * over the trailing 7-row frame, so the only float is the final r
+    * expression, textually identical in both engines. Rows without a
+    * full 7-day history are suppressed (the warm-up rows would
+    * correlate over a shrinking frame — a different statistic).
+    *
+    * Scale: the fact scan collapses to the (type × day) domain in one
+    * partial agg; the frames run over that bounded table partitioned
+    * by type. Σv² headroom: daily cents ~1e7 → v² ~1e14 → ×7 well
+    * inside Long even at 1000× daily volume. */
+  val qWinRollingCorr: Q = Q(
+    "q_win_rolling_corr",
+    (s, dir) => {
+      import s.implicits._
+      val daily = Tables.events(s, dir)
+        .groupBy($"event_type",
+          to_date(date_trunc("day", $"ts")).as("day"))
+        .agg(count(lit(1)).as("n"),
+          (dec2(sum(dec2($"value"))) * 100).cast(LongType).as("v"))
+      val w = Window.partitionBy($"event_type").orderBy($"day")
+        .rowsBetween(-6, Window.currentRow)
+      val wRk = Window.partitionBy($"event_type").orderBy($"day")
+      val framed = daily.select($"event_type", $"day",
+        count(lit(1)).over(w).as("k"),
+        sum($"n").over(w).as("sx"), sum($"v").over(w).as("sy"),
+        sum($"n" * $"v").over(w).as("sxy"),
+        sum($"n" * $"n").over(w).as("sxx"),
+        sum($"v" * $"v").over(w).as("syy"),
+        row_number().over(wRk).as("rk"))
+      framed.where($"rk" >= 7)
+        .select($"event_type", $"day",
+          round(($"k" * $"sxy" - $"sx" * $"sy").cast(DoubleType) /
+            (sqrt(($"k" * $"sxx" - $"sx" * $"sx").cast(DoubleType)) *
+             sqrt(($"k" * $"syy" - $"sy" * $"sy").cast(DoubleType))), 6)
+            .as("r7"))
+        .orderBy($"event_type", $"day")
+    },
+    oracle = Some(
+      """WITH daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    COUNT(*) AS n,
+        |    CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))
+        |      * 100 AS BIGINT) AS v
+        |  FROM events GROUP BY 1, 2),
+        |framed AS (
+        |  SELECT event_type, day,
+        |    COUNT(*) OVER w AS k,
+        |    CAST(SUM(n) OVER w AS BIGINT) AS sx,
+        |    CAST(SUM(v) OVER w AS BIGINT) AS sy,
+        |    CAST(SUM(n * v) OVER w AS BIGINT) AS sxy,
+        |    CAST(SUM(n * n) OVER w AS BIGINT) AS sxx,
+        |    CAST(SUM(v * v) OVER w AS BIGINT) AS syy,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS rk
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT event_type, day,
+        |  ROUND(CAST(k*sxy - sx*sy AS DOUBLE) /
+        |    (sqrt(CAST(k*sxx - sx*sx AS DOUBLE)) *
+        |     sqrt(CAST(k*syy - sy*sy AS DOUBLE))), 6) AS r7
+        |FROM framed
+        |WHERE rk >= 7
+        |ORDER BY event_type, day""".stripMargin))
+
   val all: Vector[Q] = Vector(
     qWinRank, qWinRunning, qWinLeadLag, qWinDistribution,
     qWinRangeFrame, qSessionize, qReportMomentum, qWinValueFuncs,
-    qWinRunningDistinct, qWinRollingMedian)
+    qWinRunningDistinct, qWinRollingMedian, qWinRollingCorr)
 }
