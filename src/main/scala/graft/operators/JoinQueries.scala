@@ -605,9 +605,53 @@ object JoinQueries {
         |) WHERE event_type = 'purchase'
         |ORDER BY event_id""".stripMargin))
 
+  /** q_join_null_safe — NULL-SAFE equality join (Spark `<=>` /
+    * SQL IS NOT DISTINCT FROM): the join a dimension lookup needs when
+    * the key itself can be missing and "missing" is a real bucket, not
+    * a dropped row — plain equi-join semantics silently discard every
+    * NULL-keyed fact. The fixtures have no NULL keys (FIXTURES.md), so
+    * the row plants them with the md5 gate (~10% of events lose their
+    * user bucket — deterministic, both engines null the SAME rows),
+    * then joins against an 11-row bucket dim whose last row IS the
+    * NULL key. The planted rows land in 'missing' — the oracle proves
+    * both the match semantics and that no row vanished (Σn = |events|).
+    * Scale: the dim is literal-sized → broadcast; narrow fact scan. */
+  val qJoinNullSafe: Q = Q(
+    "q_join_null_safe",
+    (s, dir) => {
+      import s.implicits._
+      val dim = ((0 until 10).map(i => (Some(i.toLong), s"bucket_$i")) :+
+        (Option.empty[Long], "missing")).toDF("k", "bucket_label")
+      val facts = Tables.events(s, dir)
+        .select($"event_id",
+          when(md5Gate($"event_id", "1a"), lit(null))
+            .otherwise(pmod($"user_id", lit(10L))).as("k"))
+      facts.join(broadcast(dim), facts("k") <=> dim("k"))
+        .groupBy($"bucket_label")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"bucket_label")
+    },
+    oracle = Some(
+      s"""WITH dim AS (
+         |  SELECT * FROM (VALUES
+         |    (0, 'bucket_0'), (1, 'bucket_1'), (2, 'bucket_2'),
+         |    (3, 'bucket_3'), (4, 'bucket_4'), (5, 'bucket_5'),
+         |    (6, 'bucket_6'), (7, 'bucket_7'), (8, 'bucket_8'),
+         |    (9, 'bucket_9'), (NULL, 'missing')) d(k, bucket_label)),
+         |facts AS (
+         |  SELECT event_id,
+         |    CASE WHEN ${md5GateSql("event_id", "1a")} THEN NULL
+         |         ELSE user_id % 10 END AS k
+         |  FROM events)
+         |SELECT bucket_label, COUNT(*) AS n
+         |FROM facts JOIN dim ON facts.k IS NOT DISTINCT FROM dim.k
+         |GROUP BY bucket_label
+         |ORDER BY bucket_label""".stripMargin))
+
   val all: Vector[Q] = Vector(
     qJoinInner, qJoinBroadcast, qJoinMultiway, qJoinLeftOuter,
     qJoinFullOuter, qJoinSemi, qJoinAnti, qJoinThetaRange,
     qJoinSelfAsof, qJoinSelfAsofNative, qJoinAsofTolerance, qJoinInterval,
-    qJoinBucketed, qJoinBloom, qJoinAsofNearest, qJoinAsofForward)
+    qJoinBucketed, qJoinBloom, qJoinAsofNearest, qJoinAsofForward,
+    qJoinNullSafe)
 }
