@@ -48,6 +48,8 @@ object SourceQueries {
         case "csv"  => w.option("header", "true").csv(out)
         case "json" => w.json(out)
         case "orc"  => w.orc(out)
+        case "xml"  => w.option("rootTag", "customers")
+          .option("rowTag", "customer").format("xml").save(out)
       }
       out
       }
@@ -238,7 +240,25 @@ object SourceQueries {
     },
     oracle = Some("SELECT doc_id, lang, text FROM documents ORDER BY doc_id"))
 
+  /** q_source_xml — XML write→read round trip over customer, through
+    * Spark 4's BUILT-IN xml data source (mainlined from spark-xml in
+    * 4.0 — no extra dependency): one <customer> element per row under
+    * a <customers> root. The explicit schema matters most here of all
+    * the formats — XML carries no types at all, so every column would
+    * otherwise infer from text. DuckDB cannot read XML; the oracle
+    * closes the loop the same way as CSV/JSON: the round-tripped rows
+    * must equal the parquet ground truth exactly. */
+  val qSourceXml: Q = Q(
+    "q_source_xml",
+    (s, dir) => {
+      import s.implicits._
+      s.read.schema(customerSchema).option("rowTag", "customer")
+        .format("xml").load(export(s, dir, "xml"))
+        .orderBy($"c_custkey")
+    },
+    oracle = Some("SELECT * FROM customer ORDER BY c_custkey"))
+
   val all: Vector[Q] = Vector(
     qSourceCsv, qSourceJson, qSourceOrc, qSourceBinaryfile,
-    qSourceSchemaEvolution, qSourceText)
+    qSourceSchemaEvolution, qSourceText, qSourceXml)
 }
