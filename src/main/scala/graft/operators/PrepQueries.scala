@@ -338,7 +338,39 @@ object PrepQueries {
          |ORDER BY user_id""".stripMargin
     })
 
+  /** q_prep_calendar — CALENDAR FEATURE extraction from the event
+    * timestamp (ISO day-of-week, hour, weekend flag): the features
+    * every temporal model starts with. The trap this row exists to pin:
+    * day-of-week NUMBERING is engine-specific (Spark dayofweek 1=Sun,
+    * DuckDB dow 0=Sun, ISO 1=Mon) — so the dow derives from epoch-day
+    * arithmetic instead, dow_iso = (days_since_epoch + 3) % 7 + 1
+    * (1970-01-01 was a Thursday), a pure integer expression identical
+    * in both engines. hour() agrees cross-engine (UTC session). Narrow
+    * codegen'd scan, no shuffle. */
+  val qPrepCalendar: Q = Q(
+    "q_prep_calendar",
+    (s, dir) => {
+      import s.implicits._
+      val days = datediff(to_date($"ts"), lit("1970-01-01").cast("date"))
+        .cast(LongType)
+      Tables.events(s, dir)
+        .select($"event_id",
+          (pmod(days + 3, lit(7L)) + 1).as("dow_iso"),
+          hour($"ts").cast(LongType).as("hr"),
+          (pmod(days + 3, lit(7L)) + 1 >= 6).as("is_weekend"))
+        .orderBy($"event_id")
+    },
+    oracle = Some(
+      """SELECT event_id,
+        |  (date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) + 3) % 7 + 1
+        |    AS dow_iso,
+        |  CAST(hour(ts) AS BIGINT) AS hr,
+        |  ((date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) + 3) % 7 + 1
+        |    >= 6) AS is_weekend
+        |FROM events
+        |ORDER BY event_id""".stripMargin))
+
   val all: Vector[Q] = Vector(
     qPrepImputeMean, qPrepScaleMinmax, qPrepStandardize, qPrepBucketize,
-    qPrepOnehot, qPrepSplit, qPrepHashFeatures)
+    qPrepOnehot, qPrepSplit, qPrepHashFeatures, qPrepCalendar)
 }
