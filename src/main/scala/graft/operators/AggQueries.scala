@@ -412,9 +412,40 @@ object AggQueries {
         |SELECT event_type, h AS mode_hour, n FROM r WHERE rn = 1
         |ORDER BY event_type""".stripMargin))
 
+  /** q_agg_bool — the BOOLEAN-aggregate battery (bool_and / bool_or /
+    * filtered count), the predicate-summary shapes a data-quality or
+    * assertion layer aggregates with: per order priority, does EVERY
+    * line ship with positive quantity (bool_and), does ANY line carry
+    * the max 10% discount (bool_or), and how many lines are
+    * tax-exempt (FILTER-style conditional count). All tri-state
+    * boolean/count logic with identical semantics both engines; one
+    * partial-agg shuffle to the 5-row priority domain. */
+  val qAggBool: Q = Q(
+    "q_agg_bool",
+    (s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderpriority")
+        .agg(
+          count(lit(1)).as("n"),
+          bool_and($"l_quantity" > 0).as("all_qty_positive"),
+          bool_or($"l_discount" >= 0.1).as("any_max_discount"),
+          count(when($"l_tax" === 0.0, 1)).as("n_tax_exempt"))
+        .orderBy($"o_orderpriority")
+    },
+    oracle = Some(
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  bool_and(l_quantity > 0) AS all_qty_positive,
+        |  bool_or(l_discount >= 0.1) AS any_max_discount,
+        |  COUNT(*) FILTER (WHERE l_tax = 0.0) AS n_tax_exempt
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin))
+
   val all: Vector[Q] = Vector(
     qAggGlobal, qAggGroupby, qAggDistinct, qAggHaving,
     qAggGroupingSets, qAggStats, qAggPercentile, qAggStringagg,
     qAggApproxHll, qAggApproxPercentile, qAggCustomTyped, qAggHeavyHitters,
-    qAggSketchUnion, qAggMinmaxBy, qAggMode)
+    qAggSketchUnion, qAggMinmaxBy, qAggMode, qAggBool)
 }

@@ -1183,9 +1183,58 @@ object AnalyticsQueries {
         |GROUP BY p.user_id, p.n_streaks, p.n_active_days, p.longest_streak
         |ORDER BY p.user_id""".stripMargin))
 
+  /** q_events_dau_wau — DAU / WAU STICKINESS, the standard product
+    * engagement ratio: per day, distinct active users that day (DAU)
+    * over distinct users active in the trailing 7 days (WAU), in
+    * integer ppm. Windowed COUNT(DISTINCT) doesn't exist as a frame
+    * aggregate, and the naive per-day re-scan is 7× the work — the
+    * scalable form CONTRIBUTES each (user, active-day) pair to the 7
+    * window anchors it belongs to (one explode), dedups (user, anchor)
+    * — a user active twice in a window must count once — and counts
+    * per anchor: user×day×7 rows, two keyed shuffles, no re-scan.
+    * Days without a full 7-day history are suppressed (a shrinking
+    * window inflates stickiness). All integer arithmetic. */
+  val qEventsDauWau: Q = Q(
+    "q_events_dau_wau",
+    (s, dir) => {
+      import s.implicits._
+      val ud = Tables.events(s, dir)
+        .select($"user_id", to_date(date_trunc("day", $"ts")).as("day"))
+        .distinct()
+      val dau = ud.groupBy($"day").agg(count(lit(1)).as("dau"))
+      val wau = ud
+        .select($"user_id", explode(expr(
+          "transform(sequence(0, 6), i -> date_add(day, i))")).as("anchor"))
+        .distinct()
+        .groupBy($"anchor").agg(count(lit(1)).as("wau"))
+      val lo = ud.agg(min($"day").as("lo"), max($"day").as("hi"))
+      dau.join(wau, $"day" === $"anchor")
+        .crossJoin(broadcast(lo))
+        .where(datediff($"day", $"lo") >= 6 && $"day" <= $"hi")
+        .select($"day", $"dau", $"wau",
+          expr("dau * 1000000 div wau").as("stickiness_ppm"))
+        .orderBy($"day")
+    },
+    oracle = Some(
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+        |  FROM events),
+        |dau AS (SELECT day, COUNT(*) AS dau FROM ud GROUP BY day),
+        |contrib AS (
+        |  SELECT DISTINCT user_id, day + i AS anchor
+        |  FROM ud CROSS JOIN (SELECT CAST(range AS INTEGER) AS i
+        |                      FROM range(0, 7)) t),
+        |wau AS (SELECT anchor, COUNT(*) AS wau FROM contrib GROUP BY anchor),
+        |bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM ud)
+        |SELECT day, dau, wau, dau * 1000000 // wau AS stickiness_ppm
+        |FROM dau JOIN wau ON day = anchor, bounds
+        |WHERE day - lo >= 6 AND day <= hi
+        |ORDER BY day""".stripMargin))
+
   val all: Vector[Q] = Vector(
     qFunnel, qCohortRetention, qTsGapfill, qHistBinned,
     qAnomalyZscore, qAggIncremental, qTsEwma, qTsOhlc, qTsInterpolate,
     qTsAutocorr, qViewIncrementalJoin, qProfileTable, qTsHolt,
-    qTsSeasonal, qTsCusum, qProfileSkew, qAnomalyMad, qTsStreaks)
+    qTsSeasonal, qTsCusum, qProfileSkew, qAnomalyMad, qTsStreaks,
+    qEventsDauWau)
 }
