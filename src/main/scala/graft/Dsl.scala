@@ -59,6 +59,32 @@ object Dsl {
   def md5GateSql(keyExpr: String, thresh: String): String =
     s"substring(md5(CAST($keyExpr AS VARCHAR)), 1, 2) < '$thresh'"
 
+  /** Pearson r from EXACT-INTEGER power sums (n, Σx, Σy, Σxy, Σx², Σy²),
+    * shared by q_ts_cross_corr / q_win_rolling_corr /
+    * q_graph_assortativity — ONE definition because the whole
+    * determinism contract is that the Spark and DuckDB expressions are
+    * textually identical, and hand-maintained copies invite a one-sided
+    * edit. The only float ops are the final conversion, two
+    * IEEE-correct sqrts, and one division, in a fixed shape; a
+    * ZERO-VARIANCE side is decided in exact integer space FIRST and
+    * yields NULL in both engines (Spark would produce NaN/±Inf, DuckDB
+    * 1.0 returns NULL for float x/0 — they disagree unless guarded).
+    * Result rounded at 6 dp. [[pearsonRSql]] is the byte-equivalent
+    * DuckDB text. */
+  def pearsonR(n: Column, sx: Column, sy: Column, sxy: Column,
+      sxx: Column, syy: Column): Column =
+    when(n * sxx - sx * sx === 0 || n * syy - sy * sy === 0, lit(null))
+      .otherwise(round((n * sxy - sx * sy).cast(DoubleType) /
+        (sqrt((n * sxx - sx * sx).cast(DoubleType)) *
+         sqrt((n * syy - sy * sy).cast(DoubleType))), 6))
+
+  def pearsonRSql(n: String, sx: String, sy: String, sxy: String,
+      sxx: String, syy: String): String =
+    s"""CASE WHEN $n*$sxx - $sx*$sx = 0 OR $n*$syy - $sy*$sy = 0 THEN NULL
+       |  ELSE ROUND(CAST($n*$sxy - $sx*$sy AS DOUBLE) /
+       |    (sqrt(CAST($n*$sxx - $sx*$sx AS DOUBLE)) *
+       |     sqrt(CAST($n*$syy - $sy*$sy AS DOUBLE))), 6) END""".stripMargin
+
   /** Exact SUM of price·(1−discount) revenue. The scale-8 product sum can
     * exceed double's 53-bit exact-integer range at sf0.1+ (≈5e17 in 1e-8
     * units), where Spark's and DuckDB's decimal→double conversions differ

@@ -276,11 +276,14 @@ object ScalarFuncQueries {
   /** q_bitwise_funcs — the BITWISE battery (AND/OR/XOR, shifts,
     * popcount), the scalar substrate the SimHash/fingerprint family is
     * built from, exercised as its own oracle row: per event_id k, a
-    * 4-bit band extract ((k >> 2) & 15), a shift-mix (k ^ (k << 3)
-    * masked to 62 bits so the shift can't sign-overflow differently),
-    * and bit_count(k). All pure integer ops with identical two's-
-    * complement semantics in both engines; narrow codegen'd scan, no
-    * shuffle. */
+    * 4-bit band extract ((k >> 2) & 15), a shift-mix
+    * (k ^ ((k & 2⁶⁰−1) << 3)) — the mask runs BEFORE the shift because
+    * overflow behavior differs where it matters: DuckDB 1.0 raises
+    * "Overflow in left shift" while Spark wraps silently, so an
+    * unmasked k ≥ 2⁶⁰ would abort the twin; pre-masked, the shift
+    * stays in-range in both — and bit_count(k). All pure integer ops
+    * with identical two's-complement semantics in both engines; narrow
+    * codegen'd scan, no shuffle. */
   val qBitwiseFuncs: Q = Q(
     "q_bitwise_funcs",
     (s, dir) => {
@@ -289,7 +292,7 @@ object ScalarFuncQueries {
         .select($"event_id",
           (shiftright($"event_id", 2).bitwiseAND(lit(15L))).as("band"),
           ($"event_id".bitwiseXOR(
-            shiftleft($"event_id", 3).bitwiseAND(lit(0x3fffffffffffffffL))))
+            shiftleft($"event_id".bitwiseAND(lit(0x0fffffffffffffffL)), 3)))
             .as("mix"),
           bit_count($"event_id").cast(IntegerType).as("popcnt"))
         .orderBy($"event_id")
@@ -297,7 +300,7 @@ object ScalarFuncQueries {
     oracle = Some(
       """SELECT event_id,
         |  (event_id >> 2) & 15 AS band,
-        |  xor(event_id, (event_id << 3) & 4611686018427387903) AS mix,
+        |  xor(event_id, (event_id & 1152921504606846975) << 3) AS mix,
         |  CAST(bit_count(event_id) AS INTEGER) AS popcnt
         |FROM events
         |ORDER BY event_id""".stripMargin))

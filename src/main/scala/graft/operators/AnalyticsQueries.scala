@@ -1207,10 +1207,13 @@ object AnalyticsQueries {
           "transform(sequence(0, 6), i -> date_add(day, i))")).as("anchor"))
         .distinct()
         .groupBy($"anchor").agg(count(lit(1)).as("wau"))
-      val lo = ud.agg(min($"day").as("lo"), max($"day").as("hi"))
+      // No upper bound needed: anchors past the last active day exist
+      // in wau, but the inner join with dau (real active days only)
+      // already excludes them.
+      val lo = ud.agg(min($"day").as("lo"))
       dau.join(wau, $"day" === $"anchor")
         .crossJoin(broadcast(lo))
-        .where(datediff($"day", $"lo") >= 6 && $"day" <= $"hi")
+        .where(datediff($"day", $"lo") >= 6)
         .select($"day", $"dau", $"wau",
           expr("dau * 1000000 div wau").as("stickiness_ppm"))
         .orderBy($"day")
@@ -1225,10 +1228,10 @@ object AnalyticsQueries {
         |  FROM ud CROSS JOIN (SELECT CAST(range AS INTEGER) AS i
         |                      FROM range(0, 7)) t),
         |wau AS (SELECT anchor, COUNT(*) AS wau FROM contrib GROUP BY anchor),
-        |bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM ud)
+        |bounds AS (SELECT MIN(day) AS lo FROM ud)
         |SELECT day, dau, wau, dau * 1000000 // wau AS stickiness_ppm
         |FROM dau JOIN wau ON day = anchor, bounds
-        |WHERE day - lo >= 6 AND day <= hi
+        |WHERE day - lo >= 6
         |ORDER BY day""".stripMargin))
 
   val all: Vector[Q] = Vector(

@@ -121,12 +121,17 @@ object DqQueries {
         .orderBy($"fk")
     },
     oracle = Some {
+      // NOT EXISTS, not NOT IN: Spark's left_anti counts a NULL-keyed
+      // fact as an orphan, while NOT IN's three-valued logic silently
+      // drops it (and one NULL dim key would zero EVERY audit) — the
+      // exact null-semantics failure an integrity audit must not have.
       def one(fk: String, fact: String, key: String, dim: String,
           dimKey: String) =
         s"""SELECT '$fk' AS fk,
-           |  (SELECT COUNT(*) FROM $fact WHERE $key NOT IN
-           |    (SELECT $dimKey FROM $dim
-           |     WHERE NOT ${md5GateSql(dimKey, "1a")})) AS n_orphans,
+           |  (SELECT COUNT(*) FROM $fact f WHERE NOT EXISTS
+           |    (SELECT 1 FROM $dim d
+           |     WHERE d.$dimKey = f.$key
+           |       AND NOT ${md5GateSql("d." + dimKey, "1a")})) AS n_orphans,
            |  (SELECT COUNT(*) FROM $fact) AS n_rows""".stripMargin
       s"""WITH r AS (
          |${one("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey")}

@@ -336,14 +336,6 @@ object GraphQueries {
     * simpler id-ordered closure — same triangles, same number. */
   private val edgeCache = new graft.Memo[(SparkSession, String), DataFrame]
 
-  /** Canonical (u < v) frequent-co-purchase edges, support ≥ 2 — THE
-    * edge definition for the undirected part graph, persisted once per
-    * (session, dir) and shared by q_graph_triangles and
-    * q_graph_common_neighbors. One definition on purpose: both rows
-    * read through [[edgeCache]], and with two inlined copies whichever
-    * query built first would silently define the edges the other uses
-    * (Memo ignores the second thunk) — a one-sided edit would produce
-    * order-dependent results with no failing test naming the cause. */
   private val degCache = new graft.Memo[(SparkSession, String), DataFrame]
 
   /** Degree table (n, deg) of [[coEdges]], persisted once per
@@ -362,6 +354,39 @@ object GraphQueries {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
+  private val orientedEdgeCache =
+    new graft.Memo[(SparkSession, String), DataFrame]
+
+  /** Degree-ordered orientation (src, dst) of [[coEdges]] — src is the
+    * lower-(deg, id) endpoint (Schank–Wagner: out-degree ≤ √(2m)),
+    * shared by q_graph_triangles and q_graph_clustering_coeff. ONE
+    * definition for the same reason as [[coDegrees]]: the orientation
+    * tiebreak decides which wedges each row enumerates, and a one-sided
+    * edit to an inlined copy would diverge the two triangle counts with
+    * no failing test naming the cause. Edge-domain sized, persisted. */
+  private def orientedEdges(s: SparkSession, dir: String): DataFrame =
+    orientedEdgeCache((s, dir)) {
+      import s.implicits._
+      val deg = coDegrees(s, dir)
+      coEdges(s, dir)
+        .join(deg.select($"n".as("u"), $"deg".as("du")), "u")
+        .join(deg.select($"n".as("v"), $"deg".as("dv")), "v")
+        .select(
+          when($"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v"), $"u")
+            .otherwise($"v").as("src"),
+          when($"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v"), $"v")
+            .otherwise($"u").as("dst"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
+  /** Canonical (u < v) frequent-co-purchase edges, support ≥ 2 — THE
+    * edge definition for the undirected part graph, persisted once per
+    * (session, dir) and shared by q_graph_triangles and
+    * q_graph_common_neighbors. One definition on purpose: both rows
+    * read through [[edgeCache]], and with two inlined copies whichever
+    * query built first would silently define the edges the other uses
+    * (Memo ignores the second thunk) — a one-sided edit would produce
+    * order-dependent results with no failing test naming the cause. */
   private def coEdges(s: SparkSession, dir: String): DataFrame =
     edgeCache((s, dir)) {
       import s.implicits._
@@ -387,15 +412,9 @@ object GraphQueries {
       // re-expand the pairs stage each time
       val edges = coEdges(s, dir)
       val deg = coDegrees(s, dir)
-      // orient: src = lower (deg, id) endpoint → dst = higher
-      val oriented = edges
-        .join(deg.select($"n".as("u"), $"deg".as("du")), "u")
-        .join(deg.select($"n".as("v"), $"deg".as("dv")), "v")
-        .select(
-          when($"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v"), $"u")
-            .otherwise($"v").as("src"),
-          when($"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v"), $"v")
-            .otherwise($"u").as("dst"))
+      // orient: src = lower (deg, id) endpoint → dst = higher (the
+      // shared persisted [[orientedEdges]] stage)
+      val oriented = orientedEdges(s, dir)
       // wedges: two out-neighbors of the same src, id-canonicalized so
       // the closure probe hits the (u < v) edge representation
       val wedges = oriented.as("x")
@@ -926,14 +945,7 @@ object GraphQueries {
       import s.implicits._
       val edges = coEdges(s, dir)
       val deg = coDegrees(s, dir)
-      val oriented = edges
-        .join(deg.select($"n".as("u"), $"deg".as("du")), "u")
-        .join(deg.select($"n".as("v"), $"deg".as("dv")), "v")
-        .select(
-          when($"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v"), $"u")
-            .otherwise($"v").as("src"),
-          when($"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v"), $"v")
-            .otherwise($"u").as("dst"))
+      val oriented = orientedEdges(s, dir)
       val wedges = oriented.as("x")
         .join(oriented.as("y"),
           $"x.src" === $"y.src" && $"x.dst" < $"y.dst")
@@ -1003,14 +1015,12 @@ object GraphQueries {
           sum($"du" * $"dv").as("sxy"),
           sum($"du" * $"du").as("sxx"), sum($"dv" * $"dv").as("syy"))
       m.select($"n".as("n_edge_ends"),
-          round(($"n" * $"sxy" - $"sx" * $"sy").cast(DoubleType) /
-            (sqrt(($"n" * $"sxx" - $"sx" * $"sx").cast(DoubleType)) *
-             sqrt(($"n" * $"syy" - $"sy" * $"sy").cast(DoubleType))), 6)
+          graft.Dsl.pearsonR($"n", $"sx", $"sy", $"sxy", $"sxx", $"syy")
             .as("assortativity"))
         .orderBy($"n_edge_ends")
     },
     oracle = Some(
-      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         |pairs AS (
         |  SELECT a.l_partkey AS u, b.l_partkey AS v
         |  FROM li a JOIN li b
@@ -1029,9 +1039,8 @@ object GraphQueries {
         |    CAST(SUM(b.deg * b.deg) AS BIGINT) AS syy
         |  FROM sym JOIN deg a ON sym.u = a.n JOIN deg b ON sym.v = b.n)
         |SELECT n AS n_edge_ends,
-        |  ROUND(CAST(n*sxy - sx*sy AS DOUBLE) /
-        |    (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) *
-        |     sqrt(CAST(n*syy - sy*sy AS DOUBLE))), 6) AS assortativity
+        |  ${graft.Dsl.pearsonRSql("n", "sx", "sy", "sxy", "sxx", "syy")}
+        |    AS assortativity
         |FROM m
         |ORDER BY n_edge_ends""".stripMargin))
 

@@ -145,11 +145,16 @@ object PrepQueries {
         (dec2($"value") * 100).cast(LongType).as("c"))
       val stats = base.groupBy($"event_type").agg(
         count(lit(1)).as("n"), sum($"c").as("sc"), sum($"c" * $"c").as("sq"))
+      // Zero variance (a constant column) is decided in EXACT integer
+      // space (n·Σc² = (Σc)²) and yields NULL z in both engines —
+      // unguarded, Spark's x/0.0 is NaN/Inf while DuckDB 1.0 returns
+      // NULL, and the oracle would diverge on degenerate data.
       val model = stats.select(
         $"event_type",
         ($"sc".cast(DoubleType) / $"n").as("mu"),
-        sqrt($"sq".cast(DoubleType) / $"n" -
-          ($"sc".cast(DoubleType) / $"n") * ($"sc".cast(DoubleType) / $"n"))
+        when($"n" * $"sq" === $"sc" * $"sc", lit(null))
+          .otherwise(sqrt($"sq".cast(DoubleType) / $"n" -
+            ($"sc".cast(DoubleType) / $"n") * ($"sc".cast(DoubleType) / $"n")))
           .as("sig"))
       base.join(broadcast(model), "event_type")
         .select($"event_id", $"event_type",
@@ -167,8 +172,9 @@ object PrepQueries {
         |model AS (
         |  SELECT event_type,
         |    CAST(sc AS DOUBLE) / n AS mu,
-        |    sqrt(CAST(sq AS DOUBLE) / n -
-        |      (CAST(sc AS DOUBLE) / n) * (CAST(sc AS DOUBLE) / n)) AS sig
+        |    CASE WHEN n * sq = sc * sc THEN NULL
+        |      ELSE sqrt(CAST(sq AS DOUBLE) / n -
+        |        (CAST(sc AS DOUBLE) / n) * (CAST(sc AS DOUBLE) / n)) END AS sig
         |  FROM stats)
         |SELECT event_id, event_type, ROUND((c - mu) / sig, 6) AS z
         |FROM base JOIN model USING (event_type)
@@ -345,8 +351,12 @@ object PrepQueries {
     * DuckDB dow 0=Sun, ISO 1=Mon) — so the dow derives from epoch-day
     * arithmetic instead, dow_iso = (days_since_epoch + 3) % 7 + 1
     * (1970-01-01 was a Thursday), a pure integer expression identical
-    * in both engines. hour() agrees cross-engine (UTC session). Narrow
-    * codegen'd scan, no shuffle. */
+    * in both engines — with the twin's modulo DOUBLE-WRAPPED
+    * (((x % 7) + 7) % 7) because DuckDB's % is NEGATIVE for negative
+    * operands while Spark's pmod is not: without the wrap, pre-1970
+    * timestamps would give dow_iso ≤ 0 on the DuckDB side only.
+    * hour() agrees cross-engine (UTC session). Narrow codegen'd scan,
+    * no shuffle. */
   val qPrepCalendar: Q = Q(
     "q_prep_calendar",
     (s, dir) => {
@@ -362,11 +372,11 @@ object PrepQueries {
     },
     oracle = Some(
       """SELECT event_id,
-        |  (date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) + 3) % 7 + 1
-        |    AS dow_iso,
+        |  (((date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) + 3) % 7
+        |    + 7) % 7) + 1 AS dow_iso,
         |  CAST(hour(ts) AS BIGINT) AS hr,
-        |  ((date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) + 3) % 7 + 1
-        |    >= 6) AS is_weekend
+        |  ((((date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) + 3) % 7
+        |    + 7) % 7) + 1 >= 6) AS is_weekend
         |FROM events
         |ORDER BY event_id""".stripMargin))
 

@@ -630,14 +630,11 @@ object StatQueries {
         sum($"x" * $"y").as("sxy"),
         sum($"x" * $"x").as("sxx"), sum($"y" * $"y").as("syy"))
       m.select($"lag", $"n".as("n_days"),
-          round(($"n" * $"sxy" - $"sx" * $"sy").cast(DoubleType) /
-            (sqrt(($"n" * $"sxx" - $"sx" * $"sx").cast(DoubleType)) *
-             sqrt(($"n" * $"syy" - $"sy" * $"sy").cast(DoubleType))), 6)
-            .as("r"))
+          pearsonR($"n", $"sx", $"sy", $"sxy", $"sxx", $"syy").as("r"))
         .orderBy($"lag")
     },
     oracle = Some(
-      """WITH daily AS (
+      s"""WITH daily AS (
         |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
         |    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
         |      AS BIGINT) AS x,
@@ -656,9 +653,7 @@ object StatQueries {
         |    CAST(SUM(x*x) AS BIGINT) AS sxx, CAST(SUM(y*y) AS BIGINT) AS syy
         |  FROM pairs GROUP BY lag)
         |SELECT lag, n AS n_days,
-        |  ROUND(CAST(n*sxy - sx*sy AS DOUBLE) /
-        |    (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) *
-        |     sqrt(CAST(n*syy - sy*sy AS DOUBLE))), 6) AS r
+        |  ${pearsonRSql("n", "sx", "sy", "sxy", "sxx", "syy")} AS r
         |FROM m
         |ORDER BY lag""".stripMargin))
 

@@ -483,33 +483,41 @@ object VectorQueries {
         |WHERE sim >= 0.25
         |ORDER BY sim DESC, vec_id""".stripMargin))
 
+  private val centCache =
+    new graft.Memo[(org.apache.spark.sql.SparkSession, String),
+      org.apache.spark.sql.DataFrame]
+
+  /** Per-label centroid COMPONENTS (label, pos, c) — the 640-row
+    * bounded model table [[qVecCentroidSims]] and [[qVecSilhouette]]
+    * both fit from (10 labels × 64 dims; same layout as
+    * [[qVecCentroids]]). Memo'd + persisted: the corpus collapses to
+    * this domain-sized table in ONE partial-agg pass — un-persisted,
+    * each query's DAG re-aggregated the full embeddings table per
+    * consumer branch (cent feeds dot AND norms), the repeated-stage
+    * cost the Tokenized/coDegrees pattern exists to avoid. */
+  private def centroidComponents(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    centCache((s, dir)) {
+      import s.implicits._
+      Tables.embeddings(s, dir)
+        .select($"label", posexplode($"embedding").as(Seq("pos", "x")))
+        .groupBy($"label", $"pos")
+        .agg((sum($"x".cast(DoubleType)) / count(lit(1))).as("c"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
   /** q_vec_centroid_sims — INTER-CLASS SEPARATION matrix: cosine
     * similarity between every pair of label centroids (45 pairs over
     * the 10 classes), the embedding-space confusion diagnostic that
     * says which classes an ANN index / classifier will struggle to
     * separate — and the triangle-inequality bound table the IVF cell
-    * pruning in q_vec_knn_ivf leans on. Same component layout as
-    * [[qVecCentroids]] (posexplode → per-(label, pos) mean); the pair
-    * stage joins centroid COMPONENTS on pos — a 640-row bounded-domain
-    * table however many vectors exist, so the pair matrix is
-    * broadcast-sized by construction (the per-vector corpus collapses
-    * in the first agg and never reappears). round(·,4) on the one
-    * float pipeline (mean components → dot/norms), the qVecCentroids
-    * determinism envelope. */
-  /** Per-label centroid COMPONENTS (label, pos, c) — the 640-row
-    * bounded model table [[qVecCentroidSims]] and [[qVecSilhouette]]
-    * both fit from (10 labels × 64 dims; same layout as
-    * [[qVecCentroids]]). One partial-agg shuffle collapses the corpus
-    * to this domain-sized table however many vectors exist. */
-  private def centroidComponents(s: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame = {
-    import s.implicits._
-    Tables.embeddings(s, dir)
-      .select($"label", posexplode($"embedding").as(Seq("pos", "x")))
-      .groupBy($"label", $"pos")
-      .agg((sum($"x".cast(DoubleType)) / count(lit(1))).as("c"))
-  }
-
+    * pruning in q_vec_knn_ivf leans on. The pair stage joins centroid
+    * COMPONENTS on pos — a 640-row bounded-domain table however many
+    * vectors exist, so the pair matrix is broadcast-sized by
+    * construction (the per-vector corpus collapses in the shared
+    * [[centroidComponents]] stage and never reappears). round(·,4) on
+    * the one float pipeline (mean components → dot/norms), the
+    * qVecCentroids determinism envelope. */
   val qVecCentroidSims: Q = Q(
     "q_vec_centroid_sims",
     (s, dir) => {
@@ -579,9 +587,14 @@ object VectorQueries {
         .join(broadcast(cent), "pos")
         .groupBy($"vec_id", $"label", $"clabel")
         .agg(sum($"x".cast(DoubleType) * $"c").as("dot"))
+      // greatest(·, 0) before sqrt: corpus norms are 1 ± 1.2e-7, so a
+      // vector ≈ its own centroid can make the operand ~−1e-7 — Spark's
+      // sqrt(neg) is NaN but DuckDB 1.0 ABORTS the query; the clamp is
+      // the same expression on both sides so distances stay identical.
       val dist = dots.join(broadcast(cn2), "clabel")
         .select($"vec_id", $"label", $"clabel",
-          sqrt(lit(1.0) + $"cn2" - lit(2.0) * $"dot").as("d"))
+          sqrt(greatest(lit(1.0) + $"cn2" - lit(2.0) * $"dot", lit(0.0)))
+            .as("d"))
       val ab = dist.groupBy($"vec_id", $"label").agg(
         max(when($"clabel" === $"label", $"d")).as("a"),
         min(when($"clabel" =!= $"label", $"d")).as("b"))
@@ -604,7 +617,8 @@ object VectorQueries {
         |  FROM comps JOIN cent USING (i)
         |  GROUP BY vec_id, label, clabel),
         |dist AS (
-        |  SELECT vec_id, label, clabel, sqrt(1.0 + cn2 - 2.0 * dot) AS d
+        |  SELECT vec_id, label, clabel,
+        |    sqrt(greatest(1.0 + cn2 - 2.0 * dot, 0.0)) AS d
         |  FROM dots JOIN cn2 USING (clabel)),
         |ab AS (
         |  SELECT vec_id, label,

@@ -442,14 +442,11 @@ object WindowQueries {
         row_number().over(wRk).as("rk"))
       framed.where($"rk" >= 7)
         .select($"event_type", $"day",
-          round(($"k" * $"sxy" - $"sx" * $"sy").cast(DoubleType) /
-            (sqrt(($"k" * $"sxx" - $"sx" * $"sx").cast(DoubleType)) *
-             sqrt(($"k" * $"syy" - $"sy" * $"sy").cast(DoubleType))), 6)
-            .as("r7"))
+          pearsonR($"k", $"sx", $"sy", $"sxy", $"sxx", $"syy").as("r7"))
         .orderBy($"event_type", $"day")
     },
     oracle = Some(
-      """WITH daily AS (
+      s"""WITH daily AS (
         |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
         |    COUNT(*) AS n,
         |    CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))
@@ -468,9 +465,7 @@ object WindowQueries {
         |  WINDOW w AS (PARTITION BY event_type ORDER BY day
         |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
         |SELECT event_type, day,
-        |  ROUND(CAST(k*sxy - sx*sy AS DOUBLE) /
-        |    (sqrt(CAST(k*sxx - sx*sx AS DOUBLE)) *
-        |     sqrt(CAST(k*syy - sy*sy AS DOUBLE))), 6) AS r7
+        |  ${graft.Dsl.pearsonRSql("k", "sx", "sy", "sxy", "sxx", "syy")} AS r7
         |FROM framed
         |WHERE rk >= 7
         |ORDER BY event_type, day""".stripMargin))
