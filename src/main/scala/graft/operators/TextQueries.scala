@@ -1269,11 +1269,26 @@ object TextQueries {
     "q_text_char_trigrams",
     (s, dir) => {
       import s.implicits._
+      // Two measured fixes on the fan-out stage: (1) lower() hoisted
+      // OUT of the per-position lambda — inside the transform it
+      // re-lowercases the whole document once per trigram position,
+      // O(len²) chars/doc (3.5 s, the slowest batch row); (2) the doc
+      // table arrives as ONE parquet file locally → one input split,
+      // so the CPU-bound explode ran single-core — repartition the
+      // (tiny) pre-explode rows first so the ~80× row fan-out runs
+      // wide. The count must be PINNED (repartition(n, col)): a bare
+      // repartition(col) shuffle is AQE-coalesced back to one
+      // partition because the pre-explode bytes are tiny — AQE sizes
+      // partitions on input bytes and cannot see the fan-out behind
+      // them. At 100 TB the corpus is many splits and (2) is free,
+      // but the plan must not depend on that accident.
       val tri = Tables.documents(s, dir)
         .where(length($"text") >= 3)
+        .select($"doc_id", $"lang", lower($"text").as("lt"))
+        .repartition(s.sparkContext.defaultParallelism, $"doc_id")
         .select($"lang", explode(expr(
-          "transform(sequence(1, length(text) - 2), " +
-            "i -> substring(lower(text), i, 3))")).as("g"))
+          "transform(sequence(1, length(lt) - 2), " +
+            "i -> substring(lt, i, 3))")).as("g"))
       val cnt = tri.groupBy($"lang", $"g").agg(count(lit(1)).as("c"))
       val w = Window.partitionBy($"lang").orderBy($"c".desc, $"g")
       cnt.withColumn("rk", row_number().over(w).cast(LongType))
