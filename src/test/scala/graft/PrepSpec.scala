@@ -114,6 +114,39 @@ class PrepSpec extends AnyFunSuite with SparkFixture {
       "the planted purge must make every audit row non-degenerate")
   }
 
+  test("q_dq_expectations: the firing rule matches an independent recount " +
+    "and the passing rules are genuinely zero") {
+    import spark.implicits._
+    val out = Catalog.byName("q_dq_expectations").build(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir), $"l_orderkey" === $"o_orderkey")
+      .where($"l_shipdate" < $"o_orderdate").count()
+    assert(out("ship_before_order") == want)
+    assert(want > 0, "the fixture's broken date invariant must fire")
+    Seq("quantity_nonpositive", "discount_range", "tax_range",
+      "ship_after_horizon").foreach(r => assert(out(r) == 0L, r))
+  }
+
+  test("q_text_ttr matches a driver tokenization for every doc") {
+    import spark.implicits._
+    val got = Catalog.byName("q_text_ttr").build(spark, sfDir)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    Tables.documents(spark, sfDir).select($"doc_id", $"text")
+      .collect().foreach { r =>
+        val toks = r.getString(1).toLowerCase.split(" ").toSeq
+        val tf = toks.groupBy(identity).view.mapValues(_.size)
+        val types = tf.size.toLong
+        val hapax = tf.count(_._2 == 1).toLong
+        val want = (toks.size.toLong, types, hapax,
+          types * 1000000L / toks.size, hapax * 1000000L / types)
+        assert(got(r.getLong(0)) == want, s"doc ${r.getLong(0)}")
+      }
+  }
+
   test("q_sample_balanced keeps exactly the minority count per class") {
     import spark.implicits._
     val perLang = Catalog.byName("q_sample_balanced").build(spark, sfDir)
