@@ -1032,9 +1032,63 @@ object DedupQueries {
          |WHERE jaccard >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin))
 
+  /** q_dedup_substring — REPEATED-SPAN audit, the character-level
+    * (not token-level) dedup signal: per document, how many of its
+    * 40-char spans (stride 10) also occur in ANOTHER document — the
+    * Spark-shaped form of exact-substring training-data dedup (Lee et
+    * al. 2022 build a corpus suffix array to find verbatim repeated
+    * spans; distributed, the same signal comes from fixed-stride
+    * fingerprint grams + one gram-keyed count, no global suffix
+    * structure). Complements the token-shingle family: boilerplate
+    * and licence blocks repeat VERBATIM across documents mid-text,
+    * where prefix blocking never looks. ~4.5% of distinct grams are
+    * cross-doc at sf0.01 (profiled) — non-degenerate.
+    *
+    * Scale: gram extraction is a narrow per-row transform (stride 10
+    * bounds volume at len/10 grams/doc — the fan-out width pinned
+    * like q_text_char_trigrams); the distinct-doc count is one
+    * gram-keyed partial agg; flagging re-joins grams→counts on the
+    * gram key. All integer, dup share in exact ppm. */
+  val qDedupSubstring: Q = Q(
+    "q_dedup_substring",
+    (s, dir) => {
+      import s.implicits._
+      val base = Tables.documents(s, dir)
+        .where(length($"text") >= 40)
+        .select($"doc_id", lower($"text").as("lt"))
+        .repartition(s.sparkContext.defaultParallelism, $"doc_id")
+      val grams = base.select($"doc_id", explode(expr(
+        "transform(sequence(1, (length(lt) - 40) div 10 + 1), " +
+          "i -> substring(lt, (i - 1) * 10 + 1, 40))")).as("g"))
+      val cnt = grams.groupBy($"g")
+        .agg(countDistinct($"doc_id").as("nd"))
+      grams.join(cnt, "g")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_spans"),
+          sum(when($"nd" > 1, 1L).otherwise(0L)).as("n_dup_spans"))
+        .select($"doc_id", $"n_spans", $"n_dup_spans",
+          expr("n_dup_spans * 1000000 div n_spans").as("dup_ppm"))
+        .orderBy($"doc_id")
+    },
+    oracle = Some(
+      """WITH grams AS (
+        |  SELECT doc_id, substring(lower(text), (i - 1) * 10 + 1, 40) AS g
+        |  FROM (SELECT doc_id, text,
+        |          unnest(range(1, (len(text) - 40) // 10 + 2)) AS i
+        |        FROM documents WHERE len(text) >= 40)),
+        |cnt AS (SELECT g, COUNT(DISTINCT doc_id) AS nd FROM grams GROUP BY g)
+        |SELECT doc_id, COUNT(*) AS n_spans,
+        |  CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup_spans,
+        |  CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    * 1000000 // COUNT(*) AS dup_ppm
+        |FROM grams JOIN cnt USING (g)
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin))
+
   val all: Vector[Q] = Vector(
     qDedupShingleStage, qDedupExact, qDedupNear, qDedupMinhash,
     qDedupNgramJaccard, qDedupSimhash, qDedupPipeline, qDedupComponents,
     qDedupComponentsStar, qDedupClusterSizes, qTextContamination, qDedupFuzzy,
-    qDedupSortedNeighborhood, qDedupPpjoin)
+    qDedupSortedNeighborhood, qDedupPpjoin, qDedupSubstring)
 }
