@@ -166,4 +166,27 @@ class ScaleSpec extends AnyFunSuite with SparkFixture {
         .count()
     })
   }
+
+  test("repeated-span (substring dedup) flagged volume grows ~linearly",
+      ScaleStress) {
+    // The q_dedup_substring shape on the planted exact-dup corpus:
+    // flagged (doc, span) rows come only from the n/50 planted copies
+    // (5000-word vocab makes accidental 40-char repeats negligible),
+    // so the gram-keyed count + re-join must read linear — the claim
+    // that fixed-stride fingerprint grams give the exact-substring
+    // dedup signal WITHOUT a corpus suffix structure, at keyed-join
+    // cost. A quadratic reading here would mean the gram key
+    // degenerated into a hot bucket.
+    assertLinear("substring", { n =>
+      val base = syntheticExactDupDocs(n)
+        .select(col("doc_id"), lower(col("text")).as("lt"))
+        .where(length(col("lt")) >= 40)
+      val grams = base.select(col("doc_id"), explode(expr(
+        "transform(sequence(1, (length(lt) - 40) div 10 + 1), " +
+          "i -> substring(lt, (i - 1) * 10 + 1, 40))")).as("g"))
+      val cnt = grams.groupBy(col("g"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+      grams.join(cnt, "g").where(col("nd") > 1).count()
+    })
+  }
 }
