@@ -657,8 +657,115 @@ object StatQueries {
         |FROM m
         |ORDER BY lag""".stripMargin))
 
+  /** q_ts_vwap — VOLUME-WEIGHTED AVERAGE PRICE per ship month, THE
+    * canonical market aggregate of the reference's stated crypto-ETL
+    * domain (README.md:1 is its entire content; the metric is the
+    * public idiom): vwap = Σ(notional)/Σ(quantity), here exact decimal
+    * sums of the 2-dp fixture columns with ONE double division at the
+    * end, rounded at 6 dp — the same expression text both engines, no
+    * per-row float anywhere. One partial-agg shuffle collapsing to the
+    * month domain. */
+  val qTsVwap: Q = Q(
+    "q_ts_vwap",
+    (s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .groupBy(date_trunc("month", $"l_shipdate").cast(DateType).as("month"))
+        .agg(
+          count(lit(1)).as("n_lines"),
+          sum(dec2($"l_extendedprice")).cast(DoubleType).as("notional"),
+          sum(dec2($"l_quantity")).cast(DoubleType).as("volume"))
+        .withColumn("vwap", round($"notional" / $"volume", 6))
+        .orderBy($"month")
+    },
+    oracle = Some(
+      """SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+        |  COUNT(*) AS n_lines,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS notional,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS volume,
+        |  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    / CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 6)
+        |    AS vwap
+        |FROM lineitem
+        |GROUP BY 1
+        |ORDER BY month""".stripMargin))
+
+  /** q_ts_log_returns — daily LOG RETURNS of total traded value with a
+    * trailing 7-day VOLATILITY, the risk pair every market pipeline
+    * derives next after VWAP. Determinism: daily value is exact cents;
+    * the return quantizes ln(v_d/v_{d−1}) ONCE to integer micro-nats
+    * (the perplexity device — everything downstream is exact long
+    * sums); volatility is the population σ of the 7 window returns,
+    * assembled from exact Σr/Σr² window sums with the one float
+    * expression at the end — sqrt(greatest(·,0)) because float
+    * cancellation can dip ~−1ulp below zero, where Spark would return
+    * NaN but DuckDB 1.0 ABORTS on sqrt of a negative. Warm-up rows
+    * (first return, incomplete 7-windows) are suppressed. The day
+    * windows are unpartitioned but run over the bounded DAY domain
+    * (30 rows here, ~10³ for years) — the documented boundedness
+    * pattern, not a fact-table sort. */
+  val qTsLogReturns: Q = Q(
+    "q_ts_log_returns",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, dir)
+        .groupBy(to_date(date_trunc("day", $"ts")).as("day"))
+        .agg((sum(dec2($"value")) * 100).cast(LongType).as("v"))
+      val wLag = Window.orderBy($"day")
+      val rets = daily
+        .withColumn("v_prev", lag($"v", 1).over(wLag))
+        .where($"v_prev".isNotNull)
+        .select($"day",
+          expr("CAST(floor(ln(CAST(v AS DOUBLE) / v_prev) * 1000000) AS BIGINT)")
+            .as("ret_micro"))
+      val w7 = Window.orderBy($"day").rowsBetween(-6, Window.currentRow)
+      val wRk = Window.orderBy($"day")
+      rets.select($"day", $"ret_micro",
+          count(lit(1)).over(w7).as("k"),
+          sum($"ret_micro").over(w7).as("s"),
+          sum($"ret_micro" * $"ret_micro").over(w7).as("q"),
+          row_number().over(wRk).as("rk"))
+        .where($"rk" >= 7)
+        .select($"day", $"ret_micro",
+          round(sqrt(greatest(
+            $"q".cast(DoubleType) / $"k" -
+              ($"s".cast(DoubleType) / $"k") * ($"s".cast(DoubleType) / $"k"),
+            lit(0.0))), 6).as("vol7_micro"))
+        .orderBy($"day")
+    },
+    oracle = Some(
+      """WITH daily AS (
+        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS v
+        |  FROM events GROUP BY 1),
+        |rets AS (
+        |  SELECT day,
+        |    CAST(floor(ln(CAST(v AS DOUBLE) / v_prev) * 1000000) AS BIGINT)
+        |      AS ret_micro
+        |  FROM (SELECT day, v, lag(v, 1) OVER (ORDER BY day) AS v_prev
+        |        FROM daily)
+        |  WHERE v_prev IS NOT NULL),
+        |framed AS (
+        |  SELECT day, ret_micro,
+        |    COUNT(*) OVER w AS k,
+        |    CAST(SUM(ret_micro) OVER w AS BIGINT) AS s,
+        |    CAST(SUM(ret_micro * ret_micro) OVER w AS BIGINT) AS q,
+        |    row_number() OVER (ORDER BY day) AS rk
+        |  FROM rets
+        |  WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT day, ret_micro,
+        |  ROUND(sqrt(greatest(
+        |    CAST(q AS DOUBLE) / k -
+        |      (CAST(s AS DOUBLE) / k) * (CAST(s AS DOUBLE) / k), 0.0)), 6)
+        |    AS vol7_micro
+        |FROM framed
+        |WHERE rk >= 7
+        |ORDER BY day""".stripMargin))
+
   val all: Vector[Q] = Vector(
     qTsDrawdown, qWinBollinger, qAggCorr, qEventsMarkov,
     qAbChisquare, qSkyline, qEventsAttribution, qEventsRfm, qAggMoments,
-    qTsCrossCorr)
+    qTsCrossCorr, qTsVwap, qTsLogReturns)
 }
