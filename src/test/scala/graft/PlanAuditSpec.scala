@@ -660,4 +660,32 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
       !p.contains("CartesianProduct"),
       s"corner accounting must ride the keyed wedge join:\n$p")
   }
+
+  test("q_ts_vwap is one partial-agg shuffle to the month domain") {
+    val p = planOf("q_ts_vwap")
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1,
+      s"VWAP must collapse the fact scan in a single keyed exchange:\n$p")
+    assert(!p.contains("Exchange SinglePartition") ||
+      p.linesIterator.count(_.contains("Exchange SinglePartition")) <= 1,
+      s"no fact-sized single-partition stage:\n$p")
+  }
+
+  test("q_events_dau_wau: anchors join keyed; only the 1-row lo bound is " +
+    "single-partition") {
+    val p = planOf("q_events_dau_wau")
+    // The 1-row min(day) scalar attaches via a broadcast nested-loop
+    // cross — the documented broadcast-scalar pattern (build side is
+    // one row). What must NOT appear is an unbroadcast cartesian.
+    assert(!p.contains("CartesianProduct"),
+      s"anchor contribution must stay keyed:\n$p")
+    assert(p.contains("hashpartitioning"),
+      s"the dau/wau join must be keyed:\n$p")
+    // The 1-row min(day) agg is the only single-partition stage; its
+    // exchange node can PRINT twice in the tree (broadcast reuse), so
+    // count distinct plan ids, not lines.
+    val single = p.linesIterator.filter(_.contains("Exchange SinglePartition"))
+      .map(_.replaceAll(".*plan_id=", "")).toSet.size
+    assert(single <= 1,
+      s"only the 1-row min(day) agg may be single-partition, got $single:\n$p")
+  }
 }
