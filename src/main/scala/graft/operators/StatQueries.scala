@@ -764,8 +764,76 @@ object StatQueries {
         |WHERE rk >= 7
         |ORDER BY day""".stripMargin))
 
+  /** q_ts_macd — MACD (Moving Average Convergence/Divergence) over the
+    * daily traded-value series: EMA12 − EMA26 plus the EMA9 signal line
+    * and histogram — the momentum-indicator capstone of the market
+    * family (drawdown/bollinger/vwap/log-returns). THREE coupled
+    * integer recurrences in micro-cents (the q_ts_ewma / q_ts_holt
+    * fixed-point discipline): eₙ += 2·(v·10⁶ − eₙ) div (n+1) for
+    * n = 12, 26, then sig += 2·(macd − sig) div 10 where macd is the
+    * step's NEW e12 − e26. All operands exact longs; the divisions
+    * truncate toward zero identically (Scala `/` ≡ DuckDB `//`, the
+    * empirically pinned Holt lesson — macd goes negative on falling
+    * series, so sign behavior is load-bearing).
+    *
+    * Scale: the fact stream collapses to the bounded DAY domain in one
+    * partial agg; the sequential chain then runs single-pass over that
+    * ~10³-row series via sortWithinPartitions + mapPartitions with
+    * O(1) state — sequential-by-construction work sized to the domain,
+    * not the data (the EWMA scale argument; per-symbol series would
+    * partition by symbol). The twin replays every step of all three
+    * chains via WITH RECURSIVE. */
+  val qTsMacd: Q = Q(
+    "q_ts_macd",
+    (s, dir) => {
+      import s.implicits._
+      val daily = Tables.events(s, dir)
+        .groupBy(to_date(date_trunc("day", $"ts")).as("day"))
+        .agg((sum(dec2($"value")) * 100).cast(LongType).as("v"))
+      daily.coalesce(1).sortWithinPartitions($"day")
+        .as[(java.sql.Date, Long)]
+        .mapPartitions { it =>
+          var e12 = 0L; var e26 = 0L; var sig = 0L; var first = true
+          it.map { case (day, v) =>
+            val vm = v * 1000000L
+            if (first) { e12 = vm; e26 = vm; sig = 0L; first = false }
+            else {
+              e12 = e12 + (2L * (vm - e12)) / 13L
+              e26 = e26 + (2L * (vm - e26)) / 27L
+              sig = sig + (2L * ((e12 - e26) - sig)) / 10L
+            }
+            (day, e12 - e26, sig, e12 - e26 - sig)
+          }
+        }
+        .toDF("day", "macd_micro", "signal_micro", "hist_micro")
+        .orderBy($"day")
+    },
+    oracle = Some(
+      """WITH RECURSIVE daily AS (
+        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS v
+        |  FROM events GROUP BY 1),
+        |seq AS (
+        |  SELECT day, v, row_number() OVER (ORDER BY day) AS i FROM daily),
+        |rec AS (
+        |  SELECT i, day, v * 1000000 AS e12, v * 1000000 AS e26,
+        |    CAST(0 AS BIGINT) AS sig
+        |  FROM seq WHERE i = 1
+        |  UNION ALL
+        |  SELECT s.i, s.day,
+        |    r.e12 + (2 * (s.v * 1000000 - r.e12)) // 13,
+        |    r.e26 + (2 * (s.v * 1000000 - r.e26)) // 27,
+        |    r.sig + (2 * (((r.e12 + (2 * (s.v * 1000000 - r.e12)) // 13)
+        |                 - (r.e26 + (2 * (s.v * 1000000 - r.e26)) // 27))
+        |                 - r.sig)) // 10
+        |  FROM rec r JOIN seq s ON s.i = r.i + 1)
+        |SELECT day, e12 - e26 AS macd_micro, sig AS signal_micro,
+        |  e12 - e26 - sig AS hist_micro
+        |FROM rec
+        |ORDER BY day""".stripMargin))
+
   val all: Vector[Q] = Vector(
     qTsDrawdown, qWinBollinger, qAggCorr, qEventsMarkov,
     qAbChisquare, qSkyline, qEventsAttribution, qEventsRfm, qAggMoments,
-    qTsCrossCorr, qTsVwap, qTsLogReturns)
+    qTsCrossCorr, qTsVwap, qTsLogReturns, qTsMacd)
 }
