@@ -1049,17 +1049,46 @@ object DedupQueries {
     * like q_text_char_trigrams); the distinct-doc count is one
     * gram-keyed partial agg; flagging re-joins grams→counts on the
     * gram key. All integer, dup share in exact ppm. */
+  /** The 40-char stride-10 fingerprint grams of a (doc_id, text)
+    * corpus — the [[qDedupSubstring]] fan-out stage, factored so
+    * ScaleSpec certifies THIS code's growth, not a drifting copy.
+    * Span positions derive from length(text), the same basis as the
+    * DuckDB twin's len(text) — deriving them from the LOWERED string
+    * would diverge wherever a case mapping changes string length
+    * (e.g. İ → i̇ under full case folding), and a lower()-shortened
+    * text under 40 chars would make sequence(1, n≤0) emit a
+    * DESCENDING [1, 0] with a negative substring position. The
+    * repartition pins the fan-out width (the q_text_char_trigrams
+    * lesson — AQE coalesces the tiny pre-explode shuffle). */
+  private[graft] def spanGrams(docs: org.apache.spark.sql.DataFrame,
+      parallelism: Int): org.apache.spark.sql.DataFrame =
+    docs
+      .where(length(col("text")) >= 40)
+      .select(col("doc_id"), length(col("text")).as("n"),
+        lower(col("text")).as("lt"))
+      .repartition(parallelism, col("doc_id"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, (n - 40) div 10 + 1), " +
+          "i -> substring(lt, (i - 1) * 10 + 1, 40))")).as("g"))
+
+  /** Memo'd + persisted gram stage over the fixture corpus: the query
+    * consumes the grams TWICE (distinct-doc counts + the flag re-join)
+    * — un-persisted, the scan + shuffle + 40-char explode would run
+    * twice per query (the shared shingle/token stage convention). */
+  private val spanGramCache =
+    new graft.Memo[(SparkSession, String), org.apache.spark.sql.DataFrame]
+
+  private def spanGramsOf(s: SparkSession, dir: String) =
+    spanGramCache((s, dir)) {
+      spanGrams(Tables.documents(s, dir), s.sparkContext.defaultParallelism)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
   val qDedupSubstring: Q = Q(
     "q_dedup_substring",
     (s, dir) => {
       import s.implicits._
-      val base = Tables.documents(s, dir)
-        .where(length($"text") >= 40)
-        .select($"doc_id", lower($"text").as("lt"))
-        .repartition(s.sparkContext.defaultParallelism, $"doc_id")
-      val grams = base.select($"doc_id", explode(expr(
-        "transform(sequence(1, (length(lt) - 40) div 10 + 1), " +
-          "i -> substring(lt, (i - 1) * 10 + 1, 40))")).as("g"))
+      val grams = spanGramsOf(s, dir)
       val cnt = grams.groupBy($"g")
         .agg(countDistinct($"doc_id").as("nd"))
       grams.join(cnt, "g")

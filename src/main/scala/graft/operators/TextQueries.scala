@@ -1282,13 +1282,16 @@ object TextQueries {
       // partitions on input bytes and cannot see the fan-out behind
       // them. At 100 TB the corpus is many splits and (2) is free,
       // but the plan must not depend on that accident.
+      // Positions derive from length(text) — the twin's len(text)
+      // basis — NOT from the lowered string, whose length can differ
+      // under length-changing case mappings (the spanGrams rule).
       val tri = Tables.documents(s, dir)
         .where(length($"text") >= 3)
-        .select($"doc_id", $"lang", lower($"text").as("lt"))
+        .select($"doc_id", $"lang", length($"text").as("n"),
+          lower($"text").as("lt"))
         .repartition(s.sparkContext.defaultParallelism, $"doc_id")
         .select($"lang", explode(expr(
-          "transform(sequence(1, length(lt) - 2), " +
-            "i -> substring(lt, i, 3))")).as("g"))
+          "transform(sequence(1, n - 2), i -> substring(lt, i, 3))")).as("g"))
       val cnt = tri.groupBy($"lang", $"g").agg(count(lit(1)).as("c"))
       val w = Window.partitionBy($"lang").orderBy($"c".desc, $"g")
       cnt.withColumn("rk", row_number().over(w).cast(LongType))

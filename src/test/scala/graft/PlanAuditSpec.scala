@@ -665,8 +665,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     val p = planOf("q_ts_vwap")
     assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1,
       s"VWAP must collapse the fact scan in a single keyed exchange:\n$p")
-    assert(!p.contains("Exchange SinglePartition") ||
-      p.linesIterator.count(_.contains("Exchange SinglePartition")) <= 1,
+    assert(p.linesIterator.count(_.contains("Exchange SinglePartition")) <= 1,
       s"no fact-sized single-partition stage:\n$p")
   }
 

@@ -137,7 +137,13 @@ class PrepSpec extends AnyFunSuite with SparkFixture {
       .toMap
     Tables.documents(spark, sfDir).select($"doc_id", $"text")
       .collect().foreach { r =>
-        val toks = r.getString(1).toLowerCase.split(" ").toSeq
+        // split(-1) + ROOT locale: Spark's split keeps trailing empty
+        // tokens and lower() is locale-independent — Java's defaults
+        // (limit 0, default locale) silently diverge on trailing
+        // spaces / tr-locale dotted-I, so the recount must mirror the
+        // query's semantics, not the JVM's.
+        val toks = r.getString(1)
+          .toLowerCase(java.util.Locale.ROOT).split(" ", -1).toSeq
         val tf = toks.groupBy(identity).view.mapValues(_.size)
         val types = tf.size.toLong
         val hapax = tf.count(_._2 == 1).toLong

@@ -178,12 +178,10 @@ class ScaleSpec extends AnyFunSuite with SparkFixture {
     // cost. A quadratic reading here would mean the gram key
     // degenerated into a hot bucket.
     assertLinear("substring", { n =>
-      val base = syntheticExactDupDocs(n)
-        .select(col("doc_id"), lower(col("text")).as("lt"))
-        .where(length(col("lt")) >= 40)
-      val grams = base.select(col("doc_id"), explode(expr(
-        "transform(sequence(1, (length(lt) - 40) div 10 + 1), " +
-          "i -> substring(lt, (i - 1) * 10 + 1, 40))")).as("g"))
+      // Exercises the PRODUCTION gram stage (DedupQueries.spanGrams),
+      // not a copy — the linearity claim must certify the shipped code.
+      val grams = DedupQueries.spanGrams(syntheticExactDupDocs(n),
+        spark.sparkContext.defaultParallelism)
       val cnt = grams.groupBy(col("g"))
         .agg(countDistinct(col("doc_id")).as("nd"))
       grams.join(cnt, "g").where(col("nd") > 1).count()
