@@ -832,8 +832,90 @@ object StatQueries {
         |FROM rec
         |ORDER BY day""".stripMargin))
 
+  /** q_ts_rsi — WILDER'S RSI-14 over the daily traded-value series,
+    * closing the indicator family (drawdown / bollinger / momentum /
+    * vwap / log-returns / macd): average gain vs average loss, seeded
+    * with the plain mean of the first 14 changes, then Wilder's
+    * smoothing avg_i = (avg_{i−1}·13 + x_i) div 14 — two coupled
+    * integer recurrences in exact cents, truncating division identical
+    * in both engines (all operands non-negative here, but the macd
+    * discipline applies regardless). RSI itself stays integer too:
+    * rsi_ppm = ag·10⁶ div (ag+al), with the flat-series ag+al = 0 case
+    * decided in exact integers and yielding NULL in both engines.
+    *
+    * Scale: same as [[qTsMacd]] — one partial agg to the bounded day
+    * domain, then a single-pass O(1)-state chain over that ~10³-row
+    * series; the twin replays the seed window and every smoothing step
+    * via WITH RECURSIVE. */
+  val qTsRsi: Q = Q(
+    "q_ts_rsi",
+    (s, dir) => {
+      import s.implicits._
+      val daily = Tables.events(s, dir)
+        .groupBy(to_date(date_trunc("day", $"ts")).as("day"))
+        .agg((sum(dec2($"value")) * 100).cast(LongType).as("v"))
+      daily.coalesce(1).sortWithinPartitions($"day")
+        .as[(java.sql.Date, Long)]
+        .mapPartitions { it =>
+          var prev = Option.empty[Long]
+          var i = 0L // day index (1-based)
+          var sumG = 0L; var sumL = 0L // seed accumulation, changes 2..15
+          var ag = 0L; var al = 0L
+          it.flatMap { case (day, v) =>
+            i += 1
+            val out = prev match {
+              case None => None
+              case Some(p) =>
+                val g = math.max(v - p, 0L)
+                val l = math.max(p - v, 0L)
+                if (i <= 15L) { sumG += g; sumL += l }
+                if (i == 15L) { ag = sumG / 14L; al = sumL / 14L }
+                else if (i > 15L) {
+                  ag = (ag * 13L + g) / 14L
+                  al = (al * 13L + l) / 14L
+                }
+                if (i >= 15L) {
+                  val rsi =
+                    if (ag + al == 0L) None
+                    else Some(ag * 1000000L / (ag + al))
+                  Some((day, ag, al, rsi))
+                } else None
+            }
+            prev = Some(v)
+            out
+          }
+        }
+        .toDF("day", "avg_gain_cents", "avg_loss_cents", "rsi_ppm")
+        .orderBy($"day")
+    },
+    oracle = Some(
+      """WITH RECURSIVE daily AS (
+        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS v
+        |  FROM events GROUP BY 1),
+        |seq AS (
+        |  SELECT day, v, row_number() OVER (ORDER BY day) AS i FROM daily),
+        |chg AS (
+        |  SELECT s.i, s.day,
+        |    greatest(s.v - p.v, 0) AS g, greatest(p.v - s.v, 0) AS l
+        |  FROM seq s JOIN seq p ON p.i = s.i - 1),
+        |rec AS (
+        |  SELECT 15 AS i,
+        |    (SELECT day FROM chg WHERE i = 15) AS day,
+        |    CAST((SELECT SUM(g) FROM chg WHERE i <= 15) AS BIGINT) // 14 AS ag,
+        |    CAST((SELECT SUM(l) FROM chg WHERE i <= 15) AS BIGINT) // 14 AS al
+        |  UNION ALL
+        |  SELECT c.i, c.day,
+        |    (r.ag * 13 + c.g) // 14, (r.al * 13 + c.l) // 14
+        |  FROM rec r JOIN chg c ON c.i = r.i + 1)
+        |SELECT day, ag AS avg_gain_cents, al AS avg_loss_cents,
+        |  CASE WHEN ag + al = 0 THEN NULL
+        |       ELSE ag * 1000000 // (ag + al) END AS rsi_ppm
+        |FROM rec
+        |ORDER BY day""".stripMargin))
+
   val all: Vector[Q] = Vector(
     qTsDrawdown, qWinBollinger, qAggCorr, qEventsMarkov,
     qAbChisquare, qSkyline, qEventsAttribution, qEventsRfm, qAggMoments,
-    qTsCrossCorr, qTsVwap, qTsLogReturns, qTsMacd)
+    qTsCrossCorr, qTsVwap, qTsLogReturns, qTsMacd, qTsRsi)
 }
