@@ -914,8 +914,117 @@ object StatQueries {
         |FROM rec
         |ORDER BY day""".stripMargin))
 
+  /** q_ts_stochastic — STOCHASTIC OSCILLATOR %K/%D over daily traded
+    * value: %K = (v − min₁₄)/(max₁₄ − min₁₄) against the trailing
+    * 14-day range, %D its 3-day moving average — unlike the
+    * MACD/RSI recurrences this one is PURE WINDOW FRAMES (min/max/avg
+    * over trailing rows), the form that parallelizes trivially.
+    * Integers end to end: k_ppm = (v − lo)·10⁶ div (hi − lo) with the
+    * flat-range hi = lo case decided exactly → NULL; %D averages the
+    * three k_ppm ints (div 3) and is NULL if any constituent is (SQL
+    * AVG would skip NULLs — an explicit 3-term sum keeps both engines
+    * honest). Warm-up rows suppressed. Windows run over the bounded
+    * day domain. */
+  val qTsStochastic: Q = Q(
+    "q_ts_stochastic",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, dir)
+        .groupBy(to_date(date_trunc("day", $"ts")).as("day"))
+        .agg((sum(dec2($"value")) * 100).cast(LongType).as("v"))
+      val w14 = Window.orderBy($"day").rowsBetween(-13, Window.currentRow)
+      val wRk = Window.orderBy($"day")
+      val k = daily.select($"day", $"v",
+          min($"v").over(w14).as("lo"), max($"v").over(w14).as("hi"),
+          row_number().over(wRk).as("rk"))
+        .select($"day", $"rk",
+          when($"hi" === $"lo", lit(null))
+            .otherwise(expr("(v - lo) * 1000000 div (hi - lo)")).as("k_ppm"))
+      val wLag = Window.orderBy($"day")
+      k.select($"day", $"rk", $"k_ppm",
+          lag($"k_ppm", 1).over(wLag).as("k1"),
+          lag($"k_ppm", 2).over(wLag).as("k2"))
+        .where($"rk" >= 16)
+        // `div`, not `/`: Column./ is ALWAYS float division (then a
+        // double→long cast truncates) while DuckDB's double→BIGINT
+        // cast ROUNDS — integer division on both sides avoids the
+        // cast-semantics fork entirely.
+        .select($"day", $"k_ppm",
+          expr("(k_ppm + k1 + k2) div 3").as("d_ppm"))
+        .orderBy($"day")
+    },
+    oracle = Some(
+      """WITH daily AS (
+        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS v
+        |  FROM events GROUP BY 1),
+        |k AS (
+        |  SELECT day,
+        |    row_number() OVER (ORDER BY day) AS rk,
+        |    CASE WHEN hi = lo THEN NULL
+        |         ELSE (v - lo) * 1000000 // (hi - lo) END AS k_ppm
+        |  FROM (SELECT day, v,
+        |          MIN(v) OVER w AS lo, MAX(v) OVER w AS hi
+        |        FROM daily
+        |        WINDOW w AS (ORDER BY day
+        |          ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)))
+        |SELECT day, k_ppm,
+        |  (k_ppm + lag(k_ppm, 1) OVER (ORDER BY day)
+        |         + lag(k_ppm, 2) OVER (ORDER BY day)) // 3 AS d_ppm
+        |FROM k
+        |QUALIFY rk >= 16
+        |ORDER BY day""".stripMargin))
+
+  /** q_ts_obv — ON-BALANCE VOLUME: the running total of event COUNT
+    * (the "volume") signed by the day-over-day direction of traded
+    * value — volume flows toward the price trend, the classic
+    * accumulation/distribution signal. A lag for the direction + one
+    * cumulative window SUM of exact integers; flat days contribute 0
+    * (sign(0) — identical both engines). Bounded day domain. */
+  val qTsObv: Q = Q(
+    "q_ts_obv",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, dir)
+        .groupBy(to_date(date_trunc("day", $"ts")).as("day"))
+        .agg(count(lit(1)).as("n"),
+          (sum(dec2($"value")) * 100).cast(LongType).as("v"))
+      val wLag = Window.orderBy($"day")
+      val wCum = Window.orderBy($"day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily.select($"day", $"n", $"v",
+          lag($"v", 1).over(wLag).as("v_prev"))
+        .select($"day",
+          (signum(($"v" - $"v_prev").cast(DoubleType)).cast(LongType) * $"n")
+            .as("flow"))
+        .where($"flow".isNotNull)
+        .select($"day", $"flow", sum($"flow").over(wCum).as("obv"))
+        .orderBy($"day")
+    },
+    oracle = Some(
+      """WITH daily AS (
+        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    COUNT(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS v
+        |  FROM events GROUP BY 1),
+        |flows AS (
+        |  SELECT day,
+        |    CAST(sign(v - lag(v) OVER (ORDER BY day)) AS BIGINT)
+        |      * n AS flow
+        |  FROM daily)
+        |SELECT day, flow,
+        |  CAST(SUM(flow) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS obv
+        |FROM flows
+        |WHERE flow IS NOT NULL
+        |ORDER BY day""".stripMargin))
+
   val all: Vector[Q] = Vector(
     qTsDrawdown, qWinBollinger, qAggCorr, qEventsMarkov,
     qAbChisquare, qSkyline, qEventsAttribution, qEventsRfm, qAggMoments,
-    qTsCrossCorr, qTsVwap, qTsLogReturns, qTsMacd, qTsRsi)
+    qTsCrossCorr, qTsVwap, qTsLogReturns, qTsMacd, qTsRsi, qTsStochastic,
+    qTsObv)
 }
