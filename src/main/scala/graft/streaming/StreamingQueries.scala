@@ -539,8 +539,80 @@ object StreamingQueries {
         |WHERE rn = 1
         |ORDER BY user_id""".stripMargin))
 
+  /** q_stream_daily_agg — STREAMING AGGREGATE-TABLE MAINTENANCE, the
+    * second streaming ORACLE row (q_stream_upsert covers the keyed
+    * newest-wins merge class; this covers the MONOID-merge class):
+    * each micro-batch's per-day (count, exact-cents sum) partials are
+    * merged into a keyed parquet aggregate table via foreachBatch —
+    * the incrementally-maintained daily rollup every warehouse keeps
+    * hot. Because both aggregates are commutative monoids in exact
+    * integers, the maintained table equals the batch recompute
+    * BIT-FOR-BIT whatever the micro-batching — which is exactly what
+    * the DuckDB twin checks (the q_agg_incremental argument, proven
+    * here through the live streaming machinery, not a simulation).
+    * Shares [[UpsertStage]]'s staged chunks — one listing/staging cost
+    * across both O-rows (the r8 streaming-overhead lesson). Mean is
+    * integer cents div count — no float anywhere. */
+  val qStreamDailyAgg: Q = Q(
+    "q_stream_daily_agg",
+    (s, dir) => {
+      import s.implicits._
+      val inDir = UpsertStage.inDir(s, dir)
+      val state = UpsertStage.stateDir(dir) + "_dailyagg"
+      def partials(df: DataFrame): DataFrame =
+        df.groupBy(to_date(date_trunc("day", col("ts"))).as("day"))
+          .agg(count(lit(1)).as("n"),
+            (sum(col("value").cast(org.apache.spark.sql.types
+              .DecimalType(18, 2))) * 100)
+              .cast(org.apache.spark.sql.types.LongType).as("sc"))
+      val src = graft.Tables.normalizeTs(
+        s.readStream.schema(UpsertStage.schema(s, inDir))
+          .option("maxFilesPerTrigger", 1).parquet(inDir))
+      val pKey = "spark.sql.shuffle.partitions"
+      val prevP = s.conf.get(pKey)
+      s.conf.set(pKey, s.conf.get("spark.graft.replay.shufflePartitions", "4"))
+      try {
+        val q = src.writeStream
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            val bs = batch.sparkSession
+            val bp = partials(batch)
+            val merged =
+              if (id == 0L) bp
+              else bs.read.parquet(state).unionByName(bp)
+                .groupBy(col("day"))
+                .agg(sum(col("n")).as("n"), sum(col("sc")).as("sc"))
+            merged.localCheckpoint(eager = true)
+              .write.mode("overwrite").parquet(state)
+            ()
+          }
+          .start()
+        if (!q.awaitTermination(300000)) {
+          q.stop()
+          throw new IllegalStateException(
+            "q_stream_daily_agg replay did not finish within 300 s")
+        }
+      } finally s.conf.set(pKey, prevP)
+      s.read.parquet(state)
+        .select($"day", $"n",
+          ($"sc".cast(org.apache.spark.sql.types.DoubleType) / 100)
+            .as("sum_value"),
+          expr("sc div n").as("mean_cents"))
+        .orderBy($"day")
+    },
+    oracle = Some(
+      """WITH daily AS (
+        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    COUNT(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS sc
+        |  FROM events GROUP BY 1)
+        |SELECT day, n, CAST(sc AS DOUBLE) / 100 AS sum_value,
+        |  sc // n AS mean_cents
+        |FROM daily
+        |ORDER BY day""".stripMargin))
+
   val all: Vector[Q] = Vector(qWindowTumblingBatch,
     qStreamTumbling, qStreamSliding, qStreamSession, qStreamDedup,
     qStreamStateful, qStreamStatefulTws, qStreamQualityFilter,
-    qStreamCountmin, qStreamOhlc, qStreamUpsert)
+    qStreamCountmin, qStreamOhlc, qStreamUpsert, qStreamDailyAgg)
 }
