@@ -1022,9 +1022,82 @@ object StatQueries {
         |WHERE flow IS NOT NULL
         |ORDER BY day""".stripMargin))
 
+  /** q_ts_atr — AVERAGE TRUE RANGE (Wilder) over daily value bars: the
+    * volatility measure that, unlike close-to-close σ
+    * ([[qTsLogReturns]]), sees INTRADAY range and overnight gaps —
+    * TR = max(high−low, |high−prevClose|, |low−prevClose|), TR₁ =
+    * high−low, then the same Wilder smoothing as [[qTsRsi]]. Bars come
+    * from one partial agg (high/low = extremes of exact 2-dp values;
+    * close = max_by on the unique event_id — the q_ts_ohlc
+    * determinism rule); everything after is exact integer cents with
+    * truncating division. Single-pass O(1)-state chain over the
+    * bounded day domain; the twin replays seed + every smoothing step
+    * via WITH RECURSIVE. */
+  val qTsAtr: Q = Q(
+    "q_ts_atr",
+    (s, dir) => {
+      import s.implicits._
+      val bars = Tables.events(s, dir)
+        .groupBy(to_date(date_trunc("day", $"ts")).as("day"))
+        .agg(
+          (dec2(max($"value")) * 100).cast(LongType).as("h"),
+          (dec2(min($"value")) * 100).cast(LongType).as("l"),
+          (dec2(max_by($"value", $"event_id")) * 100).cast(LongType).as("c"))
+      bars.coalesce(1).sortWithinPartitions($"day")
+        .as[(java.sql.Date, Long, Long, Long)]
+        .mapPartitions { it =>
+          var prevC = Option.empty[Long]
+          var i = 0L
+          var sumTr = 0L
+          var atr = 0L
+          it.flatMap { case (day, h, l, c) =>
+            i += 1
+            val tr = prevC match {
+              case None => h - l
+              case Some(pc) =>
+                math.max(h - l, math.max(math.abs(h - pc), math.abs(l - pc)))
+            }
+            prevC = Some(c)
+            if (i <= 14L) sumTr += tr
+            if (i == 14L) atr = sumTr / 14L
+            else if (i > 14L) atr = (atr * 13L + tr) / 14L
+            if (i >= 14L) Some((day, tr, atr)) else None
+          }
+        }
+        .toDF("day", "tr_cents", "atr_cents")
+        .orderBy($"day")
+    },
+    oracle = Some(
+      """WITH RECURSIVE daily AS (
+        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    CAST(CAST(MAX(value) AS DECIMAL(18,2)) * 100 AS BIGINT) AS h,
+        |    CAST(CAST(MIN(value) AS DECIMAL(18,2)) * 100 AS BIGINT) AS l,
+        |    CAST(CAST(max_by(value, event_id) AS DECIMAL(18,2)) * 100
+        |      AS BIGINT) AS c
+        |  FROM events GROUP BY 1),
+        |seq AS (
+        |  SELECT day, h, l, c, row_number() OVER (ORDER BY day) AS i
+        |  FROM daily),
+        |tr AS (
+        |  SELECT s.i, s.day,
+        |    CASE WHEN p.c IS NULL THEN s.h - s.l
+        |         ELSE greatest(s.h - s.l, abs(s.h - p.c), abs(s.l - p.c))
+        |    END AS tr
+        |  FROM seq s LEFT JOIN seq p ON p.i = s.i - 1),
+        |rec AS (
+        |  SELECT 14 AS i, (SELECT day FROM tr WHERE i = 14) AS day,
+        |    (SELECT tr FROM tr WHERE i = 14) AS tr,
+        |    CAST((SELECT SUM(tr) FROM tr WHERE i <= 14) AS BIGINT) // 14 AS atr
+        |  UNION ALL
+        |  SELECT t.i, t.day, t.tr, (r.atr * 13 + t.tr) // 14
+        |  FROM rec r JOIN tr t ON t.i = r.i + 1)
+        |SELECT day, tr AS tr_cents, atr AS atr_cents
+        |FROM rec
+        |ORDER BY day""".stripMargin))
+
   val all: Vector[Q] = Vector(
     qTsDrawdown, qWinBollinger, qAggCorr, qEventsMarkov,
     qAbChisquare, qSkyline, qEventsAttribution, qEventsRfm, qAggMoments,
     qTsCrossCorr, qTsVwap, qTsLogReturns, qTsMacd, qTsRsi, qTsStochastic,
-    qTsObv)
+    qTsObv, qTsAtr)
 }
