@@ -148,11 +148,19 @@ object PrepQueries {
       // Zero variance (a constant column) is decided in EXACT integer
       // space (n·Σc² = (Σc)²) and yields NULL z in both engines —
       // unguarded, Spark's x/0.0 is NaN/Inf while DuckDB 1.0 returns
-      // NULL, and the oracle would diverge on degenerate data.
+      // NULL, and the oracle would diverge on degenerate data. The
+      // guard's products are WIDENED to DECIMAL(38,0) (twin: HUGEINT):
+      // in Long they'd wrap once n·c_max exceeds ~3e9 — far before the
+      // ~8e8-rows/group bound on the SUMS themselves — and a wrapped
+      // guard is silently meaningless. Decimal(19,0)² → (38,0) holds
+      // to ~1e38; the comparison is exact integer, no float involved,
+      // so the widening cannot move any non-degenerate answer.
+      val d19 = DecimalType(19, 0)
       val model = stats.select(
         $"event_type",
         ($"sc".cast(DoubleType) / $"n").as("mu"),
-        when($"n" * $"sq" === $"sc" * $"sc", lit(null))
+        when($"n".cast(d19) * $"sq".cast(d19) ===
+          $"sc".cast(d19) * $"sc".cast(d19), lit(null))
           .otherwise(sqrt($"sq".cast(DoubleType) / $"n" -
             ($"sc".cast(DoubleType) / $"n") * ($"sc".cast(DoubleType) / $"n")))
           .as("sig"))
@@ -172,7 +180,8 @@ object PrepQueries {
         |model AS (
         |  SELECT event_type,
         |    CAST(sc AS DOUBLE) / n AS mu,
-        |    CASE WHEN n * sq = sc * sc THEN NULL
+        |    CASE WHEN CAST(n AS HUGEINT) * sq = CAST(sc AS HUGEINT) * sc
+        |      THEN NULL
         |      ELSE sqrt(CAST(sq AS DOUBLE) / n -
         |        (CAST(sc AS DOUBLE) / n) * (CAST(sc AS DOUBLE) / n)) END AS sig
         |  FROM stats)

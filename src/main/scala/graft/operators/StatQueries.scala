@@ -904,6 +904,7 @@ object StatQueries {
         |    (SELECT day FROM chg WHERE i = 15) AS day,
         |    CAST((SELECT SUM(g) FROM chg WHERE i <= 15) AS BIGINT) // 14 AS ag,
         |    CAST((SELECT SUM(l) FROM chg WHERE i <= 15) AS BIGINT) // 14 AS al
+        |  WHERE EXISTS (SELECT 1 FROM chg WHERE i = 15)
         |  UNION ALL
         |  SELECT c.i, c.day,
         |    (r.ag * 13 + c.g) // 14, (r.al * 13 + c.l) // 14
@@ -1088,6 +1089,7 @@ object StatQueries {
         |  SELECT 14 AS i, (SELECT day FROM tr WHERE i = 14) AS day,
         |    (SELECT tr FROM tr WHERE i = 14) AS tr,
         |    CAST((SELECT SUM(tr) FROM tr WHERE i <= 14) AS BIGINT) // 14 AS atr
+        |  WHERE EXISTS (SELECT 1 FROM tr WHERE i = 14)
         |  UNION ALL
         |  SELECT t.i, t.day, t.tr, (r.atr * 13 + t.tr) // 14
         |  FROM rec r JOIN tr t ON t.i = r.i + 1)

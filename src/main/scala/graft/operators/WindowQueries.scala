@@ -419,8 +419,15 @@ object WindowQueries {
     *
     * Scale: the fact scan collapses to the (type × day) domain in one
     * partial agg; the frames run over that bounded table partitioned
-    * by type. Σv² headroom: daily cents ~1e7 → v² ~1e14 → ×7 well
-    * inside Long even at 1000× daily volume. */
+    * by type. Σv² headroom (the binding constraint is pearsonR's
+    * n·Σv² product, not Σv² itself): daily cents v ~1e7 at sf0.1 →
+    * v² ~1e14, ×7-row frame ~7e14, ×k=7 in n·syy ~5e15 — ~1.8e3× of
+    * Long headroom left, but v enters SQUARED, so the DAILY-VOLUME
+    * multiple is only √(9.2e18/49/1e14) ≈ 43×. Past ~40× daily volume
+    * the products must widen to DECIMAL(38,0)/HUGEINT like
+    * q_prep_standardize's guard — Spark wraps Long silently (wrong r)
+    * while DuckDB aborts, so the widening must land BEFORE the data
+    * does. */
   val qWinRollingCorr: Q = Q(
     "q_win_rolling_corr",
     (s, dir) => {

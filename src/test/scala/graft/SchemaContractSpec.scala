@@ -66,6 +66,26 @@ class SchemaContractSpec extends AnyFunSuite with SparkFixture {
         "normalizeTs is likely scaling a re-encoded fixture wrong")
   }
 
+  test("normalized ts of a known event matches its absolute value " +
+    "(value-level pin)") {
+    // Strongest form of the unit tripwire: the window test above bounds
+    // min/max, but a sub-1000× drift (e.g. a future millis encoding read
+    // through the micros branch, off by 1000 the OTHER way on small
+    // offsets) or a TZ shift could in principle stay inside a 30-day
+    // window. Pinning one event's full microsecond value cannot. The
+    // expected literal was derived with an INDEPENDENT reader (DuckDB:
+    // `select ts from events.parquet where event_id=0`) against the
+    // current sf0.001 fixture; if the driver regenerates fixtures with a
+    // new seed this fails loudly and the literal must be re-derived the
+    // same way — that forced re-derivation is the insurance.
+    val got = Tables.events(spark, sfDir)
+      .where(org.apache.spark.sql.functions.col("event_id") === 0L)
+      .selectExpr("cast(ts as string)").head().getString(0)
+    assert(got === "2024-01-01 00:09:58.778549",
+      s"event_id=0 ts drifted to $got — normalizeTs unit/zone handling " +
+        "no longer matches the fixture's physical encoding")
+  }
+
   test("dimension and fact tables carry the FIXTURES.md logical schema") {
     assert(fields("region") === Seq(
       "r_regionkey" -> IntegerType, "r_name" -> StringType))
