@@ -245,15 +245,20 @@ object VectorQueries {
     })
 
   /** q_multimodal_frames (T) — the multimodal decode pipeline as a
-    * catalog query: the documents fixture supplies deterministic binary
-    * payloads (UTF-8 text bytes standing in for media — the fixtures
-    * carry no true media, and the codec is the documented
-    * [[MultimodalBinary.StubCodec]] stub), flowing through the typed
-    * decode → frame-sample → per-media stats pipeline. Payload bytes
-    * never shuffle: decode and sampling are narrow mapPartitions/filter;
-    * only (media_id, frame feature) rows reach the one aggregation
-    * shuffle. `MultimodalBinarySpec` pins determinism, frame counts and
-    * content sensitivity. */
+    * catalog query over REAL encoded media: the fixtures carry no true
+    * binaries, so each document deterministically renders to a public
+    * format first — zh docs to a RIFF/WAVE PCM16 clip, the rest to a
+    * binary netpbm P6 image, pixels/samples derived from the UTF-8 text
+    * bytes — and the decode step then parses those real headers/rasters
+    * back ([[MultimodalBinary.PpmCodec]]/[[MultimodalBinary.WavCodec]])
+    * and extracts genuine pixel/sample statistics per band/window. The
+    * encode→decode round trip makes the family honest end to end. The
+    * text-derived media vary in height (8–31 rows) and length (160–600
+    * samples), so frame counts vary per doc. Payload bytes never
+    * shuffle: decode and sampling are narrow mapPartitions/filter; only
+    * (media_id, frame feature) rows reach the one aggregation shuffle.
+    * `MultimodalBinarySpec` pins codec round trips, exact pixel stats,
+    * determinism and content sensitivity. */
   val qMultimodalFrames: Q = Q(
     "q_multimodal_frames",
     (s, dir) => {
@@ -263,11 +268,26 @@ object VectorQueries {
         .select($"doc_id", $"lang", $"text", $"n_chars")
         .as[(Long, String, String, Long)]
         .map { case (id, lang, text, nChars) =>
-          MediaFile(id, if (lang == "zh") "audio" else "image",
-            text.getBytes("UTF-8"),
-            MediaMeta(64, 64, 16000, nChars))
+          val bytes = text.getBytes("UTF-8")
+          if (lang == "zh") {
+            val n = (160 + (nChars % 12) * 40).toInt // 160..600 samples
+            val samples = Array.tabulate(n) { i =>
+              val hi = (bytes(i % bytes.length) & 0xff) - 128
+              val lo = bytes((i * 7 + 3) % bytes.length) & 0xff
+              ((hi << 8) | lo).toShort
+            }
+            MediaFile(id, "audio", WavCodec.encode(PcmAudio(16000, samples)),
+              MediaMeta(0, 0, 16000, n * 1000L / 16000))
+          } else {
+            val w = 32
+            val h = (8 + nChars % 24).toInt // 8..31 rows → 1..4 bands
+            val px = Array.tabulate(w * h * 3)(k => bytes(k % bytes.length))
+            MediaFile(id, "image", PpmCodec.encode(RgbImage(w, h, px)),
+              MediaMeta(w, h, 0, 0L))
+          }
         }
-      val frames = frameSample(decodeFrames(media, frameStride = 64), every = 2)
+      val frames = frameSample(
+        decodeFrames(media, bandRows = 8, windowSamples = 160), every = 2)
       frameStats(s, frames).orderBy($"media_id")
     })
 

@@ -1,76 +1,202 @@
 package graft
 
 import graft.operators.MultimodalBinary
-import graft.operators.MultimodalBinary.{Frame, MediaFile, MediaMeta}
+import graft.operators.MultimodalBinary._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Multimodal binary plumbing (stubbed decode): the schema, typed
-  * mapPartitions shape, determinism and shuffle-freeness are the real
-  * contract here — the codec itself is an explicit stub. */
+/** Multimodal binary plumbing with REAL pure-JVM codecs: netpbm P6
+  * round trip + header grammar, RIFF/WAVE PCM16 round trip + chunk
+  * walking, exact hand-computed pixel/sample statistics, and the
+  * plan-shape properties (narrow decode, typed mapPartitions) that
+  * matter at scale. */
 class MultimodalBinarySpec extends AnyFunSuite with SparkFixture {
 
-  private def media(id: Long, n: Int, mod: String = "image"): MediaFile =
-    MediaFile(id, mod,
-      Array.tabulate(n)(i => ((id * 131 + i) % 251).toByte),
-      MediaMeta(64, 64, 0, 0L))
+  private def img(w: Int, h: Int, f: Int => Int): RgbImage =
+    RgbImage(w, h, Array.tabulate(w * h * 3)(k => f(k).toByte))
 
-  private def ds(files: MediaFile*) = {
-    import MultimodalBinary._
-    spark.createDataset(files)(mediaEnc)
+  private def ds(files: MediaFile*) = spark.createDataset(files)(mediaEnc)
+
+  private def imageFile(id: Long, im: RgbImage): MediaFile =
+    MediaFile(id, "image", PpmCodec.encode(im),
+      MediaMeta(im.width, im.height, 0, 0L))
+
+  // ---- PPM codec ----
+
+  test("ppm: encode→decode round-trips width, height and every pixel") {
+    val im = img(5, 7, k => (k * 37 + 11) % 256)
+    val back = PpmCodec.decode(PpmCodec.encode(im))
+    assert(back.width == 5 && back.height == 7)
+    assert(back.pixels.toSeq == im.pixels.toSeq)
   }
 
-  test("decode yields ceil(payload/stride) frames with fixed-width features") {
-    val frames = MultimodalBinary.decodeFrames(ds(media(1L, 256), media(2L, 100)), 64)
-      .collect()
+  test("ppm: parser accepts comments and mixed whitespace in the header") {
+    val raster = Array.tabulate(2 * 1 * 3)(_.toByte)
+    val header = "P6 # a comment\n# another\n 2\t1 # dims\n255\n"
+      .getBytes("US-ASCII")
+    val back = PpmCodec.decode(header ++ raster)
+    assert(back.width == 2 && back.height == 1)
+    assert(back.pixels.toSeq == raster.toSeq)
+  }
+
+  test("ppm: raster bytes that look like whitespace survive the round trip") {
+    // '\n' (10) and ' ' (32) as PIXEL values — a parser that skipped
+    // whitespace after the header would mis-align the raster.
+    val im = RgbImage(1, 2, Array[Byte](10, 32, 10, 32, 10, 32))
+    assert(PpmCodec.decode(PpmCodec.encode(im)).pixels.toSeq ==
+      im.pixels.toSeq)
+  }
+
+  test("ppm: malformed payloads fail loudly") {
+    val ok = PpmCodec.encode(img(2, 2, identity))
+    intercept[IllegalArgumentException](PpmCodec.decode("P5\n1 1\n255\n".getBytes ++ Array[Byte](0)))
+    intercept[IllegalArgumentException](PpmCodec.decode(ok.dropRight(1))) // truncated raster
+    intercept[IllegalArgumentException](PpmCodec.decode(
+      ("P6\n2 2\n127\n".getBytes("US-ASCII")) ++ Array.fill[Byte](12)(0))) // maxval
+  }
+
+  // ---- WAV codec ----
+
+  test("wav: encode→decode round-trips rate and every sample") {
+    val a = PcmAudio(16000, Array.tabulate(100)(i => (i * 523 - 17000).toShort))
+    val back = WavCodec.decode(WavCodec.encode(a))
+    assert(back.sampleRate == 16000)
+    assert(back.samples.toSeq == a.samples.toSeq)
+  }
+
+  test("wav: decoder walks extra chunks (LIST) and odd-size padding") {
+    val a = PcmAudio(8000, Array[Short](1, -2, 3))
+    val canonical = WavCodec.encode(a)
+    // Splice a 5-byte LIST chunk (odd → 1 pad byte) between fmt and data.
+    val list = "LIST".getBytes ++ Array[Byte](5, 0, 0, 0) ++
+      Array[Byte]('I', 'N', 'F', 'O', 7) ++ Array[Byte](0) // pad
+    val spliced = canonical.take(36) ++ list ++ canonical.drop(36)
+    // Fix the RIFF size field (bytes 4..7, little-endian).
+    val total = spliced.length - 8
+    spliced(4) = (total & 0xff).toByte
+    spliced(5) = ((total >> 8) & 0xff).toByte
+    val back = WavCodec.decode(spliced)
+    assert(back.sampleRate == 8000 && back.samples.toSeq == Seq[Short](1, -2, 3))
+  }
+
+  test("wav: stereo / non-PCM / truncated payloads fail loudly") {
+    val ok = WavCodec.encode(PcmAudio(8000, Array[Short](1, 2)))
+    val stereo = ok.clone(); stereo(22) = 2
+    intercept[IllegalArgumentException](WavCodec.decode(stereo))
+    val alaw = ok.clone(); alaw(20) = 6
+    intercept[IllegalArgumentException](WavCodec.decode(alaw))
+    intercept[IllegalArgumentException](WavCodec.decode(ok.dropRight(1)))
+  }
+
+  // ---- real feature math ----
+
+  test("image features are the actual pixel statistics (hand-computed)") {
+    // 2x1 image: pure red then pure green pixels.
+    val im = RgbImage(2, 1, Array[Byte](-1, 0, 0, 0, -1, 0)) // (255,0,0),(0,255,0)
+    val f = MultimodalBinary.imageBandFeature(im, 0, 1)
+    assert(math.abs(f(0) - 127.5f / 255f) < 1e-6, "mean R")
+    assert(math.abs(f(1) - 127.5f / 255f) < 1e-6, "mean G")
+    assert(f(2) == 0f, "mean B")
+    // Rec.709 integer luma: red = 2126*255/10000 = 54, green = 7152*255/10000 = 182.
+    assert(math.abs(f(3) - (54 + 182) / 2f / 255f) < 1e-6, "mean luma")
+    assert(math.abs(f(5) - (182 - 54) / 255f) < 1e-6, "edge energy = |Δluma|")
+    assert(math.abs(f(6) - 54f / 255f) < 1e-6 &&
+      math.abs(f(7) - 182f / 255f) < 1e-6, "min/max luma")
+  }
+
+  test("a flat image has zero contrast and edge energy; bands see their rows only") {
+    val flat = img(4, 4, _ => 100)
+    val f = MultimodalBinary.imageBandFeature(flat, 0, 4)
+    assert(f(4) == 0f && f(5) == 0f)
+    // Top band black, bottom band white: band features must differ.
+    val split = RgbImage(2, 4, Array.tabulate(2 * 4 * 3)(k =>
+      if (k < 12) 0.toByte else -1.toByte))
+    val top = MultimodalBinary.imageBandFeature(split, 0, 2)
+    val bot = MultimodalBinary.imageBandFeature(split, 2, 4)
+    assert(top(3) == 0f && bot(3) == 1f, "band stats are row-scoped")
+  }
+
+  test("audio features are the actual sample statistics (hand-computed)") {
+    val a = PcmAudio(8000, Array[Short](100, -100, 100, -100))
+    val f = MultimodalBinary.audioWindowFeature(a, 0, 4, 4)
+    assert(math.abs(f(0) - 100f / 32768f) < 1e-6, "mean abs")
+    assert(math.abs(f(1) - 100f / 32768f) < 1e-6, "rms of constant magnitude")
+    assert(f(2) == 1f, "alternating signs → zcr 1")
+    assert(math.abs(f(3) + 100f / 32768f) < 1e-6 &&
+      math.abs(f(4) - 100f / 32768f) < 1e-6, "min/max")
+    assert(math.abs(f(5) - 200f / 65536f) < 1e-6, "mean |diff|")
+    // Σ s_i·s_{i+1} has 3 pairs of -1e4 against Σ s_i² = 4e4 → -0.75
+    // (the unnormalized-window edge effect; a full window → -1).
+    assert(f(6) == -0.75f, "alternation lag-1 autocorr over 3 pairs / 4 terms")
+    assert(f(7) == 1f, "full window")
+  }
+
+  // ---- framing ----
+
+  test("image decode yields ceil(height/bandRows) frames; tail band is partial") {
+    val frames = MultimodalBinary.decodeFrames(
+      ds(imageFile(1L, img(4, 16, identity)), imageFile(2L, img(4, 20, identity))),
+      bandRows = 8).collect()
     val byId = frames.groupBy(_.media_id)
-    assert(byId(1L).length == 4) // 256/64 exact
-    assert(byId(2L).length == 2) // 100/64 → full frame + 36-byte tail frame
+    assert(byId(1L).length == 2) // 16/8 exact
+    assert(byId(2L).length == 3) // 20/8 → two full bands + 4-row tail
     assert(frames.forall(_.feature.length == MultimodalBinary.featureDim))
   }
 
-  test("tail bytes reach a partial frame (content sensitivity has no blind spot)") {
-    // Two 100-byte payloads agreeing on the first 64 bytes but differing
-    // at byte 70: with floor framing both decoded identically (the tail
-    // was dropped); ceil framing must separate them in frame 1.
-    val base = Array.tabulate(100)(_.toByte)
-    val tweaked = base.clone(); tweaked(70) = (tweaked(70) + 1).toByte
-    val fs = MultimodalBinary.decodeFrames(ds(
-        MediaFile(1L, "image", base, MediaMeta(64, 64, 16000, 100)),
-        MediaFile(2L, "image", tweaked, MediaMeta(64, 64, 16000, 100))), 64)
+  test("tail rows reach the partial band (content sensitivity has no blind spot)") {
+    val base = img(4, 10, k => k % 97)
+    val px = base.pixels.clone()
+    px(4 * 9 * 3 + 2) = (px(4 * 9 * 3 + 2) + 64).toByte // a pixel in row 9
+    val tweaked = RgbImage(4, 10, px)
+    val fs = MultimodalBinary.decodeFrames(
+        ds(imageFile(1L, base), imageFile(2L, tweaked)), bandRows = 8)
       .collect().groupBy(_.media_id)
     assert(fs(1L).find(_.frame_idx == 0).get.feature.toSeq ==
       fs(2L).find(_.frame_idx == 0).get.feature.toSeq,
-      "identical leading frames must match")
+      "identical leading bands must match")
     assert(fs(1L).find(_.frame_idx == 1).get.feature.toSeq !=
       fs(2L).find(_.frame_idx == 1).get.feature.toSeq,
-      "a tail-byte difference must change the tail frame")
+      "a tail-row pixel difference must change the tail band")
   }
 
-  test("decode is deterministic and content-sensitive") {
-    val a = MultimodalBinary.decodeFrames(ds(media(1L, 256)), 64).collect()
-    val b = MultimodalBinary.decodeFrames(ds(media(1L, 256)), 64).collect()
-    assert(a.map(_.feature.toSeq).toSeq == b.map(_.feature.toSeq).toSeq)
-    val other = MultimodalBinary.decodeFrames(ds(media(3L, 256)), 64).collect()
-    assert(a.map(_.feature.toSeq).toSet != other.map(_.feature.toSeq).toSet,
-      "different payloads must produce different features")
+  test("audio decode windows the clip; partial tail records its fill fraction") {
+    val clip = PcmAudio(16000, Array.tabulate(250)(i => (i - 125).toShort))
+    val frames = MultimodalBinary.decodeFrames(
+      ds(MediaFile(1L, "audio", WavCodec.encode(clip), MediaMeta(0, 0, 16000, 0L))),
+      windowSamples = 100).collect()
+    assert(frames.length == 3) // 100+100+50
+    assert(frames.find(_.frame_idx == 2).get.feature(7) == 0.5f, "tail fill 50/100")
+  }
+
+  test("unknown modality and undecodable payload fail loudly with media_id") {
+    val bad = ds(MediaFile(7L, "video", Array[Byte](1, 2, 3), MediaMeta(0, 0, 0, 0L)))
+    val e = intercept[org.apache.spark.SparkException](
+      MultimodalBinary.decodeFrames(bad).collect())
+    assert(e.getMessage.contains("media_id=7") ||
+      e.getCause.getMessage.contains("media_id=7"))
+    val garbled = ds(MediaFile(9L, "image", Array[Byte](1, 2, 3), MediaMeta(0, 0, 0, 0L)))
+    val e2 = intercept[org.apache.spark.SparkException](
+      MultimodalBinary.decodeFrames(garbled).collect())
+    assert(e2.getMessage.contains("media_id=9") ||
+      e2.getCause.getMessage.contains("media_id=9"))
   }
 
   test("frame sampling keeps every Nth frame") {
-    val frames = MultimodalBinary.decodeFrames(ds(media(1L, 640)), 64)
+    val frames = MultimodalBinary.decodeFrames(
+      ds(imageFile(1L, img(4, 80, identity))), bandRows = 8)
     val sampled = MultimodalBinary.frameSample(frames, 3).collect()
     assert(sampled.map(_.frame_idx).sorted.toSeq == Seq(0, 3, 6, 9))
   }
 
   test("decode+sample plan is narrow (no shuffle of payload bytes)") {
     val frames = MultimodalBinary.frameSample(
-      MultimodalBinary.decodeFrames(ds(media(1L, 256)), 64), 2)
+      MultimodalBinary.decodeFrames(ds(imageFile(1L, img(4, 16, identity)))), 2)
     val plan = frames.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"),
       s"decode must not shuffle payloads:\n$plan")
   }
 
   test("resize average-pools features to the target width") {
-    val frames = MultimodalBinary.decodeFrames(ds(media(1L, 128)), 64)
+    val frames = MultimodalBinary.decodeFrames(ds(imageFile(1L, img(4, 8, identity))))
     val resized = MultimodalBinary.resize(frames, 4).collect()
     assert(resized.forall(_.feature.length == 4))
     val orig = frames.collect().head.feature
@@ -80,24 +206,24 @@ class MultimodalBinarySpec extends AnyFunSuite with SparkFixture {
 
   test("frameStats aggregates per media with partial aggregation") {
     val frames = MultimodalBinary.decodeFrames(
-      ds(media(1L, 256), media(2L, 512)), 64)
+      ds(imageFile(1L, img(4, 16, identity)), imageFile(2L, img(4, 32, identity))),
+      bandRows = 8)
     val stats = MultimodalBinary.frameStats(spark, frames)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(stats == Map(1L -> 4L, 2L -> 8L))
+    assert(stats == Map(1L -> 2L, 2L -> 4L))
   }
 
   test("catalog query q_multimodal_frames: one row per doc, deterministic") {
-    import org.apache.spark.sql.functions._
     val q = Catalog.byName("q_multimodal_frames")
     val rows = q.build(spark, sfDir).collect()
     val nDocs = Tables.documents(spark, sfDir).count()
     assert(rows.length == nDocs, "every document becomes one media row")
     rows.foreach { r =>
       assert(r.getLong(1) >= 1, "at least one sampled frame per media")
-      // StubCodec features are in [0,1]^8, so mean L1 lies in (0, 8].
+      // Every feature component lies in [-1, 1], so mean L1 ∈ (0, 8].
       assert(r.getDouble(2) > 0 && r.getDouble(2) <= 8.0)
     }
-    // Deterministic: the stub codec hashes payload bytes, no randomness.
+    // Deterministic: real codecs over fixed text bytes, no randomness.
     val again = q.build(spark, sfDir).collect()
     assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
     // Content-sensitive: not all medias share the same mean feature.
