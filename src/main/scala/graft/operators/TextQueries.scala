@@ -1315,6 +1315,30 @@ object TextQueries {
         |WHERE rk <= 10
         |ORDER BY lang, rk""".stripMargin))
 
+  /** q_quality_classifier (T) — TRAINED quality gate (added r10): fit a
+    * logistic regression on the ~40 % md5-gated labeled split (labels =
+    * the heuristic [[QualityScore.keep]] gate — weak supervision), then
+    * score EVERY document with the one narrow σ(w·x) expression. Output
+    * per doc: calibrated keep probability, the model's decision, and the
+    * heuristic's decision side by side (the disagreement band is exactly
+    * what a curation team reviews). Training is [[QualityClassifier]]'s
+    * fixed-epoch exact-integer-gradient loop — deterministic under any
+    * partitioning; model state is 4 doubles cached per (session, dir).
+    * `QualityClassifierSpec` pins determinism, planted-label separation,
+    * and extreme-docs agreement with the heuristic. */
+  val qQualityClassifier: Q = Q(
+    "q_quality_classifier",
+    (s, dir) => {
+      import s.implicits._
+      val model = QualityClassifier.Models(s, dir)
+      QualityClassifier.withFeatures(QualityScore.fromTokens(Tokenized(s, dir)))
+        .select($"doc_id",
+          round(model.prob, 6).as("p_keep"),
+          model.pred.as("keep_pred"),
+          QualityScore.keep.cast("int").as("keep_heur"))
+        .orderBy($"doc_id")
+    })
+
   val all: Vector[Q] =
     Vector(qTextTokenizeExplode, qTextWordcountTf, qTextStats,
       qTextQuality, qTextTokenCount, qDocFingerprint, qTextFilterPipeline,
@@ -1322,5 +1346,5 @@ object TextQueries {
       qTextRedactPii, qTextRepetition, qTextPerplexity, qTextCollocations,
       qTextKlDrift, qSampleFixedK, qSampleWeighted, qTextBm25, qTextEntropy,
       qTextTtr, qTextKeywords, qTextBigramLm, qSampleBalanced,
-      qTextCharTrigrams)
+      qTextCharTrigrams, qQualityClassifier)
 }
