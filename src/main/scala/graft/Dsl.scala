@@ -76,12 +76,13 @@ object Dsl {
     * must keep n·max(Σxx, Σyy) under ~9.2e18 — a TIGHTER bound than the
     * sums' own headroom, and the inputs enter squared, so the safe
     * input-magnitude multiple is the square root of the apparent slack
-    * (q_win_rolling_corr: ~40× daily volume, not ~1800×). Spark wraps
-    * silently past it while DuckDB aborts; past the bound, widen every
-    * moment column to DECIMAL(38,0)/HUGEINT as in q_prep_standardize's
-    * guard BEFORE calling this (the final CASTs to double then convert
-    * the same exact integers, so results are unchanged where both
-    * representations hold the value). */
+    * (q_win_rolling_corr: ~40× daily volume, not ~1800×). Past the
+    * bound Spark's default ANSI mode raises ARITHMETIC_OVERFLOW
+    * (PcaSpec verifies empirically) and DuckDB aborts — a dead job,
+    * not a wrong r; widen every moment column to DECIMAL(38,0)/HUGEINT
+    * as in q_prep_standardize's guard BEFORE calling this (the final
+    * CASTs to double then convert the same exact integers, so results
+    * are unchanged where both representations hold the value). */
   def pearsonR(n: Column, sx: Column, sy: Column, sxy: Column,
       sxx: Column, syy: Column): Column =
     when(n * sxx - sx * sx === 0 || n * syy - sy * sy === 0, lit(null))

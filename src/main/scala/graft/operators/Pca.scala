@@ -30,9 +30,13 @@ import org.apache.spark.sql.functions._
   * for the unit-norm fixture vectors, so |q| ≤ 2²⁰) and the Gram/sum
   * accumulation is EXACT long arithmetic, invariant to partitioning
   * (the q_graph_pagerank discipline applied to linear algebra).
-  * Products bound: 2⁴⁰·n < 2⁶³ holds to n ≈ 8.4M rows; past that the
-  * cell values promote to DECIMAL(38,0) in the same plan (documented,
-  * one-line). The eigensolve is cyclic Jacobi with a fixed sweep
+  * Products bound: 2⁴⁰·n < 2⁶³ holds to n < 2²³ ≈ 8.4M rows; past that
+  * [[model]] switches the cell SUMs to DECIMAL(38,0) in the same plan
+  * (per-row products still fit Long; only the accumulator widens —
+  * headroom then ~9e25 rows). The switch is decided from the table's
+  * row count (a metadata-cheap pass), and PcaSpec proves exactness on
+  * planted magnitudes where the Long path demonstrably wraps.
+  * The eigensolve is cyclic Jacobi with a fixed sweep
   * schedule and threshold — a pure function of the exact integer
   * moments. Eigenvector SIGN is canonicalized (largest-|component|
   * coordinate made positive) so the output never flips between runs.
@@ -50,15 +54,32 @@ object Pca {
   private val scaleBits = 20
   private val unit = (1L << scaleBits).toDouble
 
+  /** Largest row count for which the Long cell sums provably cannot
+    * wrap: |q| ≤ 2²⁰ (unit-norm inputs) → |qᵢqⱼ| ≤ 2⁴⁰, and
+    * (2²³−1)·2⁴⁰ < 2⁶³−1. */
+  private[graft] val longSafeRows: Long = (1L << 23) - 1
+
   /** Exact integer moment cells of the embedding table in ONE
     * aggregation pass: cell i·d+j (i ≤ j) = Σ qᵢqⱼ; cell d²+i = Σ qᵢ;
     * cell d²+d = n. The per-row cell array is built with array HOFs
     * (no UDF): upper-triangle products via a nested transform over the
     * quantized array, flattened, concatenated with the sum/count
-    * cells, exploded, then one groupBy(cell) with map-side combine. */
-  private def momentCells(df: DataFrame): DataFrame =
+    * cells, exploded, then one groupBy(cell) with map-side combine.
+    *
+    * `wide` switches the SUM accumulator to DECIMAL(38,0) — the
+    * promotion for corpora past [[longSafeRows]], where the Long sum
+    * overflows and Spark 4's default ANSI mode RAISES
+    * ARITHMETIC_OVERFLOW: loud rather than silently wrong, but still a
+    * dead job at exactly the corpus sizes PCA is for — the promotion
+    * removes the failure mode. Per-row products always stay Long
+    * (≤ 2⁴⁰); only the accumulator widens, so the narrow path's speed
+    * is kept where it is provably safe. `unitScale` is parameterized
+    * for the spec's planted overflow case only; production uses
+    * [[unit]]. */
+  private[graft] def momentCells(df: DataFrame, wide: Boolean = false,
+      unitScale: Double = unit): DataFrame =
     df.select(expr(
-        s"transform(embedding, x -> CAST(round(x * $unit) AS BIGINT))")
+        s"transform(embedding, x -> CAST(round(x * $unitScale) AS BIGINT))")
         .as("q"))
       .select(explode(concat(
         flatten(expr(
@@ -71,7 +92,9 @@ object Pca {
         expr(s"array(named_struct('cell', CAST(${d * d + d} AS BIGINT), " +
           "'v', CAST(1 AS BIGINT)))"))).as("c"))
       .groupBy(col("c.cell").as("cell"))
-      .agg(sum(col("c.v")).as("v"))
+      .agg((if (wide)
+          sum(col("c.v").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+        else sum(col("c.v"))).as("v"))
 
   /** Cyclic Jacobi eigensolve of a symmetric row-major n×n matrix.
     * Fixed (p,q) sweep order and fixed thresholds make it a pure
@@ -151,13 +174,25 @@ object Pca {
   private[graft] def model(s: SparkSession, dir: String)
       : (Array[Double], Array[Double], Array[Array[Double]]) =
     cache((s, dir)) {
-      val cells = momentCells(Tables.embeddings(s, dir))
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val emb = Tables.embeddings(s, dir)
+      // The promotion switch: one metadata-cheap count decides whether
+      // the Long accumulators can provably hold the Gram sums. (A
+      // BigDecimal cell equal to a Long converts to the identical
+      // double, so flipping `wide` never moves a safe-range result —
+      // PcaSpec pins both facts.)
+      val wide = emb.count() > longSafeRows
+      val cells = momentCells(emb, wide)
+        .collect().map { r =>
+          val v = if (wide) BigDecimal(r.getDecimal(1))
+                  else BigDecimal(r.getLong(1))
+          r.getLong(0) -> v
+        }.toMap
       val n = cells(d.toLong * d + d).toDouble
-      val mean = Array.tabulate(d)(i => cells(d.toLong * d + i) / (n * unit))
+      val mean = Array.tabulate(d)(i =>
+        cells(d.toLong * d + i).toDouble / (n * unit))
       val cov = new Array[Double](d * d)
       for (i <- 0 until d; j <- i until d) {
-        val g = cells(i.toLong * d + j) / (n * unit * unit)
+        val g = cells(i.toLong * d + j).toDouble / (n * unit * unit)
         val c = g - mean(i) * mean(j)
         cov(i * d + j) = c
         cov(j * d + i) = c

@@ -150,11 +150,13 @@ object PrepQueries {
       // unguarded, Spark's x/0.0 is NaN/Inf while DuckDB 1.0 returns
       // NULL, and the oracle would diverge on degenerate data. The
       // guard's products are WIDENED to DECIMAL(38,0) (twin: HUGEINT):
-      // in Long they'd wrap once n·c_max exceeds ~3e9 — far before the
-      // ~8e8-rows/group bound on the SUMS themselves — and a wrapped
-      // guard is silently meaningless. Decimal(19,0)² → (38,0) holds
-      // to ~1e38; the comparison is exact integer, no float involved,
-      // so the widening cannot move any non-degenerate answer.
+      // in Long they'd overflow once n·c_max exceeds ~3e9 — far before
+      // the ~8e8-rows/group bound on the SUMS themselves — and Spark's
+      // default ANSI mode would kill the whole query on a guard that
+      // exists only for degenerate groups. Decimal(19,0)² → (38,0)
+      // holds to ~1e38; the comparison is exact integer, no float
+      // involved, so the widening cannot move any non-degenerate
+      // answer.
       val d19 = DecimalType(19, 0)
       val model = stats.select(
         $"event_type",

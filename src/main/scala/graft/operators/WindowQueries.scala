@@ -425,9 +425,10 @@ object WindowQueries {
     * Long headroom left, but v enters SQUARED, so the DAILY-VOLUME
     * multiple is only √(9.2e18/49/1e14) ≈ 43×. Past ~40× daily volume
     * the products must widen to DECIMAL(38,0)/HUGEINT like
-    * q_prep_standardize's guard — Spark wraps Long silently (wrong r)
-    * while DuckDB aborts, so the widening must land BEFORE the data
-    * does. */
+    * q_prep_standardize's guard — Spark's default ANSI mode raises
+    * ARITHMETIC_OVERFLOW (PcaSpec verifies empirically) and DuckDB
+    * aborts, so past the bound the job DIES rather than corrupts; the
+    * widening must land before the data does. */
   val qWinRollingCorr: Q = Q(
     "q_win_rolling_corr",
     (s, dir) => {

@@ -120,4 +120,48 @@ class PcaSpec extends AnyFunSuite with SparkFixture {
     assert(gramCells(7) == gramCells(3),
       "integer Gram cells differ across partitionings — exactness broken")
   }
+
+  test("DECIMAL(38,0) promotion is exact where the Long path wraps") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // Planted magnitudes past the Long headroom: two all-ones vectors
+    // quantized at 2^31 make every Gram product 2^62, so the 2-row Long
+    // sum is exactly 2^63 — one past Long.MaxValue. Under Spark 4's
+    // default ANSI mode the narrow accumulator RAISES
+    // ARITHMETIC_OVERFLOW (a loud job failure — this empirically
+    // corrected the comment's earlier "wraps silently" claim); the
+    // widened accumulator must instead carry the true value.
+    val planted = Seq.fill(2)(Array.fill(d)(1.0f)).toDF("embedding")
+    val wideCell = operators.Pca
+      .momentCells(planted, wide = true, unitScale = math.pow(2, 31))
+      .where(col("cell") === 0L).head().getDecimal(1)
+    assert(BigDecimal(wideCell) == BigDecimal(2).pow(63),
+      s"wide accumulator lost exactness: $wideCell")
+    // SparkArithmeticException extends ArithmeticException (not
+    // SparkException); in local mode it surfaces directly.
+    val e = intercept[Exception] {
+      operators.Pca
+        .momentCells(planted, wide = false, unitScale = math.pow(2, 31))
+        .where(col("cell") === 0L).head()
+    }
+    assert(e.getMessage.contains("ARITHMETIC_OVERFLOW") ||
+      String.valueOf(e.getCause).contains("ARITHMETIC_OVERFLOW"),
+      s"expected the planted ANSI overflow, got: $e — " +
+        "threshold assumptions need re-deriving")
+  }
+
+  test("promotion switch is semantics-preserving in the safe range") {
+    // Same fixture, both accumulators: every cell must agree exactly —
+    // flipping `wide` may never move a result, only extend headroom.
+    val emb = Tables.embeddings(spark, sfDir)
+    val narrow = operators.Pca.momentCells(emb)
+      .collect().map(r => r.getLong(0) -> BigDecimal(r.getLong(1))).toMap
+    val wide = operators.Pca.momentCells(emb, wide = true)
+      .collect().map(r => r.getLong(0) -> BigDecimal(r.getDecimal(1))).toMap
+    assert(narrow == wide)
+    // And the documented bound really is the last provably-safe count.
+    val bound = BigInt(operators.Pca.longSafeRows) * BigInt(2).pow(40)
+    assert(bound <= BigInt(Long.MaxValue) &&
+      (bound + BigInt(2).pow(40)) > BigInt(Long.MaxValue))
+  }
 }
