@@ -33,11 +33,29 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // Warm passes run CONCURRENTLY on a small fixed pool (r9 verdict #6:
+    // warmup had grown to 137 s, ~1.6× the measured loop, almost all of
+    // it a SEQUENTIAL first-run pass over 200+ sub-second queries on a
+    // 32-core machine). Warmup is occupancy, not measurement — the point
+    // is that codegen/JIT/caches are hot and one-time costs are paid
+    // before the timed loop, and that survives interleaving: Spark's
+    // scheduler handles concurrent actions, and every shared stage build
+    // goes through Memo's per-key latch (one build, others wait). The
+    // TIMED loop below stays strictly sequential. Pool of 4: enough to
+    // hide per-query driver-side plan compilation behind execution
+    // without turning the warm timings into pure queue noise.
+    def warmConcurrently[A](items: Seq[A])(body: A => Unit): Unit = {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+      try items
+        .map(a => pool.submit(new Runnable { def run(): Unit = body(a) }))
+        .foreach(_.get())
+      finally pool.shutdown()
+    }
     // Warmup, not counted: run every query once at the smallest SF so the
     // timed loop measures steady state (codegen compilation is cached by
     // generated source and C2 has seen the hot paths), not JIT noise.
     val warmDir = "/root/testdata/sf0.001"
-    SparkEntry.queries.foreach { case (_, fn) =>
+    warmConcurrently(SparkEntry.queries.toSeq) { case (_, fn) =>
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
     }
     // Second warm phase at the TARGET SF, untimed in the query loop but
@@ -81,7 +99,12 @@ object Bench {
     // pay fixed replay machinery per run and dominate — and a per-query
     // breakdown whose top-10 ships in the JSON as `warm_slowest`, so a
     // warmup regression is attributable to a QUERY, not a phase.
-    val warmPerQuery = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    // Per-query warm times under the 4-way pool measure OCCUPANCY
+    // (own work + time sharing executors with 3 neighbours), not
+    // latency — still attributable for warm_slowest's regression-
+    // hunting purpose, and the itemized phase totals are what warmup_sec
+    // stands on either way.
+    val warmPerQuery = new java.util.concurrent.ConcurrentLinkedQueue[(String, Double)]
     def warmQuery(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
       val t0 = System.nanoTime()
       // A crashed warm must not masquerade as a slow healthy one in
@@ -89,12 +112,18 @@ object Bench {
       // sentinel, so the field attributes breakage as breakage.
       val tag = try { fn(spark, sfDir).count(); name }
         catch { case _: Throwable => s"$name:error" }
-      warmPerQuery += tag -> (System.nanoTime() - t0) / 1e9
+      warmPerQuery.add(tag -> (System.nanoTime() - t0) / 1e9)
     }
     warmItem("rest_batch") {
-      SparkEntry.queries.filterNot(_._1.startsWith("q_stream_"))
-        .foreach { case (n, fn) => warmQuery(n, fn) }
+      warmConcurrently(
+        SparkEntry.queries.filterNot(_._1.startsWith("q_stream_")).toSeq) {
+        case (n, fn) => warmQuery(n, fn)
+      }
     }
+    // Streaming rows stay SEQUENTIAL: each replay runs real micro-batch
+    // machinery against staged sources and checkpoints; overlapping
+    // them would contend on the state-store/listing paths that their
+    // timed reps then hit cold-vs-hot nondeterministically.
     warmItem("rest_streaming") {
       SparkEntry.queries.filter(_._1.startsWith("q_stream_"))
         .foreach { case (n, fn) => warmQuery(n, fn) }
@@ -186,7 +215,8 @@ object Bench {
     val warmDetail = warmItems
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val warmSlowest = warmPerQuery.sortBy(-_._2).take(10)
+    val warmSlowest = scala.jdk.CollectionConverters
+      .CollectionHasAsScala(warmPerQuery).asScala.toSeq.sortBy(-_._2).take(10)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val line =
