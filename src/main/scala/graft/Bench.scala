@@ -89,7 +89,8 @@ object Bench {
       operators.AnnIvf.Models(spark, sfDir, 8, 3)
       operators.PqQuantizer.Codebooks(spark, sfDir)
       operators.PqQuantizer.Encoded(spark, sfDir).count()
-      operators.PqQuantizer.IvfPqIndex(spark, sfDir).count() }
+      operators.PqQuantizer.IvfPqIndex(spark, sfDir).count()
+      operators.AnnGraph.Graphs(spark, sfDir) }
     warmItem("source_exports") {
       Seq("q_source_csv", "q_source_json", "q_source_orc").foreach(n =>
         SparkEntry.queries(n)(spark, sfDir).count()) }

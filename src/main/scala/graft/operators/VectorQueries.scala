@@ -129,6 +129,30 @@ object VectorQueries {
         probeId = 0L, nprobe = 3, topK = 5)
     })
 
+  /** q_vec_knn_graph (T) — top-5 neighbors of probe vec_id=0 by BEAM
+    * SEARCH over the NN-Descent-refined k-NN graph ([[AnnGraph]]): the
+    * graph-traversal half of production ANN (NSW/HNSW family), beside
+    * the quantization half (LSH/IVF/PQ rows). The index is a persisted
+    * distributed adjacency (degree 16, three descent rounds) plus
+    * per-cell entry medoids (the HNSW-upper-layer analogue — the
+    * fixture vectors are near-random, so greedy from ONE entry cannot
+    * cross macro-regions); the traversal touches O(hops·beam·degree)
+    * vectors, a shrinking FRACTION as n grows — `AnnGraphSpec` pins
+    * that growth law, recall vs the exact brute-force row, and
+    * bit-determinism of build and traversal. Output mirrors
+    * q_vec_knn_bruteforce's (vec_id, sim) shape; sims are the exact
+    * micro-sim integers presented at 6 dp. */
+  val qVecKnnGraph: Q = Q(
+    "q_vec_knn_graph",
+    (s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
+      val res = AnnGraph.search(emb, AnnGraph.Graphs(s, dir),
+        probeId = 0L, beam = 48, maxHops = 24, topK = 5)
+      res.topK.map { case (id, ms) => (id, ms / 1e6) }
+        .toDF("vec_id", "sim")
+    })
+
   /** Embedding-cosine near-duplicate detection via banded multi-table
     * LSH, shared with `EmbeddingDedupSpec` / `LshScalingSpec`. `bands`
     * independent tables of `bitsPerBand` sign bits each; a pair is a
@@ -653,7 +677,7 @@ object VectorQueries {
 
   val all: Vector[Q] = Vector(
     qVecNormStats, qVecKnnBruteforce, qVecKnnLsh, qVecKnnIvf,
-    qDedupEmbedding, qVecCentroids, qMultimodalJoin, qMultimodalFrames,
-    qVecQuantize, qVecKnnBatch, qVecRangeSearch, qVecCentroidSims,
-    qVecSilhouette)
+    qVecKnnGraph, qDedupEmbedding, qVecCentroids, qMultimodalJoin,
+    qMultimodalFrames, qVecQuantize, qVecKnnBatch, qVecRangeSearch,
+    qVecCentroidSims, qVecSilhouette)
 }
