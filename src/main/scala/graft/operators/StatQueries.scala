@@ -1097,9 +1097,129 @@ object StatQueries {
         |FROM rec
         |ORDER BY day""".stripMargin))
 
+  /** q_stat_ols — per-type ORDINARY LEAST SQUARES trend of daily traded
+    * value against the day index: slope (cents/day) and intercept
+    * (cents), the "is this series drifting" primitive under every
+    * forecast baseline and KPI trend arrow. All five moments (n, Σx,
+    * Σy, Σx², Σxy) are EXACT integers — x is the 1..n day rank, y exact
+    * daily cents — so slope = (nΣxy−ΣxΣy)/(nΣx²−(Σx)²) and intercept =
+    * (ΣyΣx²−ΣxΣxy)/(nΣx²−(Σx)²) are each ONE double division of exact
+    * longs, textually identical in both engines, rounded once
+    * (headroom: nΣxy ≲ 31²·31·2e7 ≈ 6e11 at sf0.1 — widen via the
+    * pearsonR DECIMAL rule past ~1e7× that). A single-day series has a
+    * zero denominator → NULL in both engines by the shared guard.
+    * Scale: the fact scan collapses to (type × day) in one partial
+    * agg; ranks and moments run on that bounded domain. */
+  val qStatOls: Q = Q(
+    "q_stat_ols",
+    (s, dir) => {
+      import s.implicits._
+      val daily = Tables.events(s, dir)
+        .groupBy($"event_type", to_date(date_trunc("day", $"ts")).as("day"))
+        .agg((dec2(sum(dec2($"value"))) * 100).cast(LongType).as("y"))
+      val w = Window.partitionBy($"event_type").orderBy($"day")
+      val seq = daily.withColumn("x", row_number().over(w).cast(LongType))
+      seq.groupBy($"event_type")
+        .agg(count(lit(1)).as("n_days"),
+          sum($"x").as("sx"), sum($"y").as("sy"),
+          sum($"x" * $"x").as("sxx"), sum($"x" * $"y").as("sxy"))
+        .select($"event_type", $"n_days",
+          when($"n_days" * $"sxx" === $"sx" * $"sx", lit(null))
+            .otherwise(round(($"n_days" * $"sxy" - $"sx" * $"sy")
+              .cast(DoubleType) /
+              ($"n_days" * $"sxx" - $"sx" * $"sx").cast(DoubleType), 6))
+            .as("slope_cents"),
+          when($"n_days" * $"sxx" === $"sx" * $"sx", lit(null))
+            .otherwise(round(($"sy" * $"sxx" - $"sx" * $"sxy")
+              .cast(DoubleType) /
+              ($"n_days" * $"sxx" - $"sx" * $"sx").cast(DoubleType), 6))
+            .as("intercept_cents"))
+        .orderBy($"event_type")
+    },
+    oracle = Some(
+      """WITH daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))
+        |      * 100 AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |seq AS (
+        |  SELECT event_type, y,
+        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+        |      AS BIGINT) AS x
+        |  FROM daily),
+        |m AS (
+        |  SELECT event_type, COUNT(*) AS n_days,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |    CAST(SUM(x * y) AS BIGINT) AS sxy
+        |  FROM seq GROUP BY event_type)
+        |SELECT event_type, n_days,
+        |  CASE WHEN n_days * sxx = sx * sx THEN NULL
+        |    ELSE ROUND(CAST(n_days * sxy - sx * sy AS DOUBLE)
+        |      / CAST(n_days * sxx - sx * sx AS DOUBLE), 6) END AS slope_cents,
+        |  CASE WHEN n_days * sxx = sx * sx THEN NULL
+        |    ELSE ROUND(CAST(sy * sxx - sx * sxy AS DOUBLE)
+        |      / CAST(n_days * sxx - sx * sx AS DOUBLE), 6) END
+        |    AS intercept_cents
+        |FROM m
+        |ORDER BY event_type""".stripMargin))
+
+  /** q_stat_mann_kendall — MANN-KENDALL trend test per event type over
+    * the daily value series: S = Σ_{i<j} sign(y_j − y_i) and Kendall's
+    * τ in ppm — the standard NONPARAMETRIC "is there a monotone trend"
+    * companion to [[qStatOls]]'s parametric slope (robust to outliers
+    * and any monotone transform). EVERYTHING is exact integer
+    * arithmetic: sign ∈ {−1,0,1}, S a bounded sum, τ_ppm =
+    * S·10⁶ div (n(n−1)/2) with the truncate-toward-zero division both
+    * engines share. Scale: the pair join runs on the BOUNDED (type ×
+    * day) domain (n ≤ 31 days → ≤ 465 pairs/type), never the fact
+    * table — the classic all-pairs statistic made safe by aggregating
+    * FIRST (the q_win_rolling_corr discipline). */
+  val qStatMannKendall: Q = Q(
+    "q_stat_mann_kendall",
+    (s, dir) => {
+      import s.implicits._
+      val daily = Tables.events(s, dir)
+        .groupBy($"event_type", to_date(date_trunc("day", $"ts")).as("day"))
+        .agg((dec2(sum(dec2($"value"))) * 100).cast(LongType).as("y"))
+      val w = Window.partitionBy($"event_type").orderBy($"day")
+      val seq = daily.withColumn("i", row_number().over(w).cast(LongType))
+      val a = seq.select($"event_type", $"i".as("ia"), $"y".as("ya"))
+      val b = seq.select($"event_type", $"i".as("ib"), $"y".as("yb"))
+      val pairs = a.join(b, "event_type").where($"ia" < $"ib")
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(signum(($"yb" - $"ya").cast(DoubleType)).cast(LongType))
+            .as("s_stat"))
+      pairs.select($"event_type", $"n_pairs", $"s_stat",
+          expr("s_stat * 1000000 div n_pairs").as("tau_ppm"))
+        .orderBy($"event_type")
+    },
+    oracle = Some(
+      """WITH daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))
+        |      * 100 AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |seq AS (
+        |  SELECT event_type, y,
+        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+        |      AS BIGINT) AS i
+        |  FROM daily),
+        |pairs AS (
+        |  SELECT a.event_type, COUNT(*) AS n_pairs,
+        |    CAST(SUM(sign(b.y - a.y)) AS BIGINT) AS s_stat
+        |  FROM seq a JOIN seq b
+        |    ON a.event_type = b.event_type AND a.i < b.i
+        |  GROUP BY a.event_type)
+        |SELECT event_type, n_pairs, s_stat,
+        |  s_stat * 1000000 // n_pairs AS tau_ppm
+        |FROM pairs
+        |ORDER BY event_type""".stripMargin))
+
   val all: Vector[Q] = Vector(
     qTsDrawdown, qWinBollinger, qAggCorr, qEventsMarkov,
     qAbChisquare, qSkyline, qEventsAttribution, qEventsRfm, qAggMoments,
     qTsCrossCorr, qTsVwap, qTsLogReturns, qTsMacd, qTsRsi, qTsStochastic,
-    qTsObv, qTsAtr)
+    qTsObv, qTsAtr, qStatOls, qStatMannKendall)
 }

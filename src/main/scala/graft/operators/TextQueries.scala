@@ -1315,6 +1315,105 @@ object TextQueries {
         |WHERE rk <= 10
         |ORDER BY lang, rk""".stripMargin))
 
+  /** q_sample_temperature — TEMPERATURE-BASED language rebalancing
+    * (added r10): the multilingual-corpus mixing recipe (sampling
+    * probability ∝ n_lang^α with α = ½, the mT5/XLM-R device) — high-
+    * resource languages are down-weighted relative to proportional
+    * sampling so the mix flattens without going uniform. The budget
+    * B = 200 splits as k_lang = B·t_lang div Σt with t = ⌊√n·10⁶⌋: the
+    * ONE float (sqrt of an integer, correctly rounded IEEE in both
+    * engines) is quantized immediately, so the targets are exact
+    * integer arithmetic and cannot ulp-flip (the q_sample_weighted
+    * lesson). Selection is the md5-rank exactly-k device per language.
+    * Scale: lang counts are a 5-row aggregate (broadcast); ranking is
+    * one per-lang window over the corpus — same shape as
+    * q_sample_fixed_k. Fixture skew makes it non-degenerate: en (193
+    * docs at sf0.001) gets k=55 vs proportional 77; the tail languages
+    * gain (spec-pinned flattening). */
+  val qSampleTemperature: Q = Q(
+    "q_sample_temperature",
+    (s, dir) => {
+      import s.implicits._
+      val langs = Tables.documents(s, dir)
+        .groupBy($"lang").agg(count(lit(1)).as("n"))
+        .withColumn("t", floor(sqrt($"n") * 1e6).cast(LongType))
+      val tot = langs.agg(sum($"t").as("tt"))
+      val target = langs.crossJoin(broadcast(tot))
+        .select($"lang", $"n", expr("200 * t div tt").as("k_target"))
+      val w = Window.partitionBy($"lang")
+        .orderBy(md5($"doc_id".cast(StringType)), $"doc_id")
+      Tables.documents(s, dir)
+        .select($"doc_id", $"lang")
+        .withColumn("rn", row_number().over(w).cast(LongType))
+        .join(broadcast(target), "lang")
+        .where($"rn" <= $"k_target")
+        .select($"doc_id", $"lang", $"rn", $"k_target")
+        .orderBy($"doc_id")
+    },
+    oracle = Some(
+      """WITH langs AS (
+        |  SELECT lang, COUNT(*) AS n,
+        |    CAST(floor(sqrt(COUNT(*)) * 1e6) AS BIGINT) AS t
+        |  FROM documents GROUP BY lang),
+        |tot AS (SELECT CAST(SUM(t) AS BIGINT) AS tt FROM langs),
+        |target AS (
+        |  SELECT lang, n, 200 * t // tt AS k_target
+        |  FROM langs CROSS JOIN tot),
+        |ranked AS (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |SELECT doc_id, lang, rn, k_target
+        |FROM ranked JOIN target USING (lang)
+        |WHERE rn <= k_target
+        |ORDER BY doc_id""".stripMargin))
+
+  /** q_text_pack — TRAINING-SEQUENCE PACKING (added r10): assign every
+    * document its (chunk, offset) position in fixed 512-token training
+    * sequences under concat-then-chunk packing — the standard LLM
+    * pretraining layout (documents concatenated in a deterministic
+    * order, the stream sliced into equal windows; what data loaders do
+    * before batching). Pure integer arithmetic: n_tok from the shared
+    * token stage, start = running Σn_tok − n_tok via ONE window, then
+    * chunk = start div 512 and offset = start mod 512 (both engines
+    * truncate identically on these non-negative longs).
+    *
+    * Scale: packing runs PER SOURCE — the window partitions by source,
+    * never a global single-partition sort. That is also what production
+    * does: training shards are packed independently by design (shard
+    * boundaries are chunk boundaries), so the operator parallelizes
+    * embarrassingly across shards at any corpus size. */
+  val qTextPack: Q = Q(
+    "q_text_pack",
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"source").orderBy($"doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tokenized(s, dir)
+        .select($"doc_id", $"source", size($"w").cast(LongType).as("n_tok"))
+        .withColumn("start", sum($"n_tok").over(w) - $"n_tok")
+        .select($"doc_id", $"source", $"n_tok",
+          expr("start div 512").as("chunk_id"),
+          expr("start % 512").as("chunk_off"))
+        .orderBy($"doc_id")
+    },
+    oracle = Some(
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |packed AS (
+        |  SELECT doc_id, source, n_tok,
+        |    CAST(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      - n_tok AS start
+        |  FROM toks)
+        |SELECT doc_id, source, n_tok,
+        |  start // 512 AS chunk_id, start % 512 AS chunk_off
+        |FROM packed
+        |ORDER BY doc_id""".stripMargin))
+
   /** q_quality_classifier (T) — TRAINED quality gate (added r10): fit a
     * logistic regression on the ~40 % md5-gated labeled split (labels =
     * the heuristic [[QualityScore.keep]] gate — weak supervision), then
@@ -1346,5 +1445,5 @@ object TextQueries {
       qTextRedactPii, qTextRepetition, qTextPerplexity, qTextCollocations,
       qTextKlDrift, qSampleFixedK, qSampleWeighted, qTextBm25, qTextEntropy,
       qTextTtr, qTextKeywords, qTextBigramLm, qSampleBalanced,
-      qTextCharTrigrams, qQualityClassifier)
+      qTextCharTrigrams, qQualityClassifier, qSampleTemperature, qTextPack)
 }

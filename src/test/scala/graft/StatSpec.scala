@@ -139,4 +139,60 @@ class StatSpec extends AnyFunSuite with SparkFixture {
     }
     assert(rows.map(_._2).sum == Tables.events(spark, sfDir).count())
   }
+  test("OLS slope/intercept match a driver-side least-squares recompute") {
+    import spark.implicits._
+    // Independent reference: collect the daily cents series and fit
+    // with the textbook normal equations in plain doubles.
+    val daily = Tables.events(spark, sfDir)
+      .groupBy($"event_type",
+        org.apache.spark.sql.functions.to_date(
+          org.apache.spark.sql.functions.date_trunc("day", $"ts")).as("day"))
+      .agg((graft.Dsl.dec2(org.apache.spark.sql.functions.sum(
+        graft.Dsl.dec2($"value"))) * 100)
+        .cast(org.apache.spark.sql.types.LongType).as("y"))
+      .select("event_type", "day", "y")
+      .as[(String, java.sql.Date, Long)].collect()
+      .groupBy(_._1).map { case (t, rs) =>
+        t -> rs.sortBy(_._2.toString).map(_._3.toDouble).toSeq }
+    val got = Catalog.byName("q_stat_ols").build(spark, sfDir)
+      .select("event_type", "slope_cents", "intercept_cents")
+      .as[(String, Double, Double)].collect()
+    got.foreach { case (t, slope, intercept) =>
+      val ys = daily(t)
+      val n = ys.size.toDouble
+      val xs = (1 to ys.size).map(_.toDouble)
+      val xbar = xs.sum / n; val ybar = ys.sum / n
+      val m = xs.zip(ys).map { case (x, y) => (x - xbar) * (y - ybar) }.sum /
+        xs.map(x => (x - xbar) * (x - xbar)).sum
+      val b = ybar - m * xbar
+      assert(math.abs(slope - m) < 1e-4, s"$t slope $slope vs $m")
+      assert(math.abs(intercept - b) < 1e-2, s"$t intercept $intercept vs $b")
+    }
+  }
+
+  test("Mann-Kendall: planted monotone series saturate tau; sign agrees " +
+    "with the OLS slope on the fixture") {
+    import spark.implicits._
+    // Planted: strictly increasing -> S = n(n-1)/2, tau_ppm = 1e6;
+    // constant -> S = 0. Computed through the same pair-sign fold the
+    // query uses, driver-side.
+    def mk(ys: Seq[Long]): (Long, Long) = {
+      val pairs = for { i <- ys.indices; j <- i + 1 until ys.size }
+        yield math.signum(ys(j) - ys(i)).toLong
+      (pairs.sum, pairs.size.toLong)
+    }
+    assert(mk(Seq(1L, 2L, 3L, 4L)) == (6L, 6L))
+    assert(mk(Seq(5L, 5L, 5L))._1 == 0L)
+    val tau = Catalog.byName("q_stat_mann_kendall").build(spark, sfDir)
+      .select("event_type", "s_stat").as[(String, Long)].collect().toMap
+    val slopes = Catalog.byName("q_stat_ols").build(spark, sfDir)
+      .select("event_type", "slope_cents").as[(String, Double)].collect().toMap
+    tau.foreach { case (t, s) =>
+      // Both measure monotone drift; on a 30-day series they may
+      // legitimately disagree near zero, so only pin CLEAR trends.
+      if (math.abs(s) > 100)
+        assert(s.sign.toDouble == slopes(t).sign,
+          s"$t: MK S=$s vs OLS slope ${slopes(t)}")
+    }
+  }
 }
