@@ -141,7 +141,16 @@ object AnnGraph {
         val emb = graft.Tables.embeddings(s, dir)
           .select(col("vec_id"), col("embedding"))
         val centroids = AnnIvf.Models(s, dir, k = 8, iters = 3)
+        // Coalesce before persisting: the build ends on a 32-partition
+        // window stage, and a 32-task scan of a few-MB cached table
+        // costs ~0.6 s of pure task overhead PER HOP LOOKUP (measured)
+        // — the index is read thousands of times and written once, so
+        // pack it into few partitions. At production n·degree the same
+        // rule targets partition sizes, not a constant (e.g.
+        // n·degree/64 MB), and serving reads it as a point-lookup
+        // store anyway.
         val g = buildGraph(emb, degree, centroids, descentRounds)
+          .coalesce(4)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         g.count() // materialize under the Memo latch
         GraphIndex(g, cellEntries(emb, centroids))
@@ -158,12 +167,25 @@ object AnnGraph {
   def search(emb: DataFrame, index: GraphIndex,
       probeId: Long, beam: Int, maxHops: Int, topK: Int): SearchResult = {
     require(beam >= topK, s"beam $beam must cover topK $topK")
+    import emb.sparkSession.implicits._
     val graph = index.adjacency
-    val probeVec = emb.where(col("vec_id") === probeId)
-      .select(col("embedding")).head().getSeq[Float](0)
+    // PLAN-SHAPE DISCIPLINE: every per-hop query carries its varying
+    // ids as DATA (a LocalRelation joined broadcast) rather than as
+    // `isin` literal lists. Literal lists make each hop a UNIQUE plan
+    // — Catalyst re-analyzes and Janino re-compiles fresh codegen per
+    // hop, which at fixture scale dominated the whole search (the
+    // work per job is microscopic; the compilation isn't). With a
+    // constant plan shape, codegen compiles once and every subsequent
+    // hop is a cache hit. The probe vector rides as one broadcast
+    // scalar row for the same reason — not a 64-float literal
+    // re-analyzed per query.
+    val probeRow = broadcast(emb.where(col("vec_id") === probeId)
+      .select(col("embedding").as("_p")))
+    def idsDf(ids: Seq[Long], name: String) = ids.map(Tuple1(_)).toDF(name)
     def sims(ids: Seq[Long]): Seq[(Long, Long)] =
-      emb.where(col("vec_id").isin(ids: _*) && col("vec_id") =!= probeId)
-        .withColumn("_p", typedLit(probeVec))
+      emb.join(broadcast(idsDf(ids, "vec_id")), "vec_id")
+        .where(col("vec_id") =!= probeId)
+        .crossJoin(probeRow)
         .select(col("vec_id"), microSim("embedding", "_p"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq
     // Seeds: the per-cell entries PLUS the probe's own adjacency row
@@ -173,14 +195,6 @@ object AnnGraph {
     // entry exclusion below strands the probe's own cell (measured:
     // entry-node probes recalled 0–2/5 from foreign entries alone,
     // ≥ 4.8/5 mean with self-seeding).
-    val ownRow = graph.where(col("src") === probeId)
-      .select(col("dst")).collect().map(_.getLong(0)).toSeq
-    val entries =
-      (index.entries ++ ownRow).distinct.filterNot(_ == probeId) match {
-        case Nil => Seq(emb.where(col("vec_id") =!= probeId)
-          .agg(min(col("vec_id"))).head().getLong(0))
-        case es => es
-      }
     val beamOrd = Ordering.by[(Long, Long), (Long, Long)] {
       case (id, ms) => (-ms, id)
     }
@@ -194,18 +208,31 @@ object AnnGraph {
       if (fresh.nonEmpty) scored ++= sims(fresh)
     }
     val expanded = scala.collection.mutable.Set.empty[Long]
+    // Adjacency lookup with the same constant-shape device; dedupe and
+    // the probe/scored exclusions run driver-side on ≤ beam·degree ids.
+    def neighborsOf(ids: Seq[Long]): Seq[Long] =
+      graph.join(broadcast(idsDf(ids, "src")), "src")
+        .select(col("dst"))
+        .collect().map(_.getLong(0)).toSeq.distinct
+    val ownRow = neighborsOf(Seq(probeId))
+    val entries =
+      (index.entries ++ ownRow).distinct.filterNot(_ == probeId) match {
+        case Nil => Seq(emb.where(col("vec_id") =!= probeId)
+          .agg(min(col("vec_id"))).head().getLong(0))
+        case es => es
+      }
     scoreNew(entries)
     var beamSet = scored.toSeq.sorted(beamOrd).take(beam)
     var hops = 0
     var frontier = beamSet.map(_._1)
     // Classic beam termination: stop once every beam node is expanded
     // (no hop can change anything thereafter); maxHops is the safety
-    // bound on pathological graphs.
+    // bound on pathological graphs. At production scale these hops are
+    // point lookups against a served index, not jobs; the Spark-job
+    // form here keeps the index distributed.
     while (frontier.nonEmpty && hops < maxHops) {
       expanded ++= frontier
-      val cand = graph.where(col("src").isin(frontier: _*))
-        .select(col("dst")).distinct()
-        .collect().map(_.getLong(0)).toSeq
+      val cand = neighborsOf(frontier)
         .filterNot(d => scored.contains(d) || d == probeId).sorted
       scoreNew(cand)
       beamSet = scored.toSeq.sorted(beamOrd).take(beam)
