@@ -687,4 +687,40 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     assert(single <= 1,
       s"only the 1-row min(day) agg may be single-partition, got $single:\n$p")
   }
+  test("q_text_pack windows per source — no single-partition global sort") {
+    val p = planOf("q_text_pack")
+    // The packing cumsum must partition by source; an unpartitioned
+    // running sum would serialize the whole corpus through one task
+    // (the one shape that cannot scale). The final presentation
+    // orderBy is fine — it's the WINDOW that must stay keyed.
+    val windowLines = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windowLines.nonEmpty)
+    assert(windowLines.forall(_.contains("source")),
+      s"packing window lost its source partitioning:\n${windowLines.mkString("\n")}")
+  }
+
+  test("q_sample_temperature broadcasts the 5-row target table") {
+    val p = planOf("q_sample_temperature")
+    assert(p.contains("BroadcastHashJoin"),
+      "lang targets must broadcast, never shuffle the corpus for a 5-row join")
+    // The rank window stays lang-partitioned (same rule as fixed-k).
+    val windowLines = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windowLines.forall(_.contains("lang")),
+      s"rank window lost its lang partitioning:\n${windowLines.mkString("\n")}")
+  }
+
+  test("q_stat_mann_kendall pairs join on the bounded day domain, " +
+    "after aggregation") {
+    val p = formattedPlan("q_stat_mann_kendall")
+    // The all-pairs self-join must sit ABOVE the (type, day) partial
+    // aggregation — the events table is aggregated exactly twice (the
+    // two join sides), never pairwise-joined raw. HashAggregate
+    // appearing below the join in the tree is the evidence; a raw
+    // fact-side pair join would also show as a nested-loop/cartesian.
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "pair generation must stay an equi join on event_type")
+    assert(p.contains("HashAggregate"),
+      "daily aggregation must precede the pair join")
+  }
 }
