@@ -372,6 +372,49 @@ object StreamingQueries {
     * this row's wall). */
   private val docCount = new graft.Memo[(SparkSession, String), Long]
 
+  /** Trained-model scoring over an unbounded document stream: the
+    * offline/online split every production quality gate runs — the
+    * classifier is FIT BATCH-SIDE ([[graft.operators.QualityClassifier]]'s
+    * IRLS loop, bounded driver state) and its 4 weights embed in the
+    * streaming plan as constants, so scoring is the same narrow
+    * codegen'd σ(w·x) the batch row uses: stateless per row, no model
+    * state in the stream, re-deployable by just restarting the query
+    * with fresh weights. Output counts model-keep vs heuristic-keep per
+    * (1-hour window, lang) — the live model-vs-rule divergence monitor;
+    * only the windowed agg carries state. */
+  def modelScore(docs: DataFrame,
+      model: graft.operators.QualityClassifier.Model): DataFrame = {
+    import graft.operators.{QualityClassifier, TextQueries}
+    import TextQueries.QualityScore
+    QualityClassifier.withFeatures(QualityScore(docs))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("win"), col("lang"))
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(model.pred.cast("long")).as("n_model_keep"),
+        sum(when(QualityScore.keep, 1L).otherwise(0L)).as("n_heur_keep"))
+      .select(col("win.start").as("win_start"), col("lang"),
+        col("n_total"), col("n_model_keep"), col("n_heur_keep"))
+  }
+
+  /** q_stream_model_score (T) — [[modelScore]] replayed over the staged
+    * event stream with the same id-aligned document join as
+    * [[qStreamQualityFilter]]; `QualityClassifierSpec` pins the
+    * batch-twin equality of the windowed counts. */
+  val qStreamModelScore: Q = Q(
+    "q_stream_model_score",
+    (s, dir) => {
+      val model = graft.operators.QualityClassifier.Models(s, dir)
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("text"))
+      val nDocs = docCount((s, dir))(docs.count())
+      Replay.run(s, dir, "modelscore", "complete") { df =>
+        modelScore(
+          df.select(pmod(col("event_id"), lit(nDocs)).as("doc_id"), col("ts"))
+            .join(broadcast(docs), "doc_id"), model)
+      }
+    })
+
   val qStreamQualityFilter: Q = Q(
     "q_stream_quality_filter",
     (s, dir) => {
@@ -614,5 +657,6 @@ object StreamingQueries {
   val all: Vector[Q] = Vector(qWindowTumblingBatch,
     qStreamTumbling, qStreamSliding, qStreamSession, qStreamDedup,
     qStreamStateful, qStreamStatefulTws, qStreamQualityFilter,
-    qStreamCountmin, qStreamOhlc, qStreamUpsert, qStreamDailyAgg)
+    qStreamModelScore, qStreamCountmin, qStreamOhlc, qStreamUpsert,
+    qStreamDailyAgg)
 }

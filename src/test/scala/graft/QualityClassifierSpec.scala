@@ -83,6 +83,64 @@ class QualityClassifierSpec extends AnyFunSuite with SparkFixture {
     assert(pos > 0 && pos < n, "labels must contain both classes")
   }
 
+  test("streamed model scoring matches its batch twin on closed windows") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def ts(minutes: Long) =
+      java.sql.Timestamp.valueOf(java.time.LocalDateTime
+        .of(2024, 1, 1, 0, 0).plusMinutes(minutes))
+    // Hand-set weights so the test controls the decisions: rich text
+    // (f_distinct 1, f_stop 0, f_len 0.5) → margin +2 → keep;
+    // stopword flood (f_distinct 1/30, f_stop 1, f_len 0.6) → ~-3.7 →
+    // reject. The heuristic agrees on the first, rejects the second,
+    // and ALSO rejects the short third (token band), where the model
+    // keeps — the divergence column the row exists to surface.
+    val m = operators.QualityClassifier.Model(Seq(-3.0, 4.0, -2.0, 2.0))
+    val keepText = (1 to 25).map(i => s"word$i").mkString(" ")
+    val stopText = Seq.fill(30)("the").mkString(" ")
+    val shortText = (1 to 10).map(i => s"tiny$i").mkString(" ")
+    val hour0 = Seq(
+      (0L, ts(5), "en", keepText),
+      (1L, ts(15), "en", shortText),
+      (2L, ts(25), "de", stopText))
+    val input = MemoryStream[(Long, java.sql.Timestamp, String, String)]
+    val df = graft.streaming.StreamingQueries.modelScore(
+      input.toDF().toDF("doc_id", "ts", "lang", "text"), m)
+    val q = df.writeStream.format("memory").queryName("sms")
+      .outputMode("append").start()
+    try {
+      input.addData(hour0)
+      q.processAllAvailable()
+      input.addData((9L, ts(125), "en", keepText)) // close hour 0
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("sms").collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    // en: keepText model-keep + heur-keep; shortText model-keep (f_len
+    // 10/50 → margin -3+4-0+0.4 = +1.4) but heuristic-reject (under
+    // the 20-token band). de: stopText both reject.
+    assert(got == Set(("en", 2L, 2L, 1L), ("de", 1L, 0L, 0L)),
+      s"hour-0 closed windows wrong: $got")
+    val batch = graft.streaming.StreamingQueries.modelScore(
+        hour0.toDF("doc_id", "ts", "lang", "text"), m)
+      .collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(got == batch, "stream and batch twins diverged")
+  }
+
+  test("catalog stream row lands model-vs-heuristic counts per window") {
+    val rows = Catalog.byName("q_stream_model_score").build(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (total, mk, hk) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(mk <= total && hk <= total)
+    }
+  }
+
   test("scoring is a narrow expression (no shuffle, no UDF)") {
     val m = QualityClassifier.Models(spark, sfDir)
     val scored = QualityClassifier.withFeatures(
