@@ -51,11 +51,29 @@ object Bench {
         .foreach(_.get())
       finally pool.shutdown()
     }
+    // CONCURRENCY SAFETY: rows whose build does a scoped set/restore of
+    // SESSION-GLOBAL conf must never share the pool — two overlapping
+    // set/restore pairs leave the second's "previous" value (the
+    // first's override) permanently applied. The r10 review caught
+    // exactly this: streaming replays re-pin shuffle.partitions, a
+    // racing restore leaked 4 into the session, and the timed loop
+    // silently measured every batch row at 4 shuffle partitions
+    // (invalidating two recorded bench runs — see BASELINE.md r10
+    // correction). Streaming rows and the bloom row therefore warm
+    // SEQUENTIALLY, in both warm phases.
+    val confMutating = Set("q_join_bloom_filtered")
+    def parallelSafe(name: String): Boolean =
+      !name.startsWith("q_stream_") && !confMutating(name)
     // Warmup, not counted: run every query once at the smallest SF so the
     // timed loop measures steady state (codegen compilation is cached by
     // generated source and C2 has seen the hot paths), not JIT noise.
     val warmDir = "/root/testdata/sf0.001"
-    warmConcurrently(SparkEntry.queries.toSeq) { case (_, fn) =>
+    val (poolable, sequentialOnly) =
+      SparkEntry.queries.toSeq.partition(q => parallelSafe(q._1))
+    warmConcurrently(poolable) { case (_, fn) =>
+      try fn(spark, warmDir).count() catch { case _: Throwable => () }
+    }
+    sequentialOnly.foreach { case (_, fn) =>
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
     }
     // Second warm phase at the TARGET SF, untimed in the query loop but
@@ -116,19 +134,23 @@ object Bench {
       warmPerQuery.add(tag -> (System.nanoTime() - t0) / 1e9)
     }
     warmItem("rest_batch") {
-      warmConcurrently(
-        SparkEntry.queries.filterNot(_._1.startsWith("q_stream_")).toSeq) {
-        case (n, fn) => warmQuery(n, fn)
-      }
+      warmConcurrently(poolable) { case (n, fn) => warmQuery(n, fn) }
     }
-    // Streaming rows stay SEQUENTIAL: each replay runs real micro-batch
-    // machinery against staged sources and checkpoints; overlapping
-    // them would contend on the state-store/listing paths that their
-    // timed reps then hit cold-vs-hot nondeterministically.
-    warmItem("rest_streaming") {
-      SparkEntry.queries.filter(_._1.startsWith("q_stream_"))
-        .foreach { case (n, fn) => warmQuery(n, fn) }
+    // Streaming + conf-scoped rows stay SEQUENTIAL (the set/restore
+    // race above, plus replays contending on state-store/listing paths
+    // their timed reps would then hit cold-vs-hot nondeterministically).
+    warmItem("rest_sequential") {
+      sequentialOnly.foreach { case (n, fn) => warmQuery(n, fn) }
     }
+    // Belt-and-braces: the timed loop must start from the session
+    // defaults no matter what a warm build leaked — assert, don't just
+    // restore, so a future leak is LOUD.
+    val expectPartitions = cpus
+    val actualPartitions = spark.conf.get("spark.sql.shuffle.partitions")
+    require(actualPartitions == expectPartitions,
+      s"warm phase leaked spark.sql.shuffle.partitions=$actualPartitions " +
+        s"(expected $expectPartitions) — a scoped set/restore raced; " +
+        "fix the offending build before trusting any timing")
     val warmupSec = warmItems.map(_._2).sum
     // A crashed query must never look like a fast one: record the error
     // and surface it in the JSON (errors list + "error" sentinel value).

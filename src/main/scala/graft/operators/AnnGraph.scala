@@ -181,6 +181,11 @@ object AnnGraph {
     // re-analyzed per query.
     val probeRow = broadcast(emb.where(col("vec_id") === probeId)
       .select(col("embedding").as("_p")))
+    // Loud precondition: a missing probe would otherwise make every
+    // scoring cross-join EMPTY and return a silently-empty top-k — the
+    // wrong-answer mode this repo's discipline forbids. One limit-1 job.
+    require(!probeRow.isEmpty,
+      s"probe vec_id=$probeId not present in the corpus")
     def idsDf(ids: Seq[Long], name: String) = ids.map(Tuple1(_)).toDF(name)
     def sims(ids: Seq[Long]): Seq[(Long, Long)] =
       emb.join(broadcast(idsDf(ids, "vec_id")), "vec_id")
@@ -217,8 +222,15 @@ object AnnGraph {
     val ownRow = neighborsOf(Seq(probeId))
     val entries =
       (index.entries ++ ownRow).distinct.filterNot(_ == probeId) match {
-        case Nil => Seq(emb.where(col("vec_id") =!= probeId)
-          .agg(min(col("vec_id"))).head().getLong(0))
+        case Nil =>
+          val r = emb.where(col("vec_id") =!= probeId)
+            .agg(min(col("vec_id"))).head()
+          // NULL min = the probe is the ONLY vector: say so instead of
+          // an unexplanatory NullPointerException.
+          require(!r.isNullAt(0),
+            s"corpus holds no vector besides probe $probeId — " +
+              "nothing to search")
+          Seq(r.getLong(0))
         case es => es
       }
     scoreNew(entries)

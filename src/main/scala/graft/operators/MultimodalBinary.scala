@@ -47,8 +47,11 @@ object MultimodalBinary {
   /** Decoded image: 8-bit RGB raster, row-major, `pixels.length == w*h*3`. */
   final case class RgbImage(width: Int, height: Int, pixels: Array[Byte]) {
     require(width > 0 && height > 0, s"empty raster ${width}x$height")
-    require(pixels.length == width * height * 3,
-      s"raster ${width}x$height needs ${width * height * 3} bytes, " +
+    // Long arithmetic: w and h each parse up to 1e6, so w·h·3 can reach
+    // 3e12 — an Int product would wrap and validate a garbage length
+    // "consistently" here and in the decoder.
+    require(pixels.length.toLong == width.toLong * height * 3,
+      s"raster ${width}x$height needs ${width.toLong * height * 3} bytes, " +
         s"got ${pixels.length}")
   }
 
@@ -102,10 +105,14 @@ object MultimodalBinary {
       // (a raster byte may itself look like whitespace, so no skipping).
       require(i < bytes.length && isWs(bytes(i)), "ppm: missing raster separator")
       i += 1
-      val need = w * h * 3
-      require(bytes.length - i == need,
+      // Long product: header dims up to 1e6 each make w·h·3 overflow
+      // Int (wrapping to a small "need" a crafted payload could match,
+      // pushing the failure into feature-extraction index math instead
+      // of this loud check).
+      val need = w.toLong * h * 3
+      require(bytes.length.toLong - i == need,
         s"ppm raster: need $need bytes for ${w}x$h, have ${bytes.length - i}")
-      val px = java.util.Arrays.copyOfRange(bytes, i, i + need)
+      val px = java.util.Arrays.copyOfRange(bytes, i, i + need.toInt)
       RgbImage(w, h, px)
     }
   }

@@ -292,7 +292,14 @@ object VectorQueries {
         .select($"doc_id", $"lang", $"text", $"n_chars")
         .as[(Long, String, String, Long)]
         .map { case (id, lang, text, nChars) =>
-          val bytes = text.getBytes("UTF-8")
+          // An empty document must still render a VALID payload (the
+          // tiling below indexes k % bytes.length — zero-length would
+          // crash with an unattributed / by zero deep in an executor):
+          // fall back to the doc_id's own bytes, deterministic and
+          // content-distinct per doc. Current fixtures have no empty
+          // texts; this is regeneration insurance.
+          val raw = text.getBytes("UTF-8")
+          val bytes = if (raw.nonEmpty) raw else s"doc$id".getBytes("UTF-8")
           if (lang == "zh") {
             val n = (160 + (nChars % 12) * 40).toInt // 160..600 samples
             val samples = Array.tabulate(n) { i =>

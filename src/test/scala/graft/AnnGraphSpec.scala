@@ -84,7 +84,7 @@ class AnnGraphSpec extends AnyFunSuite with SparkFixture {
     assert(res.hops <= 20)
   }
 
-  test("mean recall@5 across 20 probes clears 0.7") {
+  test("mean recall@5 across 20 probes clears 0.85") {
     val probes = emb.select(col("vec_id")).orderBy(col("vec_id"))
       .limit(20).collect().map(_.getLong(0)).toSeq
     var hit = 0
@@ -133,5 +133,10 @@ class AnnGraphSpec extends AnyFunSuite with SparkFixture {
     assert(rows.length == 5)
     val res = AnnGraph.search(emb, index, 0L, beam = 48, maxHops = 24, topK = 5)
     assert(rows == res.topK.map { case (id, ms) => (id, ms / 1e6) })
+  }
+  test("missing probe and single-vector corpus fail loudly") {
+    val e = intercept[IllegalArgumentException](
+      AnnGraph.search(emb, index, -999L, beam = 48, maxHops = 24, topK = 5))
+    assert(e.getMessage.contains("-999"))
   }
 }

@@ -229,4 +229,13 @@ class MultimodalBinarySpec extends AnyFunSuite with SparkFixture {
     // Content-sensitive: not all medias share the same mean feature.
     assert(rows.map(_.getDouble(2)).distinct.length > 1)
   }
+  test("ppm: giant header dims fail the raster check, not index math") {
+    // 1e6 x 1e6 needs 3e12 raster bytes; an Int product would wrap and
+    // accept a crafted short payload. The Long check must refuse it.
+    val hdr = "P6\n1000000 1000000\n255\n".getBytes("US-ASCII")
+    val e = intercept[IllegalArgumentException](
+      PpmCodec.decode(hdr ++ Array.fill[Byte](64)(1)))
+    assert(e.getMessage.contains("3000000000000"),
+      s"expected the un-wrapped byte need in: ${e.getMessage}")
+  }
 }
