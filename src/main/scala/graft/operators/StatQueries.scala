@@ -1217,9 +1217,77 @@ object StatQueries {
         |FROM pairs
         |ORDER BY event_type""".stripMargin))
 
+  /** q_stat_theilsen — THEIL–SEN robust slope per event type: the
+    * (lower) median of all pairwise daily slopes — completing the trend
+    * triple with [[qStatOls]] (parametric) and [[qStatMannKendall]]
+    * (test): up to ~29 % outlier days cannot move this estimate, where
+    * one corrupted day drags the OLS slope arbitrarily. Exactness
+    * devices: each pairwise slope quantizes ONCE to integer
+    * micro-cents/day ((y_j−y_i)·10⁶ div (j−i), shared
+    * truncate-toward-zero division), and the median is the exact ORDER
+    * STATISTIC at rank (n+1) div 2 via a per-type rank window — no
+    * interpolation, no float, no .5 ties. Scale: the pair join and the
+    * median window both run on the bounded (type × day) domain (≤465
+    * pairs/type), aggregated FIRST from the fact scan. */
+  val qStatTheilsen: Q = Q(
+    "q_stat_theilsen",
+    (s, dir) => {
+      import s.implicits._
+      val daily = Tables.events(s, dir)
+        .groupBy($"event_type", to_date(date_trunc("day", $"ts")).as("day"))
+        .agg((dec2(sum(dec2($"value"))) * 100).cast(LongType).as("y"))
+      val w = Window.partitionBy($"event_type").orderBy($"day")
+      val seq = daily.withColumn("i", row_number().over(w).cast(LongType))
+      val a = seq.select($"event_type", $"i".as("ia"), $"y".as("ya"))
+      val b = seq.select($"event_type", $"i".as("ib"), $"y".as("yb"))
+      val slopes = a.join(b, "event_type").where($"ia" < $"ib")
+        .select($"event_type",
+          expr("(yb - ya) * 1000000 div (ib - ia)").as("s_micro"))
+      // Tiebreak note: row_number over the non-unique s_micro is fine
+      // HERE — equal values are interchangeable for an order statistic,
+      // so any physical tiebreak selects the same VALUE at the target
+      // rank (the one window shape where a non-unique sort key cannot
+      // leak). `div`, not `/`: Column./ is float division and an even
+      // pair count would yield rank k.5 matching nothing.
+      val ranked = slopes
+        .withColumn("rk", row_number().over(Window.partitionBy($"event_type")
+          .orderBy($"s_micro")).cast(LongType))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy($"event_type")))
+      ranked.where($"rk" === expr("(n + 1) div 2"))
+        .select($"event_type", $"n".as("n_pairs"),
+          $"s_micro".as("slope_microcents"))
+        .orderBy($"event_type")
+    },
+    oracle = Some(
+      """WITH daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))
+        |      * 100 AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |seq AS (
+        |  SELECT event_type, y,
+        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+        |      AS BIGINT) AS i
+        |  FROM daily),
+        |slopes AS (
+        |  SELECT a.event_type,
+        |    (b.y - a.y) * 1000000 // (b.i - a.i) AS s_micro
+        |  FROM seq a JOIN seq b
+        |    ON a.event_type = b.event_type AND a.i < b.i),
+        |ranked AS (
+        |  SELECT event_type, s_micro,
+        |    CAST(row_number() OVER (PARTITION BY event_type
+        |      ORDER BY s_micro) AS BIGINT) AS rk,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM slopes)
+        |SELECT event_type, n AS n_pairs, s_micro AS slope_microcents
+        |FROM ranked
+        |WHERE rk = (n + 1) // 2
+        |ORDER BY event_type""".stripMargin))
+
   val all: Vector[Q] = Vector(
     qTsDrawdown, qWinBollinger, qAggCorr, qEventsMarkov,
     qAbChisquare, qSkyline, qEventsAttribution, qEventsRfm, qAggMoments,
     qTsCrossCorr, qTsVwap, qTsLogReturns, qTsMacd, qTsRsi, qTsStochastic,
-    qTsObv, qTsAtr, qStatOls, qStatMannKendall)
+    qTsObv, qTsAtr, qStatOls, qStatMannKendall, qStatTheilsen)
 }

@@ -195,4 +195,52 @@ class StatSpec extends AnyFunSuite with SparkFixture {
           s"$t: MK S=$s vs OLS slope ${slopes(t)}")
     }
   }
+  test("Theil-Sen equals a driver-side median recompute and shrugs off " +
+    "a planted outlier that drags OLS") {
+    import spark.implicits._
+    // Shared driver-side formula (same quantization as the query).
+    def theilsen(ys: Seq[Long]): Long = {
+      val slopes = (for {
+        i <- ys.indices; j <- i + 1 until ys.size
+      } yield (ys(j) - ys(i)) * 1000000L / (j - i)).sorted
+      slopes((slopes.size + 1) / 2 - 1) // lower median, 1-based rank
+    }
+    // Fixture agreement per event type.
+    val daily = Tables.events(spark, sfDir)
+      .groupBy($"event_type",
+        org.apache.spark.sql.functions.to_date(
+          org.apache.spark.sql.functions.date_trunc("day", $"ts")).as("day"))
+      .agg((graft.Dsl.dec2(org.apache.spark.sql.functions.sum(
+        graft.Dsl.dec2($"value"))) * 100)
+        .cast(org.apache.spark.sql.types.LongType).as("y"))
+      .select("event_type", "day", "y")
+      .as[(String, java.sql.Date, Long)].collect()
+      .groupBy(_._1).map { case (t, rs) =>
+        t -> rs.sortBy(_._2.toString).map(_._3).toSeq }
+    val got = Catalog.byName("q_stat_theilsen").build(spark, sfDir)
+      .select("event_type", "slope_microcents")
+      .as[(String, Long)].collect().toMap
+    daily.foreach { case (t, ys) =>
+      assert(got(t) == theilsen(ys), s"$t")
+    }
+    // Robustness: a clean slope-100 series with ONE corrupted day.
+    // Theil-Sen is unmoved (the corrupt day touches < 1/2 the pairs);
+    // the OLS slope on the same data moves by over 50%.
+    val clean = (1 to 21).map(i => 100L * i)
+    // Corrupt an END day: the center point has zero OLS leverage
+    // (symmetric x — the first attempt there moved the slope by 1e-13),
+    // while an endpoint has the maximum.
+    val dirty = clean.updated(20, 1000000L)
+    assert(math.abs(theilsen(dirty) - theilsen(clean)) <= 5L * 1000000 / 100,
+      "one outlier day must not move the Theil-Sen slope")
+    def ols(ys: Seq[Long]): Double = {
+      val n = ys.size.toDouble
+      val xs = (1 to ys.size).map(_.toDouble)
+      val xbar = xs.sum / n; val ybar = ys.map(_.toDouble).sum / n
+      xs.zip(ys).map { case (x, y) => (x - xbar) * (y - ybar) }.sum /
+        xs.map(x => (x - xbar) * (x - xbar)).sum
+    }
+    assert(math.abs(ols(dirty) - ols(clean)) > 0.5 * math.abs(ols(clean)),
+      "the planted outlier should visibly drag OLS (the contrast the row exists for)")
+  }
 }
