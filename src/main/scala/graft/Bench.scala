@@ -64,6 +64,9 @@ object Bench {
     val confMutating = Set("q_join_bloom_filtered")
     def parallelSafe(name: String): Boolean =
       !name.startsWith("q_stream_") && !confMutating(name)
+    // Snapshot the WHOLE runtime conf before any warm work: the leak
+    // assert after the warm phases diffs against this.
+    val confBeforeWarm = spark.conf.getAll
     // Warmup, not counted: run every query once at the smallest SF so the
     // timed loop measures steady state (codegen compilation is cached by
     // generated source and C2 has seen the hot paths), not JIT noise.
@@ -144,13 +147,26 @@ object Bench {
     }
     // Belt-and-braces: the timed loop must start from the session
     // defaults no matter what a warm build leaked — assert, don't just
-    // restore, so a future leak is LOUD.
-    val expectPartitions = cpus
-    val actualPartitions = spark.conf.get("spark.sql.shuffle.partitions")
-    require(actualPartitions == expectPartitions,
-      s"warm phase leaked spark.sql.shuffle.partitions=$actualPartitions " +
-        s"(expected $expectPartitions) — a scoped set/restore raced; " +
-        "fix the offending build before trusting any timing")
+    // restore, so a future leak is LOUD. Generalized (r10 review #2)
+    // over EVERY runtime conf key, with one subtlety: a scoped
+    // restore often re-SETS a key to the value `conf.get` reported
+    // before the override — which for an unset key is its DEFAULT — so
+    // "explicitly set to the pristine value" must not count as drift
+    // (the first set-diff version tripped on exactly those). A fresh
+    // `newSession()` supplies the pristine per-key baseline.
+    val pristine = spark.newSession()
+    def effective(c: org.apache.spark.sql.RuntimeConfig, k: String): String =
+      try c.get(k) catch { case _: Exception => "<unset, no default>" }
+    val afterWarm = spark.conf.getAll
+    val confDrift = (confBeforeWarm.keySet ++ afterWarm.keySet).flatMap { k =>
+      val before = confBeforeWarm.getOrElse(k, effective(pristine.conf, k))
+      val now = afterWarm.getOrElse(k, effective(pristine.conf, k))
+      if (before != now) Some(s"$k: $before -> $now") else None
+    }
+    require(confDrift.isEmpty,
+      s"warm phase leaked session conf: $confDrift — a scoped " +
+        "set/restore raced; fix the offending build (or add it to the " +
+        "sequential-only set) before trusting any timing")
     val warmupSec = warmItems.map(_._2).sum
     // A crashed query must never look like a fast one: record the error
     // and surface it in the JSON (errors list + "error" sentinel value).

@@ -181,11 +181,6 @@ object AnnGraph {
     // re-analyzed per query.
     val probeRow = broadcast(emb.where(col("vec_id") === probeId)
       .select(col("embedding").as("_p")))
-    // Loud precondition: a missing probe would otherwise make every
-    // scoring cross-join EMPTY and return a silently-empty top-k — the
-    // wrong-answer mode this repo's discipline forbids. One limit-1 job.
-    require(!probeRow.isEmpty,
-      s"probe vec_id=$probeId not present in the corpus")
     def idsDf(ids: Seq[Long], name: String) = ids.map(Tuple1(_)).toDF(name)
     def sims(ids: Seq[Long]): Seq[(Long, Long)] =
       emb.join(broadcast(idsDf(ids, "vec_id")), "vec_id")
@@ -234,6 +229,15 @@ object AnnGraph {
         case es => es
       }
     scoreNew(entries)
+    // Loud precondition at ZERO added jobs (r10 review: an upfront
+    // limit-1 probe check cost one job per search): `entries` is
+    // non-empty by construction, so an empty scored map after the seed
+    // pass means the probe row (or the whole index↔corpus pairing) is
+    // missing and every cross-join was empty — the silently-empty
+    // top-k mode this repo's discipline forbids.
+    require(scored.nonEmpty,
+      s"probe vec_id=$probeId not present in the corpus " +
+        "(or index does not belong to this embedding table)")
     var beamSet = scored.toSeq.sorted(beamOrd).take(beam)
     var hops = 0
     var frontier = beamSet.map(_._1)

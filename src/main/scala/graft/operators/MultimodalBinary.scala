@@ -172,7 +172,11 @@ object MultimodalBinary {
       var data: Array[Byte] = null
       while (i + 8 <= bytes.length) {
         val id = tag(bytes, i); val sz = rd32(bytes, i + 4)
-        require(sz >= 0 && i + 8 + sz <= bytes.length,
+        // Long sum: a crafted size near Int.MaxValue wraps `i + 8 + sz`
+        // negative and slips past an Int comparison, crashing later in
+        // index math without the media_id (the same overflow class the
+        // PPM raster check guards against — both codecs now match).
+        require(sz >= 0 && i.toLong + 8 + sz <= bytes.length,
           s"wav chunk '$id' overruns payload")
         id match {
           case "fmt " =>

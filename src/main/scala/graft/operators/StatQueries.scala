@@ -1097,6 +1097,43 @@ object StatQueries {
         |FROM rec
         |ORDER BY day""".stripMargin))
 
+  /** Shared scaffold of the TREND TRIPLE (OLS / Mann-Kendall /
+    * Theil-Sen): exact daily cents per (event_type, day) with the
+    * 1-based day rank `i` — ONE definition, so a fix to the
+    * quantization or rank basis cannot drift between the three rows
+    * (r10 review #4). The SQL twin text lives in [[trendSeqSql]]. */
+  private def trendSeq(s: SparkSession, dir: String) = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy($"event_type", to_date(date_trunc("day", $"ts")).as("day"))
+      .agg((dec2(sum(dec2($"value"))) * 100).cast(LongType).as("y"))
+      .withColumn("i", row_number()
+        .over(Window.partitionBy($"event_type").orderBy($"day"))
+        .cast(LongType))
+  }
+
+  /** Ordered (ia < ib) day pairs of [[trendSeq]] — the bounded
+    * all-pairs frame Mann-Kendall and Theil-Sen both rank over. */
+  private def trendPairs(seq: org.apache.spark.sql.DataFrame) = {
+    val a = seq.select(col("event_type"), col("i").as("ia"), col("y").as("ya"))
+    val b = seq.select(col("event_type"), col("i").as("ib"), col("y").as("yb"))
+    a.join(b, "event_type").where(col("ia") < col("ib"))
+  }
+
+  /** The twins' shared daily+seq CTE text (byte-identical across the
+    * three oracles for the same one-definition reason). */
+  private val trendSeqSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+      |    CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))
+      |      * 100 AS BIGINT) AS y
+      |  FROM events GROUP BY 1, 2),
+      |seq AS (
+      |  SELECT event_type, y,
+      |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+      |      AS BIGINT) AS i
+      |  FROM daily)""".stripMargin
+
   /** q_stat_ols — per-type ORDINARY LEAST SQUARES trend of daily traded
     * value against the day index: slope (cents/day) and intercept
     * (cents), the "is this series drifting" primitive under every
@@ -1114,15 +1151,10 @@ object StatQueries {
     "q_stat_ols",
     (s, dir) => {
       import s.implicits._
-      val daily = Tables.events(s, dir)
-        .groupBy($"event_type", to_date(date_trunc("day", $"ts")).as("day"))
-        .agg((dec2(sum(dec2($"value"))) * 100).cast(LongType).as("y"))
-      val w = Window.partitionBy($"event_type").orderBy($"day")
-      val seq = daily.withColumn("x", row_number().over(w).cast(LongType))
-      seq.groupBy($"event_type")
+      trendSeq(s, dir).groupBy($"event_type")
         .agg(count(lit(1)).as("n_days"),
-          sum($"x").as("sx"), sum($"y").as("sy"),
-          sum($"x" * $"x").as("sxx"), sum($"x" * $"y").as("sxy"))
+          sum($"i").as("sx"), sum($"y").as("sy"),
+          sum($"i" * $"i").as("sxx"), sum($"i" * $"y").as("sxy"))
         .select($"event_type", $"n_days",
           when($"n_days" * $"sxx" === $"sx" * $"sx", lit(null))
             .otherwise(round(($"n_days" * $"sxy" - $"sx" * $"sy")
@@ -1137,21 +1169,12 @@ object StatQueries {
         .orderBy($"event_type")
     },
     oracle = Some(
-      """WITH daily AS (
-        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
-        |    CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))
-        |      * 100 AS BIGINT) AS y
-        |  FROM events GROUP BY 1, 2),
-        |seq AS (
-        |  SELECT event_type, y,
-        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
-        |      AS BIGINT) AS x
-        |  FROM daily),
+      s"""$trendSeqSql,
         |m AS (
         |  SELECT event_type, COUNT(*) AS n_days,
-        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
-        |    CAST(SUM(x * x) AS BIGINT) AS sxx,
-        |    CAST(SUM(x * y) AS BIGINT) AS sxy
+        |    CAST(SUM(i) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(i * i) AS BIGINT) AS sxx,
+        |    CAST(SUM(i * y) AS BIGINT) AS sxy
         |  FROM seq GROUP BY event_type)
         |SELECT event_type, n_days,
         |  CASE WHEN n_days * sxx = sx * sx THEN NULL
@@ -1179,14 +1202,7 @@ object StatQueries {
     "q_stat_mann_kendall",
     (s, dir) => {
       import s.implicits._
-      val daily = Tables.events(s, dir)
-        .groupBy($"event_type", to_date(date_trunc("day", $"ts")).as("day"))
-        .agg((dec2(sum(dec2($"value"))) * 100).cast(LongType).as("y"))
-      val w = Window.partitionBy($"event_type").orderBy($"day")
-      val seq = daily.withColumn("i", row_number().over(w).cast(LongType))
-      val a = seq.select($"event_type", $"i".as("ia"), $"y".as("ya"))
-      val b = seq.select($"event_type", $"i".as("ib"), $"y".as("yb"))
-      val pairs = a.join(b, "event_type").where($"ia" < $"ib")
+      val pairs = trendPairs(trendSeq(s, dir))
         .groupBy($"event_type")
         .agg(count(lit(1)).as("n_pairs"),
           sum(signum(($"yb" - $"ya").cast(DoubleType)).cast(LongType))
@@ -1196,16 +1212,7 @@ object StatQueries {
         .orderBy($"event_type")
     },
     oracle = Some(
-      """WITH daily AS (
-        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
-        |    CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))
-        |      * 100 AS BIGINT) AS y
-        |  FROM events GROUP BY 1, 2),
-        |seq AS (
-        |  SELECT event_type, y,
-        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
-        |      AS BIGINT) AS i
-        |  FROM daily),
+      s"""$trendSeqSql,
         |pairs AS (
         |  SELECT a.event_type, COUNT(*) AS n_pairs,
         |    CAST(SUM(sign(b.y - a.y)) AS BIGINT) AS s_stat
@@ -1233,14 +1240,7 @@ object StatQueries {
     "q_stat_theilsen",
     (s, dir) => {
       import s.implicits._
-      val daily = Tables.events(s, dir)
-        .groupBy($"event_type", to_date(date_trunc("day", $"ts")).as("day"))
-        .agg((dec2(sum(dec2($"value"))) * 100).cast(LongType).as("y"))
-      val w = Window.partitionBy($"event_type").orderBy($"day")
-      val seq = daily.withColumn("i", row_number().over(w).cast(LongType))
-      val a = seq.select($"event_type", $"i".as("ia"), $"y".as("ya"))
-      val b = seq.select($"event_type", $"i".as("ib"), $"y".as("yb"))
-      val slopes = a.join(b, "event_type").where($"ia" < $"ib")
+      val slopes = trendPairs(trendSeq(s, dir))
         .select($"event_type",
           expr("(yb - ya) * 1000000 div (ib - ia)").as("s_micro"))
       // Tiebreak note: row_number over the non-unique s_micro is fine
@@ -1259,16 +1259,7 @@ object StatQueries {
         .orderBy($"event_type")
     },
     oracle = Some(
-      """WITH daily AS (
-        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
-        |    CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))
-        |      * 100 AS BIGINT) AS y
-        |  FROM events GROUP BY 1, 2),
-        |seq AS (
-        |  SELECT event_type, y,
-        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
-        |      AS BIGINT) AS i
-        |  FROM daily),
+      s"""$trendSeqSql,
         |slopes AS (
         |  SELECT a.event_type,
         |    (b.y - a.y) * 1000000 // (b.i - a.i) AS s_micro

@@ -138,5 +138,15 @@ class AnnGraphSpec extends AnyFunSuite with SparkFixture {
     val e = intercept[IllegalArgumentException](
       AnnGraph.search(emb, index, -999L, beam = 48, maxHops = 24, topK = 5))
     assert(e.getMessage.contains("-999"))
+    // Single-vector corpus: entries and the probe's own row filter to
+    // nothing and the min-id fallback reads a NULL — must name the
+    // situation, not NPE.
+    import spark.implicits._
+    val lone = emb.where(col("vec_id") === 0L)
+    val emptyIdx = AnnGraph.GraphIndex(
+      Seq.empty[(Long, Long, Long)].toDF("src", "dst", "msim"), Seq())
+    val e2 = intercept[IllegalArgumentException](
+      AnnGraph.search(lone, emptyIdx, 0L, beam = 48, maxHops = 24, topK = 5))
+    assert(e2.getMessage.contains("nothing to search"))
   }
 }

@@ -200,6 +200,9 @@ class StatSpec extends AnyFunSuite with SparkFixture {
     import spark.implicits._
     // Shared driver-side formula (same quantization as the query).
     def theilsen(ys: Seq[Long]): Long = {
+      // Precondition stated, not discovered via IndexOutOfBounds(-1):
+      // a single-day type yields zero pairs and no query row either.
+      require(ys.size >= 2, s"theilsen needs >= 2 days, got ${ys.size}")
       val slopes = (for {
         i <- ys.indices; j <- i + 1 until ys.size
       } yield (ys(j) - ys(i)) * 1000000L / (j - i)).sorted
@@ -221,7 +224,11 @@ class StatSpec extends AnyFunSuite with SparkFixture {
       .select("event_type", "slope_microcents")
       .as[(String, Long)].collect().toMap
     daily.foreach { case (t, ys) =>
-      assert(got(t) == theilsen(ys), s"$t")
+      // Zero-pair types emit no query row by construction; today every
+      // fixture type has a month of days, so this filter is
+      // regeneration insurance, not a silent skip of live data.
+      if (ys.size >= 2) assert(got(t) == theilsen(ys), s"$t")
+      else assert(!got.contains(t), s"$t should emit no row with < 2 days")
     }
     // Robustness: a clean slope-100 series with ONE corrupted day.
     // Theil-Sen is unmoved (the corrupt day touches < 1/2 the pairs);
