@@ -478,8 +478,38 @@ object WindowQueries {
         |WHERE rk >= 7
         |ORDER BY event_type, day""".stripMargin))
 
+  /** q_win_cume — the two RELATIVE-POSITION window functions that
+    * complete the rank family: CUME_DIST (share of partition at or
+    * before this row) and PERCENT_RANK ((rank−1)/(n−1)), per user over
+    * events ordered by (value, event_id). Both are RATIONALS OF SMALL
+    * INTEGERS — one double division of exact counts, identical IEEE
+    * result in both engines, rounded once at 6 dp (the qEventsMarkov
+    * p=cnt/total rule); the unique (value, event_id) order key leaves
+    * no peer groups, so neither engine's peer-handling can diverge. A
+    * single-row partition yields PERCENT_RANK 0 by the SQL standard's
+    * 0/0 convention in both engines. Scale: user-partitioned windows —
+    * per-key state, no global sort (the qSessionize shape). */
+  val qWinCume: Q = Q(
+    "q_win_cume",
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"value", $"event_id")
+      Tables.events(s, dir)
+        .select($"event_id", $"user_id",
+          round(cume_dist().over(w), 6).as("cume"),
+          round(percent_rank().over(w), 6).as("pct_rank"))
+        .orderBy($"event_id")
+    },
+    oracle = Some(
+      """SELECT event_id, user_id,
+        |  ROUND(cume_dist() OVER w, 6) AS cume,
+        |  ROUND(percent_rank() OVER w, 6) AS pct_rank
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)
+        |ORDER BY event_id""".stripMargin))
+
   val all: Vector[Q] = Vector(
     qWinRank, qWinRunning, qWinLeadLag, qWinDistribution,
     qWinRangeFrame, qSessionize, qReportMomentum, qWinValueFuncs,
-    qWinRunningDistinct, qWinRollingMedian, qWinRollingCorr)
+    qWinRunningDistinct, qWinRollingMedian, qWinRollingCorr, qWinCume)
 }

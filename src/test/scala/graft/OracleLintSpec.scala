@@ -72,7 +72,7 @@ class OracleLintSpec extends AnyFunSuite {
       Catalog.all.filter(_.oracle.isDefined).map(_.name).toSet)
   }
 
-  test("oracle count matches the SURVEY §2 contract (195 oracle rows)") {
-    assert(Catalog.all.count(_.oracle.isDefined) == 195)
+  test("oracle count matches the SURVEY §2 contract (196 oracle rows)") {
+    assert(Catalog.all.count(_.oracle.isDefined) == 196)
   }
 }
