@@ -44,6 +44,7 @@ object Catalog {
       operators.PrepQueries.all ++
       operators.DqQueries.all ++
       operators.StatQueries.all ++
+      operators.StatTestQueries.all ++
       Vector(functions.CountMin.qAggCountmin) ++
       streaming.StreamingQueries.all ++
       streaming.StreamJoinQueries.all

@@ -1,0 +1,319 @@
+package graft
+package operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Dsl._
+
+/** Hypothesis-testing / concentration statistics over the event log —
+  * the A/B-decision family (SURVEY.md §2.10b): Welch's t
+  * (parametric, unequal variances), Mann-Whitney U (nonparametric
+  * rank-sum), two-sample Kolmogorov-Smirnov (distribution-shape), and
+  * the Gini concentration coefficient. With [[StatQueries.qAbChisquare]]
+  * (categorical) this covers the four standard "did the metric move"
+  * tests an experimentation pipeline runs.
+  *
+  * Reference basis: /root/reference contains no code (SURVEY.md §0);
+  * these rows derive from the survey's north star, not a reference file.
+  *
+  * Determinism strategy (SURVEY.md §2 rules): every statistic is built
+  * from EXACT integer aggregates — cents, counts, rank-sums doubled to
+  * clear the midrank .5 (2·midrank = 2·cnt_less + cnt_eq + 1 is always
+  * an integer), KS distances cross-multiplied to integers
+  * (|F_a − F_b|·n_a·n_b) — and only the final z / t / D / G value runs
+  * through ONE textually identical IEEE double expression, rounded at
+  * 6 dp. No raw double is ever aggregated.
+  *
+  * Shared scaffold: [[centsLadder]] — the distinct-cents ladder with
+  * per-value counts and a cumulative prefix — feeds Mann-Whitney (ranks
+  * ARE prefix counts), KS (ECDFs ARE prefix counts) and Gini (sorted
+  * index sums decompose over runs of equal values). One definition, one
+  * oracle CTE text, the trendSeq/trendPairs convention.
+  *
+  * Scale (100 TB): the ladder is VALUE-DOMAIN-bounded, not row-bounded —
+  * a 2-dp metric under 500.00 has ≤ 50,000 distinct cents values no
+  * matter how many fact rows exist, so the unpartitioned cumulative
+  * window runs over a domain table (the bounded-domain exception the
+  * bucketNtile device documents); per-(type,value) partial aggregation
+  * happens BEFORE anything touches the ladder, so the fact table is
+  * scanned once with map-side combine and shuffled only as ≤ |types|·|V|
+  * grouped rows. For an unbounded-domain metric the ladder would be
+  * range-binned first (the coarse-bin offset device of q_prep_bucketize),
+  * trading exact ranks for binned ranks.
+  */
+object StatTestQueries {
+
+  /** events → (event_type, c): the metric in exact integer cents. */
+  private def cents(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .select($"event_type", (dec2($"value") * 100).cast(LongType).as("c"))
+  }
+
+  /** Distinct-cents ladder: per value its count `cv` and the cumulative
+    * count `cum` (rows ≤ value). Bounded by the value domain (see class
+    * doc); the unpartitioned window is over this domain table only. */
+  private def centsLadder(cents: DataFrame): DataFrame = {
+    val vc = cents.groupBy(col("c")).agg(count(lit(1)).as("cv"))
+    vc.withColumn("cum",
+      sum(col("cv")).over(Window.orderBy(col("c"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  /** Oracle CTE twin of [[cents]] + [[centsLadder]] + the per-(type,
+    * value) counts — byte-shared by the three rank-family rows. */
+  private val ladderSql =
+    """WITH cents AS (
+      |  SELECT event_type,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      |  FROM events),
+      |vc AS (SELECT c, COUNT(*) AS cv FROM cents GROUP BY 1),
+      |lad AS (
+      |  SELECT c, cv,
+      |    SUM(cv) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM vc),
+      |tv AS (
+      |  SELECT event_type, c, COUNT(*) AS k FROM cents GROUP BY 1, 2)""".stripMargin
+
+  /** q_stat_welch_t — WELCH'S UNEQUAL-VARIANCE t TEST between every
+    * pair of event types on the value metric: t statistic plus the
+    * Welch–Satterthwaite effective degrees of freedom. The default
+    * parametric two-sample test (Student's equal-variance t is the
+    * special case nobody should use). Exactness: per-type moments
+    * (n, Σc, Σc²) are exact Long sums of cents; means, variances, t and
+    * df derive through one identical double expression per output,
+    * rounded at 6 dp. The n·(Σc/n)² products run in DOUBLE (cast before
+    * multiply), so no Long-product overflow cliff exists here — the
+    * binding limit is Σc² itself (c ≤ 50k cents → ~3.8e9/row of
+    * headroom; past that the DECIMAL(38,0) promotion of q_vec_pca).
+    * Shape: one 5-group moment agg with map-side partials, then a
+    * 10-row broadcast self-join of the bounded type table — the fact
+    * table is scanned ONCE regardless of how many pairs are tested. */
+  val qStatWelchT: Q = Q(
+    "q_stat_welch_t",
+    (s, dir) => {
+      import s.implicits._
+      val m = cents(s, dir).groupBy($"event_type")
+        .agg(count(lit(1)).cast(LongType).as("n"),
+          sum($"c").as("s1"), sum($"c" * $"c").as("s2"))
+      val a = m.select($"event_type".as("type_a"), $"n".as("na"),
+        $"s1".as("s1a"), $"s2".as("s2a"))
+      val b = m.select($"event_type".as("type_b"), $"n".as("nb"),
+        $"s1".as("s1b"), $"s2".as("s2b"))
+      a.join(broadcast(b), $"type_a" < $"type_b")
+        .withColumn("va", expr(
+          "(CAST(s2a AS DOUBLE) - CAST(s1a AS DOUBLE) * CAST(s1a AS DOUBLE) / CAST(na AS DOUBLE)) / CAST(na - 1 AS DOUBLE)"))
+        .withColumn("vb", expr(
+          "(CAST(s2b AS DOUBLE) - CAST(s1b AS DOUBLE) * CAST(s1b AS DOUBLE) / CAST(nb AS DOUBLE)) / CAST(nb - 1 AS DOUBLE)"))
+        .withColumn("se2", expr("va / CAST(na AS DOUBLE) + vb / CAST(nb AS DOUBLE)"))
+        .select($"type_a", $"type_b", $"na", $"nb",
+          expr("ROUND(CAST(s1a AS DOUBLE) / CAST(na AS DOUBLE), 6)").as("mean_a"),
+          expr("ROUND(CAST(s1b AS DOUBLE) / CAST(nb AS DOUBLE), 6)").as("mean_b"),
+          expr("ROUND((CAST(s1a AS DOUBLE) / CAST(na AS DOUBLE) - CAST(s1b AS DOUBLE) / CAST(nb AS DOUBLE)) / sqrt(se2), 6)").as("t_stat"),
+          expr("ROUND(se2 * se2 / ((va / CAST(na AS DOUBLE)) * (va / CAST(na AS DOUBLE)) / CAST(na - 1 AS DOUBLE) + (vb / CAST(nb AS DOUBLE)) * (vb / CAST(nb AS DOUBLE)) / CAST(nb - 1 AS DOUBLE)), 6)").as("df"))
+        .orderBy($"type_a", $"type_b")
+    },
+    oracle = Some(
+      """WITH cents AS (
+        |  SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM events),
+        |m AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(c) AS BIGINT) AS s1, CAST(SUM(c * c) AS BIGINT) AS s2
+        |  FROM cents GROUP BY 1),
+        |p AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    a.n AS na, b.n AS nb, a.s1 AS s1a, b.s1 AS s1b,
+        |    a.s2 AS s2a, b.s2 AS s2b
+        |  FROM m a JOIN m b ON a.event_type < b.event_type),
+        |v AS (
+        |  SELECT *,
+        |    (CAST(s2a AS DOUBLE) - CAST(s1a AS DOUBLE) * CAST(s1a AS DOUBLE) / CAST(na AS DOUBLE)) / CAST(na - 1 AS DOUBLE) AS va,
+        |    (CAST(s2b AS DOUBLE) - CAST(s1b AS DOUBLE) * CAST(s1b AS DOUBLE) / CAST(nb AS DOUBLE)) / CAST(nb - 1 AS DOUBLE) AS vb
+        |  FROM p),
+        |w AS (
+        |  SELECT *, va / CAST(na AS DOUBLE) + vb / CAST(nb AS DOUBLE) AS se2
+        |  FROM v)
+        |SELECT type_a, type_b, na, nb,
+        |  ROUND(CAST(s1a AS DOUBLE) / CAST(na AS DOUBLE), 6) AS mean_a,
+        |  ROUND(CAST(s1b AS DOUBLE) / CAST(nb AS DOUBLE), 6) AS mean_b,
+        |  ROUND((CAST(s1a AS DOUBLE) / CAST(na AS DOUBLE) - CAST(s1b AS DOUBLE) / CAST(nb AS DOUBLE)) / sqrt(se2), 6) AS t_stat,
+        |  ROUND(se2 * se2 / ((va / CAST(na AS DOUBLE)) * (va / CAST(na AS DOUBLE)) / CAST(na - 1 AS DOUBLE) + (vb / CAST(nb AS DOUBLE)) * (vb / CAST(nb AS DOUBLE)) / CAST(nb - 1 AS DOUBLE)), 6) AS df
+        |FROM w
+        |ORDER BY type_a, type_b""".stripMargin))
+
+  /** q_stat_mann_whitney — MANN-WHITNEY U (Wilcoxon rank-sum) for each
+    * event type AGAINST THE POOLED REST: the nonparametric companion to
+    * [[qStatWelchT]] — detects a location shift without any normality
+    * assumption, immune to outliers that drag a mean. Tie handling is
+    * the textbook MIDRANK, made exact by working in DOUBLED rank units:
+    * 2·midrank(v) = 2·cnt_less(v) + cnt_eq(v) + 1 is an integer read
+    * straight off the ladder (2·cum − cv + 1), so the per-type rank sum
+    * r2 and the doubled statistic u2 = 2·U = r2 − nt·(nt+1) are exact
+    * Longs. The normal-approximation z applies the standard tie
+    * correction (Σ(t³−t) over ladder counts, an exact Long) in one
+    * identical double expression, rounded at 6 dp. All five one-vs-rest
+    * tests share ONE global ladder — the same midranks serve every
+    * split, so the fact table is scanned once, not 5×.
+    * Overflow headroom: r2 ≤ n·(2n+1) — Long-safe to n ≈ 2.1e9 rows,
+    * then the DECIMAL(38,0) promotion; tie3 ≤ n³ binds earlier for a
+    * fully-tied corpus (n ≈ 2.1e6) but tie3 ≤ n·max_tie² in practice. */
+  val qStatMannWhitney: Q = Q(
+    "q_stat_mann_whitney",
+    (s, dir) => {
+      import s.implicits._
+      val cs = cents(s, dir)
+      val lad = centsLadder(cs)
+      val tv = cs.groupBy($"event_type", $"c").agg(count(lit(1)).as("k"))
+      val per = tv.join(lad, "c")
+        .groupBy($"event_type")
+        .agg(sum($"k").as("nt"),
+          sum($"k" * (lit(2) * $"cum" - $"cv" + 1)).as("r2"))
+      val gl = lad.agg(sum($"cv").as("n"),
+        sum($"cv" * $"cv" * $"cv" - $"cv").as("tie3"))
+      per.crossJoin(broadcast(gl))
+        .select($"event_type", $"nt", ($"n" - $"nt").as("nr"),
+          expr("r2 - nt * (nt + 1)").as("u2"),
+          expr("ROUND((CAST(r2 - nt * (nt + 1) AS DOUBLE) - CAST(nt AS DOUBLE) * CAST(n - nt AS DOUBLE)) / (2.0 * sqrt(CAST(nt AS DOUBLE) * CAST(n - nt AS DOUBLE) / 12.0 * (CAST(n + 1 AS DOUBLE) - CAST(tie3 AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))))), 6)").as("z"))
+        .orderBy($"event_type")
+    },
+    oracle = Some(
+      s"""$ladderSql,
+        |gl AS (
+        |  SELECT CAST(SUM(cv) AS BIGINT) AS n,
+        |    CAST(SUM(cv * cv * cv - cv) AS BIGINT) AS tie3
+        |  FROM vc),
+        |per AS (
+        |  SELECT tv.event_type, CAST(SUM(tv.k) AS BIGINT) AS nt,
+        |    CAST(SUM(tv.k * (2 * lad.cum - lad.cv + 1)) AS BIGINT) AS r2
+        |  FROM tv JOIN lad USING (c) GROUP BY 1)
+        |SELECT event_type, nt, n - nt AS nr,
+        |  r2 - nt * (nt + 1) AS u2,
+        |  ROUND((CAST(r2 - nt * (nt + 1) AS DOUBLE) - CAST(nt AS DOUBLE) * CAST(n - nt AS DOUBLE)) / (2.0 * sqrt(CAST(nt AS DOUBLE) * CAST(n - nt AS DOUBLE) / 12.0 * (CAST(n + 1 AS DOUBLE) - CAST(tie3 AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))))), 6) AS z
+        |FROM per, gl
+        |ORDER BY event_type""".stripMargin))
+
+  /** q_stat_ks — two-sample KOLMOGOROV-SMIRNOV distance for each event
+    * type vs the pooled rest: D = sup_x |F_t(x) − F_rest(x)| — the
+    * shape-sensitive test that fires when means match but the
+    * DISTRIBUTION moved (variance, bimodality, tail weight), which both
+    * t and U miss. Exactness: the supremum is attained at ladder
+    * values, and each candidate is CROSS-MULTIPLIED to the integer
+    * d = |cum_t·(n−nt) − (cum_rest)·nt| — an exact Long max; only the
+    * final division by nt·(n−nt) is floating, rounded at 6 dp. The
+    * 5-type ECDF grid is the ladder × the bounded type table with
+    * zero-fill (a type missing a value still steps its competitor's
+    * ECDF), cumulated per type. One fact scan, one ladder, all types.
+    * Overflow: cum·n ≤ n² — Long-safe to n ≈ 3e9 rows, then DECIMAL. */
+  val qStatKs: Q = Q(
+    "q_stat_ks",
+    (s, dir) => {
+      import s.implicits._
+      val cs = cents(s, dir)
+      val lad = centsLadder(cs).withColumnRenamed("cum", "cum_all")
+      val tv = cs.groupBy($"event_type", $"c").agg(count(lit(1)).as("k"))
+      val types = cs.select($"event_type").distinct()
+      val nn = cs.groupBy($"event_type").agg(count(lit(1)).cast(LongType).as("nt"))
+      val gl = lad.agg(sum($"cv").as("n"))
+      val grid = lad.crossJoin(broadcast(types))
+        .join(tv, Seq("event_type", "c"), "left")
+        .withColumn("k0", coalesce($"k", lit(0L)))
+      val cumt = grid.withColumn("cum_t",
+        sum($"k0").over(Window.partitionBy($"event_type").orderBy($"c")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      cumt.join(broadcast(nn), "event_type").crossJoin(broadcast(gl))
+        .groupBy($"event_type", $"nt", $"n")
+        .agg(max(abs($"cum_t" * ($"n" - $"nt") - ($"cum_all" - $"cum_t") * $"nt"))
+          .as("d_num"))
+        .select($"event_type", $"nt", ($"n" - $"nt").as("nr"), $"d_num",
+          expr("ROUND(CAST(d_num AS DOUBLE) / (CAST(nt AS DOUBLE) * CAST(n - nt AS DOUBLE)), 6)").as("d"))
+        .orderBy($"event_type")
+    },
+    oracle = Some(
+      s"""$ladderSql,
+        |types AS (SELECT DISTINCT event_type FROM cents),
+        |nn AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nt
+        |  FROM cents GROUP BY 1),
+        |gl AS (SELECT CAST(SUM(cv) AS BIGINT) AS n FROM vc),
+        |grid AS (
+        |  SELECT t.event_type, lad.c, lad.cum AS cum_all,
+        |    COALESCE(tv.k, 0) AS k0
+        |  FROM lad CROSS JOIN types t
+        |  LEFT JOIN tv ON tv.event_type = t.event_type AND tv.c = lad.c),
+        |cumt AS (
+        |  SELECT event_type, c, cum_all,
+        |    SUM(k0) OVER (PARTITION BY event_type ORDER BY c
+        |      ROWS UNBOUNDED PRECEDING) AS cum_t
+        |  FROM grid)
+        |SELECT g.event_type, nt, n - nt AS nr,
+        |  CAST(MAX(ABS(cum_t * (n - nt) - (cum_all - cum_t) * nt)) AS BIGINT)
+        |    AS d_num,
+        |  ROUND(CAST(MAX(ABS(cum_t * (n - nt) - (cum_all - cum_t) * nt)) AS DOUBLE)
+        |    / (CAST(nt AS DOUBLE) * CAST(n - nt AS DOUBLE)), 6) AS d
+        |FROM cumt g JOIN nn ON g.event_type = nn.event_type CROSS JOIN gl
+        |GROUP BY g.event_type, nt, n
+        |ORDER BY g.event_type""".stripMargin))
+
+  /** q_stat_gini — GINI CONCENTRATION COEFFICIENT of value per event
+    * type: G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) over the ascending sort —
+    * the standard "how whale-dominated is this metric" inequality
+    * measure (G=0 all equal, →1 one row holds everything). Runs of
+    * equal values decompose exactly over the per-type ladder:
+    * Σ i·x for a run of k copies of value c starting after prefix p is
+    * c·(k·p + k·(k+1)/2) — k·(k+1) is always even so the halving is
+    * exact integer division. Everything is an exact Long until the one
+    * final division, rounded at 6 dp; a zero-sum group is decided in
+    * integer space and yields NULL in both engines (the pearsonR guard
+    * discipline). Shape: per-(type,value) partial agg off one fact
+    * scan, per-type cumulative window over the bounded ladder, one
+    * 5-row final agg. Overflow: Σi·x ≤ x_max·n²/2 — Long-safe to
+    * n ≈ 19M rows/type at 50k-cent values, then DECIMAL(38,0). */
+  val qStatGini: Q = Q(
+    "q_stat_gini",
+    (s, dir) => {
+      import s.implicits._
+      val cs = cents(s, dir)
+      val tv = cs.groupBy($"event_type", $"c").agg(count(lit(1)).as("k"))
+      val w = Window.partitionBy($"event_type").orderBy($"c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val runs = tv.withColumn("cum", sum($"k").over(w))
+        .withColumn("p", $"cum" - $"k")
+      runs.groupBy($"event_type")
+        .agg(sum($"k").as("n"),
+          sum($"c" * $"k").as("sumx"),
+          sum($"c" * ($"k" * $"p" + expr("(k * (k + 1)) div 2"))).as("sumix"))
+        .select($"event_type", $"n",
+          expr("CAST(sumx AS DOUBLE) / 100.0").as("total"),
+          when($"sumx" === 0, lit(null))
+            .otherwise(expr("ROUND(CAST(2 * sumix - (n + 1) * sumx AS DOUBLE) / CAST(n * sumx AS DOUBLE), 6)"))
+            .as("gini"))
+        .orderBy($"event_type")
+    },
+    oracle = Some(
+      s"""$ladderSql,
+        |runs AS (
+        |  SELECT event_type, c, k,
+        |    SUM(k) OVER (PARTITION BY event_type ORDER BY c
+        |      ROWS UNBOUNDED PRECEDING) - k AS p
+        |  FROM tv),
+        |agg AS (
+        |  SELECT event_type, CAST(SUM(k) AS BIGINT) AS n,
+        |    CAST(SUM(c * k) AS BIGINT) AS sumx,
+        |    CAST(SUM(c * (k * p + (k * (k + 1)) // 2)) AS BIGINT) AS sumix
+        |  FROM runs GROUP BY 1)
+        |SELECT event_type, n,
+        |  CAST(sumx AS DOUBLE) / 100.0 AS total,
+        |  CASE WHEN sumx = 0 THEN NULL
+        |    ELSE ROUND(CAST(2 * sumix - (n + 1) * sumx AS DOUBLE)
+        |      / CAST(n * sumx AS DOUBLE), 6) END AS gini
+        |FROM agg
+        |ORDER BY event_type""".stripMargin))
+
+  val all: Vector[Q] =
+    Vector(qStatWelchT, qStatMannWhitney, qStatKs, qStatGini)
+}

@@ -1,0 +1,117 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Independent ground truth for the hypothesis-testing family
+  * (StatTestQueries) — the DuckDB oracles prove Spark and DuckDB agree,
+  * but both run the SAME ladder decomposition, so a shared design bug
+  * would pass. These tests recompute each statistic from first
+  * principles driver-side (naive midranks over the raw value list,
+  * direct ECDF supremum, textbook Welch formulas, per-row sorted-index
+  * Gini) on the sf0.001 fixture and require exact agreement. */
+class StatTestSpec extends AnyFunSuite with SparkFixture {
+
+  private def cents(): Seq[(String, Long)] = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .select($"event_type",
+        (Dsl.dec2($"value") * 100).cast("long"))
+      .as[(String, Long)].collect().toSeq
+  }
+
+  test("Mann-Whitney u2/z equal a naive midrank recompute") {
+    val data = cents()
+    val all = data.map(_._2)
+    val n = all.size.toLong
+    val cnt = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val less = {
+      var acc = 0L
+      cnt.keys.toSeq.sorted.map { v =>
+        val p = v -> acc; acc += cnt(v); p
+      }.toMap
+    }
+    val tie3 = cnt.values.map(c => c * c * c - c).sum
+    val got = Catalog.byName("q_stat_mann_whitney").build(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(3), r.getDouble(4)))
+    assert(got.length == 5)
+    got.foreach { case (t, u2Got, zGot) =>
+      val g = data.filter(_._1 == t).map(_._2)
+      val nt = g.size.toLong
+      val nr = n - nt
+      // 2*midrank = 2*cnt_less + cnt_eq + 1, summed exactly
+      val r2 = g.map(v => 2 * less(v) + cnt(v) + 1).sum
+      val u2 = r2 - nt * (nt + 1)
+      assert(u2 == u2Got, s"$t: u2 $u2Got != naive $u2")
+      val varU = nt.toDouble * nr / 12.0 *
+        ((n + 1).toDouble - tie3.toDouble / (n.toDouble * (n - 1).toDouble))
+      val z = (u2.toDouble - nt.toDouble * nr.toDouble) /
+        (2.0 * math.sqrt(varU))
+      assert(math.abs(zGot - z) < 1e-5, s"$t: z $zGot != naive $z")
+    }
+  }
+
+  test("KS d_num equals the direct ECDF supremum") {
+    val data = cents()
+    val n = data.size.toLong
+    val got = Catalog.byName("q_stat_ks").build(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(3))).toMap
+    assert(got.size == 5)
+    val xs = data.map(_._2).distinct.sorted
+    got.foreach { case (t, dGot) =>
+      val g = data.filter(_._1 == t).map(_._2).sorted
+      val r = data.filter(_._1 != t).map(_._2).sorted
+      val nt = g.size.toLong
+      val d = xs.map { x =>
+        val ct = g.count(_ <= x).toLong
+        val cr = r.count(_ <= x).toLong
+        math.abs(ct * (n - nt) - cr * nt)
+      }.max
+      assert(d == dGot, s"$t: d_num $dGot != naive $d")
+    }
+  }
+
+  test("Welch t/df equal the textbook two-sample formulas") {
+    val data = cents()
+    val byType = data.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val got = Catalog.byName("q_stat_welch_t").build(spark, sfDir)
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getDouble(6), r.getDouble(7)))).toMap
+    assert(got.size == 10, "5 types pair into 10 tests")
+    got.foreach { case ((ta, tb), (tGot, dfGot)) =>
+      def stats(v: Seq[Long]): (Double, Double, Long) = {
+        val nn = v.size
+        val m = v.sum.toDouble / nn
+        val va = v.map(x => (x - m) * (x - m)).sum / (nn - 1.0)
+        (m, va, nn.toLong)
+      }
+      val (ma, va, na) = stats(byType(ta))
+      val (mb, vb, nb) = stats(byType(tb))
+      val se2 = va / na + vb / nb
+      val t = (ma - mb) / math.sqrt(se2)
+      val df = se2 * se2 /
+        ((va / na) * (va / na) / (na - 1) + (vb / nb) * (vb / nb) / (nb - 1))
+      assert(math.abs(tGot - t) < 1e-4, s"($ta,$tb): t $tGot != naive $t")
+      assert(math.abs(dfGot - df) < 1e-2, s"($ta,$tb): df $dfGot != naive $df")
+    }
+  }
+
+  test("Gini equals the per-row sorted-index formula and sits in [0, 1)") {
+    val data = cents()
+    val got = Catalog.byName("q_stat_gini").build(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getDouble(3))).toMap
+    assert(got.size == 5)
+    got.foreach { case (t, gGot) =>
+      val v = data.filter(_._1 == t).map(_._2).sorted
+      val n = v.size.toLong
+      val sumX = v.sum
+      val sumIX = v.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum
+      val g = (2.0 * sumIX - (n + 1).toDouble * sumX) / (n.toDouble * sumX)
+      assert(math.abs(gGot - g) < 1e-5, s"$t: gini $gGot != naive $g")
+      assert(gGot >= 0.0 && gGot < 1.0, s"$t: gini $gGot out of range")
+      assert(gGot > 0.1,
+        s"$t: fixture values are heavily spread; a near-zero gini means " +
+          "the decomposition collapsed")
+    }
+  }
+}
