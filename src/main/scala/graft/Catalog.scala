@@ -45,6 +45,7 @@ object Catalog {
       operators.DqQueries.all ++
       operators.StatQueries.all ++
       operators.StatTestQueries.all ++
+      operators.RecursiveQueries.all ++
       Vector(functions.CountMin.qAggCountmin) ++
       streaming.StreamingQueries.all ++
       streaming.StreamJoinQueries.all

@@ -1102,7 +1102,7 @@ object StatQueries {
     * 1-based day rank `i` — ONE definition, so a fix to the
     * quantization or rank basis cannot drift between the three rows
     * (r10 review #4). The SQL twin text lives in [[trendSeqSql]]. */
-  private def trendSeq(s: SparkSession, dir: String) = {
+  private[operators] def trendSeq(s: SparkSession, dir: String) = {
     import s.implicits._
     Tables.events(s, dir)
       .groupBy($"event_type", to_date(date_trunc("day", $"ts")).as("day"))
@@ -1114,7 +1114,7 @@ object StatQueries {
 
   /** Ordered (ia < ib) day pairs of [[trendSeq]] — the bounded
     * all-pairs frame Mann-Kendall and Theil-Sen both rank over. */
-  private def trendPairs(seq: org.apache.spark.sql.DataFrame) = {
+  private[operators] def trendPairs(seq: org.apache.spark.sql.DataFrame) = {
     val a = seq.select(col("event_type"), col("i").as("ia"), col("y").as("ya"))
     val b = seq.select(col("event_type"), col("i").as("ib"), col("y").as("yb"))
     a.join(b, "event_type").where(col("ia") < col("ib"))
@@ -1122,7 +1122,7 @@ object StatQueries {
 
   /** The twins' shared daily+seq CTE text (byte-identical across the
     * three oracles for the same one-definition reason). */
-  private val trendSeqSql: String =
+  private[operators] val trendSeqSql: String =
     """WITH daily AS (
       |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
       |    CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))

@@ -314,6 +314,91 @@ object StatTestQueries {
         |FROM agg
         |ORDER BY event_type""".stripMargin))
 
+  /** q_stat_pettitt — PETTITT CHANGE-POINT TEST on each type's daily
+    * traded-value series: the rank-based (distribution-free) locator
+    * of a single abrupt level shift, the standard companion to
+    * Mann-Kendall ("IS there a trend" → "WHERE did the level break").
+    * K_t = Σ_{i≤t<j} sign(y_j − y_i); the change point is argmax |K_t|
+    * over 1 ≤ t < n. Exactness: computed via the telescoping identity
+    * K_t − K_{t−1} = Σ_j sign(y_j − y_t) — each ordered pair of
+    * [[StatQueries.trendPairs]] contributes +sign to V_{ia} and −sign
+    * to V_{ib} (sign as a 3-branch CASE, never the double-typed
+    * sign()), so V, the running K, and |K| are exact Longs end to end;
+    * there is no floating value anywhere in this row. Ties on |K|
+    * break to the EARLIEST day (deterministic total order).
+    * Scale: the fact table collapses to the bounded (type × day)
+    * domain in one partial agg; the all-pairs frame is ≤ C(d,2) rows
+    * per type on that bounded domain (the Mann-Kendall argument), and
+    * the running-K window partitions by type. Overflow: |K| ≤ C(d,2) —
+    * a 10⁶-day series would still fit Long with 6 orders to spare. */
+  val qStatPettitt: Q = Q(
+    "q_stat_pettitt",
+    (s, dir) => {
+      import s.implicits._
+      val seq = StatQueries.trendSeq(s, dir)
+      val pairs = StatQueries.trendPairs(seq)
+      val sgn = when($"yb" > $"ya", 1L).when($"yb" < $"ya", -1L).otherwise(0L)
+      val contrib =
+        pairs.select($"event_type", $"ia".as("t"), sgn.as("sg"))
+          .unionAll(pairs.select($"event_type", $"ib".as("t"), (-sgn).as("sg")))
+      val v = contrib.groupBy($"event_type", $"t").agg(sum($"sg").as("v"))
+      val nDays = seq.groupBy($"event_type").agg(max($"i").as("n_days"))
+      val k = v.withColumn("k",
+          sum($"v").over(Window.partitionBy($"event_type").orderBy($"t")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .join(seq.select($"event_type", $"i".as("t"), $"day"),
+          Seq("event_type", "t"))
+        .join(nDays, "event_type")
+        .where($"t" < $"n_days")
+      k.withColumn("rn", row_number().over(
+          Window.partitionBy($"event_type")
+            .orderBy(abs($"k").desc, $"day".asc)))
+        .where($"rn" === 1)
+        .select($"event_type", $"n_days", abs($"k").as("k_stat"),
+          $"day".as("change_day"))
+        .orderBy($"event_type")
+    },
+    oracle = Some(
+      s"""${StatQueries.trendSeqSql},
+        |seqd AS (
+        |  SELECT event_type, day,
+        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+        |      AS BIGINT) AS i
+        |  FROM daily),
+        |pairs AS (
+        |  SELECT a.event_type, a.i AS ia, a.y AS ya, b.i AS ib, b.y AS yb
+        |  FROM seq a JOIN seq b
+        |    ON a.event_type = b.event_type AND a.i < b.i),
+        |contrib AS (
+        |  SELECT event_type, ia AS t,
+        |    CASE WHEN yb > ya THEN 1 WHEN yb < ya THEN -1 ELSE 0 END AS sg
+        |  FROM pairs
+        |  UNION ALL
+        |  SELECT event_type, ib AS t,
+        |    CASE WHEN yb > ya THEN -1 WHEN yb < ya THEN 1 ELSE 0 END AS sg
+        |  FROM pairs),
+        |v AS (
+        |  SELECT event_type, t, CAST(SUM(sg) AS BIGINT) AS v
+        |  FROM contrib GROUP BY 1, 2),
+        |nd AS (SELECT event_type, MAX(i) AS n_days FROM seq GROUP BY 1),
+        |kk AS (
+        |  SELECT v.event_type, v.t,
+        |    CAST(SUM(v.v) OVER (PARTITION BY v.event_type ORDER BY v.t
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS k,
+        |    s.day, nd.n_days
+        |  FROM v
+        |  JOIN seqd s ON s.event_type = v.event_type AND s.i = v.t
+        |  JOIN nd ON nd.event_type = v.event_type
+        |  WHERE v.t < nd.n_days),
+        |pick AS (
+        |  SELECT event_type, n_days, ABS(k) AS k_stat, day AS change_day,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY ABS(k) DESC, day ASC) AS rn
+        |  FROM kk)
+        |SELECT event_type, n_days, k_stat, change_day
+        |FROM pick WHERE rn = 1
+        |ORDER BY event_type""".stripMargin))
+
   val all: Vector[Q] =
-    Vector(qStatWelchT, qStatMannWhitney, qStatKs, qStatGini)
+    Vector(qStatWelchT, qStatMannWhitney, qStatKs, qStatGini, qStatPettitt)
 }

@@ -96,6 +96,38 @@ class StatTestSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("Pettitt K and change day equal the O(n^2) textbook recompute") {
+    import spark.implicits._
+    val daily = Tables.events(spark, sfDir)
+      .groupBy($"event_type",
+        org.apache.spark.sql.functions.to_date(
+          org.apache.spark.sql.functions.date_trunc("day", $"ts")).as("day"))
+      .agg((Dsl.dec2(org.apache.spark.sql.functions.sum(Dsl.dec2($"value")))
+        * 100).cast("long").as("y"))
+      .as[(String, java.sql.Date, Long)].collect()
+    val got = Catalog.byName("q_stat_pettitt").build(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getDate(3))))
+      .toMap
+    assert(got.size == 5)
+    got.foreach { case (t, (nGot, kGot, dayGot)) =>
+      val ys = daily.filter(_._1 == t).sortBy(_._2.toString).map(_._3)
+      val days = daily.filter(_._1 == t).map(_._2.toString).sorted
+      val n = ys.length
+      assert(nGot == n)
+      // direct double-sum definition: K_t = sum_{i<=t<j} sign(y_j - y_i)
+      val ks = (1 until n).map { t0 =>
+        var k = 0L
+        for (i <- 0 until t0; j <- t0 until n)
+          k += java.lang.Long.signum(ys(j) - ys(i))
+        (math.abs(k), days(t0 - 1))
+      }
+      val (kBest, dayBest) = ks.minBy { case (k, d) => (-k, d) }
+      assert(kGot == kBest, s"$t: K $kGot != naive $kBest")
+      assert(dayGot.toString == dayBest, s"$t: day $dayGot != naive $dayBest")
+    }
+  }
+
   test("Gini equals the per-row sorted-index formula and sits in [0, 1)") {
     val data = cents()
     val got = Catalog.byName("q_stat_gini").build(spark, sfDir)
