@@ -46,6 +46,7 @@ object Catalog {
       operators.StatQueries.all ++
       operators.StatTestQueries.all ++
       operators.RecursiveQueries.all ++
+      operators.RiskQueries.all ++
       Vector(functions.CountMin.qAggCountmin) ++
       streaming.StreamingQueries.all ++
       streaming.StreamJoinQueries.all
