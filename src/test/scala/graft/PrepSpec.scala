@@ -166,4 +166,42 @@ class PrepSpec extends AnyFunSuite with SparkFixture {
     assert(perLang.values.forall(_ == m),
       s"every class must keep exactly $m docs: $perLang")
   }
+
+  test("quantile transform: monotone, midrank-correct, mass-weighted uniform") {
+    import org.apache.spark.sql.functions._
+    val rows = Catalog.byName("q_prep_quantile_transform").build(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // strictly increasing in value AND in quantile (midranks of distinct
+    // values cannot tie)
+    assert(rows.sliding(2).forall { case Array(a, b) =>
+      a._1 < b._1 && a._3 < b._3 })
+    val n = rows.map(_._2).sum
+    // endpoints: smallest value's midrank quantile ~ (cv-1)/(2(n-1)),
+    // largest ~ 1 - (cv-1)/(2(n-1))
+    val head = rows.head; val last = rows.last
+    assert(math.abs(head._3 - (head._2 - 1.0) / (2.0 * (n - 1))) < 1e-6)
+    assert(math.abs(last._3 - (1.0 - (last._2 - 1.0) / (2.0 * (n - 1)))) < 1e-6)
+    // mass-weighted mean quantile of a midrank transform is exactly 1/2
+    val wMean = rows.map(r => r._2 * r._3).sum / n
+    assert(math.abs(wMean - 0.5) < 1e-6, s"weighted mean $wMean != 0.5")
+  }
+
+  test("target encoding shrinks every brand toward the global mean") {
+    val rows = Catalog.byName("q_prep_target_encode").build(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))
+    assert(rows.length == 25)
+    val gn = rows.map(_._2).sum
+    val gMean = rows.map(r => r._3 * r._2).sum / gn
+    rows.foreach { case (b, nb, mean, enc) =>
+      // m-estimate: enc sits strictly between the raw mean and the global
+      // mean (or equals both when they coincide), closer to raw for big n
+      val lo = math.min(mean, gMean) - 1e-4
+      val hi = math.max(mean, gMean) + 1e-4
+      assert(enc >= lo && enc <= hi, s"$b: enc $enc outside [$lo,$hi]")
+      val expected = (mean * nb + 100.0 * gMean) / (nb + 100.0)
+      assert(math.abs(enc - expected) < 1e-2,
+        s"$b: enc $enc != m-estimate $expected")
+    }
+  }
 }
