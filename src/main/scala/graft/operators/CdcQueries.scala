@@ -398,7 +398,68 @@ object CdcQueries {
         |WHERE rn = 1 AND op <> 'D'
         |ORDER BY o_orderkey""".stripMargin))
 
+  /** q_gdpr_pseudonymize — DETERMINISTIC PSEUDONYMIZATION, the
+    * complement of erasure in the GDPR toolbox (Art. 4(5)): replace
+    * the direct identifier with a salted-hash surrogate so analytics
+    * keep joining while re-identification requires the salt. Token =
+    * first 16 hex chars of md5('pseud-v1:' || user_id) — a pure
+    * function of the row (the md5-gate discipline), so the SAME user
+    * maps to the SAME token in every table, run, partitioning and
+    * engine, and referential integrity survives: the row pseudonymizes
+    * BOTH the event stream and the customer dim and joins them ON THE
+    * TOKENS. The output audits the two properties that make
+    * pseudonymization sound — collision-freedom (n_users_pseudo =
+    * n_users_raw, both printed, per type and across the join) and
+    * join preservation (n_matched computed token-to-token equals what
+    * the raw-key join would give; the oracle hash-match pins it since
+    * DuckDB derives the same counts from the same construction).
+    * Scale (100 TB): token derivation is a narrow stateless
+    * projection (codegen'd md5); the audit is one partial-agg shuffle
+    * per side + a broadcast of the 5-row summary — the dim side
+    * pseudonymizes independently (no cross-table coordination), which
+    * is the property that lets each table's owner re-key in place.
+    * 64-bit truncation keeps birthday-collision odds < 3e-8 at 10⁹
+    * users (p ≈ n²/2·2⁻⁶⁴); the audit would surface any hit. */
+  val qGdprPseudonymize: Q = Q(
+    "q_gdpr_pseudonymize",
+    (s, dir) => {
+      import s.implicits._
+      val tok = (c: org.apache.spark.sql.Column) =>
+        substring(md5(concat(lit("pseud-v1:"), c.cast("string"))), 1, 16)
+      val ev = Tables.events(s, dir)
+        .select($"event_type", $"user_id", tok($"user_id").as("token"))
+      val dim = Tables.customer(s, dir)
+        .select(tok($"c_custkey").as("dim_token")).distinct()
+      ev.join(broadcast(dim), $"token" === $"dim_token", "left")
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct($"token").as("n_users_pseudo"),
+          countDistinct($"user_id").as("n_users_raw"),
+          count($"dim_token").as("n_matched"),
+          min($"token").as("min_token"))
+        .orderBy($"event_type")
+    },
+    oracle = Some(
+      """WITH ev AS (
+        |  SELECT event_type, user_id,
+        |    substring(md5('pseud-v1:' || CAST(user_id AS VARCHAR)), 1, 16)
+        |      AS token
+        |  FROM events),
+        |dim AS (
+        |  SELECT DISTINCT
+        |    substring(md5('pseud-v1:' || CAST(c_custkey AS VARCHAR)), 1, 16)
+        |      AS dim_token
+        |  FROM customer)
+        |SELECT event_type, COUNT(*) AS n_rows,
+        |  CAST(COUNT(DISTINCT token) AS BIGINT) AS n_users_pseudo,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_raw,
+        |  COUNT(dim_token) AS n_matched,
+        |  MIN(token) AS min_token
+        |FROM ev LEFT JOIN dim ON token = dim_token
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin))
+
   val all: Vector[Q] = Vector(
     qMergeUpsert, qDimScd2, qGdprErasure, qGdprErasureMulti,
-    qCdcSnapshotDiff, qMergeDelete)
+    qCdcSnapshotDiff, qMergeDelete, qGdprPseudonymize)
 }
