@@ -47,6 +47,7 @@ object Catalog {
       operators.StatTestQueries.all ++
       operators.RecursiveQueries.all ++
       operators.RiskQueries.all ++
+      operators.SurvivalQueries.all ++
       Vector(functions.CountMin.qAggCountmin) ++
       streaming.StreamingQueries.all ++
       streaming.StreamJoinQueries.all

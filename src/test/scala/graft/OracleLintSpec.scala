@@ -72,7 +72,7 @@ class OracleLintSpec extends AnyFunSuite {
       Catalog.all.filter(_.oracle.isDefined).map(_.name).toSet)
   }
 
-  test("oracle count matches the SURVEY §2 contract (207 oracle rows)") {
-    assert(Catalog.all.count(_.oracle.isDefined) == 207)
+  test("oracle count matches the SURVEY §2 contract (208 oracle rows)") {
+    assert(Catalog.all.count(_.oracle.isDefined) == 208)
   }
 }
