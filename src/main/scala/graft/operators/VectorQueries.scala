@@ -682,9 +682,73 @@ object VectorQueries {
         |GROUP BY label
         |ORDER BY label""".stripMargin))
 
+  /** q_vec_feature_hash — SIGNED RANDOM PROJECTION (the dense-vector
+    * hashing trick / sparse JL sketch): fold 64 dimensions into 16
+    * buckets with a fixed ±1 matrix derived from md5 of the DIMENSION
+    * INDEX — the q_prep_hash_features portability device (Spark
+    * murmur3 ≠ DuckDB hash; md5 hex + ascii arithmetic is identical
+    * everywhere): bucket = (ascii(hex₁) % 4)·4 + ascii(hex₂) % 4,
+    * sign from ascii(hex₃) parity. Mild bucket non-uniformity is
+    * acceptable by the same argument as the 8-bucket row — the trick
+    * needs determinism and spread, not perfect uniformity.
+    * Exactness: each component quantizes ONCE to integer micro-units
+    * (floor(x·10⁶)); per-vector bucket values b_v and the per-(label,
+    * bucket) audit (Σb_v and Σ|b_v| — their difference proves the
+    * per-vector materialization is real, cancellation happens ACROSS
+    * vectors) are exact Long sums end to end; no float output at all.
+    * Scale (100 TB): one explode → two keyed partial aggs
+    * ((vec, bucket) then (label, bucket)); the projection matrix is
+    * derived, not stored — nothing broadcasts, nothing collects.
+    * Headroom: |b_v| ≤ 64·10⁶, Σ|b_v| Long-safe to ~10¹¹ vectors per
+    * (label, bucket). */
+  val qVecFeatureHash: Q = Q(
+    "q_vec_feature_hash",
+    (s, dir) => {
+      import s.implicits._
+      val comps = Tables.embeddings(s, dir)
+        .select($"vec_id", $"label",
+          posexplode($"embedding").as(Seq("pos", "x")))
+        .select($"vec_id", $"label", ($"pos" + 1).cast(StringType).as("dim"),
+          expr("CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)").as("q"))
+        .withColumn("h", md5(concat(lit("fh-v1:"), $"dim")))
+        .select($"vec_id", $"label",
+          (ascii(substring($"h", 1, 1)) % 4 * 4 +
+            ascii(substring($"h", 2, 1)) % 4).cast(LongType).as("bucket"),
+          when(ascii(substring($"h", 3, 1)) % 2 === 0, $"q")
+            .otherwise(-$"q").as("sq"))
+      val perVec = comps.groupBy($"vec_id", $"label", $"bucket")
+        .agg(sum($"sq").as("b"))
+      perVec.groupBy($"label", $"bucket")
+        .agg(count(lit(1)).as("n_vecs"),
+          sum($"b").as("feat_sum"), sum(abs($"b")).as("feat_l1"))
+        .orderBy($"label", $"bucket")
+    },
+    oracle = Some(
+      """WITH comps AS (
+        |  SELECT vec_id, label,
+        |    (ascii(substring(h, 1, 1)) % 4) * 4
+        |      + ascii(substring(h, 2, 1)) % 4 AS bucket,
+        |    CASE WHEN ascii(substring(h, 3, 1)) % 2 = 0 THEN q ELSE -q END
+        |      AS sq
+        |  FROM (
+        |    SELECT vec_id, label,
+        |      md5('fh-v1:' || CAST(i AS VARCHAR)) AS h,
+        |      CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)
+        |        AS q
+        |    FROM embeddings, range(1, 65) t(i))),
+        |pervec AS (
+        |  SELECT vec_id, label, bucket, CAST(SUM(sq) AS BIGINT) AS b
+        |  FROM comps GROUP BY 1, 2, 3)
+        |SELECT label, CAST(bucket AS BIGINT) AS bucket, COUNT(*) AS n_vecs,
+        |  CAST(SUM(b) AS BIGINT) AS feat_sum,
+        |  CAST(SUM(ABS(b)) AS BIGINT) AS feat_l1
+        |FROM pervec
+        |GROUP BY label, bucket
+        |ORDER BY label, bucket""".stripMargin))
+
   val all: Vector[Q] = Vector(
     qVecNormStats, qVecKnnBruteforce, qVecKnnLsh, qVecKnnIvf,
     qVecKnnGraph, qDedupEmbedding, qVecCentroids, qMultimodalJoin,
     qMultimodalFrames, qVecQuantize, qVecKnnBatch, qVecRangeSearch,
-    qVecCentroidSims, qVecSilhouette)
+    qVecCentroidSims, qVecSilhouette, qVecFeatureHash)
 }
