@@ -145,5 +145,64 @@ object DqQueries {
          |ORDER BY fk""".stripMargin
     })
 
-  val all: Vector[Q] = Vector(qDqExpectations, qDqOrphans)
+  /** q_dq_benford — BENFORD'S-LAW FIRST-DIGIT AUDIT of the payment
+    * amounts: fabricated or unit-mangled numeric columns drift from
+    * the log-uniform leading-digit law, making this the classic
+    * forensic data-quality screen (amounts spanning orders of
+    * magnitude should show P(d) = log10(1+1/d)). Determinism: the
+    * first SIGNIFICANT digit is scale-invariant, so it reads off the
+    * exact integer CENTS as the first character of its decimal string
+    * (substring(CAST(c AS VARCHAR),1,1) — byte-identical in both
+    * engines; no float log in the digit extraction). Observed shares
+    * quantize to exact integer ppm (n_d·10⁶ div N); the Benford
+    * expectation quantizes ln(1+1/d)/ln(10) ONCE per digit over the
+    * 9-row digit domain; only the final χ² contribution
+    * (obs−exp)²/exp is floating, one identical expression, round 6.
+    * Scale (100 TB): one narrow fact scan → 9-group partial agg;
+    * everything else runs on the 9-row digit table. */
+  val qDqBenford: Q = Q(
+    "q_dq_benford",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.types.LongType
+      val digits = Tables.events(s, dir)
+        .select((dec2($"value") * 100).cast(LongType).as("c"))
+        .where($"c" > 0)
+        .select(substring($"c".cast("string"), 1, 1).cast(LongType)
+          .as("digit"))
+        .groupBy($"digit").agg(count(lit(1)).as("n"))
+      digits
+        .crossJoin(broadcast(digits.agg(sum($"n").as("total"))))
+        .select($"digit", $"n",
+          expr("n * 1000000 div total").as("obs_ppm"),
+          expr("CAST(floor(ln(1.0 + 1.0 / digit) / ln(10.0) * 1000000) AS BIGINT)")
+            .as("exp_ppm"))
+        .withColumn("chi_part",
+          expr("ROUND(CAST((obs_ppm - exp_ppm) * (obs_ppm - exp_ppm) AS DOUBLE) / exp_ppm, 6)"))
+        .orderBy($"digit")
+    },
+    oracle = Some(
+      """WITH digits AS (
+        |  SELECT CAST(substring(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+        |    COUNT(*) AS n
+        |  FROM (
+        |    SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |    FROM events)
+        |  WHERE c > 0 GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM digits)
+        |SELECT digit, CAST(n AS BIGINT) AS n,
+        |  n * 1000000 // total AS obs_ppm,
+        |  CAST(floor(ln(1.0 + 1.0 / digit) / ln(10.0) * 1000000) AS BIGINT)
+        |    AS exp_ppm,
+        |  ROUND(CAST((n * 1000000 // total
+        |      - CAST(floor(ln(1.0 + 1.0 / digit) / ln(10.0) * 1000000) AS BIGINT))
+        |    * (n * 1000000 // total
+        |      - CAST(floor(ln(1.0 + 1.0 / digit) / ln(10.0) * 1000000) AS BIGINT))
+        |    AS DOUBLE)
+        |    / CAST(floor(ln(1.0 + 1.0 / digit) / ln(10.0) * 1000000) AS BIGINT),
+        |    6) AS chi_part
+        |FROM digits, tot
+        |ORDER BY digit""".stripMargin))
+
+  val all: Vector[Q] = Vector(qDqExpectations, qDqOrphans, qDqBenford)
 }

@@ -508,8 +508,61 @@ object WindowQueries {
         |WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)
         |ORDER BY event_id""".stripMargin))
 
+  /** q_win_islands — GAPS-AND-ISLANDS: maximal runs of CONSECUTIVE
+    * active days per user, via the classic anchor device — for days
+    * ranked within a user, day − rank is CONSTANT exactly along a
+    * consecutive run, so grouping by (user, day − rank) recovers each
+    * island with no self-join and no iteration. The streak shape
+    * behind "current consecutive-day streak" features and outage/
+    * coverage reports; q_ts_streaks applies the same device to value
+    * SIGNS on the bounded day domain — this row runs it on row-scale
+    * (user, day) data where the window is user-partitioned. Output is
+    * the island-length histogram with per-length user reach — exact
+    * integer counts only.
+    * Scale (100 TB): one distinct-collapse of the fact table to
+    * (user, day) [keyed partial agg], one user-partitioned
+    * row_number, two keyed aggs; island keys never leave their user
+    * partition, and the histogram domain is bounded by the
+    * observation window. */
+  val qWinIslands: Q = Q(
+    "q_win_islands",
+    (s, dir) => {
+      import s.implicits._
+      val days = Tables.events(s, dir)
+        .select($"user_id", to_date(date_trunc("day", $"ts")).as("day"))
+        .distinct()
+      val ranked = days.withColumn("anchor",
+        date_sub($"day", row_number()
+          .over(Window.partitionBy($"user_id").orderBy($"day"))))
+      val islands = ranked.groupBy($"user_id", $"anchor")
+        .agg(count(lit(1)).as("island_len"))
+      islands.groupBy($"island_len")
+        .agg(count(lit(1)).as("n_islands"),
+          countDistinct($"user_id").as("n_users"))
+        .orderBy($"island_len")
+    },
+    oracle = Some(
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+        |  FROM events),
+        |ranked AS (
+        |  SELECT user_id, day,
+        |    day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day)
+        |      AS INT) AS anchor
+        |  FROM days),
+        |islands AS (
+        |  SELECT user_id, anchor, COUNT(*) AS island_len
+        |  FROM ranked GROUP BY 1, 2)
+        |SELECT CAST(island_len AS BIGINT) AS island_len,
+        |  COUNT(*) AS n_islands,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM islands
+        |GROUP BY 1
+        |ORDER BY island_len""".stripMargin))
+
   val all: Vector[Q] = Vector(
     qWinRank, qWinRunning, qWinLeadLag, qWinDistribution,
     qWinRangeFrame, qSessionize, qReportMomentum, qWinValueFuncs,
-    qWinRunningDistinct, qWinRollingMedian, qWinRollingCorr, qWinCume)
+    qWinRunningDistinct, qWinRollingMedian, qWinRollingCorr, qWinCume,
+    qWinIslands)
 }
