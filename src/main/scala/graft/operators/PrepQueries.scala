@@ -500,8 +500,75 @@ object PrepQueries {
         |FROM per, gl
         |ORDER BY p_brand""".stripMargin))
 
+  /** q_prep_woe — WEIGHT-OF-EVIDENCE ENCODING of part brand against
+    * the return outcome (l_returnflag = 'R'), with the per-category
+    * INFORMATION VALUE contribution — the credit-scoring-standard
+    * categorical encoder (monotone in the outcome rate, naturally
+    * handles rare levels, and IV ranks features before any model is
+    * fit). woe(b) = ln[(good_b/G)/(bad_b/B)]; iv_b = (good_b/G −
+    * bad_b/B)·woe(b). Determinism: counts are exact Longs; the odds
+    * ratio is formed CROSS-MULTIPLIED as (good_b·B)/(bad_b·G) so a
+    * single ln quantizes it ONCE to integer micro-nats; the iv
+    * contribution multiplies the exact integer share difference
+    * (good_b·B − bad_b·G) by that quantized Long — one identical
+    * double expression, round 6. A zero cell (brand with no goods or
+    * no bads) is decided in integer space → NULL woe/iv in both
+    * engines (ln(0)/ln(∞) never evaluated — the KM guard rule).
+    * Scale (100 TB): one fact scan partial-aggs to the 25-brand
+    * domain (broadcast dim join); the totals row broadcasts back.
+    * Headroom: good_b·B Long-safe to ~3e9 rows per class, then
+    * DECIMAL(38,0). */
+  val qPrepWoe: Q = Q(
+    "q_prep_woe",
+    (s, dir) => {
+      import s.implicits._
+      val j = Tables.lineitem(s, dir)
+        .select($"l_partkey",
+          when($"l_returnflag" === "R", 1L).otherwise(0L).as("bad"))
+        .join(broadcast(Tables.part(s, dir).select($"p_partkey", $"p_brand")),
+          $"l_partkey" === $"p_partkey")
+      val per = j.groupBy($"p_brand")
+        .agg(sum(lit(1L) - $"bad").as("good"), sum($"bad").as("bad"))
+      val gl = per.agg(sum($"good").as("g"), sum($"bad").as("b"))
+      per.crossJoin(broadcast(gl))
+        .withColumn("woe_micro",
+          when($"good" === 0 || $"bad" === 0, lit(null)).otherwise(
+            expr("CAST(floor(ln(CAST(good AS DOUBLE) * b / (CAST(bad AS DOUBLE) * g)) * 1000000) AS BIGINT)")))
+        .select($"p_brand", ($"good" + $"bad").as("n"), $"bad".as("n_bad"),
+          $"woe_micro",
+          expr("""ROUND(CAST(good * b - bad * g AS DOUBLE)
+            / (CAST(g AS DOUBLE) * b)
+            * (CAST(woe_micro AS DOUBLE) / 1000000), 6)""").as("iv_part"))
+        .orderBy($"p_brand")
+    },
+    oracle = Some(
+      """WITH j AS (
+        |  SELECT p_brand,
+        |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS bad
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |per AS (
+        |  SELECT p_brand, CAST(SUM(1 - bad) AS BIGINT) AS good,
+        |    CAST(SUM(bad) AS BIGINT) AS bad
+        |  FROM j GROUP BY 1),
+        |gl AS (
+        |  SELECT CAST(SUM(good) AS BIGINT) AS g, CAST(SUM(bad) AS BIGINT) AS b
+        |  FROM per),
+        |w AS (
+        |  SELECT p_brand, good, bad, g, b,
+        |    CASE WHEN good = 0 OR bad = 0 THEN NULL
+        |      ELSE CAST(floor(ln(CAST(good AS DOUBLE) * b
+        |        / (CAST(bad AS DOUBLE) * g)) * 1000000) AS BIGINT) END
+        |      AS woe_micro
+        |  FROM per, gl)
+        |SELECT p_brand, good + bad AS n, bad AS n_bad, woe_micro,
+        |  ROUND(CAST(good * b - bad * g AS DOUBLE)
+        |    / (CAST(g AS DOUBLE) * b)
+        |    * (CAST(woe_micro AS DOUBLE) / 1000000), 6) AS iv_part
+        |FROM w
+        |ORDER BY p_brand""".stripMargin))
+
   val all: Vector[Q] = Vector(
     qPrepImputeMean, qPrepScaleMinmax, qPrepStandardize, qPrepBucketize,
     qPrepOnehot, qPrepSplit, qPrepHashFeatures, qPrepCalendar,
-    qPrepQuantileTransform, qPrepTargetEncode)
+    qPrepQuantileTransform, qPrepTargetEncode, qPrepWoe)
 }

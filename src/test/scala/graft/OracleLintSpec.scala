@@ -72,7 +72,7 @@ class OracleLintSpec extends AnyFunSuite {
       Catalog.all.filter(_.oracle.isDefined).map(_.name).toSet)
   }
 
-  test("oracle count matches the SURVEY §2 contract (211 oracle rows)") {
-    assert(Catalog.all.count(_.oracle.isDefined) == 211)
+  test("oracle count matches the SURVEY §2 contract (212 oracle rows)") {
+    assert(Catalog.all.count(_.oracle.isDefined) == 212)
   }
 }

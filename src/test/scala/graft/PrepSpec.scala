@@ -186,6 +186,41 @@ class PrepSpec extends AnyFunSuite with SparkFixture {
     assert(math.abs(wMean - 0.5) < 1e-6, s"weighted mean $wMean != 0.5")
   }
 
+  test("WoE equals the textbook odds-ratio recompute; IV parts are non-negative") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val raw = Tables.lineitem(spark, sfDir)
+      .join(Tables.part(spark, sfDir), $"l_partkey" === $"p_partkey")
+      .select($"p_brand", ($"l_returnflag" === "R").cast("long"))
+      .as[(String, Long)].collect()
+    val per = raw.groupBy(_._1).view
+      .mapValues(v => (v.count(_._2 == 0L).toLong, v.count(_._2 == 1L).toLong))
+      .toMap
+    val g = per.values.map(_._1).sum
+    val b = per.values.map(_._2).sum
+    val got = Catalog.byName("q_prep_woe").build(spark, sfDir)
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)))))
+    assert(got.length == 25)
+    got.foreach { case (br, (n, nBad, woeOpt, ivOpt)) =>
+      val (good, bad) = per(br)
+      assert(n == good + bad && nBad == bad)
+      if (good == 0 || bad == 0) assert(woeOpt.isEmpty && ivOpt.isEmpty)
+      else {
+        val woe = math.floor(math.log(good.toDouble * b /
+          (bad.toDouble * g)) * 1e6).toLong
+        assert(woeOpt.contains(woe), s"$br woe")
+        val iv = (good.toDouble * b - bad.toDouble * g) / (g.toDouble * b) *
+          (woe / 1e6)
+        assert(math.abs(ivOpt.get - iv) < 1e-5, s"$br iv")
+        // share difference and woe share a sign, so each IV part >= ~0
+        // (quantization can nudge a near-zero part a hair negative)
+        assert(ivOpt.get > -1e-6, s"$br iv sign")
+      }
+    }
+  }
+
   test("target encoding shrinks every brand toward the global mean") {
     val rows = Catalog.byName("q_prep_target_encode").build(spark, sfDir)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
