@@ -723,4 +723,49 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("HashAggregate"),
       "daily aggregation must precede the pair join")
   }
+
+  test("r10 stat rows: the fact table collapses before any ladder/pair work") {
+    // Welch / Mann-Whitney / KS / Gini / Pettitt all partial-agg the
+    // events scan to a bounded domain first; none may nested-loop or
+    // cartesian anything fact-sized (the 1-row/5-row broadcast scalar
+    // cross joins are BNLJ by construction and fine — so the pin is on
+    // cartesian products and on aggregation existing below the joins).
+    Seq("q_stat_welch_t", "q_stat_mann_whitney", "q_stat_ks", "q_stat_gini",
+      "q_stat_pettitt").foreach { name =>
+      val p = planOf(name)
+      assert(!p.contains("CartesianProduct"), s"$name went cartesian")
+      assert(p.contains("HashAggregate"), s"$name lost its partial agg")
+    }
+  }
+
+  test("q_prep_target_encode and q_prep_woe broadcast the dim and " +
+    "never re-shuffle facts") {
+    Seq("q_prep_target_encode", "q_prep_woe").foreach { name =>
+      val p = planOf(name)
+      assert(p.contains("BroadcastHashJoin"), s"$name must broadcast part")
+      assert(!p.contains("SortMergeJoin"),
+        s"$name shuffled the fact side for a 25-row dim")
+    }
+  }
+
+  test("q_vec_feature_hash is explode + two keyed aggs, no broadcast model") {
+    val p = planOf("q_vec_feature_hash")
+    assert(p.contains("Generate explode") || p.contains("Generate posexplode"),
+      "projection must derive from posexplode, not a materialized matrix")
+    assert(!p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
+      "the derived +/-1 matrix must not appear as a join at all")
+  }
+
+  test("q_survival_km and q_win_islands keep their heavy windows user-keyed") {
+    Seq("q_survival_km" -> "user_id", "q_win_islands" -> "user_id")
+      .foreach { case (name, key) =>
+        val p = planOf(name)
+        val windowLines = p.linesIterator.filter(l =>
+          l.contains("Window") && !l.contains("windowFrame")).toVector
+        // at least one window partitioned on the user key; any
+        // unpartitioned window must be the bounded duration/length ladder
+        assert(windowLines.exists(_.contains(key)),
+          s"$name: no $key-partitioned window found:\n${windowLines.mkString("\n")}")
+      }
+  }
 }
