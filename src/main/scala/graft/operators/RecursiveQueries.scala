@@ -51,27 +51,36 @@ object RecursiveQueries {
   val qSqlRecursiveCompound: Q = Q(
     "q_sql_recursive_compound",
     (s, dir) => {
-      Tables.events(s, dir).createOrReplaceTempView("events_v")
-      // Same text as the twin modulo the view name and div spelling
-      // (Spark `div`, DuckDB `//` — both truncate toward zero).
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.types.LongType
+      import graft.Dsl._
+      // MATERIALIZE the bounded seq table before recursing: Spark's
+      // recursive execution re-derives every non-recursive CTE each
+      // iteration, so an inline `daily` would re-scan the fact table
+      // once PER DAY (measured 11.2 s at sf0.1; 0.35 s materialized).
+      // One partition — 150 rows, the playbook near-empty-partition
+      // rule; localCheckpoint truncates lineage so each recursive step
+      // plans against the checkpoint, not the events scan.
+      val seq = Tables.events(s, dir)
+        .groupBy($"event_type", to_date(date_trunc("day", $"ts")).as("day"))
+        .agg((dec2(sum(dec2($"value"))) * 100).cast(LongType).as("y"))
+        .withColumn("i", row_number()
+          .over(Window.partitionBy($"event_type").orderBy($"day"))
+          .cast(LongType))
+        .coalesce(1).localCheckpoint()
+      seq.createOrReplaceTempView("rec_seq_v")
+      // Same recursion text as the twin modulo the view name and div
+      // spelling (Spark `div`, DuckDB `//` — both truncate toward zero).
       s.sql(
-        """WITH RECURSIVE daily AS (
-          |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
-          |    CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))
-          |      * 100 AS BIGINT) AS y
-          |  FROM events_v GROUP BY 1, 2),
-          |seq AS (
-          |  SELECT event_type, day, y,
-          |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
-          |      AS BIGINT) AS i
-          |  FROM daily),
-          |nav(event_type, day, i, y, v) AS (
+        """WITH RECURSIVE nav(event_type, day, i, y, v) AS (
           |  SELECT event_type, day, i, y, CAST(1000000000 AS BIGINT)
-          |  FROM seq WHERE i = 1
+          |  FROM rec_seq_v WHERE i = 1
           |  UNION ALL
-          |  SELECT s.event_type, s.day, s.i, s.y,
+          |  SELECT /*+ BROADCAST(s) */ s.event_type, s.day, s.i, s.y,
           |    n.v * (1000000 + (s.y - n.y) * 1000000 div n.y) div 1000000
-          |  FROM nav n JOIN seq s
+          |  FROM nav n JOIN rec_seq_v s
           |    ON s.event_type = n.event_type AND s.i = n.i + 1)
           |SELECT event_type, day, y AS day_cents, v AS nav_micro
           |FROM nav
