@@ -1234,10 +1234,64 @@ object AnalyticsQueries {
         |WHERE day - lo >= 6
         |ORDER BY day""".stripMargin))
 
+  /** q_events_interarrival — INTER-ARRIVAL-TIME histogram of the event
+    * stream: per-user gaps between consecutive events, binned to a
+    * fixed 10-minute grid (top bin open) — the activity-rhythm profile
+    * that sizes session timeouts (is q_sessionize's 30-min gap in a
+    * valley or on a mode?), retry storms (a spike at bin 0) and
+    * engagement decay. Determinism: gaps are exact integer SECONDS —
+    * epoch-micros difference with truncating `div` — off one per-user
+    * lag window ordered by the total (ts, event_id) key; bin ids,
+    * counts and ppm shares are exact Longs; the only float is the
+    * per-bin mean gap (exact Long sum / count, round 2). Each user's
+    * first event has no predecessor and is excluded (a NULL lag, not a
+    * zero gap — the interarrival statistic is undefined there).
+    * Scale: the lag window partitions by user (per-key state, no
+    * global sort); everything after is a 12-group partial agg and
+    * windows over the BOUNDED bin domain. */
+  val qEventsInterarrival: Q = Q(
+    "q_events_interarrival",
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val gaps = Tables.events(s, dir)
+        .select($"user_id", $"ts", $"event_id",
+          unix_micros($"ts").as("us"))
+        .withColumn("prev_us", lag($"us", 1).over(w))
+        .where($"prev_us".isNotNull)
+        .select(expr("(us - prev_us) div 1000000").as("gap_s"))
+      val perBin = gaps
+        .select(least(expr("gap_s div 600"), lit(11L)).as("bin"), $"gap_s")
+        .groupBy($"bin")
+        .agg(count(lit(1)).as("n"), sum($"gap_s").as("sum_s"))
+      perBin
+        .withColumn("total", sum($"n").over(Window.partitionBy()))
+        .select($"bin", ($"bin" * 10).as("lo_min"), $"n",
+          expr("n * 1000000 div total").as("share_ppm"),
+          round($"sum_s".cast(DoubleType) / $"n", 2).as("avg_gap_s"))
+        .orderBy($"bin")
+    },
+    oracle = Some(
+      """WITH gaps AS (
+        |  SELECT (epoch_us(ts) - lag(epoch_us(ts), 1) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id)) // 1000000
+        |    AS gap_s
+        |  FROM events),
+        |per AS (
+        |  SELECT LEAST(gap_s // 600, 11) AS bin,
+        |    CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(gap_s) AS BIGINT) AS sum_s
+        |  FROM gaps WHERE gap_s IS NOT NULL GROUP BY 1),
+        |tot AS (SELECT *, CAST(SUM(n) OVER () AS BIGINT) AS total FROM per)
+        |SELECT bin, bin * 10 AS lo_min, n,
+        |  n * 1000000 // total AS share_ppm,
+        |  ROUND(CAST(sum_s AS DOUBLE) / n, 2) AS avg_gap_s
+        |FROM tot
+        |ORDER BY bin""".stripMargin))
+
   val all: Vector[Q] = Vector(
     qFunnel, qCohortRetention, qTsGapfill, qHistBinned,
     qAnomalyZscore, qAggIncremental, qTsEwma, qTsOhlc, qTsInterpolate,
     qTsAutocorr, qViewIncrementalJoin, qProfileTable, qTsHolt,
     qTsSeasonal, qTsCusum, qProfileSkew, qAnomalyMad, qTsStreaks,
-    qEventsDauWau)
+    qEventsDauWau, qEventsInterarrival)
 }

@@ -2,7 +2,9 @@ package graft.operators
 
 import graft.{Q, Tables}
 import graft.Dsl._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Data-quality gates — the checks a production ingest runs BEFORE any
   * downstream operator sees the data (SURVEY.md §2.10b governance).
@@ -204,5 +206,89 @@ object DqQueries {
         |FROM digits, tot
         |ORDER BY digit""".stripMargin))
 
-  val all: Vector[Q] = Vector(qDqExpectations, qDqOrphans, qDqBenford)
+  /** q_dq_psi — POPULATION STABILITY INDEX of the value distribution
+    * between the first and second half of the event stream: the
+    * model-monitoring-standard drift score (PSI < 0.1 stable, > 0.25
+    * act) that answers "has the FEATURE DISTRIBUTION my model was fit
+    * on moved since" — the drift alarm [[qDqExpectations]]'s hard
+    * rules can't express. PSI = Σ_bins (p_b − q_b)·ln(p_b/q_b) over a
+    * fixed 10-bin cents grid (33.00-wide, top bin open). Determinism:
+    * bin counts are exact Longs off ONE fact scan (conditional sums —
+    * no per-half scan); shares are exact integer ppm (·10⁶ div n); the
+    * log-ratio is formed on the CROSS-MULTIPLIED exact counts
+    * ln((cp·nq)/(cq·np)) and quantized ONCE to integer micro-nats (the
+    * WOE device), so each bin's contribution is the exact Long product
+    * (p_ppm − q_ppm)·lr_micro and the total PSI is an exact Long sum —
+    * no float sum whose order could differ between engines. Only the
+    * two final /1e12 conversions round (6 dp). A bin empty on either
+    * side is decided in integer space → NULL contribution both engines
+    * (ln(0) never evaluated), excluded from the total by SQL NULL-sum
+    * semantics, and flagged by zero_cell. Shape: one narrow fact scan
+    * → 10-group partial agg; totals and the PSI sum are unpartitioned
+    * windows over the BOUNDED bin domain only. */
+  val qDqPsi: Q = Q(
+    "q_dq_psi",
+    (s, dir) => {
+      import s.implicits._
+      val binned = Tables.events(s, dir).select(
+        (dec2($"value") * 100).cast(LongType).as("c"),
+        when(to_date($"ts") < lit("2024-01-16"), 1L).otherwise(0L).as("isp"))
+        .select(least(expr("c div 3300"), lit(9L)).cast(LongType).as("bin"),
+          $"isp")
+      val perBin = binned.groupBy($"bin")
+        .agg(sum($"isp").as("cp"), sum(lit(1L) - $"isp").as("cq"))
+      val w = Window.partitionBy()
+      val shares = perBin
+        .withColumn("np", sum($"cp").over(w))
+        .withColumn("nq", sum($"cq").over(w))
+        .withColumn("p_ppm", expr("cp * 1000000 div np"))
+        .withColumn("q_ppm", expr("cq * 1000000 div nq"))
+        .withColumn("lr_micro",
+          when($"cp" === 0 || $"cq" === 0, lit(null)).otherwise(expr(
+            "CAST(floor(ln(CAST(cp AS DOUBLE) * nq / (CAST(cq AS DOUBLE) * np)) * 1000000) AS BIGINT)")))
+        .withColumn("contrib_q", ($"p_ppm" - $"q_ppm") * $"lr_micro")
+      shares
+        .withColumn("psi", round(sum($"contrib_q").over(w)
+          .cast(DoubleType) / 1e12, 6))
+        .select($"bin", ($"bin" * 3300).as("lo_cents"), $"cp", $"cq",
+          $"p_ppm", $"q_ppm",
+          when($"cp" === 0 || $"cq" === 0, 1L).otherwise(0L).as("zero_cell"),
+          round($"contrib_q".cast(DoubleType) / 1e12, 6).as("contrib"),
+          $"psi")
+        .orderBy($"bin")
+    },
+    oracle = Some(
+      """WITH binned AS (
+        |  SELECT LEAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      // 3300, 9) AS bin,
+        |    CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16' THEN 1 ELSE 0 END
+        |      AS isp
+        |  FROM events),
+        |per AS (
+        |  SELECT bin, CAST(SUM(isp) AS BIGINT) AS cp,
+        |    CAST(SUM(1 - isp) AS BIGINT) AS cq
+        |  FROM binned GROUP BY 1),
+        |sh AS (
+        |  SELECT bin, cp, cq,
+        |    CAST(SUM(cp) OVER () AS BIGINT) AS np,
+        |    CAST(SUM(cq) OVER () AS BIGINT) AS nq
+        |  FROM per),
+        |lr AS (
+        |  SELECT *, cp * 1000000 // np AS p_ppm, cq * 1000000 // nq AS q_ppm,
+        |    CASE WHEN cp = 0 OR cq = 0 THEN NULL
+        |      ELSE CAST(floor(ln(CAST(cp AS DOUBLE) * nq
+        |        / (CAST(cq AS DOUBLE) * np)) * 1000000) AS BIGINT) END
+        |      AS lr_micro
+        |  FROM sh),
+        |cc AS (
+        |  SELECT *, (p_ppm - q_ppm) * lr_micro AS contrib_q FROM lr)
+        |SELECT bin, bin * 3300 AS lo_cents, cp, cq, p_ppm, q_ppm,
+        |  CAST(CASE WHEN cp = 0 OR cq = 0 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS zero_cell,
+        |  ROUND(CAST(contrib_q AS DOUBLE) / 1e12, 6) AS contrib,
+        |  ROUND(CAST(SUM(contrib_q) OVER () AS DOUBLE) / 1e12, 6) AS psi
+        |FROM cc
+        |ORDER BY bin""".stripMargin))
+
+  val all: Vector[Q] = Vector(qDqExpectations, qDqOrphans, qDqBenford, qDqPsi)
 }

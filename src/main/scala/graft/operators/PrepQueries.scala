@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Q, Tables}
 import graft.Dsl._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -567,8 +568,78 @@ object PrepQueries {
         |FROM w
         |ORDER BY p_brand""".stripMargin))
 
+  /** q_prep_robust_scale — ROBUST (median/IQR) feature scaling per
+    * event type: rs = (x − median)/(Q3 − Q1), sklearn RobustScaler —
+    * the scaler that survives the outliers which wreck
+    * [[qPrepStandardize]]'s mean/σ (breakdown point 50% vs 0%). The
+    * fit is pure ORDER STATISTICS, all in exact integer cents: the
+    * per-type distinct-cents ladder (value-domain-bounded — the
+    * StatTestQueries.centsLadder argument) carries cumulative counts,
+    * and each quantile is "the smallest value whose cumulative count
+    * reaches the ceil-rank" — Q1 at ⌈n/4⌉ = (n+3) div 4, median at
+    * ⌈n/2⌉ = (n+1) div 2, Q3 at ⌈3n/4⌉ = (3n+3) div 4 (type-1/lower
+    * quantiles, the q_anomaly_mad convention) — an integer selection
+    * with NO interpolation, so no float exists in the fit. The
+    * transform is one narrow scan against the broadcast 5-row model;
+    * the single division rounds at 6 dp, and a zero IQR (over half the
+    * group on one value) is decided in integer space → NULL both
+    * engines. Shape: one partial-agg scan to the ladder + one
+    * transform scan — the standardize fit/transform shape with ranks
+    * in place of moments. */
+  val qPrepRobustScale: Q = Q(
+    "q_prep_robust_scale",
+    (s, dir) => {
+      import s.implicits._
+      val base = Tables.events(s, dir).select(
+        $"event_id", $"event_type",
+        (dec2($"value") * 100).cast(LongType).as("c"))
+      val tv = base.groupBy($"event_type", $"c").agg(count(lit(1)).as("k"))
+      val lad = tv.withColumn("cum",
+        sum($"k").over(Window.partitionBy($"event_type").orderBy($"c")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val model = lad
+        .withColumn("n", sum($"k").over(Window.partitionBy($"event_type")))
+        .groupBy($"event_type")
+        .agg(
+          min(when($"cum" >= expr("(n + 3) div 4"), $"c")).as("q1"),
+          min(when($"cum" >= expr("(n + 1) div 2"), $"c")).as("med"),
+          min(when($"cum" >= expr("(3 * n + 3) div 4"), $"c")).as("q3"))
+      base.join(broadcast(model), "event_type")
+        .select($"event_id", $"event_type",
+          when($"q3" === $"q1", lit(null))
+            .otherwise(round(($"c" - $"med").cast(DoubleType) /
+              ($"q3" - $"q1").cast(DoubleType), 6))
+            .as("rs"))
+        .orderBy($"event_id")
+    },
+    oracle = Some(
+      """WITH base AS (
+        |  SELECT event_id, event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM events),
+        |tv AS (
+        |  SELECT event_type, c, COUNT(*) AS k FROM base GROUP BY 1, 2),
+        |lad AS (
+        |  SELECT event_type, c, k,
+        |    SUM(k) OVER (PARTITION BY event_type ORDER BY c
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    SUM(k) OVER (PARTITION BY event_type) AS n
+        |  FROM tv),
+        |model AS (
+        |  SELECT event_type,
+        |    MIN(CASE WHEN cum >= (n + 3) // 4 THEN c END) AS q1,
+        |    MIN(CASE WHEN cum >= (n + 1) // 2 THEN c END) AS med,
+        |    MIN(CASE WHEN cum >= (3 * n + 3) // 4 THEN c END) AS q3
+        |  FROM lad GROUP BY 1)
+        |SELECT b.event_id, b.event_type,
+        |  CASE WHEN m.q3 = m.q1 THEN NULL
+        |    ELSE ROUND(CAST(b.c - m.med AS DOUBLE)
+        |      / CAST(m.q3 - m.q1 AS DOUBLE), 6) END AS rs
+        |FROM base b JOIN model m ON b.event_type = m.event_type
+        |ORDER BY b.event_id""".stripMargin))
+
   val all: Vector[Q] = Vector(
     qPrepImputeMean, qPrepScaleMinmax, qPrepStandardize, qPrepBucketize,
     qPrepOnehot, qPrepSplit, qPrepHashFeatures, qPrepCalendar,
-    qPrepQuantileTransform, qPrepTargetEncode, qPrepWoe)
+    qPrepQuantileTransform, qPrepTargetEncode, qPrepWoe, qPrepRobustScale)
 }

@@ -1276,9 +1276,74 @@ object StatQueries {
         |WHERE rk = (n + 1) // 2
         |ORDER BY event_type""".stripMargin))
 
+  /** q_events_lorenz — LORENZ/DECILE CONCENTRATION of purchase spend:
+    * users ranked into spend deciles, each decile's exact spend, share
+    * and CUMULATIVE share in integer ppm — the decile view of what
+    * StatTestQueries.qStatGini compresses to one number ("decile 10
+    * holds X% of revenue" is the sentence the Gini coefficient can't
+    * say), and the whale-concentration report every monetization
+    * review opens with. Only purchasing users enter (spend is
+    * undefined, not zero, for users with no purchase event).
+    * Determinism: per-user spend is exact cents; decile assignment
+    * ranks by the total (cents, user_id) order so no boundary sits on
+    * a tie or a float; shares are exact integer ppm of exact Long
+    * sums. Scale (100 TB): the fact scan partial-aggs to per-user
+    * rows; the global decile uses [[bucketNtile]] ($100 spend
+    * buckets) — NO single-partition window ever sees the user table
+    * (the RFM argument); the twin's plain ntile(10) hash-match proves
+    * the decomposition. Everything after is a 10-row domain. */
+  val qEventsLorenz: Q = Q(
+    "q_events_lorenz",
+    (s, dir) => {
+      import s.implicits._
+      val perUser = Tables.events(s, dir)
+        .where($"event_type" === "purchase")
+        .groupBy($"user_id")
+        .agg((sum(dec2($"value")) * 100).cast(LongType).as("cents"))
+      val dec = bucketNtile(s, perUser, 10,
+        expr("cents div 10000"), Seq($"cents", $"user_id"), "decile")
+      val per = dec.groupBy($"decile")
+        .agg(count(lit(1)).as("users"), sum($"cents").as("sumc"))
+      val wAll = Window.partitionBy()
+      val wCum = Window.orderBy($"decile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      per
+        .withColumn("total", sum($"sumc").over(wAll))
+        .withColumn("cumc", sum($"sumc").over(wCum))
+        .select($"decile", $"users",
+          ($"sumc".cast(DoubleType) / 100).as("spend"),
+          expr("sumc * 1000000 div total").as("share_ppm"),
+          expr("cumc * 1000000 div total").as("cum_share_ppm"))
+        .orderBy($"decile")
+    },
+    oracle = Some(
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |d AS (
+        |  SELECT user_id, cents,
+        |    CAST(ntile(10) OVER (ORDER BY cents, user_id) AS BIGINT) AS decile
+        |  FROM pu),
+        |per AS (
+        |  SELECT decile, CAST(COUNT(*) AS BIGINT) AS users,
+        |    CAST(SUM(cents) AS BIGINT) AS sumc
+        |  FROM d GROUP BY 1),
+        |t AS (
+        |  SELECT *, CAST(SUM(sumc) OVER () AS BIGINT) AS total,
+        |    CAST(SUM(sumc) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS cumc
+        |  FROM per)
+        |SELECT decile, users, CAST(sumc AS DOUBLE) / 100 AS spend,
+        |  sumc * 1000000 // total AS share_ppm,
+        |  cumc * 1000000 // total AS cum_share_ppm
+        |FROM t
+        |ORDER BY decile""".stripMargin))
+
   val all: Vector[Q] = Vector(
     qTsDrawdown, qWinBollinger, qAggCorr, qEventsMarkov,
     qAbChisquare, qSkyline, qEventsAttribution, qEventsRfm, qAggMoments,
     qTsCrossCorr, qTsVwap, qTsLogReturns, qTsMacd, qTsRsi, qTsStochastic,
-    qTsObv, qTsAtr, qStatOls, qStatMannKendall, qStatTheilsen)
+    qTsObv, qTsAtr, qStatOls, qStatMannKendall, qStatTheilsen,
+    qEventsLorenz)
 }

@@ -399,6 +399,201 @@ object StatTestQueries {
         |FROM pick WHERE rn = 1
         |ORDER BY event_type""".stripMargin))
 
+  /** q_stat_kruskal — KRUSKAL-WALLIS H across ALL event types at once:
+    * the k-sample generalization of [[qStatMannWhitney]] (one-way ANOVA
+    * on ranks) — the omnibus "did ANY variant move" gate an experiment
+    * with more than two arms runs before pairwise tests. Reuses the
+    * SAME global ladder and doubled-midrank identity: per-type rank
+    * sums r2 are exact Longs; the per-type term R_t²/n_t = r2²/(4·n_t)
+    * is quantized ONCE by exact integer division — r2² runs in
+    * DECIMAL(38,0) (twin: HUGEINT — r2 ≤ n(2n+1) ≈ 2e10 at sf0.1
+    * squares to 4e20, past Long) and the `div` floor loses < 1 rank
+    * unit on a ~1e15 value (relative 1e-15, identical in both engines
+    * since both floor the same exact integer ratio) — so the cross-type
+    * SUM is an exact Long sum, never a float sum whose order could
+    * differ between engines. H and the tie-corrected H/C then derive
+    * in one textually identical double expression, rounded at 6 dp; a
+    * single-distinct-value corpus (C = 0) is decided in integer space
+    * (nv = 1) → NULL both engines. One fact scan; everything after the
+    * per-(type,value) partial agg runs on the bounded ladder. */
+  val qStatKruskal: Q = Q(
+    "q_stat_kruskal",
+    (s, dir) => {
+      import s.implicits._
+      val cs = cents(s, dir)
+      val lad = centsLadder(cs)
+      val tv = cs.groupBy($"event_type", $"c").agg(count(lit(1)).as("k"))
+      val per = tv.join(lad, "c")
+        .groupBy($"event_type")
+        .agg(sum($"k").as("nt"),
+          sum($"k" * (lit(2) * $"cum" - $"cv" + 1)).as("r2"))
+        .withColumn("term", expr(
+          "CAST(r2 AS DECIMAL(38,0)) * CAST(r2 AS DECIMAL(38,0)) div (4 * nt)"))
+      val gl = lad.agg(sum($"cv").as("n"),
+        sum($"cv" * $"cv" * $"cv" - $"cv").as("tie3"),
+        count(lit(1)).as("nv"))
+      per.agg(count(lit(1)).as("k_groups"), sum($"term").as("s"))
+        .crossJoin(broadcast(gl))
+        .select($"k_groups", $"n",
+          expr("ROUND(12.0 * CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE)) - 3.0 * CAST(n + 1 AS DOUBLE), 6)").as("h"),
+          when($"nv" === 1, lit(null)).otherwise(expr(
+            "ROUND((12.0 * CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE)) - 3.0 * CAST(n + 1 AS DOUBLE)) / (1.0 - CAST(tie3 AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - CAST(n AS DOUBLE))), 6)"))
+            .as("h_tie_corrected"))
+    },
+    oracle = Some(
+      s"""$ladderSql,
+        |gl AS (
+        |  SELECT CAST(SUM(cv) AS BIGINT) AS n,
+        |    CAST(SUM(cv * cv * cv - cv) AS BIGINT) AS tie3,
+        |    COUNT(*) AS nv
+        |  FROM vc),
+        |per AS (
+        |  SELECT tv.event_type, CAST(SUM(tv.k) AS BIGINT) AS nt,
+        |    CAST(SUM(tv.k * (2 * lad.cum - lad.cv + 1)) AS BIGINT) AS r2
+        |  FROM tv JOIN lad USING (c) GROUP BY 1),
+        |terms AS (
+        |  SELECT event_type, nt, r2,
+        |    CAST(CAST(r2 AS HUGEINT) * r2 // (4 * nt) AS BIGINT) AS term
+        |  FROM per),
+        |top AS (
+        |  SELECT COUNT(*) AS k_groups, CAST(SUM(term) AS BIGINT) AS s
+        |  FROM terms)
+        |SELECT k_groups, n,
+        |  ROUND(12.0 * CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE)) - 3.0 * CAST(n + 1 AS DOUBLE), 6) AS h,
+        |  CASE WHEN nv = 1 THEN NULL
+        |    ELSE ROUND((12.0 * CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE)) - 3.0 * CAST(n + 1 AS DOUBLE)) / (1.0 - CAST(tie3 AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - CAST(n AS DOUBLE))), 6) END
+        |    AS h_tie_corrected
+        |FROM top, gl""".stripMargin))
+
+  /** q_stat_anova — ONE-WAY ANOVA F across the event types: the
+    * parametric omnibus companion to [[qStatKruskal]] — partitions the
+    * total sum of squares into between-group and within-group parts
+    * and reports F = (SSB/df1)/(SSW/df2). Exactness: per-type moments
+    * (n_t, Σc, Σc²) are exact Longs off ONE fact scan; SSB and SSW are
+    * assembled ENTIRELY in exact integer cents² — each s1_t²/n_t term
+    * and the grand s1²/n correction quantize once by exact integer
+    * division (products in DECIMAL(38,0)/HUGEINT: s1_t ≤ ~5e9 cents at
+    * sf0.1 squares past Long), so ssb = Σ⌊s1_t²/n_t⌋ − ⌊s1²/n⌋ and
+    * ssw = Σc² − Σ⌊s1_t²/n_t⌋ are exact Longs in both engines (floor
+    * error < k units on ~1e13 values, identically floored both sides).
+    * Only F itself is floating — one identical expression, round 6.
+    * The all-groups-constant degenerate case (SSW = 0) is decided on
+    * the INTEGER ssw → NULL F in both engines. Shape: one 5-group
+    * partial agg, then arithmetic on the bounded type table. */
+  val qStatAnova: Q = Q(
+    "q_stat_anova",
+    (s, dir) => {
+      import s.implicits._
+      val m = cents(s, dir).groupBy($"event_type")
+        .agg(count(lit(1)).cast(LongType).as("nt"),
+          sum($"c").as("s1"), sum($"c" * $"c").as("s2"))
+        .withColumn("t1", expr(
+          "CAST(s1 AS DECIMAL(38,0)) * CAST(s1 AS DECIMAL(38,0)) div nt"))
+      m.agg(count(lit(1)).as("k_groups"), sum($"nt").as("n"),
+          sum($"s1").as("gs1"), sum($"s2").as("gs2"), sum($"t1").as("s1sq"))
+        .select($"k_groups", $"n",
+          ($"k_groups" - 1).as("df1"), ($"n" - $"k_groups").as("df2"),
+          ($"s1sq" - expr("CAST(gs1 AS DECIMAL(38,0)) * CAST(gs1 AS DECIMAL(38,0)) div n")).as("ssb_cents2"),
+          ($"gs2" - $"s1sq").as("ssw_cents2"))
+        .withColumn("f_stat",
+          when($"ssw_cents2" === 0, lit(null)).otherwise(expr(
+            "ROUND((CAST(ssb_cents2 AS DOUBLE) / CAST(df1 AS DOUBLE)) / (CAST(ssw_cents2 AS DOUBLE) / CAST(df2 AS DOUBLE)), 6)")))
+    },
+    oracle = Some(
+      """WITH cents AS (
+        |  SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM events),
+        |m AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nt,
+        |    CAST(SUM(c) AS BIGINT) AS s1, CAST(SUM(c * c) AS BIGINT) AS s2
+        |  FROM cents GROUP BY 1),
+        |t AS (
+        |  SELECT *, CAST(CAST(s1 AS HUGEINT) * s1 // nt AS BIGINT) AS t1
+        |  FROM m),
+        |g AS (
+        |  SELECT COUNT(*) AS k_groups, CAST(SUM(nt) AS BIGINT) AS n,
+        |    CAST(SUM(s1) AS BIGINT) AS gs1, CAST(SUM(s2) AS BIGINT) AS gs2,
+        |    CAST(SUM(t1) AS BIGINT) AS s1sq
+        |  FROM t)
+        |SELECT k_groups, n, k_groups - 1 AS df1, n - k_groups AS df2,
+        |  s1sq - CAST(CAST(gs1 AS HUGEINT) * gs1 // n AS BIGINT) AS ssb_cents2,
+        |  gs2 - s1sq AS ssw_cents2,
+        |  CASE WHEN gs2 - s1sq = 0 THEN NULL
+        |    ELSE ROUND((CAST(s1sq - CAST(CAST(gs1 AS HUGEINT) * gs1 // n AS BIGINT) AS DOUBLE) / CAST(k_groups - 1 AS DOUBLE)) / (CAST(gs2 - s1sq AS DOUBLE) / CAST(n - k_groups AS DOUBLE)), 6) END
+        |    AS f_stat
+        |FROM g""".stripMargin))
+
+  /** q_stat_spearman — SPEARMAN RANK CORRELATION per event type between
+    * daily event count and daily traded cents: the monotone-association
+    * measure — Pearson on midranks — that q_win_rolling_corr's linear r
+    * cannot replace when the coupling is monotone but curved (and that
+    * outlier days cannot drag). Midranks are made exact in DOUBLED
+    * units by the window identity 2·midrank = 2·rank() + peers − 1
+    * (rank() counts strictly-less + 1; the per-(type,value) peer count
+    * supplies the tie average) — both windows run over the bounded
+    * (type × day) domain, never fact rows, and both engines compute
+    * the same exact integers. Pearson over the doubled ranks is the
+    * shared [[Dsl.pearsonR]]: exact Long moments (Σr² ≤ 4d³ — tiny),
+    * integer-decided zero-variance guard (an all-tied side → NULL both
+    * engines), one identical double expression, round 6.
+    * Shape: one fact scan collapses to (type, day); two rank windows +
+    * one moment agg on that domain. */
+  val qStatSpearman: Q = Q(
+    "q_stat_spearman",
+    (s, dir) => {
+      import s.implicits._
+      val daily = Tables.events(s, dir)
+        .groupBy($"event_type",
+          to_date(date_trunc("day", $"ts")).as("day"))
+        .agg(count(lit(1)).as("nn"),
+          (dec2(sum(dec2($"value"))) * 100).cast(LongType).as("v"))
+      val r2n = lit(2) * rank().over(
+          Window.partitionBy($"event_type").orderBy($"nn")).cast(LongType) +
+        count(lit(1)).over(Window.partitionBy($"event_type", $"nn")) - 1
+      val r2v = lit(2) * rank().over(
+          Window.partitionBy($"event_type").orderBy($"v")).cast(LongType) +
+        count(lit(1)).over(Window.partitionBy($"event_type", $"v")) - 1
+      daily.select($"event_type", r2n.as("rx"), r2v.as("ry"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_days"),
+          sum($"rx").as("sx"), sum($"ry").as("sy"),
+          sum($"rx" * $"ry").as("sxy"),
+          sum($"rx" * $"rx").as("sxx"), sum($"ry" * $"ry").as("syy"))
+        .select($"event_type", $"n_days",
+          Dsl.pearsonR($"n_days", $"sx", $"sy", $"sxy", $"sxx", $"syy")
+            .as("rho"))
+        .orderBy($"event_type")
+    },
+    oracle = Some(
+      s"""WITH daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS nn,
+        |    CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))
+        |      * 100 AS BIGINT) AS v
+        |  FROM events GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT event_type,
+        |    2 * CAST(rank() OVER (PARTITION BY event_type ORDER BY nn)
+        |      AS BIGINT) + COUNT(*) OVER (PARTITION BY event_type, nn) - 1
+        |      AS rx,
+        |    2 * CAST(rank() OVER (PARTITION BY event_type ORDER BY v)
+        |      AS BIGINT) + COUNT(*) OVER (PARTITION BY event_type, v) - 1
+        |      AS ry
+        |  FROM daily),
+        |mo AS (
+        |  SELECT event_type, COUNT(*) AS n_days,
+        |    CAST(SUM(rx) AS BIGINT) AS sx, CAST(SUM(ry) AS BIGINT) AS sy,
+        |    CAST(SUM(rx * ry) AS BIGINT) AS sxy,
+        |    CAST(SUM(rx * rx) AS BIGINT) AS sxx,
+        |    CAST(SUM(ry * ry) AS BIGINT) AS syy
+        |  FROM ranked GROUP BY 1)
+        |SELECT event_type, n_days,
+        |  ${Dsl.pearsonRSql("n_days", "sx", "sy", "sxy", "sxx", "syy")} AS rho
+        |FROM mo
+        |ORDER BY event_type""".stripMargin))
+
   val all: Vector[Q] =
-    Vector(qStatWelchT, qStatMannWhitney, qStatKs, qStatGini, qStatPettitt)
+    Vector(qStatWelchT, qStatMannWhitney, qStatKs, qStatGini, qStatPettitt,
+      qStatKruskal, qStatAnova, qStatSpearman)
 }

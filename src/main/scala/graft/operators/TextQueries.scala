@@ -1438,6 +1438,88 @@ object TextQueries {
         .orderBy($"doc_id")
     })
 
+  /** q_text_zipf — ZIPF'S-LAW FIT of the corpus rank-frequency curve:
+    * OLS slope of ln(freq) on ln(rank) over the term table — the
+    * corpus-health diagnostic (natural language sits near slope −1;
+    * template spam flattens it, boilerplate dedup failures steepen it)
+    * that complements the per-doc diversity rows ([[qTextEntropy]],
+    * [[qTextTtr]]) with ONE corpus-level number. Determinism: term
+    * counts are exact Longs off the SHARED token stage; ranks are
+    * row_number over the total (count DESC, term ASC) order — no tie
+    * ambiguity; both log axes quantize ONCE to integer micro-nats
+    * (floor(ln·1e6), the WOE device), so all five OLS moments are
+    * exact Long sums and slope/intercept are each one double division
+    * (q_stat_ols's closed form), rounded at 6 dp. A single-term corpus
+    * (zero x-variance) is decided in integer space → NULL both
+    * engines. Scale: occurrences partial-agg to the VOCABULARY domain
+    * before the rank window touches anything — the window runs over
+    * the bounded term table (tens of thousands of types for a real
+    * corpus; a range-binned rank would replace it past that), and the
+    * final moment agg collapses it to one row. */
+  val qTextZipf: Q = Q(
+    "q_text_zipf",
+    (s, dir) => {
+      import s.implicits._
+      val terms = Tokenized(s, dir)
+        .select(explode($"lw").as("term"))
+        .groupBy($"term").agg(count(lit(1)).as("cnt"))
+      val ranked = terms
+        .withColumn("r", row_number()
+          .over(Window.orderBy($"cnt".desc, $"term".asc)).cast(LongType))
+        .select(
+          expr("CAST(floor(ln(CAST(r AS DOUBLE)) * 1000000) AS BIGINT)").as("x"),
+          expr("CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1000000) AS BIGINT)").as("y"),
+          $"cnt")
+      ranked.agg(count(lit(1)).as("n"), sum($"cnt").as("total_tokens"),
+          sum($"x").as("sx"), sum($"y").as("sy"),
+          sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"))
+        .select($"n".as("n_terms"), $"total_tokens",
+          when($"n" * $"sxx" === $"sx" * $"sx", lit(null))
+            .otherwise(round(($"n" * $"sxy" - $"sx" * $"sy").cast(DoubleType) /
+              ($"n" * $"sxx" - $"sx" * $"sx").cast(DoubleType), 6))
+            .as("zipf_slope"),
+          // intercept numerator Σy·Σx² − Σx·Σxy crosses ~9e22 at
+          // micro-nat scale (ln·10⁶ axes) — far past Long, so it runs
+          // WIDENED in DECIMAL(38,0) (twin: HUGEINT); both engines
+          // convert the same exact integer to double once.
+          when($"n" * $"sxx" === $"sx" * $"sx", lit(null))
+            .otherwise(round(
+              expr("CAST(CAST(sy AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sxy AS DOUBLE)") /
+              ($"n" * $"sxx" - $"sx" * $"sx").cast(DoubleType) / 1e6, 6))
+            .as("intercept_ln"))
+    },
+    oracle = Some(
+      """WITH terms AS (
+        |  SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS term
+        |        FROM documents)
+        |  GROUP BY 1),
+        |ranked AS (
+        |  SELECT cnt,
+        |    CAST(row_number() OVER (ORDER BY cnt DESC, term ASC) AS BIGINT)
+        |      AS r
+        |  FROM terms),
+        |pts AS (
+        |  SELECT cnt,
+        |    CAST(floor(ln(CAST(r AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+        |    CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1000000) AS BIGINT) AS y
+        |  FROM ranked),
+        |m AS (
+        |  SELECT COUNT(*) AS n, CAST(SUM(cnt) AS BIGINT) AS total_tokens,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx
+        |  FROM pts)
+        |SELECT n AS n_terms, total_tokens,
+        |  CASE WHEN n * sxx = sx * sx THEN NULL
+        |    ELSE ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+        |      / CAST(n * sxx - sx * sx AS DOUBLE), 6) END AS zipf_slope,
+        |  CASE WHEN n * sxx = sx * sx THEN NULL
+        |    ELSE ROUND(CAST(CAST(sy AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sxy AS DOUBLE)
+        |      / CAST(n * sxx - sx * sx AS DOUBLE) / 1e6, 6) END
+        |    AS intercept_ln
+        |FROM m""".stripMargin))
+
   val all: Vector[Q] =
     Vector(qTextTokenizeExplode, qTextWordcountTf, qTextStats,
       qTextQuality, qTextTokenCount, qDocFingerprint, qTextFilterPipeline,
@@ -1445,5 +1527,6 @@ object TextQueries {
       qTextRedactPii, qTextRepetition, qTextPerplexity, qTextCollocations,
       qTextKlDrift, qSampleFixedK, qSampleWeighted, qTextBm25, qTextEntropy,
       qTextTtr, qTextKeywords, qTextBigramLm, qSampleBalanced,
-      qTextCharTrigrams, qQualityClassifier, qSampleTemperature, qTextPack)
+      qTextCharTrigrams, qQualityClassifier, qSampleTemperature, qTextPack,
+      qTextZipf)
 }

@@ -746,9 +746,76 @@ object VectorQueries {
         |GROUP BY label, bucket
         |ORDER BY label, bucket""".stripMargin))
 
+  /** q_vec_diversity — PER-LABEL EMBEDDING DIVERSITY by the moment
+    * identity: mean pairwise squared Euclidean distance
+    * = 2·(n·Σ‖x‖² − Σ_d S_d²) / (n·(n−1)) where S_d = Σ x_d — the
+    * corpus-curation statistic ("is this slice semantically varied or
+    * a pile of near-clones") computed WITHOUT any pairwise join: at
+    * 10⁹ vectors the all-pairs frame is 10¹⁸ rows, while the moment
+    * form is one explode + two keyed partial aggs, the same
+    * linear-algebra-as-monoid discipline as q_vec_pca's Gram pass.
+    * Determinism: coordinates quantize ONCE to q = floor(x·10⁶) (the
+    * feature-hash device), after which EVERY accumulation — per-vector
+    * ‖q‖², per-(label, dim) sums, their squares — is exact Long
+    * arithmetic, partitioning-invariant; the single final division
+    * converts micro² → float² units (÷10¹²) and rounds at 6 dp. A
+    * one-vector label (n = 1) is decided in integer space → NULL both
+    * engines. Overflow headroom: Σ_d S_d² ≤ d·(n·q_max)² ≈ 9e17 at
+    * n = 200/label — one order under Long; past ~3× that the moment
+    * columns widen to DECIMAL(38,0)/HUGEINT (the pearsonR rule). */
+  val qVecDiversity: Q = Q(
+    "q_vec_diversity",
+    (s, dir) => {
+      import s.implicits._
+      val comps = Tables.embeddings(s, dir)
+        .select($"vec_id", $"label", posexplode($"embedding").as(Seq("pos", "x")))
+        .select($"vec_id", $"label", $"pos",
+          expr("CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)").as("q"))
+      val perVec = comps.groupBy($"label", $"vec_id")
+        .agg(sum($"q" * $"q").as("sq2"))
+        .groupBy($"label")
+        .agg(count(lit(1)).as("n"), sum($"sq2").as("ssq"))
+      val perDim = comps.groupBy($"label", $"pos")
+        .agg(sum($"q").as("sd"))
+        .groupBy($"label")
+        .agg(sum($"sd" * $"sd").as("sds"))
+      perVec.join(perDim, "label")
+        .select($"label", $"n".as("n_vecs"),
+          when($"n" === 1, lit(null)).otherwise(expr(
+            "ROUND(2.0 * CAST(n * ssq - sds AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) / 1e12, 6)"))
+            .as("mean_sq_dist"))
+        .orderBy($"label")
+    },
+    oracle = Some(
+      """WITH comps AS (
+        |  SELECT vec_id, label, i,
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)
+        |      AS q
+        |  FROM embeddings, range(1, 65) t(i)),
+        |pervec AS (
+        |  SELECT label, vec_id, CAST(SUM(q * q) AS BIGINT) AS sq2
+        |  FROM comps GROUP BY 1, 2),
+        |pl AS (
+        |  SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(sq2) AS BIGINT) AS ssq
+        |  FROM pervec GROUP BY 1),
+        |perdim AS (
+        |  SELECT label, i, CAST(SUM(q) AS BIGINT) AS sd
+        |  FROM comps GROUP BY 1, 2),
+        |pd AS (
+        |  SELECT label, CAST(SUM(sd * sd) AS BIGINT) AS sds
+        |  FROM perdim GROUP BY 1)
+        |SELECT pl.label, n AS n_vecs,
+        |  CASE WHEN n = 1 THEN NULL
+        |    ELSE ROUND(2.0 * CAST(n * ssq - sds AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) / 1e12, 6) END
+        |    AS mean_sq_dist
+        |FROM pl JOIN pd ON pl.label = pd.label
+        |ORDER BY pl.label""".stripMargin))
+
   val all: Vector[Q] = Vector(
     qVecNormStats, qVecKnnBruteforce, qVecKnnLsh, qVecKnnIvf,
     qVecKnnGraph, qDedupEmbedding, qVecCentroids, qMultimodalJoin,
     qMultimodalFrames, qVecQuantize, qVecKnnBatch, qVecRangeSearch,
-    qVecCentroidSims, qVecSilhouette, qVecFeatureHash)
+    qVecCentroidSims, qVecSilhouette, qVecFeatureHash, qVecDiversity)
 }

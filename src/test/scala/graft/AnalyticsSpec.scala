@@ -373,4 +373,65 @@ class AnalyticsSpec extends AnyFunSuite with SparkFixture {
     assert(alarms > 0 && alarms < got.size,
       s"degenerate alarm rate: $alarms of ${got.size}")
   }
+
+  test("q_events_interarrival equals a naive per-user gap recompute") {
+    import spark.implicits._
+    val evts = Tables.events(spark, sfDir)
+      .select($"user_id", unix_micros($"ts"), $"event_id")
+      .as[(Long, Long, Long)].collect()
+    val gaps = evts.groupBy(_._1).values.flatMap { g =>
+      val ord = g.sortBy(e => (e._2, e._3)).map(_._2)
+      ord.zip(ord.tail).map { case (a, b) => (b - a) / 1000000L }
+    }.toSeq
+    val naive = gaps.groupBy(g => math.min(g / 600, 11L)).view
+      .mapValues(v => (v.size.toLong, v.sum)).toMap
+    val total = gaps.size.toLong
+    val got = Catalog.byName("q_events_interarrival").build(spark, sfDir)
+      .collect()
+    assert(got.map(_.getLong(0)).toSet == naive.keySet)
+    got.foreach { r =>
+      val (bin, n, ppm, avg) =
+        (r.getLong(0), r.getLong(2), r.getLong(3), r.getDouble(4))
+      val (cn, cs) = naive(bin)
+      assert(n == cn, s"bin $bin: n $n != naive $cn")
+      assert(ppm == cn * 1000000L / total)
+      assert(math.abs(avg - cs.toDouble / cn) < 0.01)
+    }
+    // gaps of every user sum to that user's span: total check
+    assert(got.map(_.getLong(2)).sum == total)
+  }
+
+  test("q_events_lorenz deciles equal a naive sort and shares telescope") {
+    import spark.implicits._
+    val perUser = Tables.events(spark, sfDir)
+      .where($"event_type" === "purchase")
+      .groupBy($"user_id")
+      .agg((sum(graft.Dsl.dec2($"value")) * 100).cast("long").as("cents"))
+      .as[(Long, Long)].collect()
+    val got = Catalog.byName("q_events_lorenz").build(spark, sfDir).collect()
+    assert(got.map(_.getLong(0)).toSeq == (1L to 10L),
+      "exactly deciles 1..10")
+    // naive ntile(10) over (cents, user_id)
+    val sorted = perUser.sortBy(u => (u._2, u._1))
+    val n = sorted.length
+    val base = n / 10; val extra = n % 10
+    val naive = (1 to 10).map { d =>
+      val sz = base + (if (d <= extra) 1 else 0)
+      val off = (1 until d).map(k => base + (if (k <= extra) 1 else 0)).sum
+      sorted.slice(off, off + sz)
+    }
+    val totalC = perUser.map(_._2).sum
+    got.zip(naive).foreach { case (r, seg) =>
+      assert(r.getLong(1) == seg.length)
+      val segC = seg.map(_._2).sum
+      assert(math.abs(r.getDouble(2) - segC / 100.0) < 1e-6)
+      assert(r.getLong(3) == segC * 1000000L / totalC)
+    }
+    // cumulative share is monotone and ends exactly at the truncated total
+    val cums = got.map(_.getLong(4))
+    assert(cums.zip(cums.tail).forall { case (a, b) => a <= b })
+    assert(cums.last == totalC * 1000000L / totalC)
+    // concentration is real: the top decile holds more than 10%
+    assert(got.last.getLong(3) > 100000L)
+  }
 }

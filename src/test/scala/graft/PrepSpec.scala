@@ -239,4 +239,34 @@ class PrepSpec extends AnyFunSuite with SparkFixture {
         s"$b: enc $enc != m-estimate $expected")
     }
   }
+
+  test("q_prep_robust_scale equals a naive sort-based median/IQR recompute") {
+    import spark.implicits._
+    val data = Tables.events(spark, sfDir)
+      .select($"event_id", $"event_type",
+        (graft.Dsl.dec2($"value") * 100).cast("long"))
+      .as[(Long, String, Long)].collect()
+    // naive ceil-rank quantiles off the full sorted list per type
+    val model = data.groupBy(_._2).view.mapValues { g =>
+      val v = g.map(_._3).sorted
+      val n = v.length
+      def at(rank: Long): Long = v((rank - 1).toInt)
+      (at((n + 3) / 4), at((n + 1) / 2), at((3L * n + 3) / 4))
+    }.toMap
+    val got = Catalog.byName("q_prep_robust_scale").build(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    assert(got.size == data.length)
+    data.foreach { case (id, t, c) =>
+      val (q1, med, q3) = model(t)
+      assert(q1 <= med && med <= q3, s"$t: quartiles out of order")
+      val rs = (c - med).toDouble / (q3 - q1).toDouble
+      assert(math.abs(got(id) - rs) < 1e-6, s"event $id: ${got(id)} != $rs")
+    }
+    // scaling is centering: per type the median row maps to exactly 0
+    model.foreach { case (t, (_, med, _)) =>
+      data.find(d => d._2 == t && d._3 == med).foreach { d =>
+        assert(got(d._1) == 0.0, s"$t: median row scales to ${got(d._1)}")
+      }
+    }
+  }
 }

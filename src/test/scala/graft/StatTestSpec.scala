@@ -146,4 +146,105 @@ class StatTestSpec extends AnyFunSuite with SparkFixture {
           "the decomposition collapsed")
     }
   }
+
+  test("Kruskal-Wallis H equals the naive midrank recompute") {
+    val data = cents()
+    val all = data.map(_._2)
+    val n = all.size.toLong
+    val cnt = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val less = {
+      var acc = 0L
+      cnt.keys.toSeq.sorted.map { v =>
+        val p = v -> acc; acc += cnt(v); p
+      }.toMap
+    }
+    val row = Catalog.byName("q_stat_kruskal").build(spark, sfDir)
+      .collect()
+    assert(row.length == 1)
+    val (kGot, nGot, hGot, hcGot) =
+      (row(0).getLong(0), row(0).getLong(1), row(0).getDouble(2),
+        row(0).getDouble(3))
+    assert(kGot == 5 && nGot == n)
+    // naive: per-type quantized R^2/nt term exactly as specified
+    val s = data.groupBy(_._1).values.map { g =>
+      val r2 = g.map(_._2).map(v => 2 * less(v) + cnt(v) + 1).sum
+      (BigInt(r2) * BigInt(r2) / BigInt(4 * g.size)).toLong
+    }.sum
+    val h = 12.0 * s.toDouble / (n.toDouble * (n + 1).toDouble) -
+      3.0 * (n + 1).toDouble
+    assert(math.abs(hGot - h) < 1e-5, s"h $hGot != naive $h")
+    val tie3 = cnt.values.map(c => c * c * c - c).sum
+    val hc = h / (1.0 - tie3.toDouble /
+      (n.toDouble * n.toDouble * n.toDouble - n.toDouble))
+    assert(math.abs(hcGot - hc) < 1e-5, s"h_corr $hcGot != naive $hc")
+  }
+
+  test("ANOVA F and its exact-integer SSB/SSW match textbook sums of squares") {
+    val data = cents()
+    val n = data.size.toLong
+    val row = Catalog.byName("q_stat_anova").build(spark, sfDir).collect()
+    assert(row.length == 1)
+    val r = row(0)
+    assert(r.getLong(0) == 5 && r.getLong(1) == n)
+    assert(r.getLong(2) == 4 && r.getLong(3) == n - 5)
+    val groups = data.groupBy(_._1).values.map(_.map(_._2)).toSeq
+    // exact-integer assembly mirroring the quantization contract
+    val s1sq = groups.map { g =>
+      val s1 = BigInt(g.sum); ((s1 * s1) / g.size).toLong
+    }.sum
+    val gs1 = BigInt(data.map(_._2).sum)
+    val gs2 = data.map(v => v._2 * v._2).sum
+    val ssb = s1sq - ((gs1 * gs1) / n).toLong
+    val ssw = gs2 - s1sq
+    assert(r.getLong(4) == ssb, s"ssb ${r.getLong(4)} != naive $ssb")
+    assert(r.getLong(5) == ssw, s"ssw ${r.getLong(5)} != naive $ssw")
+    val f = (ssb.toDouble / 4.0) / (ssw.toDouble / (n - 5).toDouble)
+    assert(math.abs(r.getDouble(6) - f) < 1e-4, s"f ${r.getDouble(6)} != $f")
+    // cross-check vs the pure-double textbook decomposition
+    val mu = data.map(_._2).sum.toDouble / n
+    val ssbD = groups.map { g =>
+      val m = g.sum.toDouble / g.size; g.size * (m - mu) * (m - mu)
+    }.sum
+    assert(math.abs(ssb.toDouble - ssbD) < 1e-2 * ssbD + 10,
+      s"integer ssb $ssb far from double ssb $ssbD")
+  }
+
+  test("Spearman rho equals Pearson over naive midranks of the daily series") {
+    import spark.implicits._
+    val daily = Tables.events(spark, sfDir)
+      .groupBy($"event_type",
+        org.apache.spark.sql.functions.to_date(
+          org.apache.spark.sql.functions.date_trunc("day", $"ts")).as("day"))
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("nn"),
+        (Dsl.dec2(org.apache.spark.sql.functions.sum(Dsl.dec2($"value")))
+          * 100).cast("long").as("v"))
+      .as[(String, java.sql.Date, Long, Long)].collect()
+    val got = Catalog.byName("q_stat_spearman").build(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getDouble(2))).toMap
+    assert(got.size == 5)
+    def midranks(v: Seq[Long]): Seq[Double] = {
+      val cnt = v.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val less = {
+        var acc = 0L
+        cnt.keys.toSeq.sorted.map { x =>
+          val p = x -> acc; acc += cnt(x); p
+        }.toMap
+      }
+      v.map(x => less(x) + (cnt(x) + 1) / 2.0)
+    }
+    got.foreach { case (t, rhoGot) =>
+      val g = daily.filter(_._1 == t)
+      val xs = midranks(g.map(_._3))
+      val ys = midranks(g.map(_._4))
+      val n = xs.size
+      val (mx, my) = (xs.sum / n, ys.sum / n)
+      val num = xs.zip(ys).map { case (a, b) => (a - mx) * (b - my) }.sum
+      val den = math.sqrt(xs.map(a => (a - mx) * (a - mx)).sum) *
+        math.sqrt(ys.map(b => (b - my) * (b - my)).sum)
+      val rho = num / den
+      assert(math.abs(rhoGot - rho) < 1e-5, s"$t: rho $rhoGot != naive $rho")
+      assert(math.abs(rhoGot) <= 1.0)
+    }
+  }
 }

@@ -93,4 +93,32 @@ class VecEvalSpec extends AnyFunSuite with SparkFixture {
     assert(math.abs(got(0) - want) < 1e-5, s"lag0 ${got(0)} vs $want")
     assert(got.keySet == Set(0, 1, 2, 3))
   }
+
+  test("q_vec_diversity equals the brute-force pairwise mean over quantized vectors") {
+    val got = Catalog.byName("q_vec_diversity").build(spark, sfDir)
+      .collect().map(r => (r.getInt(0), (r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(got.keySet == vecs.keySet.map(_.toInt))
+    vecs.foreach { case (label, vs) =>
+      val q = vs.map(_._2.map(x => math.floor(x * 1e6).toLong))
+      val n = q.length
+      val (nGot, msdGot) = got(label)
+      assert(nGot == n)
+      // brute force: all ordered pairs, exact integer squared distances
+      var sum = BigInt(0)
+      for (i <- 0 until n; j <- 0 until n if i != j) {
+        var d2 = 0L
+        var k = 0
+        while (k < 64) {
+          val d = q(i)(k) - q(j)(k); d2 += d * d; k += 1
+        }
+        sum += d2
+      }
+      val msd = (BigDecimal(sum) / (n.toLong * (n - 1L))).toDouble / 1e12
+      assert(math.abs(msdGot - msd) < 1e-5,
+        s"label $label: $msdGot != brute-force $msd")
+      // unit vectors: mean pairwise sq dist = 2 - 2*mean cos sim, in [0, 4]
+      assert(msdGot > 0.0 && msdGot < 4.0)
+    }
+  }
 }
