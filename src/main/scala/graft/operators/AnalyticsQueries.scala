@@ -1288,10 +1288,85 @@ object AnalyticsQueries {
         |FROM tot
         |ORDER BY bin""".stripMargin))
 
+  /** q_ts_m4 — M4 TIME-SERIES DOWNSAMPLING of each type's daily value
+    * series: per fixed 5-day bucket the FIRST, LAST, MIN and MAX points
+    * with their days — the error-free line-visualization reduction
+    * (M4 aggregation, Jugel et al., VLDB 2014): because a rendered
+    * line's pixel column is determined exactly by those four points,
+    * this is the downsample a charting front-end over a 10⁹-point
+    * series requests, and unlike LTTB it is ORDER-FREE — four plain
+    * aggregates per bucket, no sequential dependency, so it
+    * distributes as one partial agg. Determinism: y is exact daily
+    * cents on the shared trendSeq frame; first/last select by the
+    * bucket-min/max day RANK and min/max ties resolve to the EARLIEST
+    * day via an explicit conditional min — every output is an exact
+    * integer or a date, no float anywhere. Shape: the fact scan
+    * collapses to (type × day) once; the two-level agg (extremes, then
+    * attribute lookup via a self-join on the bounded domain) never
+    * touches fact rows. At row scale the same shape runs per
+    * pixel-bucket with the values partial-agged first. */
+  /** Persisted bucketed daily stage for q_ts_m4: the extremes agg and
+    * the attribute-lookup join both read it, and un-persisted each
+    * side would re-derive the fact aggregation — two full fact scans
+    * for a 150-row frame (the RFM persisted-stage argument). */
+  private val m4Cache = new graft.Memo[(SparkSession, String), DataFrame]
+
+  val qTsM4: Q = Q(
+    "q_ts_m4",
+    (s, dir) => {
+      import s.implicits._
+      val b = m4Cache((s, dir)) {
+        StatQueries.trendSeq(s, dir)
+          .withColumn("bucket", expr("(i - 1) div 5"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }
+      val s1 = b.groupBy($"event_type", $"bucket")
+        .agg(min($"i").as("i_first"), max($"i").as("i_last"),
+          min($"y").as("y_min"), max($"y").as("y_max"),
+          count(lit(1)).as("n_days"))
+      b.join(s1, Seq("event_type", "bucket"))
+        .groupBy($"event_type", $"bucket", $"n_days", $"y_min", $"y_max")
+        .agg(
+          min(when($"i" === $"i_first", $"day")).as("d_first"),
+          min(when($"i" === $"i_first", $"y")).as("y_first"),
+          min(when($"i" === $"i_last", $"day")).as("d_last"),
+          min(when($"i" === $"i_last", $"y")).as("y_last"),
+          min(when($"y" === $"y_min", $"day")).as("d_min"),
+          min(when($"y" === $"y_max", $"day")).as("d_max"))
+        .select($"event_type", $"bucket", $"n_days",
+          $"d_first", $"y_first", $"d_last", $"y_last",
+          $"y_min", $"d_min", $"y_max", $"d_max")
+        .orderBy($"event_type", $"bucket")
+    },
+    oracle = Some(
+      s"""${StatQueries.trendSeqSql},
+        |sq AS (
+        |  SELECT event_type, day, y,
+        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+        |      AS BIGINT) AS i
+        |  FROM daily),
+        |b AS (SELECT *, (i - 1) // 5 AS bucket FROM sq),
+        |s1 AS (
+        |  SELECT event_type, bucket,
+        |    MIN(i) AS i_first, MAX(i) AS i_last,
+        |    MIN(y) AS y_min, MAX(y) AS y_max,
+        |    CAST(COUNT(*) AS BIGINT) AS n_days
+        |  FROM b GROUP BY 1, 2)
+        |SELECT b.event_type, b.bucket, s1.n_days,
+        |  MIN(CASE WHEN i = i_first THEN day END) AS d_first,
+        |  MIN(CASE WHEN i = i_first THEN y END) AS y_first,
+        |  MIN(CASE WHEN i = i_last THEN day END) AS d_last,
+        |  MIN(CASE WHEN i = i_last THEN y END) AS y_last,
+        |  s1.y_min, MIN(CASE WHEN y = y_min THEN day END) AS d_min,
+        |  s1.y_max, MIN(CASE WHEN y = y_max THEN day END) AS d_max
+        |FROM b JOIN s1 USING (event_type, bucket)
+        |GROUP BY b.event_type, b.bucket, s1.n_days, s1.y_min, s1.y_max
+        |ORDER BY b.event_type, b.bucket""".stripMargin))
+
   val all: Vector[Q] = Vector(
     qFunnel, qCohortRetention, qTsGapfill, qHistBinned,
     qAnomalyZscore, qAggIncremental, qTsEwma, qTsOhlc, qTsInterpolate,
     qTsAutocorr, qViewIncrementalJoin, qProfileTable, qTsHolt,
     qTsSeasonal, qTsCusum, qProfileSkew, qAnomalyMad, qTsStreaks,
-    qEventsDauWau, qEventsInterarrival)
+    qEventsDauWau, qEventsInterarrival, qTsM4)
 }

@@ -648,10 +648,78 @@ object JoinQueries {
          |GROUP BY bucket_label
          |ORDER BY bucket_label""".stripMargin))
 
+  /** q_join_pit — POINT-IN-TIME (PIT) dimension lookup against the
+    * SCD2 version table: each purchase reads the user's attribute
+    * VERSION that was valid at the purchase instant (valid_from ≤ ts <
+    * valid_to) — the temporally-correct enrichment that prevents
+    * FEATURE LEAKAGE in training data (joining today's dim row onto
+    * last year's facts lets the future leak into the features; every
+    * feature-store "time-travel join" is this operator). The version
+    * table is q_dim_scd2's (signup events version `value` per user).
+    *
+    * Spark side: NO join at all — the union-window as-of form: signups
+    * and purchases interleave in one per-user window ordered by
+    * (ts, kind, event_id) with signup-before-purchase on exact-ts ties
+    * (matching interval semantics, where a version starting AT the
+    * purchase instant already applies), and `last(attr, ignoreNulls)`
+    * carries the current version onto each purchase row. The DuckDB
+    * twin is the textbook INTERVAL LEFT JOIN against the materialized
+    * SCD2 table — a completely different algorithm, so the hash match
+    * PROVES window-carry ≡ interval semantics (including empty
+    * zero-width versions, which the interval form excludes and the
+    * window form overwrites at the same instant). Pre-signup purchases
+    * surface with NULL version (LEFT semantics) — dropped rows would
+    * hide the coverage gap.
+    *
+    * Scale (100 TB): one event_type-pruned scan, one user-keyed window
+    * — per-key state, no global sort, no join shuffle at all vs the
+    * interval join's range-bucketed O(facts × versions/user) work; the
+    * same shape streams (the as-of family argument). */
+  val qJoinPit: Q = Q(
+    "q_join_pit",
+    (s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+        .where($"event_type".isin("signup", "purchase"))
+        .select($"user_id", $"ts", $"event_id",
+          when($"event_type" === "purchase", 1L).otherwise(0L).as("kind"),
+          $"value")
+      val w = Window.partitionBy($"user_id")
+        .orderBy($"ts", $"kind", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev
+        .withColumn("attr",
+          last(when($"kind" === 0, $"value"), ignoreNulls = true).over(w))
+        .withColumn("version_event_id",
+          last(when($"kind" === 0, $"event_id"), ignoreNulls = true).over(w))
+        .where($"kind" === 1)
+        .select($"event_id", $"user_id",
+          $"ts".cast("timestamp_ntz").as("ts"),
+          $"attr", $"version_event_id")
+        .orderBy($"event_id")
+    },
+    oracle = Some(
+      """WITH scd2 AS (
+        |  SELECT user_id, event_id, value AS attr,
+        |    ts AS valid_from,
+        |    lead(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS valid_to
+        |  FROM events WHERE event_type = 'signup'),
+        |p AS (
+        |  SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, p.ts,
+        |  d.attr, d.event_id AS version_event_id
+        |FROM p LEFT JOIN scd2 d
+        |  ON p.user_id = d.user_id
+        |  AND p.ts >= d.valid_from
+        |  AND (d.valid_to IS NULL OR p.ts < d.valid_to)
+        |ORDER BY p.event_id""".stripMargin))
+
   val all: Vector[Q] = Vector(
     qJoinInner, qJoinBroadcast, qJoinMultiway, qJoinLeftOuter,
     qJoinFullOuter, qJoinSemi, qJoinAnti, qJoinThetaRange,
     qJoinSelfAsof, qJoinSelfAsofNative, qJoinAsofTolerance, qJoinInterval,
     qJoinBucketed, qJoinBloom, qJoinAsofNearest, qJoinAsofForward,
-    qJoinNullSafe)
+    qJoinNullSafe, qJoinPit)
 }

@@ -593,7 +593,93 @@ object StatTestQueries {
         |FROM mo
         |ORDER BY event_type""".stripMargin))
 
+  /** q_stat_levene — BROWN-FORSYTHE variance-homogeneity test (Levene's
+    * test with the MEDIAN center, the robust form): one-way ANOVA F on
+    * the absolute deviations d = |c − median_type| — the gate that
+    * validates [[qStatAnova]]'s equal-variance assumption before anyone
+    * trusts its F (and a location-free dispersion comparison in its own
+    * right). A pure composition of two existing devices: the per-type
+    * ceil-rank MEDIAN selected off the value-domain-bounded ladder
+    * (q_prep_robust_scale's fit — no interpolation, no float), and the
+    * exact-integer ANOVA assembly (each Σd²-term and s1²/n quantized
+    * once by DECIMAL(38,0)/HUGEINT integer division), so both sums of
+    * squares are exact Longs and only W itself floats — one identical
+    * expression, round 6; SSW = 0 decided on the integer → NULL.
+    * Shape: ladder fit + broadcast 5-row medians + one narrow
+    * deviation scan with a 5-group moment agg — two fact scans total
+    * (fit + transform, the robust-scale shape). */
+  val qStatLevene: Q = Q(
+    "q_stat_levene",
+    (s, dir) => {
+      import s.implicits._
+      val base = cents(s, dir)
+      val tv = base.groupBy($"event_type", $"c").agg(count(lit(1)).as("k"))
+      val lad = tv.withColumn("cum",
+        sum($"k").over(Window.partitionBy($"event_type").orderBy($"c")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val med = lad
+        .withColumn("n", sum($"k").over(Window.partitionBy($"event_type")))
+        .groupBy($"event_type")
+        .agg(min(when($"cum" >= expr("(n + 1) div 2"), $"c")).as("med"))
+      val m = base.join(broadcast(med), "event_type")
+        .select($"event_type", abs($"c" - $"med").as("d"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).cast(LongType).as("nt"),
+          sum($"d").as("s1"), sum($"d" * $"d").as("s2"))
+        .withColumn("t1", expr(
+          "CAST(s1 AS DECIMAL(38,0)) * CAST(s1 AS DECIMAL(38,0)) div nt"))
+      m.agg(count(lit(1)).as("k_groups"), sum($"nt").as("n"),
+          sum($"s1").as("gs1"), sum($"s2").as("gs2"), sum($"t1").as("s1sq"))
+        .select($"k_groups", $"n",
+          ($"k_groups" - 1).as("df1"), ($"n" - $"k_groups").as("df2"),
+          ($"s1sq" - expr("CAST(gs1 AS DECIMAL(38,0)) * CAST(gs1 AS DECIMAL(38,0)) div n")).as("ssb_cents2"),
+          ($"gs2" - $"s1sq").as("ssw_cents2"))
+        .withColumn("w_stat",
+          when($"ssw_cents2" === 0, lit(null)).otherwise(expr(
+            "ROUND((CAST(ssb_cents2 AS DOUBLE) / CAST(df1 AS DOUBLE)) / (CAST(ssw_cents2 AS DOUBLE) / CAST(df2 AS DOUBLE)), 6)")))
+    },
+    oracle = Some(
+      """WITH cents AS (
+        |  SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM events),
+        |tv AS (
+        |  SELECT event_type, c, COUNT(*) AS k FROM cents GROUP BY 1, 2),
+        |lad AS (
+        |  SELECT event_type, c, k,
+        |    SUM(k) OVER (PARTITION BY event_type ORDER BY c
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    SUM(k) OVER (PARTITION BY event_type) AS n
+        |  FROM tv),
+        |med AS (
+        |  SELECT event_type,
+        |    MIN(CASE WHEN cum >= (n + 1) // 2 THEN c END) AS med
+        |  FROM lad GROUP BY 1),
+        |m AS (
+        |  SELECT b.event_type, CAST(COUNT(*) AS BIGINT) AS nt,
+        |    CAST(SUM(ABS(b.c - med.med)) AS BIGINT) AS s1,
+        |    CAST(SUM(ABS(b.c - med.med) * ABS(b.c - med.med)) AS BIGINT)
+        |      AS s2
+        |  FROM cents b JOIN med ON b.event_type = med.event_type
+        |  GROUP BY 1),
+        |t AS (
+        |  SELECT *, CAST(CAST(s1 AS HUGEINT) * s1 // nt AS BIGINT) AS t1
+        |  FROM m),
+        |g AS (
+        |  SELECT COUNT(*) AS k_groups, CAST(SUM(nt) AS BIGINT) AS n,
+        |    CAST(SUM(s1) AS BIGINT) AS gs1, CAST(SUM(s2) AS BIGINT) AS gs2,
+        |    CAST(SUM(t1) AS BIGINT) AS s1sq
+        |  FROM t)
+        |SELECT k_groups, n, k_groups - 1 AS df1, n - k_groups AS df2,
+        |  s1sq - CAST(CAST(gs1 AS HUGEINT) * gs1 // n AS BIGINT)
+        |    AS ssb_cents2,
+        |  gs2 - s1sq AS ssw_cents2,
+        |  CASE WHEN gs2 - s1sq = 0 THEN NULL
+        |    ELSE ROUND((CAST(s1sq - CAST(CAST(gs1 AS HUGEINT) * gs1 // n AS BIGINT) AS DOUBLE) / CAST(k_groups - 1 AS DOUBLE)) / (CAST(gs2 - s1sq AS DOUBLE) / CAST(n - k_groups AS DOUBLE)), 6) END
+        |    AS w_stat
+        |FROM g""".stripMargin))
+
   val all: Vector[Q] =
     Vector(qStatWelchT, qStatMannWhitney, qStatKs, qStatGini, qStatPettitt,
-      qStatKruskal, qStatAnova, qStatSpearman)
+      qStatKruskal, qStatAnova, qStatSpearman, qStatLevene)
 }

@@ -374,6 +374,70 @@ class AnalyticsSpec extends AnyFunSuite with SparkFixture {
       s"degenerate alarm rate: $alarms of ${got.size}")
   }
 
+  test("q_join_pit window-carry equals a naive per-purchase version scan") {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir)
+      .where($"event_type".isin("signup", "purchase"))
+      .select($"user_id", unix_micros($"ts"), $"event_id", $"event_type",
+        $"value")
+      .as[(Long, Long, Long, String, Double)].collect()
+    val got = Catalog.byName("q_join_pit").build(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0),
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)))))
+      .toMap
+    val purchases = ev.filter(_._4 == "purchase")
+    assert(got.size == purchases.length, "one output row per purchase")
+    var matched = 0
+    purchases.foreach { case (u, us, id, _, _) =>
+      // latest signup at-or-before the purchase instant (signup wins
+      // exact-ts ties), ordered by (ts, event_id)
+      val versions = ev.filter(e => e._1 == u && e._4 == "signup" &&
+        (e._2 < us || e._2 == us))
+      val want =
+        if (versions.isEmpty) (None, None)
+        else {
+          val v = versions.maxBy(e => (e._2, e._3))
+          (Some(v._5), Some(v._3))
+        }
+      assert(got(id) == want, s"purchase $id: ${got(id)} != $want")
+      if (want._1.isDefined) matched += 1
+    }
+    assert(matched > 0, "fixture must exercise matched purchases")
+    assert(matched < purchases.length,
+      "fixture must exercise pre-signup (NULL-version) purchases too")
+  }
+
+  test("q_ts_m4 equals a naive per-bucket extremes recompute") {
+    import spark.implicits._
+    val daily = Tables.events(spark, sfDir)
+      .groupBy($"event_type", to_date(date_trunc("day", $"ts")).as("day"))
+      .agg((graft.Dsl.dec2(sum(graft.Dsl.dec2($"value"))) * 100)
+        .cast("long").as("y"))
+      .as[(String, java.sql.Date, Long)].collect()
+    val got = Catalog.byName("q_ts_m4").build(spark, sfDir).collect()
+    val naive = daily.groupBy(_._1).flatMap { case (t, rows) =>
+      val seq = rows.sortBy(_._2.toString).zipWithIndex
+      seq.groupBy(_._2 / 5).map { case (bkt, pts) =>
+        val ds = pts.map(_._1)
+        val yMin = ds.map(_._3).min; val yMax = ds.map(_._3).max
+        ((t, bkt.toLong), (ds.length.toLong,
+          ds.head._2.toString, ds.head._3, ds.last._2.toString, ds.last._3,
+          yMin, ds.filter(_._3 == yMin).map(_._2.toString).min,
+          yMax, ds.filter(_._3 == yMax).map(_._2.toString).min))
+      }
+    }.toMap
+    assert(got.length == naive.size)
+    got.foreach { r =>
+      val k = (r.getString(0), r.getLong(1))
+      val v = (r.getLong(2), r.getDate(3).toString, r.getLong(4),
+        r.getDate(5).toString, r.getLong(6), r.getLong(7),
+        r.getDate(8).toString, r.getLong(9), r.getDate(10).toString)
+      assert(v == naive(k), s"$k: $v != ${naive(k)}")
+    }
+  }
+
   test("q_events_interarrival equals a naive per-user gap recompute") {
     import spark.implicits._
     val evts = Tables.events(spark, sfDir)

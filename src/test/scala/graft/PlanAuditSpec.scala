@@ -756,6 +756,28 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
       "the derived +/-1 matrix must not appear as a join at all")
   }
 
+  test("q_join_pit is a join-free user-keyed window plan with a pruned scan") {
+    // The PIT lookup must run as the union-window as-of form: any Join
+    // node means it regressed to the interval join the ORACLE runs.
+    val p = planOf("q_join_pit")
+    assert(!p.contains("Join"), s"expected a join-free window plan:\n$p")
+    assert(p.contains("hashpartitioning(user_id"),
+      s"the version-carry window must partition by user:\n$p")
+    assert(p.contains("PushedFilters") && p.contains("event_type"),
+      s"the two-type filter must reach the parquet scan:\n$p")
+  }
+
+  test("q_ts_m4 reads the persisted daily stage on both sides of its join") {
+    // M4's per-bucket extremes and the attribute-lookup self-join must
+    // run on the PERSISTED (type x day) stage — un-persisted, each side
+    // re-derives the fact aggregation (measured: two events scans).
+    // Scan-line counts are not pinned (InMemoryTableScan re-prints its
+    // cached child plan); the InMemory read itself is the contract.
+    val p = planOf("q_ts_m4")
+    assert(p.contains("InMemoryTableScan"),
+      s"both M4 sides must read the persisted daily stage:\n$p")
+  }
+
   test("q_survival_km and q_win_islands keep their heavy windows user-keyed") {
     Seq("q_survival_km" -> "user_id", "q_win_islands" -> "user_id")
       .foreach { case (name, key) =>

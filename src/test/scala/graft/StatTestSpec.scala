@@ -209,6 +209,32 @@ class StatTestSpec extends AnyFunSuite with SparkFixture {
       s"integer ssb $ssb far from double ssb $ssbD")
   }
 
+  test("Brown-Forsythe W equals ANOVA on naive |x - median| deviations") {
+    val data = cents()
+    val n = data.size.toLong
+    val row = Catalog.byName("q_stat_levene").build(spark, sfDir).collect()
+    assert(row.length == 1)
+    val r = row(0)
+    assert(r.getLong(0) == 5 && r.getLong(1) == n)
+    // naive: ceil-rank median per type from the full sorted list
+    val devs = data.groupBy(_._1).values.map { g =>
+      val v = g.map(_._2).sorted
+      val med = v(((v.length + 1) / 2 - 1))
+      g.map(x => math.abs(x._2 - med))
+    }.toSeq
+    val s1sq = devs.map { d =>
+      val s1 = BigInt(d.sum); ((s1 * s1) / d.size).toLong
+    }.sum
+    val gs1 = BigInt(devs.flatten.sum)
+    val gs2 = devs.flatten.map(x => x * x).sum
+    val ssb = s1sq - ((gs1 * gs1) / n).toLong
+    val ssw = gs2 - s1sq
+    assert(r.getLong(4) == ssb, s"ssb ${r.getLong(4)} != naive $ssb")
+    assert(r.getLong(5) == ssw, s"ssw ${r.getLong(5)} != naive $ssw")
+    val w = (ssb.toDouble / 4.0) / (ssw.toDouble / (n - 5).toDouble)
+    assert(math.abs(r.getDouble(6) - w) < 1e-4)
+  }
+
   test("Spearman rho equals Pearson over naive midranks of the daily series") {
     import spark.implicits._
     val daily = Tables.events(spark, sfDir)
