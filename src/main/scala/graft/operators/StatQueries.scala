@@ -1340,10 +1340,119 @@ object StatQueries {
         |FROM t
         |ORDER BY decile""".stripMargin))
 
+  /** q_ts_hurst — HURST EXPONENT by rescaled-range (R/S) analysis of
+    * each type's daily value series: the long-memory diagnostic
+    * (H ≈ 0.5 random walk, > 0.5 trending/persistent, < 0.5 mean-
+    * reverting) that tells a forecasting pipeline whether
+    * [[qStatOls]]-style trend extrapolation is even admissible. Method:
+    * for window sizes w ∈ {5, 10, 15}, split the day-rank series into
+    * full blocks of w; per block the range R of mean-centered
+    * cumulative deviations over the std S; H = OLS slope of ln(R/S) on
+    * ln(w) over ALL blocks (the every-block fit — no per-w averaging,
+    * which would need a float mean whose truncating-div twin diverges
+    * on negative sums).
+    *
+    * Exactness: deviations clear the mean-fraction by w-SCALING —
+    * Z'_t = w·cum_t − pos·Σy is an exact Long, so R' = max Z' − min Z'
+    * is exact; S'² = w·Σy² − (Σy)² is exact (both in w-scaled units,
+    * and R/S = R'/√S'² because the w's cancel); ln(R/S) =
+    * ½·ln(R'²/S'²) quantizes ONCE per block to integer micro-nats
+    * (floor(ln·5e5) — the WOE device with the ½ folded in), making the
+    * OLS moments exact Long sums; the slope is one double division
+    * (q_stat_ols closed form), round 6. A constant block (S'² = 0, and
+    * then R' = 0 too) is decided in integer space → NULL, excluded.
+    * Overflow: Σy² ≤ d·y_max² ≈ 30·4e14 ≈ 1.2e16, ×w ≈ 1.8e17 — inside
+    * Long with ~50× headroom, then DECIMAL(38,0).
+    *
+    * Scale: the fact scan collapses to (type × day) once; the ×3
+    * window-size expansion and every window partition by
+    * (type, w, block) on that bounded domain. */
+  val qTsHurst: Q = Q(
+    "q_ts_hurst",
+    (s, dir) => {
+      import s.implicits._
+      val ws = Seq(5L, 10L, 15L).toDF("w")
+      val e = trendSeq(s, dir).crossJoin(broadcast(ws))
+        .withColumn("blk", expr("(i - 1) div w"))
+        .withColumn("pos", expr("(i - 1) % w + 1"))
+      val wpart = Window.partitionBy($"event_type", $"w", $"blk")
+      val wrun = wpart.orderBy($"i")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val z = e
+        .withColumn("cum", sum($"y").over(wrun))
+        .withColumn("sy", sum($"y").over(wpart))
+        .withColumn("syy", sum($"y" * $"y").over(wpart))
+        .withColumn("cnt", count(lit(1)).over(wpart))
+        .where($"cnt" === $"w")
+        .withColumn("z", $"w" * $"cum" - $"pos" * $"sy")
+      val blocks = z.groupBy($"event_type", $"w", $"blk", $"sy", $"syy")
+        .agg((max($"z") - min($"z")).as("r1"))
+        .withColumn("s2", expr("w * syy - sy * sy"))
+        .withColumn("lnrs",
+          when($"s2" === 0, lit(null)).otherwise(expr(
+            "CAST(floor(ln(CAST(r1 AS DOUBLE) * r1 / CAST(s2 AS DOUBLE)) * 500000) AS BIGINT)")))
+        .where($"lnrs".isNotNull)
+        .withColumn("x", expr(
+          "CAST(floor(ln(CAST(w AS DOUBLE)) * 1000000) AS BIGINT)"))
+      blocks.groupBy($"event_type")
+        .agg(count(lit(1)).as("n_blocks"),
+          sum($"x").as("sx"), sum($"lnrs").as("sy2"),
+          sum($"x" * $"lnrs").as("sxy"), sum($"x" * $"x").as("sxx"))
+        .select($"event_type", $"n_blocks",
+          when($"n_blocks" * $"sxx" === $"sx" * $"sx", lit(null))
+            .otherwise(round(($"n_blocks" * $"sxy" - $"sx" * $"sy2")
+              .cast(DoubleType) /
+              ($"n_blocks" * $"sxx" - $"sx" * $"sx").cast(DoubleType), 6))
+            .as("hurst"))
+        .orderBy($"event_type")
+    },
+    oracle = Some(
+      s"""$trendSeqSql,
+        |ws AS (SELECT * FROM (VALUES (5), (10), (15)) t(w)),
+        |e AS (
+        |  SELECT event_type, y, i, CAST(w AS BIGINT) AS w,
+        |    (i - 1) // CAST(w AS BIGINT) AS blk,
+        |    (i - 1) % CAST(w AS BIGINT) + 1 AS pos
+        |  FROM seq, ws),
+        |z AS (
+        |  SELECT *,
+        |    CAST(SUM(y) OVER (PARTITION BY event_type, w, blk ORDER BY i
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |    CAST(SUM(y) OVER (PARTITION BY event_type, w, blk) AS BIGINT)
+        |      AS sy,
+        |    CAST(SUM(y * y) OVER (PARTITION BY event_type, w, blk)
+        |      AS BIGINT) AS syy,
+        |    COUNT(*) OVER (PARTITION BY event_type, w, blk) AS cnt
+        |  FROM e),
+        |blocks AS (
+        |  SELECT event_type, w, blk, sy, syy,
+        |    MAX(w * cum - pos * sy) - MIN(w * cum - pos * sy) AS r1,
+        |    w * syy - sy * sy AS s2
+        |  FROM z WHERE cnt = w
+        |  GROUP BY event_type, w, blk, sy, syy),
+        |pts AS (
+        |  SELECT event_type,
+        |    CAST(floor(ln(CAST(w AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+        |    CAST(floor(ln(CAST(r1 AS DOUBLE) * r1 / CAST(s2 AS DOUBLE))
+        |      * 500000) AS BIGINT) AS lnrs
+        |  FROM blocks WHERE s2 <> 0),
+        |m AS (
+        |  SELECT event_type, COUNT(*) AS n_blocks,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(lnrs) AS BIGINT) AS sy2,
+        |    CAST(SUM(x * lnrs) AS BIGINT) AS sxy,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx
+        |  FROM pts GROUP BY 1)
+        |SELECT event_type, n_blocks,
+        |  CASE WHEN n_blocks * sxx = sx * sx THEN NULL
+        |    ELSE ROUND(CAST(n_blocks * sxy - sx * sy2 AS DOUBLE)
+        |      / CAST(n_blocks * sxx - sx * sx AS DOUBLE), 6) END AS hurst
+        |FROM m
+        |ORDER BY event_type""".stripMargin))
+
   val all: Vector[Q] = Vector(
     qTsDrawdown, qWinBollinger, qAggCorr, qEventsMarkov,
     qAbChisquare, qSkyline, qEventsAttribution, qEventsRfm, qAggMoments,
     qTsCrossCorr, qTsVwap, qTsLogReturns, qTsMacd, qTsRsi, qTsStochastic,
     qTsObv, qTsAtr, qStatOls, qStatMannKendall, qStatTheilsen,
-    qEventsLorenz)
+    qEventsLorenz, qTsHurst)
 }

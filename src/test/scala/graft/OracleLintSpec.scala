@@ -73,7 +73,7 @@ class OracleLintSpec extends AnyFunSuite {
       Catalog.all.filter(_.oracle.isDefined).map(_.name).toSet)
   }
 
-  test("oracle count matches the SURVEY §2 contract (224 oracle rows)") {
-    assert(Catalog.all.count(_.oracle.isDefined) == 224)
+  test("oracle count matches the SURVEY §2 contract (225 oracle rows)") {
+    assert(Catalog.all.count(_.oracle.isDefined) == 225)
   }
 }

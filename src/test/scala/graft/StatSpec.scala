@@ -250,4 +250,47 @@ class StatSpec extends AnyFunSuite with SparkFixture {
     assert(math.abs(ols(dirty) - ols(clean)) > 0.5 * math.abs(ols(clean)),
       "the planted outlier should visibly drag OLS (the contrast the row exists for)")
   }
+
+  test("q_ts_hurst equals a naive sequential R/S recompute per type") {
+    import spark.implicits._
+    val daily = Tables.events(spark, sfDir)
+      .groupBy($"event_type", org.apache.spark.sql.functions.to_date(
+        org.apache.spark.sql.functions.date_trunc("day", $"ts")).as("day"))
+      .agg((Dsl.dec2(org.apache.spark.sql.functions.sum(Dsl.dec2($"value")))
+        * 100).cast("long").as("y"))
+      .as[(String, java.sql.Date, Long)].collect()
+    val got = Catalog.byName("q_ts_hurst").build(spark, sfDir)
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(got.size == 5)
+    got.foreach { case (t, (nbGot, hGot)) =>
+      val ys = daily.filter(_._1 == t).sortBy(_._2.toString).map(_._3)
+      // every full block of each window size contributes one
+      // (ln w, quantized ln R/S) point; OLS slope over all points
+      val pts = for {
+        w <- Seq(5, 10, 15)
+        blk <- ys.grouped(w).toSeq if blk.length == w
+      } yield {
+        val sy = blk.sum
+        val cums = blk.scanLeft(0L)(_ + _).tail
+        val zs = cums.zipWithIndex.map { case (c, p) =>
+          w * c - (p + 1).toLong * sy
+        }
+        val r1 = zs.max - zs.min
+        val s2 = w * blk.map(v => v * v).sum - sy * sy
+        if (s2 == 0) None
+        else Some((math.floor(math.log(w.toDouble) * 1e6).toLong,
+          math.floor(math.log(r1.toDouble * r1 / s2.toDouble) * 5e5).toLong))
+      }
+      val good = pts.flatten
+      assert(nbGot == good.size, s"$t: n_blocks $nbGot != ${good.size}")
+      val n = good.size.toLong
+      val sx = good.map(_._1).sum; val sy2 = good.map(_._2).sum
+      val sxy = good.map(p => p._1 * p._2).sum
+      val sxx = good.map(p => p._1 * p._1).sum
+      val h = (n * sxy - sx * sy2).toDouble / (n * sxx - sx * sx).toDouble
+      assert(math.abs(hGot - h) < 1e-5, s"$t: hurst $hGot != naive $h")
+      assert(hGot > -0.5 && hGot < 1.5, s"$t: implausible hurst $hGot")
+    }
+  }
 }
