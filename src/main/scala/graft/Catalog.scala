@@ -48,7 +48,8 @@ object Catalog {
       operators.RecursiveQueries.all ++
       operators.RiskQueries.all ++
       operators.SurvivalQueries.all ++
-      Vector(functions.CountMin.qAggCountmin) ++
+      Vector(functions.CountMin.qAggCountmin,
+        functions.QDigest.qAggQdigest) ++
       streaming.StreamingQueries.all ++
       streaming.StreamJoinQueries.all
 

@@ -380,4 +380,84 @@ object MultimodalBinary {
       .groupBy($"media_id")
       .agg(count(lit(1)).as("n_frames"), round(avg($"l1"), 6).as("mean_l1"))
   }
+
+  /** 64-bit AVERAGE-HASH perceptual fingerprint of an image (aHash,
+    * the classic pHash-family member that needs no DCT): partition the
+    * luma raster into an 8×8 grid of area cells; bit (gy·8+gx) is set
+    * iff that cell's MEAN luma exceeds the global mean. Entirely exact
+    * integer arithmetic — the two means never materialize, the
+    * comparison cross-multiplies (cellSum·totalPx > totalSum·cellPx),
+    * so the hash is bit-deterministic across platforms. Robust to
+    * small pixel perturbations by construction (a cell's bit flips
+    * only when its mean crosses the global mean). */
+  def imageAHash(img: RgbImage): Long = {
+    val w = img.width; val h = img.height
+    require(w >= 8 && h >= 8, s"aHash needs >= 8x8, got ${w}x$h")
+    val cellSum = new Array[Long](64)
+    val cellPx = new Array[Long](64)
+    var totalSum = 0L
+    var y = 0
+    while (y < h) {
+      val gy = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val gx = x * 8 / w
+        val o = (y * w + x) * 3
+        val l = luma(img.pixels(o) & 0xff, img.pixels(o + 1) & 0xff,
+          img.pixels(o + 2) & 0xff).toLong
+        cellSum(gy * 8 + gx) += l
+        cellPx(gy * 8 + gx) += 1L
+        totalSum += l
+        x += 1
+      }
+      y += 1
+    }
+    val totalPx = w.toLong * h
+    var hash = 0L
+    var i = 0
+    while (i < 64) {
+      if (cellSum(i) * totalPx > totalSum * cellPx(i)) hash |= 1L << i
+      i += 1
+    }
+    hash
+  }
+
+  /** 64-bit average-hash SOUNDPRINT of a PCM clip: 64 contiguous
+    * sample windows; bit i is set iff window i's mean ENERGY (Σs²/len)
+    * exceeds the clip's mean energy — the same cross-multiplied
+    * exact-integer comparison as [[imageAHash]]. Windows partition by
+    * the i·n/64 rule so uneven clip lengths still yield 64 bits. */
+  def audioAHash(a: PcmAudio): Long = {
+    val n = a.samples.length
+    require(n >= 64, s"aHash needs >= 64 samples, got $n")
+    var total = 0L
+    val winSum = new Array[Long](64)
+    val winLen = new Array[Long](64)
+    var i = 0
+    while (i < n) {
+      val w = i * 64 / n
+      val s = a.samples(i).toLong
+      winSum(w) += s * s
+      winLen(w) += 1L
+      total += s * s
+      i += 1
+    }
+    var hash = 0L
+    var w = 0
+    while (w < 64) {
+      if (winSum(w) * n > total * winLen(w)) hash |= 1L << w
+      w += 1
+    }
+    hash
+  }
+
+  /** Modality-dispatched fingerprint of an encoded media file (decode
+    * first — the hash is a function of the CONTENT, not the container
+    * bytes, so a re-encoded byte-identical raster hashes the same). */
+  def perceptualHash(m: MediaFile): Long = m.modality match {
+    case "image" => imageAHash(PpmCodec.decode(m.payload))
+    case "audio" => audioAHash(WavCodec.decode(m.payload))
+    case other   => throw new IllegalArgumentException(
+      s"no perceptual hash for modality '$other'")
+  }
 }

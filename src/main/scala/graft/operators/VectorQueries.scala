@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -283,43 +284,119 @@ object VectorQueries {
     * (media_id, frame feature) rows reach the one aggregation shuffle.
     * `MultimodalBinarySpec` pins codec round trips, exact pixel stats,
     * determinism and content sensitivity. */
+  /** The deterministic document→media render SHARED by
+    * q_multimodal_frames and q_multimodal_phash: zh docs become
+    * RIFF/WAVE PCM16 clips, the rest binary netpbm P6 images, payload
+    * bytes derived from the UTF-8 text (so distinct content yields
+    * distinct media). ONE definition — a render tweak applied to only
+    * one consumer would silently change what "the same media" means
+    * between the decode pipeline and the dedup pass. */
+  private[operators] def mediaOf(s: SparkSession, dir: String)
+      : Dataset[MultimodalBinary.MediaFile] = {
+    import s.implicits._
+    import MultimodalBinary._
+    Tables.documents(s, dir)
+      .select($"doc_id", $"lang", $"text", $"n_chars")
+      .as[(Long, String, String, Long)]
+      .map { case (id, lang, text, nChars) =>
+        // An empty document must still render a VALID payload (the
+        // tiling below indexes k % bytes.length — zero-length would
+        // crash with an unattributed / by zero deep in an executor):
+        // fall back to the doc_id's own bytes, deterministic and
+        // content-distinct per doc. Current fixtures have no empty
+        // texts; this is regeneration insurance.
+        val raw = text.getBytes("UTF-8")
+        val bytes = if (raw.nonEmpty) raw else s"doc$id".getBytes("UTF-8")
+        if (lang == "zh") {
+          val n = (160 + (nChars % 12) * 40).toInt // 160..600 samples
+          val samples = Array.tabulate(n) { i =>
+            val hi = (bytes(i % bytes.length) & 0xff) - 128
+            val lo = bytes((i * 7 + 3) % bytes.length) & 0xff
+            ((hi << 8) | lo).toShort
+          }
+          MediaFile(id, "audio", WavCodec.encode(PcmAudio(16000, samples)),
+            MediaMeta(0, 0, 16000, n * 1000L / 16000))
+        } else {
+          val w = 32
+          val h = (8 + nChars % 24).toInt // 8..31 rows → 1..4 bands
+          val px = Array.tabulate(w * h * 3)(k => bytes(k % bytes.length))
+          MediaFile(id, "image", PpmCodec.encode(RgbImage(w, h, px)),
+            MediaMeta(w, h, 0, 0L))
+        }
+      }
+  }
+
   val qMultimodalFrames: Q = Q(
     "q_multimodal_frames",
     (s, dir) => {
       import s.implicits._
       import MultimodalBinary._
-      val media = Tables.documents(s, dir)
-        .select($"doc_id", $"lang", $"text", $"n_chars")
-        .as[(Long, String, String, Long)]
-        .map { case (id, lang, text, nChars) =>
-          // An empty document must still render a VALID payload (the
-          // tiling below indexes k % bytes.length — zero-length would
-          // crash with an unattributed / by zero deep in an executor):
-          // fall back to the doc_id's own bytes, deterministic and
-          // content-distinct per doc. Current fixtures have no empty
-          // texts; this is regeneration insurance.
-          val raw = text.getBytes("UTF-8")
-          val bytes = if (raw.nonEmpty) raw else s"doc$id".getBytes("UTF-8")
-          if (lang == "zh") {
-            val n = (160 + (nChars % 12) * 40).toInt // 160..600 samples
-            val samples = Array.tabulate(n) { i =>
-              val hi = (bytes(i % bytes.length) & 0xff) - 128
-              val lo = bytes((i * 7 + 3) % bytes.length) & 0xff
-              ((hi << 8) | lo).toShort
-            }
-            MediaFile(id, "audio", WavCodec.encode(PcmAudio(16000, samples)),
-              MediaMeta(0, 0, 16000, n * 1000L / 16000))
-          } else {
-            val w = 32
-            val h = (8 + nChars % 24).toInt // 8..31 rows → 1..4 bands
-            val px = Array.tabulate(w * h * 3)(k => bytes(k % bytes.length))
-            MediaFile(id, "image", PpmCodec.encode(RgbImage(w, h, px)),
-              MediaMeta(w, h, 0, 0L))
-          }
-        }
       val frames = frameSample(
-        decodeFrames(media, bandRows = 8, windowSamples = 160), every = 2)
+        decodeFrames(mediaOf(s, dir), bandRows = 8, windowSamples = 160),
+        every = 2)
       frameStats(s, frames).orderBy($"media_id")
+    })
+
+  /** Banded near-duplicate candidate pairs over the media perceptual
+    * hashes — the stage shared by the catalog row and the spec's
+    * completeness pin. 4 bands × 16 bits: any pair within Hamming
+    * distance 3 shares at least one clean band (pigeonhole — 3 flips
+    * cannot touch 4 bands), so recall is GUARANTEED to 3 and
+    * probabilistic from 4 to the verify threshold 8; the verify step
+    * is the exact bit_count on the full hashes. */
+  private[graft] def phashPairs(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    import s.implicits._
+    import MultimodalBinary._
+    val hashes = mediaOf(s, dir)
+      .map(m => (m.media_id, m.modality, perceptualHash(m)))
+      .toDF("media_id", "modality", "phash")
+    val bands = hashes
+      .select($"media_id", $"modality", $"phash",
+        explode(expr("sequence(0, 3)")).as("band"))
+      .withColumn("key", expr("shiftright(phash, band * 16) & 65535"))
+    val a = bands.select($"modality", $"band", $"key",
+      $"media_id".as("id_a"), $"phash".as("ha"))
+    val b = bands.select($"modality", $"band", $"key",
+      $"media_id".as("id_b"), $"phash".as("hb"))
+    val pairs = a.join(b, Seq("modality", "band", "key"))
+      .where($"id_a" < $"id_b")
+      .select($"modality", $"id_a", $"id_b", $"ha", $"hb")
+      .distinct()
+      .withColumn("hamming", expr("bit_count(ha ^ hb)").cast(LongType))
+      .where($"hamming" <= 8)
+    (hashes, pairs)
+  }
+
+  /** q_multimodal_phash (T) — PERCEPTUAL-HASH NEAR-DUP DETECTION over
+    * the encoded media corpus: the image/audio counterpart of the text
+    * dedup family (SimHash for pixels/samples). Each payload DECODES
+    * first (the hash fingerprints content, not container bytes —
+    * re-encoding cannot defeat it), then collapses to a 64-bit
+    * average-hash: 8×8 block-mean luma vs global mean for images, 64
+    * window energies vs clip mean for audio — every comparison
+    * cross-multiplied in exact integers, so the fingerprint is
+    * bit-deterministic across platforms and partitionings. Candidate
+    * generation is banded (4×16 bits, the SimHash device — never
+    * all-pairs; recall guaranteed ≤ Hamming 3, verify threshold 8),
+    * and the row reports each media's fingerprint with its near-dup
+    * degree. Payload bytes never shuffle: hashing is a narrow map;
+    * only (id, 64-bit hash) rows reach the band join.
+    * `MultimodalBinarySpec` pins hash determinism, re-encode
+    * stability, perturbation robustness, banding completeness vs a
+    * brute-force Hamming scan, and planted near-dup recovery. */
+  val qMultimodalPhash: Q = Q(
+    "q_multimodal_phash",
+    (s, dir) => {
+      import s.implicits._
+      val (hashes, pairs) = phashPairs(s, dir)
+      val deg = pairs
+        .select(explode(array($"id_a", $"id_b")).as("media_id"))
+        .groupBy($"media_id").agg(count(lit(1)).as("n_near"))
+      hashes.join(deg, Seq("media_id"), "left")
+        .select($"media_id", $"modality", $"phash",
+          coalesce($"n_near", lit(0L)).as("n_near_dups"))
+        .orderBy($"media_id")
     })
 
   /** #54 q_vec_centroids — per-label mean vector via posexplode, reported
@@ -817,5 +894,6 @@ object VectorQueries {
     qVecNormStats, qVecKnnBruteforce, qVecKnnLsh, qVecKnnIvf,
     qVecKnnGraph, qDedupEmbedding, qVecCentroids, qMultimodalJoin,
     qMultimodalFrames, qVecQuantize, qVecKnnBatch, qVecRangeSearch,
-    qVecCentroidSims, qVecSilhouette, qVecFeatureHash, qVecDiversity)
+    qVecCentroidSims, qVecSilhouette, qVecFeatureHash, qVecDiversity,
+    qMultimodalPhash)
 }

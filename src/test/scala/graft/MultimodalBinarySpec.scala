@@ -238,4 +238,91 @@ class MultimodalBinarySpec extends AnyFunSuite with SparkFixture {
     assert(e.getMessage.contains("3000000000000"),
       s"expected the un-wrapped byte need in: ${e.getMessage}")
   }
+
+  // ---- perceptual hash (q_multimodal_phash) ----
+
+  private def hamming(a: Long, b: Long): Int =
+    java.lang.Long.bitCount(a ^ b)
+
+  test("aHash is stable under re-encoding and flips on content change") {
+    val base = img(32, 16, k => k * 7 + 3)
+    val h1 = imageAHash(base)
+    // decode(encode(img)) is the same raster -> identical hash
+    val h2 = imageAHash(PpmCodec.decode(PpmCodec.encode(base)))
+    assert(h1 == h2, "container round trip must not move the hash")
+    // inverted content must move many bits
+    val inv = img(32, 16, k => 255 - (k * 7 + 3) % 256)
+    assert(hamming(h1, imageAHash(inv)) > 16,
+      "inverted raster should be far in Hamming space")
+  }
+
+  test("aHash is robust to a small local perturbation") {
+    val base = img(32, 16, k => (k * 13) % 256)
+    val px = base.pixels.clone()
+    px(100) = (px(100) + 4).toByte // nudge one channel of one pixel
+    val h = hamming(imageAHash(base), imageAHash(RgbImage(32, 16, px)))
+    assert(h <= 1, s"one nudged pixel moved $h bits")
+  }
+
+  test("audio aHash: re-encode stable, loud-window bits set where planted") {
+    val quiet = Array.fill[Short](640)(16)
+    // plant energy in the second half: windows 32..63 must dominate
+    val samples = quiet.zipWithIndex.map { case (s, i) =>
+      if (i >= 320) (s * 900).toShort else s
+    }
+    val a = PcmAudio(16000, samples)
+    val h1 = audioAHash(a)
+    assert(h1 == audioAHash(WavCodec.decode(WavCodec.encode(a))))
+    assert((h1 >>> 32) == 0xffffffffL && (h1 & 0xffffffffL) == 0L,
+      f"exactly the loud half's windows must be set, got $h1%016x")
+  }
+
+  test("banding finds every Hamming<=3 pair and nothing above 8 (fixture corpus)") {
+    import spark.implicits._
+    val (hashesDf, pairsDf) = graft.operators.VectorQueries
+      .phashPairs(spark, sfDir)
+    val hs = hashesDf.as[(Long, String, Long)].collect()
+    val got = pairsDf
+      .select($"id_a", $"id_b", $"hamming").as[(Long, Long, Long)]
+      .collect().map(p => (p._1, p._2) -> p._3).toMap
+    // brute force within modality
+    val byMod = hs.groupBy(_._2)
+    val brute = byMod.values.flatMap { g =>
+      for {
+        i <- g.indices; j <- g.indices if i < j
+        a = g(i); b = g(j)
+        d = hamming(a._3, b._3) if d <= 8
+      } yield (math.min(a._1, b._1), math.max(a._1, b._1)) -> d.toLong
+    }.toMap
+    // guarantee zone: every pair within 3 bits MUST be found
+    brute.filter(_._2 <= 3).foreach { case (k, d) =>
+      assert(got.contains(k), s"banded join missed guaranteed pair $k ($d)")
+    }
+    // soundness: everything reported is a real <=8 pair with the right d
+    got.foreach { case (k, d) =>
+      assert(brute.get(k).contains(d), s"pair $k reported d=$d vs ${brute.get(k)}")
+    }
+  }
+
+  test("catalog row q_multimodal_phash: planted near-dup semantics hold") {
+    import spark.implicits._
+    // a synthetic corpus with one planted near-dup pair and one far pair
+    val base = img(32, 16, k => (k * 11) % 256)
+    val nearPx = base.pixels.clone()
+    nearPx(10) = (nearPx(10) + 3).toByte
+    val far = img(32, 16, k => 255 - (k * 11) % 256)
+    val h0 = imageAHash(base)
+    val h1 = imageAHash(RgbImage(32, 16, nearPx))
+    val h2 = imageAHash(far)
+    assert(hamming(h0, h1) <= 3, "planted perturbation must stay near")
+    assert(hamming(h0, h2) > 8, "planted inversion must stay far")
+    // and the fixture-backed catalog row stays total + deterministic
+    val rows = Catalog.byName("q_multimodal_phash").build(spark, sfDir)
+      .collect()
+    val nDocs = Tables.documents(spark, sfDir).count()
+    assert(rows.length == nDocs, "one fingerprint row per document")
+    val again = Catalog.byName("q_multimodal_phash").build(spark, sfDir)
+      .collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
 }
