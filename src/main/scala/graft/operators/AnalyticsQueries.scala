@@ -1363,10 +1363,79 @@ object AnalyticsQueries {
         |GROUP BY b.event_type, b.bucket, s1.n_days, s1.y_min, s1.y_max
         |ORDER BY b.event_type, b.bucket""".stripMargin))
 
+  /** q_funnel_time — TIME-TO-CONVERT distribution: minutes from each
+    * user's FIRST view to their first purchase strictly after it —
+    * the "how long does the funnel take" report beside [[qFunnel]]'s
+    * "how many make it through" (same first-touch convention, so the
+    * two rows describe one funnel). Summary = count, mean, exact
+    * ceil-rank median and p90, and max. Determinism: delays are exact
+    * integer MINUTES (micros difference, truncating div); median/p90
+    * are value-at-ceil-rank selections off the delay ladder — no
+    * interpolation, no float but the one mean division (round 2).
+    * Scale: two event_type-pruned scans partial-agg to per-user
+    * firsts; the ladder is bounded by the DELAY-MINUTE domain (a
+    * 30-day horizon has ≤ 43,200 distinct values no matter the user
+    * count), so its unpartitioned window is domain-sized — the
+    * centsLadder argument on the time axis. */
+  val qFunnelTime: Q = Q(
+    "q_funnel_time",
+    (s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+        .select($"user_id", $"event_type", unix_micros($"ts").as("us"))
+      val v1 = ev.where($"event_type" === "view")
+        .groupBy($"user_id").agg(min($"us").as("t1"))
+      val delays = ev.where($"event_type" === "purchase")
+        .join(v1, "user_id").where($"us" > $"t1")
+        .groupBy($"user_id", $"t1").agg(min($"us").as("t3"))
+        .select(expr("(t3 - t1) div 60000000").as("d"))
+      val lad = delays.groupBy($"d").agg(count(lit(1)).as("k"))
+        .withColumn("cum", sum($"k").over(Window.orderBy($"d")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val gl = delays.agg(count(lit(1)).as("n"), sum($"d").as("sd"),
+        max($"d").as("max_min"))
+      lad.crossJoin(broadcast(gl))
+        .groupBy($"n", $"sd", $"max_min")
+        .agg(
+          min(when($"cum" >= expr("(n + 1) div 2"), $"d")).as("median_min"),
+          min(when($"cum" >= expr("(9 * n + 9) div 10"), $"d")).as("p90_min"))
+        .select($"n".as("n_converted"),
+          round($"sd".cast(DoubleType) / $"n", 2).as("mean_min"),
+          $"median_min", $"p90_min", $"max_min")
+    },
+    oracle = Some(
+      """WITH ev AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |v1 AS (
+        |  SELECT user_id, MIN(us) AS t1 FROM ev
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |delays AS (
+        |  SELECT (MIN(e.us) - v1.t1) // 60000000 AS d
+        |  FROM ev e JOIN v1 ON e.user_id = v1.user_id
+        |  WHERE e.event_type = 'purchase' AND e.us > v1.t1
+        |  GROUP BY e.user_id, v1.t1),
+        |lad AS (
+        |  SELECT d, COUNT(*) AS k FROM delays GROUP BY 1),
+        |cl AS (
+        |  SELECT d, CAST(SUM(k) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+        |    AS BIGINT) AS cum
+        |  FROM lad),
+        |gl AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(d) AS BIGINT) AS sd,
+        |    CAST(MAX(d) AS BIGINT) AS max_min
+        |  FROM delays)
+        |SELECT n AS n_converted,
+        |  ROUND(CAST(sd AS DOUBLE) / n, 2) AS mean_min,
+        |  MIN(CASE WHEN cum >= (n + 1) // 2 THEN d END) AS median_min,
+        |  MIN(CASE WHEN cum >= (9 * n + 9) // 10 THEN d END) AS p90_min,
+        |  max_min
+        |FROM cl, gl
+        |GROUP BY n, sd, max_min""".stripMargin))
+
   val all: Vector[Q] = Vector(
     qFunnel, qCohortRetention, qTsGapfill, qHistBinned,
     qAnomalyZscore, qAggIncremental, qTsEwma, qTsOhlc, qTsInterpolate,
     qTsAutocorr, qViewIncrementalJoin, qProfileTable, qTsHolt,
     qTsSeasonal, qTsCusum, qProfileSkew, qAnomalyMad, qTsStreaks,
-    qEventsDauWau, qEventsInterarrival, qTsM4)
+    qEventsDauWau, qEventsInterarrival, qTsM4, qFunnelTime)
 }

@@ -138,7 +138,49 @@ object ScanQueries {
         |GROUP BY c_mktsegment, o_orderpriority
         |ORDER BY c_mktsegment, o_orderpriority""".stripMargin))
 
+  /** q_sql_lateral — ANSI LATERAL correlated subquery executed natively
+    * by Spark's decorrelation (DomainJoin → ranked join under the
+    * hood): per nation the top-2 orders by price through the exact SQL
+    * a DuckDB user writes — the "top-k per group as a correlated
+    * subquery" surface-parity row beside q_topk_per_group's DataFrame
+    * window form. Both engines run literally the same query text modulo
+    * view names; determinism comes from the total (price DESC,
+    * o_orderkey) order inside the LIMIT — prices are 2-dp-exact doubles
+    * read from the same parquet, so no boundary sits on a float.
+    * Scale: Spark decorrelates to a join + per-group rank over the
+    * orders side — the same physical shape as the window form; nothing
+    * is per-nation re-executed. */
+  val qSqlLateral: Q = Q(
+    "q_sql_lateral",
+    (s, dir) => {
+      Tables.nation(s, dir).createOrReplaceTempView("nation_v")
+      Tables.customer(s, dir).createOrReplaceTempView("customer_lv")
+      Tables.orders(s, dir).createOrReplaceTempView("orders_lv")
+      s.sql(
+        """SELECT n.n_name, t.o_orderkey, t.price
+          |FROM nation_v n,
+          |LATERAL (
+          |  SELECT o.o_orderkey, o.o_totalprice AS price
+          |  FROM orders_lv o JOIN customer_lv c ON o.o_custkey = c.c_custkey
+          |  WHERE c.c_nationkey = n.n_nationkey
+          |  ORDER BY o.o_totalprice DESC, o.o_orderkey
+          |  LIMIT 2
+          |) t
+          |ORDER BY n.n_name, t.price DESC, t.o_orderkey""".stripMargin)
+    },
+    oracle = Some(
+      """SELECT n.n_name, t.o_orderkey, t.price
+        |FROM nation n,
+        |LATERAL (
+        |  SELECT o.o_orderkey, o.o_totalprice AS price
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  WHERE c.c_nationkey = n.n_nationkey
+        |  ORDER BY o.o_totalprice DESC, o.o_orderkey
+        |  LIMIT 2
+        |) t
+        |ORDER BY n.n_name, t.price DESC, t.o_orderkey""".stripMargin))
+
   val all: Vector[Q] =
     Vector(qScanFull, qScanPrunePushdown, qFilterCompound, qProjectCase,
-      qSqlReport)
+      qSqlReport, qSqlLateral)
 }

@@ -438,6 +438,49 @@ class AnalyticsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("q_funnel_time equals a naive first-view-to-first-purchase recompute") {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir)
+      .select($"user_id", $"event_type", unix_micros($"ts"))
+      .as[(Long, String, Long)].collect()
+    val delays = ev.filter(_._2 == "view").groupBy(_._1).toSeq.flatMap {
+      case (u, views) =>
+        val t1 = views.map(_._3).min
+        val ps = ev.filter(e => e._1 == u && e._2 == "purchase" && e._3 > t1)
+        if (ps.isEmpty) None else Some((ps.map(_._3).min - t1) / 60000000L)
+    }.sorted
+    val r = Catalog.byName("q_funnel_time").build(spark, sfDir)
+      .collect().head
+    val n = delays.size
+    assert(r.getLong(0) == n.toLong)
+    assert(math.abs(r.getDouble(1) - delays.sum.toDouble / n) < 0.01)
+    assert(r.getLong(2) == delays((n + 1) / 2 - 1), "ceil-rank median")
+    assert(r.getLong(3) == delays((9 * n + 9) / 10 - 1), "ceil-rank p90")
+    assert(r.getLong(4) == delays.last)
+    assert(n > 3, "fixture must drive a non-trivial converting population")
+  }
+
+  test("q_sql_lateral equals the window-form top-2 per nation") {
+    import spark.implicits._
+    val windowForm = Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir),
+        $"o_custkey" === $"c_custkey")
+      .join(Tables.nation(spark, sfDir), $"c_nationkey" === $"n_nationkey")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"n_nationkey")
+          .orderBy($"o_totalprice".desc, $"o_orderkey")))
+      .where($"rn" <= 2)
+      .select($"n_name", $"o_orderkey", $"o_totalprice")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    val lateral = Catalog.byName("q_sql_lateral").build(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(lateral == windowForm,
+      "the SQL LATERAL surface and the window form must agree row for row")
+    assert(lateral.nonEmpty)
+  }
+
   test("q_events_interarrival equals a naive per-user gap recompute") {
     import spark.implicits._
     val evts = Tables.events(spark, sfDir)
