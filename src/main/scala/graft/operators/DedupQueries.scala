@@ -1115,9 +1115,62 @@ object DedupQueries {
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin))
 
+  /** q_dedup_containment — ASYMMETRIC shingle-set containment:
+    * cont(A→B) = |A∩B| / |A| at threshold 0.8 — the "A is mostly
+    * inside B" relation that SYMMETRIC Jaccard structurally misses: a
+    * short doc fully embedded in a long one has tiny Jaccard (the
+    * union is dominated by B) but containment 1.0, and that is exactly
+    * the boilerplate-extraction / quote-detection / "train doc embeds
+    * the benchmark" shape a corpus pipeline must catch (the reason
+    * benchmark-contamination checks are containment-, not
+    * Jaccard-based). Emits ORDERED pairs (sub, super) — both
+    * directions are distinct findings. Same prefix-block candidate
+    * stage as [[qDedupNgramJaccard]] (one definition of candidacy
+    * across the set-similarity rows; block keys grow with corpus size
+    * per the fuzzyBlockLen rule); the division is the only float,
+    * rounded at 6 dp, over exact intersection/size integers.
+    * Scale: blocked equi join, never all-pairs; array_intersect on
+    * ≤ 100-element distinct shingle arrays is per-pair codegen work. */
+  val qDedupContainment: Q = Q(
+    "q_dedup_containment",
+    (s, dir) => {
+      import s.implicits._
+      val keyed = Shingled(s, dir)
+        .select($"k", $"doc_id", array_distinct($"sh").as("sh"))
+      keyed.as("a")
+        .join(keyed.as("b"),
+          col("a.k") === col("b.k") && col("a.doc_id") =!= col("b.doc_id"))
+        .select(
+          col("a.doc_id").as("doc_sub"),
+          col("b.doc_id").as("doc_super"),
+          size(array_intersect(col("a.sh"), col("b.sh"))).cast(DoubleType)
+            .as("ni"),
+          size(col("a.sh")).cast(DoubleType).as("na"))
+        .select($"doc_sub", $"doc_super",
+          round($"ni" / $"na", 6).as("containment"))
+        .where($"containment" >= 0.8)
+        .orderBy($"doc_sub", $"doc_super")
+    },
+    oracle = Some(
+      s"""SELECT doc_sub, doc_super, containment FROM (
+         |  SELECT a.doc_id AS doc_sub, b.doc_id AS doc_super,
+         |    ROUND(
+         |      CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |      CAST(len(a.sh) AS DOUBLE), 6) AS containment
+         |  FROM (SELECT doc_id, substring(lower(text), 1, 40) AS k,
+         |          list_distinct(${Shingles.sql("string_split(lower(text), ' ')")}) AS sh
+         |        FROM documents) a
+         |  JOIN (SELECT doc_id, substring(lower(text), 1, 40) AS k,
+         |          list_distinct(${Shingles.sql("string_split(lower(text), ' ')")}) AS sh
+         |        FROM documents) b
+         |    ON a.k = b.k AND a.doc_id <> b.doc_id)
+         |WHERE containment >= 0.8
+         |ORDER BY doc_sub, doc_super""".stripMargin))
+
   val all: Vector[Q] = Vector(
     qDedupShingleStage, qDedupExact, qDedupNear, qDedupMinhash,
     qDedupNgramJaccard, qDedupSimhash, qDedupPipeline, qDedupComponents,
     qDedupComponentsStar, qDedupClusterSizes, qTextContamination, qDedupFuzzy,
-    qDedupSortedNeighborhood, qDedupPpjoin, qDedupSubstring)
+    qDedupSortedNeighborhood, qDedupPpjoin, qDedupSubstring,
+    qDedupContainment)
 }

@@ -679,7 +679,90 @@ object StatTestQueries {
         |    AS w_stat
         |FROM g""".stripMargin))
 
+  /** q_stat_friedman — FRIEDMAN TEST per event type on the daily value
+    * series, blocked by calendar week: the repeated-measures companion
+    * to [[qStatKruskal]] — "does the day-of-week matter once the week's
+    * level is removed" — i.e. the SIGNIFICANCE test behind
+    * q_ts_seasonal's weekday profile (a profile always shows bumps;
+    * Friedman says whether they beat noise). Blocks = absolute epoch
+    * weeks (epoch-day div 7 — deterministic, no locale), treatments =
+    * the 7 within-week positions; only FULL weeks enter (a partial
+    * block would rank 5 days against 7). Ranks are doubled midranks
+    * from two windows over the bounded (type × day) domain (the
+    * Spearman device, partitioned by block); the per-treatment rank
+    * sums R2_j and their squares are exact Longs (R2 ≤ 14·weeks —
+    * centuries fit), so χ²_F = 3·ΣR2²/(n·k·(k+1)) − 3·n·(k+1) is one
+    * identical double expression, round 6. Ties inside a week take the
+    * standard midrank (cent-exact daily totals essentially never tie;
+    * when they do, both engines compute the same midrank). A
+    * single-full-week corpus still evaluates (n = 1 is a valid, weak
+    * test); zero full weeks yields no row for that type by
+    * construction. */
+  val qStatFriedman: Q = Q(
+    "q_stat_friedman",
+    (s, dir) => {
+      import s.implicits._
+      val daily = Tables.events(s, dir)
+        .groupBy($"event_type",
+          to_date(date_trunc("day", $"ts")).as("day"))
+        .agg((dec2(sum(dec2($"value"))) * 100).cast(LongType).as("y"))
+        .withColumn("ed", datediff($"day", lit("1970-01-01")).cast(LongType))
+        .withColumn("blk", expr("ed div 7"))
+      val full = daily
+        .withColumn("bsz", count(lit(1))
+          .over(Window.partitionBy($"event_type", $"blk")))
+        .where($"bsz" === 7)
+      val ranked = full.withColumn("r2",
+        lit(2) * rank().over(Window.partitionBy($"event_type", $"blk")
+          .orderBy($"y")).cast(LongType) +
+          count(lit(1)).over(
+            Window.partitionBy($"event_type", $"blk", $"y")) - 1)
+        .withColumn("j", expr("ed % 7"))
+      val perTreat = ranked.groupBy($"event_type", $"j")
+        .agg(sum($"r2").as("r2j"), countDistinct($"blk").as("nb"))
+      perTreat.groupBy($"event_type")
+        .agg(min($"nb").as("n_weeks"),
+          sum($"r2j" * $"r2j").as("sr2"))
+        .select($"event_type", $"n_weeks",
+          expr("ROUND(3.0 * CAST(sr2 AS DOUBLE) / (CAST(n_weeks AS DOUBLE) * 7.0 * 8.0) - 3.0 * CAST(n_weeks AS DOUBLE) * 8.0, 6)")
+            .as("chi2_f"))
+        .orderBy($"event_type")
+    },
+    oracle = Some(
+      """WITH daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))
+        |      * 100 AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |ed AS (
+        |  SELECT *, CAST(day - DATE '1970-01-01' AS BIGINT) AS ed,
+        |    CAST(day - DATE '1970-01-01' AS BIGINT) // 7 AS blk
+        |  FROM daily),
+        |full_b AS (
+        |  SELECT * FROM (
+        |    SELECT *, COUNT(*) OVER (PARTITION BY event_type, blk) AS bsz
+        |    FROM ed)
+        |  WHERE bsz = 7),
+        |ranked AS (
+        |  SELECT event_type, blk, ed % 7 AS j,
+        |    2 * CAST(rank() OVER (PARTITION BY event_type, blk ORDER BY y)
+        |      AS BIGINT)
+        |      + COUNT(*) OVER (PARTITION BY event_type, blk, y) - 1 AS r2
+        |  FROM full_b),
+        |pt AS (
+        |  SELECT event_type, j, CAST(SUM(r2) AS BIGINT) AS r2j,
+        |    COUNT(DISTINCT blk) AS nb
+        |  FROM ranked GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT event_type, CAST(MIN(nb) AS BIGINT) AS n_weeks,
+        |    CAST(SUM(r2j * r2j) AS BIGINT) AS sr2
+        |  FROM pt GROUP BY 1)
+        |SELECT event_type, n_weeks,
+        |  ROUND(3.0 * CAST(sr2 AS DOUBLE) / (CAST(n_weeks AS DOUBLE) * 7.0 * 8.0) - 3.0 * CAST(n_weeks AS DOUBLE) * 8.0, 6) AS chi2_f
+        |FROM agg
+        |ORDER BY event_type""".stripMargin))
+
   val all: Vector[Q] =
     Vector(qStatWelchT, qStatMannWhitney, qStatKs, qStatGini, qStatPettitt,
-      qStatKruskal, qStatAnova, qStatSpearman, qStatLevene)
+      qStatKruskal, qStatAnova, qStatSpearman, qStatLevene, qStatFriedman)
 }

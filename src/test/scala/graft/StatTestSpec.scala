@@ -235,6 +235,44 @@ class StatTestSpec extends AnyFunSuite with SparkFixture {
     assert(math.abs(r.getDouble(6) - w) < 1e-4)
   }
 
+  test("Friedman chi2 equals a naive within-week rank recompute") {
+    import spark.implicits._
+    val daily = Tables.events(spark, sfDir)
+      .groupBy($"event_type",
+        org.apache.spark.sql.functions.to_date(
+          org.apache.spark.sql.functions.date_trunc("day", $"ts")).as("day"))
+      .agg((Dsl.dec2(org.apache.spark.sql.functions.sum(Dsl.dec2($"value")))
+        * 100).cast("long").as("y"))
+      .as[(String, java.sql.Date, Long)].collect()
+    val got = Catalog.byName("q_stat_friedman").build(spark, sfDir)
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(got.size == 5)
+    got.foreach { case (t, (nwGot, chiGot)) =>
+      val rows = daily.filter(_._1 == t).map { d =>
+        val ed = d._2.toLocalDate.toEpochDay
+        (ed / 7, ed % 7, d._3)
+      }
+      val fullWeeks = rows.groupBy(_._1).filter(_._2.length == 7)
+      val n = fullWeeks.size.toLong
+      assert(nwGot == n, s"$t: weeks $nwGot != $n")
+      // doubled midranks within each full week, summed per position
+      val r2j = new Array[Long](7)
+      fullWeeks.values.foreach { wk =>
+        val ys = wk.map(_._3)
+        wk.foreach { case (_, j, y) =>
+          val less = ys.count(_ < y).toLong
+          val eq = ys.count(_ == y).toLong
+          r2j(j.toInt) += 2 * less + eq + 1
+        }
+      }
+      val sr2 = r2j.map(r => r * r).sum
+      val chi = 3.0 * sr2 / (n * 7.0 * 8.0) - 3.0 * n * 8.0
+      assert(math.abs(chiGot - chi) < 1e-5, s"$t: chi2 $chiGot != $chi")
+      assert(chiGot >= 0.0, s"$t: Friedman statistic cannot be negative")
+    }
+  }
+
   test("Spearman rho equals Pearson over naive midranks of the daily series") {
     import spark.implicits._
     val daily = Tables.events(spark, sfDir)
