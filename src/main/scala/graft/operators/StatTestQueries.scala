@@ -762,7 +762,273 @@ object StatTestQueries {
         |FROM agg
         |ORDER BY event_type""".stripMargin))
 
+  /** Shared IEEE text for the Jarque–Bera assembly: central moments
+    * from exact power sums, S = m3/(m2·√m2) (sqrt, not pow — sqrt is
+    * correctly rounded, libm pow is not), K = m4/m2² − 3, then
+    * JB = n/6·(S² + K²/4). ONE string so the Spark expr and the DuckDB
+    * twin are textually identical (the q_agg_moments device). */
+  private val jbSql: String =
+    """ROUND(CAST(n AS DOUBLE) / 6.0 * (
+      |  ((CAST(s3 AS DOUBLE) / n
+      |    - 3 * (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n)
+      |    + 2 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+      |      * (CAST(s1 AS DOUBLE) / n))
+      |   / ((CAST(s2 AS DOUBLE) / n
+      |      - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+      |     * sqrt(CAST(s2 AS DOUBLE) / n
+      |      - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))))
+      |  * ((CAST(s3 AS DOUBLE) / n
+      |    - 3 * (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n)
+      |    + 2 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+      |      * (CAST(s1 AS DOUBLE) / n))
+      |   / ((CAST(s2 AS DOUBLE) / n
+      |      - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+      |     * sqrt(CAST(s2 AS DOUBLE) / n
+      |      - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))))
+      |  + ((CAST(s4 AS DOUBLE) / n
+      |    - 4 * (CAST(s1 AS DOUBLE) / n) * (CAST(s3 AS DOUBLE) / n)
+      |    + 6 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+      |      * (CAST(s2 AS DOUBLE) / n)
+      |    - 3 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+      |      * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+      |   / ((CAST(s2 AS DOUBLE) / n
+      |      - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+      |     * (CAST(s2 AS DOUBLE) / n
+      |      - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)))
+      |   - 3)
+      |  * ((CAST(s4 AS DOUBLE) / n
+      |    - 4 * (CAST(s1 AS DOUBLE) / n) * (CAST(s3 AS DOUBLE) / n)
+      |    + 6 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+      |      * (CAST(s2 AS DOUBLE) / n)
+      |    - 3 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+      |      * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+      |   / ((CAST(s2 AS DOUBLE) / n
+      |      - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+      |     * (CAST(s2 AS DOUBLE) / n
+      |      - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)))
+      |   - 3) / 4.0), 6)""".stripMargin
+
+  /** q_stat_jarque_bera — JARQUE–BERA NORMALITY TEST per event type on
+    * the cents value distribution: JB = n/6·(S² + K²/4) — the decision
+    * statistic behind q_agg_moments' profile (a skew/kurtosis PROFILE
+    * says what the shape is; JB says whether the departure from
+    * normality beats sampling noise, the gate a pipeline checks before
+    * trusting q_stat_welch_t's t or q_ts_bollinger's ±2σ bands).
+    *
+    * Determinism: power sums Σc..Σc⁴ are EXACT — c² and c³ computed
+    * per-row in Long (c³ holds to c ≤ 2.1M cents ≈ $21k), c⁴ as
+    * (c²)·(c²) through DECIMAL(38,0)/HUGEINT because the fixture's
+    * $560 max already passes the $551 Long bound for a 4th power (the
+    * q_vec_pca promotion device, here load-bearing, not latent); all
+    * sums are DECIMAL(38,0)/HUGEINT (a Long SUM would wrap after a
+    * handful of rows). Each sum converts to double ONCE inside [[jbSql]], shared
+    * textually by both engines; S and K are scale-free (cents-power
+    * ratios), so no /100 ever appears. Zero variance is decided on the
+    * exact integers (n·s2 − s1² = 0 → NULL), never on a float.
+    *
+    * Scale: one partial-agg shuffle to |types| rows — the same
+    * mergeable-monoid shape as q_agg_moments; nothing else moves. */
+  val qStatJarqueBera: Q = Q(
+    "q_stat_jarque_bera",
+    (s, dir) => {
+      import s.implicits._
+      cents(s, dir)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          sum($"c".cast(DecimalType(38, 0))).as("s1"),
+          sum(($"c" * $"c").cast(DecimalType(38, 0))).as("s2"),
+          sum(($"c" * $"c" * $"c").cast(DecimalType(38, 0))).as("s3"),
+          sum(($"c" * $"c").cast(DecimalType(38, 0)) * ($"c" * $"c"))
+            .cast(DecimalType(38, 0)).as("s4"))
+        .select($"event_type", $"n",
+          when($"n" * $"s2" - $"s1" * $"s1" === 0, lit(null))
+            .otherwise(expr(jbSql)).as("jb"))
+        .orderBy($"event_type")
+    },
+    oracle = Some(
+      s"""WITH m AS (
+         |  SELECT event_type, COUNT(*) AS n,
+         |    SUM(CAST(c AS HUGEINT)) AS s1,
+         |    SUM(CAST(c * c AS HUGEINT)) AS s2,
+         |    SUM(CAST(c * c * c AS HUGEINT)) AS s3,
+         |    SUM(CAST(c * c AS HUGEINT) * (c * c)) AS s4
+         |  FROM (SELECT event_type,
+         |          CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+         |        FROM events)
+         |  GROUP BY 1)
+         |SELECT event_type, n,
+         |  CASE WHEN n * s2 - s1 * s1 = 0 THEN NULL ELSE
+         |$jbSql END AS jb
+         |FROM m ORDER BY event_type""".stripMargin))
+
+  /** q_stat_runs — WALD–WOLFOWITZ RUNS TEST per event type on the
+    * daily-total direction sequence: is the up/down pattern of the
+    * daily cents series RANDOM, or does it trend/mean-revert? The
+    * independence check the autocorrelation family (q_ts_autocorr,
+    * q_ts_hurst) assumes away: too FEW runs = momentum, too MANY =
+    * oscillation, z locates the corpus on that axis. Zero-change days
+    * are excluded (the standard treatment — a tie is neither up nor
+    * down).
+    *
+    * Determinism: direction bits and run starts are integer window
+    * output over the bounded (type × day) domain; R, n₁, n₂ are exact
+    * Longs; μ = 2n₁n₂/(n₁+n₂)+1 and σ² =
+    * 2n₁n₂(2n₁n₂−n₁−n₂)/((n₁+n₂)²(n₁+n₂−1)) feed ONE shared double
+    * expression, round 6. A one-sided sequence (n₁=0 or n₂=0) or a
+    * single observation makes the variance numerator 0 — decided on
+    * the exact integer → NULL.
+    *
+    * Scale: the two stacked windows run over the bounded daily domain
+    * (≤ |types|·|days| rows) AFTER the fact table collapses through
+    * one partial-agg shuffle — the q_ts_* family shape. */
+  val qStatRuns: Q = Q(
+    "q_stat_runs",
+    (s, dir) => {
+      import s.implicits._
+      val daily = Tables.events(s, dir)
+        .groupBy($"event_type",
+          to_date(date_trunc("day", $"ts")).as("day"))
+        .agg((dec2(sum(dec2($"value"))) * 100).cast(LongType).as("y"))
+      val seq0 = Window.partitionBy($"event_type").orderBy($"day")
+      val dirs = daily
+        .withColumn("d", $"y" - lag($"y", 1).over(seq0))
+        .where($"d".isNotNull && $"d" =!= 0)
+        .withColumn("up", when($"d" > 0, 1L).otherwise(0L))
+      val runs = dirs
+        .withColumn("prev_up", lag($"up", 1).over(seq0))
+        .withColumn("start",
+          when($"prev_up".isNull || $"prev_up" =!= $"up", 1L).otherwise(0L))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_obs"), sum($"up").as("n_up"),
+          (count(lit(1)) - sum($"up")).as("n_down"),
+          sum($"start").as("runs"))
+      runs.select($"event_type", $"n_obs", $"n_up", $"n_down", $"runs",
+        when(lit(2) * $"n_up" * $"n_down" *
+          (lit(2) * $"n_up" * $"n_down" - $"n_up" - $"n_down") <= 0,
+          lit(null)).otherwise(expr(
+          """ROUND((CAST(runs AS DOUBLE)
+            |  - (2.0 * n_up * n_down / CAST(n_obs AS DOUBLE) + 1.0))
+            | / sqrt(2.0 * n_up * n_down
+            |    * (2.0 * n_up * n_down - n_up - n_down)
+            |   / (CAST(n_obs AS DOUBLE) * CAST(n_obs AS DOUBLE)
+            |      * (CAST(n_obs AS DOUBLE) - 1.0))), 6)""".stripMargin))
+          .as("z"))
+        .orderBy($"event_type")
+    },
+    oracle = Some(
+      """WITH daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))
+        |      * 100 AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |dirs AS (
+        |  SELECT * FROM (
+        |    SELECT event_type,
+        |      CASE WHEN y - lag(y, 1) OVER (PARTITION BY event_type ORDER BY day) > 0
+        |        THEN 1 ELSE 0 END AS up,
+        |      y - lag(y, 1) OVER (PARTITION BY event_type ORDER BY day) AS d,
+        |      day
+        |    FROM daily)
+        |  WHERE d IS NOT NULL AND d <> 0),
+        |marked AS (
+        |  SELECT event_type, up,
+        |    CASE WHEN lag(up, 1) OVER (PARTITION BY event_type ORDER BY day)
+        |      IS DISTINCT FROM up THEN 1 ELSE 0 END AS start
+        |  FROM dirs),
+        |agg AS (
+        |  SELECT event_type, COUNT(*) AS n_obs,
+        |    CAST(SUM(up) AS BIGINT) AS n_up,
+        |    COUNT(*) - CAST(SUM(up) AS BIGINT) AS n_down,
+        |    CAST(SUM(start) AS BIGINT) AS runs
+        |  FROM marked GROUP BY 1)
+        |SELECT event_type, n_obs, n_up, n_down, runs,
+        |  CASE WHEN 2 * n_up * n_down
+        |      * (2 * n_up * n_down - n_up - n_down) <= 0 THEN NULL ELSE
+        |    ROUND((CAST(runs AS DOUBLE)
+        |      - (2.0 * n_up * n_down / CAST(n_obs AS DOUBLE) + 1.0))
+        |     / sqrt(2.0 * n_up * n_down
+        |        * (2.0 * n_up * n_down - n_up - n_down)
+        |       / (CAST(n_obs AS DOUBLE) * CAST(n_obs AS DOUBLE)
+        |          * (CAST(n_obs AS DOUBLE) - 1.0))), 6) END AS z
+        |FROM agg
+        |ORDER BY event_type""".stripMargin))
+
+  /** q_stat_cramers_v — CRAMÉR'S V effect size for the hour-of-day ×
+    * event-type contingency: V = √(χ²/n / min(r−1, c−1)) — the
+    * n-invariant companion to [[StatQueries.qAbChisquare]]'s per-cell
+    * table. χ² grows linearly with n, so at corpus scale EVERYTHING is
+    * "significant"; V is what tells a 100 TB pipeline whether the
+    * association is material (V ≥ 0.1) or a significant-but-trivial
+    * artifact — the classic large-n trap this row exists to close.
+    *
+    * Determinism: the scalar χ² sums per-cell doubles in engine
+    * order — banned — so each cell's contribution is QUANTIZED ONCE to
+    * an exact integer first: contrib·n·10⁶ = (obs·n − r·c)²·10⁶ div
+    * (r·c) in DECIMAL(38,0)/HUGEINT (floor division, identical in both
+    * engines; the BM25 idf device applied to χ²). The quantized terms
+    * sum exactly in any order; χ² and V then come from ONE shared
+    * double expression, round 6. Headroom: terms ≤ n²·10⁶ (1e16 at
+    * sf0.1, 1e26 < 10³⁸ at n = 10¹⁰).
+    *
+    * Scale: one partial-agg shuffle to the ≤ 24·|types| cell table;
+    * margins via windows over that bounded domain table; one scalar
+    * agg. The fact table is scanned once. */
+  val qStatCramersV: Q = Q(
+    "q_stat_cramers_v",
+    (s, dir) => {
+      import s.implicits._
+      val cells = Tables.events(s, dir)
+        .groupBy(hour($"ts").cast(LongType).as("hod"), $"event_type")
+        .agg(count(lit(1)).as("obs"))
+      val m = cells
+        .withColumn("rt", sum($"obs").over(Window.partitionBy($"hod")))
+        .withColumn("ct", sum($"obs").over(Window.partitionBy($"event_type")))
+        .withColumn("n", sum($"obs").over(Window.partitionBy()))
+        .withColumn("num", $"obs" * $"n" - $"rt" * $"ct")
+        .withColumn("term", expr(
+          "CAST(num AS DECIMAL(38,0)) * num * 1000000 div (rt * ct)"))
+      m.groupBy()
+        .agg(countDistinct($"hod").as("r_levels"),
+          countDistinct($"event_type").as("c_levels"),
+          max($"n").as("n"),
+          sum($"term").cast(DecimalType(38, 0)).as("chi2_q"))
+        .select($"r_levels", $"c_levels", $"n",
+          expr("ROUND(CAST(chi2_q AS DOUBLE) / 1e6 / n, 6)").as("chi2"),
+          expr(
+            """ROUND(sqrt(CAST(chi2_q AS DOUBLE) / 1e6 / n / n
+              | / CASE WHEN r_levels < c_levels THEN r_levels - 1
+              |        ELSE c_levels - 1 END), 6)""".stripMargin)
+            .as("cramers_v"))
+    },
+    oracle = Some(
+      """WITH cells AS (
+        |  SELECT CAST(EXTRACT(HOUR FROM ts) AS BIGINT) AS hod, event_type,
+        |    COUNT(*) AS obs
+        |  FROM events GROUP BY 1, 2),
+        |m AS (
+        |  SELECT *, obs * n - rt * ct AS num,
+        |    CAST(obs * n - rt * ct AS HUGEINT)
+        |      * (obs * n - rt * ct) * 1000000 // (rt * ct) AS term
+        |  FROM (
+        |    SELECT hod, event_type, obs,
+        |      CAST(SUM(obs) OVER (PARTITION BY hod) AS BIGINT) AS rt,
+        |      CAST(SUM(obs) OVER (PARTITION BY event_type) AS BIGINT) AS ct,
+        |      CAST(SUM(obs) OVER () AS BIGINT) AS n
+        |    FROM cells)),
+        |agg AS (
+        |  SELECT COUNT(DISTINCT hod) AS r_levels,
+        |    COUNT(DISTINCT event_type) AS c_levels,
+        |    MAX(n) AS n, SUM(term) AS chi2_q
+        |  FROM m)
+        |SELECT r_levels, c_levels, n,
+        |  ROUND(CAST(chi2_q AS DOUBLE) / 1e6 / n, 6) AS chi2,
+        |  ROUND(sqrt(CAST(chi2_q AS DOUBLE) / 1e6 / n / n
+        |   / CASE WHEN r_levels < c_levels THEN r_levels - 1
+        |          ELSE c_levels - 1 END), 6) AS cramers_v
+        |FROM agg""".stripMargin))
+
   val all: Vector[Q] =
     Vector(qStatWelchT, qStatMannWhitney, qStatKs, qStatGini, qStatPettitt,
-      qStatKruskal, qStatAnova, qStatSpearman, qStatLevene, qStatFriedman)
+      qStatKruskal, qStatAnova, qStatSpearman, qStatLevene, qStatFriedman,
+      qStatJarqueBera, qStatRuns, qStatCramersV)
 }

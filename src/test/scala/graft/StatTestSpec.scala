@@ -311,4 +311,95 @@ class StatTestSpec extends AnyFunSuite with SparkFixture {
       assert(math.abs(rhoGot) <= 1.0)
     }
   }
+
+  test("Jarque-Bera equals a naive BigInt power-sum recompute") {
+    val data = cents()
+    val got = Catalog.byName("q_stat_jarque_bera").build(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length == 5)
+    got.foreach { case (t, nGot, jbGot) =>
+      val g = data.filter(_._1 == t).map(_._2).map(BigInt(_))
+      val n = g.size.toDouble
+      assert(nGot == g.size)
+      val s1 = g.sum; val s2 = g.map(c => c * c).sum
+      val s3 = g.map(c => c * c * c).sum
+      val s4 = g.map(c => c * c * c * c).sum
+      val (d1, d2, d3, d4) =
+        (s1.toDouble / n, s2.toDouble / n, s3.toDouble / n, s4.toDouble / n)
+      val m2 = d2 - d1 * d1
+      val m3 = d3 - 3 * d1 * d2 + 2 * d1 * d1 * d1
+      val m4 = d4 - 4 * d1 * d3 + 6 * d1 * d1 * d2 - 3 * d1 * d1 * d1 * d1
+      val sk = m3 / (m2 * math.sqrt(m2))
+      val ku = m4 / (m2 * m2) - 3
+      val jb = n / 6.0 * (sk * sk + ku * ku / 4.0)
+      assert(math.abs(jbGot - jb) < 1e-4, s"$t: jb $jbGot != naive $jb")
+      assert(jbGot >= 0.0, s"$t: JB cannot be negative")
+    }
+  }
+
+  test("runs-test counts and z equal a naive sequence replay") {
+    import spark.implicits._
+    val daily = Tables.events(spark, sfDir)
+      .groupBy($"event_type",
+        org.apache.spark.sql.functions.to_date(
+          org.apache.spark.sql.functions.date_trunc("day", $"ts")).as("day"))
+      .agg((Dsl.dec2(org.apache.spark.sql.functions.sum(Dsl.dec2($"value")))
+        * 100).cast("long").as("y"))
+      .as[(String, java.sql.Date, Long)].collect()
+    val got = Catalog.byName("q_stat_runs").build(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), if (r.isNullAt(5)) None else Some(r.getDouble(5)))))
+      .toMap
+    assert(got.size == 5)
+    got.foreach { case (t, (nObs, nUp, nDown, runs, z)) =>
+      val ys = daily.filter(_._1 == t).sortBy(_._2.toLocalDate.toEpochDay)
+        .map(_._3)
+      val dirs = ys.sliding(2).collect {
+        case Array(a, b) if b != a => b > a
+      }.toVector
+      val r = if (dirs.isEmpty) 0L
+        else 1L + dirs.sliding(2).count {
+          case Vector(a, b) => a != b; case _ => false }
+      val (n1, n2) = (dirs.count(identity).toLong, dirs.count(!_).toLong)
+      assert((nObs, nUp, nDown, runs) == ((n1 + n2, n1, n2, r)),
+        s"$t: counts ${(nObs, nUp, nDown, runs)} != ${(n1 + n2, n1, n2, r)}")
+      val varNum = 2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+      if (varNum <= 0) assert(z.isEmpty, s"$t: z must be NULL")
+      else {
+        val nn = (n1 + n2).toDouble
+        val mu = 2.0 * n1 * n2 / nn + 1.0
+        val zNaive = (r - mu) / math.sqrt(varNum / (nn * nn * (nn - 1.0)))
+        assert(math.abs(z.get - zNaive) < 1e-5, s"$t: z ${z.get} != $zNaive")
+      }
+    }
+  }
+
+  test("Cramers V equals a naive quantized-chi2 recompute and sits in [0,1]") {
+    import spark.implicits._
+    val cells = Tables.events(spark, sfDir)
+      .groupBy(org.apache.spark.sql.functions.hour($"ts").cast("long")
+        .as("hod"), $"event_type")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("obs"))
+      .as[(Long, String, Long)].collect()
+    val n = cells.map(_._3).sum
+    val rt = cells.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val ct = cells.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    // exact BigInt mirror of the once-quantized per-cell terms
+    val chi2q = cells.map { case (h, t, o) =>
+      val num = BigInt(o) * n - BigInt(rt(h)) * ct(t)
+      num * num * 1000000 / (BigInt(rt(h)) * ct(t))
+    }.sum
+    val chi2 = chi2q.toDouble / 1e6 / n
+    val df = math.min(rt.size, ct.size) - 1
+    val v = math.sqrt(chi2 / n / df)
+    val row = Catalog.byName("q_stat_cramers_v").build(spark, sfDir).collect()
+    assert(row.length == 1)
+    assert(row(0).getLong(0) == rt.size && row(0).getLong(1) == ct.size)
+    assert(row(0).getLong(2) == n)
+    assert(math.abs(row(0).getDouble(3) - chi2) < 1e-5)
+    assert(math.abs(row(0).getDouble(4) - v) < 1e-6)
+    assert(row(0).getDouble(4) >= 0.0 && row(0).getDouble(4) <= 1.0)
+  }
 }
