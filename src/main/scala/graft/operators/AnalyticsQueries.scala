@@ -1432,10 +1432,133 @@ object AnalyticsQueries {
         |FROM cl, gl
         |GROUP BY n, sd, max_min""".stripMargin))
 
+  /** Shared IEEE text for the Durbin–Levinson closed form at lags
+    * 1–3: r_k = C_k/C_0 as doubles derived ONCE from the exact integer
+    * centered cross-sums, then
+    *   φ₁₁ = r₁;  φ₂₂ = (r₂ − r₁²)/(1 − r₁²);  φ₂₁ = r₁ − φ₂₂·r₁;
+    *   φ₃₃ = (r₃ − φ₂₁·r₂ − φ₂₂·r₁)/(1 − φ₂₁·r₁ − φ₂₂·r₂).
+    * One string per output column so the Spark expr and the DuckDB
+    * twin are textually identical. */
+  private def pacfR(k: Int): String =
+    s"(CAST(c$k AS DOUBLE) / CAST(c0 AS DOUBLE))"
+  private val pacf1Sql: String = s"ROUND(${pacfR(1)}, 6)"
+  private val pacf2Sql: String =
+    s"""ROUND((${pacfR(2)} - ${pacfR(1)} * ${pacfR(1)})
+       | / (1.0 - ${pacfR(1)} * ${pacfR(1)}), 6)""".stripMargin
+  private val pacf3Sql: String = {
+    val r1 = pacfR(1); val r2 = pacfR(2); val r3 = pacfR(3)
+    val phi22 = s"(($r2 - $r1 * $r1) / (1.0 - $r1 * $r1))"
+    val phi21 = s"($r1 - $phi22 * $r1)"
+    s"""CASE WHEN 1.0 - $phi21 * $r1 - $phi22 * $r2 = 0.0 THEN NULL
+       |ELSE ROUND(($r3 - $phi21 * $r2 - $phi22 * $r1)
+       | / (1.0 - $phi21 * $r1 - $phi22 * $r2), 6) END""".stripMargin
+  }
+
+  /** q_ts_pacf — PARTIAL AUTOCORRELATION at lags 1–3 of the daily
+    * revenue series via the Durbin–Levinson closed form: what
+    * [[qTsAutocorr]]'s ACF cannot answer — is the lag-2 correlation
+    * REAL structure or just lag-1 echoing twice? (An AR(1) series has
+    * geometric ACF at every lag but PACF that cuts off after lag 1 —
+    * PACF is THE order-selection diagnostic before fitting any AR
+    * forecaster.)
+    *
+    * Determinism: the centered cross-sums are cleared of the rational
+    * mean by scaling with n² — C_k = n²·Σx_t·x_{t+k} − n·S·(H_k+T_k) +
+    * (n−k)·S² — all EXACT DECIMAL(38,0)/HUGEINT integers (per-row
+    * products promoted through decimal; headroom ~10³⁸ ≫ the ~10²⁵
+    * worst case at sf0.1). The n² scale cancels in every ratio, so
+    * r_k = C_k/C_0 exactly. Doubles appear only inside the shared
+    * [[pacf1Sql]]/[[pacf2Sql]]/[[pacf3Sql]] strings; degenerate cases
+    * are integer-decided (C₀ = 0 → all NULL; |C₁| = C₀ → lag-2/3
+    * NULL); φ₃₃'s inner denominator is compared against 0.0 on
+    * bit-identical doubles with identical text — the same decision in
+    * both engines.
+    *
+    * Scale: the facts collapse to the bounded DAY domain first; the
+    * row_number index and the three lag self-joins run over that
+    * calendar-bounded table (the qTsAutocorr argument); the output is
+    * four broadcast-sized scalar aggregates cross-joined (the 1-row
+    * crossJoin exception). Positions come from the day INDEX, so a
+    * calendar gap counts as adjacency — same convention as the ACF
+    * row's date-shift, documented difference: PACF needs even spacing,
+    * index position is the standard approximation. */
+  val qTsPacf: Q = Q(
+    "q_ts_pacf",
+    (s, dir) => {
+      import s.implicits._
+      val daily = Tables.orders(s, dir)
+        .groupBy(date_trunc("day", $"o_orderdate").as("day"))
+        .agg((sum(dec2($"o_totalprice")) * 100).cast(LongType).as("x"))
+      val idx = daily.withColumn("i",
+        row_number().over(Window.orderBy($"day")))
+      val g = idx.agg(count(lit(1)).as("n"),
+        sum($"x".cast(DecimalType(38, 0))).as("s"),
+        sum($"x".cast(DecimalType(38, 0)) * $"x").as("sxx"))
+      val lagAggs = (1 to 3).map { k =>
+        idx.as("a").join(idx.as("b"), col("b.i") === col("a.i") + k)
+          .agg(sum(col("a.x").cast(DecimalType(38, 0)) * col("b.x"))
+            .as(s"sxy$k"),
+            sum(col("a.x").cast(DecimalType(38, 0))).as(s"h$k"),
+            sum(col("b.x").cast(DecimalType(38, 0))).as(s"t$k"))
+      }
+      val joined = lagAggs.foldLeft(g)((acc, d) => acc.crossJoin(d))
+      val cks = joined
+        .withColumn("c0", expr(
+          "CAST(n AS DECIMAL(38,0)) * n * sxx - CAST(n AS DECIMAL(38,0)) * s * (s + s) + n * s * s"))
+        .withColumn("c1", expr(
+          "CAST(n AS DECIMAL(38,0)) * n * sxy1 - CAST(n AS DECIMAL(38,0)) * s * (h1 + t1) + (n - 1) * s * s"))
+        .withColumn("c2", expr(
+          "CAST(n AS DECIMAL(38,0)) * n * sxy2 - CAST(n AS DECIMAL(38,0)) * s * (h2 + t2) + (n - 2) * s * s"))
+        .withColumn("c3", expr(
+          "CAST(n AS DECIMAL(38,0)) * n * sxy3 - CAST(n AS DECIMAL(38,0)) * s * (h3 + t3) + (n - 3) * s * s"))
+      cks.select($"n".as("n_days"),
+        when($"c0" === 0, lit(null)).otherwise(expr(pacf1Sql)).as("pacf1"),
+        when($"c0" === 0 || abs($"c1") === $"c0", lit(null))
+          .otherwise(expr(pacf2Sql)).as("pacf2"),
+        when($"c0" === 0 || abs($"c1") === $"c0", lit(null))
+          .otherwise(expr(pacf3Sql)).as("pacf3"))
+    },
+    oracle = Some(
+      s"""WITH daily AS (
+         |  SELECT date_trunc('day', o_orderdate) AS day,
+         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS x
+         |  FROM orders GROUP BY 1),
+         |idx AS (SELECT x, row_number() OVER (ORDER BY day) AS i FROM daily),
+         |g AS (
+         |  SELECT COUNT(*) AS n, SUM(CAST(x AS HUGEINT)) AS s,
+         |    SUM(CAST(x AS HUGEINT) * x) AS sxx
+         |  FROM idx),
+         |l1 AS (
+         |  SELECT SUM(CAST(a.x AS HUGEINT) * b.x) AS sxy1,
+         |    SUM(CAST(a.x AS HUGEINT)) AS h1, SUM(CAST(b.x AS HUGEINT)) AS t1
+         |  FROM idx a JOIN idx b ON b.i = a.i + 1),
+         |l2 AS (
+         |  SELECT SUM(CAST(a.x AS HUGEINT) * b.x) AS sxy2,
+         |    SUM(CAST(a.x AS HUGEINT)) AS h2, SUM(CAST(b.x AS HUGEINT)) AS t2
+         |  FROM idx a JOIN idx b ON b.i = a.i + 2),
+         |l3 AS (
+         |  SELECT SUM(CAST(a.x AS HUGEINT) * b.x) AS sxy3,
+         |    SUM(CAST(a.x AS HUGEINT)) AS h3, SUM(CAST(b.x AS HUGEINT)) AS t3
+         |  FROM idx a JOIN idx b ON b.i = a.i + 3),
+         |cks AS (
+         |  SELECT n,
+         |    CAST(n AS HUGEINT) * n * sxx - CAST(n AS HUGEINT) * s * (s + s) + n * s * s AS c0,
+         |    CAST(n AS HUGEINT) * n * sxy1 - CAST(n AS HUGEINT) * s * (h1 + t1) + (n - 1) * s * s AS c1,
+         |    CAST(n AS HUGEINT) * n * sxy2 - CAST(n AS HUGEINT) * s * (h2 + t2) + (n - 2) * s * s AS c2,
+         |    CAST(n AS HUGEINT) * n * sxy3 - CAST(n AS HUGEINT) * s * (h3 + t3) + (n - 3) * s * s AS c3
+         |  FROM g, l1, l2, l3)
+         |SELECT n AS n_days,
+         |  CASE WHEN c0 = 0 THEN NULL ELSE $pacf1Sql END AS pacf1,
+         |  CASE WHEN c0 = 0 OR abs(c1) = c0 THEN NULL ELSE $pacf2Sql END
+         |    AS pacf2,
+         |  CASE WHEN c0 = 0 OR abs(c1) = c0 THEN NULL ELSE $pacf3Sql END
+         |    AS pacf3
+         |FROM cks""".stripMargin))
+
   val all: Vector[Q] = Vector(
     qFunnel, qCohortRetention, qTsGapfill, qHistBinned,
     qAnomalyZscore, qAggIncremental, qTsEwma, qTsOhlc, qTsInterpolate,
     qTsAutocorr, qViewIncrementalJoin, qProfileTable, qTsHolt,
     qTsSeasonal, qTsCusum, qProfileSkew, qAnomalyMad, qTsStreaks,
-    qEventsDauWau, qEventsInterarrival, qTsM4, qFunnelTime)
+    qEventsDauWau, qEventsInterarrival, qTsM4, qFunnelTime, qTsPacf)
 }

@@ -1449,10 +1449,87 @@ object StatQueries {
         |FROM m
         |ORDER BY event_type""".stripMargin))
 
+  /** q_ts_kalman — 1-D KALMAN FILTER (local-level model) over the
+    * daily traded-value series: x_t = x_{t−1} + w (process var Q),
+    * y_t = x_t + v (obs var R) — the optimal online smoother the EWMA
+    * family approximates with a FIXED gain; the Kalman gain ADAPTS,
+    * starting high (trust the data while uncertain) and converging to
+    * the steady state √(Q/R)-ish — the estimator a streaming pipeline
+    * runs as mapGroupsWithState, here in its batch-replay form.
+    *
+    * Exact-integer discipline (the q_ts_macd device, one step further:
+    * the recurrence has a data-independent VARIANCE chain feeding a
+    * data-dependent LEVEL chain): level in exact milli-cents; P, Q, R
+    * in dollar² units (the gain is scale-free, so variance units are
+    * free to choose and keep every product < 2⁶³); per step
+    *   Pp = P + Q;  k_ppm = Pp·10⁶ div (Pp + R);
+    *   L += k_ppm·(y_milli − L) div 10⁶;  P = (10⁶ − k_ppm)·Pp div 10⁶
+    * seeded L₁ = y₁_milli, P₁ = R, k₁ = 0. All operands exact Longs;
+    * the only signed division is k·innovation, truncation toward zero
+    * identical in both engines (the Holt lesson). Headroom: k·innov
+    * needs |y| ≤ 9.2e12 milli-cents ≈ $9.2B/day; past that, drop to
+    * centi-cents or promote via DECIMAL(38,0). Q = 10⁶, R = 10⁸
+    * (a 1:100 signal-to-noise prior → steady-state gain ≈ 0.095).
+    *
+    * Scale: one partial agg to the bounded day domain, then the
+    * single-pass O(1)-state chain (sortWithinPartitions +
+    * mapPartitions); per-symbol series would partition by symbol. The
+    * twin replays every (P, k, L) step via WITH RECURSIVE. */
+  val qTsKalman: Q = Q(
+    "q_ts_kalman",
+    (s, dir) => {
+      import s.implicits._
+      val daily = Tables.events(s, dir)
+        .groupBy(to_date(date_trunc("day", $"ts")).as("day"))
+        .agg((sum(dec2($"value")) * 100).cast(LongType).as("v"))
+      daily.coalesce(1).sortWithinPartitions($"day")
+        .as[(java.sql.Date, Long)]
+        .mapPartitions { it =>
+          var lvl = 0L; var p = 0L; var first = true
+          it.map { case (day, v) =>
+            val ym = v * 1000L
+            var k = 0L
+            if (first) { lvl = ym; p = 100000000L; first = false }
+            else {
+              val pp = p + 1000000L
+              k = pp * 1000000L / (pp + 100000000L)
+              lvl = lvl + k * (ym - lvl) / 1000000L
+              p = (1000000L - k) * pp / 1000000L
+            }
+            (day, lvl, k, p)
+          }
+        }
+        .toDF("day", "level_milli", "gain_ppm", "p_var")
+        .orderBy($"day")
+    },
+    oracle = Some(
+      """WITH RECURSIVE daily AS (
+        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS v
+        |  FROM events GROUP BY 1),
+        |seq AS (
+        |  SELECT day, v, row_number() OVER (ORDER BY day) AS i FROM daily),
+        |rec AS (
+        |  SELECT i, day, v * 1000 AS lvl, CAST(0 AS BIGINT) AS k,
+        |    CAST(100000000 AS BIGINT) AS p
+        |  FROM seq WHERE i = 1
+        |  UNION ALL
+        |  SELECT s.i, s.day,
+        |    r.lvl + ((r.p + 1000000) * 1000000 // (r.p + 1000000 + 100000000))
+        |      * (s.v * 1000 - r.lvl) // 1000000,
+        |    (r.p + 1000000) * 1000000 // (r.p + 1000000 + 100000000),
+        |    (1000000 - (r.p + 1000000) * 1000000
+        |        // (r.p + 1000000 + 100000000))
+        |      * (r.p + 1000000) // 1000000
+        |  FROM rec r JOIN seq s ON s.i = r.i + 1)
+        |SELECT day, lvl AS level_milli, k AS gain_ppm, p AS p_var
+        |FROM rec
+        |ORDER BY day""".stripMargin))
+
   val all: Vector[Q] = Vector(
     qTsDrawdown, qWinBollinger, qAggCorr, qEventsMarkov,
     qAbChisquare, qSkyline, qEventsAttribution, qEventsRfm, qAggMoments,
     qTsCrossCorr, qTsVwap, qTsLogReturns, qTsMacd, qTsRsi, qTsStochastic,
     qTsObv, qTsAtr, qStatOls, qStatMannKendall, qStatTheilsen,
-    qEventsLorenz, qTsHurst)
+    qEventsLorenz, qTsHurst, qTsKalman)
 }

@@ -541,4 +541,39 @@ class AnalyticsSpec extends AnyFunSuite with SparkFixture {
     // concentration is real: the top decile holds more than 10%
     assert(got.last.getLong(3) > 100000L)
   }
+
+  test("pacf lags 1-3 match a naive BigInt autocovariance + Durbin-Levinson recompute") {
+    import spark.implicits._
+    val xs = Tables.orders(spark, sfDir)
+      .groupBy(org.apache.spark.sql.functions.date_trunc(
+        "day", $"o_orderdate").as("day"))
+      .agg((org.apache.spark.sql.functions.sum(Dsl.dec2($"o_totalprice"))
+        * 100).cast("long").as("x"))
+      .orderBy($"day").as[(java.sql.Timestamp, Long)].collect().map(_._2)
+      .map(BigInt(_))
+    val n = xs.length
+    val sTot = xs.sum
+    def ck(k: Int): BigInt = {
+      val sxy = (0 until n - k).map(t => xs(t) * xs(t + k)).sum
+      val h = xs.take(n - k).sum; val t = xs.drop(k).sum
+      BigInt(n) * n * sxy - BigInt(n) * sTot * (h + t) +
+        BigInt(n - k) * sTot * sTot
+    }
+    val c0 = ck(0).toDouble
+    val (r1, r2, r3) = (ck(1).toDouble / c0, ck(2).toDouble / c0,
+      ck(3).toDouble / c0)
+    val phi22 = (r2 - r1 * r1) / (1.0 - r1 * r1)
+    val phi21 = r1 - phi22 * r1
+    val phi33 = (r3 - phi21 * r2 - phi22 * r1) /
+      (1.0 - phi21 * r1 - phi22 * r2)
+    val row = Catalog.byName("q_ts_pacf").build(spark, sfDir).collect()
+    assert(row.length == 1)
+    assert(row(0).getLong(0) == n)
+    assert(math.abs(row(0).getDouble(1) - r1) < 1e-5)
+    assert(math.abs(row(0).getDouble(2) - phi22) < 1e-5)
+    assert(math.abs(row(0).getDouble(3) - phi33) < 1e-5)
+    Seq(1, 2, 3).foreach(i =>
+      assert(math.abs(row(0).getDouble(i)) <= 1.0,
+        s"pacf$i out of [-1,1]: ${row(0).getDouble(i)}"))
+  }
 }

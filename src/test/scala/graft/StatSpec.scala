@@ -293,4 +293,38 @@ class StatSpec extends AnyFunSuite with SparkFixture {
       assert(hGot > -0.5 && hGot < 1.5, s"$t: implausible hurst $hGot")
     }
   }
+
+  test("kalman level/gain/variance equal an exact sequential integer replay") {
+    import spark.implicits._
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(org.apache.spark.sql.functions.to_date(
+        org.apache.spark.sql.functions.date_trunc("day", $"ts")).as("day"))
+      .agg((Dsl.dec2(org.apache.spark.sql.functions.sum(Dsl.dec2($"value")))
+        * 100).cast("long").as("v"))
+      .as[(java.sql.Date, Long)].collect()
+      .sortBy(_._1.toLocalDate.toEpochDay)
+    val got = Catalog.byName("q_ts_kalman").build(spark, sfDir)
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(got.length == daily.length && got.nonEmpty)
+    var lvl = 0L; var p = 0L
+    val naive = daily.zipWithIndex.map { case ((day, v), i) =>
+      val ym = v * 1000L
+      var k = 0L
+      if (i == 0) { lvl = ym; p = 100000000L }
+      else {
+        val pp = p + 1000000L
+        k = pp * 1000000L / (pp + 100000000L)
+        lvl = lvl + k * (ym - lvl) / 1000000L
+        p = (1000000L - k) * pp / 1000000L
+      }
+      (day.toString, lvl, k, p)
+    }
+    assert(got.toSeq == naive.toSeq)
+    // the adaptive-gain property EWMA lacks: gain decays from its
+    // uncertain start toward the steady state, never increasing
+    val gains = got.map(_._3).drop(1)
+    assert(gains.zip(gains.drop(1)).forall { case (a, b) => b <= a })
+    assert(gains.head > 400000L && gains.last < 110000L)
+  }
 }
