@@ -1027,8 +1027,109 @@ object StatTestQueries {
         |          ELSE c_levels - 1 END), 6) AS cramers_v
         |FROM agg""".stripMargin))
 
+  /** Shared CASE text mapping a 4-hex-digit md5 prefix (uniform on
+    * [0, 65536)) through the Poisson(1) inverse CDF — cutoffs are the
+    * exact floor(CDF·65536) hex constants, so weight assignment is a
+    * STRING comparison decided identically in both engines (the
+    * md5Gate device, extended from keep/drop to an integer weight). */
+  private def poissonW(h: String): String =
+    s"""(CASE WHEN $h < '5e2d' THEN 0 WHEN $h < 'bc5a' THEN 1
+       | WHEN $h < 'eb71' THEN 2 WHEN $h < 'fb23' THEN 3
+       | WHEN $h < 'ff10' THEN 4 WHEN $h < 'ffd9' THEN 5
+       | ELSE 6 END)""".stripMargin
+
+  /** q_stat_bootstrap — POISSON BOOTSTRAP confidence interval for the
+    * per-type mean value: 64 deterministic replicates, each reweighting
+    * every row by an independent Poisson(1) draw — the
+    * large-scale-bootstrap construction (resampling WITH replacement ≈
+    * independent Poisson(1) multiplicities when n is large), the
+    * production answer to "what's the error bar" when the data cannot
+    * be collected to one machine for a classical resample (the
+    * Chamandy-et-al streaming-bootstrap idea, in batch form).
+    *
+    * Determinism: the draw for (row, replicate b) is the first 4 md5
+    * hex digits of "event_id-b" pushed through [[poissonW]]'s exact
+    * string-compare inverse CDF — a pure function of the row, identical
+    * across engines/partitionings/retries, auditable per row (the
+    * md5Gate contract). Replicate means are quantized ONCE to exact
+    * integer micro-cents (swc·10⁶ div sw — the BM25 idf device), so the
+    * p5/p50/p95 order statistics over the 64 means are integer
+    * ROW_NUMBER picks under the unique (mean, b) sort — no float ever
+    * orders anything. sw = 0 (a replicate zeroing out every row —
+    * impossible at any real n, possible at n ≲ 10) yields no mean and
+    * the ROW_NUMBER picks shift accordingly, identically in both
+    * engines.
+    *
+    * Scale: the 64× fan-out happens in the PROJECTION (narrow explode),
+    * then partial aggregation collapses to |types|·64 rows BEFORE the
+    * only shuffle — map-side combine absorbs the multiplication, the
+    * shuffle carries 320 rows no matter how many events exist. The
+    * order-statistic windows run over that bounded table. Headroom:
+    * Σw·c ≤ 6·n·c_max needs n ≲ 2.7e13 rows/type at $560 values before
+    * DECIMAL promotion. */
+  val qStatBootstrap: Q = Q(
+    "q_stat_bootstrap",
+    (s, dir) => {
+      import s.implicits._
+      val weighted = Tables.events(s, dir)
+        .select($"event_type", $"event_id",
+          (dec2($"value") * 100).cast(LongType).as("c"),
+          explode(sequence(lit(1), lit(64))).as("b"))
+        .withColumn("h", substring(
+          md5(concat($"event_id".cast(StringType), lit("-"),
+            $"b".cast(StringType))), 1, 4))
+        .withColumn("w", expr(poissonW("h")))
+      val reps = weighted.groupBy($"event_type", $"b")
+        .agg(sum($"w").as("sw"), sum($"w" * $"c").as("swc"))
+        .where($"sw" > 0)
+        .withColumn("mean_micro", expr("swc * 1000000 div sw"))
+      val ranked = reps.withColumn("rk",
+        row_number().over(Window.partitionBy($"event_type")
+          .orderBy($"mean_micro", $"b")))
+        .withColumn("nb", count(lit(1))
+          .over(Window.partitionBy($"event_type")))
+      ranked.groupBy($"event_type")
+        .agg(max($"nb").as("n_reps"),
+          min(when($"rk" === expr("CAST(ceil(nb * 0.05) AS BIGINT)"),
+            $"mean_micro")).as("p5_micro"),
+          min(when($"rk" === expr("CAST(ceil(nb * 0.50) AS BIGINT)"),
+            $"mean_micro")).as("p50_micro"),
+          min(when($"rk" === expr("CAST(ceil(nb * 0.95) AS BIGINT)"),
+            $"mean_micro")).as("p95_micro"))
+        .orderBy($"event_type")
+    },
+    oracle = Some(
+      s"""WITH weighted AS (
+         |  SELECT event_type, b,
+         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+         |    ${poissonW("substring(md5(CAST(event_id AS VARCHAR) || '-' || CAST(b AS VARCHAR)), 1, 4)")} AS w
+         |  FROM events
+         |  CROSS JOIN (SELECT unnest(range(1, 65)) AS b)),
+         |reps AS (
+         |  SELECT event_type, b, CAST(SUM(w) AS BIGINT) AS sw,
+         |    CAST(SUM(w * c) AS BIGINT) AS swc
+         |  FROM weighted GROUP BY 1, 2),
+         |mm AS (
+         |  SELECT event_type, b, swc * 1000000 // sw AS mean_micro
+         |  FROM reps WHERE sw > 0),
+         |ranked AS (
+         |  SELECT event_type, mean_micro,
+         |    row_number() OVER (PARTITION BY event_type
+         |      ORDER BY mean_micro, b) AS rk,
+         |    COUNT(*) OVER (PARTITION BY event_type) AS nb
+         |  FROM mm)
+         |SELECT event_type, MAX(nb) AS n_reps,
+         |  MIN(CASE WHEN rk = CAST(ceil(nb * 0.05) AS BIGINT)
+         |    THEN mean_micro END) AS p5_micro,
+         |  MIN(CASE WHEN rk = CAST(ceil(nb * 0.50) AS BIGINT)
+         |    THEN mean_micro END) AS p50_micro,
+         |  MIN(CASE WHEN rk = CAST(ceil(nb * 0.95) AS BIGINT)
+         |    THEN mean_micro END) AS p95_micro
+         |FROM ranked GROUP BY event_type
+         |ORDER BY event_type""".stripMargin))
+
   val all: Vector[Q] =
     Vector(qStatWelchT, qStatMannWhitney, qStatKs, qStatGini, qStatPettitt,
       qStatKruskal, qStatAnova, qStatSpearman, qStatLevene, qStatFriedman,
-      qStatJarqueBera, qStatRuns, qStatCramersV)
+      qStatJarqueBera, qStatRuns, qStatCramersV, qStatBootstrap)
 }

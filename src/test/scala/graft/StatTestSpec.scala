@@ -402,4 +402,44 @@ class StatTestSpec extends AnyFunSuite with SparkFixture {
     assert(math.abs(row(0).getDouble(4) - v) < 1e-6)
     assert(row(0).getDouble(4) >= 0.0 && row(0).getDouble(4) <= 1.0)
   }
+
+  test("Poisson bootstrap CI equals a naive md5-weight replay and brackets the mean") {
+    import spark.implicits._
+    val data = Tables.events(spark, sfDir)
+      .select($"event_type", $"event_id",
+        (Dsl.dec2($"value") * 100).cast("long"))
+      .as[(String, Long, Long)].collect()
+    def hex4(key: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(key.getBytes("UTF-8"))
+      d.take(2).map(b => f"${b & 0xff}%02x").mkString
+    }
+    val cuts = Seq("5e2d", "bc5a", "eb71", "fb23", "ff10", "ffd9")
+    def w(h: String): Long = cuts.indexWhere(h < _) match {
+      case -1 => 6L; case i => i.toLong
+    }
+    val got = Catalog.byName("q_stat_bootstrap").build(spark, sfDir)
+      .collect().map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got.size == 5)
+    got.foreach { case (t, (nReps, p5, p50, p95)) =>
+      val rows = data.filter(_._1 == t)
+      val means = (1 to 64).flatMap { b =>
+        var sw = 0L; var swc = 0L
+        rows.foreach { case (_, id, c) =>
+          val ww = w(hex4(s"$id-$b")); sw += ww; swc += ww * c
+        }
+        if (sw > 0) Some((swc * 1000000L / sw, b.toLong)) else None
+      }.sorted
+      assert(nReps == means.size)
+      def pick(q: Double): Long =
+        means(math.ceil(means.size * q).toInt - 1)._1
+      assert((p5, p50, p95) == ((pick(0.05), pick(0.50), pick(0.95))),
+        s"$t: ${(p5, p50, p95)} != naive")
+      assert(p5 <= p50 && p50 <= p95)
+      // the CI must bracket the full-sample mean at these n
+      val mean = rows.map(_._3).sum * 1000000L / rows.size
+      assert(p5 <= mean && mean <= p95, s"$t: mean $mean outside [$p5,$p95]")
+    }
+  }
 }
