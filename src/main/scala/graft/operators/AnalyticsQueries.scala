@@ -1482,15 +1482,24 @@ object AnalyticsQueries {
     * calendar gap counts as adjacency — same convention as the ACF
     * row's date-shift, documented difference: PACF needs even spacing,
     * index position is the standard approximation. */
+  /** The indexed daily series is referenced SEVEN times (the global
+    * moment agg + both sides of three lag self-joins); un-persisted,
+    * each reference re-derives the fact aggregation — seven full fact
+    * scans for a calendar-bounded frame (the RFM/M4 persisted-stage
+    * argument). */
+  private val pacfCache = new graft.Memo[(SparkSession, String), DataFrame]
+
   val qTsPacf: Q = Q(
     "q_ts_pacf",
     (s, dir) => {
       import s.implicits._
-      val daily = Tables.orders(s, dir)
-        .groupBy(date_trunc("day", $"o_orderdate").as("day"))
-        .agg((sum(dec2($"o_totalprice")) * 100).cast(LongType).as("x"))
-      val idx = daily.withColumn("i",
-        row_number().over(Window.orderBy($"day")))
+      val idx = pacfCache((s, dir)) {
+        Tables.orders(s, dir)
+          .groupBy(date_trunc("day", $"o_orderdate").as("day"))
+          .agg((sum(dec2($"o_totalprice")) * 100).cast(LongType).as("x"))
+          .withColumn("i", row_number().over(Window.orderBy($"day")))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }
       val g = idx.agg(count(lit(1)).as("n"),
         sum($"x".cast(DecimalType(38, 0))).as("s"),
         sum($"x".cast(DecimalType(38, 0)) * $"x").as("sxx"))

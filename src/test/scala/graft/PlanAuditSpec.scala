@@ -790,4 +790,70 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
           s"$name: no $key-partitioned window found:\n${windowLines.mkString("\n")}")
       }
   }
+
+  test("new stat rows are single-scan: one partial-agg shuffle, no joins") {
+    // jarque-bera / runs / friedman collapse the fact table through ONE
+    // partial aggregation; everything after runs over the bounded
+    // (type x day) domain. A second parquet scan or any join would mean
+    // the decomposition regressed to a multi-pass shape.
+    Seq("q_stat_jarque_bera", "q_stat_runs", "q_stat_friedman").foreach {
+      name =>
+        val p = planOf(name)
+        val scans = p.linesIterator.count(_.contains("Scan parquet"))
+        assert(scans == 1, s"$name: expected 1 fact scan, got $scans:\n$p")
+        assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+          s"$name: no join belongs in this plan:\n$p")
+    }
+  }
+
+  test("q_stat_cramers_v scans once; margins attach via bounded windows") {
+    val p = planOf("q_stat_cramers_v")
+    val scans = p.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"expected 1 fact scan, got $scans:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"margin windows must not become joins:\n$p")
+  }
+
+  test("q_stat_bootstrap fans out in the projection, aggregates before the shuffle") {
+    val p = planOf("q_stat_bootstrap")
+    assert(p.contains("Generate explode"),
+      s"the 64-replicate fan-out must be a narrow explode:\n$p")
+    val scans = p.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"expected 1 fact scan, got $scans:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"no join belongs in this plan:\n$p")
+    // partial aggregation must sit under (print: after) the bottom-most
+    // exchange so the shuffle carries |types|*64 combined rows, not the
+    // exploded fact stream
+    val lines = p.linesIterator.toVector
+    val lastEx = lines.lastIndexWhere(_.contains("Exchange hashpartitioning"))
+    val lastPartial = lines.lastIndexWhere(_.contains("partial_sum"))
+    assert(lastEx >= 0 && lastPartial > lastEx,
+      s"map-side combine must sit below the first exchange:\n$p")
+  }
+
+  test("q_ts_kalman: one day-domain agg feeds the O(1)-state chain") {
+    val p = planOf("q_ts_kalman")
+    val scans = p.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"expected 1 fact scan, got $scans:\n$p")
+    assert(p.contains("Coalesce 1"),
+      s"the sequential chain runs in one partition by construction:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("q_ts_pacf reads the persisted day index, never re-scanning the facts") {
+    val p = planOf("q_ts_pacf")
+    // Scan-line counts are not pinned (InMemoryTableScan re-prints its
+    // cached child plan); the InMemory reads are the contract.
+    val imts = p.linesIterator.count(_.contains("InMemoryTableScan"))
+    assert(imts >= 7,
+      s"all seven series references must read the persisted stage, got $imts:\n$p")
+  }
+
+  test("q_dedup_containment pairs candidates via an equi join, never all-pairs") {
+    val p = planOf("q_dedup_containment")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"containment must join on the block key:\n$p")
+  }
 }
