@@ -1475,6 +1475,62 @@ object StatQueries {
     * single-pass O(1)-state chain (sortWithinPartitions +
     * mapPartitions); per-symbol series would partition by symbol. The
     * twin replays every (P, k, L) step via WITH RECURSIVE. */
+  /** The filter chain itself, factored so the batch row and the
+    * streaming maintenance row ([[graft.streaming.StreamingQueries]]'s
+    * q_stream_kalman) run the IDENTICAL integer recurrence over a
+    * (day, v-cents) frame — one definition, one oracle text. */
+  private[graft] def kalmanChain(s: SparkSession, daily: DataFrame)
+      : DataFrame = {
+    import s.implicits._
+    daily.coalesce(1).sortWithinPartitions($"day")
+      .as[(java.sql.Date, Long)]
+      .mapPartitions { it =>
+        var lvl = 0L; var p = 0L; var first = true
+        it.map { case (day, v) =>
+          val ym = v * 1000L
+          var k = 0L
+          if (first) { lvl = ym; p = 100000000L; first = false }
+          else {
+            val pp = p + 1000000L
+            k = pp * 1000000L / (pp + 100000000L)
+            lvl = lvl + k * (ym - lvl) / 1000000L
+            p = (1000000L - k) * pp / 1000000L
+          }
+          (day, lvl, k, p)
+        }
+      }
+      .toDF("day", "level_milli", "gain_ppm", "p_var")
+      .orderBy($"day")
+  }
+
+  /** The twin text, shared verbatim by q_ts_kalman and q_stream_kalman
+    * (the streaming row's oracle IS the batch recompute — the
+    * q_stream_daily_agg monoid argument extended through a derived
+    * estimator). */
+  private[graft] val kalmanOracle: String =
+    """WITH RECURSIVE daily AS (
+      |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS v
+      |  FROM events GROUP BY 1),
+      |seq AS (
+      |  SELECT day, v, row_number() OVER (ORDER BY day) AS i FROM daily),
+      |rec AS (
+      |  SELECT i, day, v * 1000 AS lvl, CAST(0 AS BIGINT) AS k,
+      |    CAST(100000000 AS BIGINT) AS p
+      |  FROM seq WHERE i = 1
+      |  UNION ALL
+      |  SELECT s.i, s.day,
+      |    r.lvl + ((r.p + 1000000) * 1000000 // (r.p + 1000000 + 100000000))
+      |      * (s.v * 1000 - r.lvl) // 1000000,
+      |    (r.p + 1000000) * 1000000 // (r.p + 1000000 + 100000000),
+      |    (1000000 - (r.p + 1000000) * 1000000
+      |        // (r.p + 1000000 + 100000000))
+      |      * (r.p + 1000000) // 1000000
+      |  FROM rec r JOIN seq s ON s.i = r.i + 1)
+      |SELECT day, lvl AS level_milli, k AS gain_ppm, p AS p_var
+      |FROM rec
+      |ORDER BY day""".stripMargin
+
   val qTsKalman: Q = Q(
     "q_ts_kalman",
     (s, dir) => {
@@ -1482,49 +1538,9 @@ object StatQueries {
       val daily = Tables.events(s, dir)
         .groupBy(to_date(date_trunc("day", $"ts")).as("day"))
         .agg((sum(dec2($"value")) * 100).cast(LongType).as("v"))
-      daily.coalesce(1).sortWithinPartitions($"day")
-        .as[(java.sql.Date, Long)]
-        .mapPartitions { it =>
-          var lvl = 0L; var p = 0L; var first = true
-          it.map { case (day, v) =>
-            val ym = v * 1000L
-            var k = 0L
-            if (first) { lvl = ym; p = 100000000L; first = false }
-            else {
-              val pp = p + 1000000L
-              k = pp * 1000000L / (pp + 100000000L)
-              lvl = lvl + k * (ym - lvl) / 1000000L
-              p = (1000000L - k) * pp / 1000000L
-            }
-            (day, lvl, k, p)
-          }
-        }
-        .toDF("day", "level_milli", "gain_ppm", "p_var")
-        .orderBy($"day")
+      kalmanChain(s, daily)
     },
-    oracle = Some(
-      """WITH RECURSIVE daily AS (
-        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
-        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS v
-        |  FROM events GROUP BY 1),
-        |seq AS (
-        |  SELECT day, v, row_number() OVER (ORDER BY day) AS i FROM daily),
-        |rec AS (
-        |  SELECT i, day, v * 1000 AS lvl, CAST(0 AS BIGINT) AS k,
-        |    CAST(100000000 AS BIGINT) AS p
-        |  FROM seq WHERE i = 1
-        |  UNION ALL
-        |  SELECT s.i, s.day,
-        |    r.lvl + ((r.p + 1000000) * 1000000 // (r.p + 1000000 + 100000000))
-        |      * (s.v * 1000 - r.lvl) // 1000000,
-        |    (r.p + 1000000) * 1000000 // (r.p + 1000000 + 100000000),
-        |    (1000000 - (r.p + 1000000) * 1000000
-        |        // (r.p + 1000000 + 100000000))
-        |      * (r.p + 1000000) // 1000000
-        |  FROM rec r JOIN seq s ON s.i = r.i + 1)
-        |SELECT day, lvl AS level_milli, k AS gain_ppm, p AS p_var
-        |FROM rec
-        |ORDER BY day""".stripMargin))
+    oracle = Some(kalmanOracle))
 
   val all: Vector[Q] = Vector(
     qTsDrawdown, qWinBollinger, qAggCorr, qEventsMarkov,

@@ -654,9 +654,73 @@ object StreamingQueries {
         |FROM daily
         |ORDER BY day""".stripMargin))
 
+  /** q_stream_kalman — STREAMING STATE ESTIMATION, the third streaming
+    * ORACLE row: the day-keyed cents-sum monoid table is maintained
+    * incrementally via foreachBatch (the [[qStreamDailyAgg]] machinery,
+    * own state dir, shared staged chunks), and after the stream drains
+    * the EXACT q_ts_kalman integer filter chain runs over the
+    * maintained table — "keep cheap mergeable state hot in-stream,
+    * derive the estimator from it on demand", the pattern that replaces
+    * a bespoke stateful filter operator whenever the estimator is a
+    * deterministic function of monoid state.
+    *
+    * ORACLE-ELIGIBILITY: batch slicing cannot move the result — the
+    * maintained table is a commutative-monoid fold in exact integers
+    * (≡ the batch daily aggregate bit-for-bit, the qStreamDailyAgg
+    * argument), and [[graft.operators.StatQueries.kalmanChain]] is a
+    * pure function of that table. The twin is therefore the SAME
+    * WITH RECURSIVE replay q_ts_kalman uses, verbatim (shared val).
+    *
+    * Scale: per batch one partial agg of the batch's rows + a merge
+    * over the bounded day domain; the filter chain is the O(1)-state
+    * single pass over ≤ |days| rows. */
+  val qStreamKalman: Q = Q(
+    "q_stream_kalman",
+    (s, dir) => {
+      import s.implicits._
+      val inDir = UpsertStage.inDir(s, dir)
+      val state = UpsertStage.stateDir(dir) + "_kalman"
+      def partials(df: DataFrame): DataFrame =
+        df.groupBy(to_date(date_trunc("day", col("ts"))).as("day"))
+          .agg((sum(col("value").cast(org.apache.spark.sql.types
+            .DecimalType(18, 2))) * 100)
+            .cast(org.apache.spark.sql.types.LongType).as("v"))
+      val src = graft.Tables.normalizeTs(
+        s.readStream.schema(UpsertStage.schema(s, inDir))
+          .option("maxFilesPerTrigger", 1).parquet(inDir))
+      val pKey = "spark.sql.shuffle.partitions"
+      val prevP = s.conf.get(pKey)
+      s.conf.set(pKey, s.conf.get("spark.graft.replay.shufflePartitions", "4"))
+      try {
+        val q = src.writeStream
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            val bs = batch.sparkSession
+            val bp = partials(batch)
+            val merged =
+              if (id == 0L) bp
+              else bs.read.parquet(state).unionByName(bp)
+                .groupBy(col("day"))
+                .agg(sum(col("v")).as("v"))
+            merged.localCheckpoint(eager = true)
+              .write.mode("overwrite").parquet(state)
+            ()
+          }
+          .start()
+        if (!q.awaitTermination(300000)) {
+          q.stop()
+          throw new IllegalStateException(
+            "q_stream_kalman replay did not finish within 300 s")
+        }
+      } finally s.conf.set(pKey, prevP)
+      graft.operators.StatQueries.kalmanChain(s,
+        s.read.parquet(state).select(col("day"), col("v")))
+    },
+    oracle = Some(graft.operators.StatQueries.kalmanOracle))
+
   val all: Vector[Q] = Vector(qWindowTumblingBatch,
     qStreamTumbling, qStreamSliding, qStreamSession, qStreamDedup,
     qStreamStateful, qStreamStatefulTws, qStreamQualityFilter,
-    qStreamModelScore, qStreamCountmin, qStreamOhlc, qStreamUpsert,
+    qStreamModelScore, qStreamCountmin, qStreamOhlc, qStreamUpsert, qStreamKalman,
     qStreamDailyAgg)
 }

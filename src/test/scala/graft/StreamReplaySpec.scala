@@ -271,4 +271,18 @@ class StreamReplaySpec extends AnyFunSuite with SparkFixture {
     // (batch 0 resets; newest-wins is idempotent).
     assert(run() == first)
   }
+
+  test("q_stream_kalman: the stream-maintained filter equals the batch chain exactly") {
+    // The oracle already proves stream == DuckDB replay; this pins the
+    // stronger engine-side claim the row's doc makes: the maintained
+    // monoid table feeds the IDENTICAL kalmanChain the batch row runs,
+    // so the two catalog rows are bit-equal, column for column.
+    val stream = Catalog.byName("q_stream_kalman").build(spark, sfDir)
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1),
+        r.getLong(2), r.getLong(3))).toSeq
+    val batch = Catalog.byName("q_ts_kalman").build(spark, sfDir)
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1),
+        r.getLong(2), r.getLong(3))).toSeq
+    assert(stream.nonEmpty && stream == batch)
+  }
 }
