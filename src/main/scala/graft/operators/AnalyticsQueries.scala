@@ -1564,10 +1564,143 @@ object AnalyticsQueries {
          |    AS pacf3
          |FROM cks""".stripMargin))
 
+  /** q_ts_bursts — KLEINBERG TWO-STATE BURST DETECTION over the daily
+    * per-type event counts: a hidden two-state automaton (base rate λ₀
+    * = total/days vs burst rate λ₁ = 3λ₀, entry cost γ·ln T) decoded by
+    * Viterbi — the principled "is this an incident or noise" answer
+    * where a z-score threshold ([[qAnomalyZscore]]) flags isolated
+    * spikes but cannot model PERSISTENCE (a burst is a run of elevated
+    * days; a SHALLOW dip inside it does not split the episode, because
+    * re-entry costs γ·ln T — BurstSpec pins both the bridged-dip case
+    * and the clean split). Kleinberg 2002's batch formulation.
+    *
+    * Determinism: the only transcendentals are three per-type CONSTANTS
+    * (ln λ₀, ln λ₁, ln T), each quantized ONCE to floor(·10⁶) micro-nats
+    * (the perplexity device — libm ulp masked by the floor at 1e-6
+    * resolution); Λ₀ = R·10⁶ div T is exact. The whole DP is then exact
+    * integer min-sum — per-day state costs Λᵢ − n_t·Lᵢ, forward
+    * d₀' = min(d₀, d₁) + σ₀ / d₁' = min(d₁, d₀+G) + σ₁, ties broken by
+    * the explicit ≤-prefers-lower-state rule in both engines, and the
+    * state sequence recovered by the standard backward pass over the
+    * forward table. The twin runs BOTH passes as recursive CTEs (the
+    * forward table materialized, the backward walking it i = T → 1).
+    *
+    * Scale: one partial agg to the bounded (type × day) domain, then a
+    * PER-TYPE O(days)-state chain via groupByKey.flatMapGroups — state
+    * shards with the key (the StatefulCounts argument); nothing global,
+    * nothing driver-side. Headroom: n_t·L₁ needs n_t ≲ 5e11/day at
+    * 10⁹-scale rates before decimal promotion. */
+  /** The decoder itself, factored so BurstSpec can plant synthetic
+    * series (the fixture's near-uniform dailies never burst — the
+    * oracle proves engine agreement; the spec proves DETECTION). */
+  private[graft] def burstChain(
+      s: SparkSession, daily: DataFrame): DataFrame = {
+    import s.implicits._
+    daily.as[(String, java.sql.Date, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (tpe, it) =>
+          val days = it.toVector.sortBy(_._2.toLocalDate.toEpochDay)
+          val t = days.length.toLong
+          val r = days.map(_._3).sum
+          val lam0 = r * 1000000L / t
+          val lam1 = 3L * r * 1000000L / t
+          val l0 = math.floor(
+            math.log(r.toDouble / t) * 1000000L).toLong
+          val l1 = math.floor(
+            math.log(3.0 * r / t) * 1000000L).toLong
+          val g = math.floor(math.log(t.toDouble) * 1000000L).toLong
+          val d0 = new Array[Long](days.length)
+          val d1 = new Array[Long](days.length)
+          days.zipWithIndex.foreach { case ((_, _, n), i) =>
+            val s0 = lam0 - n * l0
+            val s1 = lam1 - n * l1
+            if (i == 0) { d0(0) = s0; d1(0) = g + s1 }
+            else {
+              d0(i) = math.min(d0(i - 1), d1(i - 1)) + s0
+              d1(i) = math.min(d1(i - 1), d0(i - 1) + g) + s1
+            }
+          }
+          val st = new Array[Int](days.length)
+          st(days.length - 1) =
+            if (d0(days.length - 1) <= d1(days.length - 1)) 0 else 1
+          ((days.length - 2) to 0 by -1).foreach { i =>
+            st(i) =
+              if (st(i + 1) == 0) { if (d0(i) <= d1(i)) 0 else 1 }
+              else { if (d1(i) <= d0(i) + g) 1 else 0 }
+          }
+          days.zipWithIndex.map { case ((_, day, n), i) =>
+            (tpe, day, n, st(i).toLong, d0(i), d1(i))
+          }
+        }
+      .toDF("event_type", "day", "n", "burst", "d0_micro", "d1_micro")
+      .orderBy($"event_type", $"day")
+  }
+
+  val qTsBursts: Q = Q(
+    "q_ts_bursts",
+    (s, dir) => {
+      import s.implicits._
+      burstChain(s, Tables.events(s, dir)
+        .groupBy($"event_type",
+          to_date(date_trunc("day", $"ts")).as("day"))
+        .agg(count(lit(1)).as("n")))
+    },
+    oracle = Some(
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |seq AS (
+        |  SELECT event_type, day, CAST(n AS BIGINT) AS n,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS i,
+        |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS t,
+        |    CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT) AS r
+        |  FROM daily),
+        |c AS (
+        |  SELECT DISTINCT event_type, t,
+        |    r * 1000000 // t AS lam0, 3 * r * 1000000 // t AS lam1,
+        |    CAST(floor(ln(CAST(r AS DOUBLE) / t) * 1000000) AS BIGINT) AS l0,
+        |    CAST(floor(ln(3.0 * r / t) * 1000000) AS BIGINT) AS l1,
+        |    CAST(floor(ln(CAST(t AS DOUBLE)) * 1000000) AS BIGINT) AS g
+        |  FROM seq),
+        |fwd AS (
+        |  SELECT s.event_type, s.i, s.day, s.n,
+        |    c.lam0 - s.n * c.l0 AS d0,
+        |    c.g + c.lam1 - s.n * c.l1 AS d1
+        |  FROM seq s JOIN c USING (event_type) WHERE s.i = 1
+        |  UNION ALL
+        |  SELECT s.event_type, s.i, s.day, s.n,
+        |    LEAST(f.d0, f.d1) + c.lam0 - s.n * c.l0,
+        |    LEAST(f.d1, f.d0 + c.g) + c.lam1 - s.n * c.l1
+        |  FROM fwd f
+        |  JOIN seq s ON s.event_type = f.event_type AND s.i = f.i + 1
+        |  JOIN c ON c.event_type = s.event_type),
+        |bwd AS (
+        |  SELECT f.event_type, f.i,
+        |    CASE WHEN f.d0 <= f.d1 THEN 0 ELSE 1 END AS st
+        |  FROM fwd f JOIN c USING (event_type)
+        |  WHERE f.i = (SELECT MAX(i) FROM fwd x
+        |               WHERE x.event_type = f.event_type)
+        |  UNION ALL
+        |  SELECT f.event_type, f.i,
+        |    CASE WHEN b.st = 0 THEN
+        |      CASE WHEN f.d0 <= f.d1 THEN 0 ELSE 1 END
+        |    ELSE
+        |      CASE WHEN f.d1 <= f.d0 + c.g THEN 1 ELSE 0 END
+        |    END
+        |  FROM bwd b
+        |  JOIN fwd f ON f.event_type = b.event_type AND f.i = b.i - 1
+        |  JOIN c ON c.event_type = f.event_type)
+        |SELECT f.event_type, f.day, f.n, CAST(b.st AS BIGINT) AS burst,
+        |  f.d0 AS d0_micro, f.d1 AS d1_micro
+        |FROM fwd f
+        |JOIN bwd b ON b.event_type = f.event_type AND b.i = f.i
+        |ORDER BY f.event_type, f.day""".stripMargin))
+
   val all: Vector[Q] = Vector(
     qFunnel, qCohortRetention, qTsGapfill, qHistBinned,
     qAnomalyZscore, qAggIncremental, qTsEwma, qTsOhlc, qTsInterpolate,
     qTsAutocorr, qViewIncrementalJoin, qProfileTable, qTsHolt,
     qTsSeasonal, qTsCusum, qProfileSkew, qAnomalyMad, qTsStreaks,
-    qEventsDauWau, qEventsInterarrival, qTsM4, qFunnelTime, qTsPacf)
+    qEventsDauWau, qEventsInterarrival, qTsM4, qFunnelTime, qTsPacf, qTsBursts)
 }

@@ -856,4 +856,13 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
       !p.contains("BroadcastNestedLoopJoin"),
       s"containment must join on the block key:\n$p")
   }
+
+  test("q_ts_bursts: one domain agg feeds the per-type keyed chain") {
+    val p = planOf("q_ts_bursts")
+    val scans = p.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"expected 1 fact scan, got $scans:\n$p")
+    assert(p.contains("MapGroups"),
+      s"the decoder must run as a keyed flatMapGroups chain:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
 }
