@@ -1697,10 +1697,111 @@ object AnalyticsQueries {
         |JOIN bwd b ON b.event_type = f.event_type AND b.i = f.i
         |ORDER BY f.event_type, f.day""".stripMargin))
 
+  /** q_ts_holt_winters — HOLT–WINTERS TRIPLE SMOOTHING (additive,
+    * weekly m = 7, α = β = 1/4, γ = 1/2) over the daily traded-value
+    * series: level + trend + a 7-slot seasonal profile, completing the
+    * smoothing ladder EWMA → Holt → Holt–Winters — the forecaster for a
+    * series that both trends AND has the weekday shape q_ts_seasonal
+    * PROFILES but cannot project forward. Emits the one-step-ahead
+    * in-sample forecast (l + b + s_{i−7}, made BEFORE seeing day i) —
+    * the quantity a capacity planner actually consumes.
+    *
+    * Integer fixed-point (the qTsHolt discipline, one state slot wider):
+    * everything in ten-micro-cents (y·10⁴);
+    *   lᵢ = (yᵢ·10⁴ − s_{i−7} + 3(l+b) + 2) tdiv 4
+    *   bᵢ = (lᵢ − lᵢ₋₁ + 3b + 2)              tdiv 4
+    *   sᵢ = (yᵢ·10⁴ − lᵢ + s_{i−7} + 1)      tdiv 2
+    * seeded from the first full week (l₇ = week-1 integer mean, b₇ = 0,
+    * s = day − mean). Deviations go negative, so truncating division
+    * semantics are load-bearing (the pinned Holt lesson); fewer than 8
+    * days yields zero rows in BOTH engines (WHERE-guarded seed, the RSI
+    * device). The twin carries the seasonal ring as seven recursive
+    * columns, rotating by (i−1) mod 7.
+    *
+    * Scale: one partial agg to the bounded day domain, then the O(1)-
+    * state single pass (per-series would partition by key). */
+  val qTsHoltWinters: Q = Q(
+    "q_ts_holt_winters",
+    (s, dir) => {
+      import s.implicits._
+      val daily = Tables.events(s, dir)
+        .groupBy(to_date(date_trunc("day", $"ts")).as("day"))
+        .agg((sum(dec2($"value")) * 100).cast(LongType).as("v"))
+      daily.coalesce(1).sortWithinPartitions($"day")
+        .as[(java.sql.Date, Long)]
+        .mapPartitions { it =>
+          // bounded day domain (calendar-sized) — the seed needs the
+          // first 7 rows before any emission, so materialize the series
+          val days = it.toVector
+          if (days.length < 8) Iterator.empty
+          else {
+            val ym = days.map(_._2 * 10000L)
+            var l = ym.take(7).sum / 7L
+            var b = 0L
+            val ring = new Array[Long](7)
+            (0 until 7).foreach(i => ring(i) = ym(i) - l)
+            (7 until days.length).iterator.map { i =>
+              val p = i % 7
+              val sprev = ring(p)
+              val fit = l + b + sprev
+              val lp = l
+              l = (ym(i) - sprev + 3L * (l + b) + 2L) / 4L
+              b = (l - lp + 3L * b + 2L) / 4L
+              ring(p) = (ym(i) - l + sprev + 1L) / 2L
+              (days(i)._1, l, b, ring(p), fit)
+            }
+          }
+        }
+        .toDF("day", "level_tm", "trend_tm", "seasonal_tm", "fitted_tm")
+        .orderBy($"day")
+    },
+    oracle = Some(
+      """WITH RECURSIVE daily AS (
+        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS v
+        |  FROM events GROUP BY 1),
+        |base AS (
+        |  SELECT day, v, row_number() OVER (ORDER BY day) AS rn FROM daily),
+        |seed AS (
+        |  SELECT 7 AS rn, CAST(NULL AS DATE) AS day,
+        |    (SELECT CAST(SUM(v) * 10000 AS BIGINT) FROM base WHERE rn <= 7)
+        |      // 7 AS l,
+        |    CAST(0 AS BIGINT) AS b, CAST(0 AS BIGINT) AS s_cur,
+        |    CAST(0 AS BIGINT) AS fit,
+        |    MAX(CASE WHEN rn = 1 THEN v * 10000 END) - (SELECT CAST(SUM(v) * 10000 AS BIGINT) FROM base WHERE rn <= 7) // 7 AS s1,
+        |    MAX(CASE WHEN rn = 2 THEN v * 10000 END) - (SELECT CAST(SUM(v) * 10000 AS BIGINT) FROM base WHERE rn <= 7) // 7 AS s2,
+        |    MAX(CASE WHEN rn = 3 THEN v * 10000 END) - (SELECT CAST(SUM(v) * 10000 AS BIGINT) FROM base WHERE rn <= 7) // 7 AS s3,
+        |    MAX(CASE WHEN rn = 4 THEN v * 10000 END) - (SELECT CAST(SUM(v) * 10000 AS BIGINT) FROM base WHERE rn <= 7) // 7 AS s4,
+        |    MAX(CASE WHEN rn = 5 THEN v * 10000 END) - (SELECT CAST(SUM(v) * 10000 AS BIGINT) FROM base WHERE rn <= 7) // 7 AS s5,
+        |    MAX(CASE WHEN rn = 6 THEN v * 10000 END) - (SELECT CAST(SUM(v) * 10000 AS BIGINT) FROM base WHERE rn <= 7) // 7 AS s6,
+        |    MAX(CASE WHEN rn = 7 THEN v * 10000 END) - (SELECT CAST(SUM(v) * 10000 AS BIGINT) FROM base WHERE rn <= 7) // 7 AS s7
+        |  FROM base WHERE rn <= 7
+        |  HAVING (SELECT MAX(rn) FROM base) >= 8),
+        |h AS (
+        |  SELECT * FROM seed
+        |  UNION ALL
+        |  SELECT nx.rn, nx.day,
+        |    ((nx.v * 10000 - (CASE ((nx.rn - 1) % 7) + 1 WHEN 1 THEN h.s1 WHEN 2 THEN h.s2 WHEN 3 THEN h.s3 WHEN 4 THEN h.s4 WHEN 5 THEN h.s5 WHEN 6 THEN h.s6 ELSE h.s7 END) + 3 * (h.l + h.b) + 2) // 4) AS l,
+        |    ((((nx.v * 10000 - (CASE ((nx.rn - 1) % 7) + 1 WHEN 1 THEN h.s1 WHEN 2 THEN h.s2 WHEN 3 THEN h.s3 WHEN 4 THEN h.s4 WHEN 5 THEN h.s5 WHEN 6 THEN h.s6 ELSE h.s7 END) + 3 * (h.l + h.b) + 2) // 4)) - h.l + 3 * h.b + 2) // 4 AS b,
+        |    (((nx.v * 10000 - ((nx.v * 10000 - (CASE ((nx.rn - 1) % 7) + 1 WHEN 1 THEN h.s1 WHEN 2 THEN h.s2 WHEN 3 THEN h.s3 WHEN 4 THEN h.s4 WHEN 5 THEN h.s5 WHEN 6 THEN h.s6 ELSE h.s7 END) + 3 * (h.l + h.b) + 2) // 4)) + (CASE ((nx.rn - 1) % 7) + 1 WHEN 1 THEN h.s1 WHEN 2 THEN h.s2 WHEN 3 THEN h.s3 WHEN 4 THEN h.s4 WHEN 5 THEN h.s5 WHEN 6 THEN h.s6 ELSE h.s7 END) + 1) // 2) AS s_cur,
+        |    h.l + h.b + (CASE ((nx.rn - 1) % 7) + 1 WHEN 1 THEN h.s1 WHEN 2 THEN h.s2 WHEN 3 THEN h.s3 WHEN 4 THEN h.s4 WHEN 5 THEN h.s5 WHEN 6 THEN h.s6 ELSE h.s7 END) AS fit,
+        |    CASE WHEN ((nx.rn - 1) % 7) + 1 = 1 THEN (((nx.v * 10000 - ((nx.v * 10000 - (CASE ((nx.rn - 1) % 7) + 1 WHEN 1 THEN h.s1 WHEN 2 THEN h.s2 WHEN 3 THEN h.s3 WHEN 4 THEN h.s4 WHEN 5 THEN h.s5 WHEN 6 THEN h.s6 ELSE h.s7 END) + 3 * (h.l + h.b) + 2) // 4)) + (CASE ((nx.rn - 1) % 7) + 1 WHEN 1 THEN h.s1 WHEN 2 THEN h.s2 WHEN 3 THEN h.s3 WHEN 4 THEN h.s4 WHEN 5 THEN h.s5 WHEN 6 THEN h.s6 ELSE h.s7 END) + 1) // 2) ELSE h.s1 END AS s1,
+        |    CASE WHEN ((nx.rn - 1) % 7) + 1 = 2 THEN (((nx.v * 10000 - ((nx.v * 10000 - (CASE ((nx.rn - 1) % 7) + 1 WHEN 1 THEN h.s1 WHEN 2 THEN h.s2 WHEN 3 THEN h.s3 WHEN 4 THEN h.s4 WHEN 5 THEN h.s5 WHEN 6 THEN h.s6 ELSE h.s7 END) + 3 * (h.l + h.b) + 2) // 4)) + (CASE ((nx.rn - 1) % 7) + 1 WHEN 1 THEN h.s1 WHEN 2 THEN h.s2 WHEN 3 THEN h.s3 WHEN 4 THEN h.s4 WHEN 5 THEN h.s5 WHEN 6 THEN h.s6 ELSE h.s7 END) + 1) // 2) ELSE h.s2 END AS s2,
+        |    CASE WHEN ((nx.rn - 1) % 7) + 1 = 3 THEN (((nx.v * 10000 - ((nx.v * 10000 - (CASE ((nx.rn - 1) % 7) + 1 WHEN 1 THEN h.s1 WHEN 2 THEN h.s2 WHEN 3 THEN h.s3 WHEN 4 THEN h.s4 WHEN 5 THEN h.s5 WHEN 6 THEN h.s6 ELSE h.s7 END) + 3 * (h.l + h.b) + 2) // 4)) + (CASE ((nx.rn - 1) % 7) + 1 WHEN 1 THEN h.s1 WHEN 2 THEN h.s2 WHEN 3 THEN h.s3 WHEN 4 THEN h.s4 WHEN 5 THEN h.s5 WHEN 6 THEN h.s6 ELSE h.s7 END) + 1) // 2) ELSE h.s3 END AS s3,
+        |    CASE WHEN ((nx.rn - 1) % 7) + 1 = 4 THEN (((nx.v * 10000 - ((nx.v * 10000 - (CASE ((nx.rn - 1) % 7) + 1 WHEN 1 THEN h.s1 WHEN 2 THEN h.s2 WHEN 3 THEN h.s3 WHEN 4 THEN h.s4 WHEN 5 THEN h.s5 WHEN 6 THEN h.s6 ELSE h.s7 END) + 3 * (h.l + h.b) + 2) // 4)) + (CASE ((nx.rn - 1) % 7) + 1 WHEN 1 THEN h.s1 WHEN 2 THEN h.s2 WHEN 3 THEN h.s3 WHEN 4 THEN h.s4 WHEN 5 THEN h.s5 WHEN 6 THEN h.s6 ELSE h.s7 END) + 1) // 2) ELSE h.s4 END AS s4,
+        |    CASE WHEN ((nx.rn - 1) % 7) + 1 = 5 THEN (((nx.v * 10000 - ((nx.v * 10000 - (CASE ((nx.rn - 1) % 7) + 1 WHEN 1 THEN h.s1 WHEN 2 THEN h.s2 WHEN 3 THEN h.s3 WHEN 4 THEN h.s4 WHEN 5 THEN h.s5 WHEN 6 THEN h.s6 ELSE h.s7 END) + 3 * (h.l + h.b) + 2) // 4)) + (CASE ((nx.rn - 1) % 7) + 1 WHEN 1 THEN h.s1 WHEN 2 THEN h.s2 WHEN 3 THEN h.s3 WHEN 4 THEN h.s4 WHEN 5 THEN h.s5 WHEN 6 THEN h.s6 ELSE h.s7 END) + 1) // 2) ELSE h.s5 END AS s5,
+        |    CASE WHEN ((nx.rn - 1) % 7) + 1 = 6 THEN (((nx.v * 10000 - ((nx.v * 10000 - (CASE ((nx.rn - 1) % 7) + 1 WHEN 1 THEN h.s1 WHEN 2 THEN h.s2 WHEN 3 THEN h.s3 WHEN 4 THEN h.s4 WHEN 5 THEN h.s5 WHEN 6 THEN h.s6 ELSE h.s7 END) + 3 * (h.l + h.b) + 2) // 4)) + (CASE ((nx.rn - 1) % 7) + 1 WHEN 1 THEN h.s1 WHEN 2 THEN h.s2 WHEN 3 THEN h.s3 WHEN 4 THEN h.s4 WHEN 5 THEN h.s5 WHEN 6 THEN h.s6 ELSE h.s7 END) + 1) // 2) ELSE h.s6 END AS s6,
+        |    CASE WHEN ((nx.rn - 1) % 7) + 1 = 7 THEN (((nx.v * 10000 - ((nx.v * 10000 - (CASE ((nx.rn - 1) % 7) + 1 WHEN 1 THEN h.s1 WHEN 2 THEN h.s2 WHEN 3 THEN h.s3 WHEN 4 THEN h.s4 WHEN 5 THEN h.s5 WHEN 6 THEN h.s6 ELSE h.s7 END) + 3 * (h.l + h.b) + 2) // 4)) + (CASE ((nx.rn - 1) % 7) + 1 WHEN 1 THEN h.s1 WHEN 2 THEN h.s2 WHEN 3 THEN h.s3 WHEN 4 THEN h.s4 WHEN 5 THEN h.s5 WHEN 6 THEN h.s6 ELSE h.s7 END) + 1) // 2) ELSE h.s7 END AS s7
+        |  FROM h JOIN base nx ON nx.rn = h.rn + 1)
+        |SELECT day, l AS level_tm, b AS trend_tm, s_cur AS seasonal_tm,
+        |  fit AS fitted_tm
+        |FROM h WHERE rn >= 8
+        |ORDER BY day""".stripMargin))
+
   val all: Vector[Q] = Vector(
     qFunnel, qCohortRetention, qTsGapfill, qHistBinned,
     qAnomalyZscore, qAggIncremental, qTsEwma, qTsOhlc, qTsInterpolate,
     qTsAutocorr, qViewIncrementalJoin, qProfileTable, qTsHolt,
     qTsSeasonal, qTsCusum, qProfileSkew, qAnomalyMad, qTsStreaks,
-    qEventsDauWau, qEventsInterarrival, qTsM4, qFunnelTime, qTsPacf, qTsBursts)
+    qEventsDauWau, qEventsInterarrival, qTsM4, qFunnelTime, qTsPacf, qTsBursts, qTsHoltWinters)
 }

