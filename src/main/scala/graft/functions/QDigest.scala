@@ -24,7 +24,7 @@ import org.apache.spark.sql.expressions.Aggregator
   * that histogram: bit-identical under any partitioning, and union-of-
   * parts ≡ sketch-of-whole EXACTLY (entrywise histogram add commutes).
   *
-  * Scale (100 TB): the buffer is U = 2¹⁵ longs (256 KiB) — one buffer
+  * Scale (100 TB): the buffer is U = 2¹⁷ longs (1 MiB) — one buffer
   * per partition per group crosses the shuffle, never the rows (the
   * Count-Min shipping argument); for a wider domain the leaf level
   * coarsens first (range-binned cents), trading leaf resolution, not
@@ -33,14 +33,17 @@ import org.apache.spark.sql.expressions.Aggregator
   * literals like the PQ LUTs.
   */
 object QDigest {
-  /** Domain: exact integer cents in [0, 2^15) — fixture values are
-    * ≤ 32753 cents (FIXTURES.md); ingest REJECTS out-of-domain values
-    * loudly rather than clamping (a clamp would silently bias p99). */
-  val bits = 15
-  val U = 1 << bits // 32768
+  /** Domain: exact integer cents in [0, 2^17). The profiled max GROWS
+    * with corpus size (32753 cents at sf0.001, 49002 at sf0.01, 56021
+    * at sf0.1 — FIXTURES.md's table is the sf0.001 profile), so the
+    * domain is sized with headroom above the largest fixture, not at
+    * it. Ingest still REJECTS out-of-domain values loudly rather than
+    * clamping (a clamp would silently bias p99). */
+  val bits = 17
+  val U = 1 << bits // 131072
 
   /** Compression: nodes above leaf level keep ≤ ceil(N/k) weight.
-    * Rank error ≤ bits * N / k ≈ 5.9% of N at k = 256. */
+    * Rank error ≤ bits * N / k ≈ 6.6% of N at k = 256. */
   val k = 256
 
   /** Histogram-fold Aggregator: buffer = exact dense histogram.
