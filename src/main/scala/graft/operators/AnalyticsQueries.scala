@@ -1798,10 +1798,73 @@ object AnalyticsQueries {
         |FROM h WHERE rn >= 8
         |ORDER BY day""".stripMargin))
 
+  /** q_events_paths — top navigation paths: each (user, day) session's
+    * first 5 events in time order become a `a>b>c` path string, and the
+    * 20 most frequent paths surface with their counts. The classic
+    * clickstream "what do users actually do first" report — the
+    * sequence-level complement of [[StatQueries.qEventsMarkov]] (which
+    * aggregates away order beyond one step) and q_funnel (which fixes
+    * the stage order up front).
+    *
+    * Plan (one keyed exchange end-to-end until the tiny path table):
+    * row_number and the path aggregation both key by (user_id, day), so
+    * the window's exchange is REUSED by the groupBy; the path counts
+    * are at most |distinct paths| ≤ 5⁵ territory — a bounded table —
+    * and the final top-20 is TakeOrderedAndProject, never a full sort.
+    * 100 TB: sessions are user-keyed (the natural partitioner of every
+    * clickstream store); nothing here materializes more than k rows per
+    * session.
+    *
+    * Determinism: collect_list order is plan-dependent, so the struct
+    * sorts on the in-session row_number (unique within the group)
+    * before the elements are joined — canonical path per session on
+    * any partitioning. The oracle's string_agg(… ORDER BY rn) is the
+    * same canonicalization. Final order (cnt desc, path) is total:
+    * paths are unique after the groupBy. */
+  val qEventsPaths: Q = Q(
+    "q_events_paths",
+    (s, dir) => {
+      import s.implicits._
+      val seq = Window
+        .partitionBy($"user_id", $"day").orderBy($"ts", $"event_id")
+      Tables.events(s, dir)
+        .select($"user_id", $"ts", $"event_id", $"event_type",
+          to_date(date_trunc("day", $"ts")).as("day"))
+        .withColumn("rn", row_number().over(seq))
+        .where($"rn" <= 5)
+        .groupBy($"user_id", $"day")
+        .agg(array_join(
+          transform(
+            array_sort(collect_list(struct($"rn", $"event_type"))),
+            t => t.getField("event_type")),
+          ">").as("path"))
+        .groupBy($"path")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy($"cnt".desc, $"path")
+        .limit(20)
+    },
+    oracle = Some(
+      """WITH ev AS (
+        |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    event_type,
+        |    row_number() OVER (
+        |      PARTITION BY user_id, CAST(date_trunc('day', ts) AS DATE)
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |paths AS (
+        |  SELECT user_id, day,
+        |    string_agg(event_type, '>' ORDER BY rn) AS path
+        |  FROM ev WHERE rn <= 5 GROUP BY user_id, day)
+        |SELECT path, COUNT(*) AS cnt
+        |FROM paths GROUP BY path
+        |ORDER BY cnt DESC, path
+        |LIMIT 20""".stripMargin))
+
   val all: Vector[Q] = Vector(
     qFunnel, qCohortRetention, qTsGapfill, qHistBinned,
     qAnomalyZscore, qAggIncremental, qTsEwma, qTsOhlc, qTsInterpolate,
     qTsAutocorr, qViewIncrementalJoin, qProfileTable, qTsHolt,
     qTsSeasonal, qTsCusum, qProfileSkew, qAnomalyMad, qTsStreaks,
-    qEventsDauWau, qEventsInterarrival, qTsM4, qFunnelTime, qTsPacf, qTsBursts, qTsHoltWinters)
+    qEventsDauWau, qEventsInterarrival, qTsM4, qFunnelTime, qTsPacf, qTsBursts, qTsHoltWinters,
+    qEventsPaths)
 }

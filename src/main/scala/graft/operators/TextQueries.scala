@@ -1520,6 +1520,150 @@ object TextQueries {
         |    AS intercept_ln
         |FROM m""".stripMargin))
 
+  /** q_text_naive_bayes — multinomial NAIVE BAYES language classifier,
+    * trained and scored entirely in-plan: train on the 80% of docs with
+    * doc_id % 5 ≠ 0, predict lang for the held-out 20%. The counting
+    * classifier every corpus pipeline starts from (fastText's ancestor;
+    * McCallum & Nigam 1998's multinomial event model): class priors are
+    * doc counts, token likelihoods are Laplace(+1)-smoothed class-token
+    * counts — ALL exact integers, so unlike q_quality_classifier's
+    * driver-solved IRLS there is no driver-side model state at all; the
+    * "model" is a vocab×classes grid DataFrame that broadcast-joins the
+    * test tokens.
+    *
+    * Determinism (the perplexity/bigram-LM contract): each log
+    * likelihood ln((cnt+1)/(tok_c+V)) and each log prior quantizes ONCE
+    * to integer micro-nats in a textually identical expression in both
+    * engines; scores are exact Long sums of those, argmax tiebreaks
+    * (score desc, lang asc), and out-of-vocabulary test tokens route
+    * through an explicit per-class OOV likelihood ln(1/(tok_c+V)) —
+    * structurally exercised even though the fixture's closed 31-word
+    * vocabulary makes the branch empty, so a real corpus can't hit an
+    * unhandled path.
+    *
+    * Scale (100 TB): the grid is |V|×|classes| (bounded model state —
+    * for web-scale V, hash features first: q_prep_hash_features), so
+    * scoring is one broadcast join + one (doc, class)-keyed sum; the
+    * corpus is never shuffled on anything wider than doc_id. Training
+    * is two keyed counts over the token stage — the word-count shape. */
+  val qTextNaiveBayes: Q = Q(
+    "q_text_naive_bayes",
+    (s, dir) => {
+      import s.implicits._
+      val isTest = ($"doc_id" % 5) === 0
+      val toks = Tokenized(s, dir)
+        .select($"doc_id", $"lang", explode($"lw").as("w"))
+      // -- train: exact integer counts ------------------------------
+      val cnt = toks.where(!isTest)
+        .groupBy($"lang", $"w").agg(count(lit(1)).as("cnt"))
+      val tokC = cnt.groupBy($"lang").agg(sum($"cnt").as("tok_c"))
+      val vocab = cnt.select($"w").distinct()
+      val vSize = broadcast(vocab.agg(count(lit(1)).as("v")))
+      val trainDocs = Tables.documents(s, dir).where(!isTest)
+        .select($"doc_id", $"lang")
+      val nTrain = broadcast(trainDocs.agg(count(lit(1)).as("n_tr")))
+      val priors = trainDocs.groupBy($"lang")
+        .agg(count(lit(1)).as("n_c")).crossJoin(nTrain)
+        .select($"lang", expr(
+          "CAST(floor(ln(CAST(n_c AS DOUBLE) / CAST(n_tr AS DOUBLE)) " +
+            "* 1000000) AS BIGINT)").as("prior_micro"))
+      val grid = vocab.crossJoin(broadcast(tokC)).crossJoin(vSize)
+        .join(cnt, Seq("lang", "w"), "left")
+        .select($"w", $"lang", expr(
+          "CAST(floor(ln(CAST(COALESCE(cnt, 0) + 1 AS DOUBLE) " +
+            "/ CAST(tok_c + v AS DOUBLE)) * 1000000) AS BIGINT)")
+          .as("ll_micro"))
+      val oovC = tokC.crossJoin(vSize).select($"lang", expr(
+        "CAST(floor(ln(CAST(1 AS DOUBLE) / CAST(tok_c + v AS DOUBLE)) " +
+          "* 1000000) AS BIGINT)").as("oov_micro"))
+      // -- score the held-out 20% -----------------------------------
+      val tf = toks.where(isTest)
+        .groupBy($"doc_id", $"w").agg(count(lit(1)).as("tf"))
+      val known = tf.join(broadcast(grid), Seq("w"))
+        .select($"doc_id", $"lang", ($"tf" * $"ll_micro").as("contrib"))
+      val oov = tf.join(broadcast(vocab), Seq("w"), "left_anti")
+        .groupBy($"doc_id").agg(sum($"tf").as("oov_tf"))
+        .crossJoin(broadcast(oovC))
+        .select($"doc_id", $"lang", ($"oov_tf" * $"oov_micro").as("contrib"))
+      val scores = known.unionByName(oov)
+        .groupBy($"doc_id", $"lang").agg(sum($"contrib").as("ll_sum"))
+        .join(broadcast(priors), Seq("lang"))
+        .select($"doc_id", $"lang",
+          ($"ll_sum" + $"prior_micro").as("score_micro"))
+      val byScore = Window.partitionBy($"doc_id")
+        .orderBy($"score_micro".desc, $"lang")
+      scores.withColumn("rk", row_number().over(byScore))
+        .where($"rk" === 1)
+        .join(Tables.documents(s, dir).where(isTest)
+          .select($"doc_id", $"lang".as("actual_lang")), Seq("doc_id"))
+        .select($"doc_id", $"actual_lang", $"lang".as("pred_lang"),
+          $"score_micro",
+          when($"actual_lang" === $"lang", 1L).otherwise(0L).as("correct"))
+        .orderBy($"doc_id")
+    },
+    oracle = Some(
+      """WITH train AS (
+        |  SELECT doc_id, lang, lower(text) AS t FROM documents
+        |  WHERE doc_id % 5 <> 0),
+        |ttok AS (
+        |  SELECT doc_id, lang, unnest(string_split(t, ' ')) AS w FROM train),
+        |cnt AS (SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM ttok GROUP BY 1, 2),
+        |tokc AS (SELECT lang, CAST(SUM(cnt) AS BIGINT) AS tok_c
+        |  FROM cnt GROUP BY 1),
+        |vocab AS (SELECT DISTINCT w FROM cnt),
+        |vs AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM vocab),
+        |ntr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tr FROM train),
+        |priors AS (
+        |  SELECT lang,
+        |    CAST(floor(ln(CAST(COUNT(*) AS DOUBLE) / CAST(n_tr AS DOUBLE))
+        |      * 1000000) AS BIGINT) AS prior_micro
+        |  FROM train, ntr GROUP BY lang, n_tr),
+        |grid AS (
+        |  SELECT vocab.w, tokc.lang,
+        |    CAST(floor(ln(CAST(COALESCE(cnt.cnt, 0) + 1 AS DOUBLE)
+        |      / CAST(tokc.tok_c + vs.v AS DOUBLE)) * 1000000) AS BIGINT)
+        |      AS ll_micro
+        |  FROM vocab CROSS JOIN tokc CROSS JOIN vs
+        |  LEFT JOIN cnt ON cnt.w = vocab.w AND cnt.lang = tokc.lang),
+        |oovc AS (
+        |  SELECT lang,
+        |    CAST(floor(ln(CAST(1 AS DOUBLE) / CAST(tok_c + v AS DOUBLE))
+        |      * 1000000) AS BIGINT) AS oov_micro
+        |  FROM tokc, vs),
+        |test AS (
+        |  SELECT doc_id, lang AS actual_lang, lower(text) AS t
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |tetok AS (
+        |  SELECT doc_id, unnest(string_split(t, ' ')) AS w FROM test),
+        |tf AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM tetok GROUP BY 1, 2),
+        |known AS (
+        |  SELECT tf.doc_id, grid.lang, tf.tf * grid.ll_micro AS contrib
+        |  FROM tf JOIN grid ON grid.w = tf.w),
+        |oov AS (
+        |  SELECT o.doc_id, oovc.lang, o.oov_tf * oovc.oov_micro AS contrib
+        |  FROM (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS oov_tf FROM tf
+        |        WHERE w NOT IN (SELECT w FROM vocab) GROUP BY doc_id) o
+        |  CROSS JOIN oovc),
+        |scores AS (
+        |  SELECT doc_id, lang, CAST(SUM(contrib) AS BIGINT) AS ll_sum
+        |  FROM (SELECT * FROM known UNION ALL SELECT * FROM oov)
+        |  GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT s.doc_id, s.lang,
+        |    s.ll_sum + p.prior_micro AS score_micro,
+        |    row_number() OVER (PARTITION BY s.doc_id
+        |      ORDER BY s.ll_sum + p.prior_micro DESC, s.lang) AS rk
+        |  FROM scores s JOIN priors p ON p.lang = s.lang)
+        |SELECT r.doc_id, t.actual_lang, r.lang AS pred_lang,
+        |  r.score_micro,
+        |  CAST(CASE WHEN t.actual_lang = r.lang THEN 1 ELSE 0 END
+        |    AS BIGINT) AS correct
+        |FROM ranked r JOIN test t ON t.doc_id = r.doc_id
+        |WHERE r.rk = 1
+        |ORDER BY r.doc_id""".stripMargin))
+
   val all: Vector[Q] =
     Vector(qTextTokenizeExplode, qTextWordcountTf, qTextStats,
       qTextQuality, qTextTokenCount, qDocFingerprint, qTextFilterPipeline,
@@ -1528,5 +1672,5 @@ object TextQueries {
       qTextKlDrift, qSampleFixedK, qSampleWeighted, qTextBm25, qTextEntropy,
       qTextTtr, qTextKeywords, qTextBigramLm, qSampleBalanced,
       qTextCharTrigrams, qQualityClassifier, qSampleTemperature, qTextPack,
-      qTextZipf)
+      qTextZipf, qTextNaiveBayes)
 }

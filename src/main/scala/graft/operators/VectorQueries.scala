@@ -890,10 +890,80 @@ object VectorQueries {
         |FROM pl JOIN pd ON pl.label = pd.label
         |ORDER BY pl.label""".stripMargin))
 
+  /** q_vec_outlier — kNN-DISTANCE outlier scoring (Ramaswamy et al.,
+    * "Efficient algorithms for mining outliers", SIGMOD 2000): a point
+    * is isolated exactly when even its NEAREST neighbors are far, so
+    * the score is the (sum of the) top-5 cosine similarities and the
+    * 10 LOWEST-scoring probes surface as outliers. This is the
+    * embedding-space anomaly gate of a corpus pipeline (mislabeled or
+    * off-distribution documents score low), complementing the scalar
+    * z-score/MAD rows which only see one column at a time.
+    *
+    * Shares [[qVecKnnBatch]]'s scale shape: the md5-gated probe set is
+    * bounded and broadcast, the corpus is scanned ONCE for the whole
+    * batch, and the bounded-heap typed Aggregator ships at most 5 rows
+    * per (partition, probe) through the only shuffle. The top-5 SUM is
+    * reported rather than the mean so the statistic stays exact long
+    * arithmetic — each similarity is quantized ONCE to integer micros
+    * (floor(dot·10⁶), same device as q_vec_diversity) and everything
+    * downstream is addition; a mean would fork on negative-sum integer
+    * division (Spark truncates toward zero, DuckDB floors).
+    *
+    * Determinism: the top-5 membership tiebreaks on (score desc, id
+    * asc) in both engines over identical quantized scores, and the
+    * final top-10 orders by (sum asc, vec_id) — total order. */
+  val qVecOutlier: Q = Q(
+    "q_vec_outlier",
+    (s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
+      val probes = broadcast(
+        emb.where(graft.Dsl.md5Gate($"vec_id", "10"))
+          .select($"vec_id".as("p_id"), $"embedding".as("p")))
+      emb.crossJoin(probes)
+        .where($"vec_id" =!= $"p_id")
+        .select($"p_id",
+          expr("CAST(floor(vec_dot(embedding, p) * 1000000) AS BIGINT)")
+            .as("sim_micro"),
+          $"vec_id")
+        .as[(Long, Long, Long)]
+        .groupByKey(_._1)
+        .mapValues(r => (r._2.toDouble, r._3)) // micros ≤ 1e6: exact in Double
+        .agg(graft.functions.TypedAggs.Top5ByScore.toColumn.name("top"))
+        .toDF("vec_id", "top")
+        .select($"vec_id",
+          expr("aggregate(top, 0L, (acc, t) -> acc + CAST(t._1 AS BIGINT))")
+            .as("top5_sim_sum_micro"))
+        .orderBy($"top5_sim_sum_micro", $"vec_id")
+        .limit(10)
+    },
+    oracle = Some(
+      s"""WITH probes AS (
+         |  SELECT vec_id AS p_id, embedding AS p FROM embeddings
+         |  WHERE ${graft.Dsl.md5GateSql("vec_id", "10")}),
+         |scored AS (
+         |  SELECT p_id, e.vec_id,
+         |    CAST(floor(list_sum(list_transform(range(1, 65),
+         |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(p[i] AS DOUBLE)))
+         |      * 1000000) AS BIGINT) AS sim_micro
+         |  FROM probes, embeddings e
+         |  WHERE e.vec_id <> p_id),
+         |ranked AS (
+         |  SELECT p_id, sim_micro,
+         |    row_number() OVER (PARTITION BY p_id
+         |      ORDER BY sim_micro DESC, vec_id) AS rank
+         |  FROM scored)
+         |SELECT p_id AS vec_id,
+         |  CAST(SUM(sim_micro) AS BIGINT) AS top5_sim_sum_micro
+         |FROM ranked WHERE rank <= 5
+         |GROUP BY p_id
+         |ORDER BY top5_sim_sum_micro, vec_id
+         |LIMIT 10""".stripMargin))
+
   val all: Vector[Q] = Vector(
     qVecNormStats, qVecKnnBruteforce, qVecKnnLsh, qVecKnnIvf,
     qVecKnnGraph, qDedupEmbedding, qVecCentroids, qMultimodalJoin,
     qMultimodalFrames, qVecQuantize, qVecKnnBatch, qVecRangeSearch,
     qVecCentroidSims, qVecSilhouette, qVecFeatureHash, qVecDiversity,
-    qMultimodalPhash)
+    qMultimodalPhash, qVecOutlier)
 }

@@ -865,4 +865,41 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
       s"the decoder must run as a keyed flatMapGroups chain:\n$p")
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
+
+  test("q_events_paths reuses the session exchange and top-20s via heap") {
+    val p = planOf("q_events_paths")
+    // The window keys by (user_id, day) and the path groupBy keys by the
+    // same pair — ONE exchange covers both; only the tiny path-count
+    // table re-shuffles. A third fact-sized exchange means the reuse
+    // regressed.
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 2, s"expected <=2 exchanges (session + path counts):\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 must be a bounded heap, not a global sort:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("q_vec_outlier ships only top-5 heaps per probe through the shuffle") {
+    val p = planOf("q_vec_outlier")
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      s"bounded-heap typed aggregator must drive the probe grouping:\n$p")
+    assert(p.contains("partial"),
+      s"map-side partial top-k must precede the probe shuffle:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the probe set must broadcast, never shuffle the corpus:\n$p")
+  }
+
+  test("q_text_naive_bayes scores via broadcast model joins only") {
+    val p = planOf("q_text_naive_bayes")
+    // The vocab×classes grid, priors, OOV table, and the two scalar
+    // counts are all bounded model state: every join against the test
+    // tokens must broadcast. A SortMergeJoin means the corpus started
+    // shuffling on a model key.
+    assert(!p.contains("SortMergeJoin"),
+      s"model joins must broadcast, never shuffle the corpus:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the only cross joins are 1-row scalars (BroadcastNestedLoop):\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"grid scoring must be a broadcast hash join:\n$p")
+  }
 }
