@@ -1860,11 +1860,145 @@ object AnalyticsQueries {
         |ORDER BY cnt DESC, path
         |LIMIT 20""".stripMargin))
 
+  /** q_events_decay — EXPONENTIALLY TIME-DECAYED popularity per event
+    * type (half-life 7 days, anchored to the stream's last day): the
+    * freshness-weighted score every ranking/recsys pipeline maintains —
+    * a type with all its volume last week outranks one with the same
+    * volume spread over the month. Reported beside the undecayed total
+    * and their ratio, which IS the recency profile of the type.
+    *
+    * Scale shape: the fact stream partial-aggregates to the bounded
+    * (type × day) domain FIRST; the decay weights then apply to at most
+    * |types|·|days| rows. The weight exp(−age·ln2/7) quantizes ONCE per
+    * age to integer micros over the ≤31-value age domain (the
+    * perplexity ln device, here for exp) — everything after is exact
+    * Long multiply-add. Headroom: day_cents·10⁶ ≤ 9.2e18 means
+    * $92 B/day/type before the documented DECIMAL(38,0) promotion
+    * (Pca.scala's switch) is needed.
+    *
+    * Determinism: the anchor is max(day) — data-relative, frozen-
+    * fixture stable (the RFM rule); ages are exact datediffs; the one
+    * ratio division rounds at 6 dp in identical text. */
+  val qEventsDecay: Q = Q(
+    "q_events_decay",
+    (s, dir) => {
+      import s.implicits._
+      val daily = Tables.events(s, dir)
+        .groupBy($"event_type", to_date(date_trunc("day", $"ts")).as("day"))
+        .agg(sum((dec2($"value") * 100).cast(LongType)).as("day_cents"))
+      val anchor = broadcast(daily.agg(max($"day").as("last_day")))
+      daily.crossJoin(anchor)
+        .select($"event_type", $"day_cents",
+          expr("CAST(floor(exp(-(CAST(datediff(last_day, day) AS DOUBLE) " +
+            "* ln(2.0)) / 7.0) * 1000000) AS BIGINT)").as("w_micro"))
+        .groupBy($"event_type")
+        .agg(sum($"day_cents").as("total_cents"),
+          sum($"day_cents" * $"w_micro").as("decayed_micro_cents"))
+        .select($"event_type", $"total_cents", $"decayed_micro_cents",
+          expr("ROUND(CAST(decayed_micro_cents AS DOUBLE) " +
+            "/ (CAST(total_cents AS DOUBLE) * 1000000.0), 6)")
+            .as("recency_ratio"))
+        .orderBy($"event_type")
+    },
+    oracle = Some(
+      """WITH daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |      AS BIGINT) AS day_cents
+        |  FROM events GROUP BY 1, 2),
+        |anchor AS (SELECT MAX(day) AS last_day FROM daily),
+        |weighted AS (
+        |  SELECT event_type, day_cents,
+        |    CAST(floor(exp(-(CAST(datediff('day', day, last_day) AS DOUBLE)
+        |      * ln(2.0)) / 7.0) * 1000000) AS BIGINT) AS w_micro
+        |  FROM daily, anchor)
+        |SELECT event_type,
+        |  CAST(SUM(day_cents) AS BIGINT) AS total_cents,
+        |  CAST(SUM(day_cents * w_micro) AS BIGINT) AS decayed_micro_cents,
+        |  ROUND(CAST(SUM(day_cents * w_micro) AS DOUBLE)
+        |    / (CAST(SUM(day_cents) AS DOUBLE) * 1000000.0), 6)
+        |    AS recency_ratio
+        |FROM weighted GROUP BY event_type
+        |ORDER BY event_type""".stripMargin))
+
+  /** q_events_churn — WEEK-OVER-WEEK retention/churn counts: for each
+    * calendar week with a successor week, how many of its active users
+    * came back (retained), vanished (churned), and how many of the next
+    * week's actives are new — the product-health decomposition behind
+    * every growth dashboard, and the exact-count ground truth a
+    * streaming approximation would be validated against.
+    *
+    * One distinct (user, week) collapse feeds everything; the retained
+    * count is a self-equi-join on (user, week+7) — user-keyed, never
+    * all-pairs — and the per-week tables that meet at the end are
+    * |weeks|-bounded. The last week (no successor inside the data) is
+    * excluded by an integer date comparison against the broadcast
+    * max-week anchor, identically in both engines.
+    *
+    * 100 TB: (user, week) distinct is the DAU/WAU shape — one keyed
+    * exchange over user-partitioned data; everything downstream is
+    * bounded by the calendar. */
+  val qEventsChurn: Q = Q(
+    "q_events_churn",
+    (s, dir) => {
+      import s.implicits._
+      val au = Tables.events(s, dir)
+        .select(to_date(date_trunc("week", $"ts")).as("week"), $"user_id")
+        .distinct()
+      val active = au.groupBy($"week").agg(count(lit(1)).as("active"))
+      val retained = au.as("a")
+        .join(au.as("b"),
+          $"a.user_id" === $"b.user_id" &&
+            date_add($"a.week", 7) === $"b.week")
+        .groupBy($"a.week".as("week")).agg(count(lit(1)).as("retained"))
+      val maxWeek = broadcast(au.agg(max($"week").as("max_week")))
+      active.crossJoin(maxWeek)
+        .where(date_add($"week", 7) <= $"max_week")
+        .join(retained, Seq("week"), "left")
+        .join(active.select(date_sub($"week", 7).as("week"),
+          $"active".as("active_next")), Seq("week"), "left")
+        .select($"week", $"active",
+          coalesce($"retained", lit(0L)).as("retained_next"),
+          ($"active" - coalesce($"retained", lit(0L))).as("churned_next"),
+          (coalesce($"active_next", lit(0L)) -
+            coalesce($"retained", lit(0L))).as("new_next"),
+          expr("CAST(COALESCE(retained, 0) * 1000000 AS BIGINT) div active")
+            .as("retention_ppm"))
+        .orderBy($"week")
+    },
+    oracle = Some(
+      """WITH au AS (
+        |  SELECT DISTINCT CAST(date_trunc('week', ts) AS DATE) AS week,
+        |    user_id
+        |  FROM events),
+        |active AS (
+        |  SELECT week, CAST(COUNT(*) AS BIGINT) AS active
+        |  FROM au GROUP BY week),
+        |retained AS (
+        |  SELECT a.week, CAST(COUNT(*) AS BIGINT) AS retained
+        |  FROM au a JOIN au b
+        |    ON a.user_id = b.user_id AND a.week + 7 = b.week
+        |  GROUP BY a.week),
+        |mw AS (SELECT MAX(week) AS max_week FROM au)
+        |SELECT c.week, c.active,
+        |  CAST(COALESCE(r.retained, 0) AS BIGINT) AS retained_next,
+        |  CAST(c.active - COALESCE(r.retained, 0) AS BIGINT)
+        |    AS churned_next,
+        |  CAST(COALESCE(n.active, 0) - COALESCE(r.retained, 0) AS BIGINT)
+        |    AS new_next,
+        |  CAST(COALESCE(r.retained, 0) * 1000000 // c.active AS BIGINT)
+        |    AS retention_ppm
+        |FROM active c
+        |LEFT JOIN retained r ON r.week = c.week
+        |LEFT JOIN active n ON n.week = c.week + 7
+        |WHERE c.week + 7 <= (SELECT max_week FROM mw)
+        |ORDER BY c.week""".stripMargin))
+
   val all: Vector[Q] = Vector(
     qFunnel, qCohortRetention, qTsGapfill, qHistBinned,
     qAnomalyZscore, qAggIncremental, qTsEwma, qTsOhlc, qTsInterpolate,
     qTsAutocorr, qViewIncrementalJoin, qProfileTable, qTsHolt,
     qTsSeasonal, qTsCusum, qProfileSkew, qAnomalyMad, qTsStreaks,
     qEventsDauWau, qEventsInterarrival, qTsM4, qFunnelTime, qTsPacf, qTsBursts, qTsHoltWinters,
-    qEventsPaths)
+    qEventsPaths, qEventsDecay, qEventsChurn)
 }

@@ -1044,9 +1044,58 @@ object GraphQueries {
         |FROM m
         |ORDER BY n_edge_ends""".stripMargin))
 
+  /** q_graph_hits — HITS hubs & authorities (Kleinberg 1999) on the
+    * customer→supplier purchase graph, the link-analysis complement of
+    * [[qGraphPagerank]]: PageRank scores GLOBAL standing in a uniform
+    * random walk; HITS separates the two roles a bipartite commerce
+    * graph actually has — customers that buy broadly (hubs) confer
+    * authority on the suppliers they share. Two UNNORMALIZED power
+    * steps: auth¹ = in-degree, hub¹(c) = Σ auth¹ over c's suppliers,
+    * auth²(s) = Σ hub¹ over s's customers. HITS rankings are invariant
+    * to per-iteration scaling, so skipping the normalization keeps
+    * every score an EXACT integer — no fixed-point quantization needed
+    * at all (tighter than PageRank's ppm device). Top-10 authorities
+    * by (auth², node).
+    *
+    * Scale: two keyed aggregate-join rounds over the edge list — the
+    * PageRank round shape minus the dangling/teleport machinery;
+    * overflow headroom auth² ≤ max_deg²·n documented by the degree
+    * profile (q_graph_degree_hist). Top-10 is a bounded heap. */
+  val qGraphHits: Q = Q(
+    "q_graph_hits",
+    (s, dir) => {
+      import s.implicits._
+      val e = edges(s, dir)
+      val auth1 = e.groupBy($"dst").agg(count(lit(1)).as("auth1"))
+      val hub1 = e.join(auth1, "dst")
+        .groupBy($"src").agg(sum($"auth1").as("hub1"))
+      e.join(hub1, "src")
+        .groupBy($"dst").agg(sum($"hub1").as("auth2"))
+        .join(auth1, "dst")
+        .select($"dst".as("node"), $"auth1", $"auth2")
+        .orderBy($"auth2".desc, $"node")
+        .limit(10)
+    },
+    oracle = Some(
+      """WITH e AS (
+        |  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |auth1 AS (
+        |  SELECT dst, CAST(COUNT(*) AS BIGINT) AS auth1 FROM e GROUP BY dst),
+        |hub1 AS (
+        |  SELECT src, CAST(SUM(auth1) AS BIGINT) AS hub1
+        |  FROM e JOIN auth1 USING (dst) GROUP BY src),
+        |auth2 AS (
+        |  SELECT dst, CAST(SUM(hub1) AS BIGINT) AS auth2
+        |  FROM e JOIN hub1 USING (src) GROUP BY dst)
+        |SELECT dst AS node, auth1, auth2
+        |FROM auth2 JOIN auth1 USING (dst)
+        |ORDER BY auth2 DESC, node
+        |LIMIT 10""".stripMargin))
+
   val all: Vector[Q] =
     Vector(qGraphPagerank, qGraphTriangles, qGraphCommonNeighbors,
       qGraphResourceAlloc, qGraphAdamicAdar, qGraphJaccardNeighbors,
       qGraphBfs, qGraphKcore, qGraphDegreeHist, qGraphClusteringCoeff,
-      qGraphAssortativity)
+      qGraphAssortativity, qGraphHits)
 }

@@ -889,6 +889,35 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
       s"the probe set must broadcast, never shuffle the corpus:\n$p")
   }
 
+  test("q_events_decay collapses to the day domain before weighting") {
+    val p = planOf("q_events_decay")
+    // The decay weights must apply to the bounded (type × day) table,
+    // not per fact row: one partial-agg exchange for the daily stage
+    // (+ its reuse for the anchor), broadcast anchor, final type agg.
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"the 1-row anchor must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("q_events_churn self-joins user-keyed, never all-pairs") {
+    val p = planOf("q_events_churn")
+    assert(!p.contains("CartesianProduct"),
+      s"retained must be a keyed equi join:\n$p")
+    val single = p.linesIterator.count(_.contains("Exchange SinglePartition"))
+    assert(single <= 2,
+      s"only the max-week anchor may single-partition, got $single:\n$p")
+  }
+
+  test("q_graph_hits is two keyed agg-join rounds, no quadratic step") {
+    val p = planOf("q_graph_hits")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"HITS rounds must join on edge endpoints:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-10 authorities must be a bounded heap:\n$p")
+  }
+
   test("q_text_naive_bayes scores via broadcast model joins only") {
     val p = planOf("q_text_naive_bayes")
     // The vocab×classes grid, priors, OOV table, and the two scalar
