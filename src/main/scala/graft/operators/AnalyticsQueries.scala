@@ -1994,11 +1994,108 @@ object AnalyticsQueries {
         |WHERE c.week + 7 <= (SELECT max_week FROM mw)
         |ORDER BY c.week""".stripMargin))
 
+  /** q_basket_rules — MARKET-BASKET ASSOCIATION RULES (Agrawal &
+    * Srikant's Apriori output, at the 2-itemset level) over order
+    * baskets at brand granularity: for each ordered brand pair A→B,
+    * support, confidence, and lift in exact integer ppm; top-20 by
+    * lift. The co-occurrence mining family's debut — recommendation
+    * seeds, cross-sell analysis, and (in corpus work) tag/topic
+    * co-occurrence all reduce to this shape.
+    *
+    * The scale decision is PAIR GENERATION: a basket self-join on
+    * order key shuffles the baskets TWICE and re-keys mid-plan; here
+    * each order's brand set aggregates ONCE (collect_set under the
+    * single order-keyed exchange) and the sorted set explodes its own
+    * C(k,2) combinations in the projection — pairs-per-order is
+    * bounded by the brand domain (≤C(25,2)), never by order size
+    * twice over. The pair table is then domain-bounded (≤300 rows):
+    * everything downstream is broadcast-sized. lift·10⁶ = c·n·10⁶ /
+    * (c_A·c_B) stays in Long up to ~3·10⁹ baskets (c ≤ n); past that
+    * the documented DECIMAL(38,0) promotion applies.
+    *
+    * Determinism: exact integer counts, truncating div on non-negative
+    * operands (Spark div ≡ DuckDB // there), and the top-20 orders by
+    * (lift desc, antecedent, consequent) — A→B and B→A share a lift
+    * (it is symmetric), so the name tiebreak is load-bearing. */
+  /** Per-order brand sets, persisted per (session, dir): the scalar,
+    * the item counts, and BOTH union branches of the rules table read
+    * it — un-persisted, each reference re-derives the lineitem⋈part
+    * aggregation (the first cut planned 10 fact scans; PlanAuditSpec
+    * pins ≤ 2 — the RFM persisted-stage rule). */
+  private val basketsCache = new graft.Memo[(SparkSession, String), DataFrame]
+
+  val qBasketRules: Q = Q(
+    "q_basket_rules",
+    (s, dir) => {
+      import s.implicits._
+      val baskets = basketsCache((s, dir)) {
+        Tables.lineitem(s, dir).select($"l_orderkey", $"l_partkey")
+          .join(broadcast(Tables.part(s, dir).select($"p_partkey", $"p_brand")),
+            $"l_partkey" === $"p_partkey")
+          .groupBy($"l_orderkey")
+          .agg(sort_array(collect_set($"p_brand")).as("bs"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }
+      val nOrders = broadcast(baskets.agg(count(lit(1)).as("n")))
+      val itemCnt = baskets
+        .select(explode($"bs").as("brand"))
+        .groupBy($"brand").agg(count(lit(1)).as("ic"))
+      val pairCnt = baskets
+        .select(explode(expr(
+          "flatten(transform(bs, (x, i) -> " +
+            "transform(slice(bs, i + 2, size(bs)), " +
+            "y -> named_struct('pa', x, 'pb', y))))")).as("p"))
+        .groupBy($"p.pa".as("pa"), $"p.pb".as("pb"))
+        .agg(count(lit(1)).as("c"))
+      val rules = pairCnt.select($"pa".as("antecedent"), $"pb".as("consequent"), $"c")
+        .unionByName(
+          pairCnt.select($"pb".as("antecedent"), $"pa".as("consequent"), $"c"))
+      rules
+        .join(broadcast(itemCnt.select($"brand", $"ic".as("c_a"))),
+          $"antecedent" === $"brand").drop("brand")
+        .join(broadcast(itemCnt.select($"brand", $"ic".as("c_b"))),
+          $"consequent" === $"brand").drop("brand")
+        .crossJoin(nOrders)
+        .select($"antecedent", $"consequent", $"c".as("pair_n"),
+          expr("c * 1000000 div n").as("support_ppm"),
+          expr("c * 1000000 div c_a").as("confidence_ppm"),
+          expr("c * n * 1000000 div (c_a * c_b)").as("lift_ppm"))
+        .orderBy($"lift_ppm".desc, $"antecedent", $"consequent")
+        .limit(20)
+    },
+    oracle = Some(
+      """WITH b AS (
+        |  SELECT DISTINCT l_orderkey, p_brand
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |nn AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n FROM b),
+        |ic AS (SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS ic
+        |  FROM b GROUP BY 1),
+        |pc AS (
+        |  SELECT a.p_brand AS pa, b2.p_brand AS pb,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM b a JOIN b b2
+        |    ON a.l_orderkey = b2.l_orderkey AND a.p_brand < b2.p_brand
+        |  GROUP BY 1, 2),
+        |rules AS (
+        |  SELECT pa AS antecedent, pb AS consequent, c FROM pc
+        |  UNION ALL
+        |  SELECT pb AS antecedent, pa AS consequent, c FROM pc)
+        |SELECT r.antecedent, r.consequent, r.c AS pair_n,
+        |  CAST(r.c * 1000000 // (SELECT n FROM nn) AS BIGINT) AS support_ppm,
+        |  CAST(r.c * 1000000 // ia.ic AS BIGINT) AS confidence_ppm,
+        |  CAST(r.c * (SELECT n FROM nn) * 1000000 // (ia.ic * ib.ic)
+        |    AS BIGINT) AS lift_ppm
+        |FROM rules r
+        |JOIN ic ia ON ia.p_brand = r.antecedent
+        |JOIN ic ib ON ib.p_brand = r.consequent
+        |ORDER BY lift_ppm DESC, antecedent, consequent
+        |LIMIT 20""".stripMargin))
+
   val all: Vector[Q] = Vector(
     qFunnel, qCohortRetention, qTsGapfill, qHistBinned,
     qAnomalyZscore, qAggIncremental, qTsEwma, qTsOhlc, qTsInterpolate,
     qTsAutocorr, qViewIncrementalJoin, qProfileTable, qTsHolt,
     qTsSeasonal, qTsCusum, qProfileSkew, qAnomalyMad, qTsStreaks,
     qEventsDauWau, qEventsInterarrival, qTsM4, qFunnelTime, qTsPacf, qTsBursts, qTsHoltWinters,
-    qEventsPaths, qEventsDecay, qEventsChurn)
+    qEventsPaths, qEventsDecay, qEventsChurn, qBasketRules)
 }

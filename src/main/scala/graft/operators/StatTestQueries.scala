@@ -1128,8 +1128,100 @@ object StatTestQueries {
          |FROM ranked GROUP BY event_type
          |ORDER BY event_type""".stripMargin))
 
+  /** q_stat_wilcoxon — WILCOXON SIGNED-RANK test on PAIRED daily
+    * totals (purchase vs click cents, paired by day): the
+    * nonparametric paired-sample slot the battery still lacked —
+    * Mann-Whitney compares two INDEPENDENT samples, Friedman needs
+    * ≥3 repeated treatments; the matched-pairs two-treatment case is
+    * exactly this test. "Did purchases move relative to clicks,
+    * day-matched" is the paired experiment shape.
+    *
+    * Exactness: differences are exact integer cents; zero differences
+    * drop (the standard Wilcoxon rule, integer-decided identically);
+    * |d| ranks use the doubled-midrank identity (2·midrank = 2·rank +
+    * peers − 1 — the file's ladder device), so W⁺ doubles to an exact
+    * Long and the tie term Σ(t³−t) is exact. The normal approximation
+    * z = (W₂ − n(n+1)/2) / √(n(n+1)(2n+1)/6 − T/12) — the doubled-W
+    * rescale of the textbook moments — is ONE identical double
+    * expression, round 6; the all-tied degenerate (variance 0) is
+    * integer-decided → NULL in both engines.
+    *
+    * Shape: one fact scan collapses to the ≤31-row day domain; the
+    * unpartitioned rank window runs on that bounded domain only (the
+    * bucketNtile discipline's allowance). */
+  val qStatWilcoxon: Q = Q(
+    "q_stat_wilcoxon",
+    (s, dir) => {
+      import s.implicits._
+      val daily = Tables.events(s, dir)
+        .groupBy(to_date(date_trunc("day", $"ts")).as("day"))
+        .agg(
+          coalesce(sum(when($"event_type" === "purchase",
+            (dec2($"value") * 100).cast(LongType))), lit(0L)).as("p"),
+          coalesce(sum(when($"event_type" === "click",
+            (dec2($"value") * 100).cast(LongType))), lit(0L)).as("c"))
+        .select($"day", ($"p" - $"c").as("d"))
+        .where($"d" =!= 0L)
+        .withColumn("ad", abs($"d"))
+      // One windowed frame yields ranks AND the tie term: a tie group of
+      // size t contributes t³−t, i.e. t²−1 PER ROW — so Σ_groups(t³−t)
+      // = Σ_rows(t²−1) and no second scan/grouping is needed.
+      val tCnt = count(lit(1)).over(Window.partitionBy($"ad"))
+      val r2 = lit(2) * rank().over(Window.orderBy($"ad")).cast(LongType) +
+        tCnt - 1
+      val ranked = daily.select($"d", r2.as("r2"), tCnt.as("t"))
+      ranked.agg(count(lit(1)).as("n_pairs"),
+        sum(when($"d" > 0, $"r2").otherwise(lit(0L))).as("w2_plus"),
+        coalesce(sum($"t" * $"t" - 1), lit(0L)).as("tsum"))
+        .select($"n_pairs", $"w2_plus",
+          when(lit(2L) * $"n_pairs" * ($"n_pairs" + 1) *
+            (lit(2L) * $"n_pairs" + 1) - $"tsum" <= 0L, lit(null))
+            .otherwise(expr(
+              "ROUND((CAST(w2_plus AS DOUBLE) " +
+                "- CAST(n_pairs AS DOUBLE) * (n_pairs + 1) / 2.0) " +
+                "/ sqrt(CAST(n_pairs AS DOUBLE) * (n_pairs + 1) " +
+                "* (2 * n_pairs + 1) / 6.0 " +
+                "- CAST(tsum AS DOUBLE) / 12.0), 6)"))
+            .as("z_score"))
+    },
+    oracle = Some(
+      """WITH daily AS (
+        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN
+        |      CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) END), 0)
+        |      AS p,
+        |    COALESCE(SUM(CASE WHEN event_type = 'click' THEN
+        |      CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) END), 0)
+        |      AS c
+        |  FROM events GROUP BY 1),
+        |diffs AS (
+        |  SELECT day, CAST(p - c AS BIGINT) AS d, CAST(abs(p - c) AS BIGINT) AS ad
+        |  FROM daily WHERE p - c <> 0),
+        |ranked AS (
+        |  SELECT d,
+        |    2 * rank() OVER (ORDER BY ad)
+        |      + COUNT(*) OVER (PARTITION BY ad) - 1 AS r2,
+        |    COUNT(*) OVER (PARTITION BY ad) AS t
+        |  FROM diffs),
+        |core AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |    CAST(SUM(CASE WHEN d > 0 THEN r2 ELSE 0 END) AS BIGINT)
+        |      AS w2_plus,
+        |    CAST(COALESCE(SUM(t * t - 1), 0) AS BIGINT) AS tsum
+        |  FROM ranked)
+        |SELECT n_pairs, w2_plus,
+        |  CASE WHEN 2 * n_pairs * (n_pairs + 1) * (2 * n_pairs + 1) - tsum
+        |      <= 0 THEN NULL
+        |    ELSE ROUND((CAST(w2_plus AS DOUBLE)
+        |      - CAST(n_pairs AS DOUBLE) * (n_pairs + 1) / 2.0)
+        |      / sqrt(CAST(n_pairs AS DOUBLE) * (n_pairs + 1)
+        |      * (2 * n_pairs + 1) / 6.0
+        |      - CAST(tsum AS DOUBLE) / 12.0), 6) END AS z_score
+        |FROM core""".stripMargin))
+
   val all: Vector[Q] =
     Vector(qStatWelchT, qStatMannWhitney, qStatKs, qStatGini, qStatPettitt,
       qStatKruskal, qStatAnova, qStatSpearman, qStatLevene, qStatFriedman,
-      qStatJarqueBera, qStatRuns, qStatCramersV, qStatBootstrap)
+      qStatJarqueBera, qStatRuns, qStatCramersV, qStatBootstrap,
+      qStatWilcoxon)
 }

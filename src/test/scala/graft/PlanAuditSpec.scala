@@ -918,6 +918,28 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
       s"top-10 authorities must be a bounded heap:\n$p")
   }
 
+  test("q_basket_rules explodes combinations in-projection, no basket self-join") {
+    val p = planOf("q_basket_rules")
+    // Pairs must come from the per-order brand set's own explode over
+    // the PERSISTED basket stage (InMemoryRelation.toString embeds the
+    // cached child plan, so raw "Scan parquet" counts overstate — pin
+    // the InMemory read instead), assembled by broadcast joins only.
+    assert(p.contains("InMemoryTableScan"),
+      s"every reference must read the persisted basket stage:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"rule assembly must broadcast the bounded tables:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 must be a bounded heap:\n$p")
+  }
+
+  test("q_stat_wilcoxon ranks only the bounded day domain") {
+    val p = planOf("q_stat_wilcoxon")
+    val scans = p.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"one fact scan feeding the day collapse:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"scalar assembly joins must broadcast:\n$p")
+  }
+
   test("q_text_naive_bayes scores via broadcast model joins only") {
     val p = planOf("q_text_naive_bayes")
     // The vocab×classes grid, priors, OOV table, and the two scalar
