@@ -23,6 +23,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
               s"array<float>), got ${children.size}")
         functions.VecDot(children.head, children(1))
       }))
+    extensions.injectFunction((
+      new FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[functions.JaroWinkler].getName, "jaro_winkler"),
+      (children: Seq[Expression]) => {
+        if (children.size != 2)
+          throw new IllegalArgumentException(
+            s"jaro_winkler requires exactly 2 arguments (string, " +
+              s"string), got ${children.size}")
+        functions.JaroWinkler(children.head, children(1))
+      }))
     extensions.injectPlannerStrategy(plans.AsOfJoinStrategy)
   }
 }

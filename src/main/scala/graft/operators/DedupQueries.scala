@@ -1167,10 +1167,43 @@ object DedupQueries {
          |WHERE containment >= 0.8
          |ORDER BY doc_sub, doc_super""".stripMargin))
 
+  /** q_dedup_jaro (T) — Jaro–Winkler entity matching over the
+    * [[fuzzyEntities]] planted-typo stage, through the native
+    * [[graft.functions.JaroWinkler]] codegen expression (registered as
+    * `jaro_winkler` via GraftExtensions): the record-linkage similarity
+    * [[qDedupFuzzy]]'s Levenshtein threshold misranks — a swapped
+    * adjacent pair costs edit distance 2 (indistinguishable from two
+    * unrelated typos) but only one Jaro transposition, and Winkler's
+    * prefix boost matches how identifiers diverge at the tail.
+    * Same blocked candidate generation (never all-pairs); threshold
+    * 0.9 clears the planted single-typo pairs while unrelated
+    * same-block names (6 shared + 6 differing chars → jaro ≈ 0.67,
+    * under the 0.7 boost gate) stay out.
+    *
+    * T-row: the expression is engine-native (DuckDB's
+    * jaro_winkler_similarity applies the boost UNCONDITIONALLY — a
+    * different function on low-jaro pairs); JaroWinklerSpec pins the
+    * textbook values, an independent reimplementation sweep, the boost
+    * gate, and codegen/eval agreement. */
+  val qDedupJaro: Q = Q(
+    "q_dedup_jaro",
+    (s, dir) => {
+      import s.implicits._
+      val ents = fuzzyEntities(Tables.documents(s, dir), 6)
+      ents.as("a")
+        .join(ents.as("b"),
+          col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.name").as("name_a"), col("b.name").as("name_b"),
+          round(expr("jaro_winkler(a.name, b.name)"), 6).as("jw"))
+        .where($"jw" >= 0.9)
+        .orderBy($"doc_a", $"doc_b")
+    })
+
   val all: Vector[Q] = Vector(
     qDedupShingleStage, qDedupExact, qDedupNear, qDedupMinhash,
     qDedupNgramJaccard, qDedupSimhash, qDedupPipeline, qDedupComponents,
     qDedupComponentsStar, qDedupClusterSizes, qTextContamination, qDedupFuzzy,
     qDedupSortedNeighborhood, qDedupPpjoin, qDedupSubstring,
-    qDedupContainment)
+    qDedupContainment, qDedupJaro)
 }
