@@ -43,7 +43,7 @@ class OracleLintSpec extends AnyFunSuite {
     // query must be added here deliberately.
     val singleRowGlobalAggs = Set("q_agg_global", "q_graph_triangles",
       "q_stat_kruskal", "q_stat_anova", "q_text_zipf", "q_stat_levene",
-      "q_funnel_time", "q_stat_cramers_v", "q_ts_pacf")
+      "q_funnel_time", "q_stat_cramers_v", "q_ts_pacf", "q_stat_wilcoxon")
     val offenders = Catalog.all
       .flatMap(q => q.oracle.map(q.name -> _))
       .filterNot { case (n, _) => singleRowGlobalAggs(n) }
