@@ -1546,9 +1546,16 @@ object TextQueries {
     * scoring is one broadcast join + one (doc, class)-keyed sum; the
     * corpus is never shuffled on anything wider than doc_id. Training
     * is two keyed counts over the token stage — the word-count shape. */
-  val qTextNaiveBayes: Q = Q(
-    "q_text_naive_bayes",
-    (s, dir) => {
+  /** The NB per-test-doc prediction frame (doc_id, actual_lang,
+    * pred_lang, score_micro, correct) — shared by [[qTextNaiveBayes]]
+    * (the per-doc report) and [[qMlConfusion]] (the per-class
+    * evaluation), built once per (session, dir). */
+  private val nbPredCache =
+    new graft.Memo[(SparkSession, String), org.apache.spark.sql.DataFrame]
+
+  private def naiveBayesPred(s: SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame =
+    nbPredCache((s, dir)) {
       import s.implicits._
       val isTest = ($"doc_id" % 5) === 0
       val toks = Tokenized(s, dir)
@@ -1599,10 +1606,15 @@ object TextQueries {
         .select($"doc_id", $"actual_lang", $"lang".as("pred_lang"),
           $"score_micro",
           when($"actual_lang" === $"lang", 1L).otherwise(0L).as("correct"))
-        .orderBy($"doc_id")
-    },
-    oracle = Some(
-      """WITH train AS (
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
+  /** The NB scoring pipeline as a DuckDB CTE prefix — the single
+    * definition both oracles build on (`ranked`/`test` are the exposed
+    * relations), so the evaluation twin can never drift from the
+    * classifier twin. */
+  private val nbOracleCtes: String =
+    """WITH train AS (
         |  SELECT doc_id, lang, lower(text) AS t FROM documents
         |  WHERE doc_id % 5 <> 0),
         |ttok AS (
@@ -1655,7 +1667,16 @@ object TextQueries {
         |    s.ll_sum + p.prior_micro AS score_micro,
         |    row_number() OVER (PARTITION BY s.doc_id
         |      ORDER BY s.ll_sum + p.prior_micro DESC, s.lang) AS rk
-        |  FROM scores s JOIN priors p ON p.lang = s.lang)
+        |  FROM scores s JOIN priors p ON p.lang = s.lang)""".stripMargin
+
+  val qTextNaiveBayes: Q = Q(
+    "q_text_naive_bayes",
+    (s, dir) => {
+      import s.implicits._
+      naiveBayesPred(s, dir).orderBy($"doc_id")
+    },
+    oracle = Some(nbOracleCtes +
+      """
         |SELECT r.doc_id, t.actual_lang, r.lang AS pred_lang,
         |  r.score_micro,
         |  CAST(CASE WHEN t.actual_lang = r.lang THEN 1 ELSE 0 END
@@ -1663,6 +1684,77 @@ object TextQueries {
         |FROM ranked r JOIN test t ON t.doc_id = r.doc_id
         |WHERE r.rk = 1
         |ORDER BY r.doc_id""".stripMargin))
+
+  /** q_ml_confusion — per-class evaluation of [[qTextNaiveBayes]]'s
+    * held-out predictions: confusion counts (tp / fp / fn / support)
+    * and precision / recall / F1 in exact integer ppm — the EVALUATION
+    * operator every trained-model row ultimately answers to, and the
+    * table a corpus pipeline gates a classifier rollout on.
+    *
+    * F1 computes by the harmonic identity 2·tp / (2·tp + fp + fn)
+    * DIRECTLY from counts — going through already-rounded ppm
+    * precision/recall would compound two roundings; this keeps ONE
+    * integer division per metric (truncating div, identical both
+    * engines; zero denominators integer-decided → NULL). The class
+    * axis comes from the ACTUAL labels, so a class the classifier
+    * never predicts still reports (recall 0, precision NULL).
+    *
+    * Shape: the shared prediction frame is ≤|test docs| rows and the
+    * output is |classes|-bounded; one keyed agg per side of the
+    * full-outer class meet. Scale is inherited from the NB row —
+    * evaluation adds nothing fact-sized. */
+  val qMlConfusion: Q = Q(
+    "q_ml_confusion",
+    (s, dir) => {
+      import s.implicits._
+      val pred = naiveBayesPred(s, dir)
+      val byActual = pred.groupBy($"actual_lang".as("lang"))
+        .agg(count(lit(1)).as("support"), sum($"correct").as("tp"))
+      val byPred = pred.groupBy($"pred_lang".as("lang"))
+        .agg(count(lit(1)).as("n_pred"))
+      byActual.join(broadcast(byPred), Seq("lang"), "left")
+        .select($"lang", $"tp", $"support",
+          (coalesce($"n_pred", lit(0L)) - $"tp").as("fp"),
+          ($"support" - $"tp").as("fn"))
+        .select($"lang", $"tp", $"fp", $"fn", $"support",
+          when($"tp" + $"fp" === 0L, lit(null))
+            .otherwise(expr("tp * 1000000 div (tp + fp)"))
+            .as("precision_ppm"),
+          expr("tp * 1000000 div support").as("recall_ppm"),
+          when(lit(2L) * $"tp" + $"fp" + $"fn" === 0L, lit(null))
+            .otherwise(expr("2 * tp * 1000000 div (2 * tp + fp + fn)"))
+            .as("f1_ppm"))
+        .orderBy($"lang")
+    },
+    oracle = Some(nbOracleCtes +
+      """,
+        |pred AS (
+        |  SELECT r.doc_id, t.actual_lang, r.lang AS pred_lang,
+        |    CASE WHEN t.actual_lang = r.lang THEN 1 ELSE 0 END AS correct
+        |  FROM ranked r JOIN test t ON t.doc_id = r.doc_id
+        |  WHERE r.rk = 1),
+        |by_actual AS (
+        |  SELECT actual_lang AS lang, CAST(COUNT(*) AS BIGINT) AS support,
+        |    CAST(SUM(correct) AS BIGINT) AS tp
+        |  FROM pred GROUP BY 1),
+        |by_pred AS (
+        |  SELECT pred_lang AS lang, CAST(COUNT(*) AS BIGINT) AS n_pred
+        |  FROM pred GROUP BY 1)
+        |SELECT a.lang, a.tp,
+        |  CAST(COALESCE(p.n_pred, 0) - a.tp AS BIGINT) AS fp,
+        |  CAST(a.support - a.tp AS BIGINT) AS fn,
+        |  a.support,
+        |  CASE WHEN a.tp + COALESCE(p.n_pred, 0) - a.tp = 0 THEN NULL
+        |    ELSE CAST(a.tp * 1000000 // COALESCE(p.n_pred, 0) AS BIGINT)
+        |    END AS precision_ppm,
+        |  CAST(a.tp * 1000000 // a.support AS BIGINT) AS recall_ppm,
+        |  CASE WHEN 2 * a.tp + (COALESCE(p.n_pred, 0) - a.tp)
+        |      + (a.support - a.tp) = 0 THEN NULL
+        |    ELSE CAST(2 * a.tp * 1000000
+        |      // (2 * a.tp + (COALESCE(p.n_pred, 0) - a.tp)
+        |        + (a.support - a.tp)) AS BIGINT) END AS f1_ppm
+        |FROM by_actual a LEFT JOIN by_pred p ON p.lang = a.lang
+        |ORDER BY a.lang""".stripMargin))
 
   val all: Vector[Q] =
     Vector(qTextTokenizeExplode, qTextWordcountTf, qTextStats,
@@ -1672,5 +1764,5 @@ object TextQueries {
       qTextKlDrift, qSampleFixedK, qSampleWeighted, qTextBm25, qTextEntropy,
       qTextTtr, qTextKeywords, qTextBigramLm, qSampleBalanced,
       qTextCharTrigrams, qQualityClassifier, qSampleTemperature, qTextPack,
-      qTextZipf, qTextNaiveBayes)
+      qTextZipf, qTextNaiveBayes, qMlConfusion)
 }

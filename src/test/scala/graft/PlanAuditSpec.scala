@@ -940,6 +940,14 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
       s"scalar assembly joins must broadcast:\n$p")
   }
 
+  test("q_ml_confusion reads the persisted prediction stage") {
+    val p = planOf("q_ml_confusion")
+    assert(p.contains("InMemoryTableScan"),
+      s"both confusion sides must read the shared NB prediction frame:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"the class meet is bounded — must broadcast:\n$p")
+  }
+
   test("q_text_naive_bayes scores via broadcast model joins only") {
     val p = planOf("q_text_naive_bayes")
     // The vocab×classes grid, priors, OOV table, and the two scalar
