@@ -1756,6 +1756,66 @@ object TextQueries {
         |FROM by_actual a LEFT JOIN by_pred p ON p.lang = a.lang
         |ORDER BY a.lang""".stripMargin))
 
+  /** q_text_mutual_info — MUTUAL INFORMATION feature selection
+    * I(token; lang): which tokens carry signal about the class — the
+    * standard filter-method feature selector (Yang & Pedersen 1997)
+    * run before training any text classifier, and the train-side
+    * complement of [[qTextNaiveBayes]] (NB consumes all features; MI
+    * says which ones earn their keep).
+    *
+    * The statistic reports N·MI scaled to micro-nats: each (token,
+    * class) cell contributes n_wc · ln(n_wc·N / (n_w·n_c)), the ln
+    * quantized ONCE per cell over the bounded |V|×|classes| grid (the
+    * perplexity device); zero cells contribute exactly 0 (the x·ln x
+    * limit) by never materializing — only observed cells join. The
+    * scaling by N is monotone, so the top-20 ranking is the MI
+    * ranking, with everything after the quantization exact Long
+    * multiply-add.
+    *
+    * Shape: one (lang, token) count off the shared token stage; the
+    * margins attach by broadcast (token margin ≤|V| rows, class margin
+    * ≤|classes|, N scalar); top-20 is a bounded heap. */
+  val qTextMutualInfo: Q = Q(
+    "q_text_mutual_info",
+    (s, dir) => {
+      import s.implicits._
+      val wc = Tokenized(s, dir)
+        .select($"lang", explode($"lw").as("w"))
+        .groupBy($"lang", $"w").agg(count(lit(1)).as("nwc"))
+      val wMargin = wc.groupBy($"w").agg(sum($"nwc").as("nw"))
+      val cMargin = wc.groupBy($"lang").agg(sum($"nwc").as("nc"))
+      val total = broadcast(wc.agg(sum($"nwc").as("nn")))
+      wc.join(broadcast(wMargin), Seq("w"))
+        .join(broadcast(cMargin), Seq("lang"))
+        .crossJoin(total)
+        .select($"w", ($"nwc" * expr(
+          "CAST(floor(ln(CAST(nwc AS DOUBLE) * nn " +
+            "/ (CAST(nw AS DOUBLE) * nc)) * 1000000) AS BIGINT)"))
+          .as("cell_micro"))
+        .groupBy($"w")
+        .agg(sum($"cell_micro").as("mi_scaled_micro"))
+        .orderBy($"mi_scaled_micro".desc, $"w")
+        .limit(20)
+    },
+    oracle = Some(
+      """WITH toks AS (
+        |  SELECT lang, unnest(string_split(lower(text), ' ')) AS w
+        |  FROM documents),
+        |wc AS (SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS nwc
+        |  FROM toks GROUP BY 1, 2),
+        |wm AS (SELECT w, CAST(SUM(nwc) AS BIGINT) AS nw FROM wc GROUP BY 1),
+        |cm AS (SELECT lang, CAST(SUM(nwc) AS BIGINT) AS nc
+        |  FROM wc GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(nwc) AS BIGINT) AS nn FROM wc)
+        |SELECT wc.w,
+        |  CAST(SUM(nwc * CAST(floor(ln(CAST(nwc AS DOUBLE) * nn
+        |    / (CAST(nw AS DOUBLE) * nc)) * 1000000) AS BIGINT)) AS BIGINT)
+        |    AS mi_scaled_micro
+        |FROM wc JOIN wm ON wm.w = wc.w JOIN cm ON cm.lang = wc.lang, tot
+        |GROUP BY wc.w
+        |ORDER BY mi_scaled_micro DESC, wc.w
+        |LIMIT 20""".stripMargin))
+
   val all: Vector[Q] =
     Vector(qTextTokenizeExplode, qTextWordcountTf, qTextStats,
       qTextQuality, qTextTokenCount, qDocFingerprint, qTextFilterPipeline,
@@ -1764,5 +1824,5 @@ object TextQueries {
       qTextKlDrift, qSampleFixedK, qSampleWeighted, qTextBm25, qTextEntropy,
       qTextTtr, qTextKeywords, qTextBigramLm, qSampleBalanced,
       qTextCharTrigrams, qQualityClassifier, qSampleTemperature, qTextPack,
-      qTextZipf, qTextNaiveBayes, qMlConfusion)
+      qTextZipf, qTextNaiveBayes, qMlConfusion, qTextMutualInfo)
 }

@@ -960,10 +960,74 @@ object VectorQueries {
          |ORDER BY top5_sim_sum_micro, vec_id
          |LIMIT 10""".stripMargin))
 
+  /** q_vec_mmr (T) — MAXIMAL MARGINAL RELEVANCE re-ranking (Carbonell
+    * & Goldstein, SIGIR 1998): pick 5 results from the probe's top-20
+    * shortlist greedily maximizing λ·rel(d) − (1−λ)·max_{s∈S} sim(d,s)
+    * at λ = 0.7 — the diversity-aware selection every retrieval
+    * pipeline (and dedup-aware sampler) layers over raw kNN: plain
+    * top-k returns near-duplicates of the best hit; MMR trades a
+    * little relevance for coverage.
+    *
+    * Scale split: the SHORTLIST is the distributed part (the
+    * [[qVecKnnBruteforce]] shape — corpus scanned once, heap top-20);
+    * the greedy selection is inherently sequential in k but touches
+    * only the 20-row shortlist, which collects as bounded model state
+    * (20×64 floats — the PQ re-rank rule). Similarities quantize once
+    * to floor(dot·10⁶) and λ scales to integers (7·rel − 3·maxSim in
+    * deci-λ units), so every comparison is exact Long with a vec_id
+    * tiebreak — bit-deterministic under any partitioning.
+    *
+    * T-row: the greedy argmax chain isn't expressible as bit-stable
+    * DuckDB SQL; MmrSpec pins equality with an independent reference
+    * implementation, the top-1 anchor, the diversity property vs plain
+    * top-5, and shortlist membership. */
+  val qVecMmr: Q = Q(
+    "q_vec_mmr",
+    (s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
+      val probeDf = broadcast(emb.where($"vec_id" === 0)
+        .select($"embedding".as("p")))
+      val short = emb.where($"vec_id" =!= 0).crossJoin(probeDf)
+        .select($"vec_id",
+          expr("CAST(floor(vec_dot(embedding, p) * 1000000) AS BIGINT)")
+            .as("rel_micro"),
+          $"embedding")
+        .orderBy($"rel_micro".desc, $"vec_id")
+        .limit(20)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          r.getSeq[Float](2).toArray))
+      def simMicro(a: Array[Float], b: Array[Float]): Long = {
+        var s0 = 0.0; var i = 0
+        val n = math.min(a.length, b.length)
+        while (i < n) { s0 += a(i).toDouble * b(i).toDouble; i += 1 }
+        math.floor(s0 * 1000000).toLong
+      }
+      val selected = collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+      val remaining = collection.mutable.ArrayBuffer(short: _*)
+      while (selected.size < 5 && remaining.nonEmpty) {
+        val scored = remaining.map { case (id, rel, v) =>
+          val maxSim =
+            if (selected.isEmpty) 0L
+            else selected.map(sel =>
+              simMicro(v, short.find(_._1 == sel._1).get._3)).max
+          (id, rel, 7L * rel - 3L * maxSim)
+        }
+        val best = scored.minBy { case (id, _, mmr) => (-mmr, id) }
+        selected += best
+        remaining --= remaining.filter(_._1 == best._1)
+      }
+      selected.zipWithIndex
+        .map { case ((id, rel, mmr), i) => (i + 1L, id, rel, mmr) }
+        .toSeq
+        .toDF("rank", "vec_id", "rel_micro", "mmr_deci_micro")
+    })
+
   val all: Vector[Q] = Vector(
     qVecNormStats, qVecKnnBruteforce, qVecKnnLsh, qVecKnnIvf,
     qVecKnnGraph, qDedupEmbedding, qVecCentroids, qMultimodalJoin,
     qMultimodalFrames, qVecQuantize, qVecKnnBatch, qVecRangeSearch,
     qVecCentroidSims, qVecSilhouette, qVecFeatureHash, qVecDiversity,
-    qMultimodalPhash, qVecOutlier)
+    qMultimodalPhash, qVecOutlier, qVecMmr)
 }

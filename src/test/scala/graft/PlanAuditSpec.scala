@@ -940,6 +940,14 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
       s"scalar assembly joins must broadcast:\n$p")
   }
 
+  test("q_text_mutual_info attaches margins by broadcast, top-20s via heap") {
+    val p = planOf("q_text_mutual_info")
+    assert(!p.contains("SortMergeJoin"),
+      s"the |V| and |classes| margins must broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 must be a bounded heap:\n$p")
+  }
+
   test("q_ml_confusion reads the persisted prediction stage") {
     val p = planOf("q_ml_confusion")
     assert(p.contains("InMemoryTableScan"),
