@@ -914,6 +914,9 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"),
       s"HITS rounds must join on edge endpoints:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the node-bounded score tables must broadcast into the edges " +
+        s"(the static planner SMJ-shuffled the edge list twice):\n$p")
     assert(p.contains("TakeOrderedAndProject"),
       s"top-10 authorities must be a bounded heap:\n$p")
   }

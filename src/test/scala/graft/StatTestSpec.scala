@@ -409,10 +409,13 @@ class StatTestSpec extends AnyFunSuite with SparkFixture {
       .select($"event_type", $"event_id",
         (Dsl.dec2($"value") * 100).cast("long"))
       .as[(String, Long, Long)].collect()
-    def hex4(key: String): String = {
+    // The operator's draw for replicate b reads 4-hex window j of
+    // md5("id-g") with g = (b−1)/8 + 1, j = (b−1)%8 + 1 — replayed
+    // here from raw digest bytes (independent code path).
+    def hexWin(key: String, j: Int): String = {
       val d = java.security.MessageDigest.getInstance("MD5")
         .digest(key.getBytes("UTF-8"))
-      d.take(2).map(b => f"${b & 0xff}%02x").mkString
+      d.slice(2 * (j - 1), 2 * j).map(b => f"${b & 0xff}%02x").mkString
     }
     val cuts = Seq("5e2d", "bc5a", "eb71", "fb23", "ff10", "ffd9")
     def w(h: String): Long = cuts.indexWhere(h < _) match {
@@ -425,9 +428,11 @@ class StatTestSpec extends AnyFunSuite with SparkFixture {
     got.foreach { case (t, (nReps, p5, p50, p95)) =>
       val rows = data.filter(_._1 == t)
       val means = (1 to 64).flatMap { b =>
+        val g = (b - 1) / 8 + 1
+        val j = (b - 1) % 8 + 1
         var sw = 0L; var swc = 0L
         rows.foreach { case (_, id, c) =>
-          val ww = w(hex4(s"$id-$b")); sw += ww; swc += ww * c
+          val ww = w(hexWin(s"$id-$g", j)); sw += ww; swc += ww * c
         }
         if (sw > 0) Some((swc * 1000000L / sw, b.toLong)) else None
       }.sorted
