@@ -1879,29 +1879,30 @@ object AnalyticsQueries {
     * Determinism: the anchor is max(day) — data-relative, frozen-
     * fixture stable (the RFM rule); ages are exact datediffs; the one
     * ratio division rounds at 6 dp in identical text. */
-  val qEventsDecay: Q = Q(
-    "q_events_decay",
-    (s, dir) => {
-      import s.implicits._
-      val daily = Tables.events(s, dir)
-        .groupBy($"event_type", to_date(date_trunc("day", $"ts")).as("day"))
-        .agg(sum((dec2($"value") * 100).cast(LongType)).as("day_cents"))
-      val anchor = broadcast(daily.agg(max($"day").as("last_day")))
-      daily.crossJoin(anchor)
-        .select($"event_type", $"day_cents",
-          expr("CAST(floor(exp(-(CAST(datediff(last_day, day) AS DOUBLE) " +
-            "* ln(2.0)) / 7.0) * 1000000) AS BIGINT)").as("w_micro"))
-        .groupBy($"event_type")
-        .agg(sum($"day_cents").as("total_cents"),
-          sum($"day_cents" * $"w_micro").as("decayed_micro_cents"))
-        .select($"event_type", $"total_cents", $"decayed_micro_cents",
-          expr("ROUND(CAST(decayed_micro_cents AS DOUBLE) " +
-            "/ (CAST(total_cents AS DOUBLE) * 1000000.0), 6)")
-            .as("recency_ratio"))
-        .orderBy($"event_type")
-    },
-    oracle = Some(
-      """WITH daily AS (
+  /** Decay read-side — the weighting over a (event_type, day,
+    * day_cents) table — shared VERBATIM by the batch row and
+    * q_stream_decay's read of its stream-maintained monoid table, so
+    * "stream == batch" is equality of inputs, not of two weightings. */
+  def decayReport(s: SparkSession,
+      daily: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val anchor = broadcast(daily.agg(max($"day").as("last_day")))
+    daily.crossJoin(anchor)
+      .select($"event_type", $"day_cents",
+        expr("CAST(floor(exp(-(CAST(datediff(last_day, day) AS DOUBLE) " +
+          "* ln(2.0)) / 7.0) * 1000000) AS BIGINT)").as("w_micro"))
+      .groupBy($"event_type")
+      .agg(sum($"day_cents").as("total_cents"),
+        sum($"day_cents" * $"w_micro").as("decayed_micro_cents"))
+      .select($"event_type", $"total_cents", $"decayed_micro_cents",
+        expr("ROUND(CAST(decayed_micro_cents AS DOUBLE) " +
+          "/ (CAST(total_cents AS DOUBLE) * 1000000.0), 6)")
+          .as("recency_ratio"))
+      .orderBy($"event_type")
+  }
+
+  val decayOracle: String =
+    """WITH daily AS (
         |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
         |    CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
         |      AS BIGINT) AS day_cents
@@ -1919,7 +1920,17 @@ object AnalyticsQueries {
         |    / (CAST(SUM(day_cents) AS DOUBLE) * 1000000.0), 6)
         |    AS recency_ratio
         |FROM weighted GROUP BY event_type
-        |ORDER BY event_type""".stripMargin))
+        |ORDER BY event_type""".stripMargin
+
+  val qEventsDecay: Q = Q(
+    "q_events_decay",
+    (s, dir) => {
+      import s.implicits._
+      decayReport(s, Tables.events(s, dir)
+        .groupBy($"event_type", to_date(date_trunc("day", $"ts")).as("day"))
+        .agg(sum((dec2($"value") * 100).cast(LongType)).as("day_cents")))
+    },
+    oracle = Some(decayOracle))
 
   /** q_events_churn — WEEK-OVER-WEEK retention/churn counts: for each
     * calendar week with a successor week, how many of its active users

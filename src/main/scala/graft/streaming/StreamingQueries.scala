@@ -718,9 +718,68 @@ object StreamingQueries {
     },
     oracle = Some(graft.operators.StatQueries.kalmanOracle))
 
+  /** q_stream_decay — STREAMING DECAYED-POPULARITY maintenance, the
+    * fourth streaming ORACLE row: the (event_type, day) exact-cents
+    * monoid table is maintained incrementally via foreachBatch (the
+    * [[qStreamDailyAgg]] machinery — own state dir, shared staged
+    * chunks), and after the stream drains the batch row's OWN
+    * read-side ([[graft.operators.AnalyticsQueries.decayReport]], the
+    * anchor + per-age quantized weighting, shared VERBATIM) runs over
+    * the maintained table. The decayed score itself is NOT a monoid
+    * (the anchor moves with every new day), but it is a deterministic
+    * function of one — so the stream keeps the cheap mergeable state
+    * hot and derives the score on demand, the same split as
+    * [[qStreamKalman]]. Stream == batch bit-for-bit, which is exactly
+    * what reusing q_events_decay's DuckDB twin checks. */
+  val qStreamDecay: Q = Q(
+    "q_stream_decay",
+    (s, dir) => {
+      import s.implicits._
+      val inDir = UpsertStage.inDir(s, dir)
+      val state = UpsertStage.stateDir(dir) + "_decay"
+      def partials(df: DataFrame): DataFrame =
+        df.groupBy(col("event_type"),
+            to_date(date_trunc("day", col("ts"))).as("day"))
+          .agg(sum((col("value").cast(org.apache.spark.sql.types
+            .DecimalType(18, 2)) * 100)
+            .cast(org.apache.spark.sql.types.LongType)).as("day_cents"))
+      val src = graft.Tables.normalizeTs(
+        s.readStream.schema(UpsertStage.schema(s, inDir))
+          .option("maxFilesPerTrigger", 1).parquet(inDir))
+      val pKey = "spark.sql.shuffle.partitions"
+      val prevP = s.conf.get(pKey)
+      s.conf.set(pKey, s.conf.get("spark.graft.replay.shufflePartitions", "4"))
+      try {
+        val q = src.writeStream
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            val bs = batch.sparkSession
+            val bp = partials(batch)
+            val merged =
+              if (id == 0L) bp
+              else bs.read.parquet(state).unionByName(bp)
+                .groupBy(col("event_type"), col("day"))
+                .agg(sum(col("day_cents")).as("day_cents"))
+            merged.localCheckpoint(eager = true)
+              .write.mode("overwrite").parquet(state)
+            ()
+          }
+          .start()
+        if (!q.awaitTermination(300000)) {
+          q.stop()
+          throw new IllegalStateException(
+            "q_stream_decay replay did not finish within 300 s")
+        }
+      } finally s.conf.set(pKey, prevP)
+      graft.operators.AnalyticsQueries.decayReport(s,
+        s.read.parquet(state)
+          .select(col("event_type"), col("day"), col("day_cents")))
+    },
+    oracle = Some(graft.operators.AnalyticsQueries.decayOracle))
+
   val all: Vector[Q] = Vector(qWindowTumblingBatch,
     qStreamTumbling, qStreamSliding, qStreamSession, qStreamDedup,
     qStreamStateful, qStreamStatefulTws, qStreamQualityFilter,
     qStreamModelScore, qStreamCountmin, qStreamOhlc, qStreamUpsert, qStreamKalman,
-    qStreamDailyAgg)
+    qStreamDailyAgg, qStreamDecay)
 }

@@ -285,4 +285,17 @@ class StreamReplaySpec extends AnyFunSuite with SparkFixture {
         r.getLong(2), r.getLong(3))).toSeq
     assert(stream.nonEmpty && stream == batch)
   }
+
+  test("q_stream_decay: the stream-maintained table yields the batch report exactly") {
+    // Stream and batch share decayReport VERBATIM, so this equality is
+    // equality of the maintained (type, day) monoid table with the
+    // batch aggregation — the strongest form of the stream == batch
+    // claim (the kalman argument, one row later).
+    def snap(name: String) = Catalog.byName(name).build(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    val stream = snap("q_stream_decay")
+    val batch = snap("q_events_decay")
+    assert(stream.nonEmpty && stream == batch)
+  }
 }
