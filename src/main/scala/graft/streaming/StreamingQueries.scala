@@ -508,12 +508,13 @@ object StreamingQueries {
     * batches, not in the stream engine).
     *
     * Per batch: newest-wins within the batch (one keyed window), then
-    * newest-wins against the stored snapshot, then atomically republish
-    * (localCheckpoint materializes the merge before the overwrite —
-    * the local stand-in for the write-new-snapshot-then-swap-pointer
-    * commit a lakehouse MERGE performs; the state table never holds a
-    * half-merged view). Batch 0 resets the table, so every invocation
-    * is self-contained.
+    * newest-wins against ONLY the stored bucket partitions the batch's
+    * keys hash into, then republish just those partitions (the
+    * [[UpsertState]] discipline: `_bkt`-partitioned snapshot, literal
+    * partition-pruned read, dynamic partition overwrite). Batch 0
+    * resets the table, so every invocation is self-contained.
+    * StreamFailureSpec pins that untouched buckets' files survive a
+    * merge untouched (name/size/mtime) — merge cost ∝ churn, not state.
     *
     * THE ORACLE-ELIGIBILITY ARGUMENT (first O-row in the streaming
     * family): newest-wins on the TOTAL key (ts, event_id) is
@@ -523,22 +524,15 @@ object StreamingQueries {
     * plain batch argmax; the hash match proves the incremental fold
     * exactly reproduces it.
     *
-    * Scale: each merge shuffles |batch keys| + |snapshot| rows on the
-    * key — at 100 TB the snapshot side prunes to the key partitions the
-    * batch touches (MERGE partition pruning), cost ∝ churn, not state. */
+    * Scale: each merge shuffles |batch keys| + |touched buckets'
+    * snapshot rows| on the key — the snapshot side IS pruned to the
+    * bucket partitions the batch touches, so cost ∝ churn, not state. */
   val qStreamUpsert: Q = Q(
     "q_stream_upsert",
     (s, dir) => {
       import s.implicits._
       val inDir = UpsertStage.inDir(s, dir)
       val state = UpsertStage.stateDir(dir)
-      def latest(df: DataFrame): DataFrame = {
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("user_id"))
-          .orderBy(col("ts").desc, col("event_id").desc)
-        df.withColumn("_rn", row_number().over(w))
-          .where(col("_rn") === 1).drop("_rn")
-      }
       val src = graft.Tables.normalizeTs(
         s.readStream.schema(UpsertStage.schema(s, inDir))
           .option("maxFilesPerTrigger", 1).parquet(inDir))
@@ -550,14 +544,7 @@ object StreamingQueries {
         val q = src.writeStream
           .trigger(Trigger.AvailableNow())
           .foreachBatch { (batch: DataFrame, id: Long) =>
-            val bs = batch.sparkSession
-            val bl = latest(batch)
-            val merged =
-              if (id == 0L) bl
-              else latest(bs.read.parquet(state).unionByName(bl))
-            merged.localCheckpoint(eager = true)
-              .write.mode("overwrite").parquet(state)
-            ()
+            UpsertState.merge(state, batch, id)
           }
           .start()
         if (!q.awaitTermination(300000)) {
@@ -566,7 +553,7 @@ object StreamingQueries {
             "q_stream_upsert replay did not finish within 300 s")
         }
       } finally s.conf.set(pKey, prevP)
-      s.read.parquet(state)
+      UpsertState.read(s, state)
         .select($"user_id", $"ts".cast("timestamp_ntz").as("last_ts"),
           $"event_id".as("last_event_id"),
           $"event_type".as("last_type"), $"value".as("last_value"))
@@ -595,7 +582,15 @@ object StreamingQueries {
     * here through the live streaming machinery, not a simulation).
     * Shares [[UpsertStage]]'s staged chunks — one listing/staging cost
     * across both O-rows (the r8 streaming-overhead lesson). Mean is
-    * integer cents div count — no float anywhere. */
+    * integer cents div count — no float anywhere.
+    *
+    * RETRY-SAFE: the merge is [[MonoidTable.merge]], which fences on
+    * the batch id persisted with the state — a re-delivered batchId
+    * (driver death between state write and epoch commit, the
+    * at-least-once window foreachBatch exposes) no-ops instead of
+    * double-counting. StreamFailureSpec injects exactly that crash
+    * through the real checkpoint-restart machinery and asserts the
+    * maintained table still equals the batch recompute. */
   val qStreamDailyAgg: Q = Q(
     "q_stream_daily_agg",
     (s, dir) => {
@@ -618,16 +613,7 @@ object StreamingQueries {
         val q = src.writeStream
           .trigger(Trigger.AvailableNow())
           .foreachBatch { (batch: DataFrame, id: Long) =>
-            val bs = batch.sparkSession
-            val bp = partials(batch)
-            val merged =
-              if (id == 0L) bp
-              else bs.read.parquet(state).unionByName(bp)
-                .groupBy(col("day"))
-                .agg(sum(col("n")).as("n"), sum(col("sc")).as("sc"))
-            merged.localCheckpoint(eager = true)
-              .write.mode("overwrite").parquet(state)
-            ()
+            MonoidTable.merge(state, partials(batch), id, Seq("day"))
           }
           .start()
         if (!q.awaitTermination(300000)) {
@@ -636,7 +622,7 @@ object StreamingQueries {
             "q_stream_daily_agg replay did not finish within 300 s")
         }
       } finally s.conf.set(pKey, prevP)
-      s.read.parquet(state)
+      MonoidTable.read(s, state)
         .select($"day", $"n",
           ($"sc".cast(org.apache.spark.sql.types.DoubleType) / 100)
             .as("sum_value"),
@@ -673,7 +659,8 @@ object StreamingQueries {
     *
     * Scale: per batch one partial agg of the batch's rows + a merge
     * over the bounded day domain; the filter chain is the O(1)-state
-    * single pass over ≤ |days| rows. */
+    * single pass over ≤ |days| rows. Retry-safe via the
+    * [[MonoidTable]] batch-id fence (see qStreamDailyAgg). */
   val qStreamKalman: Q = Q(
     "q_stream_kalman",
     (s, dir) => {
@@ -695,16 +682,7 @@ object StreamingQueries {
         val q = src.writeStream
           .trigger(Trigger.AvailableNow())
           .foreachBatch { (batch: DataFrame, id: Long) =>
-            val bs = batch.sparkSession
-            val bp = partials(batch)
-            val merged =
-              if (id == 0L) bp
-              else bs.read.parquet(state).unionByName(bp)
-                .groupBy(col("day"))
-                .agg(sum(col("v")).as("v"))
-            merged.localCheckpoint(eager = true)
-              .write.mode("overwrite").parquet(state)
-            ()
+            MonoidTable.merge(state, partials(batch), id, Seq("day"))
           }
           .start()
         if (!q.awaitTermination(300000)) {
@@ -714,7 +692,7 @@ object StreamingQueries {
         }
       } finally s.conf.set(pKey, prevP)
       graft.operators.StatQueries.kalmanChain(s,
-        s.read.parquet(state).select(col("day"), col("v")))
+        MonoidTable.read(s, state).select(col("day"), col("v")))
     },
     oracle = Some(graft.operators.StatQueries.kalmanOracle))
 
@@ -730,7 +708,8 @@ object StreamingQueries {
     * function of one — so the stream keeps the cheap mergeable state
     * hot and derives the score on demand, the same split as
     * [[qStreamKalman]]. Stream == batch bit-for-bit, which is exactly
-    * what reusing q_events_decay's DuckDB twin checks. */
+    * what reusing q_events_decay's DuckDB twin checks. Retry-safe via
+    * the [[MonoidTable]] batch-id fence (see qStreamDailyAgg). */
   val qStreamDecay: Q = Q(
     "q_stream_decay",
     (s, dir) => {
@@ -753,16 +732,8 @@ object StreamingQueries {
         val q = src.writeStream
           .trigger(Trigger.AvailableNow())
           .foreachBatch { (batch: DataFrame, id: Long) =>
-            val bs = batch.sparkSession
-            val bp = partials(batch)
-            val merged =
-              if (id == 0L) bp
-              else bs.read.parquet(state).unionByName(bp)
-                .groupBy(col("event_type"), col("day"))
-                .agg(sum(col("day_cents")).as("day_cents"))
-            merged.localCheckpoint(eager = true)
-              .write.mode("overwrite").parquet(state)
-            ()
+            MonoidTable.merge(state, partials(batch), id,
+              Seq("event_type", "day"))
           }
           .start()
         if (!q.awaitTermination(300000)) {
@@ -772,7 +743,7 @@ object StreamingQueries {
         }
       } finally s.conf.set(pKey, prevP)
       graft.operators.AnalyticsQueries.decayReport(s,
-        s.read.parquet(state)
+        MonoidTable.read(s, state)
           .select(col("event_type"), col("day"), col("day_cents")))
     },
     oracle = Some(graft.operators.AnalyticsQueries.decayOracle))

@@ -1,0 +1,191 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQueryException, Trigger}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.{MonoidTable, UpsertState}
+
+/** Failure injection for the foreachBatch state-table rows — the
+  * at-least-once window StreamRecoverySpec cannot reach: the driver
+  * dying AFTER the sink write but BEFORE the epoch commit. Structured
+  * Streaming then re-delivers the SAME batchId on restart; a count/sum
+  * monoid merged twice double-counts unless the merge is fenced.
+  *
+  * The first test injects exactly that crash through the REAL
+  * machinery (file source + checkpoint + thrown foreachBatch +
+  * restart) and asserts the maintained table still equals the batch
+  * recompute. The second is the negative control proving the injection
+  * actually exercises the failure window: an unfenced merge under the
+  * identical crash DOES double-count. The remaining tests pin the
+  * fence's re-delivery semantics directly and the bucketed upsert's
+  * churn-proportional rewrite (untouched bucket files survive a merge
+  * untouched — the 100 TB claim as a file-identity assertion). */
+class StreamFailureSpec extends AnyFunSuite with SparkFixture {
+
+  private def partials(df: DataFrame): DataFrame =
+    df.groupBy(to_date(date_trunc("day", col("ts"))).as("day"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          * 100).cast(org.apache.spark.sql.types.LongType).as("sc"))
+
+  /** Stage events as 4 single-file chunks so maxFilesPerTrigger=1
+    * yields a deterministic 4-batch replay. */
+  private def stageChunks(): String = {
+    val dir = Files.createTempDirectory("graft_fail_src").toString
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    (0 until 4).foreach { c =>
+      raw.where(pmod(col("event_id"), lit(4)) === c).coalesce(1)
+        .write.mode(if (c == 0) "overwrite" else "append").parquet(dir)
+    }
+    dir
+  }
+
+  /** Drive the daily-agg maintenance through a real checkpointed
+    * stream whose foreachBatch crashes once, AFTER merging batch
+    * `failAt` — then restart from the same checkpoint. Returns the
+    * final maintained table. `merge` is the discipline under test. */
+  private def runWithCrash(inDir: String,
+      merge: (String, DataFrame, Long) => Unit, failAt: Long): DataFrame = {
+    val state = Files.createTempDirectory("graft_fail_state").toString +
+      "/t"
+    val ckpt = Files.createTempDirectory("graft_fail_ckpt").toString
+    val schema = spark.read.parquet(inDir).schema
+    val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def runOnce(): Unit = {
+      val q = Tables.normalizeTs(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(inDir))
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          merge(state, partials(batch), id)
+          // Crash between the state write and the epoch commit — the
+          // exact window that forces a re-delivery of this batchId.
+          if (id == failAt && crashed.compareAndSet(false, true))
+            throw new RuntimeException("injected crash after state write")
+        }
+        .start()
+      assert(q.awaitTermination(120000), "replay must finish")
+      q.stop()
+    }
+    try runOnce()
+    catch { case _: StreamingQueryException => () }
+    assert(crashed.get(), "the injection must have fired")
+    runOnce() // restart: engine re-delivers batch `failAt`
+    spark.read.parquet(state).drop("_bid")
+  }
+
+  private def asMap(df: DataFrame): Map[java.sql.Date, (Long, Long)] =
+    df.collect().map(r => r.getDate(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+  test("fenced monoid merge survives a re-delivered batchId (real " +
+      "checkpoint restart)") {
+    val inDir = stageChunks()
+    val got = asMap(runWithCrash(inDir, MonoidTable.merge(_, _, _, Seq("day")),
+      failAt = 2L))
+    val want = asMap(partials(Tables.events(spark, sfDir)))
+    assert(got == want,
+      "maintained table must equal the batch recompute despite the crash")
+  }
+
+  test("negative control: an UNFENCED merge double-counts under the " +
+      "identical crash") {
+    val inDir = stageChunks()
+    // The pre-fence merge discipline, verbatim: read state, union,
+    // re-sum, overwrite — no batch-id check.
+    def unfenced(state: String, bp: DataFrame, id: Long): Unit = {
+      val merged =
+        if (id == 0L) bp
+        else bp.sparkSession.read.parquet(state).unionByName(bp)
+          .groupBy(col("day"))
+          .agg(sum(col("n")).as("n"), sum(col("sc")).as("sc"))
+      merged.localCheckpoint(eager = true)
+        .write.mode("overwrite").parquet(state)
+    }
+    val got = runWithCrash(inDir, unfenced, failAt = 2L)
+    val want = partials(Tables.events(spark, sfDir))
+    val gotTotal = got.agg(sum("n")).head().getLong(0)
+    val wantTotal = want.agg(sum("n")).head().getLong(0)
+    assert(gotTotal > wantTotal,
+      s"control must double-count ($gotTotal vs $wantTotal) — if it " +
+        "matches, the injection no longer exercises the failure window")
+  }
+
+  test("the fence no-ops on stale and repeated batch ids directly") {
+    import spark.implicits._
+    val state = Files.createTempDirectory("graft_fence").toString + "/t"
+    def bp(day: String, n: Long): DataFrame =
+      Seq((java.sql.Date.valueOf(day), n, n * 100))
+        .toDF("day", "n", "sc")
+    MonoidTable.merge(state, bp("2024-01-01", 5), 0L, Seq("day"))
+    MonoidTable.merge(state, bp("2024-01-01", 3), 1L, Seq("day"))
+    val after1 = asMap(MonoidTable.read(spark, state))
+    // Re-delivery of the committed id: a no-op (double-merge fenced).
+    MonoidTable.merge(state, bp("2024-01-01", 3), 1L, Seq("day"))
+    assert(asMap(MonoidTable.read(spark, state)) == after1)
+    assert(after1 == Map(java.sql.Date.valueOf("2024-01-01") -> (8L, 800L)))
+    // A genuinely new id still merges; its own re-delivery no-ops too.
+    MonoidTable.merge(state, bp("2024-01-01", 2), 2L, Seq("day"))
+    MonoidTable.merge(state, bp("2024-01-01", 2), 2L, Seq("day"))
+    assert(asMap(MonoidTable.read(spark, state))
+      == Map(java.sql.Date.valueOf("2024-01-01") -> (10L, 1000L)))
+    // Batch 0 RESETS by design — a fresh invocation of the query row
+    // must be self-contained over pre-existing state (in the engine a
+    // re-delivered batch 0 carries identical content, so the reset is
+    // idempotent there).
+    MonoidTable.merge(state, bp("2024-01-01", 7), 0L, Seq("day"))
+    assert(asMap(MonoidTable.read(spark, state))
+      == Map(java.sql.Date.valueOf("2024-01-01") -> (7L, 700L)))
+  }
+
+  test("bucketed upsert rewrites ONLY touched bucket partitions") {
+    import spark.implicits._
+    val state = Files.createTempDirectory("graft_bkt").toString + "/t"
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val ts1 = java.sql.Timestamp.valueOf("2024-01-02 00:00:00")
+    // Batch 0: enough distinct users to populate every bucket.
+    val b0 = (1L to 64L).map(u => (u * 10, ts0, u, "a", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    UpsertState.merge(state, b0, 0L)
+    val bucketDirs = new java.io.File(state).listFiles()
+      .filter(_.getName.startsWith("_bkt=")).map(_.getName).sorted
+    assert(bucketDirs.length == UpsertState.buckets)
+
+    def listing(bkt: String): Set[(String, Long, Long)] =
+      new java.io.File(state, bkt).listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.length(), f.lastModified())).toSet
+    val before = bucketDirs.map(b => b -> listing(b)).toMap
+
+    // Batch 1: one user updated — exactly one bucket is touched.
+    val u = 7L
+    val touchedBkt = "_bkt=" + UpsertState.withBucket(
+      Seq((1L, ts1, u, "b", 2.0))
+        .toDF("event_id", "ts", "user_id", "event_type", "value"))
+      .select("_bkt").head().getInt(0)
+    val b1 = Seq((9999L, ts1, u, "b", 2.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    UpsertState.merge(state, b1, 1L)
+
+    bucketDirs.filterNot(_ == touchedBkt).foreach { b =>
+      assert(listing(b) == before(b),
+        s"untouched bucket $b must keep its exact files (name/size/mtime)")
+    }
+    assert(listing(touchedBkt) != before(touchedBkt),
+      "the touched bucket must have been rewritten")
+
+    // And the snapshot itself is the correct newest-wins collapse.
+    val snap = UpsertState.read(spark, state)
+      .select("user_id", "event_id", "event_type")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .toSet
+    val expect = (1L to 64L).map(x =>
+      if (x == u) (x, 9999L, "b") else (x, x * 10, "a")).toSet
+    assert(snap == expect)
+  }
+}
