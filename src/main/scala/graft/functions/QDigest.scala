@@ -119,6 +119,8 @@ object QDigest {
     * target rank lands. Deterministic; over-approximates by at most
     * the node width, rank error bounded by bits·N/k. */
   def quantile(digest: Vector[Node], n: Long, pPpm: Long): Long = {
+    require(digest.nonEmpty,
+      "quantile of an empty digest — guard n == 0 at the call site")
     val target = math.max(1L, pPpm * n / 1000000L)
     var acc = 0L
     var i = 0
@@ -151,16 +153,20 @@ object QDigest {
     * beside the digest's size and the total count. Engine-specific
     * sketch state ⇒ no DuckDB oracle; QDigestSpec pins the rank-error
     * bound against exact order statistics, exact mergeability,
-    * partitioning-invariance, node-count/weight bounds, and the
-    * domain-rejection guard. */
+    * partitioning-invariance, node-count/weight bounds, the
+    * domain-rejection guard, and the empty-input degenerate (zero
+    * rows, like the WHERE-guarded degenerate cases elsewhere — a
+    * quantile of nothing is no row, not an exception). */
   val qAggQdigest: graft.Q = graft.Q(
     "q_agg_qdigest",
     (s, dir) => {
       import s.implicits._
       val (digest, n) = Digests(s, dir)
-      Seq(500000L, 900000L, 990000L)
-        .map(p => (p / 10000L, quantile(digest, n, p),
-          digest.length.toLong, n))
-        .toDF("p_pct", "est_cents", "digest_nodes", "n")
+      val rows =
+        if (n == 0L) Seq.empty[(Long, Long, Long, Long)]
+        else Seq(500000L, 900000L, 990000L)
+          .map(p => (p / 10000L, quantile(digest, n, p),
+            digest.length.toLong, n))
+      rows.toDF("p_pct", "est_cents", "digest_nodes", "n")
     })
 }

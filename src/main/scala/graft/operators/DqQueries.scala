@@ -223,20 +223,34 @@ object DqQueries {
     * two final /1e12 conversions round (6 dp). A bin empty on either
     * side is decided in integer space → NULL contribution both engines
     * (ln(0) never evaluated), excluded from the total by SQL NULL-sum
-    * semantics, and flagged by zero_cell. Shape: one narrow fact scan
-    * → 10-group partial agg; totals and the PSI sum are unpartitioned
-    * windows over the BOUNDED bin domain only. */
+    * semantics, and flagged by zero_cell. The reference/current split
+    * is DATA-RELATIVE (the q_events_decay RFM rule, not a pinned
+    * fixture date): the midpoint day of [min(day), max(day)], decided
+    * in exact integer datediffs — a regenerated fixture with any date
+    * range still splits evenly (a single-day stream degenerates to
+    * all-current → every bin zero_cell → PSI NULL, the honest "no
+    * reference period" answer). Shape: ONE narrow fact scan partial-
+    * aggs to the bounded (day × bin) domain; the split, totals, and
+    * the PSI sum all run over that bounded table only. */
   val qDqPsi: Q = Q(
     "q_dq_psi",
     (s, dir) => {
       import s.implicits._
-      val binned = Tables.events(s, dir).select(
-        (dec2($"value") * 100).cast(LongType).as("c"),
-        when(to_date($"ts") < lit("2024-01-16"), 1L).otherwise(0L).as("isp"))
-        .select(least(expr("c div 3300"), lit(9L)).cast(LongType).as("bin"),
-          $"isp")
-      val perBin = binned.groupBy($"bin")
-        .agg(sum($"isp").as("cp"), sum(lit(1L) - $"isp").as("cq"))
+      val perDayBin = Tables.events(s, dir).select(
+        to_date(date_trunc("day", $"ts")).as("day"),
+        (dec2($"value") * 100).cast(LongType).as("c"))
+        .select($"day",
+          least(expr("c div 3300"), lit(9L)).cast(LongType).as("bin"))
+        .groupBy($"day", $"bin").agg(count(lit(1)).as("n"))
+      val bounds = broadcast(
+        perDayBin.agg(min($"day").as("d0"), max($"day").as("d1")))
+      val perBin = perDayBin.crossJoin(bounds)
+        .withColumn("isp",
+          when(expr("datediff(day, d0) < (datediff(d1, d0) + 1) div 2"),
+            1L).otherwise(0L))
+        .groupBy($"bin")
+        .agg(sum($"isp" * $"n").as("cp"),
+          sum((lit(1L) - $"isp") * $"n").as("cq"))
       val w = Window.partitionBy()
       val shares = perBin
         .withColumn("np", sum($"cp").over(w))
@@ -259,15 +273,21 @@ object DqQueries {
     },
     oracle = Some(
       """WITH binned AS (
-        |  SELECT LEAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
-        |      // 3300, 9) AS bin,
-        |    CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16' THEN 1 ELSE 0 END
-        |      AS isp
+        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    LEAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      // 3300, 9) AS bin
         |  FROM events),
+        |pdb AS (SELECT day, bin, COUNT(*) AS n FROM binned GROUP BY 1, 2),
+        |bounds AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM pdb),
         |per AS (
-        |  SELECT bin, CAST(SUM(isp) AS BIGINT) AS cp,
-        |    CAST(SUM(1 - isp) AS BIGINT) AS cq
-        |  FROM binned GROUP BY 1),
+        |  SELECT bin,
+        |    CAST(SUM(CASE WHEN datediff('day', d0, day)
+        |        < (datediff('day', d0, d1) + 1) // 2 THEN n ELSE 0 END)
+        |      AS BIGINT) AS cp,
+        |    CAST(SUM(CASE WHEN datediff('day', d0, day)
+        |        < (datediff('day', d0, d1) + 1) // 2 THEN 0 ELSE n END)
+        |      AS BIGINT) AS cq
+        |  FROM pdb, bounds GROUP BY 1),
         |sh AS (
         |  SELECT bin, cp, cq,
         |    CAST(SUM(cp) OVER () AS BIGINT) AS np,

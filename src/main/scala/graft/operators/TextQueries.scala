@@ -1448,9 +1448,16 @@ object TextQueries {
     * row_number over the total (count DESC, term ASC) order — no tie
     * ambiguity; both log axes quantize ONCE to integer micro-nats
     * (floor(ln·1e6), the WOE device), so all five OLS moments are
-    * exact Long sums and slope/intercept are each one double division
-    * (q_stat_ols's closed form), rounded at 6 dp. A single-term corpus
-    * (zero x-variance) is decided in integer space → NULL both
+    * exact integer sums and slope/intercept are each one double
+    * division (q_stat_ols's closed form), rounded at 6 dp. INTEGER
+    * HEADROOM at the stated envelope (~10⁵ types, micro-nat axes
+    * x ≤ 1.2e7): Σx² ≈ 1.3e19 and the cross-products n·Σx² ≈ 1e24
+    * both exceed Long, so the second-order sums accumulate in
+    * DECIMAL(38,0) (twin: HUGEINT) and EVERY product — slope/intercept
+    * numerators, the shared denominator, and the zero-variance guard —
+    * runs widened; Spark's silent non-ANSI Long wraparound can never
+    * diverge from DuckDB's checked HUGEINT. A single-term corpus (zero
+    * x-variance) is decided in exact integer space → NULL both
     * engines. Scale: occurrences partial-agg to the VOCABULARY domain
     * before the rank window touches anything — the window runs over
     * the bounded term table (tens of thousands of types for a real
@@ -1472,20 +1479,20 @@ object TextQueries {
           $"cnt")
       ranked.agg(count(lit(1)).as("n"), sum($"cnt").as("total_tokens"),
           sum($"x").as("sx"), sum($"y").as("sy"),
-          sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"))
+          sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"),
+          sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"))
         .select($"n".as("n_terms"), $"total_tokens",
-          when($"n" * $"sxx" === $"sx" * $"sx", lit(null))
-            .otherwise(round(($"n" * $"sxy" - $"sx" * $"sy").cast(DoubleType) /
-              ($"n" * $"sxx" - $"sx" * $"sx").cast(DoubleType), 6))
+          when(expr("CAST(n AS DECIMAL(38,0)) * sxx = CAST(sx AS DECIMAL(38,0)) * sx"),
+              lit(null))
+            .otherwise(round(
+              expr("CAST(CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)") /
+              expr("CAST(CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)"), 6))
             .as("zipf_slope"),
-          // intercept numerator Σy·Σx² − Σx·Σxy crosses ~9e22 at
-          // micro-nat scale (ln·10⁶ axes) — far past Long, so it runs
-          // WIDENED in DECIMAL(38,0) (twin: HUGEINT); both engines
-          // convert the same exact integer to double once.
-          when($"n" * $"sxx" === $"sx" * $"sx", lit(null))
+          when(expr("CAST(n AS DECIMAL(38,0)) * sxx = CAST(sx AS DECIMAL(38,0)) * sx"),
+              lit(null))
             .otherwise(round(
               expr("CAST(CAST(sy AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sxy AS DOUBLE)") /
-              ($"n" * $"sxx" - $"sx" * $"sx").cast(DoubleType) / 1e6, 6))
+              expr("CAST(CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)") / 1e6, 6))
             .as("intercept_ln"))
     },
     oracle = Some(
@@ -1507,17 +1514,20 @@ object TextQueries {
         |m AS (
         |  SELECT COUNT(*) AS n, CAST(SUM(cnt) AS BIGINT) AS total_tokens,
         |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
-        |    CAST(SUM(x * y) AS BIGINT) AS sxy,
-        |    CAST(SUM(x * x) AS BIGINT) AS sxx
+        |    SUM(CAST(x AS HUGEINT) * y) AS sxy,
+        |    SUM(CAST(x AS HUGEINT) * x) AS sxx
         |  FROM pts)
         |SELECT n AS n_terms, total_tokens,
-        |  CASE WHEN n * sxx = sx * sx THEN NULL
-        |    ELSE ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
-        |      / CAST(n * sxx - sx * sx AS DOUBLE), 6) END AS zipf_slope,
-        |  CASE WHEN n * sxx = sx * sx THEN NULL
+        |  CASE WHEN CAST(n AS HUGEINT) * sxx = CAST(sx AS HUGEINT) * sx
+        |    THEN NULL
+        |    ELSE ROUND(CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+        |      / CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE), 6)
+        |    END AS zipf_slope,
+        |  CASE WHEN CAST(n AS HUGEINT) * sxx = CAST(sx AS HUGEINT) * sx
+        |    THEN NULL
         |    ELSE ROUND(CAST(CAST(sy AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sxy AS DOUBLE)
-        |      / CAST(n * sxx - sx * sx AS DOUBLE) / 1e6, 6) END
-        |    AS intercept_ln
+        |      / CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE) / 1e6, 6)
+        |    END AS intercept_ln
         |FROM m""".stripMargin))
 
   /** q_text_naive_bayes — multinomial NAIVE BAYES language classifier,

@@ -77,6 +77,23 @@ class QDigestSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("an empty events table yields zero rows, not an exception") {
+    // The degenerate the WHERE-guarded rows handle declaratively:
+    // quantile of nothing is no row. Drive the real catalog row over an
+    // empty (schema-identical) events.parquet.
+    val dir = java.nio.file.Files.createTempDirectory("graft_qd_empty")
+      .toString
+    Tables.events(spark, sfDir).limit(0).write.parquet(s"$dir/events.parquet")
+    val out = Catalog.byName("q_agg_qdigest").build(spark, dir)
+    assert(out.count() == 0L)
+    assert(out.columns.toSeq ==
+      Seq("p_pct", "est_cents", "digest_nodes", "n"))
+    // And the readout itself refuses an empty digest loudly.
+    intercept[IllegalArgumentException] {
+      QDigest.quantile(Vector.empty, 0L, 500000L)
+    }
+  }
+
   test("the catalog row reports plausible p50 < p90 < p99 with the pinned size") {
     val rows = Catalog.byName("q_agg_qdigest").build(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
