@@ -154,6 +154,34 @@ object VectorQueries {
         .toDF("vec_id", "sim")
     })
 
+  /** q_vec_knn_graph_batch (T) — the PIPELINE-SCALE form of the graph
+    * ANN row: top-5 for a 16-probe batch through
+    * [[AnnGraph.searchBatch]], where all live beams advance together
+    * and each hop is ONE scoring action over the union frontier — job
+    * count ∝ hops, not hops×probes (the amortization a per-probe
+    * driver loop can't give when a training pipeline searches
+    * thousands of probes; the IVF path's q_vec_knn_batch is the same
+    * idea for the quantization half). Per-probe semantics are
+    * bit-identical to [[AnnGraph.search]] — `AnnGraphSpec` pins
+    * SearchResult equality probe-by-probe plus the K-invariant job
+    * count via the status tracker. Output mirrors q_vec_knn_batch's
+    * (p_id, rank, vec_id, sim) shape. */
+  val qVecKnnGraphBatch: Q = Q(
+    "q_vec_knn_graph_batch",
+    (s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
+      val probes = emb.select($"vec_id").orderBy($"vec_id").limit(16)
+        .collect().map(_.getLong(0)).toSeq
+      val res = AnnGraph.searchBatch(emb, AnnGraph.Graphs(s, dir), probes,
+        beam = 48, maxHops = 24, topK = 5)
+      res.toSeq.sortBy(_._1).flatMap { case (p, r) =>
+        r.topK.zipWithIndex.map { case ((id, ms), i) =>
+          (p, (i + 1).toLong, id, ms / 1e6)
+        }
+      }.toDF("p_id", "rank", "vec_id", "sim")
+    })
+
   /** Embedding-cosine near-duplicate detection via banded multi-table
     * LSH, shared with `EmbeddingDedupSpec` / `LshScalingSpec`. `bands`
     * independent tables of `bitsPerBand` sign bits each; a pair is a
@@ -1026,7 +1054,8 @@ object VectorQueries {
 
   val all: Vector[Q] = Vector(
     qVecNormStats, qVecKnnBruteforce, qVecKnnLsh, qVecKnnIvf,
-    qVecKnnGraph, qDedupEmbedding, qVecCentroids, qMultimodalJoin,
+    qVecKnnGraph, qVecKnnGraphBatch, qDedupEmbedding, qVecCentroids,
+    qMultimodalJoin,
     qMultimodalFrames, qVecQuantize, qVecKnnBatch, qVecRangeSearch,
     qVecCentroidSims, qVecSilhouette, qVecFeatureHash, qVecDiversity,
     qMultimodalPhash, qVecOutlier, qVecMmr)

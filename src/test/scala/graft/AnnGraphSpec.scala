@@ -134,6 +134,69 @@ class AnnGraphSpec extends AnyFunSuite with SparkFixture {
     val res = AnnGraph.search(emb, index, 0L, beam = 48, maxHops = 24, topK = 5)
     assert(rows == res.topK.map { case (id, ms) => (id, ms / 1e6) })
   }
+  test("batch search equals the single-probe path probe-by-probe") {
+    val probes = emb.select(col("vec_id")).orderBy(col("vec_id"))
+      .limit(8).collect().map(_.getLong(0)).toSeq
+    val batch = AnnGraph.searchBatch(emb, index, probes,
+      beam = 48, maxHops = 24, topK = 5)
+    probes.foreach { p =>
+      val single = AnnGraph.search(emb, index, p,
+        beam = 48, maxHops = 24, topK = 5)
+      assert(batch(p) == single,
+        s"probe $p: batch ${batch(p)} != single $single")
+    }
+  }
+
+  test("batch job count grows with hops, not hops x probes") {
+    val probes = emb.select(col("vec_id")).orderBy(col("vec_id"))
+      .limit(8).collect().map(_.getLong(0)).toSeq
+    val sc = spark.sparkContext
+    def jobsFor(group: String)(body: => Unit): Int = {
+      sc.setJobGroup(group, group, interruptOnCancel = false)
+      try body finally sc.clearJobGroup()
+      sc.statusTracker.getJobIdsForGroup(group).length
+    }
+    // Warm the index + codegen caches outside the measured regions.
+    AnnGraph.searchBatch(emb, index, probes.take(1), 48, 24, 5)
+    AnnGraph.search(emb, index, probes.head, 48, 24, 5)
+    val j1 = jobsFor("ann_batch_1")(
+      AnnGraph.searchBatch(emb, index, probes.take(1), 48, 24, 5))
+    var r8: Map[Long, AnnGraph.SearchResult] = Map.empty
+    val j8 = jobsFor("ann_batch_8") {
+      r8 = AnnGraph.searchBatch(emb, index, probes, 48, 24, 5)
+    }
+    val jSingles = jobsFor("ann_singles")(
+      probes.foreach(p => AnnGraph.search(emb, index, p, 48, 24, 5)))
+    // THE amortization claim: 8 probes through the batch path must cost
+    // well under half the per-probe loop's jobs (per-probe scaling
+    // would read j8 ~ 8*j1), and ~the 1-probe batch's jobs up to the
+    // extra rounds slower probes add. Exact per-job accounting is
+    // AQE-sensitive, so the gates are comparative, with real margin:
+    // measured here j1~13, j8~28, jSingles~90.
+    assert(j8 <= jSingles / 2,
+      s"batch jobs $j8 vs per-probe loop $jSingles — amortization broken")
+    assert(j8 <= 3 * j1,
+      s"batch jobs $j8 scale with probe count (1-probe batch: $j1)")
+    assert(r8.size == 8)
+  }
+
+  test("batch catalog row mirrors searchBatch for the first 16 probes") {
+    val rows = Catalog.byName("q_vec_knn_graph_batch").build(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    val probes = emb.select(col("vec_id")).orderBy(col("vec_id"))
+      .limit(16).collect().map(_.getLong(0)).toSeq
+    val res = AnnGraph.searchBatch(emb, index, probes, 48, 24, 5)
+    val expect = res.toSeq.sortBy(_._1).flatMap { case (p, r) =>
+      r.topK.zipWithIndex.map { case ((id, ms), i) =>
+        (p, (i + 1).toLong, id, ms / 1e6)
+      }
+    }
+    assert(rows == expect)
+    assert(rows.size == 16 * 5)
+  }
+
   test("missing probe and single-vector corpus fail loudly") {
     val e = intercept[IllegalArgumentException](
       AnnGraph.search(emb, index, -999L, beam = 48, maxHops = 24, topK = 5))
