@@ -74,10 +74,7 @@ object AnnGraph {
     //    edges ∪ 2-hop pairs, re-ranked to `degree`.
     val byId = emb.select(col("vec_id"), col("embedding"))
     for (_ <- 0 until descentRounds) {
-      val hop2 = graph.select(col("src"), col("dst").as("mid"))
-        .join(graph.select(col("src").as("mid"), col("dst")), "mid")
-        .where(col("src") =!= col("dst"))
-        .select(col("src"), col("dst")).distinct()
+      val hop2 = descentCandidates(graph)
       val rescored = hop2
         .join(byId.withColumnRenamed("vec_id", "src")
           .withColumnRenamed("embedding", "ea"), "src")
@@ -93,6 +90,16 @@ object AnnGraph {
     }
     graph
   }
+
+  /** One NN-Descent candidate round: the 2-hop neighbor-of-neighbor
+    * pairs of a degree-bounded graph — volume ≤ n·degree², i.e. LINEAR
+    * in n at fixed degree (the claim GraphScaleSpec measures on the
+    * shipped stage, per the ScaleSpec discipline). */
+  private[graft] def descentCandidates(graph: DataFrame): DataFrame =
+    graph.select(col("src"), col("dst").as("mid"))
+      .join(graph.select(col("src").as("mid"), col("dst")), "mid")
+      .where(col("src") =!= col("dst"))
+      .select(col("src"), col("dst")).distinct()
 
   private def topDegree(edges: DataFrame, degree: Int): DataFrame = {
     val w = Window.partitionBy(col("src"))

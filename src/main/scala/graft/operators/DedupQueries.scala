@@ -529,32 +529,34 @@ object DedupQueries {
       * there are just O(log n) rounds of it. Same contract as
       * [[labels]]; `ComponentsSpec` pins equivalence on random graphs
       * and convergence on a chain 8× past the propagation cap. */
+    private def minNeighbor(e: DataFrame): DataFrame =
+      e.groupBy(col("u"))
+        .agg(least(min(col("v")), first(col("u"))).as("m"))
+
+    /** large-star: emit (v, m(u)) for v > u, over the SYMMETRIZED set.
+      * private[graft] (not local to star) so GraphScaleSpec can measure
+      * the interim edge volume of the SHIPPED phases round by round. */
+    private[graft] def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      sym.join(minNeighbor(sym), "u")
+        .where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+    }
+
+    /** small-star: over edges pointed low-to-high ((v,u) with v ≤ u),
+      * re-point u and all its ≤-neighbors at their collective min. */
+    private[graft] def smallStar(e: DataFrame): DataFrame = {
+      val low = e.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      val withM = low.join(minNeighbor(low), "u")
+      withM.select(col("v").as("u"), col("m").as("v"))
+        .union(withM.select(col("u"), col("m").as("v")))
+        .where(col("u") =!= col("v"))
+        .distinct()
+    }
+
     def star(vertices: DataFrame, pairs: DataFrame): DataFrame = {
-      def minNeighbor(e: DataFrame): DataFrame =
-        e.groupBy(col("u"))
-          .agg(least(min(col("v")), first(col("u"))).as("m"))
-
-      // large-star: emit (v, m(u)) for v > u, over the SYMMETRIZED set.
-      def largeStar(e: DataFrame): DataFrame = {
-        val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
-        sym.join(minNeighbor(sym), "u")
-          .where(col("v") > col("u"))
-          .select(col("v").as("u"), col("m").as("v"))
-          .distinct()
-      }
-
-      // small-star: over edges pointed low-to-high ((v,u) with v ≤ u),
-      // re-point u and all its ≤-neighbors at their collective min.
-      def smallStar(e: DataFrame): DataFrame = {
-        val low = e.select(greatest(col("u"), col("v")).as("u"),
-          least(col("u"), col("v")).as("v"))
-        val withM = low.join(minNeighbor(low), "u")
-        withM.select(col("v").as("u"), col("m").as("v"))
-          .union(withM.select(col("u"), col("m").as("v")))
-          .where(col("u") =!= col("v"))
-          .distinct()
-      }
-
       var edges = pairs.select(col("u"), col("v"))
         .where(col("u") =!= col("v")).distinct().localCheckpoint(true)
       var stable = false

@@ -182,10 +182,9 @@ object GraphQueries {
 
   /** The purchase graph in the shape every PageRank form consumes:
     * (nodes, edges, out-degrees, 1-row node count). */
-  private def prGraph(s: SparkSession, dir: String)
+  private def prGraph(s: SparkSession, e: DataFrame)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     import s.implicits._
-    val e = edges(s, dir)
     val nodes = e.select($"src".as("node"))
       .union(e.select($"dst".as("node"))).distinct()
     val deg = e.groupBy($"src").agg(count(lit(1)).as("deg"))
@@ -238,10 +237,19 @@ object GraphQueries {
     * cold start regardless of graph size. */
   private[graft] def pagerankConverged(
       s: SparkSession, dir: String, tolMicro: Long = 10000L,
-      maxRounds: Int = 50): (DataFrame, Int) = {
+      maxRounds: Int = 50): (DataFrame, Int) =
+    pagerankConvergedEdges(s, edges(s, dir), tolMicro, maxRounds)
+
+  /** The same production loop over an arbitrary (src, dst) edge frame —
+    * GraphScaleSpec drives it on synthetic bounded-degree graphs to
+    * MEASURE that rounds-to-convergence stay ~constant in n (so total
+    * per-round shuffle volume, ∝ rounds·|E|, is ~linear). */
+  private[graft] def pagerankConvergedEdges(
+      s: SparkSession, e1: DataFrame, tolMicro: Long,
+      maxRounds: Int): (DataFrame, Int) = {
     import s.implicits._
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val (nodes0, e0, deg0, nn) = prGraph(s, dir)
+    val (nodes0, e0, deg0, nn) = prGraph(s, e1)
     val nodes = nodes0.persist(lvl)
     val e = e0.persist(lvl)
     val deg = deg0.persist(lvl)
@@ -266,7 +274,7 @@ object GraphQueries {
     "q_graph_pagerank",
     (s, dir) => {
       import s.implicits._
-      val (nodes, e, deg, nn) = prGraph(s, dir)
+      val (nodes, e, deg, nn) = prGraph(s, edges(s, dir))
       // Deliberately UN-checkpointed, unlike the bfs/kcore rows: the
       // whole 3-round recurrence plans as ONE job whose repeated
       // rank/edge subplans deduplicate through exchange reuse —
