@@ -41,11 +41,13 @@ object Bench {
     // before the timed loop, and that survives interleaving: Spark's
     // scheduler handles concurrent actions, and every shared stage build
     // goes through Memo's per-key latch (one build, others wait). The
-    // TIMED loop below stays strictly sequential. Pool of 4: enough to
-    // hide per-query driver-side plan compilation behind execution
-    // without turning the warm timings into pure queue noise.
+    // TIMED loop below stays strictly sequential. Pool of 8 (r11, was
+    // 4): warm timings measure occupancy not latency either way, and on
+    // 32 cores the 4-way rest_batch pass was itself the biggest warmup
+    // item (90 s driver / ~60 s idle) — 8 halves the critical path
+    // while still leaving the machine far from saturated.
     def warmConcurrently[A](items: Seq[A])(body: A => Unit): Unit = {
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
       try items
         .map(a => pool.submit(new Runnable { def run(): Unit = body(a) }))
         .foreach(_.get())
@@ -139,11 +141,23 @@ object Bench {
     warmItem("rest_batch") {
       warmConcurrently(poolable) { case (n, fn) => warmQuery(n, fn) }
     }
-    // Streaming + conf-scoped rows stay SEQUENTIAL (the set/restore
-    // race above, plus replays contending on state-store/listing paths
-    // their timed reps would then hit cold-vs-hot nondeterministically).
+    // Streaming rows: their replay machinery cost (listing, fresh temp
+    // checkpoint, start/stop) recurs identically on EVERY timed rep, so
+    // replaying all ~20 of them here bought nothing rep 1 would not
+    // re-pay — it was 57 s of the r10 warmup (verdict #6). Instead warm
+    // what IS one-time at the target SF: the staged inputs / schema
+    // memos / model state (stream_staging), plus ONE representative
+    // replay for the shared micro-batch engine paths and the
+    // conf-mutating bloom row — still sequential (the set/restore
+    // race above). Per-row plan codegen is already hot from the
+    // sf0.001 pass.
+    warmItem("stream_staging") {
+      streaming.StreamingQueries.warmCaches(spark, sfDir)
+    }
     warmItem("rest_sequential") {
-      sequentialOnly.foreach { case (n, fn) => warmQuery(n, fn) }
+      Seq("q_stream_tumbling", "q_join_bloom_filtered").foreach { n =>
+        warmQuery(n, SparkEntry.queries(n))
+      }
     }
     // Belt-and-braces: the timed loop must start from the session
     // defaults no matter what a warm build leaked — assert, don't just

@@ -970,19 +970,23 @@ object StatTestQueries {
     * double expression, round 6. Headroom: terms ≤ n²·10⁶ (1e16 at
     * sf0.1, 1e26 < 10³⁸ at n = 10¹⁰).
     *
-    * The grid is DENSIFIED before the χ² sum (observed row margins ×
-    * observed column margins, absent cells coalesced to obs = 0): an
-    * empty (hour, type) cell contributes its full textbook
-    * (0 − E)²/E = E term instead of being silently dropped, so χ² and
-    * V match the statistic's definition even when a type never fires
-    * in some hour. (A level absent from an entire margin stays absent
-    * — its expected counts are all 0 and contribute nothing by
-    * definition.)
+    * The χ² sum is over the FULL DENSE grid, in closed form (r11): an
+    * empty (hour, type) cell's textbook term is (0 − E)²/E = E =
+    * rt·ct/n, and since Σ_r rt = Σ_c ct = n the absent cells' total
+    * quantized mass is exactly 10⁶·(n² − Σ_observed rt·ct) — so the
+    * statistic matches its definition even when a type never fires in
+    * some hour, WITHOUT materializing a dense grid or re-scanning
+    * anything (the first densified form cross-joined margin tables and
+    * quadrupled the fact scan — PlanAuditSpec caught it; the identity
+    * above restores the one-scan window plan). A level absent from an
+    * entire margin stays absent — its expected counts are all 0 and
+    * contribute nothing by definition. n² crosses Long at n = 3e9
+    * rows, so the absent-mass product runs in DECIMAL(38,0)/HUGEINT
+    * like the per-cell terms.
     *
     * Scale: one partial-agg shuffle to the ≤ 24·|types| cell table;
-    * margins, the densifying cross join (≤ 24·|types| rows), and the
-    * scalar agg all run over that bounded domain table. The fact table
-    * is scanned once. */
+    * margins via windows over that bounded domain table; one scalar
+    * agg. The fact table is scanned once. */
   val qStatCramersV: Q = Q(
     "q_stat_cramers_v",
     (s, dir) => {
@@ -990,13 +994,10 @@ object StatTestQueries {
       val cells = Tables.events(s, dir)
         .groupBy(hour($"ts").cast(LongType).as("hod"), $"event_type")
         .agg(count(lit(1)).as("obs"))
-      val rowm = cells.groupBy($"hod").agg(sum($"obs").as("rt"))
-      val colm = cells.groupBy($"event_type").agg(sum($"obs").as("ct"))
-      val tot = broadcast(cells.agg(sum($"obs").as("n")))
-      val m = rowm.crossJoin(colm)
-        .join(cells, Seq("hod", "event_type"), "left")
-        .withColumn("obs", coalesce($"obs", lit(0L)))
-        .crossJoin(tot)
+      val m = cells
+        .withColumn("rt", sum($"obs").over(Window.partitionBy($"hod")))
+        .withColumn("ct", sum($"obs").over(Window.partitionBy($"event_type")))
+        .withColumn("n", sum($"obs").over(Window.partitionBy()))
         .withColumn("num", $"obs" * $"n" - $"rt" * $"ct")
         .withColumn("term", expr(
           "CAST(num AS DECIMAL(38,0)) * num * 1000000 div (rt * ct)"))
@@ -1004,7 +1005,10 @@ object StatTestQueries {
         .agg(countDistinct($"hod").as("r_levels"),
           countDistinct($"event_type").as("c_levels"),
           max($"n").as("n"),
-          sum($"term").cast(DecimalType(38, 0)).as("chi2_q"))
+          sum($"term").cast(DecimalType(38, 0)).as("obs_q"),
+          sum(expr("CAST(rt AS DECIMAL(38,0)) * ct")).as("rc"))
+        .withColumn("chi2_q", expr(
+          "obs_q + (CAST(n AS DECIMAL(38,0)) * n - rc) * 1000000"))
         .select($"r_levels", $"c_levels", $"n",
           expr("ROUND(CAST(chi2_q AS DOUBLE) / 1e6 / n, 6)").as("chi2"),
           expr(
@@ -1018,27 +1022,23 @@ object StatTestQueries {
         |  SELECT CAST(EXTRACT(HOUR FROM ts) AS BIGINT) AS hod, event_type,
         |    COUNT(*) AS obs
         |  FROM events GROUP BY 1, 2),
-        |rowm AS (
-        |  SELECT hod, CAST(SUM(obs) AS BIGINT) AS rt FROM cells GROUP BY 1),
-        |colm AS (
-        |  SELECT event_type, CAST(SUM(obs) AS BIGINT) AS ct
-        |  FROM cells GROUP BY 1),
-        |tot AS (SELECT CAST(SUM(obs) AS BIGINT) AS n FROM cells),
-        |dense AS (
-        |  SELECT r.hod, c.event_type,
-        |    CAST(COALESCE(cl.obs, 0) AS BIGINT) AS obs, r.rt, c.ct, t.n
-        |  FROM rowm r CROSS JOIN colm c
-        |  LEFT JOIN cells cl ON cl.hod = r.hod AND cl.event_type = c.event_type
-        |  CROSS JOIN tot t),
         |m AS (
         |  SELECT *, obs * n - rt * ct AS num,
         |    CAST(obs * n - rt * ct AS HUGEINT)
         |      * (obs * n - rt * ct) * 1000000 // (rt * ct) AS term
-        |  FROM dense),
+        |  FROM (
+        |    SELECT hod, event_type, obs,
+        |      CAST(SUM(obs) OVER (PARTITION BY hod) AS BIGINT) AS rt,
+        |      CAST(SUM(obs) OVER (PARTITION BY event_type) AS BIGINT) AS ct,
+        |      CAST(SUM(obs) OVER () AS BIGINT) AS n
+        |    FROM cells)),
         |agg AS (
         |  SELECT COUNT(DISTINCT hod) AS r_levels,
         |    COUNT(DISTINCT event_type) AS c_levels,
-        |    MAX(n) AS n, SUM(term) AS chi2_q
+        |    MAX(n) AS n,
+        |    SUM(term)
+        |      + (CAST(MAX(n) AS HUGEINT) * MAX(n)
+        |         - SUM(CAST(rt AS HUGEINT) * ct)) * 1000000 AS chi2_q
         |  FROM m)
         |SELECT r_levels, c_levels, n,
         |  ROUND(CAST(chi2_q AS DOUBLE) / 1e6 / n, 6) AS chi2,

@@ -307,6 +307,23 @@ object StreamingQueries {
     }
   }
 
+  /** Warm every per-(session, dir) cache the streaming rows depend on
+    * WITHOUT running their replays: the replay machinery cost (source
+    * listing, fresh temp checkpoint, start/stop) recurs identically on
+    * EVERY timed bench rep, so a full warm replay per row buys nothing
+    * rep 1 would not re-pay anyway — what DOES land in rep 1 if cold
+    * is this staging/model state. Bench's second warm phase calls this
+    * plus ONE representative replay (shared micro-batch engine paths)
+    * instead of replaying all ~20 rows (r10 verdict #6: warmup had to
+    * come back under 100 s at the full catalog). */
+  private[graft] def warmCaches(s: SparkSession, dir: String): Unit = {
+    Replay.eventsSource(s, dir) // stages the events dir + schema memo
+    UpsertStage.schema(s, UpsertStage.inDir(s, dir))
+    docCount((s, dir))(graft.Tables.documents(s, dir).count())
+    graft.operators.QualityClassifier.Models(s, dir)
+    ()
+  }
+
   /** #41s–#45 + quality filter as replayed, Bench-timed T-rows. */
   val qStreamTumbling: Q = Q(
     "q_stream_tumbling",
