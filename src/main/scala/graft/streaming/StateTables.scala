@@ -57,9 +57,11 @@ private[graft] object MonoidTable {
   }
 
   /** The fence: one scalar aggregate over the (domain-bounded) state
-    * table — a driver-side routing decision, not data movement. */
+    * table — a driver-side routing decision, not data movement. An
+    * empty state table (a batch-0 write of zero partials) reads as -1,
+    * so the next id merges against it normally. */
   def lastBid(state: DataFrame): Long =
-    state.agg(max(col("_bid"))).head().getLong(0)
+    state.agg(coalesce(max(col("_bid")), lit(-1L))).head().getLong(0)
 
   /** The maintained table, minus the fencing column. */
   def read(s: SparkSession, state: String): DataFrame =
