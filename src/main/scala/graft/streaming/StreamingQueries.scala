@@ -252,16 +252,7 @@ object StreamingQueries {
           .outputMode(mode)
           .trigger(Trigger.AvailableNow())
           .foreachBatch { (batch: DataFrame, id: Long) =>
-            // Complete mode emits the FULL result every micro-batch —
-            // each snapshot must overwrite the last (append would
-            // duplicate every window once the replay spans >1 batch).
-            // Append/update emit deltas: overwrite batch 0, append after.
-            val writeMode =
-              if (mode == "complete" || id == 0L) "overwrite" else "append"
-            val tagged =
-              if (mode == "update") batch.withColumn("_batch", lit(id))
-              else batch
-            tagged.write.mode(writeMode).parquet(out)
+            landBatch(out, mode, batch, id)
           }
           .start()
         if (!q.awaitTermination(300000)) {
@@ -275,8 +266,45 @@ object StreamingQueries {
         s.conf.set(pKey, prevP)
         s.conf.set(ndKey, prevNd)
       }
-      if (mode == "update") reconcileNewest(landed, updateKeys) else landed
+      // Delta modes carry `_batch` as a partition column (see landBatch);
+      // update mode reconciles on it, append mode just drops it (no-op
+      // for complete mode, which has no such column).
+      if (mode == "update") reconcileNewest(landed, updateKeys)
+      else landed.drop("_batch")
     }
+
+    /** Land one micro-batch of a replay — RETRY-IDEMPOTENTLY.
+      * foreachBatch is at-least-once: a driver death between the land
+      * and the epoch commit re-delivers the same batchId, and the old
+      * append-after-batch-0 discipline would double-land that delta
+      * (the [[MonoidTable]] lesson, applied to the landing sink — found
+      * in the r11 self-review, same failure window). So:
+      *  - complete mode re-emits the FULL snapshot every batch; a plain
+      *    overwrite is idempotent as it stands;
+      *  - append/update modes land each batch under its own
+      *    `_batch=<id>` partition directory, which a re-delivery simply
+      *    overwrites with identical bytes. The directory key doubles as
+      *    the `_batch` column update-mode reconciliation orders by
+      *    (previously a data column). Batch 0 clears the root so a
+      *    fresh invocation is self-contained over stale output.
+      * StreamFailureSpec injects the crash through a real checkpoint
+      * restart against this exact function. */
+    private[graft] def landBatch(
+        out: String, mode: String, batch: DataFrame, id: Long): Unit =
+      if (mode == "complete") {
+        batch.write.mode("overwrite").parquet(out)
+      } else {
+        if (id == 0L) {
+          val p = java.nio.file.Paths.get(out)
+          if (java.nio.file.Files.exists(p)) {
+            import scala.jdk.CollectionConverters._
+            java.nio.file.Files.walk(p)
+              .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+              .iterator().asScala.foreach(java.nio.file.Files.delete)
+          }
+        }
+        batch.write.mode("overwrite").parquet(s"$out/_batch=$id")
+      }
 
     /** Newest generation per key from a batch-tagged update changelog —
       * the same newest-wins decision q_merge_upsert ships for CDC apply

@@ -143,6 +143,55 @@ class StreamFailureSpec extends AnyFunSuite with SparkFixture {
       == Map(java.sql.Date.valueOf("2024-01-01") -> (7L, 700L)))
   }
 
+  test("append-mode landing survives a re-delivered batchId; the old " +
+      "append discipline double-lands") {
+    // Same crash window as the monoid test, against Replay's landing
+    // sink: a delta landed for a batch whose epoch never committed is
+    // re-landed on restart. The per-batch partition-dir overwrite
+    // absorbs it; the r10 overwrite-then-append discipline (the
+    // negative control) duplicates the delta.
+    def runLanding(land: (String, DataFrame, Long) => Unit): Long = {
+      val inDir = stageChunks()
+      val out = Files.createTempDirectory("graft_fail_land").toString + "/t"
+      val ckpt = Files.createTempDirectory("graft_fail_lckpt").toString
+      val schema = spark.read.parquet(inDir).schema
+      val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
+      def runOnce(): Unit = {
+        val q = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(inDir)
+          .writeStream
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            land(out, batch.select(col("event_id")), id)
+            if (id == 2L && crashed.compareAndSet(false, true))
+              throw new RuntimeException("injected crash after land")
+          }
+          .start()
+        assert(q.awaitTermination(120000), "replay must finish")
+        q.stop()
+      }
+      try runOnce()
+      catch { case _: StreamingQueryException => () }
+      assert(crashed.get(), "the injection must have fired")
+      runOnce()
+      spark.read.parquet(out).count()
+    }
+    val n = Tables.events(spark, sfDir).count()
+    val fenced = runLanding(
+      graft.streaming.StreamingQueries.Replay.landBatch(_, "append", _, _))
+    assert(fenced == n,
+      s"partition-dir landing must hold exactly the input ($fenced vs $n)")
+    // Negative control: overwrite batch 0, append after — re-delivery
+    // of batch 2 appends its delta twice.
+    val unfenced = runLanding { (out, b, id) =>
+      b.write.mode(if (id == 0L) "overwrite" else "append").parquet(out)
+    }
+    assert(unfenced > n,
+      s"control must double-land ($unfenced vs $n) — if it matches, " +
+        "the injection no longer exercises the failure window")
+  }
+
   test("bucketed upsert rewrites ONLY touched bucket partitions") {
     import spark.implicits._
     val state = Files.createTempDirectory("graft_bkt").toString + "/t"
