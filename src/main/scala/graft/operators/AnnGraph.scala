@@ -201,32 +201,31 @@ object AnnGraph {
     }
     val probeRow = broadcast(Seq(Tuple1(probeVec)).toDF("_p"))
     def idsDf(ids: Seq[Long], name: String) = ids.map(Tuple1(_)).toDF(name)
-    def sims(ids: Seq[Long]): Seq[(Long, Long)] =
-      emb.join(broadcast(idsDf(ids, "vec_id")), "vec_id")
+    // ONE scoring tail for both the seed pass and the hop loop — the
+    // candidate frame varies, the exclusion/quantization never may
+    // (batch-vs-single bit-equality rides on it, so one copy only).
+    def scoreCands(cand: DataFrame): Seq[(Long, Long)] =
+      emb.join(broadcast(cand), "vec_id")
         .where(col("vec_id") =!= probeId)
         .crossJoin(probeRow)
         .select(col("vec_id"), microSim("embedding", "_p"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    def sims(ids: Seq[Long]): Seq[(Long, Long)] =
+      scoreCands(idsDf(ids, "vec_id"))
     // The folded per-hop action: frontier ids → adjacency (broadcast
     // semi-join) → candidate ids (broadcast) → exact micro-sims — ONE
     // action where the r10 loop issued neighborsOf() and sims() as two
     // driver-serialized collects. Already-scored candidates are
     // re-computed in-plan (≤ |frontier|·degree trivial dot products)
     // and dropped driver-side — cheaper than shipping the scored set
-    // back as an anti-join input every hop.
-    def hopScores(frontier: Seq[Long]): Seq[(Long, Long)] = {
-      // No in-plan distinct: a shared neighbor reached from two
-      // frontier nodes scores twice (same deterministic value, deduped
-      // by the driver map) — a few duplicate dot products beat the
-      // shuffle + AQE job fan-out a distinct would add to every hop.
-      val cand = graph.join(broadcast(idsDf(frontier, "src")), "src")
-        .select(col("dst").as("vec_id"))
-      emb.join(broadcast(cand), "vec_id")
-        .where(col("vec_id") =!= probeId)
-        .crossJoin(probeRow)
-        .select(col("vec_id"), microSim("embedding", "_p"))
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq
-    }
+    // back as an anti-join input every hop. No in-plan distinct: a
+    // shared neighbor reached from two frontier nodes scores twice
+    // (same deterministic value, deduped by the driver map) — a few
+    // duplicate dot products beat the shuffle + AQE job fan-out a
+    // distinct would add to every hop.
+    def hopScores(frontier: Seq[Long]): Seq[(Long, Long)] =
+      scoreCands(graph.join(broadcast(idsDf(frontier, "src")), "src")
+        .select(col("dst").as("vec_id")))
     // Seeds: the per-cell entries PLUS the probe's own adjacency row
     // when the probe is indexed. The index already stores each member's
     // top-`degree` neighbors — ignoring it re-derives what was
@@ -329,26 +328,24 @@ object AnnGraph {
       s"probes missing from the corpus: " +
         (probeIds.toSet -- probeVecs.map(_._1)).toSeq.sorted.mkString(","))
     val probeRows = broadcast(probeVecs.toDF("pid", "_p"))
-    // Score a set of (probe, candidate-id) pairs in ONE action.
-    def sims(pairs: Seq[(Long, Long)]): Seq[(Long, Long, Long)] =
-      emb.join(broadcast(pairsDf(pairs, "vec_id")), "vec_id")
-        .join(probeRows, "pid")
-        .where(col("vec_id") =!= col("pid"))
-        .select(col("pid"), col("vec_id"), microSim("embedding", "_p"))
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
-    // The folded hop action, batched: union frontier → adjacency →
-    // candidates → micro-sims, all keyed by pid.
-    def hopScores(frontier: Seq[(Long, Long)]): Seq[(Long, Long, Long)] = {
-      // Same no-distinct rule as the single-probe hop: duplicates are
-      // deterministic and driver-deduped; the shuffle isn't worth it.
-      val cand = graph.join(broadcast(pairsDf(frontier, "src")), "src")
-        .select(col("pid"), col("dst").as("vec_id"))
+    // ONE scoring tail for both the seed pass and the hop loop (the
+    // single-probe scoreCands, keyed by pid) — the candidate frame
+    // varies, the exclusion/quantization never may.
+    def scoreCands(cand: DataFrame): Seq[(Long, Long, Long)] =
       emb.join(broadcast(cand), "vec_id")
         .join(probeRows, "pid")
         .where(col("vec_id") =!= col("pid"))
         .select(col("pid"), col("vec_id"), microSim("embedding", "_p"))
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
-    }
+    def sims(pairs: Seq[(Long, Long)]): Seq[(Long, Long, Long)] =
+      scoreCands(pairsDf(pairs, "vec_id"))
+    // The folded hop action, batched: union frontier → adjacency →
+    // candidates → micro-sims, all keyed by pid. Same no-distinct rule
+    // as the single-probe hop: duplicates are deterministic and
+    // driver-deduped; the shuffle isn't worth it.
+    def hopScores(frontier: Seq[(Long, Long)]): Seq[(Long, Long, Long)] =
+      scoreCands(graph.join(broadcast(pairsDf(frontier, "src")), "src")
+        .select(col("pid"), col("dst").as("vec_id")))
     val beamOrd = Ordering.by[(Long, Long), (Long, Long)] {
       case (id, ms) => (-ms, id)
     }
@@ -369,10 +366,19 @@ object AnnGraph {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
       .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
     val seedPairs = probeIds.flatMap { p =>
-      val seeds = (index.entries ++ ownRows.getOrElse(p, Seq.empty))
+      val own = (index.entries ++ ownRows.getOrElse(p, Seq.empty))
         .distinct.filterNot(_ == p)
-      require(seeds.nonEmpty,
-        s"corpus holds no seed besides probe $p — nothing to search")
+      // Same empty-seed fallback as [[search]] (min corpus id) — the
+      // per-probe parity contract includes the degenerate index case.
+      val seeds =
+        if (own.nonEmpty) own
+        else {
+          val r = emb.where(col("vec_id") =!= p)
+            .agg(min(col("vec_id"))).head()
+          require(!r.isNullAt(0),
+            s"corpus holds no vector besides probe $p — nothing to search")
+          Seq(r.getLong(0))
+        }
       seeds.map(sd => (p, sd))
     }
     sims(seedPairs).foreach { case (pid, id, ms) =>

@@ -255,8 +255,14 @@ object DqQueries {
       val shares = perBin
         .withColumn("np", sum($"cp").over(w))
         .withColumn("nq", sum($"cq").over(w))
-        .withColumn("p_ppm", expr("cp * 1000000 div np"))
-        .withColumn("q_ppm", expr("cq * 1000000 div nq"))
+        // np/nq = 0 (every row on one side — the single-day degenerate
+        // the data-relative split can produce) must be decided BEFORE
+        // the division: Spark's non-ANSI div would yield NULL but
+        // DuckDB's // RAISES, so the guard text is shared (r11 review).
+        .withColumn("p_ppm",
+          expr("CASE WHEN np = 0 THEN NULL ELSE cp * 1000000 div np END"))
+        .withColumn("q_ppm",
+          expr("CASE WHEN nq = 0 THEN NULL ELSE cq * 1000000 div nq END"))
         .withColumn("lr_micro",
           when($"cp" === 0 || $"cq" === 0, lit(null)).otherwise(expr(
             "CAST(floor(ln(CAST(cp AS DOUBLE) * nq / (CAST(cq AS DOUBLE) * np)) * 1000000) AS BIGINT)")))
@@ -294,7 +300,9 @@ object DqQueries {
         |    CAST(SUM(cq) OVER () AS BIGINT) AS nq
         |  FROM per),
         |lr AS (
-        |  SELECT *, cp * 1000000 // np AS p_ppm, cq * 1000000 // nq AS q_ppm,
+        |  SELECT *,
+        |    CASE WHEN np = 0 THEN NULL ELSE cp * 1000000 // np END AS p_ppm,
+        |    CASE WHEN nq = 0 THEN NULL ELSE cq * 1000000 // nq END AS q_ppm,
         |    CASE WHEN cp = 0 OR cq = 0 THEN NULL
         |      ELSE CAST(floor(ln(CAST(cp AS DOUBLE) * nq
         |        / (CAST(cq AS DOUBLE) * np)) * 1000000) AS BIGINT) END

@@ -113,16 +113,40 @@ private[graft] object UpsertState {
       val touched = bl.select("_bkt").distinct()
         .collect().map(_.getInt(0)).toSeq
       if (touched.nonEmpty) {
-        val st = bs.read.parquet(state)
-          .where(col("_bkt").isin(touched: _*))
-        val merged = latest(st.unionByName(bl))
-        merged.localCheckpoint(eager = true)
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("_bkt").parquet(state)
+        // An EMPTY batch 0 leaves the state dir schema-less (a
+        // partitioned write of zero rows emits only _SUCCESS, unlike
+        // the unpartitioned form this replaced), so the first
+        // non-empty batch must detect that and seed the table instead
+        // of failing schema inference (r11 review finding).
+        readState(bs, state) match {
+          case Some(st) =>
+            val merged = latest(
+              st.where(col("_bkt").isin(touched: _*)).unionByName(bl))
+            merged.localCheckpoint(eager = true)
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("_bkt").parquet(state)
+          case None =>
+            bl.localCheckpoint(eager = true)
+              .write.mode("overwrite").partitionBy("_bkt").parquet(state)
+        }
       }
     }
   }
+
+  /** The stored snapshot, or None when no data file exists yet (the
+    * empty-batch-0 case above). Only schema-inference failures map to
+    * None — anything else propagates. */
+  private def readState(
+      bs: SparkSession, state: String): Option[DataFrame] =
+    try Some(bs.read.parquet(state))
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getMessage.contains("infer schema") ||
+            e.getMessage.contains("PATH_NOT_FOUND") ||
+            e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") =>
+        None
+    }
 
   /** The maintained snapshot, minus the bucket routing column. */
   def read(s: SparkSession, state: String): DataFrame =

@@ -297,10 +297,17 @@ object StreamingQueries {
         if (id == 0L) {
           val p = java.nio.file.Paths.get(out)
           if (java.nio.file.Files.exists(p)) {
+            // Collect paths first and close the walk stream before any
+            // delete can throw — a failing delete must not leak the
+            // walker's open directory handles in this long-lived JVM.
             import scala.jdk.CollectionConverters._
-            java.nio.file.Files.walk(p)
-              .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-              .iterator().asScala.foreach(java.nio.file.Files.delete)
+            val walk = java.nio.file.Files.walk(p)
+            val paths =
+              try walk.sorted(
+                java.util.Comparator.reverseOrder[java.nio.file.Path]())
+                .iterator().asScala.toVector
+              finally walk.close()
+            paths.foreach(java.nio.file.Files.delete)
           }
         }
         batch.write.mode("overwrite").parquet(s"$out/_batch=$id")

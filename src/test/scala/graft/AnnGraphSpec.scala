@@ -168,14 +168,15 @@ class AnnGraphSpec extends AnyFunSuite with SparkFixture {
     val jSingles = jobsFor("ann_singles")(
       probes.foreach(p => AnnGraph.search(emb, index, p, 48, 24, 5)))
     // THE amortization claim: 8 probes through the batch path must cost
-    // well under half the per-probe loop's jobs (per-probe scaling
-    // would read j8 ~ 8*j1), and ~the 1-probe batch's jobs up to the
-    // extra rounds slower probes add. Exact per-job accounting is
-    // AQE-sensitive, so the gates are comparative, with real margin:
-    // measured here j1~13, j8~28, jSingles~90.
-    assert(j8 <= jSingles / 2,
+    // well under the per-probe loop's jobs (per-probe scaling would
+    // read j8 ~ 8*j1 ~ jSingles), and ~the 1-probe batch's jobs up to
+    // the extra rounds slower probes add. Exact per-job accounting is
+    // AQE-/host-sensitive, so the gates are comparative with WIDE
+    // margin vs the failure mode they exclude: measured here j1~13,
+    // j8~28, jSingles~90; per-probe scaling would put j8 at ~100.
+    assert(j8 <= jSingles * 3 / 5,
       s"batch jobs $j8 vs per-probe loop $jSingles — amortization broken")
-    assert(j8 <= 3 * j1,
+    assert(j8 <= 4 * j1 + 8,
       s"batch jobs $j8 scale with probe count (1-probe batch: $j1)")
     assert(r8.size == 8)
   }
@@ -211,5 +212,25 @@ class AnnGraphSpec extends AnyFunSuite with SparkFixture {
     val e2 = intercept[IllegalArgumentException](
       AnnGraph.search(lone, emptyIdx, 0L, beam = 48, maxHops = 24, topK = 5))
     assert(e2.getMessage.contains("nothing to search"))
+    val e3 = intercept[IllegalArgumentException](
+      AnnGraph.searchBatch(lone, emptyIdx, Seq(0L),
+        beam = 48, maxHops = 24, topK = 5))
+    assert(e3.getMessage.contains("nothing to search"))
+  }
+
+  test("batch seed fallback matches the single-probe path on an empty " +
+      "index") {
+    // A probe with no entries and no adjacency seeds from the corpus
+    // min id, identically in both paths — the per-probe parity
+    // contract includes the degenerate index case.
+    import spark.implicits._
+    val two = emb.where(col("vec_id") <= 1L)
+    val emptyIdx = AnnGraph.GraphIndex(
+      Seq.empty[(Long, Long, Long)].toDF("src", "dst", "msim"), Seq())
+    val single = AnnGraph.search(two, emptyIdx, 0L,
+      beam = 48, maxHops = 24, topK = 5)
+    val batch = AnnGraph.searchBatch(two, emptyIdx, Seq(0L),
+      beam = 48, maxHops = 24, topK = 5)
+    assert(batch(0L) == single)
   }
 }

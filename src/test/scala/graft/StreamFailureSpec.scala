@@ -237,4 +237,23 @@ class StreamFailureSpec extends AnyFunSuite with SparkFixture {
       if (x == u) (x, 9999L, "b") else (x, x * 10, "a")).toSet
     assert(snap == expect)
   }
+
+  test("an EMPTY batch 0 leaves a schema-less state dir that batch 1 " +
+      "must seed, not crash on") {
+    // A partitioned write of zero rows emits only _SUCCESS (no data
+    // file to infer a schema from) — the r11 review regression: the
+    // old unpartitioned batch-0 write always carried a schema'd part
+    // file, the bucketed one does not.
+    import spark.implicits._
+    val state = Files.createTempDirectory("graft_bkt0").toString + "/t"
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def batch(rows: Seq[(Long, java.sql.Timestamp, Long, String, Double)]) =
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+    UpsertState.merge(state, batch(Seq.empty), 0L)
+    UpsertState.merge(state, batch(Seq((1L, ts, 7L, "a", 1.0))), 1L)
+    val snap = UpsertState.read(spark, state)
+      .select("user_id", "event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(snap == Set((7L, 1L)))
+  }
 }
