@@ -686,6 +686,51 @@ object DedupQueries {
         |GROUP BY sz
         |ORDER BY sz""".stripMargin)))
 
+  /** q_dedup_canonical (added r11) — CANONICAL-REPRESENTATIVE selection
+    * per near-dup cluster: the decision a dedup pipeline actually ships
+    * is not just the clustering but WHICH member survives — here the
+    * longest text (the most complete version of a near-duplicated
+    * document), doc_id as the total tiebreak. Output one row per
+    * cluster: the keeper, its length, and the cluster size (the
+    * keep-list + audit in one result). Reuses the shared component
+    * labeling ([[Components.labels]] over [[nearDupPairs]]; the twin
+    * extends the same `componentLabelsSql` CTE prefix as the other
+    * three component rows, so the four oracles cannot drift).
+    *
+    * Scale: the argmax is ONE partial-aggregated shuffle on canon_id
+    * (max_by over a (chars, -doc_id) struct — exact integer
+    * comparison, deterministic under any partitioning; the
+    * q_agg_minmax_by rule), never a per-cluster sort window. */
+  val qDedupCanonical: Q = Q(
+    "q_dedup_canonical",
+    (s, dir) => {
+      import s.implicits._
+      val labels = Components.labels(
+        Shingled(s, dir).select($"doc_id"), nearDupPairs(s, dir))
+      val lens = Tables.documents(s, dir)
+        .select($"doc_id", length($"text").cast(LongType).as("keep_chars"))
+      labels.join(lens, "doc_id")
+        .groupBy($"canon_id")
+        .agg(
+          max_by(struct($"doc_id", $"keep_chars"),
+            struct($"keep_chars", -$"doc_id")).as("k"),
+          count(lit(1)).as("n_members"))
+        .select($"canon_id".as("cluster_id"), $"k.doc_id".as("keep_id"),
+          $"k.keep_chars".as("keep_chars"), $"n_members")
+        .orderBy($"cluster_id")
+    },
+    oracle = Some(componentLabelsSql(
+      """SELECT cluster_id, keep_id, keep_chars, n_members FROM (
+        |  SELECT c.canon_id AS cluster_id, d.doc_id AS keep_id,
+        |    CAST(length(d.text) AS BIGINT) AS keep_chars,
+        |    CAST(COUNT(*) OVER (PARTITION BY c.canon_id) AS BIGINT)
+        |      AS n_members,
+        |    row_number() OVER (PARTITION BY c.canon_id
+        |      ORDER BY length(d.text) DESC, d.doc_id) AS rn
+        |  FROM comp c JOIN documents d ON c.doc_id = d.doc_id)
+        |WHERE rn = 1
+        |ORDER BY cluster_id""".stripMargin)))
+
   /** q_dedup_components_star (added r7) — the SAME clustering through
     * `Components.star` (large-star/small-star, O(log n) rounds): both
     * algorithms must produce identical component-minimum labels, so this
@@ -1205,7 +1250,8 @@ object DedupQueries {
   val all: Vector[Q] = Vector(
     qDedupShingleStage, qDedupExact, qDedupNear, qDedupMinhash,
     qDedupNgramJaccard, qDedupSimhash, qDedupPipeline, qDedupComponents,
-    qDedupComponentsStar, qDedupClusterSizes, qTextContamination, qDedupFuzzy,
+    qDedupComponentsStar, qDedupClusterSizes, qDedupCanonical,
+    qTextContamination, qDedupFuzzy,
     qDedupSortedNeighborhood, qDedupPpjoin, qDedupSubstring,
     qDedupContainment, qDedupJaro)
 }

@@ -1330,6 +1330,47 @@ object TextQueries {
     * q_sample_fixed_k. Fixture skew makes it non-degenerate: en (193
     * docs at sf0.001) gets k=55 vs proportional 77; the tail languages
     * gain (spec-pinned flattening). */
+  /** q_sample_token_budget (added r11) — PER-STRATUM TOKEN-BUDGET
+    * sampling: within each language, take documents in deterministic
+    * doc_id order while the running whitespace-token total stays within
+    * a 2 000-token budget — the "fill each stratum to its token quota"
+    * step that turns q_sample_temperature's target WEIGHTS into an
+    * actual document selection (training mixes are specified in
+    * tokens, not document counts). The cut is a clean prefix per
+    * stratum: the cumulative sum is monotone (every doc has ≥ 1
+    * token), so `cum ≤ B` admits exactly the maximal budget-respecting
+    * prefix — no per-doc keep/drop ambiguity for either engine.
+    * Token counts reuse q_text_token_count's exact whitespace
+    * definition (textually identical in the twin).
+    *
+    * Scale: one window (cumulative sum) per stratum over doc_id order
+    * — strata are bounded (|langs|) and independent, so a 100 TB run
+    * range-partitions within each stratum; no global sort, no shuffle
+    * beyond the per-stratum ordering. */
+  val qSampleTokenBudget: Q = Q(
+    "q_sample_token_budget",
+    (s, dir) => {
+      import s.implicits._
+      val win = Window.partitionBy($"lang").orderBy($"doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tokenized(s, dir)
+        .select($"doc_id", $"lang", size($"w").cast(LongType).as("n_tokens"))
+        .withColumn("cum_tokens", sum($"n_tokens").over(win))
+        .where($"cum_tokens" <= 2000L)
+        .orderBy($"lang", $"doc_id")
+    },
+    oracle = Some(
+      """SELECT doc_id, lang, n_tokens, cum_tokens FROM (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) OVER
+        |      (PARTITION BY lang ORDER BY doc_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum_tokens
+        |  FROM documents)
+        |WHERE cum_tokens <= 2000
+        |ORDER BY lang, doc_id""".stripMargin))
+
   val qSampleTemperature: Q = Q(
     "q_sample_temperature",
     (s, dir) => {
@@ -1834,5 +1875,6 @@ object TextQueries {
       qTextKlDrift, qSampleFixedK, qSampleWeighted, qTextBm25, qTextEntropy,
       qTextTtr, qTextKeywords, qTextBigramLm, qSampleBalanced,
       qTextCharTrigrams, qQualityClassifier, qSampleTemperature, qTextPack,
+      qSampleTokenBudget,
       qTextZipf, qTextNaiveBayes, qMlConfusion, qTextMutualInfo)
 }

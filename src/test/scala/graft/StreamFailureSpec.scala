@@ -238,6 +238,48 @@ class StreamFailureSpec extends AnyFunSuite with SparkFixture {
     assert(snap == expect)
   }
 
+  test("bucketed upsert survives a re-delivered batchId (newest-wins " +
+      "idempotence through a real checkpoint restart)") {
+    // The upsert merge needs no batch-id fence — newest-wins on the
+    // total (ts, event_id) key is idempotent — but that claim deserves
+    // the same injection the monoid rows get: crash after merging
+    // batch 2, restart, and the snapshot must still equal the batch
+    // argmax.
+    val inDir = stageChunks()
+    val state = Files.createTempDirectory("graft_fail_ups").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft_fail_upsckpt").toString
+    val schema = spark.read.parquet(inDir).schema
+    val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def runOnce(): Unit = {
+      val q = Tables.normalizeTs(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(inDir))
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          UpsertState.merge(state, batch, id)
+          if (id == 2L && crashed.compareAndSet(false, true))
+            throw new RuntimeException("injected crash after merge")
+        }
+        .start()
+      assert(q.awaitTermination(120000), "replay must finish")
+      q.stop()
+    }
+    try runOnce()
+    catch { case _: StreamingQueryException => () }
+    assert(crashed.get(), "the injection must have fired")
+    runOnce()
+    val got = UpsertState.read(spark, state)
+      .select("user_id", "event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = UpsertState.latest(Tables.events(spark, sfDir))
+      .select("user_id", "event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want,
+      "snapshot must equal the batch argmax despite the crash")
+  }
+
   test("an EMPTY batch 0 leaves a schema-less state dir that batch 1 " +
       "must seed, not crash on") {
     // A partitioned write of zero rows emits only _SUCCESS (no data
