@@ -63,7 +63,11 @@ object Bench {
     // (invalidating two recorded bench runs — see BASELINE.md r10
     // correction). Streaming rows and the bloom row therefore warm
     // SEQUENTIALLY, in both warm phases.
-    val confMutating = Set("q_join_bloom_filtered")
+    // q_vec_knn_graph{,_batch} joined the set in r11: their traversal
+    // loop scopes an AQE disable (AnnGraph.withoutAqe), which must not
+    // overlap concurrent warm work on the shared session.
+    val confMutating = Set("q_join_bloom_filtered",
+      "q_vec_knn_graph", "q_vec_knn_graph_batch")
     def parallelSafe(name: String): Boolean =
       !name.startsWith("q_stream_") && !confMutating(name)
     // Snapshot the WHOLE runtime conf before any warm work: the leak

@@ -118,8 +118,17 @@ object AnnGraph {
     * NSG's navigating node, IVF-entry hybrids); here the cell medoids —
     * the node most similar to each centroid — seed the beam, so the
     * traversal starts inside every macro-region and descends locally.
-    * `entries` is k ids — driver-sized model state. */
-  final case class GraphIndex(adjacency: DataFrame, entries: Seq[Long])
+    * `entries` is k ids — driver-sized model state.
+    *
+    * `vectors` (r11): the index also carries a PERSISTED compacted
+    * copy of (vec_id, embedding) — graph indexes store the vectors
+    * they re-rank with (the DiskANN layout); every per-hop scoring
+    * action reads this instead of re-scanning the source table, which
+    * at fixture scale removed a parquet-scan round-trip from every
+    * hop. None ⇒ score against the passed corpus (hand-built indexes
+    * in specs). */
+  final case class GraphIndex(adjacency: DataFrame, entries: Seq[Long],
+      vectors: Option[DataFrame] = None)
 
   /** Cell medoids: per coarse cell, the member with the highest
     * micro-sim to its own centroid (vec_id tie-break) — exact integer
@@ -160,7 +169,10 @@ object AnnGraph {
           .coalesce(4)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         g.count() // materialize under the Memo latch
-        GraphIndex(g, cellEntries(emb, centroids))
+        val vecs = emb.coalesce(1)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        vecs.count()
+        GraphIndex(g, cellEntries(emb, centroids), Some(vecs))
       }
   }
 
@@ -169,10 +181,28 @@ object AnnGraph {
   final case class SearchResult(
       topK: Seq[(Long, Long)], visited: Int, hops: Int)
 
+  /** Run `body` with AQE disabled. The traversal issues dozens of TINY
+    * broadcast-join actions per search; AQE's per-query stage planning
+    * measured ~40% of the whole row's wall at sf0.1 (single probe
+    * 2.5 → 1.45 s, 16-probe batch 4.4 → 2.7 s) while buying nothing —
+    * these plans carry no exchange AQE could re-optimize, and that
+    * stays true at any corpus size (the per-hop work is an index
+    * lookup, not a shuffle). Scoped set/restore on session-global
+    * conf: concurrent work on the same session must not overlap a
+    * search (Bench warms these rows in its sequential lane for exactly
+    * this reason — the r10 shuffle-partitions leak lesson). */
+  private def withoutAqe[A](s: SparkSession)(body: => A): A = {
+    val k = "spark.sql.adaptive.enabled"
+    val prev = s.conf.get(k)
+    s.conf.set(k, "false")
+    try body finally s.conf.set(k, prev)
+  }
+
   /** Greedy beam search for the `topK` nearest to `probeId`, seeded
     * from the index's per-cell entry points. */
   def search(emb: DataFrame, index: GraphIndex,
-      probeId: Long, beam: Int, maxHops: Int, topK: Int): SearchResult = {
+      probeId: Long, beam: Int, maxHops: Int,
+      topK: Int): SearchResult = withoutAqe(emb.sparkSession) {
     require(beam >= topK, s"beam $beam must cover topK $topK")
     import emb.sparkSession.implicits._
     val graph = index.adjacency
@@ -204,8 +234,10 @@ object AnnGraph {
     // ONE scoring tail for both the seed pass and the hop loop — the
     // candidate frame varies, the exclusion/quantization never may
     // (batch-vs-single bit-equality rides on it, so one copy only).
+    // Scoring reads the index's persisted vector copy when it has one.
+    val vecs = index.vectors.getOrElse(emb)
     def scoreCands(cand: DataFrame): Seq[(Long, Long)] =
-      emb.join(broadcast(cand), "vec_id")
+      vecs.join(broadcast(cand), "vec_id")
         .where(col("vec_id") =!= probeId)
         .crossJoin(probeRow)
         .select(col("vec_id"), microSim("embedding", "_p"))
@@ -309,7 +341,8 @@ object AnnGraph {
     * pins bit-equality of every per-probe SearchResult against the
     * single-probe path, plus the K-invariant job count. */
   def searchBatch(emb: DataFrame, index: GraphIndex, probeIds: Seq[Long],
-      beam: Int, maxHops: Int, topK: Int): Map[Long, SearchResult] = {
+      beam: Int, maxHops: Int,
+      topK: Int): Map[Long, SearchResult] = withoutAqe(emb.sparkSession) {
     require(beam >= topK, s"beam $beam must cover topK $topK")
     require(probeIds.nonEmpty, "searchBatch needs at least one probe")
     require(probeIds.distinct == probeIds, "probe ids must be distinct")
@@ -330,9 +363,11 @@ object AnnGraph {
     val probeRows = broadcast(probeVecs.toDF("pid", "_p"))
     // ONE scoring tail for both the seed pass and the hop loop (the
     // single-probe scoreCands, keyed by pid) — the candidate frame
-    // varies, the exclusion/quantization never may.
+    // varies, the exclusion/quantization never may. Scoring reads the
+    // index's persisted vector copy when it has one.
+    val vecs = index.vectors.getOrElse(emb)
     def scoreCands(cand: DataFrame): Seq[(Long, Long, Long)] =
-      emb.join(broadcast(cand), "vec_id")
+      vecs.join(broadcast(cand), "vec_id")
         .join(probeRows, "pid")
         .where(col("vec_id") =!= col("pid"))
         .select(col("pid"), col("vec_id"), microSim("embedding", "_p"))

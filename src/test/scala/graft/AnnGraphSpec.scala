@@ -181,6 +181,23 @@ class AnnGraphSpec extends AnyFunSuite with SparkFixture {
     assert(r8.size == 8)
   }
 
+  test("batch traversal terminates well under the hop cap at sf0.1") {
+    // The batch row's wall-clock is rounds x the driver-round floor, so
+    // a regression that keeps beams churning to the 24-hop cap would
+    // double its cost silently — pin termination with headroom and
+    // record the measured depth.
+    val big = "/root/testdata/sf0.1"
+    val embBig = embAt(big)
+    val idxBig = AnnGraph.Graphs(spark, big)
+    val probes = embBig.select(col("vec_id")).orderBy(col("vec_id"))
+      .limit(16).collect().map(_.getLong(0)).toSeq
+    val res = AnnGraph.searchBatch(embBig, idxBig, probes, 48, 24, 5)
+    val hops = res.values.map(_.hops)
+    info(s"sf0.1 batch hops: min=${hops.min} max=${hops.max} " +
+      s"mean=${hops.sum.toDouble / hops.size}")
+    assert(hops.max < 20, s"max hops ${hops.max} too close to the cap")
+  }
+
   test("batch catalog row mirrors searchBatch for the first 16 probes") {
     val rows = Catalog.byName("q_vec_knn_graph_batch").build(spark, sfDir)
       .collect()
