@@ -181,6 +181,22 @@ object AnnGraph {
   final case class SearchResult(
       topK: Seq[(Long, Long)], visited: Int, hops: Int)
 
+  /** The two smallest corpus ids — ONE action serving every degenerate
+    * empty-seed fallback in a search (single or batch): the fallback
+    * for probe p is the smallest id ≠ p, which is always among these
+    * two. Shared by both search paths so the per-probe parity contract
+    * has exactly one fallback definition. */
+  private def smallestTwo(emb: DataFrame): Seq[Long] =
+    emb.select(col("vec_id")).orderBy(col("vec_id")).limit(2)
+      .collect().map(_.getLong(0)).toSeq
+
+  private def fallbackSeed(smallest: Seq[Long], p: Long): Long = {
+    val s = smallest.filterNot(_ == p)
+    require(s.nonEmpty,
+      s"corpus holds no vector besides probe $p — nothing to search")
+    s.head
+  }
+
   /** Run `body` with AQE disabled. The traversal issues dozens of TINY
     * broadcast-join actions per search; AQE's per-query stage planning
     * measured ~40% of the whole row's wall at sf0.1 (single probe
@@ -221,13 +237,32 @@ object AnnGraph {
     // broadcast build, where the r10 shape paid a probe-row broadcast
     // job AND two sequential collects per hop (the bench-contention
     // multiplier the r10 verdict flagged).
+    // Probe lookup + the index↔corpus identity guard in ONE action:
+    // since scoring reads the index's own vector copy, a mismatched
+    // (corpus, index) pairing would no longer surface as an empty join
+    // — so when the index stores vectors, the probe's INDEXED vector is
+    // fetched in the same union and must equal the corpus one bit for
+    // bit, or the call fails loudly instead of returning silently-wrong
+    // neighbors.
     val probeVec: Seq[Float] = {
-      val r = emb.where(col("vec_id") === probeId)
-        .select(col("embedding")).collect()
-      require(r.nonEmpty,
+      val fromCorpus = emb.where(col("vec_id") === probeId)
+        .select(lit(0).as("_src"), col("embedding"))
+      val rows = index.vectors
+        .map(v => fromCorpus.unionByName(
+          v.where(col("vec_id") === probeId)
+            .select(lit(1).as("_src"), col("embedding"))))
+        .getOrElse(fromCorpus)
+        .collect()
+      val corpus = rows.filter(_.getInt(0) == 0)
+      require(corpus.nonEmpty,
         s"probe vec_id=$probeId not present in the corpus " +
           "(or index does not belong to this embedding table)")
-      r.head.getSeq[Float](0)
+      val pv = corpus.head.getSeq[Float](1)
+      rows.filter(_.getInt(0) == 1).foreach(r =>
+        require(r.getSeq[Float](1) == pv,
+          s"probe $probeId's indexed vector differs from the corpus — " +
+            "the index does not belong to this embedding table"))
+      pv
     }
     val probeRow = broadcast(Seq(Tuple1(probeVec)).toDF("_p"))
     def idsDf(ids: Seq[Long], name: String) = ids.map(Tuple1(_)).toDF(name)
@@ -287,16 +322,8 @@ object AnnGraph {
     val ownRow = neighborsOf(Seq(probeId))
     val entries =
       (index.entries ++ ownRow).distinct.filterNot(_ == probeId) match {
-        case Nil =>
-          val r = emb.where(col("vec_id") =!= probeId)
-            .agg(min(col("vec_id"))).head()
-          // NULL min = the probe is the ONLY vector: say so instead of
-          // an unexplanatory NullPointerException.
-          require(!r.isNullAt(0),
-            s"corpus holds no vector besides probe $probeId — " +
-              "nothing to search")
-          Seq(r.getLong(0))
-        case es => es
+        case Nil => Seq(fallbackSeed(smallestTwo(emb), probeId))
+        case es  => es
       }
     scoreNew(entries)
     // Loud precondition at ZERO added jobs (r10 review: an upfront
@@ -353,13 +380,34 @@ object AnnGraph {
       pairs.toDF("pid", n2)
     // K probe vectors collected once — K×64 floats of bounded model
     // state, broadcast as a LocalRelation so no hop pays a probe scan.
-    val probeVecs: Seq[(Long, Seq[Float])] =
-      emb.join(broadcast(idsDf(probeIds, "vec_id")), "vec_id")
-        .select(col("vec_id"), col("embedding"))
-        .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toSeq
-    require(probeVecs.size == probeIds.size,
-      s"probes missing from the corpus: " +
-        (probeIds.toSet -- probeVecs.map(_._1)).toSeq.sorted.mkString(","))
+    // Probe lookup + the index↔corpus identity guard in ONE action
+    // (the single-probe device, K-keyed): corpus probes tagged 0,
+    // indexed copies tagged 1; any indexed copy must equal its corpus
+    // vector bit for bit, or the pairing is wrong and the call fails
+    // loudly instead of scoring against a foreign index.
+    val probeVecs: Seq[(Long, Seq[Float])] = {
+      val ids = broadcast(idsDf(probeIds, "vec_id"))
+      val fromCorpus = emb.join(ids, "vec_id")
+        .select(lit(0).as("_src"), col("vec_id"), col("embedding"))
+      val rows = index.vectors
+        .map(v => fromCorpus.unionByName(v.join(ids, "vec_id")
+          .select(lit(1).as("_src"), col("vec_id"), col("embedding"))))
+        .getOrElse(fromCorpus)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getSeq[Float](2)))
+      val corpus = rows.collect { case (0, id, v) => id -> v }.toSeq
+      require(corpus.size == probeIds.size,
+        s"probes missing from the corpus: " +
+          (probeIds.toSet -- corpus.map(_._1)).toSeq.sorted.mkString(","))
+      val byId = corpus.toMap
+      rows.foreach {
+        case (1, id, v) =>
+          require(v == byId(id),
+            s"probe $id's indexed vector differs from the corpus — " +
+              "the index does not belong to this embedding table")
+        case _ => ()
+      }
+      corpus
+    }
     val probeRows = broadcast(probeVecs.toDF("pid", "_p"))
     // ONE scoring tail for both the seed pass and the hop loop (the
     // single-probe scoreCands, keyed by pid) — the candidate frame
@@ -400,20 +448,16 @@ object AnnGraph {
       .select(col("src").as("pid"), col("dst"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
       .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    // Same empty-seed fallback as [[search]] (shared fallbackSeed) —
+    // the per-probe parity contract includes the degenerate index
+    // case. One smallestTwo action serves EVERY degenerate probe
+    // (lazy: healthy indexes never pay it).
+    lazy val smallest = smallestTwo(emb)
     val seedPairs = probeIds.flatMap { p =>
       val own = (index.entries ++ ownRows.getOrElse(p, Seq.empty))
         .distinct.filterNot(_ == p)
-      // Same empty-seed fallback as [[search]] (min corpus id) — the
-      // per-probe parity contract includes the degenerate index case.
       val seeds =
-        if (own.nonEmpty) own
-        else {
-          val r = emb.where(col("vec_id") =!= p)
-            .agg(min(col("vec_id"))).head()
-          require(!r.isNullAt(0),
-            s"corpus holds no vector besides probe $p — nothing to search")
-          Seq(r.getLong(0))
-        }
+        if (own.nonEmpty) own else Seq(fallbackSeed(smallest, p))
       seeds.map(sd => (p, sd))
     }
     sims(seedPairs).foreach { case (pid, id, ms) =>

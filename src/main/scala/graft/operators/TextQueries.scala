@@ -1315,21 +1315,6 @@ object TextQueries {
         |WHERE rk <= 10
         |ORDER BY lang, rk""".stripMargin))
 
-  /** q_sample_temperature — TEMPERATURE-BASED language rebalancing
-    * (added r10): the multilingual-corpus mixing recipe (sampling
-    * probability ∝ n_lang^α with α = ½, the mT5/XLM-R device) — high-
-    * resource languages are down-weighted relative to proportional
-    * sampling so the mix flattens without going uniform. The budget
-    * B = 200 splits as k_lang = B·t_lang div Σt with t = ⌊√n·10⁶⌋: the
-    * ONE float (sqrt of an integer, correctly rounded IEEE in both
-    * engines) is quantized immediately, so the targets are exact
-    * integer arithmetic and cannot ulp-flip (the q_sample_weighted
-    * lesson). Selection is the md5-rank exactly-k device per language.
-    * Scale: lang counts are a 5-row aggregate (broadcast); ranking is
-    * one per-lang window over the corpus — same shape as
-    * q_sample_fixed_k. Fixture skew makes it non-degenerate: en (193
-    * docs at sf0.001) gets k=55 vs proportional 77; the tail languages
-    * gain (spec-pinned flattening). */
   /** q_sample_token_budget (added r11) — PER-STRATUM TOKEN-BUDGET
     * sampling: within each language, take documents in deterministic
     * doc_id order while the running whitespace-token total stays within
@@ -1371,6 +1356,21 @@ object TextQueries {
         |WHERE cum_tokens <= 2000
         |ORDER BY lang, doc_id""".stripMargin))
 
+  /** q_sample_temperature — TEMPERATURE-BASED language rebalancing
+    * (added r10): the multilingual-corpus mixing recipe (sampling
+    * probability ∝ n_lang^α with α = ½, the mT5/XLM-R device) — high-
+    * resource languages are down-weighted relative to proportional
+    * sampling so the mix flattens without going uniform. The budget
+    * B = 200 splits as k_lang = B·t_lang div Σt with t = ⌊√n·10⁶⌋: the
+    * ONE float (sqrt of an integer, correctly rounded IEEE in both
+    * engines) is quantized immediately, so the targets are exact
+    * integer arithmetic and cannot ulp-flip (the q_sample_weighted
+    * lesson). Selection is the md5-rank exactly-k device per language.
+    * Scale: lang counts are a 5-row aggregate (broadcast); ranking is
+    * one per-lang window over the corpus — same shape as
+    * q_sample_fixed_k. Fixture skew makes it non-degenerate: en (193
+    * docs at sf0.001) gets k=55 vs proportional 77; the tail languages
+    * gain (spec-pinned flattening). */
   val qSampleTemperature: Q = Q(
     "q_sample_temperature",
     (s, dir) => {

@@ -148,7 +148,12 @@ private[graft] object UpsertState {
         None
     }
 
-  /** The maintained snapshot, minus the bucket routing column. */
+  /** The maintained snapshot, minus the bucket routing column. A state
+    * dir that never materialized data (a replay whose every batch was
+    * empty) fails with a NAMED error instead of the raw
+    * schema-inference one. */
   def read(s: SparkSession, state: String): DataFrame =
-    s.read.parquet(state).drop("_bkt")
+    readState(s, state).getOrElse(throw new IllegalStateException(
+      s"upsert state at $state holds no data — the replay saw no rows"))
+      .drop("_bkt")
 }

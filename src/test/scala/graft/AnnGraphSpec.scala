@@ -235,6 +235,22 @@ class AnnGraphSpec extends AnyFunSuite with SparkFixture {
     assert(e3.getMessage.contains("nothing to search"))
   }
 
+  test("a foreign index fails loudly instead of scoring silently-wrong " +
+      "neighbors") {
+    // Scoring reads the index's own vector copy, so a mismatched
+    // (corpus, index) pairing would no longer surface as an empty join
+    // — the identity guard must catch it: probe 0 exists in BOTH
+    // fixtures but with different vectors.
+    val foreign = AnnGraph.Graphs(spark, "/root/testdata/sf0.1")
+    val e = intercept[IllegalArgumentException](
+      AnnGraph.search(emb, foreign, 0L, beam = 48, maxHops = 24, topK = 5))
+    assert(e.getMessage.contains("does not belong"))
+    val e2 = intercept[IllegalArgumentException](
+      AnnGraph.searchBatch(emb, foreign, Seq(0L),
+        beam = 48, maxHops = 24, topK = 5))
+    assert(e2.getMessage.contains("does not belong"))
+  }
+
   test("batch seed fallback matches the single-probe path on an empty " +
       "index") {
     // A probe with no entries and no adjacency seeds from the corpus
