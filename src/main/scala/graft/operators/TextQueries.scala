@@ -1356,6 +1356,180 @@ object TextQueries {
         |WHERE cum_tokens <= 2000
         |ORDER BY lang, doc_id""".stripMargin))
 
+  /** q_sample_perplexity_bucket (added r11) — CCNet-style HEAD/MIDDLE/
+    * TAIL selection: score every document by the same exact-integer
+    * unigram cross-entropy as q_text_perplexity, then cut each language
+    * into perplexity TERTILES (ntile(3) over (xent_micro, doc_id) — a
+    * total order, so the tile boundaries are identical in both engines)
+    * and keep head+middle. This is the decision CCNet actually ships:
+    * the perplexity row produces the SCORE, this row produces the
+    * KEEP/DROP verdict per document under the standard
+    * discard-the-worst-third policy.
+    *
+    * Determinism: xent_micro is exact integer micro-nats (the
+    * q_text_perplexity argument verbatim); ntile over a TOTAL order
+    * (xent ties broken by doc_id) assigns every row a unique rank, so
+    * tile membership cannot flip cross-engine. `kept` is materialized
+    * as BIGINT 1/0 (not BOOLEAN) to keep the hash column portable.
+    *
+    * Scale (100 TB): LM broadcast + one doc-keyed shuffle (shared with
+    * perplexity's shape), then ONE per-language window — strata are
+    * bounded (|langs|) and independent, so each range-partitions
+    * internally; no global sort. */
+  val qSamplePerplexityBucket: Q = Q(
+    "q_sample_perplexity_bucket",
+    (s, dir) => {
+      import s.implicits._
+      val toks = Tokenized(s, dir).select($"doc_id", $"lang",
+        explode($"lw").as("term"))
+      val lm = toks.groupBy($"term").agg(count(lit(1)).as("c"))
+      val n = toks.agg(count(lit(1)).as("n_tok"))
+      val xent = toks.join(broadcast(lm), "term")
+        .crossJoin(broadcast(n))
+        .select($"doc_id", $"lang",
+          expr("CAST(floor(ln(CAST(c AS DOUBLE) / n_tok) * 1000000) AS BIGINT)")
+            .as("lpf"))
+        .groupBy($"doc_id", $"lang")
+        .agg(count(lit(1)).as("n_tokens"), sum($"lpf").as("slpf"))
+        .select($"doc_id", $"lang",
+          expr("(-slpf) div n_tokens").as("xent_micro"))
+      val w = Window.partitionBy($"lang").orderBy($"xent_micro", $"doc_id")
+      xent
+        .withColumn("tile", ntile(3).over(w))
+        .select($"doc_id", $"lang", $"xent_micro",
+          when($"tile" === 1, "head").when($"tile" === 2, "middle")
+            .otherwise("tail").as("bucket"),
+          when($"tile" <= 2, 1L).otherwise(0L).as("kept"))
+        .orderBy($"doc_id")
+    },
+    oracle = Some(
+      """WITH toks AS (
+        |  SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS term
+        |  FROM documents),
+        |lm AS (SELECT term, COUNT(*) AS c FROM toks GROUP BY term),
+        |n AS (SELECT COUNT(*) AS n_tok FROM toks),
+        |xent AS (
+        |  SELECT doc_id, lang,
+        |    CAST((-SUM(CAST(floor(ln(CAST(c AS DOUBLE) / n_tok) * 1000000)
+        |      AS BIGINT))) // COUNT(*) AS BIGINT) AS xent_micro
+        |  FROM toks JOIN lm USING (term), n
+        |  GROUP BY doc_id, lang),
+        |tiled AS (
+        |  SELECT doc_id, lang, xent_micro,
+        |    ntile(3) OVER (PARTITION BY lang
+        |                   ORDER BY xent_micro, doc_id) AS tile
+        |  FROM xent)
+        |SELECT doc_id, lang, xent_micro,
+        |  CASE WHEN tile = 1 THEN 'head' WHEN tile = 2 THEN 'middle'
+        |       ELSE 'tail' END AS bucket,
+        |  CAST(CASE WHEN tile <= 2 THEN 1 ELSE 0 END AS BIGINT) AS kept
+        |FROM tiled
+        |ORDER BY doc_id""".stripMargin))
+
+  /** q_sample_domain_mix (added r11) — MIXTURE REBALANCING to a uniform
+    * per-source token target: given the corpus's natural token share per
+    * source, compute the acceptance rate that moves each source toward
+    * an equal share of the total budget — the "domain weights" table a
+    * training-mix config is built from (the q_sample_temperature recipe
+    * rebalances LANGUAGES by √n; this row rebalances SOURCES toward a
+    * stated target, the other half of a mixing policy). Over-represented
+    * sources get accept_ppm < 10⁶ (downsample); under-represented ones
+    * cap at 10⁶ (never upsample — duplication is a separate, deliberate
+    * decision). expected_tokens shows the post-rebalance mix.
+    *
+    * Exactness: everything is positive-long arithmetic — natural_ppm =
+    * tok·10⁶ div total, target = total div n_sources, accept_ppm =
+    * least(10⁶, target·10⁶ div tok), expected = tok·accept div 10⁶.
+    * Long headroom: tok·10⁶ < 2⁶³ needs tok < 9.2e12 tokens per source
+    * — beyond that (a 100 TB corpus may exceed it) promote the two
+    * products to DECIMAL(38,0), the q_text_collocations note verbatim.
+    *
+    * Scale: ONE partial-aggregated shuffle to the (source) grid —
+    * bounded — then broadcast scalars; the corpus is touched once. */
+  val qSampleDomainMix: Q = Q(
+    "q_sample_domain_mix",
+    (s, dir) => {
+      import s.implicits._
+      val bySrc = Tokenized(s, dir)
+        .select($"source", size($"w").cast(LongType).as("t"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"), sum($"t").as("n_tokens"))
+      val tot = bySrc.agg(sum($"n_tokens").as("total_tokens"),
+        count(lit(1)).as("n_sources"))
+      bySrc.crossJoin(broadcast(tot))
+        .select($"source", $"n_docs", $"n_tokens",
+          expr("n_tokens * 1000000 div total_tokens").as("natural_ppm"),
+          expr("least(1000000, (total_tokens div n_sources) * 1000000 " +
+            "div n_tokens)").as("accept_ppm"))
+        .withColumn("expected_tokens",
+          expr("n_tokens * accept_ppm div 1000000"))
+        .orderBy($"source")
+    },
+    oracle = Some(
+      """WITH by_src AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+        |               COUNT(*) AS n_sources FROM by_src)
+        |SELECT source, n_docs, n_tokens,
+        |  CAST(n_tokens * 1000000 // total_tokens AS BIGINT) AS natural_ppm,
+        |  CAST(least(1000000, (total_tokens // n_sources) * 1000000
+        |    // n_tokens) AS BIGINT) AS accept_ppm,
+        |  CAST(n_tokens * (least(1000000, (total_tokens // n_sources)
+        |    * 1000000 // n_tokens)) // 1000000 AS BIGINT) AS expected_tokens
+        |FROM by_src, tot
+        |ORDER BY source""".stripMargin))
+
+  /** q_text_chunk (added r11) — FIXED-WINDOW TOKEN CHUNKING with
+    * overlap (window 32 tokens, stride 24): the step that turns cleaned
+    * documents into training/RAG-sized pieces. Chunk i covers tokens
+    * [i·24+1, i·24+32]; the last chunk is the first one whose window
+    * reaches the document end (n_chunks = ⌈(n−32)/24⌉+1 for n > 32,
+    * else 1), so every token lands in ≥ 1 chunk and consecutive chunks
+    * share a 8-token overlap — the standard context-continuity device.
+    *
+    * Determinism: chunk boundaries are pure integer arithmetic on the
+    * token count; the chunk text re-joins the SAME whitespace tokens
+    * the shared stage split (split/join round-trips exactly because the
+    * tokenizer splits on the single space the fixture uses).
+    *
+    * Scale: a per-row generator (explode over the per-doc chunk range)
+    * — embarrassingly parallel, NO shuffle anywhere; output is keyed by
+    * (doc_id, chunk_id) and row count grows linearly with tokens. */
+  val qTextChunk: Q = Q(
+    "q_text_chunk",
+    (s, dir) => {
+      import s.implicits._
+      Tokenized(s, dir)
+        .select($"doc_id", $"w", size($"w").cast(LongType).as("n"))
+        .withColumn("n_chunks",
+          expr("CASE WHEN n <= 32 THEN 1L ELSE (n - 32 + 23) div 24 + 1 END"))
+        .select($"doc_id", $"w", $"n",
+          explode(expr("sequence(0L, n_chunks - 1)")).as("chunk_id"))
+        .select($"doc_id", $"chunk_id",
+          expr("least(32L, n - chunk_id * 24)").as("n_chunk_tokens"),
+          expr("concat_ws(' ', slice(w, CAST(chunk_id * 24 + 1 AS INT), 32))")
+            .as("chunk_text"))
+        .orderBy($"doc_id", $"chunk_id")
+    },
+    oracle = Some(
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, w, n,
+        |    unnest(range(0, CASE WHEN n <= 32 THEN 1
+        |      ELSE (n - 32 + 23) // 24 + 1 END)) AS chunk_id
+        |  FROM d)
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |  CAST(least(32, n - chunk_id * 24) AS BIGINT) AS n_chunk_tokens,
+        |  array_to_string(list_slice(w, chunk_id * 24 + 1,
+        |    chunk_id * 24 + 32), ' ') AS chunk_text
+        |FROM c
+        |ORDER BY doc_id, chunk_id""".stripMargin))
+
   /** q_sample_temperature — TEMPERATURE-BASED language rebalancing
     * (added r10): the multilingual-corpus mixing recipe (sampling
     * probability ∝ n_lang^α with α = ½, the mT5/XLM-R device) — high-
@@ -1875,6 +2049,7 @@ object TextQueries {
       qTextKlDrift, qSampleFixedK, qSampleWeighted, qTextBm25, qTextEntropy,
       qTextTtr, qTextKeywords, qTextBigramLm, qSampleBalanced,
       qTextCharTrigrams, qQualityClassifier, qSampleTemperature, qTextPack,
-      qSampleTokenBudget,
+      qSampleTokenBudget, qSamplePerplexityBucket, qSampleDomainMix,
+      qTextChunk,
       qTextZipf, qTextNaiveBayes, qMlConfusion, qTextMutualInfo)
 }

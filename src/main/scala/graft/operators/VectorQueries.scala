@@ -1052,9 +1052,78 @@ object VectorQueries {
         .toDF("rank", "vec_id", "rel_micro", "mmr_deci_micro")
     })
 
+  /** q_dedup_semantic (added r11) — SemDeDup-style SEMANTIC dedup
+    * (Abbas et al. 2023, arXiv:2303.09540): restrict pairwise cosine to
+    * WITHIN-CLUSTER pairs, then mark every vector whose similarity to a
+    * LOWER-id member of its cluster clears the threshold as a semantic
+    * duplicate (keep-first-occurrence semantics — no component pass
+    * needed, the survivor set is unambiguous). Here the cluster id is
+    * the fixture's `label` column; at 100 TB the label is exactly the
+    * IVF coarse-quantizer assignment ([[AnnIvf.Models]] — the paper's
+    * own construction), sized so per-cell pairwise stays bounded
+    * (k ∝ n keeps |cell|² per cell constant). The 0.30 threshold is
+    * policy, chosen non-degenerate for the spread fixture corpus (max
+    * within-cluster cosine ≈ 0.48; ~1% of pairs clear 0.30 — the
+    * planted-twin regime q_dedup_embedding covers lives at ≥ 0.98).
+    *
+    * Determinism: sims round(6) BEFORE the compare (pre-round doubles
+    * bit-identical — the vec_dot left-fold twin argument); max over
+    * rounded doubles is order-independent; first-in-cluster vectors
+    * have no prior pair → NULL max_prior_sim, kept = 1 (NULL ≥ τ is
+    * NULL, so the CASE falls through identically in both engines).
+    *
+    * Scale: the join is keyed by cluster id — never all-pairs; cell
+    * sizes are bounded by the quantizer sizing rule, so candidate
+    * volume is linear in n (the ScaleSpec-measured posture of the
+    * whole dedup family). One keyed shuffle + one vec_id-keyed agg. */
+  /** The candidate join of q_dedup_semantic — (vec, lower-id same-label
+    * member) pairs with their round(6) cosines. Factored so `ScaleSpec`
+    * certifies the SHIPPED join shape's volume growth under the k ∝ n
+    * cluster-sizing rule, not a copy. Input needs (vec_id, label,
+    * embedding). */
+  def semanticCandidates(emb: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val prior = emb.select(col("label"), col("vec_id").as("vid2"),
+      col("embedding").as("e2"))
+    emb.join(prior, "label")
+      .where(col("vid2") < col("vec_id"))
+      .select(col("vec_id"), round(dot("embedding", "e2"), 6).as("sim"))
+  }
+
+  val qDedupSemantic: Q = Q(
+    "q_dedup_semantic",
+    (s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val maxPrior = semanticCandidates(emb)
+        .groupBy($"vec_id")
+        .agg(max($"sim").as("max_prior_sim"))
+      emb.select($"vec_id", $"label")
+        .join(maxPrior, Seq("vec_id"), "left")
+        .select($"vec_id", $"label", $"max_prior_sim",
+          when($"max_prior_sim" >= 0.30, 0L).otherwise(1L).as("kept"))
+        .orderBy($"vec_id")
+    },
+    oracle = Some(
+      """WITH pairs AS (
+        |  SELECT a.vec_id,
+        |    ROUND(list_sum(list_transform(range(1, 65),
+        |      i -> CAST(a.embedding[i] AS DOUBLE)
+        |         * CAST(b.embedding[i] AS DOUBLE))), 6) AS sim
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.label = b.label AND b.vec_id < a.vec_id),
+        |mp AS (SELECT vec_id, MAX(sim) AS max_prior_sim
+        |       FROM pairs GROUP BY vec_id)
+        |SELECT e.vec_id, e.label, mp.max_prior_sim,
+        |  CAST(CASE WHEN mp.max_prior_sim >= 0.30 THEN 0 ELSE 1 END
+        |    AS BIGINT) AS kept
+        |FROM embeddings e LEFT JOIN mp ON e.vec_id = mp.vec_id
+        |ORDER BY e.vec_id""".stripMargin))
+
   val all: Vector[Q] = Vector(
     qVecNormStats, qVecKnnBruteforce, qVecKnnLsh, qVecKnnIvf,
-    qVecKnnGraph, qVecKnnGraphBatch, qDedupEmbedding, qVecCentroids,
+    qVecKnnGraph, qVecKnnGraphBatch, qDedupEmbedding, qDedupSemantic,
+    qVecCentroids,
     qMultimodalJoin,
     qMultimodalFrames, qVecQuantize, qVecKnnBatch, qVecRangeSearch,
     qVecCentroidSims, qVecSilhouette, qVecFeatureHash, qVecDiversity,

@@ -72,4 +72,45 @@ class EmbeddingDedupSpec extends AnyFunSuite with SparkFixture {
     val d = Tables.embeddings(spark, sfDir).select($"vec_id", $"embedding")
     assert(EmbeddingDedup.nearPairs(d, 0.9).collect().isEmpty)
   }
+
+  test("semantic dedup matches a driver-side recompute exactly and " +
+    "keeps every cluster's first member") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"label", $"embedding")
+      .as[(Long, Int, Array[Float])].collect()
+    // Same ascending-index double fold as vec_dot, same HALF_UP round.
+    def sim(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0
+      var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      BigDecimal(acc).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val byLabel = emb.groupBy(_._2)
+    val expected = emb.map { case (id, lab, v) =>
+      val priors = byLabel(lab).filter(_._1 < id)
+      val mx = if (priors.isEmpty) None
+               else Some(priors.map(p => sim(p._3, v)).max)
+      id -> ((mx, if (mx.exists(_ >= 0.30)) 0L else 1L))
+    }.toMap
+    val got = Catalog.byName("q_dedup_semantic").build(spark, sfDir)
+      .select($"vec_id", $"max_prior_sim", $"kept")
+      .collect()
+    assert(got.length == emb.length)
+    got.foreach { r =>
+      val id = r.getLong(0)
+      val (expSim, expKept) = expected(id)
+      val gotSim = if (r.isNullAt(1)) None else Some(r.getDouble(1))
+      assert(gotSim == expSim, s"vec $id sim")
+      assert(r.getLong(2) == expKept, s"vec $id kept")
+    }
+    // the lowest id of every cluster has no prior: always kept
+    byLabel.values.map(_.map(_._1).min).foreach { first =>
+      assert(expected(first)._2 == 1L, s"first member $first dropped")
+    }
+    // non-degenerate both ways at fixture scale
+    assert(got.count(_.getLong(2) == 0L) > 0, "no duplicates flagged")
+    assert(got.count(_.getLong(2) == 1L) > got.length / 2,
+      "most of a spread corpus must survive")
+  }
 }

@@ -91,4 +91,81 @@ class MixPackSpec extends AnyFunSuite with SparkFixture {
       assert(lastChunk <= (totalToks - 1) / 512, s"$src overflowed chunks")
     }
   }
+
+  test("perplexity buckets: tertiles balanced per lang, bucket order " +
+    "respects the score, kept = head+middle") {
+    import spark.implicits._
+    val rows = Catalog.byName("q_sample_perplexity_bucket")
+      .build(spark, sfDir)
+      .select($"lang", $"xent_micro", $"bucket", $"kept")
+      .as[(String, Long, String, Long)].collect()
+    rows.groupBy(_._1).foreach { case (lang, docs) =>
+      val byBucket = docs.groupBy(_._3).view.mapValues(_.length).toMap
+      val sizes = Seq("head", "middle", "tail").map(byBucket.getOrElse(_, 0))
+      // ntile(3) sizes differ by at most 1 within a language.
+      assert(sizes.max - sizes.min <= 1, s"$lang tiles $sizes")
+      // Bucket boundaries follow the score: every head xent ≤ every
+      // tail xent (ties can straddle adjacent tiles, never two apart).
+      val head = docs.filter(_._3 == "head").map(_._2)
+      val tail = docs.filter(_._3 == "tail").map(_._2)
+      if (head.nonEmpty && tail.nonEmpty)
+        assert(head.max <= tail.min, s"$lang bucket order broken")
+    }
+    rows.foreach { case (_, _, bucket, kept) =>
+      assert((kept == 1L) == (bucket != "tail"))
+    }
+  }
+
+  test("domain mix: never upsamples, caps under-represented sources, " +
+    "expected tokens within the per-source target") {
+    import spark.implicits._
+    val rows = Catalog.byName("q_sample_domain_mix").build(spark, sfDir)
+      .select($"n_tokens", $"natural_ppm", $"accept_ppm", $"expected_tokens")
+      .as[(Long, Long, Long, Long)].collect()
+    val total = rows.map(_._1).sum
+    val target = total / rows.length
+    rows.foreach { case (tok, natPpm, accPpm, exp) =>
+      assert(accPpm <= 1000000L)
+      assert(exp <= tok, "upsampled a source")
+      // floor-div recompute bit for bit
+      assert(natPpm == tok * 1000000L / total)
+      assert(accPpm == math.min(1000000L, target * 1000000L / tok))
+      assert(exp == tok * accPpm / 1000000L)
+      // a downsampled source never exceeds its target share
+      if (accPpm < 1000000L) assert(exp <= target)
+    }
+    // under-represented sources pass through untouched
+    rows.filter(_._1 <= target).foreach { case (tok, _, acc, exp) =>
+      assert(acc == 1000000L && exp == tok)
+    }
+  }
+
+  test("chunking covers every token, overlaps by 8, and round-trips " +
+    "the document text") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    val chunks = Catalog.byName("q_text_chunk").build(spark, sfDir)
+      .select($"doc_id", $"chunk_id", $"n_chunk_tokens", $"chunk_text")
+      .as[(Long, Long, Long, String)].collect()
+    assert(chunks.map(_._1).toSet == docs.keySet, "every doc chunked")
+    chunks.groupBy(_._1).foreach { case (id, cs) =>
+      val toks = docs(id).split(" ")
+      val ordered = cs.sortBy(_._2)
+      // ids are 0..k-1 dense; window/stride arithmetic matches
+      assert(ordered.map(_._2).toSeq == (0L until ordered.length.toLong))
+      val expChunks = if (toks.length <= 32) 1
+                      else ((toks.length - 32 + 23) / 24) + 1
+      assert(ordered.length == expChunks, s"doc $id chunk count")
+      ordered.foreach { case (_, cid, n, textC) =>
+        val start = (cid * 24).toInt
+        val expected = toks.slice(start, start + 32)
+        assert(n == expected.length, s"doc $id chunk $cid length")
+        assert(textC == expected.mkString(" "), s"doc $id chunk $cid text")
+      }
+      // last chunk reaches the document end: full coverage
+      val (_, lastId, lastN, _) = ordered.last
+      assert(lastId * 24 + lastN == toks.length, s"doc $id tail gap")
+    }
+  }
 }

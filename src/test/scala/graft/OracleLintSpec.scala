@@ -74,7 +74,7 @@ class OracleLintSpec extends AnyFunSuite {
       Catalog.all.filter(_.oracle.isDefined).map(_.name).toSet)
   }
 
-  test("oracle count matches the SURVEY §2 contract (251 oracle rows)") {
-    assert(Catalog.all.count(_.oracle.isDefined) == 251)
+  test("oracle count matches the SURVEY §2 contract (255 oracle rows)") {
+    assert(Catalog.all.count(_.oracle.isDefined) == 255)
   }
 }

@@ -167,6 +167,28 @@ class ScaleSpec extends AnyFunSuite with SparkFixture {
     })
   }
 
+  test("semantic-dedup within-cluster pairs grow ~linearly when " +
+    "cluster count follows k ∝ n", ScaleStress) {
+    // q_dedup_semantic's scale posture: the cluster id (fixture `label`;
+    // IVF assignment in production) must be sized k ∝ n so per-cell
+    // membership stays O(1) and the within-cluster pairwise volume
+    // stays linear — the SemDeDup paper's own sizing rule, measured
+    // here on the shipped candidate join.
+    def labeled(n: Long, k: Long): DataFrame =
+      syntheticEmbeddings(n).withColumn("label",
+        pmod(xxhash64(col("vec_id")), lit(k)).cast("int"))
+    assertLinear("semantic", n =>
+      VectorQueries.semanticCandidates(labeled(n, n / 16)).count())
+    // Negative control: freeze k at the smallest size's cluster count
+    // and the pair volume must read clearly super-linear.
+    val frozenK = sizes.head / 16
+    val fc = sizes.take(2).map(n =>
+      VectorQueries.semanticCandidates(labeled(n, frozenK)).count())
+    val fe = math.log(fc(1).toDouble / fc(0)) / math.log(4.0)
+    info(f"semantic frozen-k control: pairs=${fc.mkString(", ")} exponent=$fe%.2f")
+    assert(fe > 1.5, s"expected the quadratic floor, measured $fe")
+  }
+
   test("repeated-span (substring dedup) flagged volume grows ~linearly",
       ScaleStress) {
     // The q_dedup_substring shape on the planted exact-dup corpus:
