@@ -1530,6 +1530,144 @@ object TextQueries {
         |FROM c
         |ORDER BY doc_id, chunk_id""".stripMargin))
 
+  /** q_pipeline_funnel (added r11) — the END-TO-END CORPUS FUNNEL: one
+    * audit row per pipeline stage (raw → quality gate → exact dedup →
+    * perplexity tail-drop → token budget), each applied to the previous
+    * stage's survivors, with doc/token counts and ppm-of-raw — the
+    * table a pipeline owner actually reads to see where the corpus
+    * went. Every stage reuses the SHARED formula of its standalone row
+    * (QualityScore.keep, md5 keep-min, the corpus-trained micro-nat LM
+    * with per-lang tertiles, the 2000-token per-lang prefix budget), so
+    * the funnel cannot drift from the operators it composes — but note
+    * the tertile and budget cuts are computed over the SURVIVORS, not
+    * the raw corpus (the composed semantics), so their boundaries
+    * legitimately differ from the standalone rows'. The exact-dedup
+    * stage is non-vacuous at sf0.1 (6 post-quality md5 collisions
+    * collapse; the smaller fixtures plant only near-dups) — the twin
+    * certifies the collapse there.
+    *
+    * Exactness: every stage decision is already cross-engine exact in
+    * its standalone row (integer micro-nats, total-order ntile,
+    * monotone cumsum, md5); the funnel adds only exact long counts and
+    * floor-div ppm.
+    *
+    * Scale (100 TB): stages are successive narrow filters + three
+    * bounded-stratum windows + one md5-keyed window off the shared
+    * token stage; a production run materializes each survivor set
+    * (they feed training anyway) so each window scans once. The five
+    * audit aggregates are metadata-sized. */
+  val qPipelineFunnel: Q = Q(
+    "q_pipeline_funnel",
+    (s, dir) => {
+      import s.implicits._
+      val scored = QualityScore.fromTokens(Tokenized(s, dir))
+        .select($"doc_id", $"lang", $"lw", $"n_tok", $"quality",
+          array_join($"w", " ").as("txt"))
+      val s1 = scored.where(QualityScore.keep)
+      val wMd5 = Window.partitionBy(md5($"txt")).orderBy($"doc_id")
+      val s2 = s1.withColumn("rn", row_number().over(wMd5))
+        .where($"rn" === 1).drop("rn")
+      // LM trained on the RAW corpus (the standalone row's model);
+      // survivors are scored under it.
+      val allToks = Tokenized(s, dir).select(explode($"lw").as("term"))
+      val lm = allToks.groupBy($"term").agg(count(lit(1)).as("c"))
+      val nTok = allToks.agg(count(lit(1)).as("n_corpus"))
+      val xent = s2.select($"doc_id", explode($"lw").as("term"))
+        .join(broadcast(lm), "term")
+        .crossJoin(broadcast(nTok))
+        .select($"doc_id",
+          expr("CAST(floor(ln(CAST(c AS DOUBLE) / n_corpus) * 1000000) AS BIGINT)")
+            .as("lpf"))
+        .groupBy($"doc_id")
+        .agg(expr("(-sum(lpf)) div count(1)").as("xent_micro"))
+      val wTile = Window.partitionBy($"lang").orderBy($"xent_micro", $"doc_id")
+      val s3 = s2.join(xent, "doc_id")
+        .withColumn("tile", ntile(3).over(wTile))
+        .where($"tile" <= 2)
+        .select($"doc_id", $"lang", $"n_tok")
+      val wCum = Window.partitionBy($"lang").orderBy($"doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val s4 = s3.withColumn("cum", sum($"n_tok").over(wCum))
+        .where($"cum" <= 2000L)
+      def stageAgg(df: org.apache.spark.sql.DataFrame, ord: Long,
+          name: String) =
+        df.agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tok")).as("n_tokens"))
+          .select(lit(ord).as("stage_ord"), lit(name).as("stage"),
+            col("n_docs"), col("n_tokens"))
+      val raw = broadcast(scored
+        .agg(count(lit(1)).as("raw_docs"), sum($"n_tok").as("raw_tokens")))
+      stageAgg(scored, 0L, "raw")
+        .unionByName(stageAgg(s1, 1L, "quality"))
+        .unionByName(stageAgg(s2, 2L, "exact_dedup"))
+        .unionByName(stageAgg(s3, 3L, "perplexity_tail"))
+        .unionByName(stageAgg(s4, 4L, "token_budget"))
+        .crossJoin(raw)
+        .select($"stage_ord", $"stage", $"n_docs", $"n_tokens",
+          expr("n_docs * 1000000 div raw_docs").as("docs_ppm"),
+          expr("n_tokens * 1000000 div raw_tokens").as("tokens_ppm"))
+        .orderBy($"stage_ord")
+    },
+    oracle = Some(
+      """WITH sc AS (
+        |  SELECT doc_id, lang, text,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+        |      AS n_distinct,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      t -> t IN ('the', 'a'))) AS BIGINT) AS n_stop
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, lang, text, n_tok,
+        |    ROUND((CAST(n_distinct AS DOUBLE) / n_tok) * 0.5
+        |      + (1.0 - CAST(n_stop AS DOUBLE) / n_tok) * 0.3
+        |      + least(CAST(n_tok AS DOUBLE) / 50.0, 1.0) * 0.2, 6) AS quality
+        |  FROM sc),
+        |s1 AS (SELECT doc_id, lang, text, n_tok FROM q
+        |       WHERE quality >= 0.65 AND n_tok BETWEEN 20 AND 200),
+        |s2 AS (SELECT doc_id, lang, text, n_tok FROM (
+        |  SELECT s1.*, row_number() OVER (PARTITION BY md5(text)
+        |    ORDER BY doc_id) AS rn FROM s1) WHERE rn = 1),
+        |tk AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        |       FROM documents),
+        |lm AS (SELECT term, COUNT(*) AS c FROM tk GROUP BY term),
+        |nn AS (SELECT COUNT(*) AS n_corpus FROM tk),
+        |x AS (
+        |  SELECT t.doc_id,
+        |    CAST((-SUM(CAST(floor(ln(CAST(c AS DOUBLE) / n_corpus) * 1000000)
+        |      AS BIGINT))) // COUNT(*) AS BIGINT) AS xent_micro
+        |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        |        FROM s2) t JOIN lm USING (term), nn
+        |  GROUP BY t.doc_id),
+        |s3 AS (SELECT doc_id, lang, n_tok FROM (
+        |  SELECT s2.doc_id, s2.lang, s2.n_tok,
+        |    ntile(3) OVER (PARTITION BY s2.lang
+        |                   ORDER BY x.xent_micro, s2.doc_id) AS tile
+        |  FROM s2 JOIN x ON s2.doc_id = x.doc_id) WHERE tile <= 2),
+        |s4 AS (SELECT doc_id, lang, n_tok FROM (
+        |  SELECT s3.*, SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM s3) WHERE cum <= 2000),
+        |f AS (
+        |  SELECT 0 AS stage_ord, 'raw' AS stage, COUNT(*) AS n_docs,
+        |    CAST(SUM(n_tok) AS BIGINT) AS n_tokens FROM sc
+        |  UNION ALL SELECT 1, 'quality', COUNT(*),
+        |    CAST(SUM(n_tok) AS BIGINT) FROM s1
+        |  UNION ALL SELECT 2, 'exact_dedup', COUNT(*),
+        |    CAST(SUM(n_tok) AS BIGINT) FROM s2
+        |  UNION ALL SELECT 3, 'perplexity_tail', COUNT(*),
+        |    CAST(SUM(n_tok) AS BIGINT) FROM s3
+        |  UNION ALL SELECT 4, 'token_budget', COUNT(*),
+        |    CAST(SUM(n_tok) AS BIGINT) FROM s4),
+        |raw AS (SELECT n_docs AS raw_docs, n_tokens AS raw_tokens FROM f
+        |        WHERE stage_ord = 0)
+        |SELECT CAST(stage_ord AS BIGINT) AS stage_ord, stage, n_docs,
+        |  n_tokens,
+        |  CAST(n_docs * 1000000 // raw_docs AS BIGINT) AS docs_ppm,
+        |  CAST(n_tokens * 1000000 // raw_tokens AS BIGINT) AS tokens_ppm
+        |FROM f, raw
+        |ORDER BY stage_ord""".stripMargin))
+
   /** q_sample_temperature — TEMPERATURE-BASED language rebalancing
     * (added r10): the multilingual-corpus mixing recipe (sampling
     * probability ∝ n_lang^α with α = ½, the mT5/XLM-R device) — high-
@@ -2050,6 +2188,6 @@ object TextQueries {
       qTextTtr, qTextKeywords, qTextBigramLm, qSampleBalanced,
       qTextCharTrigrams, qQualityClassifier, qSampleTemperature, qTextPack,
       qSampleTokenBudget, qSamplePerplexityBucket, qSampleDomainMix,
-      qTextChunk,
+      qTextChunk, qPipelineFunnel,
       qTextZipf, qTextNaiveBayes, qMlConfusion, qTextMutualInfo)
 }

@@ -140,6 +140,38 @@ class MixPackSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("pipeline funnel: monotone shrinkage, exact ppm recompute, " +
+    "and the budget stage respects every stratum's cap") {
+    import spark.implicits._
+    val rows = Catalog.byName("q_pipeline_funnel").build(spark, sfDir)
+      .select($"stage_ord", $"stage", $"n_docs", $"n_tokens",
+        $"docs_ppm", $"tokens_ppm")
+      .as[(Long, String, Long, Long, Long, Long)].collect()
+      .sortBy(_._1)
+    assert(rows.map(_._2).toSeq ==
+      Seq("raw", "quality", "exact_dedup", "perplexity_tail",
+        "token_budget"))
+    // survivor sets only shrink
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 <= a._3 && b._4 <= a._4, s"stage ${b._2} grew")
+    }
+    val (rawDocs, rawToks) = (rows.head._3, rows.head._4)
+    assert(rows.head._5 == 1000000L && rows.head._6 == 1000000L)
+    rows.foreach { r =>
+      assert(r._5 == r._3 * 1000000L / rawDocs)
+      assert(r._6 == r._4 * 1000000L / rawToks)
+    }
+    // the budget stage obeys 2000 tokens per language stratum
+    val nLangs = Tables.documents(spark, sfDir)
+      .select($"lang").distinct().count()
+    assert(rows.last._4 <= 2000L * nLangs)
+    // and the quality stage matches the standalone gate's count
+    val qualityKept = Catalog.byName("q_text_quality")
+      .build(spark, sfDir)
+      .where($"quality" >= 0.65 && $"n_tok".between(20, 200)).count()
+    assert(rows(1)._3 == qualityKept)
+  }
+
   test("chunking covers every token, overlaps by 8, and round-trips " +
     "the document text") {
     import spark.implicits._
