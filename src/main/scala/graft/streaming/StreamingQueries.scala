@@ -138,6 +138,24 @@ object StreamingQueries {
         col("n_total"), col("n_kept"))
   }
 
+  /** q_stream_contamination (added r11) — benchmark DECONTAMINATION as
+    * an ingest gate: per (1-hour window, status) document counts, where
+    * status ∈ {benchmark, contaminated, clean} comes pre-joined from
+    * the STATIC verdict table (the oracle-checked q_text_contamination
+    * formula, computed batch-side — production benchmarks are
+    * kilobytes against an unbounded stream, so the per-doc verdict
+    * broadcasts and the stream is scored STATELESSLY per row; only the
+    * bounded (open windows × 3 statuses) counts carry state). The
+    * same offline/online split as [[qStreamModelScore]]: decide
+    * expensively offline, apply cheaply in-stream. */
+  def contaminationCounts(docs: DataFrame): DataFrame =
+    docs
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("win"), col("status"))
+      .agg(count(lit(1)).as("n_docs"))
+      .select(col("win.start").as("win_start"), col("status"),
+        col("n_docs"))
+
   // ---- AvailableNow replay wrappers: the streaming rows as TIMED catalog
   // entries (SURVEY §2's T definition says T rows still appear in
   // `queries` so Bench times them — r5 registered only the batch twin).
@@ -485,6 +503,43 @@ object StreamingQueries {
       }
     })
 
+  /** Per-doc decontamination verdicts, persisted per (session, dir):
+    * every bench rep of the streaming gate re-reads this instead of
+    * re-deriving the shingle probe (the basketsCache rule). */
+  private val contaminationStatusCache =
+    new graft.Memo[(SparkSession, String), DataFrame]
+
+  /** q_stream_contamination (T) — the [[contaminationCounts]] gate
+    * replayed over the document stream (events aligned to docs by the
+    * qStreamQualityFilter modulus device). The static side joins the
+    * batch contamination row's verdicts onto the doc table: docs ABSENT
+    * from the verdict table are the benchmark members themselves
+    * (q_text_contamination scores only non-benchmark docs) — they must
+    * not enter training either, so they surface as their own status. */
+  val qStreamContamination: Q = Q(
+    "q_stream_contamination",
+    (s, dir) => {
+      val status = contaminationStatusCache((s, dir)) {
+        graft.Tables.documents(s, dir).select(col("doc_id"))
+          .join(graft.operators.DedupQueries.qTextContamination
+              .build(s, dir).select(col("doc_id"), col("flagged")),
+            Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            when(col("flagged").isNull, "benchmark")
+              .when(col("flagged") === 1L, "contaminated")
+              .otherwise("clean").as("status"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }
+      val nDocs = docCount((s, dir))(
+        graft.Tables.documents(s, dir).count())
+      Replay.run(s, dir, "contamination", "complete") { df =>
+        contaminationCounts(
+          df.select(pmod(col("event_id"), lit(nDocs)).as("doc_id"),
+              col("ts"))
+            .join(broadcast(status), "doc_id"))
+      }
+    })
+
   /** q_stream_countmin (T) — the Count-Min sketch maintained
     * INCREMENTALLY over the event stream, then queried: the replay
     * folds every micro-batch into one sketch buffer (typed agg state —
@@ -803,6 +858,7 @@ object StreamingQueries {
   val all: Vector[Q] = Vector(qWindowTumblingBatch,
     qStreamTumbling, qStreamSliding, qStreamSession, qStreamDedup,
     qStreamStateful, qStreamStatefulTws, qStreamQualityFilter,
+    qStreamContamination,
     qStreamModelScore, qStreamCountmin, qStreamOhlc, qStreamUpsert, qStreamKalman,
     qStreamDailyAgg, qStreamDecay)
 }

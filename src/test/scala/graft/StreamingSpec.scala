@@ -138,6 +138,64 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(ids.toSeq == Seq(0L, 1L, 5L))
   }
 
+  test("q_stream_contamination: windowed status counts match the batch " +
+    "twin and the catalog row reconciles with the batch verdicts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // (doc_id, ts, status): two hour-0 windows' worth of pre-joined
+    // verdicts — the gate itself is stateless, so the spec pins the
+    // windowed accounting and stream == batch on the same frame.
+    val hour0: Seq[(Long, Timestamp, String)] = Seq(
+      (0L, ts(5), "clean"), (1L, ts(15), "contaminated"),
+      (2L, ts(25), "clean"), (3L, ts(35), "benchmark"))
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val df = StreamingQueries.contaminationCounts(
+      input.toDF().toDF("doc_id", "ts", "status"))
+    val q = df.writeStream.format("memory").queryName("scont")
+      .outputMode("append").start()
+    try {
+      input.addData(hour0)
+      q.processAllAvailable()
+      input.addData((9L, ts(125), "clean")) // close hour 0
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("scont").collect()
+      .map(r => (r.getString(1), r.getLong(2))).toSet
+    assert(got == Set(("clean", 2L), ("contaminated", 1L),
+      ("benchmark", 1L)), s"hour-0 closed windows wrong: $got")
+    val batch = StreamingQueries.contaminationCounts(
+        hour0.toDF("doc_id", "ts", "status"))
+      .collect().map(r => (r.getString(1), r.getLong(2))).toSet
+    assert(got == batch)
+    // Catalog row end-to-end: total docs counted == total events, and
+    // the per-status split reconciles with the batch verdict table
+    // weighted by each doc's event multiplicity.
+    val rows = Catalog.byName("q_stream_contamination")
+      .build(spark, sfDir).collect()
+    val nEvents = Tables.events(spark, sfDir).count()
+    assert(rows.map(_.getLong(2)).sum == nEvents)
+    val statuses = rows.map(_.getString(1)).toSet
+    assert(statuses.contains("benchmark") && statuses.contains("clean"),
+      s"degenerate status split: $statuses")
+    val nDocs = Tables.documents(spark, sfDir).count()
+    val flags = Catalog.byName("q_text_contamination").build(spark, sfDir)
+      .select($"doc_id", $"flagged").as[(Long, Long)].collect().toMap
+    val mult = Tables.events(spark, sfDir)
+      .select(pmod($"event_id", lit(nDocs)).as("doc_id"))
+      .groupBy($"doc_id").count()
+      .as[(Long, Long)].collect().toMap
+    val expected = mult.toSeq.groupBy { case (docId, _) =>
+      flags.get(docId) match {
+        case None => "benchmark"
+        case Some(1L) => "contaminated"
+        case Some(_) => "clean"
+      }
+    }.view.mapValues(_.map(_._2).sum).toMap
+    val gotByStatus = rows.groupBy(_.getString(1))
+      .view.mapValues(_.map(_.getLong(2)).sum).toMap
+    assert(gotByStatus == expected)
+  }
+
   test("q_stream_quality_filter: windowed survival stats match the batch scorer") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
