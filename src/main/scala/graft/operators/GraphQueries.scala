@@ -1113,9 +1113,101 @@ object GraphQueries {
         |ORDER BY auth2 DESC, node
         |LIMIT 10""".stripMargin))
 
+  /** q_graph_modularity (added r11) — NEWMAN MODULARITY of the brand
+    * partition over the frequent-co-purchase graph: Q = Σ_c [e_c/m −
+    * (d_c/2m)²], the standard "is this partition better than random"
+    * statistic — here answering whether co-purchase community structure
+    * follows brand (it barely does: Q ≈ +0.002 at sf0.01, the honest
+    * near-random reading; per-community contributions split signs).
+    * This is the EVALUATION half of community detection — detection
+    * itself (Louvain/label-prop) optimizes exactly this objective, and
+    * any partition column (components, k-core shells, an external
+    * clustering) slots into the same query.
+    *
+    * Exactness: per-community contribution numerators are exact longs
+    * (contrib_num = 4·m·e_c − d_c², denominator 4m² left implicit), so
+    * NO division happens until the one global q_ppm — and that one is
+    * made truncation-safe by the offset device ((N + 4m²)·10⁶ div 4m²
+    * − 10⁶): N ≥ −4m² always (Q ≥ −1), so both operands stay
+    * non-negative and Spark's truncating div equals DuckDB's floor.
+    * Long headroom: 4m²·10⁶ < 2⁶³ needs m < 1.5e6 edges; past that,
+    * promote the q_ppm expression to DECIMAL(38,0) (the
+    * q_text_collocations note).
+    *
+    * Scale: reuses the persisted [[coEdges]]/[[coDegrees]] stages; adds
+    * two broadcast brand joins (part is a dimension), one community-
+    * keyed partial agg each for e_c and d_c (both bounded by |brands|),
+    * and 1-row broadcast scalars. Nothing node- or edge-domain reaches
+    * the driver. */
+  val qGraphModularity: Q = Q(
+    "q_graph_modularity",
+    (s, dir) => {
+      import s.implicits._
+      val brand = broadcast(Tables.part(s, dir)
+        .select($"p_partkey", $"p_brand"))
+      val e = coEdges(s, dir)
+        .join(brand.select($"p_partkey".as("u"), $"p_brand".as("cu")), "u")
+        .join(brand.select($"p_partkey".as("v"), $"p_brand".as("cv")), "v")
+      val m = broadcast(e.agg(count(lit(1)).as("m")))
+      val eIn = e.where($"cu" === $"cv")
+        .groupBy($"cu".as("community")).agg(count(lit(1)).as("e_in"))
+      val dC = coDegrees(s, dir)
+        .join(brand.select($"p_partkey".as("n"), $"p_brand".as("community")),
+          "n")
+        .groupBy($"community")
+        .agg(count(lit(1)).as("n_nodes"), sum($"deg").as("deg_sum"))
+      val per = dC.join(eIn, Seq("community"), "left")
+        .crossJoin(m)
+        .select($"community", $"n_nodes",
+          coalesce($"e_in", lit(0L)).as("e_in"), $"deg_sum",
+          (lit(4L) * $"m" * coalesce($"e_in", lit(0L))
+            - $"deg_sum" * $"deg_sum").as("contrib_num"))
+      val q = broadcast(per.agg(sum($"contrib_num").as("nsum"))
+        .crossJoin(m)
+        .select(expr(
+          "(nsum + 4 * m * m) * 1000000 div (4 * m * m) - 1000000")
+          .as("q_ppm")))
+      per.crossJoin(q)
+        .select($"community", $"n_nodes", $"e_in", $"deg_sum",
+          $"contrib_num", $"q_ppm")
+        .orderBy($"community")
+    },
+    oracle = Some(
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pairs AS (
+        |  SELECT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM li a JOIN li b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |edges AS (SELECT u, v FROM pairs GROUP BY u, v HAVING COUNT(*) >= 2),
+        |be AS (SELECT e.u, e.v, pu.p_brand AS cu, pv.p_brand AS cv
+        |       FROM edges e JOIN part pu ON e.u = pu.p_partkey
+        |                    JOIN part pv ON e.v = pv.p_partkey),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM be),
+        |ein AS (SELECT cu AS community, CAST(COUNT(*) AS BIGINT) AS e_in
+        |        FROM be WHERE cu = cv GROUP BY cu),
+        |deg AS (
+        |  SELECT n, COUNT(*) AS deg FROM (
+        |    SELECT u AS n FROM edges UNION ALL SELECT v AS n FROM edges) x
+        |  GROUP BY n),
+        |dc AS (SELECT p.p_brand AS community, COUNT(*) AS n_nodes,
+        |         CAST(SUM(deg) AS BIGINT) AS deg_sum
+        |       FROM deg JOIN part p ON deg.n = p.p_partkey GROUP BY 1),
+        |per AS (SELECT dc.community, dc.n_nodes,
+        |          CAST(COALESCE(ein.e_in, 0) AS BIGINT) AS e_in,
+        |          dc.deg_sum,
+        |          CAST(4 * m.m * COALESCE(ein.e_in, 0)
+        |            - dc.deg_sum * dc.deg_sum AS BIGINT) AS contrib_num
+        |        FROM dc LEFT JOIN ein USING (community), m),
+        |qq AS (SELECT CAST((SUM(contrib_num) + 4 * m.m * m.m) * 1000000
+        |         // (4 * m.m * m.m) - 1000000 AS BIGINT) AS q_ppm
+        |       FROM per, m GROUP BY m.m)
+        |SELECT community, n_nodes, e_in, deg_sum, contrib_num, q_ppm
+        |FROM per, qq
+        |ORDER BY community""".stripMargin))
+
   val all: Vector[Q] =
     Vector(qGraphPagerank, qGraphTriangles, qGraphCommonNeighbors,
       qGraphResourceAlloc, qGraphAdamicAdar, qGraphJaccardNeighbors,
       qGraphBfs, qGraphKcore, qGraphDegreeHist, qGraphClusteringCoeff,
-      qGraphAssortativity, qGraphHits)
+      qGraphAssortativity, qGraphHits, qGraphModularity)
 }
