@@ -151,7 +151,12 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     Seq("q_text_tokenize_explode", "q_text_wordcount_tf", "q_text_quality",
         "q_text_token_count", "q_text_tfidf", "q_text_filter_pipeline",
         "q_text_repetition", "q_text_perplexity", "q_text_collocations",
-        "q_text_kl_drift", "q_text_bm25").foreach { name =>
+        "q_text_kl_drift", "q_text_bm25",
+        // r11 consumers: the sampling decisions, chunking, and the
+        // composed funnel all read the same persisted stage.
+        "q_sample_token_budget", "q_sample_perplexity_bucket",
+        "q_sample_domain_mix", "q_text_chunk",
+        "q_pipeline_funnel").foreach { name =>
       val p = planOf(name)
       assert(p.contains("InMemoryTableScan"),
         s"$name must read the cached token stage:\n$p")
@@ -225,6 +230,27 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       s"fuzzy dedup must stay block-keyed:\n$p")
     assert(p.contains("levenshtein"), "edit distance must be in-plan")
+  }
+
+  test("q_dedup_semantic: cluster-keyed candidate join, never all-pairs") {
+    // SemDeDup is only scale-sane if the pairwise cosine stays
+    // restricted to the label-keyed equi join — an all-pairs regression
+    // (dropped key, broadcast-nested-loop fallback) is exactly the
+    // quadratic the ScaleSpec frozen-k control demonstrates.
+    val p = planOf("q_dedup_semantic")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"semantic dedup must stay label-keyed:\n${p.take(2000)}")
+  }
+
+  test("q_graph_modularity: reads the persisted edge stage, brand dim " +
+    "broadcasts") {
+    val p = planOf("q_graph_modularity")
+    assert(p.contains("InMemoryTableScan"),
+      s"modularity must read the persisted coEdges/coDegrees stages:\n" +
+        p.take(2000))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the brand dimension must broadcast:\n${p.take(2000)}")
   }
 
   test("q_dedup_ppjoin: broadcast token frequencies, keyed joins only") {
