@@ -1132,7 +1132,11 @@ object GraphQueries {
     * non-negative and Spark's truncating div equals DuckDB's floor.
     * Long headroom: 4m²·10⁶ < 2⁶³ needs m < 1.5e6 edges; past that,
     * promote the q_ppm expression to DECIMAL(38,0) (the
-    * q_text_collocations note).
+    * q_text_collocations note). Precondition m ≥ 1: on a graph with NO
+    * support-≥2 edges the q_ppm division is 0/0 — Spark yields NULL
+    * where DuckDB raises, so an empty edge set is outside the row's
+    * contract (the fixtures carry thousands of edges at every SF; a
+    * deployment on arbitrary corpora guards with `WHERE m > 0`).
     *
     * Scale: reuses the persisted [[coEdges]]/[[coDegrees]] stages; adds
     * two broadcast brand joins (part is a dimension), one community-

@@ -660,45 +660,62 @@ object TextQueries {
         |FROM c GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin))
 
+  /** The shared per-document cross-entropy stage (factored r11): ONE
+    * definition of the exact-integer unigram-LM score — train the LM on
+    * the corpus itself (count/total), quantize each token's log-prob
+    * ONCE to integer micro-nats (floor(ln(c/N)·1e6); the ln() libm ulp
+    * is masked by the floor, the q_text_tfidf argument), then the
+    * per-doc aggregation is EXACT long arithmetic (sum, floor-divide by
+    * token count — both operands positive after negation, so Spark
+    * `div` ≡ DuckDB `//`). A per-doc SUM of double log-probs would be
+    * summation-order-dependent; this never sums doubles.
+    *
+    * Consumed by q_text_perplexity (the score), q_sample_perplexity_
+    * bucket (the tertile verdict) and q_pipeline_funnel (the composed
+    * tail-drop) — the QualityScore one-definition rule applied to the
+    * LM score, so the three rows cannot drift; persisted because the
+    * bucket and funnel rows would otherwise re-train the LM and
+    * re-scan the token stream per evaluation.
+    *
+    * Scale (100 TB): the LM collapses to the VOCABULARY (bounded) and
+    * broadcasts with the 1-row total; the corpus reads once off the
+    * shared token stage, one doc-keyed partial-agg shuffle; output is
+    * doc-domain sized (doc_id, lang, n_tokens, xent_micro). */
+  object Xent {
+    private val cache =
+      new graft.Memo[(SparkSession, String), org.apache.spark.sql.DataFrame]
+
+    def apply(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+      cache((s, dir)) {
+        val toks = Tokenized(s, dir)
+          .select(col("doc_id"), col("lang"), explode(col("lw")).as("term"))
+        val lm = toks.groupBy(col("term")).agg(count(lit(1)).as("c"))
+        val n = toks.agg(count(lit(1)).as("n_tok"))
+        toks.join(broadcast(lm), "term")
+          .crossJoin(broadcast(n))
+          .select(col("doc_id"), col("lang"),
+            expr("CAST(floor(ln(CAST(c AS DOUBLE) / n_tok) * 1000000) AS BIGINT)")
+              .as("lpf"))
+          .groupBy(col("doc_id"), col("lang"))
+          .agg(count(lit(1)).as("n_tokens"), sum(col("lpf")).as("slpf"))
+          .select(col("doc_id"), col("lang"), col("n_tokens"),
+            expr("(-slpf) div n_tokens").as("xent_micro"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }
+  }
+
   /** q_text_perplexity (added r8) — per-document unigram-LM
-    * cross-entropy, the CCNet-style perplexity quality filter: train a
-    * unigram language model on the corpus itself (count/total), then
-    * score each document by the mean negative log-probability of its
-    * tokens. High score = improbable token mix = boilerplate/noise
-    * candidate; the SCORE is the operator, thresholding is policy.
-    *
-    * Determinism: a per-doc SUM of double log-probs would be
-    * summation-order-dependent (Spark partial aggregation adds in
-    * nondeterministic order). Instead each token's log-prob is
-    * quantized ONCE to integer micro-nats — floor(ln(c/N)·1e6), a
-    * per-row scalar where the ln() libm ulp is the only cross-engine
-    * risk (masked by the floor at 1e-6 resolution, same argument as
-    * q_text_tfidf's round(6)) — and the per-doc aggregation is then
-    * EXACT integer arithmetic: sum of longs, floor-divide by the token
-    * count (both operands positive after negation, so Spark `div`
-    * truncation == DuckDB `//` floor). xent_micro is exact micro-nats.
-    *
-    * Scale (100 TB): the LM side collapses to the VOCABULARY (bounded)
-    * and broadcasts with the 1-row total; the corpus is read once from
-    * the shared token stage and shuffles once, keyed by doc_id, with
-    * partial aggregation. Same shape as tfidf — nothing quadratic,
-    * nothing driver-side. */
+    * cross-entropy, the CCNet-style perplexity quality filter: high
+    * score = improbable token mix = boilerplate/noise candidate; the
+    * SCORE is the operator, thresholding is policy. The formula (and
+    * its determinism/scale argument) lives in the shared [[Xent]]
+    * stage. */
   val qTextPerplexity: Q = Q(
     "q_text_perplexity",
     (s, dir) => {
       import s.implicits._
-      val toks = Tokenized(s, dir).select($"doc_id", explode($"lw").as("term"))
-      val lm = toks.groupBy($"term").agg(count(lit(1)).as("c"))
-      val n = toks.agg(count(lit(1)).as("n_tok"))
-      toks.join(broadcast(lm), "term")
-        .crossJoin(broadcast(n))
-        .select($"doc_id",
-          expr("CAST(floor(ln(CAST(c AS DOUBLE) / n_tok) * 1000000) AS BIGINT)")
-            .as("lpf"))
-        .groupBy($"doc_id")
-        .agg(count(lit(1)).as("n_tokens"), sum($"lpf").as("slpf"))
-        .select($"doc_id", $"n_tokens",
-          expr("(-slpf) div n_tokens").as("xent_micro"))
+      Xent(s, dir)
+        .select($"doc_id", $"n_tokens", $"xent_micro")
         .orderBy($"doc_id")
     },
     oracle = Some(
@@ -1366,35 +1383,23 @@ object TextQueries {
     * KEEP/DROP verdict per document under the standard
     * discard-the-worst-third policy.
     *
-    * Determinism: xent_micro is exact integer micro-nats (the
-    * q_text_perplexity argument verbatim); ntile over a TOTAL order
-    * (xent ties broken by doc_id) assigns every row a unique rank, so
-    * tile membership cannot flip cross-engine. `kept` is materialized
-    * as BIGINT 1/0 (not BOOLEAN) to keep the hash column portable.
+    * Determinism: xent_micro is exact integer micro-nats (the shared
+    * [[Xent]] stage — the SAME rows q_text_perplexity scores, one
+    * definition); ntile over a TOTAL order (xent ties broken by
+    * doc_id) assigns every row a unique rank, so tile membership
+    * cannot flip cross-engine. `kept` is materialized as BIGINT 1/0
+    * (not BOOLEAN) to keep the hash column portable.
     *
-    * Scale (100 TB): LM broadcast + one doc-keyed shuffle (shared with
-    * perplexity's shape), then ONE per-language window — strata are
-    * bounded (|langs|) and independent, so each range-partitions
-    * internally; no global sort. */
+    * Scale (100 TB): the persisted Xent stage + ONE per-language
+    * window — strata are bounded (|langs|) and independent, so each
+    * range-partitions internally; no global sort. */
   val qSamplePerplexityBucket: Q = Q(
     "q_sample_perplexity_bucket",
     (s, dir) => {
       import s.implicits._
-      val toks = Tokenized(s, dir).select($"doc_id", $"lang",
-        explode($"lw").as("term"))
-      val lm = toks.groupBy($"term").agg(count(lit(1)).as("c"))
-      val n = toks.agg(count(lit(1)).as("n_tok"))
-      val xent = toks.join(broadcast(lm), "term")
-        .crossJoin(broadcast(n))
-        .select($"doc_id", $"lang",
-          expr("CAST(floor(ln(CAST(c AS DOUBLE) / n_tok) * 1000000) AS BIGINT)")
-            .as("lpf"))
-        .groupBy($"doc_id", $"lang")
-        .agg(count(lit(1)).as("n_tokens"), sum($"lpf").as("slpf"))
-        .select($"doc_id", $"lang",
-          expr("(-slpf) div n_tokens").as("xent_micro"))
       val w = Window.partitionBy($"lang").orderBy($"xent_micro", $"doc_id")
-      xent
+      Xent(s, dir)
+        .select($"doc_id", $"lang", $"xent_micro")
         .withColumn("tile", ntile(3).over(w))
         .select($"doc_id", $"lang", $"xent_micro",
           when($"tile" === 1, "head").when($"tile" === 2, "middle")
@@ -1535,10 +1540,11 @@ object TextQueries {
     * perplexity tail-drop → token budget), each applied to the previous
     * stage's survivors, with doc/token counts and ppm-of-raw — the
     * table a pipeline owner actually reads to see where the corpus
-    * went. Every stage reuses the SHARED formula of its standalone row
-    * (QualityScore.keep, md5 keep-min, the corpus-trained micro-nat LM
-    * with per-lang tertiles, the 2000-token per-lang prefix budget), so
-    * the funnel cannot drift from the operators it composes — but note
+    * went. Every stage reuses the SHARED STAGE of its standalone row —
+    * QualityScore.keep, [[DedupQueries.Shingled]]'s md5 column for the
+    * keep-min, the [[Xent]] per-doc LM scores, the 2000-token per-lang
+    * prefix budget — actual shared code, so the funnel cannot drift
+    * from the operators it composes — but note
     * the tertile and budget cuts are computed over the SURVIVORS, not
     * the raw corpus (the composed semantics), so their boundaries
     * legitimately differ from the standalone rows'. The exact-dedup
@@ -1561,27 +1567,22 @@ object TextQueries {
     (s, dir) => {
       import s.implicits._
       val scored = QualityScore.fromTokens(Tokenized(s, dir))
-        .select($"doc_id", $"lang", $"lw", $"n_tok", $"quality",
-          array_join($"w", " ").as("txt"))
+        .select($"doc_id", $"lang", $"n_tok", $"quality")
       val s1 = scored.where(QualityScore.keep)
-      val wMd5 = Window.partitionBy(md5($"txt")).orderBy($"doc_id")
-      val s2 = s1.withColumn("rn", row_number().over(wMd5))
-        .where($"rn" === 1).drop("rn")
-      // LM trained on the RAW corpus (the standalone row's model);
-      // survivors are scored under it.
-      val allToks = Tokenized(s, dir).select(explode($"lw").as("term"))
-      val lm = allToks.groupBy($"term").agg(count(lit(1)).as("c"))
-      val nTok = allToks.agg(count(lit(1)).as("n_corpus"))
-      val xent = s2.select($"doc_id", explode($"lw").as("term"))
-        .join(broadcast(lm), "term")
-        .crossJoin(broadcast(nTok))
-        .select($"doc_id",
-          expr("CAST(floor(ln(CAST(c AS DOUBLE) / n_corpus) * 1000000) AS BIGINT)")
-            .as("lpf"))
-        .groupBy($"doc_id")
-        .agg(expr("(-sum(lpf)) div count(1)").as("xent_micro"))
+      // Exact-dedup key = the shared shingle stage's h (md5 of the raw
+      // text, q_dedup_exact's own column), not a re-derived digest.
+      val wMd5 = Window.partitionBy($"h").orderBy($"doc_id")
+      val s2 = s1
+        .join(DedupQueries.Shingled(s, dir).select($"doc_id", $"h"),
+          "doc_id")
+        .withColumn("rn", row_number().over(wMd5))
+        .where($"rn" === 1)
+        .select($"doc_id", $"lang", $"n_tok")
+      // Survivors scored under the shared RAW-corpus LM stage ([[Xent]])
+      // — the same per-doc values q_text_perplexity reports.
       val wTile = Window.partitionBy($"lang").orderBy($"xent_micro", $"doc_id")
-      val s3 = s2.join(xent, "doc_id")
+      val s3 = s2.join(Xent(s, dir).select($"doc_id", $"xent_micro"),
+          "doc_id")
         .withColumn("tile", ntile(3).over(wTile))
         .where($"tile" <= 2)
         .select($"doc_id", $"lang", $"n_tok")
@@ -1597,7 +1598,11 @@ object TextQueries {
             col("n_docs"), col("n_tokens"))
       val raw = broadcast(scored
         .agg(count(lit(1)).as("raw_docs"), sum($"n_tok").as("raw_tokens")))
-      stageAgg(scored, 0L, "raw")
+      // Stage 0 derives from the SAME aggregate that feeds the ppm
+      // denominator — the two cannot drift (and the raw stage isn't
+      // aggregated twice).
+      raw.select(lit(0L).as("stage_ord"), lit("raw").as("stage"),
+          $"raw_docs".as("n_docs"), $"raw_tokens".as("n_tokens"))
         .unionByName(stageAgg(s1, 1L, "quality"))
         .unionByName(stageAgg(s2, 2L, "exact_dedup"))
         .unionByName(stageAgg(s3, 3L, "perplexity_tail"))

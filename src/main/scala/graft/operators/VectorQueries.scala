@@ -1052,6 +1052,20 @@ object VectorQueries {
         .toDF("rank", "vec_id", "rel_micro", "mmr_deci_micro")
     })
 
+  /** The candidate join of q_dedup_semantic — (vec, lower-id same-label
+    * member) pairs with their round(6) cosines. Factored so `ScaleSpec`
+    * certifies the SHIPPED join shape's volume growth under the k ∝ n
+    * cluster-sizing rule, not a copy. Input needs (vec_id, label,
+    * embedding). */
+  def semanticCandidates(emb: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val prior = emb.select(col("label"), col("vec_id").as("vid2"),
+      col("embedding").as("e2"))
+    emb.join(prior, "label")
+      .where(col("vid2") < col("vec_id"))
+      .select(col("vec_id"), round(dot("embedding", "e2"), 6).as("sim"))
+  }
+
   /** q_dedup_semantic (added r11) — SemDeDup-style SEMANTIC dedup
     * (Abbas et al. 2023, arXiv:2303.09540): restrict pairwise cosine to
     * WITHIN-CLUSTER pairs, then mark every vector whose similarity to a
@@ -1076,20 +1090,6 @@ object VectorQueries {
     * sizes are bounded by the quantizer sizing rule, so candidate
     * volume is linear in n (the ScaleSpec-measured posture of the
     * whole dedup family). One keyed shuffle + one vec_id-keyed agg. */
-  /** The candidate join of q_dedup_semantic — (vec, lower-id same-label
-    * member) pairs with their round(6) cosines. Factored so `ScaleSpec`
-    * certifies the SHIPPED join shape's volume growth under the k ∝ n
-    * cluster-sizing rule, not a copy. Input needs (vec_id, label,
-    * embedding). */
-  def semanticCandidates(emb: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame = {
-    val prior = emb.select(col("label"), col("vec_id").as("vid2"),
-      col("embedding").as("e2"))
-    emb.join(prior, "label")
-      .where(col("vid2") < col("vec_id"))
-      .select(col("vec_id"), round(dot("embedding", "e2"), 6).as("sim"))
-  }
-
   val qDedupSemantic: Q = Q(
     "q_dedup_semantic",
     (s, dir) => {
