@@ -1066,6 +1066,56 @@ object VectorQueries {
       .select(col("vec_id"), round(dot("embedding", "e2"), 6).as("sim"))
   }
 
+  /** q_vec_ann_recall (T, added r11) — ANN QUALITY EVALUATION as data:
+    * recall@5 of the multi-probe sign-LSH path against the exact
+    * brute-force top-5 for a 16-probe panel — the dashboard query a
+    * pipeline owner monitors when tuning bits/nprobe (`AnnLshSpec`
+    * pins a recall FLOOR for one probe; this row reports the
+    * measurement itself, per probe, as a queryable table). Both sides
+    * are ONE declarative job each — ground truth is a K-row broadcast
+    * against the corpus + per-probe top-5 window; the LSH side joins
+    * the probes' exploded Hamming-1 multi-probe sets to the bucketed
+    * table on the bucket key — no driver loop, so the evaluation runs
+    * at corpus scale exactly like the searches it measures. recall_ppm
+    * is exact (n_hit·10⁶/5 = n_hit·200000). The fixture panel reads a
+    * deterministic mean 2.375/5 — single-probe recall (3/5 for probe
+    * 0) does NOT generalize across probes on a spread corpus, which is
+    * precisely the information this row surfaces. Engine-specific
+    * bucketing ⇒ T; `AnnLshSpec` pins probe-0 agreement with the
+    * single-probe rows, bounds, and a 40% panel-mean floor. */
+  val qVecAnnRecall: Q = Q(
+    "q_vec_ann_recall",
+    (s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
+      val probes = broadcast(emb.where($"vec_id" < 16)
+        .select($"vec_id".as("pid"), $"embedding".as("p")))
+      val wp = org.apache.spark.sql.expressions.Window
+        .partitionBy($"pid").orderBy($"sim".desc, $"vec_id")
+      val truth = emb.crossJoin(probes).where($"vec_id" =!= $"pid")
+        .select($"pid", $"vec_id",
+          round(dot("embedding", "p"), 6).as("sim"))
+        .withColumn("rk", row_number().over(wp)).where($"rk" <= 5)
+        .select($"pid", $"vec_id")
+      val probeB = broadcast(AnnLsh.bucketed(emb.where($"vec_id" < 16))
+        .select($"vec_id".as("pid"), $"embedding".as("p"),
+          explode(AnnLsh.probeBuckets($"bucket")).as("bucket")))
+      val lsh = AnnLsh.bucketed(emb).join(probeB, "bucket")
+        .where($"vec_id" =!= $"pid")
+        .select($"pid", $"vec_id",
+          round(dot("embedding", "p"), 6).as("sim"))
+        .withColumn("rk", row_number().over(wp)).where($"rk" <= 5)
+        .select($"pid", $"vec_id")
+      val hits = truth.join(lsh, Seq("pid", "vec_id"), "left_semi")
+        .groupBy($"pid").agg(count(lit(1)).as("n_hit"))
+      probes.select($"pid")
+        .join(hits, Seq("pid"), "left")
+        .select($"pid".as("probe_id"),
+          coalesce($"n_hit", lit(0L)).as("n_hit"),
+          (coalesce($"n_hit", lit(0L)) * 200000L).as("recall_ppm"))
+        .orderBy($"probe_id")
+    })
+
   /** q_dedup_semantic (added r11) — SemDeDup-style SEMANTIC dedup
     * (Abbas et al. 2023, arXiv:2303.09540): restrict pairwise cosine to
     * WITHIN-CLUSTER pairs, then mark every vector whose similarity to a
@@ -1122,7 +1172,8 @@ object VectorQueries {
 
   val all: Vector[Q] = Vector(
     qVecNormStats, qVecKnnBruteforce, qVecKnnLsh, qVecKnnIvf,
-    qVecKnnGraph, qVecKnnGraphBatch, qDedupEmbedding, qDedupSemantic,
+    qVecKnnGraph, qVecKnnGraphBatch, qVecAnnRecall,
+    qDedupEmbedding, qDedupSemantic,
     qVecCentroids,
     qMultimodalJoin,
     qMultimodalFrames, qVecQuantize, qVecKnnBatch, qVecRangeSearch,
