@@ -195,6 +195,31 @@ object Bench {
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     require(reps >= 1, s"SPARK_GRAFT_BENCH_REPS must be >= 1, got $reps")
     val maxReps = math.max(reps, 5)
+    // CONTENTION GATE (r11 verdict #1→#5): the driver's r11 run launched
+    // at loadavg 7.9 and read 152.9 s where two same-code idle runs read
+    // 115.1/125.0 s — telemetry alone let a contended number masquerade
+    // as a measurement. So before the timed loop, sleep-retry (bounded)
+    // until the 1-min loadavg drops below the threshold; if the wait
+    // budget runs out, the timed loop still runs but the JSON carries
+    // "contended": true + the threshold, making the reading
+    // self-describing. Threshold 2.0: this JVM's own warm phase settles
+    // well under it once its pool drains, while genuine ambient
+    // neighbours (another sbt/test JVM) hold it above. Both knobs are
+    // env-overridable for machines with different idle floors.
+    val loadGate =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_LOADAVG_MAX", "2.0").toDouble
+    val gateWaitBudgetSec =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_LOADAVG_WAIT_SEC", "120").toInt
+    var gateWaitedSec = 0
+    while (loadavg() >= loadGate && gateWaitedSec < gateWaitBudgetSec) {
+      System.err.println(s"[bench] loadavg ${loadavg()} >= $loadGate — " +
+        s"waiting for the machine to go idle ($gateWaitedSec/" +
+        s"$gateWaitBudgetSec s)")
+      Thread.sleep(10000)
+      gateWaitedSec += 10
+    }
+    // -1.0 (unreadable /proc/loadavg) must not read as "idle": flag it.
+    val contended = loadavg() >= loadGate || loadavg() < 0.0
     val loadStart = loadavg()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       var firstErr: Option[String] = None
@@ -285,6 +310,8 @@ object Bench {
         s""""reps":$repsDetail,""" +
         s""""warmup_sec":${fmt(warmupSec)},"warmup_items":$warmDetail,""" +
         s""""warm_slowest":$warmSlowest,""" +
+        s""""contended":$contended,"loadavg_gate":$loadGate,""" +
+        s""""gate_waited_sec":$gateWaitedSec,""" +
         s""""loadavg_start":$loadStart,"loadavg_end":$loadEnd,"sf":"$sfDir"}"""
     println(line)
     // The driver captures only the TAIL of stdout (~2 KB) and parses the
@@ -301,6 +328,8 @@ object Bench {
         s""""n_flaky":${results.count(_._5.isDefined)},""" +
         s""""warmup_items":$warmDetail,""" +
         s""""max_spread":${fmt(maxSpread)},"warmup_sec":${fmt(warmupSec)},""" +
+        s""""contended":$contended,"loadavg_gate":$loadGate,""" +
+        s""""gate_waited_sec":$gateWaitedSec,""" +
         s""""loadavg_start":$loadStart,"loadavg_end":$loadEnd,""" +
         s""""detail":"bench_out.json","sf":"$sfDir"}"""
     println(compact)

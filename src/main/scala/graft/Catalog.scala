@@ -35,6 +35,7 @@ object Catalog {
       functions.ScalarFuncQueries.all ++
       operators.TextQueries.all ++
       operators.BpeTokenizer.all ++
+      operators.UnigramLm.all ++
       operators.DedupQueries.all ++
       operators.SkewJoin.all ++
       operators.GraphQueries.all ++
@@ -45,13 +46,15 @@ object Catalog {
       operators.DqQueries.all ++
       operators.StatQueries.all ++
       operators.StatTestQueries.all ++
+      operators.RagPipeline.all ++
       operators.RecursiveQueries.all ++
       operators.RiskQueries.all ++
       operators.SurvivalQueries.all ++
       Vector(functions.CountMin.qAggCountmin,
         functions.QDigest.qAggQdigest) ++
       streaming.StreamingQueries.all ++
-      streaming.StreamJoinQueries.all
+      streaming.StreamJoinQueries.all ++
+      streaming.StreamVecIndex.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 

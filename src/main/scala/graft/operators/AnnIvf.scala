@@ -114,6 +114,21 @@ object AnnIvf {
       }
   }
 
+  /** The `nprobe` cells nearest (L2) to a probe vector — the coarse
+    * routing decision of every IVF search; factored so q_pipeline_rag's
+    * shortlist stage shares the identical cell selection. Driver-side
+    * over the bounded codebook (k distances), deterministic (stable
+    * sort, index tiebreak implicit in sortBy stability). */
+  def probeCells(centroids: Seq[Array[Float]], probeVec: Array[Float],
+      nprobe: Int): Seq[Int] =
+    centroids.zipWithIndex
+      .map { case (c, j) =>
+        val d = c.zip(probeVec).map { case (a, b) =>
+          (a.toDouble - b) * (a.toDouble - b) }.sum
+        (d, j)
+      }
+      .sortBy(_._1).take(nprobe).map(_._2)
+
   /** Exact top-`topK` by dot product among vectors in the `nprobe`
     * cells nearest to the probe vector (excluding the probe row). */
   def search(
@@ -128,15 +143,9 @@ object AnnIvf {
     val probeRow = df.where(col("vec_id") === probeId)
       .select(col("embedding")).head()
     val probeVec = probeRow.getSeq[Float](0).toArray
-    val probeCells = centroids.zipWithIndex
-      .map { case (c, j) =>
-        val d = c.zip(probeVec).map { case (a, b) =>
-          (a.toDouble - b) * (a.toDouble - b) }.sum
-        (d, j)
-      }
-      .sortBy(_._1).take(nprobe).map(_._2)
+    val cells = probeCells(centroids, probeVec, nprobe)
     assigned
-      .where(col("cell").isin(probeCells: _*) && col("vec_id") =!= probeId)
+      .where(col("cell").isin(cells: _*) && col("vec_id") =!= probeId)
       .withColumn("_p", typedLit(probeVec.toSeq))
       .select(col("vec_id"), round(expr("vec_dot(embedding, _p)"), 6).as("sim"))
       .orderBy(col("sim").desc, col("vec_id"))

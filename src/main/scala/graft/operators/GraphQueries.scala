@@ -395,7 +395,7 @@ object GraphQueries {
     * query built first would silently define the edges the other uses
     * (Memo ignores the second thunk) — a one-sided edit would produce
     * order-dependent results with no failing test naming the cause. */
-  private def coEdges(s: SparkSession, dir: String): DataFrame =
+  private[graft] def coEdges(s: SparkSession, dir: String): DataFrame =
     edgeCache((s, dir)) {
       import s.implicits._
       val li = Tables.lineitem(s, dir)
@@ -1130,13 +1130,15 @@ object GraphQueries {
     * made truncation-safe by the offset device ((N + 4m²)·10⁶ div 4m²
     * − 10⁶): N ≥ −4m² always (Q ≥ −1), so both operands stay
     * non-negative and Spark's truncating div equals DuckDB's floor.
-    * Long headroom: 4m²·10⁶ < 2⁶³ needs m < 1.5e6 edges; past that,
-    * promote the q_ppm expression to DECIMAL(38,0) (the
-    * q_text_collocations note). Precondition m ≥ 1: on a graph with NO
-    * support-≥2 edges the q_ppm division is 0/0 — Spark yields NULL
-    * where DuckDB raises, so an empty edge set is outside the row's
-    * contract (the fixtures carry thousands of edges at every SF; a
-    * deployment on arbitrary corpora guards with `WHERE m > 0`).
+    * Long headroom: the q_ppm numerator is (nsum + 4m²)·10⁶ and nsum
+    * can approach +4m² (Q → +1), so the binding bound is ~8m²·10⁶ <
+    * 2⁶³, i.e. m < ~1.0e6 edges; past that, promote the q_ppm
+    * expression to DECIMAL(38,0) (the q_text_collocations note).
+    * Precondition m ≥ 1: on a graph with NO support-≥2 edges the q_ppm
+    * division is 0/0 — Spark yields NULL where DuckDB raises, so BOTH
+    * sides carry a `m > 0` guard (below / the qq CTE): a degenerate
+    * corpus converges on an empty result in both engines instead of
+    * silently diverging (r11 advice).
     *
     * Scale: reuses the persisted [[coEdges]]/[[coDegrees]] stages; adds
     * two broadcast brand joins (part is a dimension), one community-
@@ -1168,6 +1170,7 @@ object GraphQueries {
             - $"deg_sum" * $"deg_sum").as("contrib_num"))
       val q = broadcast(per.agg(sum($"contrib_num").as("nsum"))
         .crossJoin(m)
+        .where($"m" > 0)
         .select(expr(
           "(nsum + 4 * m * m) * 1000000 div (4 * m * m) - 1000000")
           .as("q_ppm")))
@@ -1204,7 +1207,7 @@ object GraphQueries {
         |        FROM dc LEFT JOIN ein USING (community), m),
         |qq AS (SELECT CAST((SUM(contrib_num) + 4 * m.m * m.m) * 1000000
         |         // (4 * m.m * m.m) - 1000000 AS BIGINT) AS q_ppm
-        |       FROM per, m GROUP BY m.m)
+        |       FROM per, m WHERE m.m > 0 GROUP BY m.m)
         |SELECT community, n_nodes, e_in, deg_sum, contrib_num, q_ppm
         |FROM per, qq
         |ORDER BY community""".stripMargin))

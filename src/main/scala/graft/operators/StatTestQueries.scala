@@ -47,7 +47,7 @@ import graft.Dsl._
 object StatTestQueries {
 
   /** events → (event_type, c): the metric in exact integer cents. */
-  private def cents(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def cents(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.events(s, dir)
       .select($"event_type", (dec2($"value") * 100).cast(LongType).as("c"))

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -1502,21 +1502,28 @@ object TextQueries {
     * Scale: a per-row generator (explode over the per-doc chunk range)
     * — embarrassingly parallel, NO shuffle anywhere; output is keyed by
     * (doc_id, chunk_id) and row count grows linearly with tokens. */
+  /** The chunking STAGE of q_text_chunk, factored (unordered) so
+    * q_pipeline_rag composes the identical code path (the
+    * q_pipeline_funnel shared-stage rule). */
+  def chunkStage(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tokenized(s, dir)
+      .select($"doc_id", $"w", size($"w").cast(LongType).as("n"))
+      .withColumn("n_chunks",
+        expr("CASE WHEN n <= 32 THEN 1L ELSE (n - 32 + 23) div 24 + 1 END"))
+      .select($"doc_id", $"w", $"n",
+        explode(expr("sequence(0L, n_chunks - 1)")).as("chunk_id"))
+      .select($"doc_id", $"chunk_id",
+        expr("least(32L, n - chunk_id * 24)").as("n_chunk_tokens"),
+        expr("concat_ws(' ', slice(w, CAST(chunk_id * 24 + 1 AS INT), 32))")
+          .as("chunk_text"))
+  }
+
   val qTextChunk: Q = Q(
     "q_text_chunk",
     (s, dir) => {
       import s.implicits._
-      Tokenized(s, dir)
-        .select($"doc_id", $"w", size($"w").cast(LongType).as("n"))
-        .withColumn("n_chunks",
-          expr("CASE WHEN n <= 32 THEN 1L ELSE (n - 32 + 23) div 24 + 1 END"))
-        .select($"doc_id", $"w", $"n",
-          explode(expr("sequence(0L, n_chunks - 1)")).as("chunk_id"))
-        .select($"doc_id", $"chunk_id",
-          expr("least(32L, n - chunk_id * 24)").as("n_chunk_tokens"),
-          expr("concat_ws(' ', slice(w, CAST(chunk_id * 24 + 1 AS INT), 32))")
-            .as("chunk_text"))
-        .orderBy($"doc_id", $"chunk_id")
+      chunkStage(s, dir).orderBy($"doc_id", $"chunk_id")
     },
     oracle = Some(
       """WITH d AS (
@@ -1598,9 +1605,12 @@ object TextQueries {
             col("n_docs"), col("n_tokens"))
       val raw = broadcast(scored
         .agg(count(lit(1)).as("raw_docs"), sum($"n_tok").as("raw_tokens")))
-      // Stage 0 derives from the SAME aggregate that feeds the ppm
-      // denominator — the two cannot drift (and the raw stage isn't
-      // aggregated twice).
+      // Stage 0 derives from the SAME aggregate DEFINITION that feeds
+      // the ppm denominator — the two cannot drift. (Spark still
+      // recomputes the 1-row lineage for the non-broadcast stage-0 leg;
+      // that second scalar agg over the persisted token stage is cheap
+      // and consistency rests on the shared definition, not on a shared
+      // computation — r11 advice.)
       raw.select(lit(0L).as("stage_ord"), lit("raw").as("stage"),
           $"raw_docs".as("n_docs"), $"raw_tokens".as("n_tokens"))
         .unionByName(stageAgg(s1, 1L, "quality"))

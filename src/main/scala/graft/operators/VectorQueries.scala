@@ -1009,6 +1009,38 @@ object VectorQueries {
     * DuckDB SQL; MmrSpec pins equality with an independent reference
     * implementation, the top-1 anchor, the diversity property vs plain
     * top-5, and shortlist membership. */
+  /** The MMR GREEDY of q_vec_mmr, factored over an opaque id so
+    * q_pipeline_rag's diversification stage runs the identical code
+    * path (the shared-stage rule). Input: the collected bounded
+    * shortlist (id, rel_micro, vector); output: (id, rel_micro,
+    * mmr_deci_micro) in selection order. Exact Long comparisons with an
+    * id tiebreak — bit-deterministic. */
+  private[graft] def mmrSelect(
+      short: IndexedSeq[(Long, Long, Array[Float])],
+      k: Int): Seq[(Long, Long, Long)] = {
+    def simMicro(a: Array[Float], b: Array[Float]): Long = {
+      var s0 = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { s0 += a(i).toDouble * b(i).toDouble; i += 1 }
+      math.floor(s0 * 1000000).toLong
+    }
+    val selected = collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+    val remaining = collection.mutable.ArrayBuffer(short: _*)
+    while (selected.size < k && remaining.nonEmpty) {
+      val scored = remaining.map { case (id, rel, v) =>
+        val maxSim =
+          if (selected.isEmpty) 0L
+          else selected.map(sel =>
+            simMicro(v, short.find(_._1 == sel._1).get._3)).max
+        (id, rel, 7L * rel - 3L * maxSim)
+      }
+      val best = scored.minBy { case (id, _, mmr) => (-mmr, id) }
+      selected += best
+      remaining --= remaining.filter(_._1 == best._1)
+    }
+    selected.toSeq
+  }
+
   val qVecMmr: Q = Q(
     "q_vec_mmr",
     (s, dir) => {
@@ -1026,29 +1058,9 @@ object VectorQueries {
         .collect()
         .map(r => (r.getLong(0), r.getLong(1),
           r.getSeq[Float](2).toArray))
-      def simMicro(a: Array[Float], b: Array[Float]): Long = {
-        var s0 = 0.0; var i = 0
-        val n = math.min(a.length, b.length)
-        while (i < n) { s0 += a(i).toDouble * b(i).toDouble; i += 1 }
-        math.floor(s0 * 1000000).toLong
-      }
-      val selected = collection.mutable.ArrayBuffer[(Long, Long, Long)]()
-      val remaining = collection.mutable.ArrayBuffer(short: _*)
-      while (selected.size < 5 && remaining.nonEmpty) {
-        val scored = remaining.map { case (id, rel, v) =>
-          val maxSim =
-            if (selected.isEmpty) 0L
-            else selected.map(sel =>
-              simMicro(v, short.find(_._1 == sel._1).get._3)).max
-          (id, rel, 7L * rel - 3L * maxSim)
-        }
-        val best = scored.minBy { case (id, _, mmr) => (-mmr, id) }
-        selected += best
-        remaining --= remaining.filter(_._1 == best._1)
-      }
-      selected.zipWithIndex
+        .toIndexedSeq
+      mmrSelect(short, 5).zipWithIndex
         .map { case ((id, rel, mmr), i) => (i + 1L, id, rel, mmr) }
-        .toSeq
         .toDF("rank", "vec_id", "rel_micro", "mmr_deci_micro")
     })
 

@@ -1,12 +1,120 @@
 package graft.streaming
 
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** The two foreachBatch state-table merge disciplines the streaming
-  * O-rows maintain, extracted so (a) all monoid rows share ONE
-  * retry-idempotent implementation and (b) the failure-injection spec
-  * can re-deliver a committed batchId against the real merge code.
+/** Atomic snapshot commits for the local parquet state tables: every
+  * publish writes a NEW version directory and then atomically swaps a
+  * pointer file onto it — the local stand-in for a lakehouse table
+  * format's commit (write data files, swap the table pointer). A crash
+  * at ANY point of a publish leaves the pointer on the last committed
+  * version: a torn data write is an orphan directory the pointer never
+  * references, garbage-collected by the next successful commit. This
+  * replaced the r8–r11 delete+overwrite discipline, whose torn-write
+  * window was documented as outside the failure model — the r11 verdict
+  * asked for it INSIDE (StreamFailureSpec now kills mid-write and
+  * asserts the table reads back as the last committed version).
+  *
+  * Layout under a state root:
+  *   `_current`   pointer file (the commit); content = manifest text
+  *   `v<N>/`      immutable version directories (parquet)
+  * Writers never touch a committed version directory, so publishes need
+  * no localCheckpoint lineage break: the new version reads the old one
+  * while writing, and GC runs only after the swap.
+  *
+  * Single-writer by contract (one streaming query owns one state root —
+  * the same assumption a checkpoint directory carries); readers may
+  * race a commit and see either the old or the new version, never a
+  * torn mix.
+  */
+private[graft] object Snapshot {
+
+  /** Pointer-file content: lines of `key<TAB>versionDir`. MonoidTable
+    * uses the single key "table"; UpsertState uses one key per bucket,
+    * which makes a multi-bucket publish atomic as a WHOLE — the
+    * manifest swap commits every touched bucket's new version in one
+    * filesystem rename (the lakehouse-manifest shape). */
+  type Manifest = Map[String, String]
+
+  private def pointer(root: String): Path = Paths.get(root, "_current")
+
+  def currentManifest(root: String): Option[Manifest] = {
+    val p = pointer(root)
+    if (!Files.exists(p)) None
+    else Some(Files.readString(p).linesIterator.filter(_.nonEmpty).map { l =>
+      val i = l.indexOf('\t')
+      l.substring(0, i) -> l.substring(i + 1)
+    }.toMap)
+  }
+
+  /** Next version directory name: max existing v<N> + 1 — monotonic
+    * across crash-orphaned directories, so a retry never writes into a
+    * dir a previous (possibly torn) attempt created. */
+  def nextVersion(root: String): String = {
+    val d = Paths.get(root)
+    val existing: Seq[Long] =
+      if (!Files.exists(d)) Nil
+      else {
+        val s = Files.list(d)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala
+            .map(_.getFileName.toString)
+            .filter(n => n.startsWith("v") && n.drop(1).forall(_.isDigit))
+            .map(_.drop(1).toLong).toVector
+        } finally s.close()
+      }
+    "v" + (existing.foldLeft(-1L)(math.max) + 1)
+  }
+
+  def versionPath(root: String, rel: String): String = s"$root/$rel"
+
+  /** Publish: atomically swap the pointer onto `manifest`, then GC
+    * every version directory the new manifest no longer references
+    * (including torn orphans from crashed attempts). The swap is a
+    * same-directory rename — atomic on POSIX. */
+  def commit(root: String, manifest: Manifest): Unit = {
+    Files.createDirectories(Paths.get(root))
+    val tmp = Paths.get(root, "_current.tmp")
+    Files.writeString(tmp,
+      manifest.toSeq.sorted.map { case (k, v) => s"$k\t$v" }.mkString("\n"))
+    Files.move(tmp, pointer(root), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    gc(root, manifest.values.map(_.split('/').head).toSet)
+  }
+
+  /** Delete version directories not in `keep`. Runs only post-swap, so
+    * a crash mid-GC just leaves garbage for the next commit. */
+  private def gc(root: String, keep: Set[String]): Unit = {
+    val d = Paths.get(root)
+    val doomed = {
+      val s = Files.list(d)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+          .filter(p => p.getFileName.toString.startsWith("v") &&
+            !keep(p.getFileName.toString))
+          .toVector
+      } finally s.close()
+    }
+    doomed.foreach(deleteRecursively)
+  }
+
+  def deleteRecursively(p: Path): Unit = if (Files.exists(p)) {
+    import scala.jdk.CollectionConverters._
+    val walk = Files.walk(p)
+    val paths =
+      try walk.sorted(java.util.Comparator.reverseOrder[Path]())
+        .iterator().asScala.toVector
+      finally walk.close()
+    paths.foreach(Files.delete)
+  }
+}
+
+/** Keyed monoid state-table maintenance — the count/sum merge
+  * discipline all the streaming monoid O-rows share.
   *
   * WHY IDEMPOTENCE MUST BE EXPLICIT HERE: Structured Streaming's
   * foreachBatch contract is at-least-once — if the driver dies after
@@ -15,17 +123,19 @@ import org.apache.spark.sql.functions._
   * (max is idempotent), but count/sum monoids are NOT: merging the same
   * partials twice double-counts. So [[MonoidTable.merge]] persists the
   * last merged batch id WITH the state (an embedded `_bid` column —
-  * same parquet commit, never a sidecar that could diverge from the
+  * same atomic commit, never a sidecar that could diverge from the
   * data it fences) and no-ops on `id <= last`. Re-delivery of batch 0
   * is safe by construction (it resets the table to the same content).
-  *
-  * The parquet overwrite itself (materialize via localCheckpoint, then
-  * delete+write) is the local stand-in for the write-new-snapshot-then-
-  * swap-pointer commit a lakehouse MERGE performs; a torn write mid-
-  * overwrite is outside this sandbox's failure model and is exactly
-  * what a table format's atomic pointer swap buys at production scale.
+  * Publishes go through [[Snapshot.commit]], so a crash mid-write
+  * leaves the previous version committed, fence intact.
   */
 private[graft] object MonoidTable {
+
+  private val Key = "table"
+
+  private def currentDir(root: String): Option[String] =
+    Snapshot.currentManifest(root).flatMap(_.get(Key))
+      .map(Snapshot.versionPath(root, _))
 
   /** Merge one micro-batch's pre-aggregated partials into the keyed
     * state table. All non-key columns must be sum-mergeable (the monoid
@@ -36,13 +146,16 @@ private[graft] object MonoidTable {
   def merge(state: String, partials: DataFrame, id: Long,
       keys: Seq[String]): Unit = {
     val bs = partials.sparkSession
-    val valCols = partials.columns.filterNot(keys.contains).toSeq
     val toWrite =
       if (id == 0L) Some(partials)
       else {
-        val st = bs.read.parquet(state)
+        // Batch > 0 against a never-committed table is a contract
+        // violation (the engine always delivers batch 0 first); the
+        // .get fails loudly rather than silently seeding mid-stream.
+        val st = bs.read.parquet(currentDir(state).get)
         if (id <= lastBid(st)) None
         else {
+          val valCols = partials.columns.filterNot(keys.contains).toSeq
           val sums = valCols.map(c => sum(col(c)).as(c))
           Some(st.drop("_bid").unionByName(partials)
             .groupBy(keys.map(col): _*)
@@ -50,9 +163,13 @@ private[graft] object MonoidTable {
         }
       }
     toWrite.foreach { m =>
+      val v = Snapshot.nextVersion(state)
+      // The new version reads the committed one while writing — no
+      // delete-before-write hazard, so no localCheckpoint lineage break
+      // (the old overwrite discipline needed one).
       m.withColumn("_bid", lit(id))
-        .localCheckpoint(eager = true)
-        .write.mode("overwrite").parquet(state)
+        .write.mode("overwrite").parquet(Snapshot.versionPath(state, v))
+      Snapshot.commit(state, Map(Key -> v))
     }
   }
 
@@ -65,22 +182,28 @@ private[graft] object MonoidTable {
 
   /** The maintained table, minus the fencing column. */
   def read(s: SparkSession, state: String): DataFrame =
-    s.read.parquet(state).drop("_bid")
+    s.read.parquet(currentDir(state).getOrElse(throw
+      new IllegalStateException(
+        s"monoid state at $state has no committed version")))
+      .drop("_bid")
 }
 
 /** Newest-wins per-user snapshot maintenance, bucketed so merge cost is
-  * proportional to CHURN, not state: the snapshot is partitioned by
-  * `_bkt = pmod(hash(user_id), buckets)`, each micro-batch reads ONLY
-  * the bucket partitions its keys hash into (literal partition-pruned
-  * scan) and rewrites ONLY those partitions (dynamic partition
-  * overwrite). Untouched buckets' files are never opened or replaced —
-  * at 100 TB user cardinality a batch touching 0.1% of keys rewrites
-  * ~0.1% of buckets instead of the world. Buckets here = 8 (sized to
-  * the sandbox's state; production sizes buckets so one partition is a
-  * few hundred MB). Newest-wins on the total key (ts, event_id) is
-  * idempotent, so crash-retry re-delivery needs no batch-id fence:
-  * re-merging the same batch rewrites the same buckets with identical
-  * bytes. */
+  * proportional to CHURN, not state: rows route to `_bkt =
+  * pmod(hash(user_id), buckets)`, each micro-batch reads ONLY the
+  * buckets its keys hash into (manifest-addressed paths — pruning by
+  * construction, no filter needed) and publishes new versions for ONLY
+  * those buckets. Untouched buckets' files are never opened, rewritten,
+  * or even listed — at 100 TB user cardinality a batch touching 0.1%
+  * of keys rewrites ~0.1% of buckets instead of the world. The
+  * per-bucket manifest makes the multi-bucket publish atomic as a whole
+  * (one pointer swap commits every touched bucket — r12, replacing
+  * dynamic partition overwrite whose multi-partition commit was not).
+  * Buckets here = 8 (sized to the sandbox's state; production sizes
+  * buckets so one partition is a few hundred MB). Newest-wins on the
+  * total key (ts, event_id) is idempotent, so crash-retry re-delivery
+  * needs no batch-id fence: re-merging the same batch publishes new
+  * versions with identical content. */
 private[graft] object UpsertState {
 
   val buckets = 8
@@ -97,63 +220,60 @@ private[graft] object UpsertState {
       .where(col("_rn") === 1).drop("_rn")
   }
 
+  /** The committed data directory for one bucket, if any — exposed for
+    * the file-identity spec (untouched buckets keep their exact files).
+    */
+  private[graft] def bucketDir(state: String, b: Int): Option[String] =
+    Snapshot.currentManifest(state).flatMap(_.get(b.toString))
+      .map(Snapshot.versionPath(state, _))
+
   /** Merge one micro-batch into the bucketed snapshot. Batch 0 resets
-    * the whole table (static overwrite); later batches collapse the
-    * batch, route it to its buckets, union against ONLY those buckets'
-    * stored rows, and republish just those partitions. The touched-
-    * bucket list is a driver-side collect bounded by `buckets` (8) —
-    * partition routing, not data. */
+    * the manifest to exactly its own buckets; later batches collapse
+    * the batch, union against ONLY the stored buckets it touches, and
+    * publish new versions for just those buckets — one partitioned
+    * write job, one manifest swap. The touched-bucket list is a
+    * driver-side collect bounded by `buckets` (8) — partition routing,
+    * not data. An EMPTY batch 0 commits an empty manifest, which the
+    * first non-empty batch seeds naturally (no schema inference ever
+    * runs against a dataless directory — the r11 seeding special-case
+    * dissolved into the manifest design). */
   def merge(state: String, batch: DataFrame, id: Long): Unit = {
     val bs = batch.sparkSession
     val bl = withBucket(latest(batch))
-    if (id == 0L) {
-      bl.localCheckpoint(eager = true)
-        .write.mode("overwrite").partitionBy("_bkt").parquet(state)
-    } else {
-      val touched = bl.select("_bkt").distinct()
-        .collect().map(_.getInt(0)).toSeq
-      if (touched.nonEmpty) {
-        // An EMPTY batch 0 leaves the state dir schema-less (a
-        // partitioned write of zero rows emits only _SUCCESS, unlike
-        // the unpartitioned form this replaced), so the first
-        // non-empty batch must detect that and seed the table instead
-        // of failing schema inference (r11 review finding).
-        readState(bs, state) match {
-          case Some(st) =>
-            val merged = latest(
-              st.where(col("_bkt").isin(touched: _*)).unionByName(bl))
-            merged.localCheckpoint(eager = true)
-              .write.mode("overwrite")
-              .option("partitionOverwriteMode", "dynamic")
-              .partitionBy("_bkt").parquet(state)
-          case None =>
-            bl.localCheckpoint(eager = true)
-              .write.mode("overwrite").partitionBy("_bkt").parquet(state)
-        }
-      }
+    val touched = bl.select("_bkt").distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    val prev: Snapshot.Manifest =
+      if (id == 0L) Map.empty
+      else Snapshot.currentManifest(state).getOrElse(Map.empty)
+    if (id == 0L && touched.isEmpty) {
+      Snapshot.commit(state, Map.empty)
+    } else if (touched.nonEmpty) {
+      val stored = touched.flatMap(b =>
+        prev.get(b.toString).map(v =>
+          bs.read.parquet(Snapshot.versionPath(state, v))
+            .withColumn("_bkt", lit(b))))
+      val merged = latest(stored.foldLeft(bl)(_ unionByName _))
+      // ONE write job for all touched buckets: partitionBy lays the
+      // version dir out as v<N>/_bkt=<b>/, and the manifest points each
+      // bucket key at its subdirectory.
+      val v = Snapshot.nextVersion(state)
+      merged.write.mode("overwrite").partitionBy("_bkt")
+        .parquet(Snapshot.versionPath(state, v))
+      Snapshot.commit(state,
+        prev ++ touched.map(b => b.toString -> s"$v/_bkt=$b"))
     }
+    // id > 0 with an empty batch: nothing to publish, manifest stands.
   }
 
-  /** The stored snapshot, or None when no data file exists yet (the
-    * empty-batch-0 case above). Only schema-inference failures map to
-    * None — anything else propagates. */
-  private def readState(
-      bs: SparkSession, state: String): Option[DataFrame] =
-    try Some(bs.read.parquet(state))
-    catch {
-      case e: org.apache.spark.sql.AnalysisException
-          if e.getMessage.contains("infer schema") ||
-            e.getMessage.contains("PATH_NOT_FOUND") ||
-            e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") =>
-        None
-    }
-
-  /** The maintained snapshot, minus the bucket routing column. A state
-    * dir that never materialized data (a replay whose every batch was
-    * empty) fails with a NAMED error instead of the raw
-    * schema-inference one. */
-  def read(s: SparkSession, state: String): DataFrame =
-    readState(s, state).getOrElse(throw new IllegalStateException(
-      s"upsert state at $state holds no data — the replay saw no rows"))
-      .drop("_bkt")
+  /** The maintained snapshot: the union of every bucket's committed
+    * data directory (manifest-addressed — one multi-path scan). A state
+    * root that never committed, or whose manifest maps no buckets,
+    * fails with a NAMED error instead of a raw schema-inference one. */
+  def read(s: SparkSession, state: String): DataFrame = {
+    val dirs = Snapshot.currentManifest(state).getOrElse(Map.empty)
+      .values.map(Snapshot.versionPath(state, _)).toSeq.sorted
+    if (dirs.isEmpty) throw new IllegalStateException(
+      s"upsert state at $state holds no data — the replay saw no rows")
+    s.read.parquet(dirs: _*)
+  }
 }

@@ -47,9 +47,10 @@ class StreamFailureSpec extends AnyFunSuite with SparkFixture {
   /** Drive the daily-agg maintenance through a real checkpointed
     * stream whose foreachBatch crashes once, AFTER merging batch
     * `failAt` — then restart from the same checkpoint. Returns the
-    * final maintained table. `merge` is the discipline under test. */
+    * final state path (each discipline reads its own layout). `merge`
+    * is the discipline under test. */
   private def runWithCrash(inDir: String,
-      merge: (String, DataFrame, Long) => Unit, failAt: Long): DataFrame = {
+      merge: (String, DataFrame, Long) => Unit, failAt: Long): String = {
     val state = Files.createTempDirectory("graft_fail_state").toString +
       "/t"
     val ckpt = Files.createTempDirectory("graft_fail_ckpt").toString
@@ -77,7 +78,7 @@ class StreamFailureSpec extends AnyFunSuite with SparkFixture {
     catch { case _: StreamingQueryException => () }
     assert(crashed.get(), "the injection must have fired")
     runOnce() // restart: engine re-delivers batch `failAt`
-    spark.read.parquet(state).drop("_bid")
+    state
   }
 
   private def asMap(df: DataFrame): Map[java.sql.Date, (Long, Long)] =
@@ -86,8 +87,9 @@ class StreamFailureSpec extends AnyFunSuite with SparkFixture {
   test("fenced monoid merge survives a re-delivered batchId (real " +
       "checkpoint restart)") {
     val inDir = stageChunks()
-    val got = asMap(runWithCrash(inDir, MonoidTable.merge(_, _, _, Seq("day")),
-      failAt = 2L))
+    val got = asMap(MonoidTable.read(spark,
+      runWithCrash(inDir, MonoidTable.merge(_, _, _, Seq("day")),
+        failAt = 2L)))
     val want = asMap(partials(Tables.events(spark, sfDir)))
     assert(got == want,
       "maintained table must equal the batch recompute despite the crash")
@@ -107,7 +109,7 @@ class StreamFailureSpec extends AnyFunSuite with SparkFixture {
       merged.localCheckpoint(eager = true)
         .write.mode("overwrite").parquet(state)
     }
-    val got = runWithCrash(inDir, unfenced, failAt = 2L)
+    val got = spark.read.parquet(runWithCrash(inDir, unfenced, failAt = 2L))
     val want = partials(Tables.events(spark, sfDir))
     val gotTotal = got.agg(sum("n")).head().getLong(0)
     val wantTotal = want.agg(sum("n")).head().getLong(0)
@@ -201,19 +203,24 @@ class StreamFailureSpec extends AnyFunSuite with SparkFixture {
     val b0 = (1L to 64L).map(u => (u * 10, ts0, u, "a", 1.0))
       .toDF("event_id", "ts", "user_id", "event_type", "value")
     UpsertState.merge(state, b0, 0L)
-    val bucketDirs = new java.io.File(state).listFiles()
-      .filter(_.getName.startsWith("_bkt=")).map(_.getName).sorted
-    assert(bucketDirs.length == UpsertState.buckets)
+    val allBkts = (0 until UpsertState.buckets).toVector
+    assert(allBkts.forall(b => UpsertState.bucketDir(state, b).isDefined),
+      "batch 0 over 64 users must populate every bucket")
 
-    def listing(bkt: String): Set[(String, Long, Long)] =
-      new java.io.File(state, bkt).listFiles()
+    // File identity THROUGH the manifest: an untouched bucket must keep
+    // not just equal content but the exact same committed data
+    // directory and files (name/size/mtime) — merge cost ∝ churn.
+    def listing(b: Int): (String, Set[(String, Long, Long)]) = {
+      val dir = UpsertState.bucketDir(state, b).get
+      dir -> new java.io.File(dir).listFiles()
         .filter(_.getName.endsWith(".parquet"))
         .map(f => (f.getName, f.length(), f.lastModified())).toSet
-    val before = bucketDirs.map(b => b -> listing(b)).toMap
+    }
+    val before = allBkts.map(b => b -> listing(b)).toMap
 
     // Batch 1: one user updated — exactly one bucket is touched.
     val u = 7L
-    val touchedBkt = "_bkt=" + UpsertState.withBucket(
+    val touchedBkt = UpsertState.withBucket(
       Seq((1L, ts1, u, "b", 2.0))
         .toDF("event_id", "ts", "user_id", "event_type", "value"))
       .select("_bkt").head().getInt(0)
@@ -221,12 +228,13 @@ class StreamFailureSpec extends AnyFunSuite with SparkFixture {
       .toDF("event_id", "ts", "user_id", "event_type", "value")
     UpsertState.merge(state, b1, 1L)
 
-    bucketDirs.filterNot(_ == touchedBkt).foreach { b =>
+    allBkts.filterNot(_ == touchedBkt).foreach { b =>
       assert(listing(b) == before(b),
-        s"untouched bucket $b must keep its exact files (name/size/mtime)")
+        s"untouched bucket $b must keep its exact dir + files " +
+          "(name/size/mtime)")
     }
     assert(listing(touchedBkt) != before(touchedBkt),
-      "the touched bucket must have been rewritten")
+      "the touched bucket must point at a new version")
 
     // And the snapshot itself is the correct newest-wins collapse.
     val snap = UpsertState.read(spark, state)
@@ -280,12 +288,12 @@ class StreamFailureSpec extends AnyFunSuite with SparkFixture {
       "snapshot must equal the batch argmax despite the crash")
   }
 
-  test("an EMPTY batch 0 leaves a schema-less state dir that batch 1 " +
-      "must seed, not crash on") {
-    // A partitioned write of zero rows emits only _SUCCESS (no data
-    // file to infer a schema from) — the r11 review regression: the
-    // old unpartitioned batch-0 write always carried a schema'd part
-    // file, the bucketed one does not.
+  test("an EMPTY batch 0 commits an empty manifest that batch 1 " +
+      "seeds, not crashes on") {
+    // Under the pre-r12 partitioned overwrite a zero-row batch 0 left a
+    // schema-less directory batch 1 had to special-case; the manifest
+    // commit dissolves that — batch 0 commits an empty manifest and
+    // batch 1 seeds every bucket it touches.
     import spark.implicits._
     val state = Files.createTempDirectory("graft_bkt0").toString + "/t"
     val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
@@ -297,5 +305,91 @@ class StreamFailureSpec extends AnyFunSuite with SparkFixture {
       .select("user_id", "event_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(snap == Set((7L, 1L)))
+  }
+
+  test("a TORN data write (kill mid-publish, before the pointer swap) " +
+      "leaves the last committed version readable; the next merge " +
+      "recovers and GCs the orphan") {
+    // The failure class the r11 verdict asked to bring INSIDE the
+    // model: the old delete+overwrite discipline documented a torn
+    // overwrite as unrecoverable; the version-dir + pointer-swap commit
+    // makes it an orphan directory the pointer never references. Two
+    // flavors of the kill are injected against the REAL state root:
+    //  (a) mid-write — a partial, CORRUPT version dir (what a killed
+    //      JVM leaves: some bytes of a parquet file, no _SUCCESS);
+    //  (b) write-complete-but-unswapped — a full version dir whose
+    //      commit never ran.
+    // Both must be invisible to readers and swept by the next commit.
+    import spark.implicits._
+    val state = Files.createTempDirectory("graft_torn").toString + "/t"
+    def bp(n: Long): DataFrame =
+      Seq((java.sql.Date.valueOf("2024-01-01"), n, n * 100))
+        .toDF("day", "n", "sc")
+    MonoidTable.merge(state, bp(5), 0L, Seq("day"))
+    val committed = asMap(MonoidTable.read(spark, state))
+
+    // (a) torn: garbage bytes where a parquet file was being written.
+    val torn = java.nio.file.Paths.get(state, "v1")
+    Files.createDirectories(torn)
+    Files.write(torn.resolve("part-00000.parquet"),
+      Array[Byte](0x50, 0x41, 0x52, 0x00, 0x13, 0x37))
+    assert(asMap(MonoidTable.read(spark, state)) == committed,
+      "a torn uncommitted write must be invisible to readers")
+
+    // (b) complete but unswapped: a real parquet dir, pointer untouched.
+    bp(99).withColumn("_bid", org.apache.spark.sql.functions.lit(1L))
+      .write.mode("overwrite").parquet(s"$state/v2")
+    assert(asMap(MonoidTable.read(spark, state)) == committed,
+      "an unswapped complete write must be invisible to readers")
+
+    // The next merge writes PAST both orphans (monotonic version
+    // numbering — never into a dir a torn attempt created), commits,
+    // and sweeps them.
+    MonoidTable.merge(state, bp(3), 1L, Seq("day"))
+    assert(asMap(MonoidTable.read(spark, state))
+      == Map(java.sql.Date.valueOf("2024-01-01") -> (8L, 800L)))
+    assert(!Files.exists(torn) && !Files.exists(
+      java.nio.file.Paths.get(state, "v2")),
+      "the successful commit must GC the orphaned version dirs")
+    assert(!Files.exists(java.nio.file.Paths.get(state, "v0")),
+      "the superseded committed version must be GC'd too")
+  }
+
+  test("torn write against the bucketed upsert: uncommitted bucket " +
+      "versions stay invisible and the manifest swap commits all " +
+      "touched buckets atomically") {
+    import spark.implicits._
+    val state = Files.createTempDirectory("graft_torn_ups").toString + "/t"
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val ts1 = java.sql.Timestamp.valueOf("2024-01-02 00:00:00")
+    def batch(rows: Seq[(Long, java.sql.Timestamp, Long, String, Double)]) =
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+    UpsertState.merge(state, batch((1L to 16L).map(u =>
+      (u * 10, ts0, u, "a", 1.0))), 0L)
+    val committed = UpsertState.read(spark, state)
+      .select("user_id", "event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // A killed merge left a half-written version dir for some buckets.
+    val torn = java.nio.file.Paths.get(state, "v1", "_bkt=3")
+    Files.createDirectories(torn)
+    Files.write(torn.resolve("part-00000.parquet"),
+      Array[Byte](0x50, 0x41, 0x52))
+    assert(UpsertState.read(spark, state)
+      .select("user_id", "event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet == committed,
+      "a torn bucket version must be invisible (manifest never saw it)")
+
+    // The retried merge publishes past the orphan; ONE pointer swap
+    // flips every touched bucket together.
+    UpsertState.merge(state,
+      batch(Seq((9999L, ts1, 7L, "b", 2.0), (9998L, ts1, 8L, "b", 2.0))), 1L)
+    val after = UpsertState.read(spark, state)
+      .select("user_id", "event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(after == committed -- Set((7L, 70L), (8L, 80L))
+      ++ Set((7L, 9999L), (8L, 9998L)))
+    assert(!Files.exists(java.nio.file.Paths.get(state, "v1")),
+      "the successful commit must GC the torn orphan")
   }
 }

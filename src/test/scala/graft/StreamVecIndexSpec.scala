@@ -1,0 +1,110 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQueryException, Trigger}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.AnnIvf
+import graft.streaming.{MonoidTable, StreamVecIndex}
+
+/** The streaming IVF-index maintenance contract (r11 verdict ask #1):
+  * the maintained index must equal the batch build BIT-FOR-BIT (the
+  * exact-integer monoid argument), assignment must be frozen-codebook
+  * deterministic (batching cannot move a vector's cell), and the merge
+  * must survive the at-least-once re-delivery window through the real
+  * checkpoint-restart machinery. */
+class StreamVecIndexSpec extends AnyFunSuite with SparkFixture {
+
+  private def codebook = AnnIvf.Models(spark, sfDir,
+    StreamVecIndex.K, StreamVecIndex.Iters)
+
+  private def fullAssigned: DataFrame =
+    AnnIvf.assign(
+      Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding")),
+      codebook)
+
+  test("the maintained drift report equals the batch build bit-for-bit") {
+    val stream = Catalog.byName("q_stream_vec_index").build(spark, sfDir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toVector
+    val batch = StreamVecIndex.batchBuild(spark, sfDir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toVector
+    assert(stream.nonEmpty)
+    assert(stream == batch,
+      "stream-maintained index must equal the batch build exactly")
+  }
+
+  test("(vec_id, cell) assignment is batching-invariant under the " +
+      "frozen codebook") {
+    val cb = codebook
+    val inDir = StreamVecIndex.VecStage.inDir(spark, sfDir)
+    val chunked = AnnIvf.assign(spark.read.parquet(inDir), cb)
+      .select(col("vec_id"), col("cell"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    val full = fullAssigned.select(col("vec_id"), col("cell"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(chunked == full,
+      "a vector's cell must not depend on which micro-batch carried it")
+  }
+
+  test("drift-report accounting: every vector lands in exactly one cell") {
+    val report = StreamVecIndex.batchBuild(spark, sfDir).collect()
+    val total = Tables.embeddings(spark, sfDir).count()
+    assert(report.map(_.getLong(1)).sum == total,
+      "per-cell vector counts must sum to the corpus")
+    assert(report.forall(r =>
+      r.getInt(0) >= 0 && r.getInt(0) < StreamVecIndex.K))
+    assert(report.forall(_.getLong(2) >= 0L), "squared drift is non-negative")
+  }
+
+  test("fenced merge survives a re-delivered batchId (real checkpoint " +
+      "restart) — the maintained state still equals the batch recompute") {
+    val cb = codebook
+    val inDir = StreamVecIndex.VecStage.inDir(spark, sfDir)
+    val state = Files.createTempDirectory("graft_vecidx_state").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft_vecidx_ckpt").toString
+    val schema = spark.read.parquet(inDir).schema
+    val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          MonoidTable.merge(state,
+            StreamVecIndex.partials(AnnIvf.assign(batch, cb)), id,
+            Seq("cell", "pos"))
+          // Crash between the state write and the epoch commit — the
+          // at-least-once window that re-delivers this batchId.
+          if (id == 2L && crashed.compareAndSet(false, true))
+            throw new RuntimeException("injected crash after index merge")
+        }
+        .start()
+      assert(q.awaitTermination(120000), "replay must finish")
+      q.stop()
+    }
+    try runOnce()
+    catch { case _: StreamingQueryException => () }
+    assert(crashed.get(), "the injection must have fired")
+    runOnce() // restart: engine re-delivers batch 2
+    def asMap(df: DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    val got = asMap(MonoidTable.read(spark, state)
+      .select(col("cell"), col("pos"), col("n"), col("s")))
+    val want = asMap(StreamVecIndex.partials(fullAssigned)
+      .select(col("cell"), col("pos"), col("n"), col("s")))
+    assert(got == want,
+      "maintained index must equal the batch recompute despite the crash")
+  }
+
+  test("re-running the catalog row is deterministic (batch-0 reset " +
+      "makes each invocation self-contained)") {
+    def run() = Catalog.byName("q_stream_vec_index").build(spark, sfDir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toVector
+    assert(run() == run())
+  }
+}
