@@ -118,6 +118,9 @@ object Bench {
       operators.PqQuantizer.Encoded(spark, sfDir).count()
       operators.PqQuantizer.IvfPqIndex(spark, sfDir).count()
       operators.AnnGraph.Graphs(spark, sfDir) }
+    warmItem("tokenizer_models") {
+      operators.BpeTokenizer.Models(spark, sfDir)
+      operators.UnigramLm.Models(spark, sfDir) }
     warmItem("source_exports") {
       Seq("q_source_csv", "q_source_json", "q_source_orc").foreach(n =>
         SparkEntry.queries(n)(spark, sfDir).count()) }

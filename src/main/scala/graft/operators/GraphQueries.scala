@@ -1145,6 +1145,30 @@ object GraphQueries {
     * keyed partial agg each for e_c and d_c (both bounded by |brands|),
     * and 1-row broadcast scalars. Nothing node- or edge-domain reaches
     * the driver. */
+  /** Modularity's COMMUNITY AGGREGATION stage, factored (r12): given
+    * community-tagged edges (cu, cv) and community-tagged degree rows
+    * (community, deg), the per-community table (community, n_nodes,
+    * e_in, deg_sum, contrib_num, m). Both aggregations are one keyed
+    * partial agg each whose OUTPUT is bounded by |communities| —
+    * GraphScaleSpec measures that curve on synthetic graphs (flat at
+    * fixed C, with the C = n linear control), so the bounded-output
+    * claim is a measured exponent, not prose. */
+  private[graft] def modularityPer(e: DataFrame, degs: DataFrame)
+      : DataFrame = {
+    val m = broadcast(e.agg(count(lit(1)).as("m")))
+    val eIn = e.where(col("cu") === col("cv"))
+      .groupBy(col("cu").as("community")).agg(count(lit(1)).as("e_in"))
+    degs.groupBy(col("community"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("deg_sum"))
+      .join(eIn, Seq("community"), "left")
+      .crossJoin(m)
+      .select(col("community"), col("n_nodes"),
+        coalesce(col("e_in"), lit(0L)).as("e_in"), col("deg_sum"),
+        (lit(4L) * col("m") * coalesce(col("e_in"), lit(0L))
+          - col("deg_sum") * col("deg_sum")).as("contrib_num"),
+        col("m"))
+  }
+
   val qGraphModularity: Q = Q(
     "q_graph_modularity",
     (s, dir) => {
@@ -1154,22 +1178,12 @@ object GraphQueries {
       val e = coEdges(s, dir)
         .join(brand.select($"p_partkey".as("u"), $"p_brand".as("cu")), "u")
         .join(brand.select($"p_partkey".as("v"), $"p_brand".as("cv")), "v")
-      val m = broadcast(e.agg(count(lit(1)).as("m")))
-      val eIn = e.where($"cu" === $"cv")
-        .groupBy($"cu".as("community")).agg(count(lit(1)).as("e_in"))
-      val dC = coDegrees(s, dir)
+      val degs = coDegrees(s, dir)
         .join(brand.select($"p_partkey".as("n"), $"p_brand".as("community")),
           "n")
-        .groupBy($"community")
-        .agg(count(lit(1)).as("n_nodes"), sum($"deg").as("deg_sum"))
-      val per = dC.join(eIn, Seq("community"), "left")
-        .crossJoin(m)
-        .select($"community", $"n_nodes",
-          coalesce($"e_in", lit(0L)).as("e_in"), $"deg_sum",
-          (lit(4L) * $"m" * coalesce($"e_in", lit(0L))
-            - $"deg_sum" * $"deg_sum").as("contrib_num"))
-      val q = broadcast(per.agg(sum($"contrib_num").as("nsum"))
-        .crossJoin(m)
+      val per = modularityPer(e, degs)
+      val q = broadcast(per
+        .agg(sum($"contrib_num").as("nsum"), max($"m").as("m"))
         .where($"m" > 0)
         .select(expr(
           "(nsum + 4 * m * m) * 1000000 div (4 * m * m) - 1000000")

@@ -134,6 +134,88 @@ class GraphScaleSpec extends AnyFunSuite with SparkFixture {
       f"NN-Descent candidate exponent $e%.2f exceeds $maxExponent")
   }
 
+  test("modularity: community-aggregation output is bounded by " +
+      "|communities| — flat at fixed C, with the C = n linear control",
+      ScaleStress) {
+    // The r11 row's scale claim ("both aggs bounded by |brands|") as a
+    // measured curve over the SHIPPED stage (GraphQueries.modularityPer):
+    // community-tag a 4-regular synthetic graph, count the per-community
+    // output rows. Fixed C = 25 (the brand-like domain) must stay ≤ C at
+    // every n (exponent ~0); the C = n tagging is the control proving
+    // the measurement responds (output ~n).
+    val fixedC = sizes.map(n => (n, perVolumeWith(n, Some(25L))))
+    info("modularity fixed-C: " + fixedC.map { case (n, v) =>
+      s"n=$n perRows=$v" }.mkString(", "))
+    fixedC.foreach { case (n, v) =>
+      assert(v <= 25L, s"fixed-C output must stay <= |communities| at n=$n")
+    }
+    val linear = sizes.take(2).map(n => (n, perVolumeWith(n, None)))
+    val le = exponent(linear(0)._1, linear(0)._2, linear(1)._1, linear(1)._2)
+    info(f"modularity C=n control: perRows=${linear.map(_._2).mkString(", ")}" +
+      f" exponent=$le%.2f")
+    assert(le > 0.8,
+      f"C = n control should read ~linear, measured $le%.2f — the " +
+        "measurement is not responding to community cardinality")
+  }
+
+  /** modularityPer output volume with communities = node % C (Some(c))
+    * or = node (None — the linear control). */
+  private def perVolumeWith(n: Long, c: Option[Long]): Long = {
+    def communityOf(node: org.apache.spark.sql.Column) =
+      c.map(m => pmod(node, lit(m))).getOrElse(node)
+    val e0 = degree4Edges(n)
+      .select(col("src").as("u"), col("dst").as("v")).distinct()
+      .localCheckpoint(true)
+    val e = e0
+      .withColumn("cu", communityOf(col("u")))
+      .withColumn("cv", communityOf(col("v")))
+    val degs = e0.select(col("u").as("node"))
+      .union(e0.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      .withColumn("community", communityOf(col("node")))
+    operators.GraphQueries.modularityPer(e, degs).count()
+  }
+
+  test("searchBatch: total traversal volume grows ~linearly in K, and " +
+      "batching is K-invariant per probe", ScaleStress) {
+    // The r11 job-count gate is a CAP; this is the CURVE (r11 verdict
+    // ask #7): a K-probe batch must cost ~K single-probe traversals'
+    // volume (each probe adds only its own frontier) — measured as
+    // Σ visited over probes at K=4 vs K=16 on one synthetic corpus.
+    // The per-probe K-invariance control: the K=4 probes' SearchResults
+    // must be bit-identical inside the K=16 batch (batch composition
+    // cannot change any probe's traversal).
+    val n = 2000L
+    val emb = syntheticEmbeddings(n).localCheckpoint(true)
+    val k = math.max(8, math.sqrt(n.toDouble).toInt)
+    val centroids = AnnIvf.train(emb, k, iters = 2)
+    val index = AnnGraph.GraphIndex(
+      AnnGraph.buildGraph(emb, degree = 8, centroids, descentRounds = 1)
+        .localCheckpoint(true),
+      AnnGraph.cellEntries(emb, centroids), None)
+    val probes16 = (0L until 16L).toSeq
+    val r4 = AnnGraph.searchBatch(emb, index, probes16.take(4),
+      beam = 24, maxHops = 12, topK = 5)
+    val r16 = AnnGraph.searchBatch(emb, index, probes16,
+      beam = 24, maxHops = 12, topK = 5)
+    probes16.take(4).foreach { p =>
+      assert(r16(p) == r4(p),
+        s"probe $p's traversal changed with batch size — batching must " +
+          "be K-invariant per probe")
+    }
+    val v4 = r4.values.map(_.visited.toLong).sum
+    val v16 = r16.values.map(_.visited.toLong).sum
+    val e = exponent(4L, v4, 16L, v16)
+    info(f"searchBatch volume: K=4 visited=$v4, K=16 visited=$v16, " +
+      f"exponent(K)=$e%.2f")
+    assert(e <= 1.15,
+      f"traversal volume exponent in K $e%.2f — batching is inflating " +
+        "per-probe work")
+    assert(e >= 0.5,
+      f"exponent $e%.2f suspiciously low — probes are degenerate, the " +
+        "measurement proves nothing")
+  }
+
   test("IVF-seeded pair volume follows the documented n^1.5 under the " +
       "sqrt(n) cell rule; fixed k is the quadratic negative control",
       ScaleStress) {
