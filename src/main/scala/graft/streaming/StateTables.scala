@@ -248,11 +248,17 @@ private[graft] object UpsertState {
     if (id == 0L && touched.isEmpty) {
       Snapshot.commit(state, Map.empty)
     } else if (touched.nonEmpty) {
-      val stored = touched.flatMap(b =>
-        prev.get(b.toString).map(v =>
-          bs.read.parquet(Snapshot.versionPath(state, v))
-            .withColumn("_bkt", lit(b))))
-      val merged = latest(stored.foldLeft(bl)(_ unionByName _))
+      // ONE multi-path scan over the touched buckets' committed dirs;
+      // `_bkt` is a pure function of user_id, so it is RECOMPUTED on
+      // read instead of tagged per-path (the first cut opened one scan
+      // per bucket — 8 tiny scans per merge, +2 s at fixture scale).
+      val storedPaths = touched
+        .flatMap(b => prev.get(b.toString))
+        .map(Snapshot.versionPath(state, _))
+      val stored =
+        if (storedPaths.isEmpty) None
+        else Some(withBucket(bs.read.parquet(storedPaths: _*)))
+      val merged = latest(stored.fold(bl)(bl.unionByName(_)))
       // ONE write job for all touched buckets: partitionBy lays the
       // version dir out as v<N>/_bkt=<b>/, and the manifest points each
       // bucket key at its subdirectory.

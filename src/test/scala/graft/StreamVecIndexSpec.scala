@@ -101,6 +101,39 @@ class StreamVecIndexSpec extends AnyFunSuite with SparkFixture {
       "maintained index must equal the batch recompute despite the crash")
   }
 
+  test("DELETES fold as signed deltas through the same monoid merge: " +
+      "the maintained index equals the batch build of the survivors") {
+    // CDC applied to the index — the day-two requirement after inserts:
+    // a vector's removal is the NEGATED sufficient-statistics delta
+    // (n → −1, s → −component sums), and because the state is a signed
+    // integer monoid, the SAME fenced merge absorbs it with no new code
+    // path. Batch 0 inserts the full corpus; batch 1 deletes every
+    // vec_id ≡ 0 (mod 5); the maintained state must equal the batch
+    // partials of the surviving vectors exactly.
+    import org.apache.spark.sql.types.LongType
+    val state = Files.createTempDirectory("graft_vecidx_del").toString + "/t"
+    val cb = codebook
+    val all = fullAssigned
+    MonoidTable.merge(state, StreamVecIndex.partials(all), 0L,
+      Seq("cell", "pos"))
+    val deletes = StreamVecIndex.partials(
+        all.where(col("vec_id") % 5 === 0))
+      .select(col("cell"), col("pos"),
+        (-col("n")).cast(LongType).as("n"), (-col("s")).as("s"))
+    MonoidTable.merge(state, deletes, 1L, Seq("cell", "pos"))
+    def asMap(df: DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    val got = asMap(MonoidTable.read(spark, state)
+      .where(col("n") =!= 0L) // fully-emptied cells carry a zero row
+      .select(col("cell"), col("pos"), col("n"), col("s")))
+    val want = asMap(StreamVecIndex.partials(
+        all.where(col("vec_id") % 5 =!= 0))
+      .select(col("cell"), col("pos"), col("n"), col("s")))
+    assert(got == want,
+      "delete deltas must leave exactly the survivors' statistics")
+  }
+
   test("re-running the catalog row is deterministic (batch-0 reset " +
       "makes each invocation self-contained)") {
     def run() = Catalog.byName("q_stream_vec_index").build(spark, sfDir)
