@@ -20,6 +20,25 @@ object Bench {
     try Files.readString(Paths.get("/proc/loadavg")).split(" ")(0).toDouble
     catch { case _: Throwable => -1.0 }
 
+  /** The contention-gate decision (r11 verdict #5), extracted so
+    * BenchGateSpec pins it against planted load sequences: sleep-retry
+    * until the 1-min loadavg drops below `gate` or the wait budget runs
+    * out; report (waitedSec, contended). An unreadable loadavg (−1)
+    * must flag contended — "can't measure idleness" is not "idle". */
+  private[graft] def awaitIdle(load: () => Double, gate: Double,
+      budgetSec: Int, sleep: Long => Unit,
+      log: String => Unit): (Int, Boolean) = {
+    var waited = 0
+    while (load() >= gate && waited < budgetSec) {
+      log(s"[bench] loadavg ${load()} >= $gate — waiting for the " +
+        s"machine to go idle ($waited/$budgetSec s)")
+      sleep(10000L)
+      waited += 10
+    }
+    val l = load()
+    (waited, l >= gate || l < 0.0)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -213,16 +232,8 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_BENCH_LOADAVG_MAX", "2.0").toDouble
     val gateWaitBudgetSec =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_LOADAVG_WAIT_SEC", "120").toInt
-    var gateWaitedSec = 0
-    while (loadavg() >= loadGate && gateWaitedSec < gateWaitBudgetSec) {
-      System.err.println(s"[bench] loadavg ${loadavg()} >= $loadGate — " +
-        s"waiting for the machine to go idle ($gateWaitedSec/" +
-        s"$gateWaitBudgetSec s)")
-      Thread.sleep(10000)
-      gateWaitedSec += 10
-    }
-    // -1.0 (unreadable /proc/loadavg) must not read as "idle": flag it.
-    val contended = loadavg() >= loadGate || loadavg() < 0.0
+    val (gateWaitedSec, contended) = awaitIdle(loadavg _, loadGate,
+      gateWaitBudgetSec, Thread.sleep, System.err.println)
     val loadStart = loadavg()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       var firstErr: Option[String] = None
