@@ -58,10 +58,10 @@ object RagPipeline {
         col("doc_id") === col("vec_id"))
       .select(col("doc_id"), col("chunk_id"), col("embedding"))
 
-  /** Stages 3+4: cell-pruned candidates, exactly re-ranked; the bounded
-    * top-`ShortlistK` collects as (cid, rel_micro, vector). */
-  def shortlist(s: SparkSession, dir: String)
-      : IndexedSeq[(Long, Long, Array[Float])] = {
+  /** Stages 3+4 as a PLAN (cell-pruned candidates, exactly re-ranked,
+    * top-`ShortlistK`) — factored from the collect so PlanAuditSpec can
+    * pin the cell-pruning filter and join shapes. */
+  def shortlistFrame(s: SparkSession, dir: String): DataFrame = {
     val cb = AnnIvf.Models(s, dir, k = 8, iters = 3)
     val probeVec = Tables.embeddings(s, dir)
       .where(col("vec_id") === 0L)
@@ -76,10 +76,17 @@ object RagPipeline {
         col("embedding"))
       .orderBy(col("rel_micro").desc, col("cid"))
       .limit(ShortlistK)
+  }
+
+  /** The bounded top-`ShortlistK` collected as (cid, rel_micro,
+    * vector) — 20×64 floats of model-sized state (the q_vec_mmr rule).
+    */
+  def shortlist(s: SparkSession, dir: String)
+      : IndexedSeq[(Long, Long, Array[Float])] =
+    shortlistFrame(s, dir)
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Float](2).toArray))
       .toIndexedSeq
-  }
 
   val qPipelineRag: Q = Q(
     "q_pipeline_rag",

@@ -294,6 +294,44 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
       !p.contains("CartesianProduct"), s"bpe must stay keyed:\n${p.take(2000)}")
   }
 
+  test("q_text_unigram_tokens: vocab-level Viterbi encode broadcast-" +
+    "joins back, no cartesian") {
+    // Same scale contract as the BPE row: the per-word segmentation
+    // output is vocab-sized and must broadcast onto the token stage.
+    val p = planOf("q_text_unigram_tokens")
+    assert(p.contains("BroadcastHashJoin"),
+      s"encoded vocab must broadcast onto the token stage:\n${p.take(2000)}")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"unigram encode must stay keyed:\n${p.take(2000)}")
+  }
+
+  test("q_pipeline_rag shortlist: candidates are cell-pruned BEFORE " +
+    "scoring, the embedding join is keyed, top-k is a bounded heap") {
+    // The 100 TB contract of the composed retrieval row: the IVF filter
+    // must sit in the plan (candidates pruned by cell id, not scored
+    // corpus-wide), the chunk ⋈ embedding join must stay an equi join
+    // (broadcast at fixture scale), and the shortlist must come from
+    // TakeOrderedAndProject (per-task heaps), never a global sort.
+    val p = operators.RagPipeline.shortlistFrame(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // Catalyst collapses the `cell` projection into the Filter, so the
+    // pruning predicate appears as the inlined argmin `... as int) IN
+    // (c1,c2,c3)` — assert the membership test is present in a Filter
+    // (candidates pruned by cell BEFORE the re-rank scoring).
+    val filterLines = p.linesIterator.filter(_.contains("Filter")).mkString
+    assert(filterLines.contains(") IN (") &&
+      filterLines.contains("array_position"),
+      s"cell-pruning filter missing from the candidate scan:\n${p.take(2000)}")
+    assert(p.contains("BroadcastHashJoin"),
+      s"chunk-embedding join must broadcast at fixture scale:\n${p.take(2000)}")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"rag shortlist must stay keyed:\n${p.take(2000)}")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 must be a bounded heap, not a global sort:\n${p.take(2000)}")
+  }
+
   test("q_dedup_sorted_neighborhood: per-block window, equi-join pairing") {
     // Two scale contracts: the rank window is PARTITIONED (a global
     // Window.orderBy would funnel the corpus to one task), and the
