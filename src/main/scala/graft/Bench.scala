@@ -24,18 +24,23 @@ object Bench {
     * BenchGateSpec pins it against planted load sequences: sleep-retry
     * until the 1-min loadavg drops below `gate` or the wait budget runs
     * out; report (waitedSec, contended). An unreadable loadavg (−1)
-    * must flag contended — "can't measure idleness" is not "idle". */
+    * must flag contended — "can't measure idleness" is not "idle".
+    * One loadavg read per decision (the compared value IS the logged
+    * value), and the loop never sleeps past the budget, so the emitted
+    * gate_waited_sec can never exceed the configured knob (r12
+    * review). */
   private[graft] def awaitIdle(load: () => Double, gate: Double,
       budgetSec: Int, sleep: Long => Unit,
       log: String => Unit): (Int, Boolean) = {
     var waited = 0
-    while (load() >= gate && waited < budgetSec) {
-      log(s"[bench] loadavg ${load()} >= $gate — waiting for the " +
-        s"machine to go idle ($waited/$budgetSec s)")
+    var l = load()
+    while (l >= gate && waited + 10 <= budgetSec) {
+      log(s"[bench] loadavg $l >= $gate — waiting for the machine to " +
+        s"go idle ($waited/$budgetSec s)")
       sleep(10000L)
       waited += 10
+      l = load()
     }
-    val l = load()
     (waited, l >= gate || l < 0.0)
   }
 

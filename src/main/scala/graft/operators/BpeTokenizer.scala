@@ -106,6 +106,54 @@ object BpeTokenizer {
     syms
   }
 
+  /** The capped (word, count) TRAINING TABLE both subword tokenizers
+    * (BPE here, [[UnigramLm]]) learn from — one code path, memoized per
+    * (session, dir), so "trained on the same table" is enforced by
+    * sharing, not by two parallel copies of the scan that could
+    * silently desynchronize (r12 review finding). Top `maxVocab` words
+    * under the deterministic (count DESC, word) order; only this
+    * bounded table ever reaches the driver. */
+  private val wcCache =
+    new graft.Memo[(SparkSession, String), Seq[(String, Long)]]
+
+  private[graft] def cappedWordCounts(
+      s: SparkSession, dir: String): Seq[(String, Long)] =
+    wcCache((s, dir)) {
+      import s.implicits._
+      TextQueries.Tokenized(s, dir)
+        .select(explode(col("lw")).as("w"))
+        .where(length($"w") > 0)
+        .groupBy($"w").agg(count(lit(1)).as("c"))
+        .orderBy($"c".desc, $"w")
+        .limit(maxVocab)
+        .as[(String, Long)].collect().toSeq
+    }
+
+  /** Per-document subword accounting under a VOCAB-LEVEL encoder: each
+    * distinct word is encoded once on the executors, the vocab-sized
+    * (word, piece-count) table broadcast-joins back onto the token
+    * stage, one keyed sum per doc. Shared by the BPE and unigram rows
+    * so the two fertility reports differ ONLY in the encoder (r12
+    * review finding — the shared-stage rule). */
+  private[graft] def subwordAccounting(s: SparkSession, dir: String,
+      tokensCol: String, ratioCol: String)(
+      encodeVocab: Iterator[String] => Iterator[(String, Long)])
+      : DataFrame = {
+    import s.implicits._
+    val words = TextQueries.Tokenized(s, dir)
+      .select($"doc_id", explode($"lw").as("w"))
+      .where(length($"w") > 0)
+    val vocabCounts = words.select($"w").distinct().as[String]
+      .mapPartitions(encodeVocab)
+      .toDF("w", "n_sub")
+    words.join(broadcast(vocabCounts), "w")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_words"), sum($"n_sub").as(tokensCol))
+      .withColumn(ratioCol,
+        round(col(tokensCol).cast("double") / $"n_words", 6))
+      .orderBy($"doc_id")
+  }
+
   /** Trained merge-rank table per (session, dir): bounded model state
     * (≤ nMerges entries), built once from the capped word-count table.
     * maxVocab caps what reaches the driver; 200 merges is plenty to
@@ -118,15 +166,7 @@ object BpeTokenizer {
 
   def Models(s: SparkSession, dir: String): Map[(String, String), Int] =
     modelCache((s, dir)) {
-      import s.implicits._
-      val wc = TextQueries.Tokenized(s, dir)
-        .select(explode(col("lw")).as("w"))
-        .where(length($"w") > 0)
-        .groupBy($"w").agg(count(lit(1)).as("c"))
-        .orderBy($"c".desc, $"w")
-        .limit(maxVocab)
-        .as[(String, Long)].collect().toSeq
-      trainMerges(wc, nMerges).zipWithIndex.toMap
+      trainMerges(cappedWordCounts(s, dir), nMerges).zipWithIndex.toMap
     }
 
   /** q_text_bpe_tokens — per-document subword token accounting under
@@ -139,23 +179,11 @@ object BpeTokenizer {
   val qTextBpeTokens: Q = Q(
     "q_text_bpe_tokens",
     (s, dir) => {
-      import s.implicits._
       val bc = s.sparkContext.broadcast(Models(s, dir))
-      val words = TextQueries.Tokenized(s, dir)
-        .select($"doc_id", explode($"lw").as("w"))
-        .where(length($"w") > 0)
-      val vocabCounts = words.select($"w").distinct().as[String]
-        .mapPartitions { it =>
-          val ranks = bc.value
-          it.map(w => (w, encode(w, ranks).length.toLong))
-        }
-        .toDF("w", "n_sub")
-      words.join(broadcast(vocabCounts), "w")
-        .groupBy($"doc_id")
-        .agg(count(lit(1)).as("n_words"), sum($"n_sub").as("n_bpe_tokens"))
-        .withColumn("bpe_per_word",
-          round($"n_bpe_tokens".cast("double") / $"n_words", 6))
-        .orderBy($"doc_id")
+      subwordAccounting(s, dir, "n_bpe_tokens", "bpe_per_word") { it =>
+        val ranks = bc.value
+        it.map(w => (w, encode(w, ranks).length.toLong))
+      }
     })
 
   val all: Vector[Q] = Vector(qTextBpeTokens)

@@ -86,10 +86,22 @@ object UnigramLm {
 
   /** Integer Viterbi segmentation: maximize the summed micro-nat
     * log-prob; ties break to fewer pieces, then the lexicographically
-    * smallest piece sequence. Throws on an unsegmentable word (cannot
-    * happen for corpus words — their characters are always modeled). */
+    * smallest piece sequence.
+    *
+    * OUT-OF-VOCAB characters segment as themselves at a FALLBACK score
+    * of model-min − 10⁶ (the SentencePiece unk/byte-fallback device,
+    * r12 review finding): the capped training vocabulary guarantees
+    * character coverage only for the top-`maxVocab` words it saw,
+    * while encoding runs over EVERY distinct corpus word — a rare word
+    * carrying a character absent from all capped words must degrade
+    * (one unk piece per unknown char), never crash the query. The
+    * fallback is a pure function of the model, so encoding stays
+    * deterministic, and it scores strictly worse than any modeled
+    * piece, so modeled segmentations always win where they exist. */
   def viterbi(word: String, lp: Map[String, Long]): Vector[String] = {
     require(word.nonEmpty, "cannot segment an empty word")
+    require(lp.nonEmpty, "cannot segment under an empty model")
+    val fallback = lp.valuesIterator.min - 1000000L
     val n = word.length
     // dp(i): best (score, nPieces, segmentation) for word.take(i)
     val dp = new Array[(Long, Int, Vector[String])](n + 1)
@@ -101,7 +113,9 @@ object UnigramLm {
       while (j < i) {
         if (dp(j) != null) {
           val piece = word.substring(j, i)
-          lp.get(piece).foreach { w =>
+          val score = lp.get(piece)
+            .orElse(if (piece.length == 1) Some(fallback) else None)
+          score.foreach { w =>
             val cand = (dp(j)._1 + w, dp(j)._2 + 1, dp(j)._3 :+ piece)
             val better = best == null ||
               cand._1 > best._1 ||
@@ -116,7 +130,9 @@ object UnigramLm {
       dp(i) = best
       i += 1
     }
-    require(dp(n) != null, s"word '$word' is unsegmentable under the model")
+    // Single-char fallback makes every position reachable; this is an
+    // internal invariant, not a data-dependent failure mode.
+    assert(dp(n) != null, s"viterbi dp chain broke on '$word'")
     dp(n)._3
   }
 
@@ -157,48 +173,33 @@ object UnigramLm {
   }
 
   /** Trained model per (session, dir), built from the SAME capped
-    * word-count table as the BPE model (shared scan discipline). */
+    * word-count table as the BPE model — the shared
+    * [[BpeTokenizer.cappedWordCounts]] stage, one code path for both
+    * tokenizers. */
   private val modelCache =
     new graft.Memo[(SparkSession, String), Map[String, Long]]
 
   def Models(s: SparkSession, dir: String): Map[String, Long] =
     modelCache((s, dir)) {
-      import s.implicits._
-      val wc = TextQueries.Tokenized(s, dir)
-        .select(explode(col("lw")).as("w"))
-        .where(length($"w") > 0)
-        .groupBy($"w").agg(count(lit(1)).as("c"))
-        .orderBy($"c".desc, $"w")
-        .limit(BpeTokenizer.maxVocab)
-        .as[(String, Long)].collect().toSeq
-      train(wc)
+      train(BpeTokenizer.cappedWordCounts(s, dir))
     }
 
   /** q_text_unigram_tokens — per-document subword accounting under the
-    * corpus-trained unigram LM: word count, unigram-LM token count, and
-    * tokens-per-word fertility — the q_text_bpe_tokens shape, so the
-    * two tokenizers are directly comparable on the same corpus
-    * (UnigramLmSpec does exactly that comparison). */
+    * corpus-trained unigram LM through the SHARED
+    * [[BpeTokenizer.subwordAccounting]] frame: word count, unigram-LM
+    * token count, tokens-per-word fertility — the q_text_bpe_tokens
+    * shape with only the encoder swapped, so the two tokenizers are
+    * directly comparable on the same corpus (UnigramLmSpec does exactly
+    * that comparison). */
   val qTextUnigramTokens: Q = Q(
     "q_text_unigram_tokens",
     (s, dir) => {
-      import s.implicits._
       val bc = s.sparkContext.broadcast(Models(s, dir))
-      val words = TextQueries.Tokenized(s, dir)
-        .select($"doc_id", explode($"lw").as("w"))
-        .where(length($"w") > 0)
-      val vocabCounts = words.select($"w").distinct().as[String]
-        .mapPartitions { it =>
-          val lp = bc.value
-          it.map(w => (w, viterbi(w, lp).length.toLong))
-        }
-        .toDF("w", "n_sub")
-      words.join(broadcast(vocabCounts), "w")
-        .groupBy($"doc_id")
-        .agg(count(lit(1)).as("n_words"), sum($"n_sub").as("n_uni_tokens"))
-        .withColumn("uni_per_word",
-          round($"n_uni_tokens".cast("double") / $"n_words", 6))
-        .orderBy($"doc_id")
+      BpeTokenizer.subwordAccounting(s, dir, "n_uni_tokens",
+        "uni_per_word") { it =>
+        val lp = bc.value
+        it.map(w => (w, viterbi(w, lp).length.toLong))
+      }
     })
 
   val all: Vector[Q] = Vector(qTextUnigramTokens)

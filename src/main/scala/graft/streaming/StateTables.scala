@@ -25,9 +25,16 @@ import org.apache.spark.sql.functions._
   * while writing, and GC runs only after the swap.
   *
   * Single-writer by contract (one streaming query owns one state root —
-  * the same assumption a checkpoint directory carries); readers may
-  * race a commit and see either the old or the new version, never a
-  * torn mix.
+  * the same assumption a checkpoint directory carries), and READS MUST
+  * NOT OVERLAP A COMMIT either: a reader resolves version paths at
+  * DataFrame-build time, and [[commit]] GCs the superseded version
+  * immediately after the pointer swap, so a plan built before a commit
+  * and evaluated after it would read a deleted directory (r12 review).
+  * All in-repo callers evaluate before the owning query's next merge.
+  * A deployment with concurrent readers retains a version window
+  * (GC only versions older than N commits) — the standard lakehouse
+  * retention knob; the sandbox's single-JVM sequential use doesn't
+  * need it.
   */
 private[graft] object Snapshot {
 

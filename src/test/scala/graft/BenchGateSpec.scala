@@ -23,13 +23,22 @@ class BenchGateSpec extends AnyFunSuite {
 
   test("load decaying below the gate inside the budget: bounded wait, " +
       "not contended") {
-    // 8 reads above the gate, then idle. Each retry costs a logged read
-    // + a slept 10 s tick; the gate must stop waiting at the first
-    // below-gate reading and report the reading as valid.
-    val (waited, contended) = run(7.9, 7.9, 6.0, 6.0, 4.0, 4.0, 2.5, 2.5,
-      1.4)
+    // One loadavg read per decision (the compared value is the logged
+    // value); the gate must stop at the first below-gate reading and
+    // report the reading as valid.
+    val (waited, contended) = run(7.9, 6.0, 4.0, 2.5, 1.4)
     assert(!contended)
-    assert(waited > 0 && waited < 60)
+    assert(waited == 40)
+  }
+
+  test("the wait never oversteps the budget: gate_waited_sec <= knob " +
+      "even when the budget is not a multiple of the 10 s tick") {
+    val it = Iterator.continually(7.9)
+    val (waited, contended) = Bench.awaitIdle(() => it.next(), gate = 2.0,
+      budgetSec = 15, sleep = _ => (), log = _ => ())
+    assert(contended)
+    assert(waited == 10, s"must stop at the last full tick inside 15 s, " +
+      s"got $waited")
   }
 
   test("load that never decays: the full budget is spent and the " +
