@@ -134,6 +134,34 @@ class StreamVecIndexSpec extends AnyFunSuite with SparkFixture {
       "delete deltas must leave exactly the survivors' statistics")
   }
 
+  test("codebook REFIT = restart: maintaining under a new frozen " +
+      "codebook supersedes the old index via the batch-0 reset") {
+    // The documented offline/online split made operational: the stream
+    // never mutates the codebook — a refit restarts the query with a
+    // new broadcast literal, and the fresh stream's batch 0 resets the
+    // state table, so the maintained index flips cleanly from the old
+    // model's statistics to the new one's (no checkpoint carried over,
+    // no stale cells surviving the swap).
+    val state = Files.createTempDirectory("graft_vecidx_refit")
+      .toString + "/t"
+    StreamVecIndex.maintain(spark, sfDir, state) // the shipped codebook
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val refitCb = AnnIvf.train(emb, k = 4, iters = 2) // the offline refit
+    StreamVecIndex.maintain(spark, sfDir, state, codebook = Some(refitCb))
+    val got = StreamVecIndex
+      .driftReport(MonoidTable.read(spark, state), refitCb)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toVector
+    val want = StreamVecIndex
+      .driftReport(StreamVecIndex.partials(AnnIvf.assign(emb, refitCb)),
+        refitCb)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toVector
+    assert(got == want,
+      "post-refit maintained index must equal the new codebook's batch " +
+        "build — nothing of the old model may survive")
+    assert(got.map(_._1).forall(_ < 4), "only new-model cells exist")
+  }
+
   test("re-running the catalog row is deterministic (batch-0 reset " +
       "makes each invocation self-contained)") {
     def run() = Catalog.byName("q_stream_vec_index").build(spark, sfDir)
