@@ -25,16 +25,13 @@ import org.apache.spark.sql.functions._
   * while writing, and GC runs only after the swap.
   *
   * Single-writer by contract (one streaming query owns one state root —
-  * the same assumption a checkpoint directory carries), and READS MUST
-  * NOT OVERLAP A COMMIT either: a reader resolves version paths at
-  * DataFrame-build time, and [[commit]] GCs the superseded version
-  * immediately after the pointer swap, so a plan built before a commit
-  * and evaluated after it would read a deleted directory (r12 review).
-  * All in-repo callers evaluate before the owning query's next merge.
-  * A deployment with concurrent readers retains a version window
-  * (GC only versions older than N commits) — the standard lakehouse
-  * retention knob; the sandbox's single-JVM sequential use doesn't
-  * need it.
+  * the same assumption a checkpoint directory carries). Readers resolve
+  * version paths at DataFrame-build time, and GC runs with a
+  * ONE-COMMIT RETENTION WINDOW (see [[commit]]): a plan built from the
+  * current manifest stays readable across the owning stream's next
+  * merge — the guarantee behind "state queryable between batches" —
+  * and is swept only by the commit after next. Readers lagging more
+  * than one commit need a wider retention window (the lakehouse knob).
   */
 private[graft] object Snapshot {
 
@@ -79,17 +76,30 @@ private[graft] object Snapshot {
   def versionPath(root: String, rel: String): String = s"$root/$rel"
 
   /** Publish: atomically swap the pointer onto `manifest`, then GC
-    * every version directory the new manifest no longer references
-    * (including torn orphans from crashed attempts). The swap is a
-    * same-directory rename — atomic on POSIX. */
+    * version directories (torn orphans from crashed attempts included).
+    * The swap is a same-directory rename — atomic on POSIX.
+    *
+    * RETENTION WINDOW: GC keeps the versions referenced by the new
+    * manifest AND by the one it replaces, so a reader that resolved
+    * paths from the previous manifest survives one concurrent commit —
+    * this is what makes the state tables' "queryable between batches"
+    * property safe for a reader racing the owning stream's next merge
+    * (r12 review: immediate GC made the doc's reader-race claim false).
+    * The superseded generation is swept by the commit after next;
+    * garbage is bounded at one prior version per key. Readers must
+    * still not lag MORE than one commit — the lakehouse retention knob,
+    * fixed at window 1 here because the replay cadence is the only
+    * writer. */
   def commit(root: String, manifest: Manifest): Unit = {
     Files.createDirectories(Paths.get(root))
+    val prior = currentManifest(root).getOrElse(Map.empty)
     val tmp = Paths.get(root, "_current.tmp")
     Files.writeString(tmp,
       manifest.toSeq.sorted.map { case (k, v) => s"$k\t$v" }.mkString("\n"))
     Files.move(tmp, pointer(root), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
-    gc(root, manifest.values.map(_.split('/').head).toSet)
+    gc(root, (manifest.values ++ prior.values)
+      .map(_.split('/').head).toSet)
   }
 
   /** Delete version directories not in `keep`. Runs only post-swap, so

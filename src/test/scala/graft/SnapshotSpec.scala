@@ -59,6 +59,28 @@ class SnapshotSpec extends AnyFunSuite {
     assert(Files.exists(Paths.get(root, "checkpoint")))
   }
 
+  test("retention window: the superseded version survives exactly one " +
+      "commit (a racing reader's grace), then is swept") {
+    val root = tmp()
+    def mkv(v: String): Unit = {
+      val d = Paths.get(root, v)
+      Files.createDirectories(d)
+      Files.writeString(d.resolve("part-0.parquet"), v)
+    }
+    mkv("v0")
+    Snapshot.commit(root, Map("t" -> "v0"))
+    mkv("v1")
+    Snapshot.commit(root, Map("t" -> "v1"))
+    assert(Files.exists(Paths.get(root, "v0")),
+      "a reader holding v0 paths must survive the v1 commit")
+    mkv("v2")
+    Snapshot.commit(root, Map("t" -> "v2"))
+    assert(!Files.exists(Paths.get(root, "v0")),
+      "v0 is out of the window after the v2 commit")
+    assert(Files.exists(Paths.get(root, "v1")) &&
+      Files.exists(Paths.get(root, "v2")))
+  }
+
   test("the pointer swap replaces atomically: a reader sees old or new, " +
       "never a missing pointer") {
     val root = tmp()

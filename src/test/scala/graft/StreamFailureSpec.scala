@@ -344,15 +344,43 @@ class StreamFailureSpec extends AnyFunSuite with SparkFixture {
 
     // The next merge writes PAST both orphans (monotonic version
     // numbering — never into a dir a torn attempt created), commits,
-    // and sweeps them.
+    // and sweeps them. The superseded COMMITTED version (v0) survives
+    // exactly one more commit — the retention window that keeps a
+    // racing reader's resolved paths alive — and is swept by the one
+    // after.
     MonoidTable.merge(state, bp(3), 1L, Seq("day"))
     assert(asMap(MonoidTable.read(spark, state))
       == Map(java.sql.Date.valueOf("2024-01-01") -> (8L, 800L)))
     assert(!Files.exists(torn) && !Files.exists(
       java.nio.file.Paths.get(state, "v2")),
       "the successful commit must GC the orphaned version dirs")
+    assert(Files.exists(java.nio.file.Paths.get(state, "v0")),
+      "the superseded version must survive ONE commit (reader grace)")
+    MonoidTable.merge(state, bp(1), 2L, Seq("day"))
     assert(!Files.exists(java.nio.file.Paths.get(state, "v0")),
-      "the superseded committed version must be GC'd too")
+      "the commit after next must sweep the superseded version")
+  }
+
+  test("a reader's plan built BEFORE a merge still evaluates after it " +
+      "— the queryable-between-batches guarantee under the retention " +
+      "window") {
+    import spark.implicits._
+    val state = Files.createTempDirectory("graft_reader").toString + "/t"
+    def bp(n: Long): org.apache.spark.sql.DataFrame =
+      Seq((java.sql.Date.valueOf("2024-01-01"), n, n * 100))
+        .toDF("day", "n", "sc")
+    MonoidTable.merge(state, bp(5), 0L, Seq("day"))
+    // A dashboard reader resolves the current version's paths…
+    val reader = MonoidTable.read(spark, state)
+    // …the owning stream merges the next batch (commit + GC)…
+    MonoidTable.merge(state, bp(3), 1L, Seq("day"))
+    // …and the reader's already-built plan must still evaluate (it
+    // reads the RETAINED superseded version — a consistent snapshot,
+    // not a torn mix and not a crash).
+    assert(asMap(reader)
+      == Map(java.sql.Date.valueOf("2024-01-01") -> (5L, 500L)))
+    assert(asMap(MonoidTable.read(spark, state))
+      == Map(java.sql.Date.valueOf("2024-01-01") -> (8L, 800L)))
   }
 
   test("torn write against the bucketed upsert: uncommitted bucket " +
