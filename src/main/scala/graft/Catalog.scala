@@ -54,7 +54,8 @@ object Catalog {
         functions.QDigest.qAggQdigest) ++
       streaming.StreamingQueries.all ++
       streaming.StreamJoinQueries.all ++
-      streaming.StreamVecIndex.all
+      streaming.StreamVecIndex.all ++
+      streaming.StreamCorpusDedup.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 

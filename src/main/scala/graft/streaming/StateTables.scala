@@ -205,6 +205,65 @@ private[graft] object MonoidTable {
       .drop("_bid")
 }
 
+/** APPEND-ONLY segment log — the third state discipline beside the
+  * monoid merge and the newest-wins snapshot (r12): each micro-batch's
+  * rows land as one immutable SEGMENT (a version directory), and the
+  * manifest maps `seg<batchId>` → directory, so the maintained table is
+  * the union of committed segments read in one multi-path scan. This is
+  * the shape of every "index the stream" state (the MinHash band index
+  * of q_stream_dedup_corpus): per-batch cost ∝ batch, never ∝ state —
+  * nothing historical is read or rewritten on append.
+  *
+  * Retry-idempotent by the MANIFEST KEY: foreachBatch re-delivery of a
+  * committed batchId finds `seg<id>` already mapped and no-ops — the
+  * fence lives in the same atomic pointer swap as the data it fences
+  * (the embedded-`_bid` argument in segment form). Batch 0 resets the
+  * manifest to exactly its own segment, so a fresh invocation is
+  * self-contained; the [[Snapshot]] retention window keeps racing
+  * readers safe exactly as for the other disciplines. */
+private[graft] object AppendLog {
+
+  def append(state: String, batch: DataFrame, id: Long): Unit = {
+    val prev: Snapshot.Manifest =
+      if (id == 0L) Map.empty
+      else Snapshot.currentManifest(state).getOrElse(Map.empty)
+    if (!prev.contains(s"seg$id")) {
+      val v = Snapshot.nextVersion(state)
+      batch.write.mode("overwrite").parquet(Snapshot.versionPath(state, v))
+      Snapshot.commit(state, prev + (s"seg$id" -> v))
+    }
+  }
+
+  /** The union of committed segments, or None before any commit /
+    * when every committed segment is empty of schema (cannot happen
+    * for unpartitioned writes, which always emit a schema'd file). */
+  def read(s: SparkSession, state: String): Option[DataFrame] =
+    union(s, state,
+      Snapshot.currentManifest(state).getOrElse(Map.empty).values)
+
+  /** One committed segment's rows — the materialized form of the batch
+    * that produced it (consumers fold FROM the segment instead of
+    * recomputing the batch's expensive stage a second time). */
+  def segment(s: SparkSession, state: String, id: Long): Option[DataFrame] =
+    union(s, state,
+      Snapshot.currentManifest(state).getOrElse(Map.empty).get(s"seg$id"))
+
+  /** The union of segments with batch id strictly BELOW `id` — "the
+    * index as of this batch's arrival", exact under re-delivery (a
+    * retried batch must not probe its own half-folded contribution). */
+  def readBefore(s: SparkSession, state: String, id: Long)
+      : Option[DataFrame] =
+    union(s, state, Snapshot.currentManifest(state).getOrElse(Map.empty)
+      .collect { case (k, v) if k.startsWith("seg") &&
+        k.drop(3).toLong < id => v })
+
+  private def union(s: SparkSession, state: String,
+      rel: Iterable[String]): Option[DataFrame] = {
+    val dirs = rel.map(Snapshot.versionPath(state, _)).toSeq.sorted
+    if (dirs.isEmpty) None else Some(s.read.parquet(dirs: _*))
+  }
+}
+
 /** Newest-wins per-user snapshot maintenance, bucketed so merge cost is
   * proportional to CHURN, not state: rows route to `_bkt =
   * pmod(hash(user_id), buckets)`, each micro-batch reads ONLY the
