@@ -241,6 +241,27 @@ private[graft] object AppendLog {
     union(s, state,
       Snapshot.currentManifest(state).getOrElse(Map.empty).values)
 
+  /** COMPACTION — the log's offline maintenance event (run on a
+    * quiesced log, the codebook-refit cadence rule): fold every
+    * committed segment into ONE directory and repoint EVERY manifest
+    * key at it. Keys are retained as fence tombstones — a re-delivered
+    * batchId from before the compaction still finds its key and
+    * no-ops — and the readers de-duplicate directories, so the united
+    * table is unchanged row-for-row while read cost drops from
+    * O(#segments) listings to one. readBefore keeps its contract only
+    * for ids ABOVE the compacted range (all a quiesced log's future
+    * batches are), which is why compaction must not race an in-flight
+    * retry. */
+  def compact(s: SparkSession, state: String): Unit = {
+    val manifest = Snapshot.currentManifest(state).getOrElse(Map.empty)
+    if (manifest.values.toSet.size > 1) {
+      val all = read(s, state).get
+      val v = Snapshot.nextVersion(state)
+      all.write.mode("overwrite").parquet(Snapshot.versionPath(state, v))
+      Snapshot.commit(state, manifest.keys.map(_ -> v).toMap)
+    }
+  }
+
   /** One committed segment's rows — the materialized form of the batch
     * that produced it (consumers fold FROM the segment instead of
     * recomputing the batch's expensive stage a second time). */
@@ -259,7 +280,9 @@ private[graft] object AppendLog {
 
   private def union(s: SparkSession, state: String,
       rel: Iterable[String]): Option[DataFrame] = {
-    val dirs = rel.map(Snapshot.versionPath(state, _)).toSeq.sorted
+    // distinct: post-compaction every fence key points at the same
+    // folded directory, which must scan once, not once per key.
+    val dirs = rel.map(Snapshot.versionPath(state, _)).toSet.toSeq.sorted
     if (dirs.isEmpty) None else Some(s.read.parquet(dirs: _*))
   }
 }
