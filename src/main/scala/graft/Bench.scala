@@ -237,10 +237,30 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_BENCH_LOADAVG_MAX", "2.0").toDouble
     val gateWaitBudgetSec =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_LOADAVG_WAIT_SEC", "120").toInt
-    val (gateWaitedSec, contended) = awaitIdle(loadavg _, loadGate,
+    val (gateWaitedSec, gateContended) = awaitIdle(loadavg _, loadGate,
       gateWaitBudgetSec, Thread.sleep, System.err.println)
     val loadStart = loadavg()
+    // The pre-loop gate samples ONCE; the r12 close reading proved a
+    // contender can arrive MID-LOOP (loadavg spiked 1.8 → 14.8 inside
+    // the run and the 157 s total read 30% over the same-code pair).
+    // So the loop also tracks the max 1-min loadavg observed between
+    // queries: own Spark bursts keep it ≤ ~4 on this box (measured
+    // across every idle pair this round), so ≥ 3× the gate flags an
+    // external contender, not self-load.
+    val loadMaxDuring = new java.util.concurrent.atomic.AtomicLong(
+      java.lang.Double.doubleToLongBits(0.0))
+    def trackLoad(): Unit = {
+      val l = loadavg()
+      var done = false
+      while (!done) {
+        val cur = loadMaxDuring.get()
+        done = l <= java.lang.Double.longBitsToDouble(cur) ||
+          loadMaxDuring.compareAndSet(cur,
+            java.lang.Double.doubleToLongBits(l))
+      }
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      trackLoad()
       var firstErr: Option[String] = None
       def once(): Option[Double] = {
         val t0 = System.nanoTime()
@@ -284,6 +304,9 @@ object Bench {
           None, flaky, timings)
     }
     val loadEnd = loadavg()
+    trackLoad()
+    val loadMax = java.lang.Double.longBitsToDouble(loadMaxDuring.get())
+    val contended = gateContended || loadMax >= loadGate * 3
     def fmt(d: Double): String = BigDecimal(d)
       .setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = results.map {
@@ -331,6 +354,7 @@ object Bench {
         s""""warm_slowest":$warmSlowest,""" +
         s""""contended":$contended,"loadavg_gate":$loadGate,""" +
         s""""gate_waited_sec":$gateWaitedSec,""" +
+        s""""loadavg_max_timed":${fmt(loadMax)},""" +
         s""""loadavg_start":$loadStart,"loadavg_end":$loadEnd,"sf":"$sfDir"}"""
     println(line)
     // The driver captures only the TAIL of stdout (~2 KB) and parses the
@@ -349,6 +373,7 @@ object Bench {
         s""""max_spread":${fmt(maxSpread)},"warmup_sec":${fmt(warmupSec)},""" +
         s""""contended":$contended,"loadavg_gate":$loadGate,""" +
         s""""gate_waited_sec":$gateWaitedSec,""" +
+        s""""loadavg_max_timed":${fmt(loadMax)},""" +
         s""""loadavg_start":$loadStart,"loadavg_end":$loadEnd,""" +
         s""""detail":"bench_out.json","sf":"$sfDir"}"""
     println(compact)
