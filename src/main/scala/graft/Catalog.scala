@@ -55,6 +55,7 @@ object Catalog {
       streaming.StreamingQueries.all ++
       streaming.StreamJoinQueries.all ++
       streaming.StreamVecIndex.all ++
+      streaming.StreamVecSearch.all ++
       streaming.StreamCorpusDedup.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
