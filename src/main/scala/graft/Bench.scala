@@ -9,8 +9,13 @@ import java.nio.file.{Files, Paths}
   *
   * The run is load-aware (r5 lesson: the driver's run of identical code
   * read 50.6 s vs 20.8 s committed, pure machine-load contention):
-  *  - /proc/loadavg is recorded before and after the timed loop, so a
-  *    contended run is self-diagnosing from the JSON alone;
+  *  - before the timed loop, a bounded sleep-retry gate waits for the
+  *    1-min loadavg to drop below a threshold (r11 verdict #5);
+  *  - DURING the loop, external CPU — /proc/stat busy minus this JVM's
+  *    own CPU — is averaged over the loop; past ~2 cores the reading
+  *    flags itself `"contended": true` ([[externalCores]]);
+  *  - /proc/loadavg is recorded before/after/max-during as telemetry,
+  *    so a contended run is self-diagnosing from the JSON alone;
   *  - each query's rep spread (max/min) is recorded, and when the spread
   *    exceeds 2× the query is re-run with extra reps (up to 5 total)
   *    before taking the median — sustained noise gets more votes.
@@ -44,6 +49,51 @@ object Bench {
     (waited, l >= gate || l < 0.0)
   }
 
+  /** Total busy CPU-seconds across all cores since boot (/proc/stat
+    * aggregate line, USER_HZ = 100): user+nice+system+irq+softirq+steal.
+    * idle and iowait are excluded as not-busy; guest/guest_nice are
+    * excluded because Linux already accounts them inside user/nice
+    * (summing them would double-count). −1 when unreadable. */
+  private def totalBusySec(): Double =
+    try {
+      val f = Files.readString(Paths.get("/proc/stat"))
+        .linesIterator.next().trim.split("\\s+").drop(1).map(_.toLong)
+      val busy = f(0) + f(1) + f(2) +
+        (if (f.length > 5) f(5) else 0L) +
+        (if (f.length > 6) f(6) else 0L) +
+        (if (f.length > 7) f(7) else 0L)
+      busy / 100.0
+    } catch { case _: Throwable => -1.0 }
+
+  /** This JVM's cumulative CPU-seconds (all threads — in local[n] mode
+    * every executor thread lives here, so this IS the bench's own
+    * spend). −1 when the platform bean is unavailable. */
+  private def selfCpuSec(): Double =
+    try java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean =>
+        val t = os.getProcessCpuTime
+        if (t < 0) -1.0 else t / 1e9
+      case _ => -1.0
+    } catch { case _: Throwable => -1.0 }
+
+  /** Mid-loop contention verdict (r12, second cut). The first cut
+    * flagged on max 1-min loadavg ≥ 3× the gate — and self-flagged
+    * every healthy run, because a back-to-back 300-query loop at
+    * local[32] legitimately drives loadavg to ~14 on its own: loadavg
+    * counts THIS bench's runnable threads and cannot separate self-load
+    * from a neighbour. What can: EXTERNAL CPU — (total busy CPU-seconds
+    * from /proc/stat) minus (this JVM's own CPU-seconds), averaged over
+    * the timed loop, in cores. Self-load subtracts out exactly; an
+    * ambient contender (another sbt/test JVM) shows up as whole
+    * external cores. Returns −1 ("can't measure" → flag contended)
+    * when any input is unreadable; clamps tiny negative deltas (clock
+    * skew between the two reads) to 0. */
+  private[graft] def externalCores(busy0: Double, busy1: Double,
+      self0: Double, self1: Double, elapsedSec: Double): Double =
+    if (busy0 < 0 || busy1 < 0 || self0 < 0 || self1 < 0 || elapsedSec <= 0)
+      -1.0
+    else math.max(0.0, (busy1 - busy0) - (self1 - self0)) / elapsedSec
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -57,6 +107,25 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // CONTENTION GATE (r11 verdict #1→#5): the driver's r11 run launched
+    // at loadavg 7.9 and read 152.9 s where two same-code idle runs read
+    // 115.1/125.0 s — telemetry alone let a contended number masquerade
+    // as a measurement. Sleep-retry (bounded) until the 1-min loadavg
+    // drops below the threshold; if the wait budget runs out, the run
+    // proceeds but the JSON carries "contended": true + the threshold,
+    // making the reading self-describing. The gate runs HERE — BEFORE
+    // warmup — because loadavg after warmup measures the bench's own
+    // decaying burst, not the ambient machine (the first placement sat
+    // out its full 120 s budget waiting for its own warmup to fade,
+    // every run). A contender arriving after this point is caught by
+    // the mid-loop external-CPU detector instead. Both knobs are
+    // env-overridable for machines with different idle floors.
+    val loadGate =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_LOADAVG_MAX", "2.0").toDouble
+    val gateWaitBudgetSec =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_LOADAVG_WAIT_SEC", "120").toInt
+    val (gateWaitedSec, gateContended) = awaitIdle(loadavg _, loadGate,
+      gateWaitBudgetSec, Thread.sleep, System.err.println)
     // Warm passes run CONCURRENTLY on a small fixed pool (r9 verdict #6:
     // warmup had grown to 137 s, ~1.6× the measured loop, almost all of
     // it a SEQUENTIAL first-run pass over 200+ sub-second queries on a
@@ -222,31 +291,16 @@ object Bench {
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     require(reps >= 1, s"SPARK_GRAFT_BENCH_REPS must be >= 1, got $reps")
     val maxReps = math.max(reps, 5)
-    // CONTENTION GATE (r11 verdict #1→#5): the driver's r11 run launched
-    // at loadavg 7.9 and read 152.9 s where two same-code idle runs read
-    // 115.1/125.0 s — telemetry alone let a contended number masquerade
-    // as a measurement. So before the timed loop, sleep-retry (bounded)
-    // until the 1-min loadavg drops below the threshold; if the wait
-    // budget runs out, the timed loop still runs but the JSON carries
-    // "contended": true + the threshold, making the reading
-    // self-describing. Threshold 2.0: this JVM's own warm phase settles
-    // well under it once its pool drains, while genuine ambient
-    // neighbours (another sbt/test JVM) hold it above. Both knobs are
-    // env-overridable for machines with different idle floors.
-    val loadGate =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_LOADAVG_MAX", "2.0").toDouble
-    val gateWaitBudgetSec =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_LOADAVG_WAIT_SEC", "120").toInt
-    val (gateWaitedSec, gateContended) = awaitIdle(loadavg _, loadGate,
-      gateWaitBudgetSec, Thread.sleep, System.err.println)
     val loadStart = loadavg()
-    // The pre-loop gate samples ONCE; the r12 close reading proved a
-    // contender can arrive MID-LOOP (loadavg spiked 1.8 → 14.8 inside
-    // the run and the 157 s total read 30% over the same-code pair).
-    // So the loop also tracks the max 1-min loadavg observed between
-    // queries: own Spark bursts keep it ≤ ~4 on this box (measured
-    // across every idle pair this round), so ≥ 3× the gate flags an
-    // external contender, not self-load.
+    // The pre-warmup gate samples ONCE; a contender can still arrive
+    // MID-LOOP (the r12 close reading: loadavg 1.8 → 14.8 inside the
+    // run, total +30% over the same-code pair). Mid-loop detection is
+    // the EXTERNAL-CPU measure ([[externalCores]]): /proc/stat busy
+    // minus own JVM CPU over the loop — loadavg is still tracked
+    // between queries, but only as telemetry (it counts the bench's
+    // own runnable threads, so no fixed threshold on it can separate
+    // self-load from a neighbour; the first cut tried and self-flagged
+    // every healthy run).
     val loadMaxDuring = new java.util.concurrent.atomic.AtomicLong(
       java.lang.Double.doubleToLongBits(0.0))
     def trackLoad(): Unit = {
@@ -259,6 +313,11 @@ object Bench {
             java.lang.Double.doubleToLongBits(l))
       }
     }
+    val extGate = sys.env
+      .getOrElse("SPARK_GRAFT_BENCH_EXT_CORES_MAX", "2.0").toDouble
+    val busy0 = totalBusySec()
+    val self0 = selfCpuSec()
+    val loopT0 = System.nanoTime()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       trackLoad()
       var firstErr: Option[String] = None
@@ -306,7 +365,9 @@ object Bench {
     val loadEnd = loadavg()
     trackLoad()
     val loadMax = java.lang.Double.longBitsToDouble(loadMaxDuring.get())
-    val contended = gateContended || loadMax >= loadGate * 3
+    val extCores = externalCores(busy0, totalBusySec(), self0, selfCpuSec(),
+      (System.nanoTime() - loopT0) / 1e9)
+    val contended = gateContended || extCores < 0 || extCores >= extGate
     def fmt(d: Double): String = BigDecimal(d)
       .setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = results.map {
@@ -354,6 +415,8 @@ object Bench {
         s""""warm_slowest":$warmSlowest,""" +
         s""""contended":$contended,"loadavg_gate":$loadGate,""" +
         s""""gate_waited_sec":$gateWaitedSec,""" +
+        s""""external_cores_avg":${fmt(extCores)},""" +
+        s""""external_cores_gate":$extGate,""" +
         s""""loadavg_max_timed":${fmt(loadMax)},""" +
         s""""loadavg_start":$loadStart,"loadavg_end":$loadEnd,"sf":"$sfDir"}"""
     println(line)
@@ -373,6 +436,8 @@ object Bench {
         s""""max_spread":${fmt(maxSpread)},"warmup_sec":${fmt(warmupSec)},""" +
         s""""contended":$contended,"loadavg_gate":$loadGate,""" +
         s""""gate_waited_sec":$gateWaitedSec,""" +
+        s""""external_cores_avg":${fmt(extCores)},""" +
+        s""""external_cores_gate":$extGate,""" +
         s""""loadavg_max_timed":${fmt(loadMax)},""" +
         s""""loadavg_start":$loadStart,"loadavg_end":$loadEnd,""" +
         s""""detail":"bench_out.json","sf":"$sfDir"}"""

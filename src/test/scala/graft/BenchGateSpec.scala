@@ -51,4 +51,48 @@ class BenchGateSpec extends AnyFunSuite {
     // mark the reading invalid ('cannot measure idleness' != 'idle').
     assert(run(-1.0) == (0, true))
   }
+
+  // --- externalCores: the mid-loop detector (r12, second cut) ---
+  // The first cut flagged on max 1-min loadavg and self-flagged every
+  // healthy run (the bench's own 32-thread loop drives loadavg ~14 by
+  // itself). These pin the replacement: self-load subtracts out, a
+  // neighbour shows up as whole cores, unmeasurable flags.
+
+  test("externalCores: a run where all busy CPU is the bench's own " +
+      "reads ~0 external cores") {
+    // 130 s loop, 30 cores busy — all of it this JVM's process time.
+    val ext = Bench.externalCores(busy0 = 1000.0, busy1 = 1000.0 + 3900.0,
+      self0 = 500.0, self1 = 500.0 + 3900.0, elapsedSec = 130.0)
+    assert(ext == 0.0)
+  }
+
+  test("externalCores: an ambient neighbour burning 4 cores shows up " +
+      "as ~4, regardless of how hard the bench itself runs") {
+    val ext = Bench.externalCores(busy0 = 0.0, busy1 = 3900.0 + 520.0,
+      self0 = 0.0, self1 = 3900.0, elapsedSec = 130.0)
+    assert(math.abs(ext - 4.0) < 1e-9)
+  }
+
+  test("externalCores: kernel/harness background under the 2-core gate " +
+      "does not flag; a test-JVM-sized neighbour over it would") {
+    val idleFloor = Bench.externalCores(0.0, 39.0, 0.0, 0.0, 130.0)
+    assert(idleFloor < 2.0, "a ~0.3-core background must pass the gate")
+    val neighbour = Bench.externalCores(0.0, 1300.0, 0.0, 0.0, 130.0)
+    assert(neighbour >= 2.0, "a 10-core neighbour must trip the gate")
+  }
+
+  test("externalCores: clock skew producing a small negative delta " +
+      "clamps to 0 instead of going negative") {
+    val ext = Bench.externalCores(0.0, 100.0, 0.0, 100.5, 130.0)
+    assert(ext == 0.0)
+  }
+
+  test("externalCores: any unmeasurable input (-1 reads, zero elapsed) " +
+      "returns -1, which the caller must flag contended") {
+    assert(Bench.externalCores(-1.0, 100.0, 0.0, 50.0, 130.0) == -1.0)
+    assert(Bench.externalCores(0.0, -1.0, 0.0, 50.0, 130.0) == -1.0)
+    assert(Bench.externalCores(0.0, 100.0, -1.0, 50.0, 130.0) == -1.0)
+    assert(Bench.externalCores(0.0, 100.0, 0.0, -1.0, 130.0) == -1.0)
+    assert(Bench.externalCores(0.0, 100.0, 0.0, 50.0, 0.0) == -1.0)
+  }
 }
