@@ -95,4 +95,49 @@ class BenchGateSpec extends AnyFunSuite {
     assert(Bench.externalCores(0.0, 100.0, 0.0, -1.0, 130.0) == -1.0)
     assert(Bench.externalCores(0.0, 100.0, 0.0, 50.0, 0.0) == -1.0)
   }
+
+  // --- maxWindowExternalCores: burst sensitivity over the loop ---
+
+  /** Samples at 1 Hz over `totalSec`, bench itself burning `selfCores`
+    * throughout and a neighbour burning `burstCores` during
+    * [burstFrom, burstTo). */
+  private def samples(totalSec: Int, selfCores: Double, burstCores: Double,
+      burstFrom: Int, burstTo: Int): Seq[(Double, Double, Double)] = {
+    var busy = 0.0; var self = 0.0
+    (0 to totalSec).map { t =>
+      val s = (t.toDouble, busy, self)
+      val ext = if (t >= burstFrom && t < burstTo) burstCores else 0.0
+      busy += selfCores + ext; self += selfCores
+      s
+    }
+  }
+
+  test("maxWindowExternalCores: a 20 s 10-core burst inside a 130 s " +
+      "loop is caught at ~10 even though the whole-loop average is " +
+      "diluted to ~1.5") {
+    val ss = samples(130, selfCores = 30.0, burstCores = 10.0,
+      burstFrom = 60, burstTo = 80)
+    val avg = Bench.externalCores(ss.head._2, ss.last._2,
+      ss.head._3, ss.last._3, 130.0)
+    assert(avg < 2.0, s"the dilution premise must hold, got $avg")
+    val win = Bench.maxWindowExternalCores(ss, minWindowSec = 10.0)
+    assert(win >= 9.0, s"the 10 s window over the burst must read ~10, " +
+      s"got $win")
+  }
+
+  test("maxWindowExternalCores: an idle loop under heavy self-load " +
+      "reads 0 in every window — self-load can never flag") {
+    val ss = samples(130, selfCores = 32.0, burstCores = 0.0, 0, 0)
+    assert(Bench.maxWindowExternalCores(ss, 10.0) == 0.0)
+  }
+
+  test("maxWindowExternalCores: a loop shorter than the window floor " +
+      "falls back to the full span; unmeasurable samples poison to -1") {
+    val short = samples(6, selfCores = 30.0, burstCores = 4.0, 0, 6)
+    assert(math.abs(Bench.maxWindowExternalCores(short, 10.0) - 4.0) < 0.5)
+    val bad = samples(130, 30.0, 0.0, 0, 0)
+      .updated(5, (5.0, -1.0, 150.0))
+    assert(Bench.maxWindowExternalCores(bad, 10.0) == -1.0)
+    assert(Bench.maxWindowExternalCores(Nil, 10.0) == -1.0)
+  }
 }
