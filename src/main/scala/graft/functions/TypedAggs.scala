@@ -163,4 +163,28 @@ object TypedAggs {
   }
 
   object Top5ByScore extends TopKByScore(5)
+
+  /** The shared "exact top-k per key by (score DESC, id ASC)" ranking:
+    * input columns (key: long, sim: double, id: long) IN THAT ORDER
+    * (names free), output (keyOut, rank, vec_id, sim) with rank 1..k.
+    * One definition because q_vec_knn_batch (batch probe set) and
+    * q_stream_vec_search (streamed query log) must rank identically —
+    * and because the k is a PARAMETER here, a caller's declared top-k
+    * constant cannot silently desynchronize from a hardcoded
+    * aggregator instance. */
+  def rankTopKByScore(scored: org.apache.spark.sql.DataFrame, k: Int,
+      keyOut: String): org.apache.spark.sql.DataFrame = {
+    val s = scored.sparkSession
+    import org.apache.spark.sql.functions._
+    import s.implicits._
+    scored
+      .as[(Long, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(new TopKByScore(k).toColumn.name("top"))
+      .toDF(keyOut, "top")
+      .select(col(keyOut), posexplode($"top"))
+      .select(col(keyOut), ($"pos" + 1).cast("long").as("rank"),
+        $"col._2".as("vec_id"), $"col._1".as("sim"))
+  }
 }

@@ -569,17 +569,12 @@ object VectorQueries {
       val probes = broadcast(
         emb.where(graft.Dsl.md5Gate($"vec_id", "10"))
           .select($"vec_id".as("p_id"), $"embedding".as("p")))
-      emb.crossJoin(probes)
-        .where($"vec_id" =!= $"p_id")
-        .select($"p_id", round(dot("embedding", "p"), 6).as("sim"), $"vec_id")
-        .as[(Long, Double, Long)]
-        .groupByKey(_._1)
-        .mapValues(r => (r._2, r._3))
-        .agg(graft.functions.TypedAggs.Top5ByScore.toColumn.name("top"))
-        .toDF("p_id", "top")
-        .select($"p_id", posexplode($"top"))
-        .select($"p_id", ($"pos" + 1).cast(LongType).as("rank"),
-          $"col._2".as("vec_id"), $"col._1".as("sim"))
+      graft.functions.TypedAggs.rankTopKByScore(
+          emb.crossJoin(probes)
+            .where($"vec_id" =!= $"p_id")
+            .select($"p_id", round(dot("embedding", "p"), 6).as("sim"),
+              $"vec_id"),
+          k = 5, keyOut = "p_id")
         .orderBy($"p_id", $"rank")
     },
     oracle = Some(

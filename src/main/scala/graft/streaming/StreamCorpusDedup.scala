@@ -130,38 +130,10 @@ object StreamCorpusDedup {
     * by doc_id mod 4 — every chunk spans the id range, so collisions
     * genuinely cross batches in both id directions (the staging rule
     * that makes the both-directions flag update load-bearing). */
-  private[graft] object DocStage {
-    private val root: java.nio.file.Path = graft.TmpRoots.register(
-      java.nio.file.Paths.get("/tmp/graft_stream_corpusdedup",
-        "jvm" + ProcessHandle.current().pid()))
-
-    private val chunked = new graft.Memo[(SparkSession, String), String]
-
-    def inDir(s: SparkSession, dir: String): String =
-      chunked((s, dir)) {
-        val out = root.resolve(dir.replaceAll("[^A-Za-z0-9.]+", "_"))
-          .resolve("in_chunks").toString
-        val raw = s.read.parquet(s"$dir/documents.parquet")
-          .select(col("doc_id"), col("text"))
-        (0 until 4).foreach { c =>
-          raw.where(pmod(col("doc_id"), lit(4)) === c)
-            .coalesce(1)
-            .write.mode(if (c == 0) "overwrite" else "append").parquet(out)
-        }
-        out
-      }
-
-    def stateDir(dir: String, which: String): String =
-      root.resolve(dir.replaceAll("[^A-Za-z0-9.]+", "_"))
-        .resolve(which).toString
-
-    private val schemaCache =
-      new graft.Memo[(SparkSession, String), org.apache.spark.sql.types.StructType]
-
-    def schema(s: SparkSession, inDir: String)
-        : org.apache.spark.sql.types.StructType =
-      schemaCache((s, inDir))(s.read.parquet(inDir).schema)
-  }
+  private[graft] val DocStage: ChunkStage = new ChunkStage(
+    "graft_stream_corpusdedup", "doc_id",
+    (s, dir) => s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text")))
 
   /** q_stream_dedup_corpus (T) — the verdict table after the staged
     * replay drains: equal to the batch q_dedup_minhash's flagged set by

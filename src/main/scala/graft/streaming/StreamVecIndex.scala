@@ -106,38 +106,10 @@ object StreamVecIndex {
     * micro-batches whose cell statistics COLLIDE across batches (every
     * chunk spans every cell — a cell-sliced split would make each merge
     * disjoint and test nothing; the UpsertStage rule). */
-  private[graft] object VecStage {
-    private val root: java.nio.file.Path = graft.TmpRoots.register(
-      java.nio.file.Paths.get("/tmp/graft_stream_vecindex",
-        "jvm" + ProcessHandle.current().pid()))
-
-    private val chunked = new graft.Memo[(SparkSession, String), String]
-
-    def inDir(s: SparkSession, dir: String): String =
-      chunked((s, dir)) {
-        val out = root.resolve(dir.replaceAll("[^A-Za-z0-9.]+", "_"))
-          .resolve("in_chunks").toString
-        val raw = s.read.parquet(s"$dir/embeddings.parquet")
-          .select(col("vec_id"), col("embedding"))
-        (0 until 4).foreach { c =>
-          raw.where(pmod(col("vec_id"), lit(4)) === c)
-            .coalesce(1)
-            .write.mode(if (c == 0) "overwrite" else "append").parquet(out)
-        }
-        out
-      }
-
-    def stateDir(dir: String): String =
-      root.resolve(dir.replaceAll("[^A-Za-z0-9.]+", "_"))
-        .resolve("state").toString
-
-    private val schemaCache =
-      new graft.Memo[(SparkSession, String), org.apache.spark.sql.types.StructType]
-
-    def schema(s: SparkSession, inDir: String)
-        : org.apache.spark.sql.types.StructType =
-      schemaCache((s, inDir))(s.read.parquet(inDir).schema)
-  }
+  private[graft] val VecStage: ChunkStage = new ChunkStage(
+    "graft_stream_vecindex", "vec_id",
+    (s, dir) => s.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")))
 
   /** Run the maintenance replay: assign each micro-batch against the
     * frozen codebook, fold its (cell, pos)-keyed partials through the

@@ -100,28 +100,22 @@ object StreamVecSearch {
       .select(col("qid"), col("qvec"), col("cell"))
   }
 
-  /** Exact top-5 within the probed cells for every routed query: the
-    * routed side broadcasts into the postings scan; ranking is the
-    * bounded-heap typed aggregate (see object doc, step 3). Output
-    * (qid, rank, vec_id, sim) — the q_vec_knn_batch shape. */
-  def scoreTopK(routed: DataFrame, postings: DataFrame): DataFrame = {
-    val s = routed.sparkSession
-    import s.implicits._
-    postings.join(broadcast(routed), Seq("cell"))
-      .where(col("vec_id") =!= col("qid"))
-      .select(col("qid"),
-        round(call_function("vec_dot", col("embedding"), col("qvec")), 6)
-          .as("sim"),
-        col("vec_id"))
-      .as[(Long, Double, Long)]
-      .groupByKey(_._1)
-      .mapValues(r => (r._2, r._3))
-      .agg(graft.functions.TypedAggs.Top5ByScore.toColumn.name("top"))
-      .toDF("qid", "top")
-      .select($"qid", posexplode($"top"))
-      .select($"qid", ($"pos" + 1).cast("long").as("rank"),
-        $"col._2".as("vec_id"), $"col._1".as("sim"))
-  }
+  /** Exact top-`TopK` within the probed cells for every routed query:
+    * the routed side broadcasts into the postings scan; ranking is the
+    * shared bounded-heap rank helper (see object doc, step 3) — the
+    * same code path as the batch q_vec_knn_batch row, keyed on `qid`
+    * and parameterized by [[TopK]] so the aggregation can never
+    * desynchronize from the declared k. Output (qid, rank, vec_id,
+    * sim). */
+  def scoreTopK(routed: DataFrame, postings: DataFrame): DataFrame =
+    graft.functions.TypedAggs.rankTopKByScore(
+      postings.join(broadcast(routed), Seq("cell"))
+        .where(col("vec_id") =!= col("qid"))
+        .select(col("qid"),
+          round(call_function("vec_dot", col("embedding"), col("qvec")), 6)
+            .as("sim"),
+          col("vec_id")),
+      TopK, keyOut = "qid")
 
   private def emptyResults(s: SparkSession): DataFrame = {
     import s.implicits._
@@ -138,13 +132,23 @@ object StreamVecSearch {
     val s = batch.sparkSession
     val routed = route(batch, centroids, NProbe).persist()
     try {
-      val cells = routed.select(col("cell")).distinct()
+      // An EMPTY probed cell has no cell=<c>/ directory (partitionBy
+      // writes nothing for it) — and empty cells are a guaranteed fact
+      // of life at the production k ≈ 32 768 (AnnIvf.train keeps their
+      // centroids, probeCells routes with no occupancy knowledge). They
+      // contribute zero candidates, exactly as AnnIvf.search's isin
+      // filter treats them, so they are SKIPPED here, not failed. The
+      // existence probe is per probed cell (≤ k, driver-side routing
+      // state — an object-store deployment folds it into the one
+      // listing it already does).
+      val dirs = routed.select(col("cell")).distinct()
         .collect().map(_.getInt(0)).toSeq.sorted
+        .map(c => s"$postingsRoot/cell=$c")
+        .filter(d => java.nio.file.Files.exists(java.nio.file.Paths.get(d)))
       val out =
-        if (cells.isEmpty) emptyResults(s)
+        if (dirs.isEmpty) emptyResults(s)
         else scoreTopK(routed,
-          s.read.option("basePath", postingsRoot)
-            .parquet(cells.map(c => s"$postingsRoot/cell=$c"): _*))
+          s.read.option("basePath", postingsRoot).parquet(dirs: _*))
       AppendLog.append(results, out, id)
     } finally routed.unpersist()
   }
@@ -175,46 +179,19 @@ object StreamVecSearch {
       }
   }
 
-  /** Staging: the md5-gated query log (≈6% of vectors — the
+  /** The query log: the md5-gated ≈6% vector sample — the
     * q_vec_knn_batch gate, so both rows search the same query
-    * population) split into 4 single-file chunks by qid mod 4, each
-    * replayed as one micro-batch. */
-  private[graft] object QueryStage {
-    private val root: java.nio.file.Path = graft.TmpRoots.register(
-      java.nio.file.Paths.get("/tmp/graft_stream_vecsearch_q",
-        "jvm" + ProcessHandle.current().pid()))
+    * population (and that row's exact brute-force answers double as
+    * the spec's recall truth). */
+  private[graft] def queryLog(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .where(graft.Dsl.md5Gate(col("vec_id"), "10"))
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
 
-    private val chunked = new graft.Memo[(SparkSession, String), String]
-
-    def queryLog(s: SparkSession, d: String): DataFrame =
-      Tables.embeddings(s, d)
-        .where(graft.Dsl.md5Gate(col("vec_id"), "10"))
-        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-
-    def inDir(s: SparkSession, d: String): String =
-      chunked((s, d)) {
-        val out = root.resolve(d.replaceAll("[^A-Za-z0-9.]+", "_"))
-          .resolve("in_chunks").toString
-        val raw = queryLog(s, d)
-        (0 until 4).foreach { c =>
-          raw.where(pmod(col("qid"), lit(4)) === c)
-            .coalesce(1)
-            .write.mode(if (c == 0) "overwrite" else "append").parquet(out)
-        }
-        out
-      }
-
-    def stateDir(d: String, which: String): String =
-      root.resolve(d.replaceAll("[^A-Za-z0-9.]+", "_"))
-        .resolve(which).toString
-
-    private val schemaCache =
-      new graft.Memo[(SparkSession, String), org.apache.spark.sql.types.StructType]
-
-    def schema(s: SparkSession, inDir: String)
-        : org.apache.spark.sql.types.StructType =
-      schemaCache((s, inDir))(s.read.parquet(inDir).schema)
-  }
+  /** Staging: the query log split into 4 single-file chunks by qid
+    * mod 4, each replayed as one micro-batch. */
+  private[graft] val QueryStage: ChunkStage = new ChunkStage(
+    "graft_stream_vecsearch_q", "qid", queryLog)
 
   /** q_stream_vec_search (T) — the drained results log: per query
     * bit-equal to the single-probe AnnIvf.search (spec-pinned, not

@@ -570,40 +570,9 @@ object StreamingQueries {
     * and because every chunk spans the full time range, per-user merges
     * COLLIDE across batches (a time-sliced split would make each merge
     * trivially disjoint and test nothing). */
-  private[graft] object UpsertStage {
-    private val root: java.nio.file.Path = graft.TmpRoots.register(
-      java.nio.file.Paths.get("/tmp/graft_stream_upsert",
-        "jvm" + ProcessHandle.current().pid()))
-
-    private val chunked = new graft.Memo[(SparkSession, String), String]
-
-    def inDir(s: SparkSession, dir: String): String =
-      chunked((s, dir)) {
-        val out = root.resolve(dir.replaceAll("[^A-Za-z0-9.]+", "_"))
-          .resolve("in_chunks").toString
-        val raw = s.read.parquet(s"$dir/events.parquet")
-        (0 until 4).foreach { c =>
-          raw.where(pmod(col("event_id"), lit(4)) === c)
-            .coalesce(1)
-            .write.mode(if (c == 0) "overwrite" else "append").parquet(out)
-        }
-        out
-      }
-
-    def stateDir(dir: String): String =
-      root.resolve(dir.replaceAll("[^A-Za-z0-9.]+", "_"))
-        .resolve("state").toString
-
-    /** Per-dir constant, memoized for the same reason as
-      * Replay.stagedSchema: `.schema` is a file-listing + footer-read
-      * driver job that every timed bench rep would otherwise re-pay. */
-    private val schemaCache =
-      new graft.Memo[(SparkSession, String), org.apache.spark.sql.types.StructType]
-
-    def schema(s: SparkSession, inDir: String)
-        : org.apache.spark.sql.types.StructType =
-      schemaCache((s, inDir))(s.read.parquet(inDir).schema)
-  }
+  private[graft] val UpsertStage: ChunkStage = new ChunkStage(
+    "graft_stream_upsert", "event_id",
+    (s, dir) => s.read.parquet(s"$dir/events.parquet"))
 
   /** q_stream_upsert (added r8) — STREAMING UPSERT SINK: each
     * micro-batch is MERGED into a keyed parquet state table via

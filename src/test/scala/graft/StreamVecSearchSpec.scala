@@ -36,7 +36,7 @@ class StreamVecSearchSpec extends AnyFunSuite with SparkFixture {
     asSet(Catalog.byName("q_stream_vec_search").build(spark, sfDir))
 
   private lazy val queryIds: Seq[Long] =
-    StreamVecSearch.QueryStage.queryLog(spark, sfDir)
+    StreamVecSearch.queryLog(spark, sfDir)
       .select(col("qid")).collect().map(_.getLong(0)).sorted
 
   test("every query in the log is answered, with exactly topK ranks") {
@@ -67,7 +67,7 @@ class StreamVecSearchSpec extends AnyFunSuite with SparkFixture {
   test("the whole log equals an independent reconstruction: driver " +
       "probeCells routing + window row_number ranking") {
     import spark.implicits._
-    val qrows = StreamVecSearch.QueryStage.queryLog(spark, sfDir)
+    val qrows = StreamVecSearch.queryLog(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
     val routed = qrows.flatMap { case (qid, qvec) =>
       AnnIvf.probeCells(cb, qvec.toArray, NProbe)
@@ -90,7 +90,7 @@ class StreamVecSearchSpec extends AnyFunSuite with SparkFixture {
   test("re-delivery of a committed batchId no-ops, and arrival order " +
       "does not change the drained log") {
     val postings = StreamVecSearch.Postings.dir(spark, sfDir)
-    val qlog = StreamVecSearch.QueryStage.queryLog(spark, sfDir)
+    val qlog = StreamVecSearch.queryLog(spark, sfDir)
     val chunks = (0 until 3).map(c =>
       qlog.where(pmod(col("qid"), lit(3)) === c))
     def drain(root: String): Set[(Long, Long, Long, Double)] =
@@ -101,9 +101,16 @@ class StreamVecSearchSpec extends AnyFunSuite with SparkFixture {
       StreamVecSearch.foldBatch(a, postings, cb, b, i.toLong)
     }
     // Re-deliver batch 1 (driver death between segment commit and epoch
-    // commit re-runs the same id): the manifest key fences it.
+    // commit re-runs the same id): the manifest key fences it. The
+    // assert counts ROWS, not a row set — a broken fence appends a
+    // byte-identical duplicate segment whose rows a set comparison
+    // would collapse, passing exactly the regression this test exists
+    // to catch.
     val before = drain(a)
+    val rowsBefore = AppendLog.read(spark, a).get.count()
     StreamVecSearch.foldBatch(a, postings, cb, chunks(1), 1L)
+    assert(AppendLog.read(spark, a).get.count() == rowsBefore,
+      "a re-delivered batchId must not append a duplicate segment")
     assert(drain(a) == before, "a re-delivered batchId must no-op")
 
     val b = Files.createTempDirectory("graft_vsearch_b").toString
@@ -116,12 +123,38 @@ class StreamVecSearchSpec extends AnyFunSuite with SparkFixture {
       "the 3-chunk fold must equal the catalog row's 4-chunk replay")
   }
 
+  test("an empty probed cell (no cell=<c>/ directory) is skipped, not " +
+      "a crash — guaranteed to occur at the production k regime") {
+    import spark.implicits._
+    // A far-away centroid attracts no fixture vector, so partitionBy
+    // writes no directory for its cell — and a query AT that centroid
+    // must route to it (plus occupied spill cells) without failing.
+    val far = Array.fill(64)(100f)
+    val cbPlus = cb :+ far
+    val root = Files.createTempDirectory("graft_vsearch_empty").toString
+    graft.operators.AnnIvf.assign(emb, cbPlus)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$root/postings")
+    assert(!Files.exists(java.nio.file.Paths.get(
+      s"$root/postings/cell=${cb.size}")),
+      "the planted far cell must be genuinely empty for this test to bite")
+    val q = Seq((-1L, far.toSeq)).toDF("qid", "qvec")
+    assert(AnnIvf.probeCells(cbPlus, far, NProbe).contains(cb.size),
+      "the planted query must genuinely probe the empty cell")
+    StreamVecSearch.foldBatch(s"$root/results", s"$root/postings",
+      cbPlus, q, 0L)
+    val got = asSet(AppendLog.read(spark, s"$root/results").get)
+    assert(got.forall(_._1 == -1L))
+    assert(got.map(_._2) == (1L to TopK).toSet,
+      "the occupied probed cells must still fill topK ranks")
+  }
+
   test("cell pruning is real (answers come only from probed cells) " +
       "and still clears the measured recall floor vs brute force") {
     val assigned = AnnIvf.assign(emb, cb)
       .select(col("vec_id"), col("cell"))
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
-    val qvecs = StreamVecSearch.QueryStage.queryLog(spark, sfDir)
+    val qvecs = StreamVecSearch.queryLog(spark, sfDir)
       .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
     catalogResult.foreach { case (q, _, v, _) =>
       val probed = AnnIvf.probeCells(cb, qvecs(q), NProbe).toSet
