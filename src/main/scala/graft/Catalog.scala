@@ -56,7 +56,8 @@ object Catalog {
       streaming.StreamJoinQueries.all ++
       streaming.StreamVecIndex.all ++
       streaming.StreamVecSearch.all ++
-      streaming.StreamCorpusDedup.all
+      streaming.StreamCorpusDedup.all ++
+      streaming.StreamIngest.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 

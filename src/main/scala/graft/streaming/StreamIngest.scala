@@ -1,0 +1,173 @@
+package graft.streaming
+
+import graft.Q
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** COMPOSED STREAMING INGEST (r12) — the daily-crawl job every
+  * training-data pipeline runs, as ONE maintained process: each
+  * micro-batch of raw documents is (1) QUALITY-GATED by the exact batch
+  * filter-pipeline decision, (2) DEDUPED against the maintained corpus
+  * of everything that ever passed the gate, and (3) accounted into a
+  * maintained FUNNEL table — the batch `q_pipeline_*` composition rule
+  * (every stage is the standalone row's code path, verbatim) applied to
+  * the stream side, which had the stages but no composition:
+  *
+  *  1. QUALITY — [[graft.operators.TextQueries.QualityScore]] + its
+  *     `keep` gate (the one scorer shared with q_text_quality /
+  *     q_text_filter_pipeline / q_stream_quality_filter); stateless
+  *     per-row, no shuffle.
+  *  2. DEDUP — survivors are banded through
+  *     [[StreamCorpusDedup.bandRows]] into an [[AppendLog]] band-index
+  *     segment and flagged BOTH id-directions through
+  *     [[StreamCorpusDedup.flagPartials]] + the fenced
+  *     [[MonoidTable.merge]] — per-batch cost ∝ batch, history never
+  *     re-banded, and the accepted set (`seen ∧ n_coll = 0` ⟺ no
+  *     smaller-id near-duplicate among ALL quality-passing docs) is a
+  *     pure function of the corpus, invariant to chunking and arrival
+  *     order (the corpus-dedup argument, inherited by reuse).
+  *  3. FUNNEL — per-stage (n_docs, n_tokens) exact-integer monoids
+  *     fold into a fenced stage-keyed MonoidTable for the stateless
+  *     stages (arrived, quality_pass); the accepted stage is DERIVED at
+  *     read time from the flag table, because dedup verdicts keep
+  *     evolving as later batches arrive — materializing them would bake
+  *     in an arrival order. Per-doc token counts ride the flag table
+  *     (enriching the verbatim flagPartials output with an n_tok
+  *     monoid; each doc arrives in exactly one batch, so the column
+  *     sums correctly under the fence).
+  *
+  * Every pass doc is guaranteed a flag row: the keep gate requires
+  * n_tok ≥ 20 and shingles are 3-grams, so a survivor always produces
+  * bands (an un-banded doc could otherwise silently vanish from the
+  * accepted count).
+  *
+  * Crash-retry: both merges are fenced (manifest key; `_bid`), and a
+  * crash BETWEEN the two state commits re-delivers the batch — the
+  * already-committed table no-ops, the other folds, and the pair
+  * converges (same per-table argument as the corpus-dedup row, pinned
+  * there through a real checkpoint restart; StreamIngestSpec pins the
+  * re-delivery no-op on both tables here).
+  *
+  * Bench-cost honesty (~7.4–8.2 s at sf0.1, the heaviest streaming row
+  * beside its corpus-dedup parent): each of the 4 micro-batches pays
+  * scoring + the survivor-corpus MinHash aggregate + THREE fenced state
+  * commits (band segment, flag monoid, funnel monoid) — ~6-7 jobs/batch
+  * of fixed machinery at fixture scale where the data itself is
+  * milliseconds. A real ingest pays the same shapes once per arriving
+  * batch against petabyte state; the per-batch SHAPE (cost ∝ batch +
+  * matched candidates, three atomic commits) is the 100 TB claim.
+  *
+  * Scale (100 TB/day crawl): scoring is a narrow per-row pass; banding
+  * is the map-side-combined MinHash aggregate (one 16-long signature
+  * row per SURVIVOR crosses the wire — the gate prunes before the
+  * expensive stage, the order every real pipeline uses); the index
+  * probe is an equi join on (band, band_key); funnel state is
+  * stage-count-bounded. Nothing driver-side grows with data.
+  *
+  * T-row (xxhash banding is engine-specific): StreamIngestSpec pins
+  * the funnel against an independently-computed batch composition,
+  * per-stage equality with the standalone rows' code paths, chunking/
+  * order invariance, and re-delivery idempotence. */
+object StreamIngest {
+
+  import graft.operators.TextQueries.QualityScore
+
+  /** Fold one micro-batch of raw (doc_id, text) documents. Exposed so
+    * the spec can re-deliver and re-order around the exact code path
+    * the catalog row runs. */
+  private[graft] def foldBatch(index: String, flags: String,
+      funnel: String, batch: DataFrame, id: Long): Unit = {
+    // Staged single-file chunks arrive as ONE input partition — the
+    // repartition parallelizes the banding aggregate (the DocStage
+    // rule); persist because the scored frame feeds three stages.
+    val sc = QualityScore(batch.repartition(8)).persist()
+    try {
+      val pass = sc.where(QualityScore.keep)
+        .select(col("doc_id"), col("text"), col("n_tok"))
+      // Dedup the survivors against the maintained index — the
+      // corpus-dedup fold, verbatim, over the gated subset; the flag
+      // partials carry each arriving doc's token count as one more
+      // exact-integer monoid (0 for history re-flag rows).
+      AppendLog.append(index, StreamCorpusDedup.bandRows(pass), id)
+      val seg = AppendLog.segment(batch.sparkSession, index, id).getOrElse(
+        throw new IllegalStateException(s"segment seg$id missing post-append"))
+      val prior = AppendLog.readBefore(batch.sparkSession, index, id)
+      val fp = StreamCorpusDedup.flagPartials(seg, prior)
+        .join(pass.select(col("doc_id"), col("n_tok")), Seq("doc_id"), "left")
+        .na.fill(0L, Seq("n_tok"))
+      MonoidTable.merge(flags, fp, id, Seq("doc_id"))
+      // Funnel monoids for the stateless stages — both computed in ONE
+      // scan of the persisted scored frame (arrived = everything,
+      // quality_pass = the gated subset via conditional sums), then
+      // unpivoted to the stage-keyed rows the monoid table folds.
+      val keepL = when(QualityScore.keep, 1L).otherwise(0L)
+      val f = sc.agg(
+        count(lit(1)).as("a_docs"),
+        coalesce(sum(col("n_tok")), lit(0L)).as("a_toks"),
+        coalesce(sum(keepL), lit(0L)).as("p_docs"),
+        coalesce(sum(keepL * col("n_tok")), lit(0L)).as("p_toks"))
+      val partials = f.select(lit(0L).as("stage_ord"),
+          lit("arrived").as("stage"),
+          col("a_docs").as("n_docs"), col("a_toks").as("n_tokens"))
+        .unionByName(f.select(lit(1L).as("stage_ord"),
+          lit("quality_pass").as("stage"),
+          col("p_docs").as("n_docs"), col("p_toks").as("n_tokens")))
+      MonoidTable.merge(funnel, partials, id, Seq("stage_ord", "stage"))
+    } finally sc.unpersist()
+  }
+
+  /** The maintained funnel report: the two folded stages plus the
+    * derived accepted stage (quality survivors with no smaller-id
+    * near-duplicate among all survivors so far). */
+  def report(s: SparkSession, flags: String, funnel: String): DataFrame = {
+    val accepted = MonoidTable.read(s, flags)
+      .where(col("seen") > 0 && col("n_coll") === 0)
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("n_tok")), lit(0L)).as("n_tokens"))
+      .select(lit(2L).as("stage_ord"), lit("dedup_accepted").as("stage"),
+        col("n_docs"), col("n_tokens"))
+    MonoidTable.read(s, funnel)
+      .select(col("stage_ord"), col("stage"), col("n_docs"), col("n_tokens"))
+      .unionByName(accepted)
+      .orderBy(col("stage_ord"))
+  }
+
+  /** q_stream_ingest (T) — the funnel after the staged replay drains
+    * (shares the corpus-dedup row's 4-chunk document staging; its own
+    * state roots). */
+  val qStreamIngest: Q = Q(
+    "q_stream_ingest",
+    (s, dir) => {
+      val st = StreamCorpusDedup.DocStage
+      val inDir = st.inDir(s, dir)
+      val index = st.stateDir(dir, "ing_index")
+      val flags = st.stateDir(dir, "ing_flags")
+      val funnel = st.stateDir(dir, "ing_funnel")
+      val src = s.readStream.schema(st.schema(s, inDir))
+        .option("maxFilesPerTrigger", 1).parquet(inDir)
+      val pKey = "spark.sql.shuffle.partitions"
+      val prevP = s.conf.get(pKey)
+      // 8, the corpus-dedup rationale: each batch runs a corpus-scale
+      // MinHash aggregate (over the gated subset), not just state-sized
+      // shuffles.
+      s.conf.set(pKey,
+        s.conf.get("spark.graft.replay.shufflePartitions", "8"))
+      try {
+        val q = src.writeStream
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            foldBatch(index, flags, funnel, batch, id)
+          }
+          .start()
+        if (!q.awaitTermination(300000)) {
+          q.stop()
+          throw new IllegalStateException(
+            "q_stream_ingest replay did not finish within 300 s")
+        }
+      } finally s.conf.set(pKey, prevP)
+      report(s, flags, funnel)
+    })
+
+  val all: Vector[Q] = Vector(qStreamIngest)
+}
