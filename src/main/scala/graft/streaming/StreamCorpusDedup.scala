@@ -89,9 +89,11 @@ object StreamCorpusDedup {
         coalesce(col("n_coll"), lit(0L)).as("n_coll"))
   }
 
-  /** Fold one micro-batch into the two state tables. Exposed so the
-    * spec can crash-inject and re-order batches around the identical
-    * code path the catalog row runs.
+  /** THE band-index fold skeleton, shared with [[StreamIngest]] (one
+    * definition of the fence discipline — a fix here serves every row
+    * that maintains a band index): band `docs`, append the segment,
+    * fold the flag partials (optionally enriched with extra monoid
+    * columns) through the fenced merge.
     *
     * APPEND FIRST: banding is the expensive stage (the MinHash
     * signature aggregation), and the segment write doubles as its
@@ -103,21 +105,30 @@ object StreamCorpusDedup {
     * merge (monoid `_bid`) from the same segment bytes; the prior
     * index reads segments strictly BELOW this id, so a retried batch
     * never probes its own contribution. */
-  private[graft] def foldBatch(index: String, flags: String,
-      batch: DataFrame, id: Long): Unit = {
-    val s = batch.sparkSession
-    // The staged single-file chunks arrive as ONE input partition, so
-    // without this the whole MinHash aggregation (explode + 16 hash
-    // mins over every shingle) runs in a single map task — measured
-    // ~1.2 s/batch single-threaded at sf0.1. Production batches arrive
-    // as many files and never need it; the tiny doc-row shuffle is
-    // noise next to the banding it parallelizes.
-    AppendLog.append(index, bandRows(batch.repartition(8)), id)
+  private[graft] def foldBands(index: String, flags: String,
+      docs: DataFrame, id: Long,
+      enrichPartials: DataFrame => DataFrame = identity): Unit = {
+    val s = docs.sparkSession
+    AppendLog.append(index, bandRows(docs), id)
     val seg = AppendLog.segment(s, index, id).getOrElse(
       throw new IllegalStateException(s"segment seg$id missing post-append"))
     val prior = AppendLog.readBefore(s, index, id)
-    MonoidTable.merge(flags, flagPartials(seg, prior), id, Seq("doc_id"))
+    MonoidTable.merge(flags, enrichPartials(flagPartials(seg, prior)), id,
+      Seq("doc_id"))
   }
+
+  /** Fold one micro-batch into the two state tables. Exposed so the
+    * spec can crash-inject and re-order batches around the identical
+    * code path the catalog row runs. */
+  private[graft] def foldBatch(index: String, flags: String,
+      batch: DataFrame, id: Long): Unit =
+    // The staged single-file chunks arrive as ONE input partition, so
+    // without the repartition the whole MinHash aggregation (explode +
+    // 16 hash mins over every shingle) runs in a single map task —
+    // measured ~1.2 s/batch single-threaded at sf0.1. Production
+    // batches arrive as many files and never need it; the tiny doc-row
+    // shuffle is noise next to the banding it parallelizes.
+    foldBands(index, flags, batch.repartition(8), id)
 
   /** The maintained verdict table: every seen doc with its flag. */
   def verdicts(s: SparkSession, flags: String): DataFrame =
@@ -146,28 +157,14 @@ object StreamCorpusDedup {
       val flags = DocStage.stateDir(dir, "flags")
       val src = s.readStream.schema(DocStage.schema(s, inDir))
         .option("maxFilesPerTrigger", 1).parquet(inDir)
-      val pKey = "spark.sql.shuffle.partitions"
-      val prevP = s.conf.get(pKey)
       // 8, not the replay default 4: unlike the windowed-agg replays
       // (whose shuffles carry only state-sized rows), each batch here
       // runs a corpus-scale MinHash signature aggregation — the extra
       // partitions parallelize THAT, while the flag/index state stays
       // small enough that 8 stores are not measurable overhead.
-      s.conf.set(pKey,
-        s.conf.get("spark.graft.replay.shufflePartitions", "8"))
-      try {
-        val q = src.writeStream
-          .trigger(Trigger.AvailableNow())
-          .foreachBatch { (batch: DataFrame, id: Long) =>
-            foldBatch(index, flags, batch, id)
-          }
-          .start()
-        if (!q.awaitTermination(300000)) {
-          q.stop()
-          throw new IllegalStateException(
-            "q_stream_dedup_corpus replay did not finish within 300 s")
-        }
-      } finally s.conf.set(pKey, prevP)
+      FoldReplay.run(src, "q_stream_dedup_corpus", shufflePartitions = "8") {
+        (batch, id) => foldBatch(index, flags, batch, id)
+      }
       verdicts(s, flags)
     })
 

@@ -86,17 +86,17 @@ object StreamIngest {
       val pass = sc.where(QualityScore.keep)
         .select(col("doc_id"), col("text"), col("n_tok"))
       // Dedup the survivors against the maintained index — the
-      // corpus-dedup fold, verbatim, over the gated subset; the flag
-      // partials carry each arriving doc's token count as one more
-      // exact-integer monoid (0 for history re-flag rows).
-      AppendLog.append(index, StreamCorpusDedup.bandRows(pass), id)
-      val seg = AppendLog.segment(batch.sparkSession, index, id).getOrElse(
-        throw new IllegalStateException(s"segment seg$id missing post-append"))
-      val prior = AppendLog.readBefore(batch.sparkSession, index, id)
-      val fp = StreamCorpusDedup.flagPartials(seg, prior)
-        .join(pass.select(col("doc_id"), col("n_tok")), Seq("doc_id"), "left")
-        .na.fill(0L, Seq("n_tok"))
-      MonoidTable.merge(flags, fp, id, Seq("doc_id"))
+      // corpus-dedup fold SKELETON (one definition of the append-first
+      // fence discipline, see StreamCorpusDedup.foldBands) over the
+      // gated subset; the flag partials carry each arriving doc's token
+      // count as one more exact-integer monoid (0 for history re-flag
+      // rows). `pass` derives from the already-repartitioned scored
+      // frame, so the banding parallelism is inherited.
+      StreamCorpusDedup.foldBands(index, flags, pass, id,
+        fp => fp
+          .join(pass.select(col("doc_id"), col("n_tok")),
+            Seq("doc_id"), "left")
+          .na.fill(0L, Seq("n_tok")))
       // Funnel monoids for the stateless stages — both computed in ONE
       // scan of the persisted scored frame (arrived = everything,
       // quality_pass = the gated subset via conditional sums), then
@@ -146,26 +146,12 @@ object StreamIngest {
       val funnel = st.stateDir(dir, "ing_funnel")
       val src = s.readStream.schema(st.schema(s, inDir))
         .option("maxFilesPerTrigger", 1).parquet(inDir)
-      val pKey = "spark.sql.shuffle.partitions"
-      val prevP = s.conf.get(pKey)
-      // 8, the corpus-dedup rationale: each batch runs a corpus-scale
-      // MinHash aggregate (over the gated subset), not just state-sized
-      // shuffles.
-      s.conf.set(pKey,
-        s.conf.get("spark.graft.replay.shufflePartitions", "8"))
-      try {
-        val q = src.writeStream
-          .trigger(Trigger.AvailableNow())
-          .foreachBatch { (batch: DataFrame, id: Long) =>
-            foldBatch(index, flags, funnel, batch, id)
-          }
-          .start()
-        if (!q.awaitTermination(300000)) {
-          q.stop()
-          throw new IllegalStateException(
-            "q_stream_ingest replay did not finish within 300 s")
-        }
-      } finally s.conf.set(pKey, prevP)
+      // 8 shuffle partitions, the corpus-dedup rationale: each batch
+      // runs a corpus-scale MinHash aggregate (over the gated subset),
+      // not just state-sized shuffles.
+      FoldReplay.run(src, "q_stream_ingest", shufflePartitions = "8") {
+        (batch, id) => foldBatch(index, flags, funnel, batch, id)
+      }
       report(s, flags, funnel)
     })
 

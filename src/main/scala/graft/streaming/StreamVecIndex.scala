@@ -128,24 +128,12 @@ object StreamVecIndex {
     val inDir = VecStage.inDir(s, dir)
     val src = s.readStream.schema(VecStage.schema(s, inDir))
       .option("maxFilesPerTrigger", 1).parquet(inDir)
-    val pKey = "spark.sql.shuffle.partitions"
-    val prevP = s.conf.get(pKey)
-    s.conf.set(pKey, s.conf.get("spark.graft.replay.shufflePartitions", "4"))
-    try {
-      var w = src.writeStream.trigger(Trigger.AvailableNow())
-      checkpoint.foreach(c => w = w.option("checkpointLocation", c))
-      val q = w.foreachBatch { (batch: DataFrame, id: Long) =>
-          MonoidTable.merge(state,
-            partials(graft.operators.AnnIvf.assign(batch, cb)), id,
-            Seq("cell", "pos"))
-        }
-        .start()
-      if (!q.awaitTermination(300000)) {
-        q.stop()
-        throw new IllegalStateException(
-          "q_stream_vec_index replay did not finish within 300 s")
-      }
-    } finally s.conf.set(pKey, prevP)
+    FoldReplay.run(src, "q_stream_vec_index", checkpoint = checkpoint) {
+      (batch, id) =>
+        MonoidTable.merge(state,
+          partials(graft.operators.AnnIvf.assign(batch, cb)), id,
+          Seq("cell", "pos"))
+    }
   }
 
   /** q_stream_vec_index (T) — the maintained IVF index's drift report

@@ -205,23 +205,9 @@ object StreamVecSearch {
       val results = QueryStage.stateDir(dir, "results")
       val src = s.readStream.schema(QueryStage.schema(s, inDir))
         .option("maxFilesPerTrigger", 1).parquet(inDir)
-      val pKey = "spark.sql.shuffle.partitions"
-      val prevP = s.conf.get(pKey)
-      s.conf.set(pKey,
-        s.conf.get("spark.graft.replay.shufflePartitions", "4"))
-      try {
-        val q = src.writeStream
-          .trigger(Trigger.AvailableNow())
-          .foreachBatch { (batch: DataFrame, id: Long) =>
-            foldBatch(results, postings, cb, batch, id)
-          }
-          .start()
-        if (!q.awaitTermination(300000)) {
-          q.stop()
-          throw new IllegalStateException(
-            "q_stream_vec_search replay did not finish within 300 s")
-        }
-      } finally s.conf.set(pKey, prevP)
+      FoldReplay.run(src, "q_stream_vec_search") { (batch, id) =>
+        foldBatch(results, postings, cb, batch, id)
+      }
       AppendLog.read(s, results).getOrElse(throw new IllegalStateException(
           s"results log at $results has no committed segments"))
         .orderBy(col("qid"), col("rank"))

@@ -613,22 +613,9 @@ object StreamingQueries {
         s.readStream.schema(UpsertStage.schema(s, inDir))
           .option("maxFilesPerTrigger", 1).parquet(inDir))
       // Small-state shuffle sizing, same scoped knob as Replay.run.
-      val pKey = "spark.sql.shuffle.partitions"
-      val prevP = s.conf.get(pKey)
-      s.conf.set(pKey, s.conf.get("spark.graft.replay.shufflePartitions", "4"))
-      try {
-        val q = src.writeStream
-          .trigger(Trigger.AvailableNow())
-          .foreachBatch { (batch: DataFrame, id: Long) =>
-            UpsertState.merge(state, batch, id)
-          }
-          .start()
-        if (!q.awaitTermination(300000)) {
-          q.stop()
-          throw new IllegalStateException(
-            "q_stream_upsert replay did not finish within 300 s")
-        }
-      } finally s.conf.set(pKey, prevP)
+      FoldReplay.run(src, "q_stream_upsert") { (batch, id) =>
+        UpsertState.merge(state, batch, id)
+      }
       UpsertState.read(s, state)
         .select($"user_id", $"ts".cast("timestamp_ntz").as("last_ts"),
           $"event_id".as("last_event_id"),
@@ -682,22 +669,9 @@ object StreamingQueries {
       val src = graft.Tables.normalizeTs(
         s.readStream.schema(UpsertStage.schema(s, inDir))
           .option("maxFilesPerTrigger", 1).parquet(inDir))
-      val pKey = "spark.sql.shuffle.partitions"
-      val prevP = s.conf.get(pKey)
-      s.conf.set(pKey, s.conf.get("spark.graft.replay.shufflePartitions", "4"))
-      try {
-        val q = src.writeStream
-          .trigger(Trigger.AvailableNow())
-          .foreachBatch { (batch: DataFrame, id: Long) =>
-            MonoidTable.merge(state, partials(batch), id, Seq("day"))
-          }
-          .start()
-        if (!q.awaitTermination(300000)) {
-          q.stop()
-          throw new IllegalStateException(
-            "q_stream_daily_agg replay did not finish within 300 s")
-        }
-      } finally s.conf.set(pKey, prevP)
+      FoldReplay.run(src, "q_stream_daily_agg") { (batch, id) =>
+        MonoidTable.merge(state, partials(batch), id, Seq("day"))
+      }
       MonoidTable.read(s, state)
         .select($"day", $"n",
           ($"sc".cast(org.apache.spark.sql.types.DoubleType) / 100)
@@ -751,22 +725,9 @@ object StreamingQueries {
       val src = graft.Tables.normalizeTs(
         s.readStream.schema(UpsertStage.schema(s, inDir))
           .option("maxFilesPerTrigger", 1).parquet(inDir))
-      val pKey = "spark.sql.shuffle.partitions"
-      val prevP = s.conf.get(pKey)
-      s.conf.set(pKey, s.conf.get("spark.graft.replay.shufflePartitions", "4"))
-      try {
-        val q = src.writeStream
-          .trigger(Trigger.AvailableNow())
-          .foreachBatch { (batch: DataFrame, id: Long) =>
-            MonoidTable.merge(state, partials(batch), id, Seq("day"))
-          }
-          .start()
-        if (!q.awaitTermination(300000)) {
-          q.stop()
-          throw new IllegalStateException(
-            "q_stream_kalman replay did not finish within 300 s")
-        }
-      } finally s.conf.set(pKey, prevP)
+      FoldReplay.run(src, "q_stream_kalman") { (batch, id) =>
+        MonoidTable.merge(state, partials(batch), id, Seq("day"))
+      }
       graft.operators.StatQueries.kalmanChain(s,
         MonoidTable.read(s, state).select(col("day"), col("v")))
     },
@@ -801,23 +762,10 @@ object StreamingQueries {
       val src = graft.Tables.normalizeTs(
         s.readStream.schema(UpsertStage.schema(s, inDir))
           .option("maxFilesPerTrigger", 1).parquet(inDir))
-      val pKey = "spark.sql.shuffle.partitions"
-      val prevP = s.conf.get(pKey)
-      s.conf.set(pKey, s.conf.get("spark.graft.replay.shufflePartitions", "4"))
-      try {
-        val q = src.writeStream
-          .trigger(Trigger.AvailableNow())
-          .foreachBatch { (batch: DataFrame, id: Long) =>
-            MonoidTable.merge(state, partials(batch), id,
-              Seq("event_type", "day"))
-          }
-          .start()
-        if (!q.awaitTermination(300000)) {
-          q.stop()
-          throw new IllegalStateException(
-            "q_stream_decay replay did not finish within 300 s")
-        }
-      } finally s.conf.set(pKey, prevP)
+      FoldReplay.run(src, "q_stream_decay") { (batch, id) =>
+        MonoidTable.merge(state, partials(batch), id,
+          Seq("event_type", "day"))
+      }
       graft.operators.AnalyticsQueries.decayReport(s,
         MonoidTable.read(s, state)
           .select(col("event_type"), col("day"), col("day_cents")))

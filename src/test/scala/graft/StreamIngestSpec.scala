@@ -21,23 +21,31 @@ class StreamIngestSpec extends AnyFunSuite with SparkFixture {
   private def docs: DataFrame = Tables.documents(spark, sfDir)
     .select(col("doc_id"), col("text"))
 
-  /** The batch composition, computed independently of the fold. */
-  private lazy val batchTruth: (Long, Long, Long, Long, Long, Long) = {
-    val sc = QualityScore(docs)
-    val arrived = sc.agg(count(lit(1)), sum(col("n_tok"))).head()
+  /** The batch composition, computed independently of the fold. The
+    * scored and banded frames each feed several actions — persist so
+    * the corpus is scored once and banded once per spec run. */
+  private lazy val (batchTruth, acceptedIds):
+      ((Long, Long, Long, Long, Long, Long), Set[Long]) = {
+    val sc = QualityScore(docs).persist()
     val pass = sc.where(QualityScore.keep)
       .select(col("doc_id"), col("text"), col("n_tok"))
-    val passAgg = pass.agg(count(lit(1)), sum(col("n_tok"))).head()
-    val bands = DedupQueries.MinHashLsh.bandKeys(pass)
-    val flagged = bands.as("a")
-      .join(bands.as("b"), Seq("band", "band_key"))
-      .where(col("a.doc_id") < col("b.doc_id"))
-      .select(col("b.doc_id").as("doc_id")).distinct()
-    val acc = pass.join(flagged, Seq("doc_id"), "left_anti")
-      .agg(count(lit(1)), sum(col("n_tok"))).head()
-    (arrived.getLong(0), arrived.getLong(1),
-      passAgg.getLong(0), passAgg.getLong(1),
-      acc.getLong(0), acc.getLong(1))
+    val bands = DedupQueries.MinHashLsh.bandKeys(pass).persist()
+    try {
+      val arrived = sc.agg(count(lit(1)), sum(col("n_tok"))).head()
+      val passAgg = pass.agg(count(lit(1)), sum(col("n_tok"))).head()
+      val flagged = bands.as("a")
+        .join(bands.as("b"), Seq("band", "band_key"))
+        .where(col("a.doc_id") < col("b.doc_id"))
+        .select(col("b.doc_id").as("doc_id")).distinct()
+      val accFrame = pass.join(flagged, Seq("doc_id"), "left_anti").persist()
+      val acc = accFrame.agg(count(lit(1)), sum(col("n_tok"))).head()
+      val accIds = accFrame.select(col("doc_id"))
+        .collect().map(_.getLong(0)).toSet
+      accFrame.unpersist()
+      ((arrived.getLong(0), arrived.getLong(1),
+        passAgg.getLong(0), passAgg.getLong(1),
+        acc.getLong(0), acc.getLong(1)), accIds)
+    } finally { sc.unpersist(); bands.unpersist() }
   }
 
   private def asRows(df: DataFrame): Seq[(Long, String, Long, Long)] =
@@ -106,25 +114,79 @@ class StreamIngestSpec extends AnyFunSuite with SparkFixture {
     assert(seenMax == 1L)
   }
 
-  test("the accepted set is exactly the quality survivors minus docs " +
-      "with a smaller-id surviving collider — rejected docs can never " +
-      "shadow a survivor") {
-    // A doc that FAILS the gate must not enter the index: if it did, a
-    // smaller-id failing near-duplicate would wrongly flag a surviving
-    // doc. Feed one batch where a failing doc precedes its (synthetic)
-    // passing twin and assert the twin is accepted.
-    val sc = QualityScore(docs)
-    val failing = sc.where(!QualityScore.keep)
-      .select(col("doc_id")).limit(1).collect()
-    assume(failing.nonEmpty, "fixture has gate-failing docs")
+  test("exactly the quality survivors enter the dedup state") {
     val (root, rows) = runBatches(Seq(docs))
     val flags = MonoidTable.read(spark, s"$root/flags")
-    val passIds = sc.where(QualityScore.keep)
+    val passIds = QualityScore(docs).where(QualityScore.keep)
       .select(col("doc_id")).collect().map(_.getLong(0)).toSet
     val seenIds = flags.where(col("seen") > 0)
       .select(col("doc_id")).collect().map(_.getLong(0)).toSet
-    assert(seenIds == passIds,
-      "exactly the quality survivors may enter the dedup state")
+    assert(seenIds == passIds)
     assert(rows.map(_._2) == Seq("arrived", "quality_pass", "dedup_accepted"))
+  }
+
+  test("a gate-FAILING near-duplicate arriving FIRST can never shadow a " +
+      "survivor — with a gate-after-banding negative control proving " +
+      "the scenario bites") {
+    import spark.implicits._
+    // Plant a synthetic twin of an accepted doc p: p's text plus 250
+    // filler tokens — n_tok > 200 fails the gate, while the shingle
+    // SET is a superset of p's, so the twin usually still shares a
+    // band with p. Search the accepted docs for a p whose twin
+    // genuinely collides (min-hashes can shift when the new shingles
+    // hash low), so the control below is non-vacuous by construction.
+    val candidates = docs.where(col("doc_id").isin(
+        acceptedIds.toSeq.sorted.take(10): _*))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val planted = candidates.map { case (id, text) =>
+      (id, -id - 1, text + " zzz" * 250)
+    }
+    val bandFrame = DedupQueries.MinHashLsh.bandKeys(
+      (candidates.map { case (id, t) => (id, t) } ++
+        planted.map { case (_, tid, tt) => (tid, tt) })
+        .toSeq.toDF("doc_id", "text"))
+    val collisions = bandFrame.as("a")
+      .join(bandFrame.as("b"), Seq("band", "band_key"))
+      .where(col("a.doc_id") === -col("b.doc_id") - 1)
+      .select(col("a.doc_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val (p, twinId, twinText) = planted.find(pl => collisions(pl._1))
+      .getOrElse(fail("no accepted doc's filler-twin band-collides — " +
+        "pick different filler"))
+    val twinDf = Seq((twinId, twinText)).toDF("doc_id", "text")
+    assert(twinId < p, "the twin must be the smaller id of the pair")
+    assert(QualityScore(twinDf).where(QualityScore.keep).count() == 0,
+      "the twin must genuinely fail the gate")
+
+    // Shipped path: the twin arrives FIRST, then the full corpus — p
+    // must still be accepted because the failing twin never enters the
+    // index.
+    val root = Files.createTempDirectory("graft_ingest_shadow").toString
+    Seq(twinDf, docs).zipWithIndex.foreach { case (b, i) =>
+      StreamIngest.foldBatch(s"$root/index", s"$root/flags",
+        s"$root/funnel", b, i.toLong)
+    }
+    val flags = MonoidTable.read(spark, s"$root/flags")
+    assert(flags.where(col("doc_id") === twinId).count() == 0,
+      "the failing twin must never enter the dedup state")
+    assert(flags.where(col("doc_id") === p)
+      .select(col("n_coll")).head().getLong(0) == 0L,
+      s"doc $p must stay accepted — the rejected twin cannot shadow it")
+
+    // Negative control — gate AFTER banding (the wrong order): band the
+    // raw twin batch into the index, then the survivors; the smaller-id
+    // twin now flags p, proving the shipped gate placement is what the
+    // assertion above actually tests.
+    val nroot = Files.createTempDirectory("graft_ingest_shadow_neg").toString
+    StreamCorpusDedup.foldBands(s"$nroot/index", s"$nroot/flags",
+      twinDf.repartition(2), 0L)
+    StreamCorpusDedup.foldBands(s"$nroot/index", s"$nroot/flags",
+      QualityScore(docs).where(QualityScore.keep)
+        .select(col("doc_id"), col("text")).repartition(8), 1L)
+    assert(MonoidTable.read(spark, s"$nroot/flags")
+      .where(col("doc_id") === p)
+      .select(col("n_coll")).head().getLong(0) > 0L,
+      "without the gate-first order the twin must flag p — if it " +
+        "doesn't, the shipped-path assert proves nothing")
   }
 }
