@@ -125,6 +125,45 @@ class StreamIngestSpec extends AnyFunSuite with SparkFixture {
     assert(rows.map(_._2) == Seq("arrived", "quality_pass", "dedup_accepted"))
   }
 
+  test("crash-retry through a REAL checkpoint restart: a re-delivered " +
+      "batchId converges on all three state tables") {
+    import org.apache.spark.sql.streaming.{StreamingQueryException, Trigger}
+    val inDir = StreamCorpusDedup.DocStage.inDir(spark, sfDir)
+    val root = Files.createTempDirectory("graft_ingest_crash").toString
+    val ckpt = Files.createTempDirectory("graft_ingest_ckpt").toString
+    val schema = spark.read.parquet(inDir).schema
+    val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          StreamIngest.foldBatch(s"$root/index", s"$root/flags",
+            s"$root/funnel", batch, id)
+          if (id == 2L && crashed.compareAndSet(false, true))
+            throw new RuntimeException("injected crash after fold")
+        }
+        .start()
+      assert(q.awaitTermination(120000), "replay must finish")
+      q.stop()
+    }
+    try runOnce()
+    catch { case _: StreamingQueryException => () }
+    assert(crashed.get(), "the injection must have fired")
+    runOnce()
+    val got = asRows(StreamIngest.report(spark, s"$root/flags",
+      s"$root/funnel"))
+    val want = asRows(Catalog.byName("q_stream_ingest").build(spark, sfDir))
+    assert(got == want,
+      "the funnel must equal the batch truth despite the crash — a " +
+        "double-merged batch would inflate arrived/quality_pass")
+    val seenMax = MonoidTable.read(spark, s"$root/flags")
+      .agg(max(col("seen"))).head().getLong(0)
+    assert(seenMax == 1L, s"re-delivery double-counted seen=$seenMax")
+  }
+
   test("a gate-FAILING near-duplicate arriving FIRST can never shadow a " +
       "survivor — with a gate-after-banding negative control proving " +
       "the scenario bites") {

@@ -123,6 +123,41 @@ class StreamVecSearchSpec extends AnyFunSuite with SparkFixture {
       "the 3-chunk fold must equal the catalog row's 4-chunk replay")
   }
 
+  test("crash-retry through a REAL checkpoint restart: the re-delivered " +
+      "batch neither duplicates its result segment nor changes the log") {
+    import org.apache.spark.sql.streaming.{StreamingQueryException, Trigger}
+    val postings = StreamVecSearch.Postings.dir(spark, sfDir)
+    val inDir = StreamVecSearch.QueryStage.inDir(spark, sfDir)
+    val results = Files.createTempDirectory("graft_vsearch_crash").toString
+    val ckpt = Files.createTempDirectory("graft_vsearch_ckpt").toString
+    val schema = spark.read.parquet(inDir).schema
+    val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          StreamVecSearch.foldBatch(results, postings, cb, batch, id)
+          if (id == 2L && crashed.compareAndSet(false, true))
+            throw new RuntimeException("injected crash after fold")
+        }
+        .start()
+      assert(q.awaitTermination(120000), "replay must finish")
+      q.stop()
+    }
+    try runOnce()
+    catch { case _: StreamingQueryException => () }
+    assert(crashed.get(), "the injection must have fired")
+    runOnce()
+    val drained = AppendLog.read(spark, results).get
+    assert(asSet(drained) == catalogResult,
+      "the drained log must equal the catalog truth despite the crash")
+    assert(drained.count() == catalogResult.size,
+      "a re-delivered batch must not land a duplicate segment")
+  }
+
   test("an empty probed cell (no cell=<c>/ directory) is skipped, not " +
       "a crash — guaranteed to occur at the production k regime") {
     import spark.implicits._
