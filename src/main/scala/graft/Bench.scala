@@ -67,7 +67,13 @@ object Bench {
 
   /** This JVM's cumulative CPU-seconds (all threads — in local[n] mode
     * every executor thread lives here, so this IS the bench's own
-    * spend). −1 when the platform bean is unavailable. */
+    * spend). IN-PROCESS ONLY (r12 advice): CPU burned by any child
+    * process the bench spawned would read as EXTERNAL load and could
+    * false-flag `contended` — today the bench forks nothing (no python/
+    * duckdb preflight lives in this JVM's run), and that assumption is
+    * part of [[externalCores]]'s contract; a future fork must sum the
+    * children's CPU here (/proc/self + descendants) or run outside the
+    * timed loop. −1 when the platform bean is unavailable. */
   private def selfCpuSec(): Double =
     try java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
       case os: com.sun.management.OperatingSystemMXBean =>
@@ -75,6 +81,38 @@ object Bench {
         if (t < 0) -1.0 else t / 1e9
       case _ => -1.0
     } catch { case _: Throwable => -1.0 }
+
+  /** Cumulative stop-the-world GC seconds across all collectors — the
+    * "was that slow rep a GC pause?" attribution input (r12 verdict:
+    * a 10.8 s components_star rep was unattributable between GC, IO
+    * and plan). Monotonic; deltas around a query's reps are that
+    * query's GC bill because the timed loop is sequential. */
+  private def gcTotalSec(): Double =
+    try {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(b => math.max(0L, b.getCollectionTime)).sum / 1000.0
+    } catch { case _: Throwable => -1.0 }
+
+  /** Cumulative MAJOR page faults of this process (/proc/self/stat
+    * field 12) — the cold-page-cache indicator: a rep that stalls on
+    * re-reading evicted parquet pages shows a majflt spike with flat
+    * GC. Parsed after the last ')' because comm may contain spaces. */
+  private def majorFaults(): Long =
+    try {
+      val s = Files.readString(Paths.get("/proc/self/stat"))
+      s.substring(s.lastIndexOf(')') + 2).split(" ")(9).toLong
+    } catch { case _: Throwable => -1L }
+
+  /** Cumulative bytes this process caused to be fetched from the
+    * storage layer (/proc/self/io read_bytes) — the second IO
+    * indicator: unlike majflt it also counts buffered reads that
+    * missed the page cache. */
+  private def ioReadBytes(): Long =
+    try Files.readString(Paths.get("/proc/self/io")).linesIterator
+      .find(_.startsWith("read_bytes:")).map(_.split(":")(1).trim.toLong)
+      .getOrElse(-1L)
+    catch { case _: Throwable => -1L }
 
   /** Mid-loop contention verdict (r12, second cut). The first cut
     * flagged on max 1-min loadavg ≥ 3× the gate — and self-flagged
@@ -193,8 +231,11 @@ object Bench {
     // q_vec_knn_graph{,_batch} joined the set in r11: their traversal
     // loop scopes an AQE disable (AnnGraph.withoutAqe), which must not
     // overlap concurrent warm work on the shared session.
+    // q_vec_index_refit runs a streaming replay (FoldReplay's scoped
+    // shuffle-partitions set/restore) inside a batch-named row — same
+    // hazard, same sequential-only treatment.
     val confMutating = Set("q_join_bloom_filtered",
-      "q_vec_knn_graph", "q_vec_knn_graph_batch")
+      "q_vec_knn_graph", "q_vec_knn_graph_batch", "q_vec_index_refit")
     def parallelSafe(name: String): Boolean =
       !name.startsWith("q_stream_") && !confMutating(name)
     // Snapshot the WHOLE runtime conf before any warm work: the leak
@@ -357,21 +398,31 @@ object Bench {
       .getOrElse("SPARK_GRAFT_BENCH_EXT_CORES_MAX", "2.0").toDouble
     val busy0 = totalBusySec()
     val self0 = selfCpuSec()
+    val ioRead0 = ioReadBytes()
     val loopT0 = System.nanoTime()
+    // Per-rep attribution record: (wall sec, GC-sec delta, majflt
+    // delta) — so a slow rep in the emitted detail is attributable to
+    // GC vs page-cache IO vs plan from the JSON alone (r12 verdict #2).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       trackLoad()
       var firstErr: Option[String] = None
-      def once(): Option[Double] = {
+      def once(): Option[(Double, Double, Long)] = {
+        val gc0 = gcTotalSec(); val mf0 = majorFaults()
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
-        catch {
+        try {
+          fn(spark, sfDir).count()
+          Some(((System.nanoTime() - t0) / 1e9,
+            math.max(0.0, gcTotalSec() - gc0),
+            math.max(0L, majorFaults() - mf0)))
+        } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
             if (firstErr.isEmpty) firstErr = Some(e.getClass.getSimpleName)
             None
         }
       }
-      var timings = (1 to reps).flatMap(_ => once()).toVector
+      var repRecords = (1 to reps).flatMap(_ => once()).toVector
+      def timings = repRecords.map(_._1)
       // An error during the INITIAL reps marks the query broken; a
       // failure during the optional spread-retry sampling must not
       // discard reps that already succeeded — the valid median stands,
@@ -380,8 +431,9 @@ object Bench {
       val initialErr = firstErr
       def spread(ts: Vector[Double]): Double =
         if (ts.size < 2 || ts.min <= 0) 1.0 else ts.max / ts.min
-      while (firstErr.isEmpty && spread(timings) > 2.0 && timings.size < maxReps)
-        timings = timings ++ once()
+      while (firstErr.isEmpty && spread(timings) > 2.0 &&
+          repRecords.size < maxReps)
+        repRecords = repRecords ++ once()
       // Reported spread covers the 3 reps CLOSEST to the median — the
       // votes the median actually stands on. The retry loop above
       // already gave a noise spike extra reps; keeping the spike in the
@@ -396,17 +448,35 @@ object Bench {
           spread(ts.sortBy(t => math.abs(t - med)).take(3))
         }
       val flaky = if (initialErr.isEmpty) firstErr else None
-      if (initialErr.isDefined || timings.isEmpty)
-        (name, 0.0, 0.0, firstErr, None, timings)
+      if (initialErr.isDefined || repRecords.isEmpty)
+        (name, 0.0, 0.0, firstErr, None, repRecords)
       else
         (name, timings.sorted.apply(timings.size / 2), trimmedSpread(timings),
-          None, flaky, timings)
+          None, flaky, repRecords)
     }
     val loadEnd = loadavg()
     trackLoad()
+    // PINNED-PERSIST FOOTPRINT (r12 verdict #3): the Memo'd stages
+    // persist for the JVM with no eviction by design — this reading is
+    // what bounds that design. Taken at loop end (the maximal pinned
+    // set: every stage built), from the storage layer's own accounting,
+    // so a late-catalog rep spike is attributable to (or cleared of)
+    // memory pressure from the pinned set. PinnedFootprintSpec asserts
+    // the sf0.1 envelope leaves ≥ 10× headroom under the heap.
+    val (pinnedMem, pinnedDisk, pinnedRdds) = {
+      val infos = spark.sparkContext.getRDDStorageInfo
+      (infos.map(_.memSize).sum, infos.map(_.diskSize).sum, infos.length)
+    }
     val loadMax = java.lang.Double.longBitsToDouble(loadMaxDuring.get())
     val extCores = externalCores(busy0, totalBusySec(), self0, selfCpuSec(),
       (System.nanoTime() - loopT0) / 1e9)
+    // Storage-layer bytes actually fetched during the timed loop: near
+    // zero on a warm page cache (the committed-pair regime), large when
+    // the cache is cold — the discriminator behind the driver-run-vs-
+    // committed-pair gap (r12 verdict #2's "non-CPU factor").
+    val ioReadDelta =
+      if (ioRead0 < 0) -1L
+      else math.max(0L, ioReadBytes() - ioRead0)
     val extMaxWindow = maxWindowExternalCores(extSamples.toSeq,
       minWindowSec = 10.0)
     val contended = gateContended || extCores < 0 ||
@@ -436,10 +506,30 @@ object Bench {
     // total disagrees with a committed one, this shows WHICH reps of
     // WHICH rows absorbed the contention instead of leaving a 35%
     // gap unattributable (r7 verdict #1).
-    val repsDetail = results.filter(_._4.isEmpty).sortBy(-_._2).take(10)
+    val slowest = results.filter(_._4.isEmpty).sortBy(-_._2).take(10)
+    val repsDetail = slowest
       .map { case (k, _, _, _, _, ts) =>
-        "\"" + k + "\":[" + ts.map(fmt).mkString(",") + "]" }
+        "\"" + k + "\":[" + ts.map(r => fmt(r._1)).mkString(",") + "]" }
       .mkString("{", ",", "}")
+    // Per-rep GC / major-fault deltas for the same 10 rows, index-
+    // aligned with `reps`: a slow rep with a matching GC spike is a
+    // pause, one with a majflt spike is cold page cache, one with
+    // neither is plan/scheduler (r12 verdict #2's attribution ask).
+    val repsGc = slowest
+      .map { case (k, _, _, _, _, ts) =>
+        "\"" + k + "\":[" + ts.map(r => fmt(r._2)).mkString(",") + "]" }
+      .mkString("{", ",", "}")
+    val repsMajflt = slowest
+      .map { case (k, _, _, _, _, ts) =>
+        "\"" + k + "\":[" + ts.map(_._3).mkString(",") + "]" }
+      .mkString("{", ",", "}")
+    // Per-query GC bill (sum over its reps) for EVERY row — the loop is
+    // sequential, so attribution is exact.
+    val gcPerQuery = results.collect {
+      case (k, _, _, None, _, ts) => "\"" + k + "\":" + fmt(ts.map(_._2).sum)
+    }.mkString("{", ",", "}")
+    val gcTotal = results.flatMap(_._6.map(_._2)).sum
+    val majfltTotal = results.flatMap(_._6.map(_._3)).sum
     val warmDetail = warmItems
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
@@ -453,7 +543,11 @@ object Bench {
         s""""streaming_total":${fmt(streamTotal)},""" +
         s""""errors":$errs,"flaky":$flaky,""" +
         s""""spreads":$spreads,"max_spread":${fmt(maxSpread)},""" +
-        s""""reps":$repsDetail,""" +
+        s""""reps":$repsDetail,"reps_gc":$repsGc,"reps_majflt":$repsMajflt,""" +
+        s""""gc":$gcPerQuery,"gc_total_sec":${fmt(gcTotal)},""" +
+        s""""majflt_total":$majfltTotal,"io_read_bytes":$ioReadDelta,""" +
+        s""""pinned_mem_bytes":$pinnedMem,"pinned_disk_bytes":$pinnedDisk,""" +
+        s""""pinned_rdds":$pinnedRdds,""" +
         s""""warmup_sec":${fmt(warmupSec)},"warmup_items":$warmDetail,""" +
         s""""warm_slowest":$warmSlowest,""" +
         s""""contended":$contended,"loadavg_gate":$loadGate,""" +
@@ -476,6 +570,10 @@ object Bench {
         s""""streaming_total":${fmt(streamTotal)},""" +
         s""""n_queries":${results.size},"n_errors":${results.count(_._4.isDefined)},""" +
         s""""n_flaky":${results.count(_._5.isDefined)},""" +
+        s""""gc_total_sec":${fmt(gcTotal)},"majflt_total":$majfltTotal,""" +
+        s""""io_read_bytes":$ioReadDelta,""" +
+        s""""pinned_mem_bytes":$pinnedMem,"pinned_disk_bytes":$pinnedDisk,""" +
+        s""""pinned_rdds":$pinnedRdds,""" +
         s""""warmup_items":$warmDetail,""" +
         s""""max_spread":${fmt(maxSpread)},"warmup_sec":${fmt(warmupSec)},""" +
         s""""contended":$contended,"loadavg_gate":$loadGate,""" +

@@ -165,19 +165,24 @@ object TypedAggs {
   object Top5ByScore extends TopKByScore(5)
 
   /** The shared "exact top-k per key by (score DESC, id ASC)" ranking:
-    * input columns (key: long, sim: double, id: long) IN THAT ORDER
-    * (names free), output (keyOut, rank, vec_id, sim) with rank 1..k.
-    * One definition because q_vec_knn_batch (batch probe set) and
+    * input columns named by the `keyCol`/`scoreCol`/`idCol` parameters
+    * (long/double/long), output (keyOut, rank, vec_id, sim) with rank
+    * 1..k. One definition because q_vec_knn_batch (batch probe set) and
     * q_stream_vec_search (streamed query log) must rank identically —
     * and because the k is a PARAMETER here, a caller's declared top-k
     * constant cannot silently desynchronize from a hardcoded
-    * aggregator instance. */
+    * aggregator instance. Columns are selected BY NAME before the
+    * typed decode (r12 advice): the earlier positional contract would
+    * silently mis-rank a caller passing (key, id, score) order with
+    * compatible numeric types instead of failing analysis. */
   def rankTopKByScore(scored: org.apache.spark.sql.DataFrame, k: Int,
+      keyCol: String, scoreCol: String, idCol: String,
       keyOut: String): org.apache.spark.sql.DataFrame = {
     val s = scored.sparkSession
     import org.apache.spark.sql.functions._
     import s.implicits._
     scored
+      .select(col(keyCol), col(scoreCol), col(idCol))
       .as[(Long, Double, Long)]
       .groupByKey(_._1)
       .mapValues(r => (r._2, r._3))

@@ -563,10 +563,19 @@ object DedupQueries {
       var iter = 0
       while (!stable && iter < 50) {
         val next = smallStar(largeStar(edges)).localCheckpoint(true)
-        // Fixpoint when the canonical edge multiset is unchanged (both
-        // sets are distinct, so two anti-join counts decide equality).
-        stable = next.count() == edges.count() &&
-          next.join(edges, Seq("u", "v"), "left_anti").isEmpty
+        // Fixpoint when the canonical edge set is unchanged. ONE action
+        // (r12 verdict: this row's 3 driver-blocking actions per round —
+        // two counts + an anti-join isEmpty — made it the catalog's most
+        // ambient-jitter-exposed row): both frames are distinct sets, so
+        // set equality ⟺ empty symmetric difference, and the symmetric
+        // difference is one ±1 keyed aggregate over the two
+        // already-checkpointed frames — any (u, v) appearing on exactly
+        // one side sums to ±1.
+        stable = next.select(col("u"), col("v"), lit(1L).as("_c"))
+          .unionByName(edges.select(col("u"), col("v"), lit(-1L).as("_c")))
+          .groupBy(col("u"), col("v")).agg(sum(col("_c")).as("_s"))
+          .where(col("_s") =!= 0L)
+          .isEmpty
         edges = next
         iter += 1
       }

@@ -574,7 +574,8 @@ object VectorQueries {
             .where($"vec_id" =!= $"p_id")
             .select($"p_id", round(dot("embedding", "p"), 6).as("sim"),
               $"vec_id"),
-          k = 5, keyOut = "p_id")
+          k = 5, keyCol = "p_id", scoreCol = "sim", idCol = "vec_id",
+          keyOut = "p_id")
         .orderBy($"p_id", $"rank")
     },
     oracle = Some(

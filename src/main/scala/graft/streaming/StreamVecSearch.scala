@@ -115,7 +115,8 @@ object StreamVecSearch {
           round(call_function("vec_dot", col("embedding"), col("qvec")), 6)
             .as("sim"),
           col("vec_id")),
-      TopK, keyOut = "qid")
+      TopK, keyCol = "qid", scoreCol = "sim", idCol = "vec_id",
+      keyOut = "qid")
 
   private def emptyResults(s: SparkSession): DataFrame = {
     import s.implicits._
@@ -141,10 +142,18 @@ object StreamVecSearch {
       // existence probe is per probed cell (≤ k, driver-side routing
       // state — an object-store deployment folds it into the one
       // listing it already does).
+      // Existence resolves through the session's Hadoop FileSystem, not
+      // java.nio (r12 advice): a raw-path Files.exists on a non-local
+      // postings root (object store, HDFS) would silently report every
+      // cell missing and publish EMPTY results — the one failure mode
+      // worse than failing. The FS probe answers correctly for any
+      // scheme the session can read.
+      val fs = new org.apache.hadoop.fs.Path(postingsRoot)
+        .getFileSystem(s.sessionState.newHadoopConf())
       val dirs = routed.select(col("cell")).distinct()
         .collect().map(_.getInt(0)).toSeq.sorted
         .map(c => s"$postingsRoot/cell=$c")
-        .filter(d => java.nio.file.Files.exists(java.nio.file.Paths.get(d)))
+        .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d)))
       val out =
         if (dirs.isEmpty) emptyResults(s)
         else scoreTopK(routed,

@@ -41,6 +41,27 @@ class StreamVecSearchSpec extends AnyFunSuite with SparkFixture {
 
   test("every query in the log is answered, with exactly topK ranks") {
     assert(queryIds.nonEmpty, "the md5 gate must select some queries")
+    // Fixture-size premise, asserted EXPLICITLY (r12 advice): "exactly
+    // ranks 1..TopK" holds only when every query's probed cells hold at
+    // least TopK non-self candidates — on a smaller or skewed fixture
+    // the row's semantics (fewer ranks when candidates run out) are
+    // still correct and this suite must say "fixture too small", not
+    // fail the semantics assert.
+    val occupancy = AnnIvf.assign(emb, cb)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val qvecs = StreamVecSearch.queryLog(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val minCandidates = qvecs.map { case (_, qv) =>
+      // Self sits in its nearest cell, which probeCells always probes
+      // first — so non-self candidates = probed occupancy − 1.
+      AnnIvf.probeCells(cb, qv, NProbe)
+        .map(c => occupancy.getOrElse(c, 0L)).sum - 1
+    }.min
+    assert(minCandidates >= TopK,
+      s"fixture premise violated: a query's probed cells hold only " +
+        s"$minCandidates non-self candidates (< TopK=$TopK) — grow the " +
+        "fixture or relax the exact-ranks assert to 1..min(TopK, candidates)")
     val byQ = catalogResult.groupBy(_._1)
     assert(byQ.keySet == queryIds.toSet)
     byQ.foreach { case (q, rows) =>
