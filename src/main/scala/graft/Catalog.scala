@@ -55,6 +55,7 @@ object Catalog {
       streaming.StreamingQueries.all ++
       streaming.StreamJoinQueries.all ++
       streaming.StreamVecIndex.all ++
+      streaming.IvfRefit.all ++
       streaming.StreamVecSearch.all ++
       streaming.StreamCorpusDedup.all ++
       streaming.StreamIngest.all
