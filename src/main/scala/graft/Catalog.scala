@@ -58,6 +58,8 @@ object Catalog {
       streaming.IvfRefit.all ++
       streaming.StreamVecSearch.all ++
       streaming.StreamCorpusDedup.all ++
+      streaming.StreamGdpr.all ++
+      streaming.StreamPhashDedup.all ++
       streaming.StreamIngest.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

@@ -186,9 +186,48 @@ private[graft] object MonoidTable {
       // (the old overwrite discipline needed one).
       m.withColumn("_bid", lit(id))
         .write.mode("overwrite").parquet(Snapshot.versionPath(state, v))
-      Snapshot.commit(state, Map(Key -> v))
+      // Non-table manifest keys (GDPR-erasure fences) ride along,
+      // repointed at the new version (a fence is a marker — left on an
+      // old directory it would pin it past the retention window): a
+      // merge must not wipe the fence that makes a re-delivered
+      // erasure no-op. Batch 0 still resets the world — a fresh
+      // invocation owns a fresh history.
+      val keep: Set[String] =
+        if (id == 0L) Set.empty
+        else Snapshot.currentManifest(state).getOrElse(Map.empty).keySet
+      Snapshot.commit(state, (keep + Key).map(_ -> v).toMap)
     }
   }
+
+  /** The maintained table WITH its `_bid` fence column — for state
+    * surgery (GDPR erasure) that rewrites rows while preserving the
+    * stream's re-delivery fence exactly. */
+  private[graft] def readRaw(s: SparkSession, state: String): DataFrame =
+    s.read.parquet(currentDir(state).getOrElse(throw
+      new IllegalStateException(
+        s"monoid state at $state has no committed version")))
+
+  /** Publish a surgically-rewritten table as a new version, preserving
+    * every non-table manifest key and adding `fenceKeys` (the erasure
+    * fence) in the SAME atomic commit as the data they fence. Fence
+    * keys point at the new version so GC's keep-set follows the data
+    * (a fence pinned to an old directory would retain it forever).
+    * `df` must already carry `_bid`. */
+  private[graft] def publish(state: String, df: DataFrame,
+      fenceKeys: Set[String] = Set.empty): Unit = {
+    val prior = Snapshot.currentManifest(state).getOrElse(Map.empty)
+    val v = Snapshot.nextVersion(state)
+    df.write.mode("overwrite").parquet(Snapshot.versionPath(state, v))
+    // Every key — table, new fences, PRIOR fences — repoints at the
+    // new version: a fence is a marker, not a data reference, and one
+    // left on an old directory would pin it past the retention window.
+    Snapshot.commit(state,
+      (prior.keySet ++ fenceKeys + Key).map(_ -> v).toMap)
+  }
+
+  /** True when the state's manifest carries `key` — the fence probe. */
+  private[graft] def fenced(state: String, key: String): Boolean =
+    Snapshot.currentManifest(state).exists(_.contains(key))
 
   /** The fence: one scalar aggregate over the (domain-bounded) state
     * table — a driver-side routing decision, not data movement. An
@@ -261,6 +300,33 @@ private[graft] object AppendLog {
       Snapshot.commit(state, manifest.keys.map(_ -> v).toMap)
     }
   }
+
+  /** ERASURE REWRITE — compaction with a row filter (GDPR right-to-be-
+    * forgotten against the maintained log): fold every committed
+    * segment through `keep` into ONE directory and repoint EVERY
+    * manifest key at it, adding `extraKeys` (the erasure fence) in the
+    * same atomic commit. All seg keys survive as fence tombstones
+    * (compact's rule: a re-delivered pre-erasure batchId still no-ops)
+    * but the erased rows are PHYSICALLY gone — no version directory
+    * retaining them survives the commit after next (the retention
+    * window is the only residual, exactly a lakehouse VACUUM horizon).
+    * Same quiesced-log precondition as [[compact]]. */
+  def rewrite(s: SparkSession, state: String, keep: DataFrame => DataFrame,
+      fenceKeys: Set[String] = Set.empty): Unit = {
+    val manifest = Snapshot.currentManifest(state).getOrElse(Map.empty)
+    if (manifest.nonEmpty) {
+      val all = read(s, state).get
+      val v = Snapshot.nextVersion(state)
+      keep(all).write.mode("overwrite")
+        .parquet(Snapshot.versionPath(state, v))
+      Snapshot.commit(state,
+        (manifest.keys ++ fenceKeys).map(_ -> v).toMap)
+    }
+  }
+
+  /** True when the log's manifest carries `key` — the fence probe. */
+  def fenced(state: String, key: String): Boolean =
+    Snapshot.currentManifest(state).exists(_.contains(key))
 
   /** One committed segment's rows — the materialized form of the batch
     * that produced it (consumers fold FROM the segment instead of

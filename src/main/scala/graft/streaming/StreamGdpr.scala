@@ -1,0 +1,230 @@
+package graft.streaming
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** STREAMING GDPR ERASURE (r12 verdict ask #2) — right-to-be-forgotten
+  * driven through the MAINTAINED streaming state, not just batch
+  * tables: batch erasure exists (`q_gdpr_erasure*`), but a live ingest
+  * pipeline holds per-document data in its band index, flag monoid and
+  * funnel — erasing a doc_id must leave exactly the state a
+  * from-scratch rebuild without that document would have built, without
+  * rebuilding anything. Three fenced steps, ordered so every step's
+  * inputs are still present when it runs (crash-retry re-enters at the
+  * first unfenced step):
+  *
+  *  1. FUNNEL (ingest state only) — the erased docs' (1, n_tok)
+  *     contributions leave the `arrived` and `quality_pass` counters;
+  *     both are read from the FLAG table (still intact), so the step
+  *     must run before step 2. The derived `dedup_accepted` stage
+  *     needs nothing: it re-derives from the post-erasure flag table.
+  *  2. FLAGS — erased docs' rows DROP, and every surviving doc's
+  *     `n_coll` gives back the collisions it scored against
+  *     now-erased smaller-id partners (one equi join of retained ×
+  *     erased band rows — the index is still intact, so this runs
+  *     before step 3). Collisions where the ERASED doc was the later
+  *     endpoint lived on its own dropped row; pairs of two erased
+  *     docs vanish with both rows. What remains is exactly the
+  *     retained-corpus pair count — the rebuild-equality argument,
+  *     spec-pinned, not assumed.
+  *  3. INDEX — the band log physically rewrites through
+  *     [[AppendLog.rewrite]]: segments fold to one directory minus
+  *     the erased rows, every seg key survives as a fence tombstone
+  *     (a re-delivered pre-erasure batch still no-ops), and the
+  *     directories that held the erased bytes leave the retention
+  *     window one commit later — the lakehouse VACUUM horizon.
+  *
+  * Each step's commit carries the erasure fence (`gdpr<eid>`) in the
+  * SAME atomic manifest swap as the data it fences, so a re-delivered
+  * erasure request no-ops per table and a crash BETWEEN steps
+  * re-enters exactly at the incomplete one (StreamGdprSpec injects
+  * both).
+  *
+  * Scope: per-doc state. A document the quality gate REJECTED left no
+  * per-doc state — only its anonymous tallies in the funnel counters —
+  * so its erasure is a no-op on state (the aggregates-exempt reading:
+  * counts are not personal data once the document is gone). The spec
+  * pins exact rebuild equality for retained docs and documents the
+  * counter divergence for rejected ones as a negative control.
+  *
+  * Scale (petabyte corpus state): cost ∝ |erased bands| + matched
+  * collisions (one equi join on (band, band_key)) + one linear rewrite
+  * of the band log — the same shape as the compaction every segment
+  * log periodically pays anyway; production batches erasures into the
+  * compaction cadence for exactly that reason. Nothing driver-side
+  * grows with state.
+  *
+  * T-row (xxhash banding, as for the corpus-dedup parent):
+  * StreamGdprSpec pins post-erasure state == from-scratch rebuild
+  * without the erased docs (all tables), re-delivery no-op, the
+  * crash-retry convergence, never-seen-id no-op, and physical
+  * disappearance of the erased rows from every live version dir. */
+object StreamGdpr {
+
+  private def fence(eid: Long): String = s"gdpr$eid"
+
+  /** Step 2: drop erased flag rows; refund surviving docs' n_coll for
+    * collisions against erased smaller-id partners. `erased` is a
+    * one-column (doc_id) frame — erasure requests are DATA (a
+    * compliance queue), never plan literals. `verify` must be the SAME
+    * refinement the index's fold applied (`lit(true)` for MinHash, the
+    * Hamming bound for pHash): the refund must count exactly the
+    * collisions the fold counted, or erasure would drift from rebuild. */
+  private[graft] def eraseFlags(s: SparkSession, flags: String,
+      index: String, erased: DataFrame, eid: Long,
+      verify: (String, String) => org.apache.spark.sql.Column): Unit =
+    if (!MonoidTable.fenced(flags, fence(eid))) {
+      val idx = AppendLog.read(s, index).getOrElse(
+        throw new IllegalStateException(
+          s"band index at $index has no committed segments"))
+      val eBands = idx.join(erased, Seq("doc_id"))
+      val rBands = idx.join(erased, Seq("doc_id"), "left_anti")
+      val refund = rBands.as("r")
+        .join(eBands.as("o"),
+          col("r.band") === col("o.band") &&
+            col("r.band_key") === col("o.band_key") &&
+            col("r.doc_id") > col("o.doc_id") &&
+            verify("r", "o"))
+        .groupBy(col("r.doc_id").as("doc_id"))
+        .agg(count(lit(1)).as("_refund"))
+      val cur = MonoidTable.readRaw(s, flags)
+      val next = cur.join(erased, Seq("doc_id"), "left_anti")
+        .join(refund, Seq("doc_id"), "left")
+        .withColumn("n_coll",
+          col("n_coll") - coalesce(col("_refund"), lit(0L)))
+        .drop("_refund")
+        .select(cur.columns.map(col): _*)
+      MonoidTable.publish(flags, next, Set(fence(eid)))
+    }
+
+  /** Step 3: physically drop the erased docs' band rows. */
+  private[graft] def eraseIndex(s: SparkSession, index: String,
+      erased: DataFrame, eid: Long): Unit =
+    if (!AppendLog.fenced(index, fence(eid)))
+      AppendLog.rewrite(s, index,
+        all => all.join(erased, Seq("doc_id"), "left_anti"),
+        Set(fence(eid)))
+
+  /** Step 1 (ingest pipelines): remove the erased RETAINED docs'
+    * (1, n_tok) from the stateless funnel stages. Reads the flag table,
+    * so it must run while flags are intact. */
+  private[graft] def eraseFunnel(s: SparkSession, funnel: String,
+      flags: String, erased: DataFrame, eid: Long): Unit =
+    if (!MonoidTable.fenced(funnel, fence(eid))) {
+      val gone = MonoidTable.read(s, flags)
+        .join(erased, Seq("doc_id"))
+        .where(col("seen") > 0)
+        .agg(count(lit(1)).as("d_docs"),
+          coalesce(sum(col("n_tok")), lit(0L)).as("d_toks"))
+        .head()
+      val (dDocs, dToks) = (gone.getLong(0), gone.getLong(1))
+      val cur = MonoidTable.readRaw(s, funnel)
+      val next = cur
+        .withColumn("n_docs",
+          when(col("stage").isin("arrived", "quality_pass"),
+            col("n_docs") - dDocs).otherwise(col("n_docs")))
+        .withColumn("n_tokens",
+          when(col("stage").isin("arrived", "quality_pass"),
+            col("n_tokens") - dToks).otherwise(col("n_tokens")))
+        .select(cur.columns.map(col): _*)
+      MonoidTable.publish(funnel, next, Set(fence(eid)))
+    }
+
+  /** The full erasure against corpus-dedup state (index + flags), with
+    * an optional ingest funnel. `abortAfterStep` is the spec's crash
+    * hook: the process "dies" after that many steps committed — the
+    * retry must re-enter at the first unfenced step and converge. */
+  private[graft] def erase(s: SparkSession, index: String, flags: String,
+      erased: DataFrame, eid: Long, funnel: Option[String] = None,
+      verify: (String, String) => org.apache.spark.sql.Column =
+        (_, _) => lit(true),
+      abortAfterStep: Int = Int.MaxValue): Unit = {
+    val e = erased.select(col("doc_id")).distinct().localCheckpoint(true)
+    var step = 0
+    def gate(): Unit = {
+      step += 1
+      if (step >= abortAfterStep) throw new IllegalStateException(
+        s"injected crash after erasure step $abortAfterStep")
+    }
+    funnel.foreach { f => eraseFunnel(s, f, flags, e, eid); gate() }
+    eraseFlags(s, flags, index, e, eid, verify); gate()
+    eraseIndex(s, index, e, eid)
+  }
+
+  /** Build-once latch for the base corpus-dedup state the catalog row
+    * erases from: the full document replay through
+    * [[StreamCorpusDedup.foldBatch]] (the exact parent-row code path)
+    * into dedicated roots. */
+  private val based = new graft.Memo[(SparkSession, String), Unit]
+
+  private def baseRoots(dir: String): (String, String) =
+    (StreamCorpusDedup.DocStage.stateDir(dir, "gdpr_base_index"),
+      StreamCorpusDedup.DocStage.stateDir(dir, "gdpr_base_flags"))
+
+  private[graft] def ensureBase(s: SparkSession, dir: String)
+      : (String, String) = {
+    val (index, flags) = baseRoots(dir)
+    based((s, dir)) {
+      val st = StreamCorpusDedup.DocStage
+      val inDir = st.inDir(s, dir)
+      val src = s.readStream.schema(st.schema(s, inDir))
+        .option("maxFilesPerTrigger", 1).parquet(inDir)
+      FoldReplay.run(src, "q_stream_gdpr_base", shufflePartitions = "8") {
+        (batch, id) => StreamCorpusDedup.foldBatch(index, flags, batch, id)
+      }
+    }
+    (index, flags)
+  }
+
+  private def copyRecursively(from: java.nio.file.Path,
+      to: java.nio.file.Path): Unit = {
+    val walk = java.nio.file.Files.walk(from)
+    try {
+      import scala.jdk.CollectionConverters._
+      walk.iterator().asScala.foreach { p =>
+        val dest = to.resolve(from.relativize(p))
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.createDirectories(dest)
+        else java.nio.file.Files.copy(p, dest)
+      }
+    } finally walk.close()
+  }
+
+  /** Clone the base state so each invocation erases from the same
+    * starting point (the restore that makes bench reps idempotent — a
+    * production erasure mutates in place and pays no clone). */
+  private[graft] def cloneState(from: String, to: String): Unit = {
+    Snapshot.deleteRecursively(java.nio.file.Paths.get(to))
+    copyRecursively(java.nio.file.Paths.get(from),
+      java.nio.file.Paths.get(to))
+  }
+
+  /** The deterministic erasure cohort: doc_id ≡ 3 (mod 7) — ~14% of
+    * the corpus, spanning flagged and unflagged docs. */
+  private[graft] def eraseSet(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"))
+      .where(pmod(col("doc_id"), lit(7)) === 3)
+
+  /** q_stream_gdpr (T) — the corpus-dedup verdict table AFTER erasing
+    * the cohort through the maintained state. Per invocation: clone the
+    * base state (build-once latch), run the fenced three-step erasure,
+    * read the surviving verdicts. Bench-cost honesty: the measured rep
+    * pays the clone (∝ state size, restore-only artifact) + the
+    * erasure's two joins and two rewrites; the one-time replay that
+    * builds the base state lands in the warm phase, exactly like the
+    * ANN model builds. */
+  val qStreamGdpr: Q = Q(
+    "q_stream_gdpr",
+    (s, dir) => {
+      val (bIndex, bFlags) = ensureBase(s, dir)
+      val index = StreamCorpusDedup.DocStage.stateDir(dir, "gdpr_index")
+      val flags = StreamCorpusDedup.DocStage.stateDir(dir, "gdpr_flags")
+      cloneState(bIndex, index)
+      cloneState(bFlags, flags)
+      erase(s, index, flags, eraseSet(s, dir), eid = 0L)
+      StreamCorpusDedup.verdicts(s, flags)
+    })
+
+  val all: Vector[Q] = Vector(qStreamGdpr)
+}
