@@ -70,7 +70,10 @@ object DedupQueries {
     // for this program's shape of one or two sessions over at most three
     // sfDirs. A service embedding this would key by dir only and
     // unpersist on session close; at 100 TB the stage is a written table
-    // and this cache doesn't exist at all.
+    // and this cache doesn't exist at all. The envelope is ASSERTED, not
+    // just documented: PinnedFootprintSpec pins >= 10x heap headroom at
+    // the bench SF and spill-ability of every pinned level, and Bench
+    // emits pinned_mem_bytes/pinned_disk_bytes per run.
     private val cache = new graft.Memo[(SparkSession, String), DataFrame]
 
     def apply(s: SparkSession, dir: String): DataFrame =

@@ -13,11 +13,17 @@ import org.apache.spark.sql.functions._
   *
   *  1. CHUNK — [[TextQueries.chunkStage]], the exact q_text_chunk
   *     stage (window 32 / stride 24).
-  *  2. EMBED JOIN — chunks inherit their document's vector over the
-  *     q_multimodal_join key (doc_id = vec_id, inner: only embedded
-  *     docs retrieve). Doc-level vectors standing in for chunk-level
-  *     ones is the standard bootstrap before a chunk encoder ships;
-  *     the plumbing (keys, schema, pruning) is what this row pins.
+  *  2. CHUNK ENCODE — chunks get CHUNK-LEVEL vectors (r12 verdict ask
+  *     #5, replacing the doc-vector bootstrap): the document vector as
+  *     the semantic anchor (joined over the q_multimodal_join key,
+  *     inner: only embedded docs retrieve) plus a deterministic
+  *     chunk-term refinement — the q_vec_feature_hash ±1 projection
+  *     pooled over the chunk's tokens, scaled by [[ChunkEps]] and
+  *     token-normalized, micro-rounded so the encoder is exact and
+  *     partitioning-invariant. Chunks stay within ε of their document
+  *     (cell routing against the doc-trained codebook remains
+  *     meaningful) while siblings with different text get DISTINCT
+  *     vectors — relevance separates them where the bootstrap tied.
   *  3. IVF SHORTLIST — [[AnnIvf.assign]] under the frozen codebook
   *     ([[AnnIvf.Models]], the same model every IVF row searches), cell
   *     routing via [[AnnIvf.probeCells]] (nprobe = 3) — candidates are
@@ -28,11 +34,11 @@ import org.apache.spark.sql.functions._
   *     state).
   *  5. MMR — [[VectorQueries.mmrSelect]], the exact q_vec_mmr greedy
   *     (λ = 0.7 in deci-units, exact Long), picking 5 diverse results.
-  *     Because sibling chunks carry identical vectors (stage 2), MMR
-  *     visibly earns its keep here: after one chunk of a document is
-  *     selected, its siblings score sim ≈ 10⁶ and are maximally
-  *     penalized — plain top-5 returns one document 5 times, MMR
-  *     returns 5 documents (RagPipelineSpec pins exactly that).
+  *     Sibling chunks sit within 2ε of each other (stage 2), so after
+  *     one chunk of a document is selected its siblings still score
+  *     near-self sim and are maximally penalized — plain top-5 leans
+  *     on few documents, MMR spreads across 5 (RagPipelineSpec pins
+  *     exactly that, plus the sibling-tie-breaking the encoder adds).
   *
   * The query is vec_id 0's vector (the probe every vector row uses);
   * the query document's own chunks are excluded, as the kNN rows
@@ -51,12 +57,74 @@ object RagPipeline {
   val ShortlistK = 20
   val SelectK = 5
 
-  /** Stages 1+2: the chunk-level retrieval corpus. */
-  def chunkCorpus(s: SparkSession, dir: String): DataFrame =
-    TextQueries.chunkStage(s, dir)
+  /** Refinement scale: chunk vectors stay within this L∞ distance of
+    * their document anchor, so the doc-trained IVF codebook still
+    * routes them correctly while sibling relevance ties break. */
+  val ChunkEps = 0.05
+
+  /** Stages 1+2: the chunk-level retrieval corpus — q_text_chunk's
+    * stage joined to the document anchor vector, refined per chunk by
+    * the feature-hash ±1 projection pooled over the chunk's tokens:
+    *
+    *   v_chunk[d] = round₆( v_doc[d] + ε · (Σ_tok ±1[bucket(tok)=d]) / n_tok )
+    *
+    * with bucket/sign derived from md5 of the TOKEN (the
+    * q_vec_feature_hash portability device — no engine-specific hash),
+    * the pooled counts exact integers, and one final micro-round so
+    * the encoder is a deterministic pure function of (doc vector,
+    * chunk text) on any partitioning. Scale: one token explode + two
+    * keyed partial aggs + a map-assembled zip_with — the feature-hash
+    * row's shape; nothing collects, nothing broadcasts. */
+  def chunkCorpus(s: SparkSession, dir: String): DataFrame = {
+    val chunks = TextQueries.chunkStage(s, dir)
       .join(Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
         col("doc_id") === col("vec_id"))
-      .select(col("doc_id"), col("chunk_id"), col("embedding"))
+      .select(col("doc_id"), col("chunk_id"), col("n_chunk_tokens"),
+        col("chunk_text"), col("embedding"))
+    val toks = chunks
+      .select(col("doc_id"), col("chunk_id"),
+        explode(split(col("chunk_text"), " ")).as("tok"))
+      .withColumn("h", md5(concat(lit("ce-v1:"), col("tok"))))
+      .select(col("doc_id"), col("chunk_id"),
+        ((ascii(substring(col("h"), 1, 1)) % 8) * 8 +
+          ascii(substring(col("h"), 2, 1)) % 8).cast("int").as("bucket"),
+        when(ascii(substring(col("h"), 3, 1)) % 2 === 0, 1L)
+          .otherwise(-1L).as("sq"))
+    val ref = toks
+      .groupBy(col("doc_id"), col("chunk_id"), col("bucket"))
+      .agg(sum(col("sq")).as("r"))
+      .groupBy(col("doc_id"), col("chunk_id"))
+      .agg(map_from_entries(
+        collect_list(struct(col("bucket"), col("r")))).as("rm"))
+    chunks.join(ref, Seq("doc_id", "chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        zip_with(
+          col("embedding"),
+          transform(sequence(lit(0), size(col("embedding")) - 1),
+            d => coalesce(element_at(col("rm"), d.cast("int")), lit(0L))),
+          (e, r) => round(
+            e.cast("double") +
+              lit(ChunkEps) * r.cast("double") / col("n_chunk_tokens"),
+            6).cast("float"))
+          .as("embedding"))
+  }
+
+  /** The encoded chunk-vector table, built once per (session, dir) and
+    * persisted — at 100 TB this IS a written intermediate (encode once,
+    * store columnar, every retrieval scans it); locally the
+    * MEMORY_AND_DISK analog, the Shingled rule. Materializing it also
+    * keeps the retrieval plan honest: the IVF cell filter sits as a
+    * Filter over the cached corpus instead of being folded into the
+    * encoder's join chain (PlanAuditSpec pins that shape). */
+  object ChunkVectors {
+    private val cache = new graft.Memo[(SparkSession, String), DataFrame]
+
+    def apply(s: SparkSession, dir: String): DataFrame =
+      cache((s, dir)) {
+        chunkCorpus(s, dir)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }
+  }
 
   /** Stages 3+4 as a PLAN (cell-pruned candidates, exactly re-ranked,
     * top-`ShortlistK`) — factored from the collect so PlanAuditSpec can
@@ -67,7 +135,7 @@ object RagPipeline {
       .where(col("vec_id") === 0L)
       .select(col("embedding")).head().getSeq[Float](0).toArray
     val cells = AnnIvf.probeCells(cb, probeVec, Nprobe)
-    AnnIvf.assign(chunkCorpus(s, dir), cb)
+    AnnIvf.assign(ChunkVectors(s, dir), cb)
       .where(col("cell").isin(cells: _*) && col("doc_id") =!= 0L)
       .withColumn("_p", typedLit(probeVec.toSeq))
       .select((col("doc_id") * 1000000L + col("chunk_id")).as("cid"),

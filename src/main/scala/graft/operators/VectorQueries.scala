@@ -319,7 +319,7 @@ object VectorQueries {
     * distinct media). ONE definition — a render tweak applied to only
     * one consumer would silently change what "the same media" means
     * between the decode pipeline and the dedup pass. */
-  private[operators] def mediaOf(s: SparkSession, dir: String)
+  private[graft] def mediaOf(s: SparkSession, dir: String)
       : Dataset[MultimodalBinary.MediaFile] = {
     import s.implicits._
     import MultimodalBinary._

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.{Q, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
@@ -60,8 +60,16 @@ object StreamCorpusDedup {
   /** The per-batch flag partials: every batch doc (seen = 1) with its
     * later-of-the-pair collision count vs the batch itself and vs the
     * prior index, PLUS prior-index docs re-flagged by smaller-id new
-    * arrivals (seen = 0). All exact-integer monoids. */
-  def flagPartials(bands: DataFrame, prior: Option[DataFrame]): DataFrame = {
+    * arrivals (seen = 0). All exact-integer monoids.
+    *
+    * `verify(l, r)` refines a band collision into a confirmed pair
+    * given the two sides' aliases — `lit(true)` for MinHash (the band
+    * collision IS the verdict, as in the batch row), the exact Hamming
+    * bound for pHash bands ([[StreamPhashDedup]]), which carry the
+    * full hash on every band row precisely so the verify needs no
+    * second lookup. */
+  def flagPartials(bands: DataFrame, prior: Option[DataFrame],
+      verify: (String, String) => Column = (_, _) => lit(true)): DataFrame = {
     val newDocs = bands.select(col("doc_id")).distinct()
     def laterOf(pairs: DataFrame): DataFrame =
       pairs.select(greatest(col("id_a"), col("id_b")).as("doc_id"))
@@ -70,14 +78,16 @@ object StreamCorpusDedup {
       .join(bands.as("b"),
         col("a.band") === col("b.band") &&
           col("a.band_key") === col("b.band_key") &&
-          col("a.doc_id") < col("b.doc_id"))
+          col("a.doc_id") < col("b.doc_id") &&
+          verify("a", "b"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b")))
     val cross = prior.map { idx =>
       laterOf(bands.as("n")
         .join(idx.as("o"),
           col("n.band") === col("o.band") &&
             col("n.band_key") === col("o.band_key") &&
-            col("n.doc_id") =!= col("o.doc_id"))
+            col("n.doc_id") =!= col("o.doc_id") &&
+            verify("n", "o"))
         .select(col("n.doc_id").as("id_a"), col("o.doc_id").as("id_b")))
     }
     val colls = cross.fold(within)(within.unionByName(_))
@@ -107,13 +117,16 @@ object StreamCorpusDedup {
     * never probes its own contribution. */
   private[graft] def foldBands(index: String, flags: String,
       docs: DataFrame, id: Long,
-      enrichPartials: DataFrame => DataFrame = identity): Unit = {
+      enrichPartials: DataFrame => DataFrame = identity,
+      band: DataFrame => DataFrame = bandRows,
+      verify: (String, String) => Column = (_, _) => lit(true)): Unit = {
     val s = docs.sparkSession
-    AppendLog.append(index, bandRows(docs), id)
+    AppendLog.append(index, band(docs), id)
     val seg = AppendLog.segment(s, index, id).getOrElse(
       throw new IllegalStateException(s"segment seg$id missing post-append"))
     val prior = AppendLog.readBefore(s, index, id)
-    MonoidTable.merge(flags, enrichPartials(flagPartials(seg, prior)), id,
+    MonoidTable.merge(flags,
+      enrichPartials(flagPartials(seg, prior, verify)), id,
       Seq("doc_id"))
   }
 

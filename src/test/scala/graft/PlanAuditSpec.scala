@@ -318,18 +318,30 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     // Catalyst collapses the `cell` projection into the Filter, so the
     // pruning predicate appears as the inlined argmin `... as int) IN
     // (c1,c2,c3)` — assert the membership test is present in a Filter
-    // (candidates pruned by cell BEFORE the re-rank scoring).
+    // over the cached chunk-vector table (candidates pruned by cell
+    // BEFORE the re-rank scoring; r13 moved the encoder's joins into
+    // the materialized ChunkVectors stage, audited separately below).
     val filterLines = p.linesIterator.filter(_.contains("Filter")).mkString
     assert(filterLines.contains(") IN (") &&
       filterLines.contains("array_position"),
       s"cell-pruning filter missing from the candidate scan:\n${p.take(2000)}")
-    assert(p.contains("BroadcastHashJoin"),
-      s"chunk-embedding join must broadcast at fixture scale:\n${p.take(2000)}")
     assert(!p.contains("BroadcastNestedLoopJoin") &&
       !p.contains("CartesianProduct"),
       s"rag shortlist must stay keyed:\n${p.take(2000)}")
     assert(p.contains("TakeOrderedAndProject"),
       s"top-20 must be a bounded heap, not a global sort:\n${p.take(2000)}")
+    // The ENCODER build (the stage ChunkVectors materializes): the
+    // doc-anchor join must broadcast at fixture scale, and every join
+    // in the chain must stay keyed — the refinement agg joins back on
+    // (doc_id, chunk_id), never a cross product.
+    val pe = operators.RagPipeline.chunkCorpus(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(pe.contains("BroadcastHashJoin"),
+      s"chunk-embedding anchor join must broadcast at fixture scale:\n${
+        pe.take(2000)}")
+    assert(!pe.contains("BroadcastNestedLoopJoin") &&
+      !pe.contains("CartesianProduct"),
+      s"chunk encoder must stay keyed:\n${pe.take(2000)}")
   }
 
   test("q_dedup_sorted_neighborhood: per-block window, equi-join pairing") {

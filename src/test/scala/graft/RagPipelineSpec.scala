@@ -38,6 +38,44 @@ class RagPipelineSpec extends AnyFunSuite with SparkFixture {
     assert(corpus.nonEmpty)
   }
 
+  test("chunk encoder: every chunk stays within ChunkEps of its " +
+      "document anchor, siblings separate, and the encoder is " +
+      "deterministic") {
+    val docVecs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+      .toMap
+    def corpus() = RagPipeline.chunkCorpus(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Float](2).toArray))
+    val chunks = corpus()
+    assert(chunks.nonEmpty)
+    // Anchor bound: |v_chunk − v_doc|∞ ≤ ε (+ the 1e-6 rounding grain)
+    // — what keeps the doc-trained codebook's cell routing meaningful.
+    chunks.foreach { case (doc, cid, v) =>
+      val dv = docVecs(doc)
+      val linf = v.zip(dv).map { case (a, b) =>
+        math.abs(a.toDouble - b) }.max
+      assert(linf <= RagPipeline.ChunkEps + 1e-6 + 1e-9,
+        s"chunk ($doc, $cid) drifted $linf from its anchor")
+    }
+    // Sibling separation — the tie the doc-vector bootstrap could not
+    // break. Overlapping windows make sibling texts differ, so their
+    // pooled refinements should too; a rare hash coincidence is
+    // tolerated by the majority bound.
+    val multi = chunks.groupBy(_._1).filter(_._2.length >= 2)
+    assert(multi.nonEmpty, "fixture premise: some doc must multi-chunk")
+    val separated = multi.count { case (_, cs) =>
+      cs.map(_._3.toSeq).distinct.size >= 2
+    }
+    assert(separated * 2 > multi.size,
+      s"only $separated/${multi.size} multi-chunk docs have distinct " +
+        "sibling vectors — the encoder is not separating")
+    // Determinism: a second evaluation is bit-identical.
+    assert(chunks.map(c => (c._1, c._2, c._3.toSeq)).toSeq ==
+      corpus().map(c => (c._1, c._2, c._3.toSeq)).toSeq)
+  }
+
   test("stage 3+4: every shortlist member lies in a probed cell and " +
       "its rel_micro is the exact dot product") {
     val cells = AnnIvf.probeCells(cb, probeVec, RagPipeline.Nprobe).toSet
