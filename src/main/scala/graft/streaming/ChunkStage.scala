@@ -31,19 +31,35 @@ private[graft] final class ChunkStage(
   private def dirKey(dir: String): String =
     dir.replaceAll("[^A-Za-z0-9.]+", "_")
 
-  private val chunked = new graft.Memo[(SparkSession, String), String]
+  // Memo keyed on the OUTPUT PATH, not the session (r12 advice): two
+  // sessions in one JVM stage the same directory, and a session-keyed
+  // latch would let the second re-write a path a replay from the first
+  // might be reading — phantom micro-batches. The path key makes every
+  // writer of one directory share one latch; the temp-dir + atomic
+  // rename below makes the publish all-or-nothing on top (a reader can
+  // never list a half-staged directory, and a crashed staging attempt
+  // leaves only an unreferenced temp dir the next attempt replaces).
+  private val chunked = new graft.Memo[String, String]
 
-  def inDir(s: SparkSession, dir: String): String =
-    chunked((s, dir)) {
-      val out = root.resolve(dirKey(dir)).resolve("in_chunks").toString
-      val raw = source(s, dir)
-      (0 until chunks).foreach { c =>
-        raw.where(pmod(col(keyCol), lit(chunks)) === c)
-          .coalesce(1)
-          .write.mode(if (c == 0) "overwrite" else "append").parquet(out)
+  def inDir(s: SparkSession, dir: String): String = {
+    val out = root.resolve(dirKey(dir)).resolve("in_chunks")
+    chunked(out.toString) {
+      if (!java.nio.file.Files.exists(out)) {
+        val tmp = root.resolve(dirKey(dir)).resolve("in_chunks.staging")
+        graft.streaming.Snapshot.deleteRecursively(tmp)
+        val raw = source(s, dir)
+        (0 until chunks).foreach { c =>
+          raw.where(pmod(col(keyCol), lit(chunks)) === c)
+            .coalesce(1)
+            .write.mode(if (c == 0) "overwrite" else "append")
+            .parquet(tmp.toString)
+        }
+        java.nio.file.Files.move(tmp, out,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       }
-      out
+      out.toString
     }
+  }
 
   def stateDir(dir: String, which: String = "state"): String =
     root.resolve(dirKey(dir)).resolve(which).toString
