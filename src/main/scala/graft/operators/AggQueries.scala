@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Q, Tables}
 import graft.Dsl._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -443,9 +444,93 @@ object AggQueries {
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin))
 
+  /** q_agg_weighted_median (added r13) — EXACT WEIGHTED MEDIAN of the
+    * extended price weighted by quantity, per return flag: the
+    * curation statistic behind "half the sampled TOKENS come from
+    * documents scoring below v" (weight = tokens, value = score) —
+    * a plain median answers for documents, the weighted one for what
+    * the model actually trains on.
+    *
+    * The SCALE DECISION is the two-phase bucketed algorithm, not the
+    * textbook sort: an exact weighted median needs an ordered weight
+    * scan, and a per-group window over raw values serializes each
+    * group onto one task — at 100 TB a 3-group window is a 3-task job.
+    * Instead: (1) weights partial-agg to (group, $100-bucket) — fully
+    * parallel, domain-bounded; (2) one window over the BUCKET table
+    * (≤ 6 k rows/group here, bounded by domain/width at any data
+    * size) finds each group's median bucket + the cumulative weight
+    * below it; (3) the exact in-bucket scan touches ~1/6000th of the
+    * data (the bucket routing broadcasts — groups-bounded rows).
+    * Everything integer until the final cents→dollars division:
+    * values quantize once to cents, weights are exact Longs, and the
+    * median pick is the smallest v with 2·(below + cum_v) ≥ total —
+    * identical arithmetic in both engines. Headroom: Σw ≤ 50·rows —
+    * Long-safe to ~10¹⁷ rows per group. */
+  val qAggWeightedMedian: Q = Q(
+    "q_agg_weighted_median",
+    (s, dir) => {
+      import s.implicits._
+      val W = 10000L // bucket width: $100 in cents
+      val base = Tables.lineitem(s, dir)
+        .select($"l_returnflag",
+          (dec2($"l_extendedprice") * 100).cast(LongType).as("v"),
+          $"l_quantity".cast(LongType).as("w"))
+      val bkt = base
+        .withColumn("bucket", expr(s"v div $W"))
+        .groupBy($"l_returnflag", $"bucket")
+        .agg(sum($"w").as("bw"))
+      val winB = Window.partitionBy($"l_returnflag").orderBy($"bucket")
+      val cum = bkt
+        .withColumn("cumb", sum($"bw").over(winB))
+        .withColumn("tw", sum($"bw")
+          .over(Window.partitionBy($"l_returnflag")))
+      // The median bucket per group: first bucket where the running
+      // weight crosses half. struct-min keeps (below, tw) of exactly
+      // that bucket — bucket ids are unique per group, so the min is
+      // total-ordered and deterministic.
+      val medb = cum.where($"cumb" * 2 >= $"tw")
+        .groupBy($"l_returnflag")
+        .agg(min(struct($"bucket", ($"cumb" - $"bw").as("below"),
+          $"tw")).as("m"))
+        .select($"l_returnflag", $"m.bucket".as("bucket"),
+          $"m.below".as("below"), $"m.tw".as("tw"))
+      val inBucket = base
+        .join(broadcast(medb), Seq("l_returnflag"))
+        .where(expr(s"v div $W") === $"bucket")
+        .groupBy($"l_returnflag", $"below", $"tw", $"v")
+        .agg(sum($"w").as("vw"))
+      val winV = Window
+        .partitionBy($"l_returnflag").orderBy($"v")
+      inBucket
+        .withColumn("cumv", sum($"vw").over(winV))
+        .where(($"below" + $"cumv") * 2 >= $"tw")
+        .groupBy($"l_returnflag")
+        .agg(max($"tw").as("total_weight"),
+          expr("ROUND(CAST(MIN(v) AS DOUBLE) / 100.0, 2)")
+            .as("weighted_median"))
+        .orderBy($"l_returnflag")
+    },
+    oracle = Some(
+      """WITH vw AS (
+        |  SELECT l_returnflag,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS v,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+        |  FROM lineitem GROUP BY 1, 2),
+        |c AS (
+        |  SELECT l_returnflag, v,
+        |    SUM(w) OVER (PARTITION BY l_returnflag ORDER BY v) AS cum,
+        |    SUM(w) OVER (PARTITION BY l_returnflag) AS tw
+        |  FROM vw)
+        |SELECT l_returnflag, CAST(MAX(tw) AS BIGINT) AS total_weight,
+        |  ROUND(CAST(MIN(v) AS DOUBLE) / 100.0, 2) AS weighted_median
+        |FROM c WHERE cum * 2 >= tw
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin))
+
   val all: Vector[Q] = Vector(
     qAggGlobal, qAggGroupby, qAggDistinct, qAggHaving,
     qAggGroupingSets, qAggStats, qAggPercentile, qAggStringagg,
     qAggApproxHll, qAggApproxPercentile, qAggCustomTyped, qAggHeavyHitters,
-    qAggSketchUnion, qAggMinmaxBy, qAggMode, qAggBool)
+    qAggSketchUnion, qAggMinmaxBy, qAggMode, qAggBool, qAggWeightedMedian)
 }

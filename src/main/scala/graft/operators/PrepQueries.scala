@@ -638,8 +638,60 @@ object PrepQueries {
         |FROM base b JOIN model m ON b.event_type = m.event_type
         |ORDER BY b.event_id""".stripMargin))
 
+  /** q_prep_loo_encode (added r13) — LEAVE-ONE-OUT target encoding:
+    * each row's category encodes as the mean target of the OTHER rows
+    * in its category, (Σ_cat − own) / (n_cat − 1) — the leakage-safe
+    * variant of q_prep_target_encode (plain mean encoding leaks each
+    * row's own label into its feature; LOO is what competition-grade
+    * and production feature pipelines actually ship). A singleton
+    * category has no "others" → NULL in both engines, decided on the
+    * exact integer count.
+    *
+    * Exactness: targets quantize once to cents (exact Longs); the
+    * subtraction Σ−own and the n−1 are integer; one final division,
+    * round 6. Scale (100 TB): one partial agg to the category domain
+    * + a broadcast join back onto the scan — per-row output with NO
+    * window and NO self-join (the naive formulation windows over each
+    * category, serializing it; the Σ-minus-own identity is what makes
+    * LOO a broadcast). Headroom: Σ cents ≤ 6·10⁷/row — Long-safe to
+    * ~1.5·10¹¹ rows per category, then DECIMAL(38,0). */
+  val qPrepLooEncode: Q = Q(
+    "q_prep_loo_encode",
+    (s, dir) => {
+      import s.implicits._
+      val base = Tables.orders(s, dir)
+        .select($"o_orderkey", $"o_orderpriority",
+          (dec2($"o_totalprice") * 100).cast(LongType).as("c"))
+      val per = base.groupBy($"o_orderpriority")
+        .agg(count(lit(1)).cast(LongType).as("n"), sum($"c").as("sc"))
+      base.join(broadcast(per), Seq("o_orderpriority"))
+        .select($"o_orderkey", $"o_orderpriority",
+          when($"n" === 1L, lit(null).cast("double"))
+            .otherwise(expr(
+              "ROUND(CAST(sc - c AS DOUBLE) / CAST(n - 1 AS DOUBLE)" +
+                " / 100.0, 6)"))
+            .as("loo_price"))
+        .orderBy($"o_orderkey")
+    },
+    oracle = Some(
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderpriority,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM orders),
+        |per AS (
+        |  SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(c) AS BIGINT) AS sc
+        |  FROM base GROUP BY 1)
+        |SELECT o_orderkey, o_orderpriority,
+        |  CASE WHEN n = 1 THEN NULL
+        |    ELSE ROUND(CAST(sc - c AS DOUBLE) / CAST(n - 1 AS DOUBLE)
+        |      / 100.0, 6) END AS loo_price
+        |FROM base JOIN per USING (o_orderpriority)
+        |ORDER BY o_orderkey""".stripMargin))
+
   val all: Vector[Q] = Vector(
     qPrepImputeMean, qPrepScaleMinmax, qPrepStandardize, qPrepBucketize,
     qPrepOnehot, qPrepSplit, qPrepHashFeatures, qPrepCalendar,
-    qPrepQuantileTransform, qPrepTargetEncode, qPrepWoe, qPrepRobustScale)
+    qPrepQuantileTransform, qPrepTargetEncode, qPrepWoe, qPrepRobustScale,
+    qPrepLooEncode)
 }

@@ -1178,6 +1178,57 @@ object VectorQueries {
         |FROM embeddings e LEFT JOIN mp ON e.vec_id = mp.vec_id
         |ORDER BY e.vec_id""".stripMargin))
 
+  /** q_vec_hard_negatives (added r13) — HARD-NEGATIVE MINING: for each
+    * probe, the top-3 most similar vectors carrying a DIFFERENT label —
+    * the contrastive-training data op (a retrieval or embedding model
+    * trains fastest on negatives that are nearly positives; random
+    * negatives are trivially separable). The batch-probe shape of
+    * q_vec_knn_batch with the label-disagreement gate pushed INTO the
+    * scored frame before ranking: the md5-gated probe set broadcasts
+    * (with its labels — the gate is a per-pair filter, not a post-rank
+    * prune, so every probe still gets a full top-3), ranking is the
+    * shared bounded-heap top-k (≤ k rows per partition×probe cross the
+    * shuffle). Same 100 TB argument as the kNN row; the label filter
+    * only shrinks the scored stream. Scores round(6) BEFORE ranking on
+    * both engines (the q_vec_knn_batch determinism rule). */
+  val qVecHardNegatives: Q = Q(
+    "q_vec_hard_negatives",
+    (s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+        .select($"vec_id", $"label", $"embedding")
+      val probes = broadcast(
+        emb.where(graft.Dsl.md5Gate($"vec_id", "10"))
+          .select($"vec_id".as("p_id"), $"label".as("p_label"),
+            $"embedding".as("p")))
+      graft.functions.TypedAggs.rankTopKByScore(
+          emb.crossJoin(probes)
+            .where($"label" =!= $"p_label")
+            .select($"p_id", round(dot("embedding", "p"), 6).as("sim"),
+              $"vec_id"),
+          k = 3, keyCol = "p_id", scoreCol = "sim", idCol = "vec_id",
+          keyOut = "p_id")
+        .orderBy($"p_id", $"rank")
+    },
+    oracle = Some(
+      s"""WITH probes AS (
+         |  SELECT vec_id AS p_id, label AS p_label, embedding AS p
+         |  FROM embeddings
+         |  WHERE ${graft.Dsl.md5GateSql("vec_id", "10")}),
+         |scored AS (
+         |  SELECT p_id, e.vec_id,
+         |    ROUND(list_sum(list_transform(range(1, 65),
+         |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(p[i] AS DOUBLE))), 6) AS sim
+         |  FROM probes, embeddings e
+         |  WHERE e.label <> p_label),
+         |ranked AS (
+         |  SELECT p_id, vec_id, sim,
+         |    row_number() OVER (PARTITION BY p_id ORDER BY sim DESC, vec_id) AS rank
+         |  FROM scored)
+         |SELECT p_id, rank, vec_id, sim
+         |FROM ranked WHERE rank <= 3
+         |ORDER BY p_id, rank""".stripMargin))
+
   val all: Vector[Q] = Vector(
     qVecNormStats, qVecKnnBruteforce, qVecKnnLsh, qVecKnnIvf,
     qVecKnnGraph, qVecKnnGraphBatch, qVecAnnRecall,
@@ -1186,5 +1237,5 @@ object VectorQueries {
     qMultimodalJoin,
     qMultimodalFrames, qVecQuantize, qVecKnnBatch, qVecRangeSearch,
     qVecCentroidSims, qVecSilhouette, qVecFeatureHash, qVecDiversity,
-    qMultimodalPhash, qVecOutlier, qVecMmr)
+    qMultimodalPhash, qVecOutlier, qVecMmr, qVecHardNegatives)
 }

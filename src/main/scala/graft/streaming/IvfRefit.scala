@@ -53,6 +53,13 @@ import org.apache.spark.sql.functions._
   * corpus, not the corpus. Nothing else moves: unchanged cells swap
   * generations by manifest pointer alone.
   *
+  * Bench-cost honesty (~3.3 s at sf0.1): each rep resets and
+  * re-bootstraps the generation store (~8 driver jobs of parquet
+  * commits at fixture scale where the data is milliseconds) so every
+  * rep refits the SAME generation — a production refit keeps its
+  * store and pays only the M-step + delta + swap. The one-time
+  * stats replay lands behind the run-once latch, in warmup.
+  *
   * T-row (Lloyd training + the generation store are un-SQL-able):
   * IvfRefitSpec pins refit-from-stats == batch M-step == train(iters+1)
   * within the documented micro envelope, postings == from-scratch

@@ -55,6 +55,13 @@ import org.apache.spark.sql.functions._
   * compaction cadence for exactly that reason. Nothing driver-side
   * grows with state.
   *
+  * Bench-cost honesty (~1.6 s at sf0.1): the measured rep pays the
+  * base-state clone (∝ state size — the restore that makes reps
+  * idempotent; a production erasure mutates in place and pays no
+  * clone) plus the two refund/filter joins and two atomic rewrites;
+  * the one-time corpus replay that builds the base state lands behind
+  * the run-once latch, in warmup.
+  *
   * T-row (xxhash banding, as for the corpus-dedup parent):
   * StreamGdprSpec pins post-erasure state == from-scratch rebuild
   * without the erased docs (all tables), re-delivery no-op, the

@@ -46,6 +46,13 @@ import org.apache.spark.sql.functions._
   * probe is candidates-only. Per-batch cost ∝ batch + matched
   * candidates — the MinHash row's claim, second modality.
   *
+  * Bench-cost honesty (~5.4 s at sf0.1, the corpus-dedup band): each
+  * of the 4 micro-batches decodes + hashes its media slice fresh (new
+  * media cannot read a precomputed stage — the corpus-dedup banding
+  * argument, applied to pixels) plus the fixed replay machinery and
+  * three fenced commits per batch. The per-batch SHAPE — decode ∝
+  * batch, probe ∝ matches — is the 100 TB claim.
+  *
   * T-row (the pHash chain is engine-specific bit math):
   * StreamPhashDedupSpec pins stream == batch pair set, chunking/order
   * invariance, crash-retry idempotence through a real checkpoint
