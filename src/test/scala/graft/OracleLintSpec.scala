@@ -74,7 +74,7 @@ class OracleLintSpec extends AnyFunSuite {
       Catalog.all.filter(_.oracle.isDefined).map(_.name).toSet)
   }
 
-  test("oracle count matches the SURVEY §2 contract (257 oracle rows)") {
-    assert(Catalog.all.count(_.oracle.isDefined) == 257)
+  test("oracle count matches the SURVEY §2 contract (260 oracle rows)") {
+    assert(Catalog.all.count(_.oracle.isDefined) == 260)
   }
 }
