@@ -2194,6 +2194,131 @@ object TextQueries {
         |ORDER BY mi_scaled_micro DESC, wc.w
         |LIMIT 20""".stripMargin))
 
+  /** The (score, label) frame the ML-evaluation pair shares: score =
+    * the distinct-token ratio in exact integer micro-units (a single
+    * FEATURE — the gate also weighs stop-ratio and the token band, so
+    * the feature is informative but not decisive and the evaluation is
+    * non-degenerate), label = the shared [[QualityScore.keep]] gate.
+    * Score domain is micro-ratios ∈ [0, 10⁶] — DOMAIN-bounded, so
+    * everything downstream of the (score)-keyed partial agg is bounded
+    * at any corpus size (the 100 TB argument both rows lean on). */
+  private def scoredLabeled(s: SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    QualityScore.fromTokens(Tokenized(s, dir))
+      .select($"doc_id",
+        expr("(n_distinct * 1000000) div n_tok").as("s"),
+        when(QualityScore.keep, 1L).otherwise(0L).as("y"))
+  }
+
+  /** The DuckDB twin of [[scoredLabeled]] (shared CTE text so the two
+    * evaluation oracles can never drift apart). */
+  private val scoredLabeledSql: String =
+    """m AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+      |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+      |      AS n_distinct,
+      |    CAST(len(list_filter(string_split(text, ' '),
+      |      t -> t IN ('the', 'a'))) AS BIGINT) AS n_stop
+      |  FROM documents),
+      |sc AS (
+      |  SELECT doc_id, (n_distinct * 1000000) // n_tok AS s,
+      |    CASE WHEN ROUND((CAST(n_distinct AS DOUBLE) / n_tok) * 0.5
+      |        + (1.0 - CAST(n_stop AS DOUBLE) / n_tok) * 0.3
+      |        + least(CAST(n_tok AS DOUBLE) / 50.0, 1.0) * 0.2, 6) >= 0.65
+      |      AND n_tok BETWEEN 20 AND 200 THEN 1 ELSE 0 END AS y
+      |  FROM m)""".stripMargin
+
+  /** q_ml_auc (added r13) — EXACT ROC-AUC of a curation feature against
+    * the quality gate: the feature-screening statistic a pipeline owner
+    * computes before promoting a signal into the gate ("how well does
+    * distinct-ratio alone rank keepers above rejects?"). AUC via the
+    * Mann-Whitney identity with exact tie handling:
+    * 2U = Σ_scores n_pos(s)·(2·n_neg_below(s) + n_neg(s)), AUC =
+    * 2U/(2·P·N) — every term an exact Long until the one final
+    * division (ties contribute exactly ½, no average-rank floats).
+    * Scale: one (score)-keyed partial agg (map-side combined), then a
+    * window + final agg over the DOMAIN-bounded distinct-score table
+    * (≤ 10⁶ + 1 rows at ANY corpus size — bounded by the micro-ratio
+    * domain, not the data; the single-partition window is a
+    * bounded-model operation, the q_stat_gini precedent made explicit).
+    * Headroom: 2U ≤ P·2N ≤ 2n² → Long-safe to ~2·10⁹ docs, then the
+    * documented DECIMAL(38,0) promotion. */
+  val qMlAuc: Q = Q(
+    "q_ml_auc",
+    (s, dir) => {
+      import s.implicits._
+      val g = scoredLabeled(s, dir)
+        .groupBy($"s")
+        .agg(sum($"y").as("np"),
+          (count(lit(1)) - sum($"y")).as("nn"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy($"s")
+      g.withColumn("nn_below", sum($"nn").over(w) - $"nn")
+        .agg(sum($"np").as("n_pos"), sum($"nn").as("n_neg"),
+          sum($"np" * ($"nn_below" * 2 + $"nn")).as("u2"))
+        .select($"n_pos", $"n_neg",
+          when($"n_pos" === 0L || $"n_neg" === 0L,
+            lit(null).cast(DoubleType))
+            .otherwise(round($"u2".cast(DoubleType) /
+              (lit(2.0) * $"n_pos" * $"n_neg"), 6)).as("auc"))
+    },
+    oracle = Some(
+      s"""WITH $scoredLabeledSql,
+         |g AS (
+         |  SELECT s, CAST(SUM(y) AS BIGINT) AS np,
+         |    CAST(COUNT(*) - SUM(y) AS BIGINT) AS nn
+         |  FROM sc GROUP BY s),
+         |c AS (
+         |  SELECT s, np, nn,
+         |    CAST(SUM(nn) OVER (ORDER BY s) - nn AS BIGINT) AS nn_below
+         |  FROM g),
+         |t AS (
+         |  SELECT CAST(SUM(np) AS BIGINT) AS n_pos,
+         |    CAST(SUM(nn) AS BIGINT) AS n_neg,
+         |    CAST(SUM(np * (2 * nn_below + nn)) AS BIGINT) AS u2
+         |  FROM c)
+         |SELECT n_pos, n_neg,
+         |  CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+         |    ELSE ROUND(CAST(u2 AS DOUBLE) / (2.0 * n_pos * n_neg), 6)
+         |  END AS auc
+         |FROM t""".stripMargin))
+
+  /** q_ml_calibration (added r13) — CALIBRATION TABLE of the same
+    * feature: fixed-width 0.1 bins over the micro-ratio score, each
+    * with its document count, observed keep rate, and mean score — the
+    * reliability-diagram input ("does a 0.8-scoring bin actually keep
+    * at 0.8?") and the companion read to q_ml_auc (AUC ranks, the
+    * calibration table says whether the MAGNITUDE means anything).
+    * Fixed-width integer bins, never ntile: quantile bins tie-break
+    * nondeterministically and shuffle corpus-wide, while `s div 10⁵`
+    * is a narrow pure function and the table is ≤ 11 rows at any
+    * scale. Exact Longs until the two final rounded divisions. */
+  val qMlCalibration: Q = Q(
+    "q_ml_calibration",
+    (s, dir) => {
+      import s.implicits._
+      scoredLabeled(s, dir)
+        .groupBy(expr("s div 100000").as("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"y").as("n_keep"),
+          round(sum($"y").cast(DoubleType) / count(lit(1)), 6)
+            .as("keep_rate"),
+          round(sum($"s").cast(DoubleType) / count(lit(1)) / 1e6, 6)
+            .as("mean_score"))
+        .orderBy($"bin")
+    },
+    oracle = Some(
+      s"""WITH $scoredLabeledSql
+         |SELECT s // 100000 AS bin, COUNT(*) AS n_docs,
+         |  CAST(SUM(y) AS BIGINT) AS n_keep,
+         |  ROUND(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6) AS keep_rate,
+         |  ROUND(CAST(SUM(s) AS DOUBLE) / COUNT(*) / 1000000.0, 6)
+         |    AS mean_score
+         |FROM sc
+         |GROUP BY 1
+         |ORDER BY 1""".stripMargin))
+
   val all: Vector[Q] =
     Vector(qTextTokenizeExplode, qTextWordcountTf, qTextStats,
       qTextQuality, qTextTokenCount, qDocFingerprint, qTextFilterPipeline,
@@ -2204,5 +2329,6 @@ object TextQueries {
       qTextCharTrigrams, qQualityClassifier, qSampleTemperature, qTextPack,
       qSampleTokenBudget, qSamplePerplexityBucket, qSampleDomainMix,
       qTextChunk, qPipelineFunnel,
-      qTextZipf, qTextNaiveBayes, qMlConfusion, qTextMutualInfo)
+      qTextZipf, qTextNaiveBayes, qMlConfusion, qTextMutualInfo,
+      qMlAuc, qMlCalibration)
 }
