@@ -466,48 +466,56 @@ object AggQueries {
     * median pick is the smallest v with 2·(below + cum_v) ≥ total —
     * identical arithmetic in both engines. Headroom: Σw ≤ 50·rows —
     * Long-safe to ~10¹⁷ rows per group. */
+  /** The two-phase exact weighted-median engine, factored so
+    * WeightedStatsSpec can pin bucket-width invariance and brute-force
+    * equality on planted sets. Input columns (g, v, w) — group, integer
+    * value, integer weight; output (g, tw, med_v) with med_v the
+    * smallest v whose cumulative weight crosses half of tw. */
+  private[graft] def weightedMedianFrame(base: org.apache.spark.sql.DataFrame,
+      bucketWidth: Long): org.apache.spark.sql.DataFrame = {
+    require(bucketWidth >= 1, s"bucket width must be >= 1, got $bucketWidth")
+    val bkt = base
+      .withColumn("bucket", expr(s"v div $bucketWidth"))
+      .groupBy(col("g"), col("bucket"))
+      .agg(sum(col("w")).as("bw"))
+    val winB = Window.partitionBy(col("g")).orderBy(col("bucket"))
+    val cum = bkt
+      .withColumn("cumb", sum(col("bw")).over(winB))
+      .withColumn("tw", sum(col("bw")).over(Window.partitionBy(col("g"))))
+    // The median bucket per group: first bucket where the running
+    // weight crosses half. struct-min keeps (below, tw) of exactly
+    // that bucket — bucket ids are unique per group, so the min is
+    // total-ordered and deterministic.
+    val medb = cum.where(col("cumb") * 2 >= col("tw"))
+      .groupBy(col("g"))
+      .agg(min(struct(col("bucket"), (col("cumb") - col("bw")).as("below"),
+        col("tw"))).as("m"))
+      .select(col("g"), col("m.bucket").as("bucket"),
+        col("m.below").as("below"), col("m.tw").as("tw"))
+    val inBucket = base
+      .join(broadcast(medb), Seq("g"))
+      .where(expr(s"v div $bucketWidth") === col("bucket"))
+      .groupBy(col("g"), col("below"), col("tw"), col("v"))
+      .agg(sum(col("w")).as("vw"))
+    val winV = Window.partitionBy(col("g")).orderBy(col("v"))
+    inBucket
+      .withColumn("cumv", sum(col("vw")).over(winV))
+      .where((col("below") + col("cumv")) * 2 >= col("tw"))
+      .groupBy(col("g"))
+      .agg(max(col("tw")).as("tw"), min(col("v")).as("med_v"))
+  }
+
   val qAggWeightedMedian: Q = Q(
     "q_agg_weighted_median",
     (s, dir) => {
       import s.implicits._
-      val W = 10000L // bucket width: $100 in cents
       val base = Tables.lineitem(s, dir)
-        .select($"l_returnflag",
+        .select($"l_returnflag".as("g"),
           (dec2($"l_extendedprice") * 100).cast(LongType).as("v"),
           $"l_quantity".cast(LongType).as("w"))
-      val bkt = base
-        .withColumn("bucket", expr(s"v div $W"))
-        .groupBy($"l_returnflag", $"bucket")
-        .agg(sum($"w").as("bw"))
-      val winB = Window.partitionBy($"l_returnflag").orderBy($"bucket")
-      val cum = bkt
-        .withColumn("cumb", sum($"bw").over(winB))
-        .withColumn("tw", sum($"bw")
-          .over(Window.partitionBy($"l_returnflag")))
-      // The median bucket per group: first bucket where the running
-      // weight crosses half. struct-min keeps (below, tw) of exactly
-      // that bucket — bucket ids are unique per group, so the min is
-      // total-ordered and deterministic.
-      val medb = cum.where($"cumb" * 2 >= $"tw")
-        .groupBy($"l_returnflag")
-        .agg(min(struct($"bucket", ($"cumb" - $"bw").as("below"),
-          $"tw")).as("m"))
-        .select($"l_returnflag", $"m.bucket".as("bucket"),
-          $"m.below".as("below"), $"m.tw".as("tw"))
-      val inBucket = base
-        .join(broadcast(medb), Seq("l_returnflag"))
-        .where(expr(s"v div $W") === $"bucket")
-        .groupBy($"l_returnflag", $"below", $"tw", $"v")
-        .agg(sum($"w").as("vw"))
-      val winV = Window
-        .partitionBy($"l_returnflag").orderBy($"v")
-      inBucket
-        .withColumn("cumv", sum($"vw").over(winV))
-        .where(($"below" + $"cumv") * 2 >= $"tw")
-        .groupBy($"l_returnflag")
-        .agg(max($"tw").as("total_weight"),
-          expr("ROUND(CAST(MIN(v) AS DOUBLE) / 100.0, 2)")
-            .as("weighted_median"))
+      weightedMedianFrame(base, bucketWidth = 10000L) // $100 in cents
+        .select($"g".as("l_returnflag"), $"tw".as("total_weight"),
+          round($"med_v".cast(DoubleType) / 100.0, 2).as("weighted_median"))
         .orderBy($"l_returnflag")
     },
     oracle = Some(

@@ -2245,24 +2245,29 @@ object TextQueries {
     * bounded-model operation, the q_stat_gini precedent made explicit).
     * Headroom: 2U ≤ P·2N ≤ 2n² → Long-safe to ~2·10⁹ docs, then the
     * documented DECIMAL(38,0) promotion. */
+  /** The exact-AUC engine over a (s: long score, y: 0/1 label) frame,
+    * factored so WeightedStatsSpec can pin brute-force pair-count
+    * equality, the label-flip identity, and the tie/separation edge
+    * cases on planted sets. */
+  private[graft] def aucFrame(sy: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val g = sy.groupBy(col("s"))
+      .agg(sum(col("y")).as("np"),
+        (count(lit(1)) - sum(col("y"))).as("nn"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("s"))
+    g.withColumn("nn_below", sum(col("nn")).over(w) - col("nn"))
+      .agg(sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
+        sum(col("np") * (col("nn_below") * 2 + col("nn"))).as("u2"))
+      .select(col("n_pos"), col("n_neg"),
+        when(col("n_pos") === 0L || col("n_neg") === 0L,
+          lit(null).cast(DoubleType))
+          .otherwise(round(col("u2").cast(DoubleType) /
+            (lit(2.0) * col("n_pos") * col("n_neg")), 6)).as("auc"))
+  }
+
   val qMlAuc: Q = Q(
     "q_ml_auc",
-    (s, dir) => {
-      import s.implicits._
-      val g = scoredLabeled(s, dir)
-        .groupBy($"s")
-        .agg(sum($"y").as("np"),
-          (count(lit(1)) - sum($"y")).as("nn"))
-      val w = org.apache.spark.sql.expressions.Window.orderBy($"s")
-      g.withColumn("nn_below", sum($"nn").over(w) - $"nn")
-        .agg(sum($"np").as("n_pos"), sum($"nn").as("n_neg"),
-          sum($"np" * ($"nn_below" * 2 + $"nn")).as("u2"))
-        .select($"n_pos", $"n_neg",
-          when($"n_pos" === 0L || $"n_neg" === 0L,
-            lit(null).cast(DoubleType))
-            .otherwise(round($"u2".cast(DoubleType) /
-              (lit(2.0) * $"n_pos" * $"n_neg"), 6)).as("auc"))
-    },
+    (s, dir) => aucFrame(scoredLabeled(s, dir)),
     oracle = Some(
       s"""WITH $scoredLabeledSql,
          |g AS (

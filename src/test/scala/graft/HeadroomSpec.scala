@@ -181,6 +181,31 @@ class HeadroomSpec extends AnyFunSuite with SparkFixture {
     assertHeadroom("stream_vec_index", worst)
   }
 
+  test("q_agg_weighted_median: per-group Σw (the cumulative window's " +
+      "peak) over quantity weights") {
+    import spark.implicits._
+    val maxGroup = Tables.lineitem(spark, hdDir)
+      .groupBy($"l_returnflag")
+      .agg(sum($"l_quantity".cast("long")).as("w"))
+      .agg(max($"w")).head().getLong(0)
+    assertHeadroom("weighted_median", BigInt(maxGroup))
+  }
+
+  test("q_ml_auc: 2U ≤ 2·n² over the document count (the documented " +
+      "DECIMAL promotion past ~2·10⁹ docs)") {
+    val n = Tables.documents(spark, hdDir).count()
+    assertHeadroom("ml_auc", BigInt(2) * BigInt(n) * BigInt(n))
+  }
+
+  test("q_prep_loo_encode: per-category Σ cents") {
+    import spark.implicits._
+    val maxCat = Tables.orders(spark, hdDir)
+      .groupBy($"o_orderpriority")
+      .agg(sum((graft.Dsl.dec2($"o_totalprice") * 100).cast("long")).as("s"))
+      .agg(max($"s")).head().getLong(0)
+    assertHeadroom("loo_encode", BigInt(maxCat))
+  }
+
   test("negative control: the margin checker trips on a violation") {
     val ex = intercept[org.scalatest.exceptions.TestFailedException] {
       assertHeadroom("planted", LongMax / 5)
