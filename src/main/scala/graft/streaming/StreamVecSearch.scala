@@ -123,43 +123,68 @@ object StreamVecSearch {
     Seq.empty[(Long, Long, Long, Double)].toDF("qid", "rank", "vec_id", "sim")
   }
 
-  /** Fold one micro-batch of queries into the results log. Exposed so
-    * the spec can re-deliver and re-order around the exact code path
-    * the catalog row runs. The distinct probed-cell collect is bounded
-    * by k (routing state, not data); the postings read opens ONLY those
-    * cells' directories. */
-  private[graft] def foldBatch(results: String, postingsRoot: String,
+  /** Fold one micro-batch of queries into the results log, reading the
+    * probed cells' postings through `postings` (probed cell ids → the
+    * pruned (vec_id, embedding, cell) frame, or None when every probed
+    * cell is EMPTY — empty cells are a guaranteed fact of life at the
+    * production k ≈ 32 768: AnnIvf.train keeps their centroids,
+    * probeCells routes with no occupancy knowledge; they contribute
+    * zero candidates, exactly as AnnIvf.search's isin filter treats
+    * them, so they are SKIPPED, not failed). The reader indirection is
+    * what lets the SAME serving fold search either the bootstrap
+    * `cell=<c>/` layout or a refit generation's manifest-addressed
+    * directories ([[IvfRefit.Gen]]): a generation swap changes where
+    * cells live, never how they are served (IvfRefitSpec pins
+    * serving-after-refit == AnnIvf.search under the new codebook).
+    * Exposed so the spec can re-deliver and re-order around the exact
+    * code path the catalog row runs; the distinct probed-cell collect
+    * is bounded by k (routing state, not data). */
+  private[graft] def foldBatch(results: String,
+      postings: Seq[Int] => Option[DataFrame],
       centroids: Seq[Array[Float]], batch: DataFrame, id: Long): Unit = {
     val s = batch.sparkSession
     val routed = route(batch, centroids, NProbe).persist()
     try {
-      // An EMPTY probed cell has no cell=<c>/ directory (partitionBy
-      // writes nothing for it) — and empty cells are a guaranteed fact
-      // of life at the production k ≈ 32 768 (AnnIvf.train keeps their
-      // centroids, probeCells routes with no occupancy knowledge). They
-      // contribute zero candidates, exactly as AnnIvf.search's isin
-      // filter treats them, so they are SKIPPED here, not failed. The
-      // existence probe is per probed cell (≤ k, driver-side routing
-      // state — an object-store deployment folds it into the one
-      // listing it already does).
-      // Existence resolves through the session's Hadoop FileSystem, not
-      // java.nio (r12 advice): a raw-path Files.exists on a non-local
-      // postings root (object store, HDFS) would silently report every
-      // cell missing and publish EMPTY results — the one failure mode
-      // worse than failing. The FS probe answers correctly for any
-      // scheme the session can read.
-      val fs = new org.apache.hadoop.fs.Path(postingsRoot)
-        .getFileSystem(s.sessionState.newHadoopConf())
-      val dirs = routed.select(col("cell")).distinct()
+      val cells = routed.select(col("cell")).distinct()
         .collect().map(_.getInt(0)).toSeq.sorted
-        .map(c => s"$postingsRoot/cell=$c")
-        .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d)))
-      val out =
-        if (dirs.isEmpty) emptyResults(s)
-        else scoreTopK(routed,
-          s.read.option("basePath", postingsRoot).parquet(dirs: _*))
+      val out = postings(cells).map(scoreTopK(routed, _))
+        .getOrElse(emptyResults(s))
       AppendLog.append(results, out, id)
     } finally routed.unpersist()
+  }
+
+  /** The bootstrap `cell=<c>/` layout's reader: per-cell existence
+    * resolves through the session's Hadoop FileSystem, not java.nio
+    * (r12 advice — a raw-path probe on a non-local root would silently
+    * report every cell missing and publish EMPTY results, the one
+    * failure mode worse than failing); the probe is per probed cell
+    * (≤ k — an object-store deployment folds it into the one listing
+    * it already does), and basePath recovers the partition-dir cell
+    * column. */
+  private[graft] def pathPostings(s: SparkSession, postingsRoot: String)
+      : Seq[Int] => Option[DataFrame] = { cells =>
+    val fs = new org.apache.hadoop.fs.Path(postingsRoot)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    val dirs = cells.map(c => s"$postingsRoot/cell=$c")
+      .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d)))
+    if (dirs.isEmpty) None
+    else Some(s.read.option("basePath", postingsRoot).parquet(dirs: _*)
+      .select(col("vec_id"), col("embedding"), col("cell")))
+  }
+
+  /** A refit generation's reader: probed cells resolve through the
+    * [[Snapshot]] manifest (the [[graft.streaming.IvfRefit.Gen]]
+    * layout) — an absent `cell<c>` key IS the empty-cell signal, no
+    * filesystem probe needed (the manifest is the listing), and the
+    * data files carry the cell column themselves. */
+  private[graft] def genPostings(s: SparkSession, root: String)
+      : Seq[Int] => Option[DataFrame] = { cells =>
+    val manifest = Snapshot.currentManifest(root).getOrElse(Map.empty)
+    val dirs = cells.flatMap(c => manifest.get(s"cell$c"))
+      .map(Snapshot.versionPath(root, _))
+    if (dirs.isEmpty) None
+    else Some(s.read.parquet(dirs: _*)
+      .select(col("vec_id"), col("embedding"), col("cell")))
   }
 
   /** The postings index, batch-bootstrapped once per fixture dir and
@@ -215,7 +240,7 @@ object StreamVecSearch {
       val src = s.readStream.schema(QueryStage.schema(s, inDir))
         .option("maxFilesPerTrigger", 1).parquet(inDir)
       FoldReplay.run(src, "q_stream_vec_search") { (batch, id) =>
-        foldBatch(results, postings, cb, batch, id)
+        foldBatch(results, pathPostings(s, postings), cb, batch, id)
       }
       AppendLog.read(s, results).getOrElse(throw new IllegalStateException(
           s"results log at $results has no committed segments"))

@@ -214,6 +214,38 @@ class IvfRefitSpec extends AnyFunSuite with SparkFixture {
       "a re-run refit against unchanged stats must move nothing")
   }
 
+  test("serving composes with the generation swap: queries folded " +
+      "against the refit generation equal AnnIvf.search under the new " +
+      "codebook — a swap changes where cells live, never how they are " +
+      "served") {
+    import graft.streaming.{AppendLog, StreamVecSearch}
+    // Refit the fixture generation store (the catalog row's path), then
+    // serve a query batch THROUGH the manifest-addressed reader.
+    Catalog.byName("q_vec_index_refit").build(spark, sfDir).count()
+    val root = StreamVecIndex.VecStage.stateDir(sfDir, "gen")
+    val newCb = IvfRefit.Gen.readCodebook(spark, root)
+    val qids = StreamVecSearch.queryLog(spark, sfDir)
+      .select(col("qid")).collect().map(_.getLong(0)).sorted.take(4)
+    val batch = StreamVecSearch.queryLog(spark, sfDir)
+      .where(col("qid").isin(qids: _*))
+    val results = Files.createTempDirectory("graft_refit_serve").toString
+    StreamVecSearch.foldBatch(results,
+      StreamVecSearch.genPostings(spark, root), newCb, batch, 0L)
+    val got = AppendLog.read(spark, results).get
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val want = qids.flatMap { q =>
+      AnnIvf.search(emb, newCb, q, StreamVecSearch.NProbe,
+          StreamVecSearch.TopK)
+        .collect().zipWithIndex
+        .map { case (r, i) => (q, i + 1L, r.getLong(0), r.getDouble(1)) }
+    }.toSet
+    assert(got == want,
+      "serving against the refit generation must equal the single-probe " +
+        "searcher under the new codebook")
+  }
+
   test("crash before the pointer swap leaves readers on the complete " +
       "old generation; the re-run converges and sweeps the orphans") {
     val (root, state) = plantedStore()

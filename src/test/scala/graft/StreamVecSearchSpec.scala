@@ -119,7 +119,8 @@ class StreamVecSearchSpec extends AnyFunSuite with SparkFixture {
 
     val a = Files.createTempDirectory("graft_vsearch_a").toString
     chunks.zipWithIndex.foreach { case (b, i) =>
-      StreamVecSearch.foldBatch(a, postings, cb, b, i.toLong)
+      StreamVecSearch.foldBatch(a,
+        StreamVecSearch.pathPostings(spark, postings), cb, b, i.toLong)
     }
     // Re-deliver batch 1 (driver death between segment commit and epoch
     // commit re-runs the same id): the manifest key fences it. The
@@ -129,14 +130,16 @@ class StreamVecSearchSpec extends AnyFunSuite with SparkFixture {
     // to catch.
     val before = drain(a)
     val rowsBefore = AppendLog.read(spark, a).get.count()
-    StreamVecSearch.foldBatch(a, postings, cb, chunks(1), 1L)
+    StreamVecSearch.foldBatch(a,
+      StreamVecSearch.pathPostings(spark, postings), cb, chunks(1), 1L)
     assert(AppendLog.read(spark, a).get.count() == rowsBefore,
       "a re-delivered batchId must not append a duplicate segment")
     assert(drain(a) == before, "a re-delivered batchId must no-op")
 
     val b = Files.createTempDirectory("graft_vsearch_b").toString
     chunks.reverse.zipWithIndex.foreach { case (ch, i) =>
-      StreamVecSearch.foldBatch(b, postings, cb, ch, i.toLong)
+      StreamVecSearch.foldBatch(b,
+        StreamVecSearch.pathPostings(spark, postings), cb, ch, i.toLong)
     }
     assert(drain(b) == before,
       "the drained log must be invariant to arrival order")
@@ -160,7 +163,8 @@ class StreamVecSearchSpec extends AnyFunSuite with SparkFixture {
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())
         .foreachBatch { (batch: DataFrame, id: Long) =>
-          StreamVecSearch.foldBatch(results, postings, cb, batch, id)
+          StreamVecSearch.foldBatch(results,
+            StreamVecSearch.pathPostings(spark, postings), cb, batch, id)
           if (id == 2L && crashed.compareAndSet(false, true))
             throw new RuntimeException("injected crash after fold")
         }
@@ -197,8 +201,8 @@ class StreamVecSearchSpec extends AnyFunSuite with SparkFixture {
     val q = Seq((-1L, far.toSeq)).toDF("qid", "qvec")
     assert(AnnIvf.probeCells(cbPlus, far, NProbe).contains(cb.size),
       "the planted query must genuinely probe the empty cell")
-    StreamVecSearch.foldBatch(s"$root/results", s"$root/postings",
-      cbPlus, q, 0L)
+    StreamVecSearch.foldBatch(s"$root/results",
+      StreamVecSearch.pathPostings(spark, s"$root/postings"), cbPlus, q, 0L)
     val got = asSet(AppendLog.read(spark, s"$root/results").get)
     assert(got.forall(_._1 == -1L))
     assert(got.map(_._2) == (1L to TopK).toSet,
