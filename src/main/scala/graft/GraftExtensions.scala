@@ -33,6 +33,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
               s"string), got ${children.size}")
         functions.JaroWinkler(children.head, children(1))
       }))
+    extensions.injectFunction((
+      new FunctionIdentifier("span_extend"),
+      new ExpressionInfo(classOf[functions.SpanExtend].getName, "span_extend"),
+      (children: Seq[Expression]) => {
+        if (children.size != 4)
+          throw new IllegalArgumentException(
+            s"span_extend requires exactly 4 arguments (string, string, " +
+              s"int, int), got ${children.size}")
+        functions.SpanExtend(children.head, children(1), children(2),
+          children(3))
+      }))
     extensions.injectPlannerStrategy(plans.AsOfJoinStrategy)
   }
 }

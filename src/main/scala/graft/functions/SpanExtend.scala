@@ -1,0 +1,104 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, QuaternaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native maximal-common-run extension around an aligned seed position
+  * pair — the char-verify step of cross-document SPAN-level dedup
+  * (`q_dedup_spans`): given texts a/b and 1-based positions pa/pb where
+  * a fingerprint collision suggested a match, walk left and right while
+  * characters stay equal and return the MAXIMAL common run containing
+  * (pa, pb), packed into one long:
+  *
+  *   (start_a << 42) | (start_b << 21) | run_len      (21 bits each)
+  *
+  * or 0 when even a(pa) != b(pb) — i.e. the seed was a pure hash
+  * collision. Packing keeps the expression primitive-long end to end
+  * (no struct allocation inside whole-stage codegen); the 21-bit fields
+  * cover the winnowing stage's own < 2^20-grams-per-document bound, and
+  * oversize inputs fail LOUDLY (require) instead of bleeding bits.
+  *
+  * Correctness shape (what makes the caller collision-proof): the
+  * returned run is CHARACTER-verified, so a false fingerprint seed can
+  * only ever yield a true-but-short common run, which the caller's
+  * min-length filter drops; and every true run of length ≥ the
+  * winnowing guarantee (window + gram − 1) contains a delta-aligned
+  * selected fingerprint in both documents, so extension from any of its
+  * seeds reconstructs EXACTLY the same maximal [start_a, start_b, len]
+  * triple — duplicates collapse under distinct.
+  *
+  * Comparison is by Java char (UTF-16 unit), identical to the winnowing
+  * stage's String.substring gram extraction; code-unit vs code-point
+  * positions coincide for BMP text (the corpus contract the fingerprint
+  * stage already documents).
+  *
+  * Codegen: like [[JaroWinkler]], the generated code calls the static
+  * [[SpanExtend.extend]] — a static method call inside whole-stage
+  * codegen, never an interpreted CodegenFallback.
+  */
+object SpanExtend {
+  /** 21-bit field bound shared with the SQL-side unpack expressions. */
+  val fieldBits = 21
+  val fieldMax: Long = (1L << fieldBits) - 1
+
+  /** Static extender, called from both eval and generated code. */
+  def extend(a: UTF8String, b: UTF8String, pa: Int, pb: Int): Long = {
+    val s = a.toString
+    val t = b.toString
+    // 1-based positions must address a real char in both texts.
+    if (pa < 1 || pb < 1 || pa > s.length || pb > t.length) return 0L
+    var i = pa - 1
+    var j = pb - 1
+    if (s.charAt(i) != t.charAt(j)) return 0L
+    var lo = 0
+    while (i - lo - 1 >= 0 && j - lo - 1 >= 0 &&
+      s.charAt(i - lo - 1) == t.charAt(j - lo - 1)) lo += 1
+    var hi = 1
+    while (i + hi < s.length && j + hi < t.length &&
+      s.charAt(i + hi) == t.charAt(j + hi)) hi += 1
+    val startA = (pa - lo).toLong
+    val startB = (pb - lo).toLong
+    val len = (lo + hi).toLong
+    require(startA <= fieldMax && startB <= fieldMax && len <= fieldMax,
+      s"span_extend fields exceed $fieldBits bits ($startA, $startB, $len) — pre-chunk")
+    (startA << (2 * fieldBits)) | (startB << fieldBits) | len
+  }
+}
+
+case class SpanExtend(first: Expression, second: Expression,
+    third: Expression, fourth: Expression) extends QuaternaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ts = Seq(first.dataType, second.dataType, third.dataType, fourth.dataType)
+    if (ts == Seq(StringType, StringType, IntegerType, IntegerType))
+      TypeCheckResult.TypeCheckSuccess
+    else
+      TypeCheckResult.TypeCheckFailure(
+        "span_extend requires (string, string, int, int), got " +
+          ts.map(_.catalogString).mkString(", "))
+  }
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "span_extend"
+
+  override def nullable: Boolean =
+    first.nullable || second.nullable || third.nullable || fourth.nullable
+
+  override protected def nullSafeEval(a: Any, b: Any, pa: Any, pb: Any): Any =
+    SpanExtend.extend(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String],
+      pa.asInstanceOf[Int], pb.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, pa, pb) =>
+      s"${ev.value} = graft.functions.SpanExtend.extend($a, $b, $pa, $pb);")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression, newFourth: Expression): SpanExtend =
+    copy(first = newFirst, second = newSecond,
+      third = newThird, fourth = newFourth)
+}

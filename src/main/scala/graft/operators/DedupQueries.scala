@@ -1259,11 +1259,197 @@ object DedupQueries {
         .orderBy($"doc_a", $"doc_b")
     })
 
+  /** Cross-document SPAN-level dedup — the "50-token repeated span"
+    * pass a production corpus runs alongside doc-level MinHash. The
+    * engine's winnowing fingerprints ([[TextQueries.Fingerprint]],
+    * gram = 8, window = 16) are the candidate generator: any shared
+    * substring of length ≥ window + gram − 1 = 23 chars selects the
+    * SAME (content-determined) fingerprint at the aligned position in
+    * both documents — winnowing picks each window's min by (h44, pos)
+    * and within a fully-shared window the h44 sequence is identical, so
+    * the leftmost-min falls at the same relative offset in both docs.
+    * So an equi self-join on the fingerprint hash yields delta-aligned
+    * seeds covering EVERY true span ≥ [[spanMinLen]], and the
+    * char-verified [[graft.functions.SpanExtend]] expression grows each
+    * seed to its maximal common run — false hash-collision seeds can
+    * only produce true-but-short runs, dropped by the length filter, so
+    * the reported set is EXACTLY the maximal shared runs ≥ spanMinLen
+    * (the brute L-gram DuckDB twin computes the same set from first
+    * principles with zero shared code).
+    *
+    * Scale (100 TB): fingerprints are a per-doc narrow transform with
+    * ~2/(window+1) density (sparse — ~8× fewer rows than grams); the
+    * seed join is an equi join on a 44-bit key — candidates grow with
+    * FINGERPRINT COLLISIONS, never doc pairs (SpanDedupSpec pins the
+    * curve); texts attach through two doc_id equi joins (at 100 TB each
+    * a standard shuffle join against the corpus table); extension is
+    * per-seed O(run length) with duplicates collapsing under distinct.
+    * Redundant seeds inside one long run (≤ run_len/window of them) are
+    * the accepted cost of exactness — a pre-reduction per (pair, delta)
+    * pos-island would drop all but one seed per island but can merge
+    * two nearby runs into one island and miss the second; at 100 TB
+    * you'd bound it by pre-chunking documents (the fingerprint stage's
+    * own < 2^20-gram contract) which caps run length per chunk. */
+  val spanMinLen = 50
+
+  /** Memo'd span report — [[qDedupSpans]] emits it and
+    * [[qDedupSpanClean]] consumes it (the shared-stage convention: at
+    * 100 TB the span report is a written table the cleaning job scans).
+    * Columns: doc_a < doc_b, 1-based start_a/start_b, span_len ≥
+    * [[spanMinLen]], span (the shared text itself). */
+  private val spanCache =
+    new graft.Memo[(SparkSession, String), DataFrame]
+
+  /** Delta-aligned candidate seeds: the fingerprint equi self-join.
+    * Factored so SpanDedupSpec certifies THIS code's candidate growth
+    * (∝ fingerprint collisions, never doc pairs). */
+  private[graft] def spanSeeds(docs: DataFrame): DataFrame = {
+    val fps = TextQueries.Fingerprint.fingerprints(docs)
+    val a = fps.select(col("doc_id").as("doc_a"),
+      col("pos").cast("int").as("pa"), col("fp"))
+    val b = fps.select(col("doc_id").as("doc_b"),
+      col("pos").cast("int").as("pb"), col("fp"))
+    a.join(b, Seq("fp"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("pa"), col("pb"))
+  }
+
+  /** The full span pipeline over an arbitrary (doc_id, text) corpus —
+    * seeds → text attach → char-verified maximal extension → length
+    * filter → distinct. SpanDedupSpec pins it equal to a brute-force
+    * maximal-common-run scan on planted fixtures. */
+  private[graft] def spansOf(docs0: DataFrame): DataFrame = {
+    val docs = docs0.select(col("doc_id"), col("text"))
+    val mask = graft.functions.SpanExtend.fieldMax
+    spanSeeds(docs)
+      .join(docs.select(col("doc_id").as("doc_a"), col("text").as("ta")),
+        Seq("doc_a"))
+      .join(docs.select(col("doc_id").as("doc_b"), col("text").as("tb")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("ta"),
+        expr("span_extend(ta, tb, pa, pb)").as("p"))
+      .where(col("p").bitwiseAND(lit(mask)) >= spanMinLen)
+      .select(col("doc_a"), col("doc_b"),
+        shiftrightunsigned(col("p"), 42).as("start_a"),
+        shiftrightunsigned(col("p"), 21).bitwiseAND(lit(mask)).as("start_b"),
+        col("p").bitwiseAND(lit(mask)).as("span_len"),
+        expr("substring(ta, cast(shiftrightunsigned(p, 42) as int), " +
+          s"cast(p & $mask as int))").as("span"))
+      .distinct()
+  }
+
+  private[graft] def sharedSpans(s: SparkSession, dir: String): DataFrame =
+    spanCache((s, dir)) {
+      spansOf(Tables.documents(s, dir))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    }
+
+  /** The brute-force DuckDB twin of the span pipeline, shared by both
+    * span oracles: two docs share a run of length ≥ L iff they share an
+    * L-gram; matched L-gram positions at a fixed alignment delta are
+    * closed under gaps, so per-(pair, delta) pos-islands ARE the
+    * maximal runs: [min pos, max pos + L − 1]. Exact, zero shared code
+    * with the Spark path (no fingerprints, no extension). */
+  private def spanOracleCte: String =
+    s"""grams AS (
+       |  SELECT doc_id, i AS pos, substring(text, i, $spanMinLen) AS g
+       |  FROM documents, LATERAL unnest(
+       |    range(1, greatest(length(text) - ${spanMinLen - 1}, 0) + 1)) AS t(i)),
+       |cand AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb,
+       |         a.pos - b.pos AS delta
+       |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id),
+       |isl AS (
+       |  SELECT doc_a, doc_b, delta, pa, pb,
+       |         pa - row_number() OVER (
+       |           PARTITION BY doc_a, doc_b, delta ORDER BY pa) AS grp
+       |  FROM cand),
+       |spans AS (
+       |  SELECT doc_a, doc_b, min(pa) AS start_a, min(pb) AS start_b,
+       |         max(pa) - min(pa) + $spanMinLen AS span_len
+       |  FROM isl GROUP BY doc_a, doc_b, delta, grp)""".stripMargin
+
+  /** q_dedup_spans — the cross-document shared-span report: every
+    * maximal common run of ≥ [[spanMinLen]] chars between any two
+    * documents, with 1-based offsets in both and the span text. */
+  val qDedupSpans: Q = Q(
+    "q_dedup_spans",
+    (s, dir) => {
+      import s.implicits._
+      sharedSpans(s, dir).orderBy($"doc_a", $"doc_b", $"start_a", $"start_b")
+    },
+    oracle = Some(
+      s"""WITH $spanOracleCte
+         |SELECT s.doc_a, s.doc_b, s.start_a, s.start_b, s.span_len,
+         |  substring(d.text, CAST(s.start_a AS INT),
+         |    CAST(s.span_len AS INT)) AS span
+         |FROM spans s JOIN documents d ON d.doc_id = s.doc_a
+         |ORDER BY doc_a, doc_b, start_a, start_b""".stripMargin))
+
+  /** q_dedup_span_clean — the cleaned-corpus projection with keep-FIRST
+    * survivor semantics: the smallest doc_id containing a shared span
+    * keeps it; every LATER document (the doc_b side of a report row)
+    * has the chars covered by any such span excised. Interval merge +
+    * splice is a per-doc sorted aggregate HOF — overlapping intervals
+    * union via a running greatest(end); the kept text is the gaps
+    * between merged intervals plus the tail. Unaffected docs pass
+    * through verbatim. The DuckDB twin removes covered char POSITIONS
+    * (anti-join) and reassembles with an ordered string_agg — a second
+    * independent formulation of the same excision. */
+  val qDedupSpanClean: Q = Q(
+    "q_dedup_span_clean",
+    (s, dir) => {
+      import s.implicits._
+      val iv = sharedSpans(s, dir)
+        .select($"doc_b".as("doc_id"),
+          struct($"start_b".as("s"), ($"start_b" + $"span_len" - 1).as("e"))
+            .as("se"))
+        .groupBy($"doc_id")
+        .agg(sort_array(collect_list($"se")).as("iv"))
+      Tables.documents(s, dir).select($"doc_id", $"text")
+        .join(iv, Seq("doc_id"), "left")
+        .select($"doc_id", $"text",
+          when($"iv".isNull, $"text").otherwise(expr(
+            """aggregate(iv,
+              |  struct(cast(0 as bigint) as last, '' as acc),
+              |  (st, x) -> struct(
+              |    greatest(st.last, x.e) as last,
+              |    if(x.s > st.last + 1,
+              |       concat(st.acc, substring(text, cast(st.last + 1 as int),
+              |         cast(x.s - st.last - 1 as int))),
+              |       st.acc) as acc),
+              |  st -> concat(st.acc,
+              |    substring(text, cast(st.last + 1 as int))))""".stripMargin))
+            .as("clean_text"))
+        .select($"doc_id", $"clean_text",
+          (length($"text") - length($"clean_text")).cast(LongType)
+            .as("n_removed"))
+        .orderBy($"doc_id")
+    },
+    oracle = Some(
+      s"""WITH $spanOracleCte,
+         |cov AS (
+         |  SELECT DISTINCT s.doc_b AS doc_id, p
+         |  FROM spans s, LATERAL unnest(
+         |    range(s.start_b, s.start_b + s.span_len)) AS t(p)),
+         |chars AS (
+         |  SELECT d.doc_id, i, substring(d.text, CAST(i AS INT), 1) AS ch
+         |  FROM documents d, LATERAL unnest(
+         |    range(1, length(d.text) + 1)) AS t(i))
+         |SELECT c.doc_id AS doc_id,
+         |  coalesce(string_agg(CASE WHEN cov.p IS NULL THEN c.ch END, ''
+         |    ORDER BY c.i), '') AS clean_text,
+         |  CAST(SUM(CASE WHEN cov.p IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_removed
+         |FROM chars c LEFT JOIN cov ON cov.doc_id = c.doc_id AND cov.p = c.i
+         |GROUP BY c.doc_id
+         |ORDER BY c.doc_id""".stripMargin))
+
   val all: Vector[Q] = Vector(
     qDedupShingleStage, qDedupExact, qDedupNear, qDedupMinhash,
     qDedupNgramJaccard, qDedupSimhash, qDedupPipeline, qDedupComponents,
     qDedupComponentsStar, qDedupClusterSizes, qDedupCanonical,
     qTextContamination, qDedupFuzzy,
     qDedupSortedNeighborhood, qDedupPpjoin, qDedupSubstring,
-    qDedupContainment, qDedupJaro)
+    qDedupContainment, qDedupJaro, qDedupSpans, qDedupSpanClean)
 }
