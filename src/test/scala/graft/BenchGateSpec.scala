@@ -140,4 +140,46 @@ class BenchGateSpec extends AnyFunSuite {
     assert(Bench.maxWindowExternalCores(bad, 10.0) == -1.0)
     assert(Bench.maxWindowExternalCores(Nil, 10.0) == -1.0)
   }
+
+  // --- burstVote: per-rep burst attribution (r13 verdict #1) ---
+  // The loop-wide windows flagged nothing at ext 1.91 < gate 2.0 while
+  // a burst landed 26 s on plan-unchanged cheap rows; per-rep external
+  // readings let the median SELF-HEAL by excluding overlapped reps.
+
+  test("burstVote: a planted burst rep is excluded and the median stays in band") {
+    // q_agg_mode-shaped scenario: healthy 0.21 s reps around one rep
+    // inflated to 5.39 s by a 6-core neighbour.
+    val (voting, nBurst, stands) = Bench.burstVote(
+      Vector(0.21, 5.39, 0.22), Vector(0.0, 6.0, 0.0), gate = 2.0)
+    assert(voting == Vector(0.21, 0.22))
+    assert(nBurst == 1 && !stands)
+    val median = voting.sorted.apply(voting.size / 2)
+    assert(median <= 0.25, s"median must stay in the healthy band, got $median")
+  }
+
+  test("burstVote: sub-gate external readings never exclude a rep") {
+    val (voting, nBurst, stands) = Bench.burstVote(
+      Vector(0.2, 0.3, 0.25), Vector(1.9, 0.1, 0.0), gate = 2.0)
+    assert(voting.size == 3 && nBurst == 0 && !stands)
+  }
+
+  test("burstVote: all reps overlapped -> median stands on bursts and flags") {
+    val (voting, nBurst, stands) = Bench.burstVote(
+      Vector(4.0, 5.0, 6.0), Vector(3.0, 8.0, 2.5), gate = 2.0)
+    assert(voting == Vector(4.0, 5.0, 6.0))
+    assert(nBurst == 3 && stands)
+  }
+
+  test("burstVote: no reps is empty-clean but must not flag (error path owns it)") {
+    val (voting, nBurst, stands) = Bench.burstVote(Vector(), Vector(), 2.0)
+    assert(voting.isEmpty && nBurst == 0 && !stands)
+  }
+
+  test("repAttribMinSec floor keeps jiffy noise out of rep verdicts") {
+    // The floor is what exempts sub-second reps (±ncpu*0.02/dt cores of
+    // tick noise); it must sit where the noise bound at the floor is
+    // safely under the default 2-core gate on this 32-cpu box.
+    assert(Bench.repAttribMinSec >= 1.0)
+    assert(32 * 0.02 / Bench.repAttribMinSec < 2.0)
+  }
 }
