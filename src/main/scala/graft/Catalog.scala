@@ -56,6 +56,7 @@ object Catalog {
       streaming.StreamJoinQueries.all ++
       streaming.StreamVecIndex.all ++
       streaming.IvfRefit.all ++
+      streaming.PqRefit.all ++
       streaming.StreamVecSearch.all ++
       streaming.StreamCorpusDedup.all ++
       streaming.StreamGdpr.all ++

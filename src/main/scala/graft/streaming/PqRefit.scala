@@ -1,0 +1,324 @@
+package graft.streaming
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** PQ SUB-CODEBOOK REFIT — [[IvfRefit]]'s maintenance discipline applied
+  * to the OTHER half of the IVF-PQ stack (r13 verdict missing #2): the
+  * product sub-codebooks ([[graft.operators.PqQuantizer]], m = 8
+  * subspaces × 16 centroids × 8 dims) were trained once at warmup and
+  * never maintained — at 100 TB they drift exactly like the coarse
+  * codebook. This module closes that loop:
+  *
+  *  1. MAINTAIN — each micro-batch of vectors is PQ-assigned against
+  *     the FROZEN sub-codebooks (per-subspace argmin, the
+  *     `PqQuantizer.train` E-step as a broadcast literal) and folds
+  *     per-(subspace, cell, local-dim) exact-integer (count, micro-sum)
+  *     sufficient statistics through the fenced [[MonoidTable.merge]] —
+  *     re-delivered batches no-op, state equals the batch build
+  *     bit-for-bit whatever the batching (the StreamVecIndex monoid
+  *     argument, subspace-keyed).
+  *  2. M-STEP — refit every sub-codebook FROM the maintained state:
+  *     new centroid component = `rint(s/n)` micro-units, a driver-side
+  *     computation over ≤ m·ksub·dsub = 1024 model rows; no pass over
+  *     the data. Cells absent from the state keep the frozen centroid
+  *     (the "k never silently shrinks" rule).
+  *  3. DELTA RE-ENCODE — one narrow pass re-encodes the stored postings
+  *     under the new books (`PqQuantizer.encode`, the exact batch-row
+  *     code path) and ONLY coarse cells holding at least one CHANGED
+  *     code are rewritten; an untouched coarse cell's committed files
+  *     are never opened (manifest pointer swap alone). PQ refit never
+  *     moves a vector between coarse cells, so no cell empties.
+  *  4. GENERATION SWAP — sub-codebooks + rewritten cells publish in one
+  *     [[Snapshot]] manifest commit: a crash before the pointer swap
+  *     leaves readers on the complete old generation; a re-run
+  *     converges (PqRefitSpec injects exactly that).
+  *
+  * Exactness: the refit books are a pure integer function of the
+  * maintained state, so refit-from-stats equals the same M-step
+  * recomputed from the corpus in one batch, and sits within the
+  * documented ≤ 1 micro-unit-per-component envelope of the float-path
+  * `PqQuantizer.train(iters + 1)` update (per-component micro-rounding
+  * before the sum shifts a mean by at most 0.5 micro — the IvfRefit
+  * envelope argument, per subspace).
+  *
+  * Scale (10⁹-vector index): state is m·ksub·dsub rows — model-sized at
+  * any corpus; the re-encode is the one narrow full-postings map a code
+  * refit fundamentally needs (deciding whether a code changed IS the
+  * E-step); the rewrite is bounded by coarse cells containing changed
+  * codes — after a drift-triggered refit, the drifted fraction.
+  *
+  * Bench-cost honesty: like q_vec_index_refit, each rep resets and
+  * re-bootstraps the generation store so every rep refits the SAME
+  * generation; the one-time stats replay lands behind the run-once
+  * latch in warmup. Runs a streaming replay inside a batch-named row ⇒
+  * Bench treats it as conf-scoped/sequential-only.
+  *
+  * T-row (k-means state + the generation store are un-SQL-able):
+  * PqRefitSpec pins stats-path == batch M-step, the train(iters+1)
+  * micro envelope, codes == from-scratch encode under the new books,
+  * untouched-cell file identity on a planted corpus, crash-injected
+  * swap atomicity, and the refit-twice fixed point. */
+object PqRefit {
+
+  import graft.operators.{AnnIvf, PqQuantizer}
+  import PqQuantizer.{m, dsub, ksub}
+
+  /** All-subspace PQ assignment: adds `out` = the m-element codes array
+    * (per-subspace argmin ids) — `PqQuantizer.train`'s E-step shape,
+    * one narrow pass, all subspaces in one job. */
+  private[graft] def withCodes(df: DataFrame,
+      books: Seq[Seq[Array[Float]]], out: String): DataFrame = {
+    val coded = (0 until m).foldLeft(df) { case (d, j) =>
+      AnnIvf.assign(
+        d.withColumn(s"_sub$j", slice(col("embedding"), j * dsub + 1, dsub)),
+        books(j), s"_sub$j", s"_code$j")
+    }
+    coded
+      .withColumn(out, array((0 until m).map(j => col(s"_code$j")): _*))
+      .drop((0 until m).flatMap(j => Seq(s"_sub$j", s"_code$j")): _*)
+  }
+
+  /** Per-(subspace, cell, local-dim) sufficient statistics of one batch:
+    * n = vectors assigned to the cell in that subspace, s = micro-unit
+    * component sum — both commutative monoids in exact integers
+    * (headroom: |x| ≤ ~10 ⇒ |s| ≤ n·10⁷, safe past any real cell). */
+  def partials(batch: DataFrame, books: Seq[Seq[Array[Float]]]): DataFrame =
+    withCodes(batch.select(col("vec_id"), col("embedding")), books, "_codes")
+      .select(col("_codes"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .withColumn("j", (col("pos") / dsub).cast("int"))
+      .withColumn("cell", element_at(col("_codes"), col("j") + 1))
+      .withColumn("lpos", (col("pos") % dsub).cast("int"))
+      .groupBy(col("j"), col("cell"), col("lpos"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("x").cast("double") * 1e6).cast("long")).as("s"))
+
+  /** Lloyd's M-step per subspace from the maintained statistics:
+    * component = rint(s/n) micro. Driver-side over ≤ m·ksub·dsub rows. */
+  def mStep(state: DataFrame, frozen: Seq[Seq[Array[Float]]])
+      : Seq[Seq[Array[Float]]] = {
+    val rows = state.select(col("j"), col("cell"), col("lpos"),
+        col("n"), col("s"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) ->
+        (r.getLong(3), r.getLong(4))).toMap
+    frozen.indices.map { j =>
+      frozen(j).zipWithIndex.map { case (old, c) =>
+        val arr = old.clone()
+        var p = 0
+        while (p < dsub) {
+          rows.get((j, c, p)).foreach { case (n, s) =>
+            arr(p) = (math.rint(s.toDouble / n) / 1e6).toFloat
+          }
+          p += 1
+        }
+        arr
+      }
+    }
+  }
+
+  /** Generation store under a [[Snapshot]] root:
+    *   `codebook` → parquet (j, cell, pos, c_micro) — the m sub-books
+    *   `cell<c>`  → that COARSE cell's codes (vec_id, embedding, cell,
+    *                code) — the IvfPq index shape, one manifest key per
+    *                occupied coarse cell so a refit commits exactly the
+    *                cells whose codes changed. */
+  object Gen {
+
+    def codebookRows(s: SparkSession,
+        books: Seq[Seq[Array[Float]]]): DataFrame = {
+      import s.implicits._
+      books.zipWithIndex.flatMap { case (book, j) =>
+        book.zipWithIndex.flatMap { case (arr, c) =>
+          arr.zipWithIndex.map { case (x, p) =>
+            (j, c, p, math.rint(x.toDouble * 1e6).toLong)
+          }
+        }
+      }.toDF("j", "cell", "pos", "c_micro")
+    }
+
+    def readCodebooks(s: SparkSession, root: String)
+        : Seq[Seq[Array[Float]]] = {
+      val dir = Snapshot.currentManifest(root).flatMap(_.get("codebook"))
+        .map(Snapshot.versionPath(root, _))
+        .getOrElse(throw new IllegalStateException(
+          s"PQ generation store at $root has no committed codebook"))
+      val rows = s.read.parquet(dir)
+        .select(col("j"), col("cell"), col("pos"), col("c_micro"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+      (0 until m).map { j =>
+        (0 until ksub).map { c =>
+          val arr = new Array[Float](dsub)
+          rows.foreach { case (jj, cc, p, micro) =>
+            if (jj == j && cc == c) arr(p) = (micro / 1e6).toFloat
+          }
+          arr
+        }
+      }
+    }
+
+    def readPostings(s: SparkSession, root: String): DataFrame = {
+      val dirs = Snapshot.currentManifest(root).getOrElse(Map.empty)
+        .collect { case (k, v) if k.startsWith("cell") =>
+          Snapshot.versionPath(root, v) }
+        .toSeq.sorted
+      if (dirs.isEmpty) throw new IllegalStateException(
+        s"PQ generation store at $root holds no postings")
+      s.read.parquet(dirs: _*)
+        .select(col("vec_id"), col("embedding"), col("cell"), col("code"))
+    }
+
+    /** Bootstrap generation 0: coarse-assign + PQ-encode the corpus
+      * (the IvfPqIndex composition, through the batch row's own
+      * `encode`), lay codes out one directory per occupied coarse cell,
+      * commit codebook + cell keys in one manifest swap. */
+    def bootstrap(s: SparkSession, corpus: DataFrame, root: String,
+        coarseCb: Seq[Array[Float]],
+        books: Seq[Seq[Array[Float]]]): Unit = {
+      val coded = PqQuantizer.encode(
+        AnnIvf.assign(corpus.select(col("vec_id"), col("embedding")),
+          coarseCb),
+        books)
+      val vP = Snapshot.nextVersion(root)
+      coded
+        .select(col("vec_id"), col("embedding"), col("cell"), col("code"),
+          col("cell").as("pcell"))
+        .write.mode("overwrite").partitionBy("pcell")
+        .parquet(Snapshot.versionPath(root, vP))
+      val occupied = coded.select(col("cell")).distinct()
+        .collect().map(_.getInt(0)).toSeq.sorted
+      val vC = Snapshot.nextVersion(root)
+      codebookRows(s, books).write.mode("overwrite")
+        .parquet(Snapshot.versionPath(root, vC))
+      Snapshot.commit(root,
+        occupied.map(c => s"cell$c" -> s"$vP/pcell=$c").toMap +
+          ("codebook" -> vC))
+    }
+  }
+
+  /** Execute one PQ refit against the generation store at `root` from
+    * the maintained stats at `state`. Returns the per-subspace report
+    * (a pure function of (postings, stats) — deterministic):
+    *   (j, codes_changed, cells_rewritten, shift_sq_micro2).
+    *
+    * `abortBeforeCommit` is the spec's crash hook — every new version
+    * directory is fully written, then the process "dies" before the
+    * pointer swap. */
+  private[graft] def refit(s: SparkSession, state: String, root: String,
+      abortBeforeCommit: Boolean = false): DataFrame = {
+    val frozen = Gen.readCodebooks(s, root)
+    val newBooks = mStep(MonoidTable.read(s, state), frozen)
+    val prior = Snapshot.currentManifest(root).getOrElse(Map.empty)
+
+    // Re-encode: one narrow broadcast-literal pass over the postings —
+    // the batch row's own encode() — keeping the committed code beside
+    // the new one for the delta decision.
+    val recoded = PqQuantizer.encode(
+      Gen.readPostings(s, root).withColumnRenamed("code", "code_old"),
+      newBooks)
+      .withColumnRenamed("code", "code_new")
+      .select(col("vec_id"), col("embedding"), col("cell"),
+        col("code_old"), col("code_new"))
+      .persist()
+    try {
+      // Coarse cells holding ≥ 1 changed code — the delta set. A
+      // driver-side list bounded by the coarse k (routing, not data).
+      val changedCells = recoded
+        .where(col("code_new") =!= col("code_old"))
+        .select(col("cell")).distinct()
+        .collect().map(_.getInt(0)).toSeq.sorted
+      val manifest: Snapshot.Manifest =
+        if (changedCells.isEmpty) prior
+        else {
+          val vP = Snapshot.nextVersion(root)
+          recoded.where(col("cell").isin(changedCells: _*))
+            .select(col("vec_id"), col("embedding"), col("cell"),
+              col("code_new").as("code"), col("cell").as("pcell"))
+            .write.mode("overwrite").partitionBy("pcell")
+            .parquet(Snapshot.versionPath(root, vP))
+          prior ++ changedCells.map(c => s"cell$c" -> s"$vP/pcell=$c")
+        }
+      val vC = Snapshot.nextVersion(root)
+      Gen.codebookRows(s, newBooks).write.mode("overwrite")
+        .parquet(Snapshot.versionPath(root, vC))
+      if (abortBeforeCommit) throw new IllegalStateException(
+        "injected crash before the PQ generation swap")
+      Snapshot.commit(root, manifest + ("codebook" -> vC))
+
+      // Report: per-subspace changed-code counts in ONE action (packed
+      // 4-bit fields compared in place — never m driver round-trips),
+      // plus the exact micro² centroid shift per sub-book.
+      val diffRow = recoded.select((0 until m).map(j =>
+        sum(when(
+          shiftright(col("code_old"), 4 * j).bitwiseAND(lit(15L)) =!=
+            shiftright(col("code_new"), 4 * j).bitwiseAND(lit(15L)),
+          1L).otherwise(0L)).as(s"d$j")): _*).head()
+      val shifts = (0 until m).map { j =>
+        frozen(j).zip(newBooks(j)).map { case (a, b) =>
+          a.zip(b).map { case (x, y) =>
+            val d = math.rint(x.toDouble * 1e6).toLong -
+              math.rint(y.toDouble * 1e6).toLong
+            d * d
+          }.sum
+        }.sum
+      }
+      import s.implicits._
+      (0 until m).map(j =>
+        (j, diffRow.getLong(j), changedCells.size.toLong, shifts(j)))
+        .toDF("j", "codes_changed", "cells_rewritten", "shift_sq_micro2")
+        .orderBy(col("j"))
+    } finally recoded.unpersist()
+  }
+
+  /** Replay the PQ stats maintenance: per micro-batch, assign against
+    * the frozen sub-books and fold the (j, cell, lpos)-keyed partials
+    * through the fenced monoid merge. Shares [[StreamVecIndex.VecStage]]
+    * staging (same corpus chunks); its own state root. */
+  private[graft] def maintain(s: SparkSession, dir: String, state: String,
+      checkpoint: Option[String] = None,
+      books: Option[Seq[Seq[Array[Float]]]] = None): Unit = {
+    val bks = books.getOrElse(PqQuantizer.Codebooks(s, dir))
+    val inDir = StreamVecIndex.VecStage.inDir(s, dir)
+    val src = s.readStream.schema(StreamVecIndex.VecStage.schema(s, inDir))
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    FoldReplay.run(src, "q_vec_pq_refit", checkpoint = checkpoint) {
+      (batch, id) =>
+        MonoidTable.merge(state, partials(batch, bks), id,
+          Seq("j", "cell", "lpos"))
+    }
+  }
+
+  /** Run-once latch for the maintained PQ stats (warmup pays the
+    * replay; timed reps refit from the committed state). */
+  private val maintained = new graft.Memo[(SparkSession, String), Unit]
+
+  private[graft] def ensureMaintained(s: SparkSession, dir: String): String = {
+    val state = StreamVecIndex.VecStage.stateDir(dir, "pqstate")
+    maintained((s, dir))(maintain(s, dir, state))
+    state
+  }
+
+  /** q_vec_pq_refit (T) — bootstrap generation 0 under the shipped
+    * frozen sub-books (the warmup-trained `PqQuantizer.Codebooks`),
+    * refit from the maintained statistics, report per-subspace code
+    * movement + centroid shift. Generation root resets per invocation
+    * so every rep refits the SAME generation. */
+  val qVecPqRefit: Q = Q(
+    "q_vec_pq_refit",
+    (s, dir) => {
+      val state = ensureMaintained(s, dir)
+      val root = StreamVecIndex.VecStage.stateDir(dir, "pqgen")
+      Snapshot.deleteRecursively(java.nio.file.Paths.get(root))
+      Gen.bootstrap(s,
+        Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
+        root,
+        AnnIvf.Models(s, dir, PqQuantizer.IvfPqIndex.ivfK,
+          PqQuantizer.IvfPqIndex.ivfIters),
+        PqQuantizer.Codebooks(s, dir))
+      refit(s, state, root)
+    })
+
+  val all: Vector[Q] = Vector(qVecPqRefit)
+}
