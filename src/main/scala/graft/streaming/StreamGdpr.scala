@@ -159,6 +159,116 @@ object StreamGdpr {
     eraseIndex(s, index, e, eid)
   }
 
+  // ------------------------------------------------------------------
+  // VECTOR-INDEX GDPR (r13 verdict missing #4): q_stream_gdpr erased
+  // the corpus-dedup state, but an erased doc's VECTORS survived in the
+  // IVF postings generation store and the (count, micro-sum) sufficient
+  // statistics — a later q_vec_index_refit would re-learn from erased
+  // data. These two steps close that hole under the same fence
+  // discipline. Step order mirrors the document erasure: the STATS
+  // refund runs FIRST because it reads the erased embeddings from the
+  // still-intact postings (their stored `cell` IS the frozen-codebook
+  // assignment the maintenance fold used — same deterministic argmin,
+  // so the subtracted partials are exactly what the fold added);
+  // then the postings delta-rewrite. Each step commits its fence in
+  // the same atomic manifest swap as the data it fences, so
+  // re-delivery no-ops per table and a crash between steps re-enters
+  // at the incomplete one (StreamGdprSpec injects both).
+  //
+  // Exactness: the stats are exact integers and subtraction is exact,
+  // so post-erasure state == the state a from-scratch build over the
+  // retained corpus would have built, BIT-FOR-BIT — and therefore a
+  // subsequent refit (a pure integer function of the stats) cannot
+  // resurrect the erased vectors (spec-pinned, not assumed).
+  //
+  // Scale: the refund is one partials aggregate over the erased
+  // postings (∝ cohort); the rewrite touches only cells HOLDING erased
+  // vectors (manifest pointers for the rest); nothing driver-side
+  // grows past the k-bounded cell list.
+  // ------------------------------------------------------------------
+
+  /** Vector step 1: subtract the erased vectors' (count, micro-sum)
+    * contributions from the maintained per-(cell, dim) statistics.
+    * Rows whose count reaches zero DROP (a from-scratch build over the
+    * retained corpus never creates them). */
+  private[graft] def eraseVectorStats(s: SparkSession, state: String,
+      root: String, erased: DataFrame, eid: Long): Unit =
+    if (!MonoidTable.fenced(state, fence(eid))) {
+      val gone = IvfRefit.Gen.readPostings(s, root)
+        .join(erased, Seq("vec_id"))
+      val dp = StreamVecIndex.partials(gone)
+        .withColumnRenamed("n", "_dn").withColumnRenamed("s", "_ds")
+      val cur = MonoidTable.readRaw(s, state)
+      val next = cur.join(dp, Seq("cell", "pos"), "left")
+        .withColumn("n", col("n") - coalesce(col("_dn"), lit(0L)))
+        .withColumn("s", col("s") - coalesce(col("_ds"), lit(0L)))
+        .drop("_dn", "_ds")
+        .where(col("n") > 0)
+        .select(cur.columns.map(col): _*)
+      MonoidTable.publish(state, next, Set(fence(eid)))
+    }
+
+  /** Vector step 2: delta-rewrite the postings generation store — only
+    * cells holding erased vectors rewrite (a fully-emptied cell drops
+    * its manifest key); untouched cells keep their committed files by
+    * pointer. The fence key rides the same commit, pointed at the
+    * codebook version (a marker needs a live directory for GC's
+    * keep-set; the codebook is always retained). */
+  private[graft] def eraseVectorPostings(s: SparkSession, root: String,
+      erased: DataFrame, eid: Long): Unit = {
+    val manifest = Snapshot.currentManifest(root).getOrElse(
+      throw new IllegalStateException(
+        s"generation store at $root has no committed manifest"))
+    if (!manifest.contains(fence(eid))) {
+      val posts = IvfRefit.Gen.readPostings(s, root)
+      // Per-touched-cell retained counts — k-bounded routing collect.
+      val perCell = posts.join(erased, Seq("vec_id"))
+        .select(col("cell")).distinct()
+        .join(posts.join(erased, Seq("vec_id"), "left_anti")
+            .groupBy(col("cell")).agg(count(lit(1)).as("kept")),
+          Seq("cell"), "left")
+        .select(col("cell"), coalesce(col("kept"), lit(0L)).as("kept"))
+        .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+      val fenceEntry = fence(eid) -> manifest("codebook")
+      if (perCell.isEmpty) {
+        // Cohort holds no vectors: fence-only commit (re-delivery and
+        // never-seen-id requests converge to this).
+        Snapshot.commit(root, manifest + fenceEntry)
+      } else {
+        val emptied = perCell.collect { case (c, 0L) => c }.toSet
+        val rewrite = perCell.collect { case (c, k) if k > 0L => c }
+        val newEntries: Snapshot.Manifest =
+          if (rewrite.isEmpty) Map.empty
+          else {
+            val vP = Snapshot.nextVersion(root)
+            posts.join(erased, Seq("vec_id"), "left_anti")
+              .where(col("cell").isin(rewrite: _*))
+              .select(col("vec_id"), col("embedding"), col("cell"),
+                col("cell").as("pcell"))
+              .write.mode("overwrite").partitionBy("pcell")
+              .parquet(Snapshot.versionPath(root, vP))
+            rewrite.map(c => s"cell$c" -> s"$vP/pcell=$c").toMap
+          }
+        Snapshot.commit(root,
+          manifest -- emptied.map(c => s"cell$c") ++ newEntries +
+            fenceEntry)
+      }
+    }
+  }
+
+  /** The full vector erasure (stats + postings) with the spec's crash
+    * hook — `abortAfterStep = 1` dies between the two commits; the
+    * retry re-enters at the unfenced postings step. */
+  private[graft] def eraseVectors(s: SparkSession, state: String,
+      root: String, erased: DataFrame, eid: Long,
+      abortAfterStep: Int = Int.MaxValue): Unit = {
+    val e = erased.select(col("vec_id")).distinct().localCheckpoint(true)
+    eraseVectorStats(s, state, root, e, eid)
+    if (abortAfterStep <= 1) throw new IllegalStateException(
+      "injected crash after vector erasure step 1")
+    eraseVectorPostings(s, root, e, eid)
+  }
+
   /** Build-once latch for the base corpus-dedup state the catalog row
     * erases from: the full document replay through
     * [[StreamCorpusDedup.foldBatch]] (the exact parent-row code path)

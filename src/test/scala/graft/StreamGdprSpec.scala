@@ -6,7 +6,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.streaming.{AppendLog, MonoidTable, Snapshot, StreamCorpusDedup,
+import graft.streaming.{AppendLog, IvfRefit, MonoidTable, Snapshot, StreamCorpusDedup, StreamVecIndex,
   StreamGdpr, StreamIngest}
 
 /** The streaming-GDPR contract: erasing doc_ids through the maintained
@@ -220,5 +220,159 @@ class StreamGdprSpec extends AnyFunSuite with SparkFixture {
     assert(reportRows(flags, funnel) == before,
       "funnel counters keep the rejected doc's anonymous tally")
     assert(flagMap(flags) == f0, "no per-doc state existed to erase")
+  }
+
+  // ------------------------------------------------------------------
+  // VECTOR-INDEX GDPR (r13 verdict missing #4): erasure must also reach
+  // the IVF postings generation store and the (count, micro-sum)
+  // sufficient statistics — otherwise a later q_vec_index_refit would
+  // re-learn from erased vectors. The composition claim: post-erasure
+  // refit == from-scratch build-and-refit over the retained corpus.
+  // ------------------------------------------------------------------
+
+  private val VD = 4
+
+  private def vvec(x: Double): Seq[Float] =
+    (x.toFloat +: Seq.fill(VD - 1)(0.0f))
+
+  private def vCorpus: DataFrame = {
+    import spark.implicits._
+    Seq(0.0, 0.0, 0.0, 4.9, 5.1, 12.0, 12.0, 12.0, 100.0, 100.0, 100.0)
+      .zipWithIndex
+      .map { case (x, i) => (i.toLong, vvec(x)) }
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        col("embedding").cast("array<float>").as("embedding"))
+  }
+
+  private val vCb: Seq[Array[Float]] =
+    Seq(vvec(1.0).toArray, vvec(9.0).toArray, vvec(100.0).toArray)
+
+  /** One vector from each planted cluster — erasure spans cells. */
+  private def vCohort: DataFrame = {
+    import spark.implicits._
+    Seq(1L, 4L, 8L).toDF("vec_id")
+  }
+
+  private def vRetained: DataFrame =
+    vCorpus.join(vCohort, Seq("vec_id"), "left_anti")
+
+  /** Fresh planted gen store + stats over `corpus`; (root, state). */
+  private def vStore(corpus: DataFrame): (String, String) = {
+    val base = Files.createTempDirectory("graft_vecgdpr").toString
+    val (root, state) = (base + "/gen", base + "/stats")
+    IvfRefit.Gen.bootstrap(spark, corpus, root, vCb)
+    MonoidTable.merge(state,
+      StreamVecIndex.partials(
+        graft.operators.AnnIvf.assign(corpus, vCb)),
+      0L, Seq("cell", "pos"))
+    (root, state)
+  }
+
+  private def statsSet(state: String): Set[(Int, Int, Long, Long)] =
+    MonoidTable.read(spark, state)
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toSet
+
+  private def postingsSet(root: String): Set[(Long, Int)] =
+    IvfRefit.Gen.readPostings(spark, root)
+      .select(col("vec_id"), col("cell"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+
+  private def cbMicro(cb: Seq[Array[Float]]): Seq[Seq[Long]] =
+    cb.map(_.toSeq.map(x => math.rint(x.toDouble * 1e6).toLong))
+
+  test("vector erasure: stats and postings equal a from-scratch build " +
+      "over the retained corpus, and a subsequent refit cannot " +
+      "resurrect the cohort") {
+    val (root, state) = vStore(vCorpus)
+    StreamGdpr.eraseVectors(spark, state, root, vCohort, eid = 0L)
+
+    // Ground truth: build the same store over the RETAINED corpus only.
+    val (wRoot, wState) = vStore(vRetained)
+    assert(statsSet(state) == statsSet(wState),
+      "post-erasure statistics must equal the retained-corpus build " +
+        "bit-for-bit (exact-integer subtraction)")
+    assert(postingsSet(root) == postingsSet(wRoot),
+      "post-erasure postings must equal the retained-corpus bootstrap")
+    assert(postingsSet(root).forall(p => !Set(1L, 4L, 8L)(p._1)),
+      "no erased vec_id may survive in the postings")
+
+    // The composition: refit BOTH stores — the erased store's refit
+    // must equal the from-scratch retained refit (codebook AND
+    // postings), i.e. the maintenance event cannot re-learn the cohort.
+    IvfRefit.refit(spark, state, root)
+    IvfRefit.refit(spark, wState, wRoot)
+    assert(cbMicro(IvfRefit.Gen.readCodebook(spark, root)) ==
+      cbMicro(IvfRefit.Gen.readCodebook(spark, wRoot)),
+      "post-erasure refit must train the retained-corpus codebook")
+    assert(postingsSet(root) == postingsSet(wRoot),
+      "post-erasure refit postings must equal the retained-corpus refit")
+  }
+
+  test("vector erasure: re-delivery no-ops, crash between the stats " +
+      "and postings commits re-enters and converges, erased bytes " +
+      "leave the live version dirs") {
+    val (root, state) = vStore(vCorpus)
+
+    // Crash after step 1: stats fenced, postings untouched.
+    val e = intercept[IllegalStateException] {
+      StreamGdpr.eraseVectors(spark, state, root, vCohort, eid = 0L,
+        abortAfterStep = 1)
+    }
+    assert(e.getMessage.contains("injected crash"))
+    assert(postingsSet(root).exists(p => p._1 == 1L),
+      "postings must still hold the cohort after the injected crash")
+    val statsAfterCrash = statsSet(state)
+
+    // Retry converges: the fenced stats step no-ops (no double
+    // subtraction), the postings step completes.
+    StreamGdpr.eraseVectors(spark, state, root, vCohort, eid = 0L)
+    assert(statsSet(state) == statsAfterCrash,
+      "the retried stats step must no-op on the fence — a double " +
+        "subtraction would corrupt the counts")
+    val manifestAfter = Snapshot.currentManifest(root).get
+    val postsAfter = postingsSet(root)
+    assert(postsAfter.forall(p => !Set(1L, 4L, 8L)(p._1)))
+
+    // Full re-delivery of the same eid: both tables no-op.
+    StreamGdpr.eraseVectors(spark, state, root, vCohort, eid = 0L)
+    assert(Snapshot.currentManifest(root).get == manifestAfter &&
+      statsSet(state) == statsAfterCrash && postingsSet(root) == postsAfter,
+      "a re-delivered erasure must change nothing")
+
+    // Physical disappearance: one more commit (a refit) pushes the
+    // pre-erasure version out of the retention window — no remaining
+    // version directory may hold an erased vec_id.
+    IvfRefit.refit(spark, state, root)
+    val dirs = {
+      val st = Files.list(java.nio.file.Paths.get(root))
+      try {
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala.map(_.toString)
+          .filter(_.split('/').last.startsWith("v")).toVector
+      } finally st.close()
+    }
+    val survivors = dirs.flatMap { d =>
+      val df = spark.read.parquet(d)
+      if (df.columns.contains("vec_id"))
+        df.select(col("vec_id")).collect().map(_.getLong(0))
+      else Nil // codebook version dirs carry no vectors
+    }.toSet
+    assert(survivors.intersect(Set(1L, 4L, 8L)).isEmpty,
+      s"erased vec_ids persist on disk: $survivors")
+  }
+
+  test("vector erasure of never-seen ids is a state no-op but fences") {
+    import spark.implicits._
+    val (root, state) = vStore(vCorpus)
+    val before = (statsSet(state), postingsSet(root))
+    StreamGdpr.eraseVectors(spark, state, root,
+      Seq(9999L).toDF("vec_id"), eid = 7L)
+    assert((statsSet(state), postingsSet(root)) == before)
+    assert(Snapshot.currentManifest(root).get.contains("gdpr7") &&
+      Snapshot.currentManifest(state).get.contains("gdpr7"),
+      "both tables must fence the request so re-delivery no-ops")
   }
 }
