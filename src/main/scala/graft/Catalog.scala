@@ -61,6 +61,7 @@ object Catalog {
       streaming.StreamCorpusDedup.all ++
       streaming.StreamGdpr.all ++
       streaming.StreamPhashDedup.all ++
+      streaming.ModelRefit.all ++
       streaming.StreamIngest.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

@@ -70,8 +70,21 @@ object QualityClassifier {
     * quantized to integer MICRO-UNITS and summed as Long, so every
     * aggregate is exact under any partitioning (headroom: |err·x| ≤ 1,
     * |r·x_j·x_k| ≤ ¼ → Long holds ≥ 9e12 labeled rows/cell). */
-  def train(labeled: DataFrame, iters: Int = 8, ridge: Double = 1e-3): Model = {
-    val n = labeled.count()
+  def train(labeled: DataFrame, iters: Int = 8, ridge: Double = 1e-3): Model =
+    trainWeighted(labeled, lit(1L), iters, ridge)
+
+  /** Weighted IRLS over a (features, label, weight) frame — the
+    * refit-from-histogram path ([[graft.streaming.ModelRefit]]): rows
+    * with identical features contribute identical per-row micro
+    * products, so `Σ_rows round(c·10⁶)` over the corpus equals
+    * `Σ_hist cnt · round(c·10⁶)` over the distinct-triple histogram
+    * BIT-FOR-BIT — weighted training on the maintained state IS batch
+    * training on the corpus (ModelRefitSpec pins the equality; the
+    * weight-1 path is the original train()). */
+  def trainWeighted(labeled: DataFrame, weight: Column,
+      iters: Int = 8, ridge: Double = 1e-3): Model = {
+    val n = labeled.agg(coalesce(sum(weight), lit(0L)))
+      .head().getLong(0)
     require(n > 0, "cannot train on an empty labeled set")
     val xs = lit(1.0) +: featureCols.map(col)
     var w = Vector.fill(dim)(0.0)
@@ -79,7 +92,7 @@ object QualityClassifier {
       val p = Model(w).prob
       val err = col("label").cast(DoubleType) - p
       val r = p * (lit(1.0) - p)
-      def micro(c: Column) = sum(round(c * 1e6).cast(LongType))
+      def micro(c: Column) = sum(weight * round(c * 1e6).cast(LongType))
       val gCols = xs.zipWithIndex.map { case (x, j) =>
         micro(err * x).as(s"g$j") }
       val hCols = for { j <- 0 until dim; k <- j until dim }

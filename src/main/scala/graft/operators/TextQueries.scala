@@ -137,17 +137,25 @@ object TextQueries {
     * stream: adds w / n_tok / n_distinct / n_stop / quality columns to
     * any frame with a `text` column. */
   object QualityScore {
+    /** For frames that already carry the integer count columns (n_tok,
+      * n_distinct, n_stop) — the quality score is a pure function of
+      * that triple, factored here so the streamed model-refit histogram
+      * (keyed on the triple) derives quality/label through the ONE
+      * definition the row paths use. */
+    def fromCounts(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      df.withColumn("quality", round(
+        (col("n_distinct").cast(DoubleType) / col("n_tok")) * 0.5 +
+          (lit(1.0) - col("n_stop").cast(DoubleType) / col("n_tok")) * 0.3 +
+          least(col("n_tok").cast(DoubleType) / 50.0, lit(1.0)) * 0.2, 6))
+
     /** For frames that already carry tokenized `w` (the shared
       * [[Tokenized]] stage): score without re-splitting. */
     def fromTokens(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-      df.withColumn("n_tok", size(col("w")).cast(LongType))
-        .withColumn("n_distinct", size(array_distinct(col("w"))).cast(LongType))
-        .withColumn("n_stop",
-          size(filter(col("w"), t => t === "the" || t === "a")).cast(LongType))
-        .withColumn("quality", round(
-          (col("n_distinct").cast(DoubleType) / col("n_tok")) * 0.5 +
-            (lit(1.0) - col("n_stop").cast(DoubleType) / col("n_tok")) * 0.3 +
-            least(col("n_tok").cast(DoubleType) / 50.0, lit(1.0)) * 0.2, 6))
+      fromCounts(
+        df.withColumn("n_tok", size(col("w")).cast(LongType))
+          .withColumn("n_distinct", size(array_distinct(col("w"))).cast(LongType))
+          .withColumn("n_stop",
+            size(filter(col("w"), t => t === "the" || t === "a")).cast(LongType)))
 
     /** For frames with a raw `text` column (the streaming path, which
       * scores per micro-batch and has no shared stage to read). */

@@ -467,23 +467,30 @@ object StreamingQueries {
         col("n_total"), col("n_model_keep"), col("n_heur_keep"))
   }
 
+  /** The model-score replay under an EXPLICIT model — the serving path
+    * factored so the refit row's generation-read model drives the SAME
+    * replay (ModelRefitSpec's serving-composition pin): a model swap
+    * changes the weights in the plan, never the plan. */
+  private[graft] def modelScoreReplay(s: SparkSession, dir: String,
+      model: graft.operators.QualityClassifier.Model): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("text"))
+    val nDocs = docCount((s, dir))(docs.count())
+    Replay.run(s, dir, "modelscore", "complete") { df =>
+      modelScore(
+        df.select(pmod(col("event_id"), lit(nDocs)).as("doc_id"), col("ts"))
+          .join(broadcast(docs), "doc_id"), model)
+    }
+  }
+
   /** q_stream_model_score (T) — [[modelScore]] replayed over the staged
     * event stream with the same id-aligned document join as
     * [[qStreamQualityFilter]]; `QualityClassifierSpec` pins the
     * batch-twin equality of the windowed counts. */
   val qStreamModelScore: Q = Q(
     "q_stream_model_score",
-    (s, dir) => {
-      val model = graft.operators.QualityClassifier.Models(s, dir)
-      val docs = Tables.documents(s, dir)
-        .select(col("doc_id"), col("lang"), col("text"))
-      val nDocs = docCount((s, dir))(docs.count())
-      Replay.run(s, dir, "modelscore", "complete") { df =>
-        modelScore(
-          df.select(pmod(col("event_id"), lit(nDocs)).as("doc_id"), col("ts"))
-            .join(broadcast(docs), "doc_id"), model)
-      }
-    })
+    (s, dir) => modelScoreReplay(s, dir,
+      graft.operators.QualityClassifier.Models(s, dir)))
 
   val qStreamQualityFilter: Q = Q(
     "q_stream_quality_filter",
