@@ -44,9 +44,11 @@ private[graft] final class ChunkStage(
   def inDir(s: SparkSession, dir: String): String = {
     val out = root.resolve(dirKey(dir)).resolve("in_chunks")
     chunked(out.toString) {
-      if (!java.nio.file.Files.exists(out)) {
+      val outP = new org.apache.hadoop.fs.Path(out.toString)
+      val fs = outP.getFileSystem(s.sessionState.newHadoopConf())
+      if (!fs.exists(outP)) {
         val tmp = root.resolve(dirKey(dir)).resolve("in_chunks.staging")
-        graft.streaming.Snapshot.deleteRecursively(tmp)
+        graft.streaming.Snapshot.deleteRecursively(tmp.toString)
         val raw = source(s, dir)
         (0 until chunks).foreach { c =>
           raw.where(pmod(col(keyCol), lit(chunks)) === c)
@@ -54,8 +56,27 @@ private[graft] final class ChunkStage(
             .write.mode(if (c == 0) "overwrite" else "append")
             .parquet(tmp.toString)
         }
-        java.nio.file.Files.move(tmp, out,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        // Publish by rename. A SECOND PROCESS sharing this staging root
+        // can publish between the exists probe and the rename (r13
+        // advice): a rename refused (false) or FileAlreadyExists means
+        // "another writer published the identical deterministic
+        // content" — success, drop our copy. Hadoop rename-onto-an-
+        // existing-DIRECTORY may instead nest src inside dst; detect
+        // the nested dir and drop it too (same verdict).
+        val tmpP = new org.apache.hadoop.fs.Path(tmp.toString)
+        val renamed =
+          try fs.rename(tmpP, outP)
+          catch {
+            case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+            case _: java.nio.file.FileAlreadyExistsException => false
+          }
+        val nested = new org.apache.hadoop.fs.Path(outP, tmpP.getName)
+        if (fs.exists(nested)) fs.delete(nested, true)
+        if (!renamed) {
+          if (!fs.exists(outP)) throw new IllegalStateException(
+            s"staging publish failed and no winner exists at $out")
+          graft.streaming.Snapshot.deleteRecursively(tmp.toString)
+        }
       }
       out.toString
     }

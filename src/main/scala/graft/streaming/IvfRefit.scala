@@ -287,7 +287,7 @@ object IvfRefit {
     (s, dir) => {
       val state = ensureMaintained(s, dir)
       val root = StreamVecIndex.VecStage.stateDir(dir, "gen")
-      Snapshot.deleteRecursively(java.nio.file.Paths.get(root))
+      Snapshot.deleteRecursively(root)
       val cb = graft.operators.AnnIvf.Models(s, dir,
         StreamVecIndex.K, StreamVecIndex.Iters)
       Gen.bootstrap(s,

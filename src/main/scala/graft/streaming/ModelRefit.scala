@@ -181,7 +181,7 @@ object ModelRefit {
     (s, dir) => {
       val state = ensureMaintained(s, dir)
       val root = StreamCorpusDedup.DocStage.stateDir(dir, "modelgen")
-      Snapshot.deleteRecursively(java.nio.file.Paths.get(root))
+      Snapshot.deleteRecursively(root)
       Gen.publish(s, root, frozenModel(s, dir))
       refit(s, state, root)
     })

@@ -310,7 +310,7 @@ object PqRefit {
     (s, dir) => {
       val state = ensureMaintained(s, dir)
       val root = StreamVecIndex.VecStage.stateDir(dir, "pqgen")
-      Snapshot.deleteRecursively(java.nio.file.Paths.get(root))
+      Snapshot.deleteRecursively(root)
       Gen.bootstrap(s,
         Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
         root,

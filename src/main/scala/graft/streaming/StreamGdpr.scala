@@ -43,10 +43,26 @@ import org.apache.spark.sql.functions._
   *
   * Scope: per-doc state. A document the quality gate REJECTED left no
   * per-doc state — only its anonymous tallies in the funnel counters —
-  * so its erasure is a no-op on state (the aggregates-exempt reading:
-  * counts are not personal data once the document is gone). The spec
-  * pins exact rebuild equality for retained docs and documents the
-  * counter divergence for rejected ones as a negative control.
+  * so its erasure is a no-op on state. This is the AGGREGATES-EXEMPT
+  * COMPLIANCE READING, stated as user-facing contract (r13 advice, the
+  * documented option): pure counts with no per-doc key are treated as
+  * anonymous once the document is gone, so a rejected erased doc's
+  * (1, n_tok) stays in `arrived` forever and post-erasure funnel state
+  * intentionally diverges from a rebuild-without-doc. A deployment
+  * whose lawyers read counts as erasable instead would maintain a tiny
+  * per-doc (doc_id, n_tok) arrival sidecar (an AppendLog beside the
+  * flags — one more fenced commit per batch) and refund from it; the
+  * engine keeps the cheaper exempt reading because the spec's negative
+  * control makes the divergence VISIBLE, never silent. The spec pins
+  * exact rebuild equality for retained docs and the counter divergence
+  * for rejected ones as that control.
+  *
+  * DURABILITY PRECONDITION (r13 advice, shared with every state
+  * table): erasure holds against CHECKPOINTED restarts (fences ride
+  * the manifest) but a checkpoint-less restart replays the full
+  * source and rebuilds whatever the source still holds — state-side
+  * erasure is durable only when the erasure was ALSO applied
+  * source-side before any replay (MonoidTable.merge's batch-0 note).
   *
   * Scale (petabyte corpus state): cost ∝ |erased bands| + matched
   * collisions (one equi join on (band, band_key)) + one linear rewrite
@@ -294,27 +310,13 @@ object StreamGdpr {
     (index, flags)
   }
 
-  private def copyRecursively(from: java.nio.file.Path,
-      to: java.nio.file.Path): Unit = {
-    val walk = java.nio.file.Files.walk(from)
-    try {
-      import scala.jdk.CollectionConverters._
-      walk.iterator().asScala.foreach { p =>
-        val dest = to.resolve(from.relativize(p))
-        if (java.nio.file.Files.isDirectory(p))
-          java.nio.file.Files.createDirectories(dest)
-        else java.nio.file.Files.copy(p, dest)
-      }
-    } finally walk.close()
-  }
-
   /** Clone the base state so each invocation erases from the same
     * starting point (the restore that makes bench reps idempotent — a
-    * production erasure mutates in place and pays no clone). */
+    * production erasure mutates in place and pays no clone). Both legs
+    * resolve through the session FileSystem ([[Snapshot]]'s seam). */
   private[graft] def cloneState(from: String, to: String): Unit = {
-    Snapshot.deleteRecursively(java.nio.file.Paths.get(to))
-    copyRecursively(java.nio.file.Paths.get(from),
-      java.nio.file.Paths.get(to))
+    Snapshot.deleteRecursively(to)
+    Snapshot.copyRecursively(from, to)
   }
 
   /** The deterministic erasure cohort: doc_id ≡ 3 (mod 7) — ~14% of

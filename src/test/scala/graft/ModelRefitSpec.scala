@@ -86,7 +86,7 @@ class ModelRefitSpec extends AnyFunSuite with SparkFixture {
       "the retry converges") {
     val state = ModelRefit.ensureMaintained(spark, sfDir)
     val root = StreamCorpusDedup.DocStage.stateDir(sfDir, "modelgen_crash")
-    Snapshot.deleteRecursively(java.nio.file.Paths.get(root))
+    Snapshot.deleteRecursively(root)
     val frozen = ModelRefit.frozenModel(spark, sfDir)
     ModelRefit.Gen.publish(spark, root, frozen)
 
