@@ -203,40 +203,87 @@ object StreamGdpr {
   // grows past the k-bounded cell list.
   // ------------------------------------------------------------------
 
-  /** Vector step 1: subtract the erased vectors' (count, micro-sum)
-    * contributions from the maintained per-(cell, dim) statistics.
-    * Rows whose count reaches zero DROP (a from-scratch build over the
-    * retained corpus never creates them). */
-  private[graft] def eraseVectorStats(s: SparkSession, state: String,
-      root: String, erased: DataFrame, eid: Long): Unit =
+  /** Generic fenced stats refund — subtract pre-aggregated deltas from
+    * a maintained monoid table; key rows whose COUNT reaches zero DROP
+    * (a from-scratch build over the retained corpus never creates
+    * them). Shared by the IVF stats (keys cell/pos), the PQ stats
+    * (keys j/cell/lpos) and the model histogram (keys the integer
+    * feature triple) — one subtraction discipline, spec-pinned per
+    * consumer against the retained-corpus rebuild. */
+  private[graft] def subtractStats(s: SparkSession, state: String,
+      eid: Long, deltas: DataFrame, keys: Seq[String],
+      countCol: String): Unit =
     if (!MonoidTable.fenced(state, fence(eid))) {
-      val gone = IvfRefit.Gen.readPostings(s, root)
-        .join(erased, Seq("vec_id"))
-      val dp = StreamVecIndex.partials(gone)
-        .withColumnRenamed("n", "_dn").withColumnRenamed("s", "_ds")
       val cur = MonoidTable.readRaw(s, state)
-      val next = cur.join(dp, Seq("cell", "pos"), "left")
-        .withColumn("n", col("n") - coalesce(col("_dn"), lit(0L)))
-        .withColumn("s", col("s") - coalesce(col("_ds"), lit(0L)))
-        .drop("_dn", "_ds")
-        .where(col("n") > 0)
-        .select(cur.columns.map(col): _*)
+      val valCols = cur.columns.toSeq
+        .filterNot(keys.contains).filterNot(_ == "_bid")
+      val dp = valCols.foldLeft(deltas)((d, c) =>
+        d.withColumnRenamed(c, s"_d$c"))
+      val next = cur.join(dp, keys, "left")
+        .select(cur.columns.toSeq.map {
+          case c if keys.contains(c) || c == "_bid" => col(c)
+          case c => (col(c) - coalesce(col(s"_d$c"), lit(0L))).as(c)
+        }: _*)
+        .where(col(countCol) > 0)
       MonoidTable.publish(state, next, Set(fence(eid)))
     }
 
-  /** Vector step 2: delta-rewrite the postings generation store — only
-    * cells holding erased vectors rewrite (a fully-emptied cell drops
-    * its manifest key); untouched cells keep their committed files by
-    * pointer. The fence key rides the same commit, pointed at the
-    * codebook version (a marker needs a live directory for GC's
+  /** Vector step 1 (IVF store): the erased vectors' per-(cell, dim)
+    * (count, micro-sum) contributions leave the maintained statistics.
+    * The refund derives from the STORED postings rows — their `cell`
+    * IS the frozen-codebook assignment the maintenance fold used, so
+    * the subtraction is exact whatever codebook is current. */
+  private[graft] def eraseVectorStats(s: SparkSession, state: String,
+      root: String, erased: DataFrame, eid: Long): Unit =
+    subtractStats(s, state, eid,
+      StreamVecIndex.partials(
+        IvfRefit.Gen.readPostings(s, root).join(erased, Seq("vec_id"))),
+      Seq("cell", "pos"), "n")
+
+  /** PQ-store stats refund: per-(subspace, cell, local-dim) deltas
+    * derived from the STORED packed codes (never a re-assignment — a
+    * later book swap must not change what gets refunded). */
+  private[graft] def erasePqStats(s: SparkSession, state: String,
+      root: String, erased: DataFrame, eid: Long): Unit = {
+    import graft.operators.PqQuantizer.dsub
+    val gone = PqRefit.Gen.readPostings(s, root).join(erased, Seq("vec_id"))
+    val dp = gone
+      .select(col("code"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .withColumn("j", (col("pos") / dsub).cast("int"))
+      .withColumn("cell",
+        expr("cast(shiftright(code, 4 * j) & 15 as int)"))
+      .withColumn("lpos", (col("pos") % dsub).cast("int"))
+      .groupBy(col("j"), col("cell"), col("lpos"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("x").cast("double") * 1e6).cast("long")).as("s"))
+    subtractStats(s, state, eid, dp, Seq("j", "cell", "lpos"), "n")
+  }
+
+  /** Model-histogram refund: the erased documents' gated labeled
+    * triple counts leave the maintained histogram — a subsequent
+    * weighted-IRLS refit trains on exactly the retained corpus. Takes
+    * the erased docs WITH text (the triple is recomputed through the
+    * partials path that folded it). */
+  private[graft] def eraseModelStats(s: SparkSession, state: String,
+      erasedDocs: DataFrame, eid: Long): Unit =
+    subtractStats(s, state, eid, ModelRefit.partials(erasedDocs),
+      Seq("n_tok", "n_distinct", "n_stop"), "cnt")
+
+  /** Step 2 for any cell-keyed postings generation store (IVF or PQ):
+    * only cells holding erased vectors rewrite (a fully-emptied cell
+    * drops its manifest key); untouched cells keep their committed
+    * files by pointer. Schema-agnostic — the rewrite carries every
+    * stored column. The fence key rides the same commit, pointed at
+    * the codebook version (a marker needs a live directory for GC's
     * keep-set; the codebook is always retained). */
-  private[graft] def eraseVectorPostings(s: SparkSession, root: String,
-      erased: DataFrame, eid: Long): Unit = {
+  private[graft] def erasePostingsStore(s: SparkSession, root: String,
+      erased: DataFrame, eid: Long,
+      read: (SparkSession, String) => DataFrame): Unit = {
     val manifest = Snapshot.currentManifest(root).getOrElse(
       throw new IllegalStateException(
         s"generation store at $root has no committed manifest"))
     if (!manifest.contains(fence(eid))) {
-      val posts = IvfRefit.Gen.readPostings(s, root)
+      val posts = read(s, root)
       // Per-touched-cell retained counts — k-bounded routing collect.
       val perCell = posts.join(erased, Seq("vec_id"))
         .select(col("cell")).distinct()
@@ -259,8 +306,7 @@ object StreamGdpr {
             val vP = Snapshot.nextVersion(root)
             posts.join(erased, Seq("vec_id"), "left_anti")
               .where(col("cell").isin(rewrite: _*))
-              .select(col("vec_id"), col("embedding"), col("cell"),
-                col("cell").as("pcell"))
+              .select(posts.columns.map(col) :+ col("cell").as("pcell"): _*)
               .write.mode("overwrite").partitionBy("pcell")
               .parquet(Snapshot.versionPath(root, vP))
             rewrite.map(c => s"cell$c" -> s"$vP/pcell=$c").toMap
@@ -272,9 +318,9 @@ object StreamGdpr {
     }
   }
 
-  /** The full vector erasure (stats + postings) with the spec's crash
-    * hook — `abortAfterStep = 1` dies between the two commits; the
-    * retry re-enters at the unfenced postings step. */
+  /** The full IVF-store vector erasure (stats + postings) with the
+    * spec's crash hook — `abortAfterStep = 1` dies between the two
+    * commits; the retry re-enters at the unfenced postings step. */
   private[graft] def eraseVectors(s: SparkSession, state: String,
       root: String, erased: DataFrame, eid: Long,
       abortAfterStep: Int = Int.MaxValue): Unit = {
@@ -282,7 +328,20 @@ object StreamGdpr {
     eraseVectorStats(s, state, root, e, eid)
     if (abortAfterStep <= 1) throw new IllegalStateException(
       "injected crash after vector erasure step 1")
-    eraseVectorPostings(s, root, e, eid)
+    erasePostingsStore(s, root, e, eid, IvfRefit.Gen.readPostings)
+  }
+
+  /** The PQ-store twin: same two fenced steps over the product-code
+    * generation store — a subsequent q_vec_pq_refit cannot re-learn
+    * the cohort (PqRefitSpec's erasure chapter). */
+  private[graft] def erasePqVectors(s: SparkSession, state: String,
+      root: String, erased: DataFrame, eid: Long,
+      abortAfterStep: Int = Int.MaxValue): Unit = {
+    val e = erased.select(col("vec_id")).distinct().localCheckpoint(true)
+    erasePqStats(s, state, root, e, eid)
+    if (abortAfterStep <= 1) throw new IllegalStateException(
+      "injected crash after PQ vector erasure step 1")
+    erasePostingsStore(s, root, e, eid, PqRefit.Gen.readPostings)
   }
 
   /** Build-once latch for the base corpus-dedup state the catalog row

@@ -130,4 +130,52 @@ class ModelRefitSpec extends AnyFunSuite with SparkFixture {
     assert(got == want,
       "serving through the refit generation must equal the catalog row")
   }
+
+  // ------------------------------------------------------------------
+  // GDPR composition: erased documents must leave the model histogram,
+  // so a subsequent refit trains on exactly the retained corpus.
+  // ------------------------------------------------------------------
+
+  test("model-histogram erasure: refit after erasure == batch train " +
+      "on the retained corpus; re-delivery no-ops") {
+    import graft.streaming.{ModelRefit => MR, MonoidTable, StreamGdpr}
+    val base = ModelRefit.ensureMaintained(spark, sfDir)
+    val state = StreamCorpusDedup.DocStage.stateDir(sfDir, "modelstats_gdpr")
+    StreamGdpr.cloneState(base, state)
+
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+    val cohort = docs.where(pmod(col("doc_id"), lit(7)) === 3)
+    val retained = docs.where(pmod(col("doc_id"), lit(7)) =!= 3)
+
+    StreamGdpr.eraseModelStats(spark, state, cohort, eid = 0L)
+
+    val got = MonoidTable.read(spark, state).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    val want = MR.partials(retained).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    assert(got == want,
+      "post-erasure histogram must equal the retained-corpus histogram")
+
+    // Re-delivery no-op on the fence.
+    StreamGdpr.eraseModelStats(spark, state, cohort, eid = 0L)
+    assert(MonoidTable.read(spark, state).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3))
+      .toMap == want, "a re-delivered erasure must change nothing")
+
+    // The composition: the refit trains on exactly the retained corpus.
+    val refitted = MR.trainFromStats(spark, state)
+    val batchRetained = QualityClassifier.train(
+      QualityClassifier.withFeatures(
+        graft.operators.TextQueries.QualityScore(retained))
+        .where(Dsl.md5Gate(col("doc_id"),
+          QualityClassifier.Models.gateThresh))
+        .withColumn("label",
+          graft.operators.TextQueries.QualityScore.keep.cast("int")))
+    assert(refitted.w == batchRetained.w,
+      "post-erasure refit must equal batch training on the retained " +
+        "corpus bit-for-bit")
+  }
 }

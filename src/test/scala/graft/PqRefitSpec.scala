@@ -264,4 +264,79 @@ class PqRefitSpec extends AnyFunSuite with SparkFixture {
     assert(onDisk.subsetOf(kept),
       s"orphan version dirs must be swept: $onDisk vs kept $kept")
   }
+
+  // ------------------------------------------------------------------
+  // GDPR composition (the IVF-store erasure chapter, applied to the PQ
+  // store): erased vectors must leave the codes postings AND the
+  // per-(subspace, cell, dim) statistics, so a subsequent PQ refit
+  // cannot re-learn them.
+  // ------------------------------------------------------------------
+
+  private def vCohort = {
+    import spark.implicits._
+    Seq(1L, 4L, 8L).toDF("vec_id")
+  }
+
+  private def retainedCorpus =
+    plantedCorpus.join(vCohort, Seq("vec_id"), "left_anti")
+
+  private def statsOf(state: String): Set[(Int, Int, Int, Long, Long)] =
+    graft.streaming.MonoidTable.read(spark, state)
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getLong(4))).toSet
+
+  private def codesOf(root: String): Set[(Long, Long)] =
+    PqRefit.Gen.readPostings(spark, root)
+      .select(col("vec_id"), col("code"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("PQ erasure: stats and codes equal the retained-corpus build; " +
+      "a subsequent refit equals the retained refit; crash and " +
+      "re-delivery converge") {
+    import graft.streaming.{Snapshot, StreamGdpr}
+    val (root, state) = plantedStore()
+
+    // Crash between the two commits, then retry — the stats step must
+    // no-op on its fence (no double subtraction).
+    val e = intercept[IllegalStateException] {
+      StreamGdpr.erasePqVectors(spark, state, root, vCohort, eid = 0L,
+        abortAfterStep = 1)
+    }
+    assert(e.getMessage.contains("injected crash"))
+    val statsAfterCrash = statsOf(state)
+    StreamGdpr.erasePqVectors(spark, state, root, vCohort, eid = 0L)
+    assert(statsOf(state) == statsAfterCrash,
+      "retried stats step must no-op on the fence")
+
+    // Ground truth: the same store built over the retained corpus only.
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_pqgdpr_want").toString
+    val (wRoot, wState) = (base + "/gen", base + "/stats")
+    PqRefit.Gen.bootstrap(spark, retainedCorpus, wRoot, plantedCoarse,
+      plantedBooks)
+    graft.streaming.MonoidTable.merge(wState,
+      PqRefit.partials(retainedCorpus, plantedBooks), 0L,
+      Seq("j", "cell", "lpos"))
+    assert(statsOf(state) == statsOf(wState),
+      "post-erasure PQ statistics must equal the retained-corpus build")
+    assert(codesOf(root) == codesOf(wRoot),
+      "post-erasure codes must equal the retained-corpus bootstrap")
+
+    // Re-delivery no-ops on both tables.
+    val m = Snapshot.currentManifest(root).get
+    StreamGdpr.erasePqVectors(spark, state, root, vCohort, eid = 0L)
+    assert(Snapshot.currentManifest(root).get == m &&
+      statsOf(state) == statsAfterCrash)
+
+    // The composition: refit both stores; the erased store's refit
+    // must equal the from-scratch retained refit.
+    PqRefit.refit(spark, state, root)
+    PqRefit.refit(spark, wState, wRoot)
+    assert(micro(PqRefit.Gen.readCodebooks(spark, root)) ==
+      micro(PqRefit.Gen.readCodebooks(spark, wRoot)),
+      "post-erasure PQ refit must train the retained-corpus books")
+    assert(codesOf(root) == codesOf(wRoot),
+      "post-erasure refit codes must equal the retained-corpus refit")
+  }
 }
