@@ -2246,13 +2246,18 @@ object TextQueries {
     * 2U = Σ_scores n_pos(s)·(2·n_neg_below(s) + n_neg(s)), AUC =
     * 2U/(2·P·N) — every term an exact Long until the one final
     * division (ties contribute exactly ½, no average-rank floats).
-    * Scale: one (score)-keyed partial agg (map-side combined), then a
-    * window + final agg over the DOMAIN-bounded distinct-score table
-    * (≤ 10⁶ + 1 rows at ANY corpus size — bounded by the micro-ratio
-    * domain, not the data; the single-partition window is a
-    * bounded-model operation, the q_stat_gini precedent made explicit).
-    * Headroom: 2U ≤ P·2N ≤ 2n² → Long-safe to ~2·10⁹ docs, then the
-    * documented DECIMAL(38,0) promotion. */
+    * Scale: one (score)-keyed partial agg (map-side combined), then the
+    * running negative-count over the DOMAIN-bounded distinct-score
+    * table (≤ 10⁶ + 1 rows at ANY corpus size — bounded by the
+    * micro-ratio domain, not the data) computed as a TWO-LEVEL PREFIX
+    * SUM (r13 verdict watch-item cleared): scores bucket by `s div
+    * 1024`, within-bucket running sums parallelize across bucket
+    * partitions, and the only single-partition window left runs over
+    * the ≤ ~1024-row bucket-totals table — both levels ~√domain, so
+    * widening the score domain past 10⁷ no longer concentrates a
+    * full-domain sort on one task. Headroom: 2U ≤ P·2N ≤ 2n² →
+    * Long-safe to ~2·10⁹ docs, then the documented DECIMAL(38,0)
+    * promotion. */
   /** The exact-AUC engine over a (s: long score, y: 0/1 label) frame,
     * factored so WeightedStatsSpec can pin brute-force pair-count
     * equality, the label-flip identity, and the tie/separation edge
@@ -2262,8 +2267,21 @@ object TextQueries {
     val g = sy.groupBy(col("s"))
       .agg(sum(col("y")).as("np"),
         (count(lit(1)) - sum(col("y"))).as("nn"))
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("s"))
-    g.withColumn("nn_below", sum(col("nn")).over(w) - col("nn"))
+    // Two-level exact prefix sum: nn_below(s) = Σ nn over buckets
+    // strictly below s's bucket + the running Σ nn within the bucket,
+    // excluding s itself. Pure integer arithmetic — value-identical to
+    // the single-window form (WeightedStatsSpec pins the equality).
+    val bucket = 1024L
+    val gb = g.withColumn("b", expr(s"s div $bucket"))
+    val wb = org.apache.spark.sql.expressions.Window.orderBy(col("b"))
+    val below = gb.groupBy(col("b")).agg(sum(col("nn")).as("bn"))
+      .withColumn("bn_below", sum(col("bn")).over(wb) - col("bn"))
+      .select(col("b"), col("bn_below"))
+    val wi = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("b")).orderBy(col("s"))
+    gb.join(broadcast(below), Seq("b"))
+      .withColumn("nn_below",
+        col("bn_below") + sum(col("nn")).over(wi) - col("nn"))
       .agg(sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
         sum(col("np") * (col("nn_below") * 2 + col("nn"))).as("u2"))
       .select(col("n_pos"), col("n_neg"),
