@@ -1445,11 +1445,99 @@ object DedupQueries {
          |GROUP BY c.doc_id
          |ORDER BY c.doc_id""".stripMargin))
 
+  /** Cross-SIDE span pipeline — maximal common runs ≥ [[spanMinLen]]
+    * between two disjoint corpora (training side × benchmark side).
+    * Same seeds→extend→distinct shape as [[spansOf]], but the benchmark
+    * side BROADCASTS (fingerprints AND texts): production benchmarks
+    * are kilobytes against 100 TB of corpus, so the training side never
+    * shuffles — one narrow fingerprint pass + two broadcast joins +
+    * per-seed extension. */
+  private[graft] def crossSpans(restDocs: DataFrame,
+      benchDocs: DataFrame): DataFrame = {
+    val rest = restDocs.select(col("doc_id"), col("text"))
+    val bench = benchDocs.select(col("doc_id"), col("text"))
+    val rf = TextQueries.Fingerprint.fingerprints(rest)
+      .select(col("doc_id").as("doc_r"), col("pos").cast("int").as("pr"),
+        col("fp"))
+    val bf = TextQueries.Fingerprint.fingerprints(bench)
+      .select(col("doc_id").as("doc_b"), col("pos").cast("int").as("pb"),
+        col("fp"))
+    val mask = graft.functions.SpanExtend.fieldMax
+    rf.join(broadcast(bf), Seq("fp"))
+      .join(rest.select(col("doc_id").as("doc_r"), col("text").as("tr")),
+        Seq("doc_r"))
+      .join(broadcast(
+        bench.select(col("doc_id").as("doc_b"), col("text").as("tb"))),
+        Seq("doc_b"))
+      .select(col("doc_r"), col("doc_b"),
+        expr("span_extend(tr, tb, pr, pb)").as("p"))
+      .where(col("p").bitwiseAND(lit(mask)) >= spanMinLen)
+      .select(col("doc_r"), col("doc_b"),
+        shiftrightunsigned(col("p"), 42).as("start_r"),
+        shiftrightunsigned(col("p"), 21).bitwiseAND(lit(mask)).as("start_b"),
+        col("p").bitwiseAND(lit(mask)).as("span_len"))
+      .distinct()
+  }
+
+  /** q_contamination_spans — SPAN-level benchmark decontamination, the
+    * verbatim-overlap companion to [[qTextContamination]]'s shingle
+    * containment: per training document, the maximal ≥ 50-char runs it
+    * shares VERBATIM with any held-out benchmark document (the "did an
+    * eval question leak into training, literally" check — shingle
+    * containment can be diluted by a long training doc, a 50-char
+    * verbatim run cannot). Benchmark = the same deterministic md5-gated
+    * ~5% doc sample as the shingle row. Only contaminated docs report:
+    * (doc_id, n_spans, n_bench_docs, max_len). DuckDB twin is the brute
+    * cross-side L-gram islands formulation — zero shared code. */
+  val qContaminationSpans: Q = Q(
+    "q_contamination_spans",
+    (s, dir) => {
+      import s.implicits._
+      val gate = graft.Dsl.md5Gate($"doc_id", "0d")
+      val docs = Tables.documents(s, dir)
+      crossSpans(docs.where(not(gate)), docs.where(gate))
+        .groupBy($"doc_r")
+        .agg(count(lit(1)).as("n_spans"),
+          countDistinct($"doc_b").as("n_bench_docs"),
+          max($"span_len").as("max_len"))
+        .select($"doc_r".as("doc_id"), $"n_spans", $"n_bench_docs",
+          $"max_len")
+        .orderBy($"doc_id")
+    },
+    oracle = Some(
+      s"""WITH grams AS (
+         |  SELECT doc_id, i AS pos, substring(text, i, $spanMinLen) AS g
+         |  FROM documents, LATERAL unnest(
+         |    range(1, greatest(length(text) - ${spanMinLen - 1}, 0) + 1)) AS t(i)),
+         |cand AS (
+         |  SELECT r.doc_id AS doc_r, b.doc_id AS doc_b, r.pos AS pr,
+         |         r.pos - b.pos AS delta
+         |  FROM (SELECT * FROM grams
+         |        WHERE NOT ${graft.Dsl.md5GateSql("doc_id", "0d")}) r
+         |  JOIN (SELECT * FROM grams
+         |        WHERE ${graft.Dsl.md5GateSql("doc_id", "0d")}) b
+         |    ON r.g = b.g),
+         |isl AS (
+         |  SELECT doc_r, doc_b, delta, pr,
+         |         pr - row_number() OVER (
+         |           PARTITION BY doc_r, doc_b, delta ORDER BY pr) AS grp
+         |  FROM cand),
+         |spans AS (
+         |  SELECT doc_r, doc_b,
+         |         max(pr) - min(pr) + $spanMinLen AS span_len
+         |  FROM isl GROUP BY doc_r, doc_b, delta, grp)
+         |SELECT doc_r AS doc_id, count(*) AS n_spans,
+         |  CAST(count(DISTINCT doc_b) AS BIGINT) AS n_bench_docs,
+         |  CAST(max(span_len) AS BIGINT) AS max_len
+         |FROM spans GROUP BY doc_r
+         |ORDER BY doc_id""".stripMargin))
+
   val all: Vector[Q] = Vector(
     qDedupShingleStage, qDedupExact, qDedupNear, qDedupMinhash,
     qDedupNgramJaccard, qDedupSimhash, qDedupPipeline, qDedupComponents,
     qDedupComponentsStar, qDedupClusterSizes, qDedupCanonical,
     qTextContamination, qDedupFuzzy,
     qDedupSortedNeighborhood, qDedupPpjoin, qDedupSubstring,
-    qDedupContainment, qDedupJaro, qDedupSpans, qDedupSpanClean)
+    qDedupContainment, qDedupJaro, qDedupSpans, qDedupSpanClean,
+    qContaminationSpans)
 }

@@ -75,7 +75,7 @@ class OracleLintSpec extends AnyFunSuite {
       Catalog.all.filter(_.oracle.isDefined).map(_.name).toSet)
   }
 
-  test("oracle count matches the SURVEY §2 contract (264 oracle rows)") {
-    assert(Catalog.all.count(_.oracle.isDefined) == 264)
+  test("oracle count matches the SURVEY §2 contract (265 oracle rows)") {
+    assert(Catalog.all.count(_.oracle.isDefined) == 265)
   }
 }

@@ -287,4 +287,74 @@ class SpanDedupSpec extends AnyFunSuite with SparkFixture {
         UTF8String.fromString(r.getString(1)), r.getInt(2), r.getInt(3))).toSeq
     assert(viaCodegen == viaEval)
   }
+
+  // ---- crossSpans / q_contamination_spans ----
+
+  /** Brute cross-side reference: maximal runs >= minLen between every
+    * (rest, bench) pair — bruteSpans' loop without the id-order
+    * canonicalization (sides are disjoint). */
+  private def bruteCross(rest: Seq[(Long, String)], bench: Seq[(Long, String)],
+      minLen: Int): Set[(Long, Long, Long, Long, Long)] = {
+    val out = scala.collection.mutable.Set.empty[(Long, Long, Long, Long, Long)]
+    for { (idr, a) <- rest; (idb, b) <- bench
+          delta <- -(b.length - 1) to (a.length - 1) } {
+      val i0 = math.max(0, delta)
+      val i1 = math.min(a.length, b.length + delta)
+      var i = i0
+      var runStart = -1
+      def close(end: Int): Unit = {
+        if (runStart >= 0 && end - runStart >= minLen)
+          out += ((idr, idb, (runStart + 1).toLong,
+            (runStart - delta + 1).toLong, (end - runStart).toLong))
+        runStart = -1
+      }
+      while (i < i1) {
+        if (a.charAt(i) == b.charAt(i - delta)) { if (runStart < 0) runStart = i }
+        else close(i)
+        i += 1
+      }
+      close(i1)
+    }
+    out.toSet
+  }
+
+  test("crossSpans: planted benchmark leak recovered exactly; equals " +
+      "brute force; clean training docs stay silent") {
+    val bench = Seq(
+      100L -> ("benchmark question one: " + shared),
+      101L -> filler2)
+    val rest = Seq(
+      1L -> (filler1 + " <" + shared + "> trailing context here"), // leaks 100
+      2L -> ("totally unrelated training document about nothing at all x"),
+      3L -> (filler2 + " and some extra tail"))                     // leaks 101
+    val got = DedupQueries.crossSpans(df(rest), df(bench))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val want = bruteCross(rest, bench, DedupQueries.spanMinLen)
+    assert(got == want,
+      s"crossSpans != brute: extra=${got -- want}, missing=${want -- got}")
+    assert(got.exists(s => s._1 == 1L && s._2 == 100L))
+    assert(got.exists(s => s._1 == 3L && s._2 == 101L))
+    assert(!got.exists(_._1 == 2L), "the clean doc must not report")
+    // exact offsets for the delimited plant
+    val sr = filler1.length + 3 // after " <"
+    val sb = "benchmark question one: ".length + 1
+    assert(got.contains((1L, 100L, sr.toLong, sb.toLong, shared.length.toLong)))
+  }
+
+  test("q_contamination_spans catalog row matches its own span report") {
+    import org.apache.spark.sql.functions._
+    val gate = Dsl.md5Gate(col("doc_id"), "0d")
+    val docs = Tables.documents(spark, sfDir)
+    val spansDf = DedupQueries.crossSpans(docs.where(not(gate)),
+      docs.where(gate)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+    val want = spansDf.groupBy(_._1).map { case (d, ss) =>
+      (d, ss.length.toLong, ss.map(_._2).distinct.length.toLong,
+        ss.map(_._3).max) }.toSet
+    val got = Catalog.byName("q_contamination_spans").build(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(got == want)
+  }
 }
