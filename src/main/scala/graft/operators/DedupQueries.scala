@@ -1300,11 +1300,12 @@ object DedupQueries {
   private val spanCache =
     new graft.Memo[(SparkSession, String), DataFrame]
 
-  /** Delta-aligned candidate seeds: the fingerprint equi self-join.
-    * Factored so SpanDedupSpec certifies THIS code's candidate growth
-    * (∝ fingerprint collisions, never doc pairs). */
-  private[graft] def spanSeeds(docs: DataFrame): DataFrame = {
-    val fps = TextQueries.Fingerprint.fingerprints(docs)
+  /** Delta-aligned candidate seeds from a caller-supplied fingerprint
+    * frame: the fingerprint equi self-join. Factored so SpanDedupSpec
+    * certifies THIS code's candidate growth (∝ fingerprint collisions,
+    * never doc pairs), and so span consumers can pass the shared
+    * persisted [[Fingerprints]] stage instead of re-fingerprinting. */
+  private[graft] def seedsFromFps(fps: DataFrame): DataFrame = {
     val a = fps.select(col("doc_id").as("doc_a"),
       col("pos").cast("int").as("pa"), col("fp"))
     val b = fps.select(col("doc_id").as("doc_b"),
@@ -1314,14 +1315,21 @@ object DedupQueries {
       .select(col("doc_a"), col("doc_b"), col("pa"), col("pb"))
   }
 
-  /** The full span pipeline over an arbitrary (doc_id, text) corpus —
-    * seeds → text attach → char-verified maximal extension → length
-    * filter → distinct. SpanDedupSpec pins it equal to a brute-force
-    * maximal-common-run scan on planted fixtures. */
-  private[graft] def spansOf(docs0: DataFrame): DataFrame = {
+  /** [[seedsFromFps]] over freshly-computed fingerprints (spec entry
+    * point for arbitrary planted corpora). */
+  private[graft] def spanSeeds(docs: DataFrame): DataFrame =
+    seedsFromFps(TextQueries.Fingerprint.fingerprints(docs))
+
+  /** Seed extension tail shared by every span consumer (batch self-join,
+    * cross-side decontamination and the streaming maintained index):
+    * (doc_a, doc_b, pa, pb) seeds → text attach → char-verified maximal
+    * extension → length filter → distinct. `docs` must hold the texts of
+    * every doc_id the seeds reference. */
+  private[graft] def extendSeeds(seeds: DataFrame,
+      docs0: DataFrame): DataFrame = {
     val docs = docs0.select(col("doc_id"), col("text"))
     val mask = graft.functions.SpanExtend.fieldMax
-    spanSeeds(docs)
+    seeds
       .join(docs.select(col("doc_id").as("doc_a"), col("text").as("ta")),
         Seq("doc_a"))
       .join(docs.select(col("doc_id").as("doc_b"), col("text").as("tb")),
@@ -1338,6 +1346,20 @@ object DedupQueries {
       .distinct()
   }
 
+  /** The full span pipeline over an arbitrary (doc_id, text) corpus —
+    * [[seedsFromFps]] over `fps` (the caller's fingerprint frame, so the
+    * corpus stage is computed once per session, not once per consumer)
+    * fed through [[extendSeeds]]. SpanDedupSpec pins it equal to a
+    * brute-force maximal-common-run scan on planted fixtures. */
+  private[graft] def spansOf(docs0: DataFrame, fps: DataFrame): DataFrame =
+    extendSeeds(seedsFromFps(fps), docs0)
+
+  /** [[spansOf]] with internally-computed fingerprints (spec entry
+    * point for arbitrary planted corpora). */
+  private[graft] def spansOf(docs0: DataFrame): DataFrame =
+    spansOf(docs0, TextQueries.Fingerprint.fingerprints(
+      docs0.select(col("doc_id"), col("text"))))
+
   /** The corpus WINNOWING-FINGERPRINT stage, memo'd + persisted (the
     * written fingerprint table a production pipeline computes once and
     * every span consumer scans): q_dedup_spans' self-join and
@@ -1347,14 +1369,22 @@ object DedupQueries {
 
   private[graft] def Fingerprints(s: SparkSession, dir: String): DataFrame =
     fpCache((s, dir)) {
+      // The fixture corpus arrives as ONE parquet file = one input
+      // partition, and winnowing is a per-doc mapPartitions — without
+      // the repartition the whole stage (and everything persisted
+      // downstream of it) runs in a single map task (the DocStage
+      // staging rule). Production corpora arrive as many files and
+      // never need it; the tiny doc-row shuffle is noise next to the
+      // per-gram hashing it parallelizes.
       TextQueries.Fingerprint.fingerprints(
-        Tables.documents(s, dir).select(col("doc_id"), col("text")))
+        Tables.documents(s, dir).select(col("doc_id"), col("text"))
+          .repartition(col("doc_id")))
         .persist(StorageLevel.MEMORY_AND_DISK)
     }
 
   private[graft] def sharedSpans(s: SparkSession, dir: String): DataFrame =
     spanCache((s, dir)) {
-      spansOf(Tables.documents(s, dir))
+      spansOf(Tables.documents(s, dir), Fingerprints(s, dir))
         .persist(StorageLevel.MEMORY_AND_DISK)
     }
 

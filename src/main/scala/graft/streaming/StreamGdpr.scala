@@ -183,10 +183,18 @@ object StreamGdpr {
   // data. These two steps close that hole under the same fence
   // discipline. Step order mirrors the document erasure: the STATS
   // refund runs FIRST because it reads the erased embeddings from the
-  // still-intact postings (their stored `cell` IS the frozen-codebook
-  // assignment the maintenance fold used — same deterministic argmin,
-  // so the subtracted partials are exactly what the fold added);
-  // then the postings delta-rewrite. Each step commits its fence in
+  // still-intact postings; the refund partials are computed by
+  // RE-ASSIGNING those embeddings under the CODEBOOK THE MAINTENANCE
+  // FOLD USED (a caller-supplied frozen model — deterministic argmin,
+  // so the subtracted partials are exactly what the fold added). The
+  // stored cells/codes must NOT be trusted for the refund (r14 advice):
+  // they equal the fold's assignments only at generation 0 — after a
+  // refit (IvfRefit re-assigns coarse cells, PqRefit re-encodes codes)
+  // the stored keys are NEW-generation assignments while the stats
+  // rows are keyed under the fold's frozen book, so a stored-key
+  // subtraction would leave residue under old cells and drive new
+  // cells negative (subtractStats now fails loudly on exactly that).
+  // Then the postings delta-rewrite. Each step commits its fence in
   // the same atomic manifest swap as the data it fences, so
   // re-delivery no-ops per table and a crash between steps re-enters
   // at the incomplete one (StreamGdprSpec injects both).
@@ -224,40 +232,64 @@ object StreamGdpr {
           case c if keys.contains(c) || c == "_bid" => col(c)
           case c => (col(c) - coalesce(col(s"_d$c"), lit(0L))).as(c)
         }: _*)
-        .where(col(countCol) > 0)
-      MonoidTable.publish(state, next, Set(fence(eid)))
+      // FAIL LOUDLY on an inconsistent refund (r14 advice): a correct
+      // subtraction can only drive a key's count to ≥ 0, and a count
+      // that reaches exactly 0 must take every sum column to 0 with it
+      // (exact integers — a from-scratch retained-corpus build never
+      // creates the row). A negative count, or a zero count with
+      // residue, means the refund keys diverged from what the fold
+      // added (e.g. an erasure computed under the wrong codebook) —
+      // silently filtering those rows would mask a compliance-path bug
+      // as a clean-looking state table. One extra action over a
+      // model-bounded state table.
+      val residueCols = valCols.filterNot(_ == countCol)
+      val residue =
+        if (residueCols.isEmpty) lit(false)
+        else residueCols.map(c => col(c) =!= 0L).reduce(_ || _)
+      val nBad = next.where(col(countCol) < 0 ||
+        (col(countCol) === 0 && residue)).count()
+      require(nBad == 0L,
+        s"stats refund at $state is inconsistent with the maintained " +
+          s"fold: $nBad rows driven negative (or zeroed with residue) — " +
+          "the erasure's re-derived deltas do not match what the fold " +
+          "added; refusing to publish corrupt compliance state")
+      MonoidTable.publish(state, next.where(col(countCol) > 0),
+        Set(fence(eid)))
     }
 
   /** Vector step 1 (IVF store): the erased vectors' per-(cell, dim)
     * (count, micro-sum) contributions leave the maintained statistics.
-    * The refund derives from the STORED postings rows — their `cell`
-    * IS the frozen-codebook assignment the maintenance fold used, so
-    * the subtraction is exact whatever codebook is current. */
+    * The refund RE-ASSIGNS the erased embeddings under `foldCb` — the
+    * frozen codebook the maintenance fold assigned with (deterministic
+    * argmin through the fold's own partials path), NOT the stored
+    * `cell` column: post-refit the store holds new-generation
+    * assignments while the stats stay keyed under the fold book, so a
+    * stored-cell refund would subtract from the wrong rows (r14
+    * advice; StreamGdprSpec's erase-after-refit chapter pins this). */
   private[graft] def eraseVectorStats(s: SparkSession, state: String,
-      root: String, erased: DataFrame, eid: Long): Unit =
+      root: String, erased: DataFrame, eid: Long,
+      foldCb: Seq[Array[Float]]): Unit =
     subtractStats(s, state, eid,
-      StreamVecIndex.partials(
-        IvfRefit.Gen.readPostings(s, root).join(erased, Seq("vec_id"))),
+      StreamVecIndex.partials(graft.operators.AnnIvf.assign(
+        IvfRefit.Gen.readPostings(s, root).join(erased, Seq("vec_id"))
+          .select(col("vec_id"), col("embedding")),
+        foldCb)),
       Seq("cell", "pos"), "n")
 
   /** PQ-store stats refund: per-(subspace, cell, local-dim) deltas
-    * derived from the STORED packed codes (never a re-assignment — a
-    * later book swap must not change what gets refunded). */
+    * re-derived by RE-ENCODING the erased embeddings under `foldBooks`
+    * (the sub-books the maintenance fold assigned with) through the
+    * fold's own [[PqRefit.partials]] path — never the stored packed
+    * codes, which a refit rewrites under the new books (r14 advice). */
   private[graft] def erasePqStats(s: SparkSession, state: String,
-      root: String, erased: DataFrame, eid: Long): Unit = {
-    import graft.operators.PqQuantizer.dsub
-    val gone = PqRefit.Gen.readPostings(s, root).join(erased, Seq("vec_id"))
-    val dp = gone
-      .select(col("code"), posexplode(col("embedding")).as(Seq("pos", "x")))
-      .withColumn("j", (col("pos") / dsub).cast("int"))
-      .withColumn("cell",
-        expr("cast(shiftright(code, 4 * j) & 15 as int)"))
-      .withColumn("lpos", (col("pos") % dsub).cast("int"))
-      .groupBy(col("j"), col("cell"), col("lpos"))
-      .agg(count(lit(1)).as("n"),
-        sum(round(col("x").cast("double") * 1e6).cast("long")).as("s"))
-    subtractStats(s, state, eid, dp, Seq("j", "cell", "lpos"), "n")
-  }
+      root: String, erased: DataFrame, eid: Long,
+      foldBooks: Seq[Seq[Array[Float]]]): Unit =
+    subtractStats(s, state, eid,
+      PqRefit.partials(
+        PqRefit.Gen.readPostings(s, root).join(erased, Seq("vec_id"))
+          .select(col("vec_id"), col("embedding")),
+        foldBooks),
+      Seq("j", "cell", "lpos"), "n")
 
   /** Model-histogram refund: the erased documents' gated labeled
     * triple counts leave the maintained histogram — a subsequent
@@ -320,12 +352,15 @@ object StreamGdpr {
 
   /** The full IVF-store vector erasure (stats + postings) with the
     * spec's crash hook — `abortAfterStep = 1` dies between the two
-    * commits; the retry re-enters at the unfenced postings step. */
+    * commits; the retry re-enters at the unfenced postings step.
+    * `foldCb` is the codebook the stats fold assigned under (the
+    * frozen warmup model in the shipped flows). */
   private[graft] def eraseVectors(s: SparkSession, state: String,
       root: String, erased: DataFrame, eid: Long,
+      foldCb: Seq[Array[Float]],
       abortAfterStep: Int = Int.MaxValue): Unit = {
     val e = erased.select(col("vec_id")).distinct().localCheckpoint(true)
-    eraseVectorStats(s, state, root, e, eid)
+    eraseVectorStats(s, state, root, e, eid, foldCb)
     if (abortAfterStep <= 1) throw new IllegalStateException(
       "injected crash after vector erasure step 1")
     erasePostingsStore(s, root, e, eid, IvfRefit.Gen.readPostings)
@@ -333,12 +368,14 @@ object StreamGdpr {
 
   /** The PQ-store twin: same two fenced steps over the product-code
     * generation store — a subsequent q_vec_pq_refit cannot re-learn
-    * the cohort (PqRefitSpec's erasure chapter). */
+    * the cohort (PqRefitSpec's erasure chapter). `foldBooks` is the
+    * sub-book set the stats fold encoded under. */
   private[graft] def erasePqVectors(s: SparkSession, state: String,
       root: String, erased: DataFrame, eid: Long,
+      foldBooks: Seq[Seq[Array[Float]]],
       abortAfterStep: Int = Int.MaxValue): Unit = {
     val e = erased.select(col("vec_id")).distinct().localCheckpoint(true)
-    erasePqStats(s, state, root, e, eid)
+    erasePqStats(s, state, root, e, eid, foldBooks)
     if (abortAfterStep <= 1) throw new IllegalStateException(
       "injected crash after PQ vector erasure step 1")
     erasePostingsStore(s, root, e, eid, PqRefit.Gen.readPostings)

@@ -301,11 +301,12 @@ class PqRefitSpec extends AnyFunSuite with SparkFixture {
     // no-op on its fence (no double subtraction).
     val e = intercept[IllegalStateException] {
       StreamGdpr.erasePqVectors(spark, state, root, vCohort, eid = 0L,
-        abortAfterStep = 1)
+        plantedBooks, abortAfterStep = 1)
     }
     assert(e.getMessage.contains("injected crash"))
     val statsAfterCrash = statsOf(state)
-    StreamGdpr.erasePqVectors(spark, state, root, vCohort, eid = 0L)
+    StreamGdpr.erasePqVectors(spark, state, root, vCohort, eid = 0L,
+      plantedBooks)
     assert(statsOf(state) == statsAfterCrash,
       "retried stats step must no-op on the fence")
 
@@ -325,7 +326,8 @@ class PqRefitSpec extends AnyFunSuite with SparkFixture {
 
     // Re-delivery no-ops on both tables.
     val m = Snapshot.currentManifest(root).get
-    StreamGdpr.erasePqVectors(spark, state, root, vCohort, eid = 0L)
+    StreamGdpr.erasePqVectors(spark, state, root, vCohort, eid = 0L,
+      plantedBooks)
     assert(Snapshot.currentManifest(root).get == m &&
       statsOf(state) == statsAfterCrash)
 

@@ -287,7 +287,7 @@ class StreamGdprSpec extends AnyFunSuite with SparkFixture {
       "over the retained corpus, and a subsequent refit cannot " +
       "resurrect the cohort") {
     val (root, state) = vStore(vCorpus)
-    StreamGdpr.eraseVectors(spark, state, root, vCohort, eid = 0L)
+    StreamGdpr.eraseVectors(spark, state, root, vCohort, eid = 0L, vCb)
 
     // Ground truth: build the same store over the RETAINED corpus only.
     val (wRoot, wState) = vStore(vRetained)
@@ -318,7 +318,7 @@ class StreamGdprSpec extends AnyFunSuite with SparkFixture {
 
     // Crash after step 1: stats fenced, postings untouched.
     val e = intercept[IllegalStateException] {
-      StreamGdpr.eraseVectors(spark, state, root, vCohort, eid = 0L,
+      StreamGdpr.eraseVectors(spark, state, root, vCohort, eid = 0L, vCb,
         abortAfterStep = 1)
     }
     assert(e.getMessage.contains("injected crash"))
@@ -328,7 +328,7 @@ class StreamGdprSpec extends AnyFunSuite with SparkFixture {
 
     // Retry converges: the fenced stats step no-ops (no double
     // subtraction), the postings step completes.
-    StreamGdpr.eraseVectors(spark, state, root, vCohort, eid = 0L)
+    StreamGdpr.eraseVectors(spark, state, root, vCohort, eid = 0L, vCb)
     assert(statsSet(state) == statsAfterCrash,
       "the retried stats step must no-op on the fence — a double " +
         "subtraction would corrupt the counts")
@@ -337,7 +337,7 @@ class StreamGdprSpec extends AnyFunSuite with SparkFixture {
     assert(postsAfter.forall(p => !Set(1L, 4L, 8L)(p._1)))
 
     // Full re-delivery of the same eid: both tables no-op.
-    StreamGdpr.eraseVectors(spark, state, root, vCohort, eid = 0L)
+    StreamGdpr.eraseVectors(spark, state, root, vCohort, eid = 0L, vCb)
     assert(Snapshot.currentManifest(root).get == manifestAfter &&
       statsSet(state) == statsAfterCrash && postingsSet(root) == postsAfter,
       "a re-delivered erasure must change nothing")
@@ -369,10 +369,45 @@ class StreamGdprSpec extends AnyFunSuite with SparkFixture {
     val (root, state) = vStore(vCorpus)
     val before = (statsSet(state), postingsSet(root))
     StreamGdpr.eraseVectors(spark, state, root,
-      Seq(9999L).toDF("vec_id"), eid = 7L)
+      Seq(9999L).toDF("vec_id"), eid = 7L, vCb)
     assert((statsSet(state), postingsSet(root)) == before)
     assert(Snapshot.currentManifest(root).get.contains("gdpr7") &&
       Snapshot.currentManifest(state).get.contains("gdpr7"),
       "both tables must fence the request so re-delivery no-ops")
+  }
+
+  test("vector erasure AFTER a refit refunds under the fold codebook: " +
+      "stored cells are new-generation assignments, yet the stats " +
+      "subtraction equals the retained-corpus fold (r14 advice)") {
+    val (root, state) = vStore(vCorpus)
+    // The refit re-assigns the postings under the NEW (M-step) codebook,
+    // so stored `cell` values diverge from the fold's frozen-book keys —
+    // exactly the state a stored-cell refund would corrupt.
+    IvfRefit.refit(spark, state, root)
+    val foldCells = graft.operators.AnnIvf.assign(vCorpus, vCb)
+      .select(col("vec_id"), col("cell"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(vCohort.collect().map(_.getLong(0)).exists(id =>
+      postingsSet(root).exists(p => p._1 == id && p._2 != foldCells(id))),
+      "the planted corpus must move at least one COHORT vector in the " +
+        "refit, or this chapter tests nothing")
+
+    // Erasure against the refit store: the refund must re-assign the
+    // erased embeddings under the fold book (vCb), not trust the stored
+    // new-generation cells — a stored-cell refund here would drive the
+    // gaining cell negative (subtractStats now fails loudly on that).
+    StreamGdpr.eraseVectors(spark, state, root, vCohort, eid = 3L, vCb)
+
+    val base = Files.createTempDirectory("graft_vecgdpr_postref").toString
+    val wState = base + "/stats"
+    MonoidTable.merge(wState,
+      StreamVecIndex.partials(
+        graft.operators.AnnIvf.assign(vRetained, vCb)),
+      0L, Seq("cell", "pos"))
+    assert(statsSet(state) == statsSet(wState),
+      "post-refit erasure must leave exactly the retained-corpus fold " +
+        "statistics under the fold codebook")
+    assert(postingsSet(root).forall(p => !Set(1L, 4L, 8L)(p._1)),
+      "no erased vec_id may survive in the refit generation's postings")
   }
 }
