@@ -44,28 +44,55 @@ object SpanExtend {
   val fieldBits = 21
   val fieldMax: Long = (1L << fieldBits) - 1
 
-  /** Static extender, called from both eval and generated code. */
-  def extend(a: UTF8String, b: UTF8String, pa: Int, pb: Int): Long = {
-    val s = a.toString
-    val t = b.toString
-    // 1-based positions must address a real char in both texts.
-    if (pa < 1 || pb < 1 || pa > s.length || pb > t.length) return 0L
-    var i = pa - 1
-    var j = pb - 1
-    if (s.charAt(i) != t.charAt(j)) return 0L
-    var lo = 0
-    while (i - lo - 1 >= 0 && j - lo - 1 >= 0 &&
-      s.charAt(i - lo - 1) == t.charAt(j - lo - 1)) lo += 1
-    var hi = 1
-    while (i + hi < s.length && j + hi < t.length &&
-      s.charAt(i + hi) == t.charAt(j + hi)) hi += 1
-    val startA = (pa - lo).toLong
-    val startB = (pb - lo).toLong
-    val len = (lo + hi).toLong
+  private def pack(startA: Long, startB: Long, len: Long): Long = {
     require(startA <= fieldMax && startB <= fieldMax && len <= fieldMax,
       s"span_extend fields exceed $fieldBits bits ($startA, $startB, $len) — pre-chunk")
     (startA << (2 * fieldBits)) | (startB << fieldBits) | len
   }
+
+  /** Static extender, called from both eval and generated code.
+    *
+    * ASCII FAST PATH (r14 advice — the first cut decoded BOTH full
+    * documents per seed, making per-seed cost O(|doc_a| + |doc_b|)
+    * allocation + copy rather than the O(run length) the span family's
+    * scale contract claims): when both inputs are pure ASCII — the
+    * one-probe `isFullAscii` on the UTF8String bytes — byte index ==
+    * UTF-16 unit index, so the walk reads the UTF8String bytes in
+    * place: zero allocation, cost ∝ the run actually extended. Inputs
+    * with any non-ASCII character fall back to a per-seed decode
+    * (O(doc length) — the honest bound there; both paths return
+    * identical packings for BMP text, spec-pinned in SpanDedupSpec). */
+  def extend(a: UTF8String, b: UTF8String, pa: Int, pb: Int): Long =
+    if (a.isFullAscii && b.isFullAscii) {
+      val la = a.numBytes
+      val lb = b.numBytes
+      // 1-based positions must address a real char in both texts.
+      if (pa < 1 || pb < 1 || pa > la || pb > lb) return 0L
+      val i = pa - 1
+      val j = pb - 1
+      if (a.getByte(i) != b.getByte(j)) return 0L
+      var lo = 0
+      while (i - lo - 1 >= 0 && j - lo - 1 >= 0 &&
+        a.getByte(i - lo - 1) == b.getByte(j - lo - 1)) lo += 1
+      var hi = 1
+      while (i + hi < la && j + hi < lb &&
+        a.getByte(i + hi) == b.getByte(j + hi)) hi += 1
+      pack(pa - lo, pb - lo, lo + hi)
+    } else {
+      val s = a.toString
+      val t = b.toString
+      if (pa < 1 || pb < 1 || pa > s.length || pb > t.length) return 0L
+      val i = pa - 1
+      val j = pb - 1
+      if (s.charAt(i) != t.charAt(j)) return 0L
+      var lo = 0
+      while (i - lo - 1 >= 0 && j - lo - 1 >= 0 &&
+        s.charAt(i - lo - 1) == t.charAt(j - lo - 1)) lo += 1
+      var hi = 1
+      while (i + hi < s.length && j + hi < t.length &&
+        s.charAt(i + hi) == t.charAt(j + hi)) hi += 1
+      pack(pa - lo, pb - lo, lo + hi)
+    }
 }
 
 case class SpanExtend(first: Expression, second: Expression,

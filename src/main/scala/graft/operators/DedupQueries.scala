@@ -1283,7 +1283,11 @@ object DedupQueries {
     * FINGERPRINT COLLISIONS, never doc pairs (SpanDedupSpec pins the
     * curve); texts attach through two doc_id equi joins (at 100 TB each
     * a standard shuffle join against the corpus table); extension is
-    * per-seed O(run length) with duplicates collapsing under distinct.
+    * per-seed O(run length) for ASCII text — the span_extend byte-walk
+    * fast path reads the UTF8String in place, zero allocation — and a
+    * per-seed O(doc length) decode on non-ASCII documents (the honest
+    * bound there; SpanExtend's doc), duplicates collapsing under
+    * distinct.
     * Redundant seeds inside one long run (≤ run_len/window of them) are
     * the accepted cost of exactness — a pre-reduction per (pair, delta)
     * pos-island would drop all but one seed per island but can merge

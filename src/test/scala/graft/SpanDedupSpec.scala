@@ -273,6 +273,45 @@ class SpanDedupSpec extends AnyFunSuite with SparkFixture {
       UTF8String.fromString("abc"), 0, 1) == 0L)
   }
 
+  test("SpanExtend: ASCII byte-walk and non-ASCII decode paths agree " +
+      "with an independent char-walk reference") {
+    // Independent reference: plain Java-char walk, no shared code with
+    // either production path.
+    def ref(s: String, t: String, pa: Int, pb: Int): Long = {
+      if (pa < 1 || pb < 1 || pa > s.length || pb > t.length) return 0L
+      val (i, j) = (pa - 1, pb - 1)
+      if (s.charAt(i) != t.charAt(j)) return 0L
+      var lo = 0
+      while (i - lo - 1 >= 0 && j - lo - 1 >= 0 &&
+        s.charAt(i - lo - 1) == t.charAt(j - lo - 1)) lo += 1
+      var hi = 1
+      while (i + hi < s.length && j + hi < t.length &&
+        s.charAt(i + hi) == t.charAt(j + hi)) hi += 1
+      ((pa - lo).toLong << 42) | ((pb - lo).toLong << 21) | (lo + hi).toLong
+    }
+    val rnd = new scala.util.Random(77)
+    val asciiAlpha = "abXY "
+    val bmpAlpha = "abXY éλß" // forces the decode path (non-ASCII)
+    def mk(alpha: String, n: Int): String =
+      Seq.fill(n)(alpha(rnd.nextInt(alpha.length))).mkString
+    for (alpha <- Seq(asciiAlpha, bmpAlpha); _ <- 1 to 200) {
+      val core = mk(alpha, 1 + rnd.nextInt(12))
+      val s = mk(alpha, rnd.nextInt(6)) + core + mk(alpha, rnd.nextInt(6))
+      val t = mk(alpha, rnd.nextInt(6)) + core + mk(alpha, rnd.nextInt(6))
+      val pa = 1 + rnd.nextInt(s.length)
+      val pb = 1 + rnd.nextInt(t.length)
+      val got = SpanExtend.extend(
+        UTF8String.fromString(s), UTF8String.fromString(t), pa, pb)
+      assert(got == ref(s, t, pa, pb),
+        s"path divergence on alpha='$alpha' s='$s' t='$t' ($pa,$pb)")
+    }
+    // The fast path is genuinely byte-indexed: a matched pair where one
+    // side is non-ASCII must still agree (mixed -> decode path).
+    val (s1, t1) = ("xxABCDé end", "ABCDé other")
+    assert(SpanExtend.extend(UTF8String.fromString(s1),
+      UTF8String.fromString(t1), 4, 2) == ref(s1, t1, 4, 2))
+  }
+
   test("SpanExtend: codegen and interpreted eval agree") {
     import org.apache.spark.sql.functions._
     val rows = Seq(
