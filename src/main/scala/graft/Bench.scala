@@ -299,6 +299,13 @@ object Bench {
     }
     warmItem("shingle_stage") {
       operators.DedupQueries.Shingled(spark, sfDir).count() }
+    warmItem("span_stage") {
+      // The persisted corpus fingerprint table + the memo'd span report
+      // q_dedup_span_clean scans; q_dedup_spans re-runs its pipeline
+      // from the fingerprint stage per timed rep (bench honesty, r14
+      // verdict #2) so only the one-time stage builds land here.
+      operators.DedupQueries.Fingerprints(spark, sfDir).count()
+      operators.DedupQueries.sharedSpans(spark, sfDir).count() }
     warmItem("token_stage") {
       operators.TextQueries.Tokenized(spark, sfDir).count() }
     warmItem("layouts") {

@@ -1296,11 +1296,18 @@ object DedupQueries {
     * own < 2^20-gram contract) which caps run length per chunk. */
   val spanMinLen = 50
 
-  /** Memo'd span report — [[qDedupSpans]] emits it and
-    * [[qDedupSpanClean]] consumes it (the shared-stage convention: at
-    * 100 TB the span report is a written table the cleaning job scans).
-    * Columns: doc_a < doc_b, 1-based start_a/start_b, span_len ≥
-    * [[spanMinLen]], span (the shared text itself). */
+  /** Memo'd span report — [[qDedupSpanClean]]'s input (the shared-stage
+    * convention: at 100 TB the span report is a written table the
+    * cleaning job scans). [[qDedupSpans]] itself does NOT read this
+    * memo (r14 verdict #2, bench honesty): the r14 cut memo'd the
+    * report for both rows, so the span pipeline's steady-state cost
+    * lived only in warmup_sec while the timed medians re-scanned a
+    * persisted frame — the spans row now re-runs seeds → extend →
+    * distinct from the persisted [[Fingerprints]] stage every rep, the
+    * exact q_vec_index_refit per-rep-reset precedent (the fingerprint
+    * stage build itself stays a warmup item, the shingle-stage
+    * precedent). Columns: doc_a < doc_b, 1-based start_a/start_b,
+    * span_len ≥ [[spanMinLen]], span (the shared text itself). */
   private val spanCache =
     new graft.Memo[(SparkSession, String), DataFrame]
 
@@ -1419,12 +1426,17 @@ object DedupQueries {
 
   /** q_dedup_spans — the cross-document shared-span report: every
     * maximal common run of ≥ [[spanMinLen]] chars between any two
-    * documents, with 1-based offsets in both and the span text. */
+    * documents, with 1-based offsets in both and the span text.
+    * Recomputes the steady-state span pipeline (seeds → extend →
+    * distinct over the persisted [[Fingerprints]] stage) per
+    * invocation, so its bench median times the span COMPUTE, not a
+    * cached-report scan (see the spanCache note). */
   val qDedupSpans: Q = Q(
     "q_dedup_spans",
     (s, dir) => {
       import s.implicits._
-      sharedSpans(s, dir).orderBy($"doc_a", $"doc_b", $"start_a", $"start_b")
+      spansOf(Tables.documents(s, dir), Fingerprints(s, dir))
+        .orderBy($"doc_a", $"doc_b", $"start_a", $"start_b")
     },
     oracle = Some(
       s"""WITH $spanOracleCte
