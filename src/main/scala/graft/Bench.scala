@@ -176,22 +176,92 @@ object Bench {
     * absorbed material contention. */
   private[graft] val repAttribMinSec = 1.0
 
-  /** Median-voting policy under per-rep burst attribution (r13 verdict
-    * #1: a sub-gate ambient burst put 26 s on plan-unchanged cheap rows
-    * because reps were never individually attributed). Each rep carries
-    * its own external-cores reading; reps that ran while external CPU
-    * ≥ gate are excluded from the median when at least one clean rep
-    * exists — the median self-heals. A query with ZERO clean reps keeps
-    * the all-reps median but reports standsOnBurst, surfacing in
-    * `contended_queries` and flipping the top-level `contended` flag
-    * (a reading whose medians stand on bursts is not a measurement).
-    * Returns (votingTimings, burstRepCount, standsOnBurst). */
+  /** Median-voting policy under per-rep attribution (r13 verdict #1
+    * generalized in r15): each rep carries DIRTY flags — it overlapped
+    * an external-CPU burst ≥ gate, OR the cgroup throttled this process
+    * for a material fraction of the rep's wall time. Dirty reps are
+    * excluded from the median when at least one clean rep exists — the
+    * median self-heals. A query with ZERO clean reps keeps the all-reps
+    * median but reports standsOnDirty, surfacing in `contended_queries`
+    * and flipping the top-level `contended` flag (a reading whose
+    * medians stand on inflated reps is not a measurement).
+    * Returns (votingTimings, dirtyRepCount, standsOnDirty). */
+  private[graft] def dirtyVote(timings: Vector[Double],
+      dirty: Vector[Boolean]): (Vector[Double], Int, Boolean) = {
+    val clean = timings.zip(dirty).collect { case (t, d) if !d => t }
+    val nDirty = timings.size - clean.size
+    if (clean.nonEmpty) (clean, nDirty, false)
+    else (timings, nDirty, nDirty > 0)
+  }
+
+  /** The r13/r14 burst-only vote shape, kept as the named policy the
+    * spec pins; the timed loop composes it with the throttle flag
+    * through [[dirtyVote]]. */
   private[graft] def burstVote(timings: Vector[Double], ext: Vector[Double],
-      gate: Double): (Vector[Double], Int, Boolean) = {
-    val clean = timings.zip(ext).collect { case (t, e) if e < gate => t }
-    val nBurst = timings.size - clean.size
-    if (clean.nonEmpty) (clean, nBurst, false)
-    else (timings, nBurst, nBurst > 0)
+      gate: Double): (Vector[Double], Int, Boolean) =
+    dirtyVote(timings, ext.map(_ >= gate))
+
+  /** Throttle-dirty threshold (r14 verdict #3: the driver artifact
+    * absorbed ~12 s on one row with per-rep external cores at 0.0 —
+    * within-JVM degradation the /proc/stat detector is structurally
+    * blind to; cgroup CPU-quota throttling is the named mechanism with
+    * that signature). A rep is throttle-dirty when the cgroup reports
+    * this process runnable-but-capped for ≥ 10% of the rep's wall
+    * time; sub-second reps stay exempt (the jiffy-noise floor rule). */
+  private[graft] val throttleDirtyFrac = 0.10
+
+  private[graft] def throttledDirty(dtSec: Double, thrSec: Double): Boolean =
+    dtSec >= repAttribMinSec && thrSec >= throttleDirtyFrac * dtSec
+
+  /** Parse a cgroup cpu.stat text into (nr_throttled, throttled
+    * seconds): v2 reports `throttled_usec` (µs), v1 `throttled_time`
+    * (ns). (-1, -1.0) when neither key parses — "file exists but says
+    * nothing" must not read as "not throttled". */
+  private[graft] def parseThrottle(text: String): (Long, Double) = {
+    val kv = text.linesIterator.map(_.trim.split("\\s+"))
+      .collect { case Array(k, v) if v.forall(_.isDigit) => k -> v.toLong }
+      .toMap
+    val n = kv.get("nr_throttled")
+    val sec = kv.get("throttled_usec").map(_ / 1e6)
+      .orElse(kv.get("throttled_time").map(_ / 1e9))
+    (n, sec) match {
+      case (Some(a), Some(b)) => (a, b)
+      case _ => (-1L, -1.0)
+    }
+  }
+
+  /** Resolve this process's cpu cgroup stat file once per run: cgroup
+    * v2 (`0::<path>` in /proc/self/cgroup → <mount><path>/cpu.stat,
+    * falling back up the hierarchy to the mount root when the leaf
+    * doesn't expose one) or v1 (`N:cpu[,...]:<path>` → the cpu
+    * controller's cpu.stat). None when no readable stat file exists —
+    * a box with no CPU quota machinery, reported as source "none" so
+    * the JSON stays self-describing rather than silently claiming
+    * zero throttling. */
+  private[graft] def cgroupCpuStatPath(): Option[(java.nio.file.Path, String)] = {
+    def readable(p: java.nio.file.Path): Boolean =
+      try parseThrottle(Files.readString(p)) != ((-1L, -1.0))
+      catch { case _: Throwable => false }
+    try {
+      val lines = Files.readString(Paths.get("/proc/self/cgroup"))
+        .linesIterator.toSeq
+      val v2 = lines.collectFirst {
+        case l if l.startsWith("0::") => l.drop(3)
+      }.toSeq.flatMap { rel =>
+        Seq(s"/sys/fs/cgroup$rel/cpu.stat", "/sys/fs/cgroup/cpu.stat",
+          s"/sys/fs/cgroup/unified$rel/cpu.stat")
+          .map(p => (Paths.get(p), "v2"))
+      }
+      val v1 = lines.collectFirst {
+        case l if l.split(":")(1).split(",").contains("cpu") =>
+          l.split(":", 3)(2)
+      }.toSeq.flatMap { rel =>
+        Seq(s"/sys/fs/cgroup/cpu$rel/cpu.stat",
+          "/sys/fs/cgroup/cpu/cpu.stat")
+          .map(p => (Paths.get(p), "v1"))
+      }
+      (v2 ++ v1).find(p => readable(p._1))
+    } catch { case _: Throwable => None }
   }
 
   def main(args: Array[String]): Unit = {
@@ -432,9 +502,49 @@ object Bench {
     }
     val extGate = sys.env
       .getOrElse("SPARK_GRAFT_BENCH_EXT_CORES_MAX", "2.0").toDouble
+    // CGROUP THROTTLE ATTRIBUTION (r14 verdict #3): the driver artifact
+    // carried ~12 s of within-JVM degradation at 0.0 external cores —
+    // /proc/stat-based detection is blind to this-process CPU-quota
+    // throttling (the throttled JVM burns LESS cpu, not more). Resolve
+    // the process's cgroup cpu.stat once; per-rep deltas feed the same
+    // dirty-rep vote/re-run policy as external bursts.
+    val cgStat = cgroupCpuStatPath()
+    val cgSource = cgStat.map(_._2).getOrElse("none")
+    def cgThrottle(): (Long, Double) = cgStat match {
+      case Some((p, _)) =>
+        try parseThrottle(Files.readString(p))
+        catch { case _: Throwable => (-1L, -1.0) }
+      case None => (0L, 0.0)
+    }
+    // SCHEDULER TELEMETRY (same verdict item): per-rep Spark job count
+    // and summed task scheduler delay (task wall − run − deserialize −
+    // result-serialize). Listener-bus delivery is asynchronous, so a
+    // rep's delta can lag by a few tasks — attribution telemetry, never
+    // a vote input.
+    val jobsStarted = new java.util.concurrent.atomic.AtomicLong
+    val schedDelayMs = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobsStarted.incrementAndGet(); ()
+        }
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val i = t.taskInfo
+          val m = t.taskMetrics
+          if (i != null && m != null) {
+            val d = i.duration - m.executorRunTime -
+              m.executorDeserializeTime - m.resultSerializationTime
+            if (d > 0) schedDelayMs.addAndGet(d)
+            ()
+          }
+        }
+      })
     val busy0 = totalBusySec()
     val self0 = selfCpuSec()
     val ioRead0 = ioReadBytes()
+    val (cgNr0, cgSec0) = cgThrottle()
     val loopT0 = System.nanoTime()
     // Per-rep attribution record: (wall sec, GC-sec delta, majflt
     // delta, external cores DURING the rep) — so a slow rep in the
@@ -442,12 +552,18 @@ object Bench {
     // ambient burst vs plan from the JSON alone (r12 verdict #2 +
     // r13 verdict #1: the loop-wide windows never attributed reps
     // individually, so a sub-gate burst put 26 s on cheap rows).
+    // Per-rep record: (wall sec, GC-sec delta, majflt delta, external
+    // cores during the rep, cgroup-throttled sec during the rep, Spark
+    // jobs started, summed task scheduler-delay ms).
+    type Rep = (Double, Double, Long, Double, Double, Long, Long)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       trackLoad()
       var firstErr: Option[String] = None
-      def once(): Option[(Double, Double, Long, Double)] = {
+      def once(): Option[Rep] = {
         val gc0 = gcTotalSec(); val mf0 = majorFaults()
         val b0 = totalBusySec(); val s0 = selfCpuSec()
+        val (_, thr0) = cgThrottle()
+        val j0 = jobsStarted.get(); val sd0 = schedDelayMs.get()
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).count()
@@ -459,8 +575,13 @@ object Bench {
             if (dt < repAttribMinSec) 0.0
             else math.max(0.0, externalCores(b0, totalBusySec(),
               s0, selfCpuSec(), dt))
+          val thr1 = cgThrottle()._2
+          val thrSec =
+            if (thr0 < 0 || thr1 < 0) 0.0 else math.max(0.0, thr1 - thr0)
           Some((dt, math.max(0.0, gcTotalSec() - gc0),
-            math.max(0L, majorFaults() - mf0), ext))
+            math.max(0L, majorFaults() - mf0), ext, thrSec,
+            math.max(0L, jobsStarted.get() - j0),
+            math.max(0L, schedDelayMs.get() - sd0)))
         } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
@@ -475,7 +596,10 @@ object Bench {
       // query is flagged FLAKY in the JSON (an intermittent crasher
       // must never read as fully healthy).
       val initialErr = firstErr
-      def vote = burstVote(repRecords.map(_._1), repRecords.map(_._4), extGate)
+      // The vote sees BOTH dirt classes: external-CPU bursts ≥ gate and
+      // material cgroup throttling of this process during the rep.
+      def vote = dirtyVote(repRecords.map(_._1),
+        repRecords.map(r => r._4 >= extGate || throttledDirty(r._1, r._5)))
       def spread(ts: Vector[Double]): Double =
         if (ts.size < 2 || ts.min <= 0) 1.0 else ts.max / ts.min
       // Retry while the median's votes are unhealthy: a rep that
@@ -604,6 +728,29 @@ object Bench {
       .map { case (k, _, _, _, _, ts, _, _) =>
         "\"" + k + "\":[" + ts.map(r => fmt(r._4)).mkString(",") + "]" }
       .mkString("{", ",", "}")
+    // Cgroup-throttled seconds during each rep of the same 10 rows —
+    // the "was THIS rep capped by a CPU quota" read (r14 verdict #3's
+    // external-CPU-invisible inflation class), plus per-rep job counts
+    // and scheduler-delay sums for the same rows.
+    val repsThrottled = slowest
+      .map { case (k, _, _, _, _, ts, _, _) =>
+        "\"" + k + "\":[" + ts.map(r => fmt(r._5)).mkString(",") + "]" }
+      .mkString("{", ",", "}")
+    val repsJobs = slowest
+      .map { case (k, _, _, _, _, ts, _, _) =>
+        "\"" + k + "\":[" + ts.map(_._6).mkString(",") + "]" }
+      .mkString("{", ",", "}")
+    val repsSchedMs = slowest
+      .map { case (k, _, _, _, _, ts, _, _) =>
+        "\"" + k + "\":[" + ts.map(_._7).mkString(",") + "]" }
+      .mkString("{", ",", "}")
+    val nThrottledReps = results.flatMap(_._6)
+      .count(r => throttledDirty(r._1, r._5))
+    val cgThrottledSec = {
+      val (n1, s1) = cgThrottle()
+      if (cgNr0 < 0 || n1 < 0 || cgSec0 < 0 || s1 < 0) (-1L, -1.0)
+      else (math.max(0L, n1 - cgNr0), math.max(0.0, s1 - cgSec0))
+    }
     // Per-query GC bill (sum over its reps) for EVERY row — the loop is
     // sequential, so attribution is exact.
     val gcPerQuery = results.collect {
@@ -626,6 +773,12 @@ object Bench {
         s""""spreads":$spreads,"max_spread":${fmt(maxSpread)},""" +
         s""""reps":$repsDetail,"reps_gc":$repsGc,"reps_majflt":$repsMajflt,""" +
         s""""reps_ext_cores":$repsExt,"burst_reps":$burstReps,""" +
+        s""""reps_throttled_sec":$repsThrottled,"reps_jobs":$repsJobs,""" +
+        s""""reps_sched_ms":$repsSchedMs,""" +
+        s""""n_throttled_reps":$nThrottledReps,""" +
+        s""""cg_nr_throttled":${cgThrottledSec._1},""" +
+        s""""cg_throttled_sec":${fmt(cgThrottledSec._2)},""" +
+        s""""cg_throttle_source":"$cgSource",""" +
         s""""n_burst_reps":$nBurstReps,"contended_queries":$contendedQueries,""" +
         s""""gc":$gcPerQuery,"gc_total_sec":${fmt(gcTotal)},""" +
         s""""majflt_total":$majfltTotal,"io_read_bytes":$ioReadDelta,""" +
@@ -654,6 +807,10 @@ object Bench {
         s""""n_queries":${results.size},"n_errors":${results.count(_._4.isDefined)},""" +
         s""""n_flaky":${results.count(_._5.isDefined)},""" +
         s""""n_burst_reps":$nBurstReps,"contended_queries":$contendedQueries,""" +
+        s""""n_throttled_reps":$nThrottledReps,""" +
+        s""""cg_nr_throttled":${cgThrottledSec._1},""" +
+        s""""cg_throttled_sec":${fmt(cgThrottledSec._2)},""" +
+        s""""cg_throttle_source":"$cgSource",""" +
         s""""gc_total_sec":${fmt(gcTotal)},"majflt_total":$majfltTotal,""" +
         s""""io_read_bytes":$ioReadDelta,""" +
         s""""pinned_mem_bytes":$pinnedMem,"pinned_disk_bytes":$pinnedDisk,""" +

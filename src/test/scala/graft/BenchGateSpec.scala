@@ -182,4 +182,67 @@ class BenchGateSpec extends AnyFunSuite {
     assert(Bench.repAttribMinSec >= 1.0)
     assert(32 * 0.02 / Bench.repAttribMinSec < 2.0)
   }
+
+  // --- cgroup throttle attribution (r14 verdict #3): the external-CPU-
+  // invisible inflation class. parseThrottle handles both hierarchy
+  // versions; throttledDirty thresholds a rep; dirtyVote folds the flag
+  // into the same self-healing median policy as bursts.
+
+  test("parseThrottle: v2 (throttled_usec) and v1 (throttled_time ns) " +
+      "texts parse to seconds; junk parses to the unmeasurable sentinel") {
+    assert(Bench.parseThrottle(
+      "usage_usec 100\nnr_periods 7\nnr_throttled 3\nthrottled_usec 2500000\n")
+      == ((3L, 2.5)))
+    assert(Bench.parseThrottle(
+      "nr_periods 0\nnr_throttled 2\nthrottled_time 1500000000\n" +
+        "nr_bursts 0\nburst_time 0\n")
+      == ((2L, 1.5)))
+    assert(Bench.parseThrottle("") == ((-1L, -1.0)))
+    assert(Bench.parseThrottle("nr_throttled notanumber\n") == ((-1L, -1.0)))
+    // nr_throttled alone (no time key) must not read as measurable
+    assert(Bench.parseThrottle("nr_throttled 5\n") == ((-1L, -1.0)))
+  }
+
+  test("throttledDirty: >= 10% of rep wall throttled flags; sub-floor " +
+      "reps and trace throttling stay clean") {
+    assert(Bench.throttledDirty(10.0, 1.0))      // exactly the fraction
+    assert(Bench.throttledDirty(15.0, 14.0))     // near-fully capped
+    assert(!Bench.throttledDirty(10.0, 0.5))     // 5% — under threshold
+    assert(!Bench.throttledDirty(0.5, 0.4))      // sub-floor rep exempt
+    assert(!Bench.throttledDirty(10.0, 0.0))     // untouched
+  }
+
+  test("dirtyVote: a throttled rep is excluded exactly like a burst " +
+      "rep, and all-throttled medians stand but flag") {
+    // The r14 recursive-compound signature: reps degrade 4 -> 18 s at
+    // zero external cores, but with material throttled time per rep.
+    val timings = Vector(4.11, 17.83, 18.31)
+    val dirty = timings.zip(Vector(0.0, 9.0, 9.5)).map { case (t, thr) =>
+      0.0 >= 2.0 || Bench.throttledDirty(t, thr) }
+    val (voting, nDirty, stands) = Bench.dirtyVote(timings, dirty)
+    assert(voting == Vector(4.11) && nDirty == 2 && !stands)
+    val (v2, n2, s2) = Bench.dirtyVote(Vector(17.0, 18.0),
+      Vector(true, true))
+    assert(v2 == Vector(17.0, 18.0) && n2 == 2 && s2)
+  }
+
+  test("burstVote remains dirtyVote over the >= gate flag (one policy)") {
+    val t = Vector(0.21, 5.39, 0.22)
+    val e = Vector(0.0, 6.0, 0.0)
+    assert(Bench.burstVote(t, e, 2.0) ==
+      Bench.dirtyVote(t, e.map(_ >= 2.0)))
+  }
+
+  test("cgroupCpuStatPath resolves a readable stat source on this box " +
+      "(or honestly reports none)") {
+    Bench.cgroupCpuStatPath() match {
+      case Some((p, v)) =>
+        assert(Set("v1", "v2")(v))
+        val parsed = Bench.parseThrottle(
+          java.nio.file.Files.readString(p))
+        assert(parsed._1 >= 0L && parsed._2 >= 0.0,
+          s"resolved source $p must parse: $parsed")
+      case None => succeed // a box with no quota machinery is legal
+    }
+  }
 }
