@@ -59,6 +59,7 @@ object Catalog {
       streaming.PqRefit.all ++
       streaming.StreamVecSearch.all ++
       streaming.StreamCorpusDedup.all ++
+      streaming.StreamSpanDedup.all ++
       streaming.StreamGdpr.all ++
       streaming.StreamPhashDedup.all ++
       streaming.ModelRefit.all ++
