@@ -18,6 +18,14 @@ import org.apache.spark.sql.streaming.Trigger
   *     `keep` gate (the one scorer shared with q_text_quality /
   *     q_text_filter_pipeline / q_stream_quality_filter); stateless
   *     per-row, no shuffle.
+  *  1b. SPAN-CONTAMINATION GATE (optional, r15 — r14 verdict ask #6):
+  *     with a [[StreamIngest.SpanGate]] configured, quality survivors
+  *     sharing a verbatim run ≥ spanMinLen with the broadcast
+  *     benchmark set are REJECTED before dedup, their convicting
+  *     spans appended as fenced evidence segments — the in-stream
+  *     twin of q_contamination_spans, through its exact
+  *     crossSpansFromFps code path (spec-pinned: a leaked doc planted
+  *     in a late micro-batch never reaches the band index).
   *  2. DEDUP — survivors are banded through
   *     [[StreamCorpusDedup.bandRows]] into an [[AppendLog]] band-index
   *     segment and flagged BOTH id-directions through
@@ -73,18 +81,61 @@ object StreamIngest {
 
   import graft.operators.TextQueries.QualityScore
 
+  /** IN-STREAM SPAN-CONTAMINATION GATE configuration (r14 verdict ask
+    * #6): the held-out benchmark's texts and PRE-COMPUTED winnowing
+    * fingerprints — both broadcast-sized (production benchmarks are
+    * kilobytes against 100 TB of crawl) — plus the AppendLog root
+    * where per-batch span EVIDENCE lands. When present, documents that
+    * share a verbatim run ≥ spanMinLen with any benchmark doc are
+    * rejected between the quality gate and dedup — a leaked eval
+    * question never enters the band index or the accepted corpus, and
+    * the evidence log records exactly which spans convicted it
+    * (doc_r, doc_b, start_r, start_b, span_len), fenced per batch by
+    * the segment key. The batch side is fingerprinted per batch (new
+    * documents can read no precomputed stage — the corpus-dedup
+    * banding rule); the probe is crossSpansFromFps, the exact
+    * q_contamination_spans code path with the benchmark side
+    * broadcast. */
+  private[graft] final case class SpanGate(benchDocs: DataFrame,
+      benchFps: DataFrame, leaks: String)
+
   /** Fold one micro-batch of raw (doc_id, text) documents. Exposed so
     * the spec can re-deliver and re-order around the exact code path
-    * the catalog row runs. */
+    * the catalog row runs. `gate` adds the span-contamination stage
+    * between quality and dedup (None = the catalog row's shape, whose
+    * funnel and verdicts stay byte-identical to r12). */
   private[graft] def foldBatch(index: String, flags: String,
-      funnel: String, batch: DataFrame, id: Long): Unit = {
+      funnel: String, batch: DataFrame, id: Long,
+      gate: Option[SpanGate] = None): Unit = {
     // Staged single-file chunks arrive as ONE input partition — the
     // repartition parallelizes the banding aggregate (the DocStage
     // rule); persist because the scored frame feeds three stages.
+    val s = batch.sparkSession
     val sc = QualityScore(batch.repartition(8)).persist()
     try {
-      val pass = sc.where(QualityScore.keep)
+      val qpass = sc.where(QualityScore.keep)
         .select(col("doc_id"), col("text"), col("n_tok"))
+      // Contamination gate: append the span evidence FIRST (the
+      // fold-from-the-committed-segment rule — the reject set reads
+      // the evidence back instead of re-running the probe lineage, and
+      // a crash-retried batch no-ops the append and re-derives the
+      // same reject set from the same bytes).
+      val pass = gate match {
+        case None => qpass
+        case Some(g) =>
+          AppendLog.append(g.leaks,
+            graft.operators.DedupQueries.crossSpansFromFps(
+              qpass, g.benchDocs,
+              graft.operators.TextQueries.Fingerprint.fingerprints(
+                qpass.select(col("doc_id"), col("text"))),
+              g.benchFps),
+            id)
+          val leaked = AppendLog.segment(s, g.leaks, id)
+            .getOrElse(throw new IllegalStateException(
+              s"leak seg$id missing post-append"))
+            .select(col("doc_r").as("doc_id")).distinct()
+          qpass.join(leaked, Seq("doc_id"), "left_anti")
+      }
       // Dedup the survivors against the maintained index — the
       // corpus-dedup fold SKELETON (one definition of the append-first
       // fence discipline, see StreamCorpusDedup.foldBands) over the
@@ -100,7 +151,10 @@ object StreamIngest {
       // Funnel monoids for the stateless stages — both computed in ONE
       // scan of the persisted scored frame (arrived = everything,
       // quality_pass = the gated subset via conditional sums), then
-      // unpivoted to the stage-keyed rows the monoid table folds.
+      // unpivoted to the stage-keyed rows the monoid table folds. The
+      // contamination stage (gated builds only) counts the post-gate
+      // survivors — its own tiny aggregate, since the reject set is
+      // data (the committed evidence segment), not a column predicate.
       val keepL = when(QualityScore.keep, 1L).otherwise(0L)
       val f = sc.agg(
         count(lit(1)).as("a_docs"),
@@ -113,19 +167,31 @@ object StreamIngest {
         .unionByName(f.select(lit(1L).as("stage_ord"),
           lit("quality_pass").as("stage"),
           col("p_docs").as("n_docs"), col("p_toks").as("n_tokens")))
-      MonoidTable.merge(funnel, partials, id, Seq("stage_ord", "stage"))
+      val withGateStage =
+        if (gate.isEmpty) partials
+        else partials.unionByName(pass.agg(
+          count(lit(1)).as("n_docs"),
+          coalesce(sum(col("n_tok")), lit(0L)).as("n_tokens"))
+          .select(lit(2L).as("stage_ord"),
+            lit("contamination_pass").as("stage"),
+            col("n_docs"), col("n_tokens")))
+      MonoidTable.merge(funnel, withGateStage, id, Seq("stage_ord", "stage"))
     } finally sc.unpersist()
   }
 
-  /** The maintained funnel report: the two folded stages plus the
-    * derived accepted stage (quality survivors with no smaller-id
-    * near-duplicate among all survivors so far). */
-  def report(s: SparkSession, flags: String, funnel: String): DataFrame = {
+  /** The maintained funnel report: the folded stages plus the derived
+    * accepted stage (quality survivors with no smaller-id
+    * near-duplicate among all survivors so far). `acceptedOrd` places
+    * the derived stage after the folded ones — 2 for the catalog row's
+    * two-stage shape, 3 when the contamination gate adds its stage. */
+  def report(s: SparkSession, flags: String, funnel: String,
+      acceptedOrd: Long = 2L): DataFrame = {
     val accepted = MonoidTable.read(s, flags)
       .where(col("seen") > 0 && col("n_coll") === 0)
       .agg(count(lit(1)).as("n_docs"),
         coalesce(sum(col("n_tok")), lit(0L)).as("n_tokens"))
-      .select(lit(2L).as("stage_ord"), lit("dedup_accepted").as("stage"),
+      .select(lit(acceptedOrd).as("stage_ord"),
+        lit("dedup_accepted").as("stage"),
         col("n_docs"), col("n_tokens"))
     MonoidTable.read(s, funnel)
       .select(col("stage_ord"), col("stage"), col("n_docs"), col("n_tokens"))

@@ -228,4 +228,68 @@ class StreamIngestSpec extends AnyFunSuite with SparkFixture {
       "without the gate-first order the twin must flag p — if it " +
         "doesn't, the shipped-path assert proves nothing")
   }
+
+  test("span-contamination gate: a leaked doc in a LATE micro-batch is " +
+      "rejected at ingest with span evidence; clean docs pass and " +
+      "re-delivery no-ops the evidence log") {
+    import spark.implicits._
+    val benchCore = "verbatim benchmark question alpha bravo charlie " +
+      "delta echo foxtrot golf"
+    assert(benchCore.length >= DedupQueries.spanMinLen)
+    val bench = Seq((900L, "benchmark intro0 " + benchCore + " outro1"))
+      .toDF("doc_id", "text")
+    val benchFps = TextQueries.Fingerprint.fingerprints(bench)
+    // Planted arrivals: all-distinct words, no stopwords, 20..200
+    // tokens → quality ≥ 0.96 by construction; asserted anyway.
+    val clean = (800L,
+      (1 to 24).map(i => s"w$i").mkString(" ") + " extra tokens beyond")
+    val leaked = (801L,
+      (1 to 15).map(i => s"z$i").mkString(" ") + " " + benchCore + " tail2")
+    val scored = QualityScore(Seq(clean, leaked).toDF("doc_id", "text"))
+    assert(scored.where(QualityScore.keep).count() == 2,
+      "planted docs must pass the quality gate or the chapter is vacuous")
+
+    val root = Files.createTempDirectory("graft_ingest_gate").toString
+    val g = StreamIngest.SpanGate(bench, benchFps, s"$root/leaks")
+    StreamIngest.foldBatch(s"$root/index", s"$root/flags", s"$root/funnel",
+      Seq(clean).toDF("doc_id", "text"), 0L, Some(g))
+    StreamIngest.foldBatch(s"$root/index", s"$root/flags", s"$root/funnel",
+      Seq(leaked).toDF("doc_id", "text"), 1L, Some(g))
+
+    // Span evidence: the leaked doc convicted against the bench doc,
+    // with a run covering at least the planted core.
+    val ev = AppendLog.read(spark, s"$root/leaks").get.collect()
+    assert(ev.nonEmpty, "the evidence log must hold the convicting spans")
+    assert(ev.forall(r => r.getAs[Long]("doc_r") == 801L &&
+      r.getAs[Long]("doc_b") == 900L))
+    assert(ev.exists(_.getAs[Long]("span_len") >= benchCore.length.toLong),
+      "the evidence must cover the planted core")
+
+    // The leaked doc never reached the dedup state; the clean one did.
+    val flagIds = MonoidTable.read(spark, s"$root/flags")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(flagIds == Set(800L),
+      s"only the clean doc may enter the band/flag state, got $flagIds")
+
+    // Funnel: arrived 2 → quality_pass 2 → contamination_pass 1 →
+    // dedup_accepted 1.
+    val rep = StreamIngest
+      .report(spark, s"$root/flags", s"$root/funnel", acceptedOrd = 3L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSeq
+    assert(rep == Seq((0L, "arrived", 2L), (1L, "quality_pass", 2L),
+      (2L, "contamination_pass", 1L), (3L, "dedup_accepted", 1L)),
+      s"funnel shape diverged: $rep")
+
+    // Re-delivery of the late batch: every table no-ops, including the
+    // evidence log (fenced by its segment key).
+    import graft.streaming.Snapshot
+    val before = Seq("leaks", "index", "flags", "funnel")
+      .map(t => Snapshot.currentManifest(s"$root/$t").get)
+    StreamIngest.foldBatch(s"$root/index", s"$root/flags", s"$root/funnel",
+      Seq(leaked).toDF("doc_id", "text"), 1L, Some(g))
+    assert(Seq("leaks", "index", "flags", "funnel")
+      .map(t => Snapshot.currentManifest(s"$root/$t").get) == before,
+      "a re-delivered gated batch must change nothing")
+  }
 }
