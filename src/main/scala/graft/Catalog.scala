@@ -63,6 +63,7 @@ object Catalog {
       streaming.StreamGdpr.all ++
       streaming.StreamPhashDedup.all ++
       streaming.ModelRefit.all ++
+      streaming.TokenizerRefit.all ++
       streaming.StreamIngest.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
