@@ -59,7 +59,14 @@ import org.apache.spark.sql.functions._
   * through doc_id equi joins against the corpus store; extension is
   * per-seed O(run length) for ASCII text (SpanExtend's byte walk).
   * History is never re-fingerprinted, never rewritten — per-batch cost
-  * ∝ batch + matched candidates.
+  * ∝ batch + matched candidates. At petabyte index size the probe's
+  * shuffle is bounded by writing the index BUCKETED on fp (Spark
+  * bucketing / the log's own layout), which co-locates the equi join
+  * so only the batch side moves; and the segment log's read cost is
+  * held flat by the periodic [[AppendLog.compact]] fold — the same
+  * quiesced-cadence maintenance event the band index documents,
+  * spec-pinned here to preserve the probe and report exactly
+  * (StreamSpanDedupSpec's compaction chapter).
   *
   * GDPR composes ([[eraseSpanState]], r14 verdict ask #4): an erased
   * cohort's fingerprints, stored texts AND reported spans (either

@@ -137,6 +137,34 @@ class StreamSpanDedupSpec extends AnyFunSuite with SparkFixture {
       "a re-delivered batch must be a no-op on all three tables")
   }
 
+  test("compacting the maintained logs between batches changes neither " +
+      "the report nor later probes (the quiesced-cadence maintenance " +
+      "event)") {
+    val batches = Seq(Seq(1L, 6L, 9L), Seq(2L, 11L), Seq(5L))
+    val (fpidx, docs, spans) = build(corpus, batches.dropRight(1))
+    // Quiesced-log maintenance after batch 1: fold every table's
+    // segments to one directory (all seg keys survive as tombstones).
+    Seq(fpidx, docs, spans).foreach(AppendLog.compact(spark, _))
+    assert(Snapshot.currentManifest(fpidx).get.values.toSet.size == 1,
+      "compaction must fold the fingerprint segments to one directory")
+    // A pre-compaction batch id re-delivered AFTER compaction still
+    // no-ops (the tombstone contract; id > 0 — a batch-0 re-delivery
+    // is the fresh-invocation world reset by design).
+    val manifests = Seq(fpidx, docs, spans)
+      .map(r => Snapshot.currentManifest(r).get)
+    StreamSpanDedup.foldBatch(fpidx, docs, spans,
+      df(corpus.filter(r => batches(1).contains(r._1))), 1L)
+    assert(Seq(fpidx, docs, spans)
+      .map(r => Snapshot.currentManifest(r).get) == manifests,
+      "a re-delivered pre-compaction batch must no-op on the tombstones")
+    // The NEXT batch probes the compacted index — cross-batch pair
+    // (1, 5) must still be found, and the final report equals batch.
+    StreamSpanDedup.foldBatch(fpidx, docs, spans,
+      df(corpus.filter(r => batches(2).contains(r._1))), 2L)
+    assert(reportSet(spans) == batchSet(corpus),
+      "probing a compacted index must produce the identical report")
+  }
+
   test("GDPR: post-erasure state equals a from-scratch build without " +
       "the cohort; crash re-enters; a later arrival cannot resurrect " +
       "a span against the erased doc") {
