@@ -341,4 +341,41 @@ class PqRefitSpec extends AnyFunSuite with SparkFixture {
     assert(codesOf(root) == codesOf(wRoot),
       "post-erasure refit codes must equal the retained-corpus refit")
   }
+
+  test("PQ erasure AFTER a refit refunds under the fold sub-books: " +
+      "stored codes are new-generation assignments, yet the stats " +
+      "subtraction equals the retained-corpus fold (r14 advice, PQ " +
+      "twin of the IVF chapter)") {
+    import graft.streaming.StreamGdpr
+    val (root, state) = plantedStore()
+    // The refit re-encodes the postings under the M-step books — the
+    // boundary vector's stored code diverges from the fold encoding,
+    // exactly the state a stored-code refund would corrupt.
+    PqRefit.refit(spark, state, root)
+    val foldCodes = PqQuantizer.encode(
+      graft.operators.AnnIvf.assign(plantedCorpus, plantedCoarse),
+      plantedBooks)
+      .select(col("vec_id"), col("code"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cohortIds = vCohort.collect().map(_.getLong(0)).toSet
+    assert(codesOf(root).exists { case (id, code) =>
+      cohortIds(id) && code != foldCodes(id) },
+      "the planted refit must re-encode at least one COHORT vector, " +
+        "or this chapter tests nothing")
+
+    StreamGdpr.erasePqVectors(spark, state, root, vCohort, eid = 5L,
+      plantedBooks)
+
+    // Ground truth: the fold's own partials over the retained corpus.
+    val wState = java.nio.file.Files
+      .createTempDirectory("graft_pqgdpr_postref").toString + "/stats"
+    graft.streaming.MonoidTable.merge(wState,
+      PqRefit.partials(retainedCorpus, plantedBooks), 0L,
+      Seq("j", "cell", "lpos"))
+    assert(statsOf(state) == statsOf(wState),
+      "post-refit erasure must leave exactly the retained-corpus fold " +
+        "statistics under the fold sub-books")
+    assert(codesOf(root).forall(p => !cohortIds(p._1)),
+      "no erased vec_id may survive in the refit generation's codes")
+  }
 }
