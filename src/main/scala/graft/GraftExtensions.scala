@@ -44,6 +44,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         functions.SpanExtend(children.head, children(1), children(2),
           children(3))
       }))
+    extensions.injectFunction((
+      new FunctionIdentifier("span_extend_ascii"),
+      new ExpressionInfo(classOf[functions.SpanExtendAscii].getName,
+        "span_extend_ascii"),
+      (children: Seq[Expression]) => {
+        if (children.size != 4)
+          throw new IllegalArgumentException(
+            s"span_extend_ascii requires exactly 4 arguments (string, " +
+              s"string, int, int), got ${children.size}")
+        functions.SpanExtendAscii(children.head, children(1), children(2),
+          children(3))
+      }))
     extensions.injectPlannerStrategy(plans.AsOfJoinStrategy)
   }
 }

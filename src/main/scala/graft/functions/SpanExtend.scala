@@ -63,22 +63,8 @@ object SpanExtend {
     * (O(doc length) — the honest bound there; both paths return
     * identical packings for BMP text, spec-pinned in SpanDedupSpec). */
   def extend(a: UTF8String, b: UTF8String, pa: Int, pb: Int): Long =
-    if (a.isFullAscii && b.isFullAscii) {
-      val la = a.numBytes
-      val lb = b.numBytes
-      // 1-based positions must address a real char in both texts.
-      if (pa < 1 || pb < 1 || pa > la || pb > lb) return 0L
-      val i = pa - 1
-      val j = pb - 1
-      if (a.getByte(i) != b.getByte(j)) return 0L
-      var lo = 0
-      while (i - lo - 1 >= 0 && j - lo - 1 >= 0 &&
-        a.getByte(i - lo - 1) == b.getByte(j - lo - 1)) lo += 1
-      var hi = 1
-      while (i + hi < la && j + hi < lb &&
-        a.getByte(i + hi) == b.getByte(j + hi)) hi += 1
-      pack(pa - lo, pb - lo, lo + hi)
-    } else {
+    if (a.isFullAscii && b.isFullAscii) extendAscii(a, b, pa, pb)
+    else {
       val s = a.toString
       val t = b.toString
       if (pa < 1 || pb < 1 || pa > s.length || pb > t.length) return 0L
@@ -93,6 +79,38 @@ object SpanExtend {
         s.charAt(i + hi) == t.charAt(j + hi)) hi += 1
       pack(pa - lo, pb - lo, lo + hi)
     }
+
+  /** The ASCII walk WITHOUT the dispatch check — [[SpanExtendAscii]]'s
+    * engine (r15). The per-call `isFullAscii` dispatch above scans BOTH
+    * full documents per seed, and because every codegen row rebuilds a
+    * fresh UTF8String over the join buffers, UTF8String's own memo
+    * field never hits — jstack sampling over the sf0.1 extension stage
+    * put 76% of runnable executor samples inside getIsFullAscii, ~60×
+    * the walk itself (avg extended run: 10 chars). Callers that know
+    * both inputs are ASCII (a per-DOCUMENT flag computed once in the
+    * plan — `length(text) = octet_length(text)` ⟺ full ASCII for valid
+    * UTF-8) route here and pay only the walk. PRECONDITION, not
+    * re-checked: both inputs pure ASCII — byte index == char index.
+    * On non-ASCII input the walk would mis-map positions; the only
+    * caller is [[graft.operators.DedupQueries.extendSeeds]]-shaped code
+    * gating on the per-doc flags, and SpanDedupSpec pins hinted ==
+    * unhinted on mixed corpora. */
+  def extendAscii(a: UTF8String, b: UTF8String, pa: Int, pb: Int): Long = {
+    val la = a.numBytes
+    val lb = b.numBytes
+    // 1-based positions must address a real char in both texts.
+    if (pa < 1 || pb < 1 || pa > la || pb > lb) return 0L
+    val i = pa - 1
+    val j = pb - 1
+    if (a.getByte(i) != b.getByte(j)) return 0L
+    var lo = 0
+    while (i - lo - 1 >= 0 && j - lo - 1 >= 0 &&
+      a.getByte(i - lo - 1) == b.getByte(j - lo - 1)) lo += 1
+    var hi = 1
+    while (i + hi < la && j + hi < lb &&
+      a.getByte(i + hi) == b.getByte(j + hi)) hi += 1
+    pack(pa - lo, pb - lo, lo + hi)
+  }
 }
 
 case class SpanExtend(first: Expression, second: Expression,
@@ -126,6 +144,52 @@ case class SpanExtend(first: Expression, second: Expression,
   override protected def withNewChildrenInternal(
       newFirst: Expression, newSecond: Expression,
       newThird: Expression, newFourth: Expression): SpanExtend =
+    copy(first = newFirst, second = newSecond,
+      third = newThird, fourth = newFourth)
+}
+
+/** `span_extend_ascii` — the ASCII-hinted twin of [[SpanExtend]] (r15
+  * optimization): identical signature and packing, but the generated
+  * code calls [[SpanExtend.extendAscii]], skipping the per-call
+  * full-document `isFullAscii` scans. ONLY for call sites that guard on
+  * per-document ASCII flags (`length(text) = octet_length(text)`), as
+  * `DedupQueries.extendSeeds` / `crossSpansFromFps` do with
+  * `when(ascii_a AND ascii_b, span_extend_ascii(...))
+  *  .otherwise(span_extend(...))` — on non-ASCII input this variant
+  * would mis-map byte positions to char positions. SpanDedupSpec pins
+  * hinted == unhinted on ASCII inputs and the guarded composition on a
+  * mixed-script corpus. */
+case class SpanExtendAscii(first: Expression, second: Expression,
+    third: Expression, fourth: Expression) extends QuaternaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ts = Seq(first.dataType, second.dataType, third.dataType, fourth.dataType)
+    if (ts == Seq(StringType, StringType, IntegerType, IntegerType))
+      TypeCheckResult.TypeCheckSuccess
+    else
+      TypeCheckResult.TypeCheckFailure(
+        "span_extend_ascii requires (string, string, int, int), got " +
+          ts.map(_.catalogString).mkString(", "))
+  }
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "span_extend_ascii"
+
+  override def nullable: Boolean =
+    first.nullable || second.nullable || third.nullable || fourth.nullable
+
+  override protected def nullSafeEval(a: Any, b: Any, pa: Any, pb: Any): Any =
+    SpanExtend.extendAscii(a.asInstanceOf[UTF8String],
+      b.asInstanceOf[UTF8String], pa.asInstanceOf[Int], pb.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, pa, pb) =>
+      s"${ev.value} = graft.functions.SpanExtend.extendAscii($a, $b, $pa, $pb);")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression, newFourth: Expression): SpanExtendAscii =
     copy(first = newFirst, second = newSecond,
       third = newThird, fourth = newFourth)
 }

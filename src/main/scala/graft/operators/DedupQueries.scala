@@ -1338,15 +1338,31 @@ object DedupQueries {
     * every doc_id the seeds reference. */
   private[graft] def extendSeeds(seeds: DataFrame,
       docs0: DataFrame): DataFrame = {
-    val docs = docs0.select(col("doc_id"), col("text"))
+    // Per-DOCUMENT ASCII flags, computed once on the doc side of the
+    // join (r15): span_extend's internal ASCII/BMP dispatch re-scans
+    // BOTH full documents on EVERY call, and seeds outnumber documents
+    // by ~4 orders of magnitude at sf0.1 (79M seeds, 3k docs) — jstack
+    // sampling put 76% of the extension stage inside that per-call
+    // isFullAscii scan. `length = octet_length` ⟺ every char encodes
+    // to one UTF-8 byte ⟺ full ASCII, evaluated once per doc row; the
+    // per-seed guard is then two broadcast-carried booleans routing to
+    // span_extend_ascii (the scan-free walk). The otherwise branch
+    // keeps the self-checking span_extend, so non-ASCII documents are
+    // exact, just unhinted. Output is bit-identical by construction
+    // (extendAscii IS span_extend's ASCII branch; SpanDedupSpec pins
+    // the composition on a mixed-script corpus).
+    val docs = docs0.select(col("doc_id"), col("text"),
+      (length(col("text")) === expr("octet_length(text)")).as("ascii"))
     val mask = graft.functions.SpanExtend.fieldMax
     seeds
-      .join(docs.select(col("doc_id").as("doc_a"), col("text").as("ta")),
-        Seq("doc_a"))
-      .join(docs.select(col("doc_id").as("doc_b"), col("text").as("tb")),
-        Seq("doc_b"))
+      .join(docs.select(col("doc_id").as("doc_a"), col("text").as("ta"),
+        col("ascii").as("_aa")), Seq("doc_a"))
+      .join(docs.select(col("doc_id").as("doc_b"), col("text").as("tb"),
+        col("ascii").as("_ab")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"), col("ta"),
-        expr("span_extend(ta, tb, pa, pb)").as("p"))
+        when(col("_aa") && col("_ab"),
+          expr("span_extend_ascii(ta, tb, pa, pb)"))
+          .otherwise(expr("span_extend(ta, tb, pa, pb)")).as("p"))
       .where(col("p").bitwiseAND(lit(mask)) >= spanMinLen)
       .select(col("doc_a"), col("doc_b"),
         shiftrightunsigned(col("p"), 42).as("start_a"),
@@ -1535,14 +1551,20 @@ object DedupQueries {
       .select(col("doc_id").as("doc_b"), col("pos").cast("int").as("pb"),
         col("fp"))
     val mask = graft.functions.SpanExtend.fieldMax
+    // Same per-doc ASCII hint as extendSeeds (see there): the flags
+    // ride the text attachments, the guard routes to the scan-free
+    // span_extend_ascii walk.
+    val ascii = length(col("text")) === expr("octet_length(text)")
     rf.join(broadcast(bf), Seq("fp"))
-      .join(rest.select(col("doc_id").as("doc_r"), col("text").as("tr")),
-        Seq("doc_r"))
+      .join(rest.select(col("doc_id").as("doc_r"), col("text").as("tr"),
+        ascii.as("_ar")), Seq("doc_r"))
       .join(broadcast(
-        bench.select(col("doc_id").as("doc_b"), col("text").as("tb"))),
-        Seq("doc_b"))
+        bench.select(col("doc_id").as("doc_b"), col("text").as("tb"),
+          ascii.as("_ab"))), Seq("doc_b"))
       .select(col("doc_r"), col("doc_b"),
-        expr("span_extend(tr, tb, pr, pb)").as("p"))
+        when(col("_ar") && col("_ab"),
+          expr("span_extend_ascii(tr, tb, pr, pb)"))
+          .otherwise(expr("span_extend(tr, tb, pr, pb)")).as("p"))
       .where(col("p").bitwiseAND(lit(mask)) >= spanMinLen)
       .select(col("doc_r"), col("doc_b"),
         shiftrightunsigned(col("p"), 42).as("start_r"),

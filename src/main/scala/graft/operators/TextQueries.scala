@@ -281,14 +281,41 @@ object TextQueries {
       require(n < (1 << 20),
         s"winnowing supports < 2^20 grams per document, got $n — pre-chunk")
       val ph = new Array[Long](n)
+      // ASCII fast path (r15, guide §1.2 "per-task work"): the loop
+      // below allocated TWO objects per gram (a substring String plus
+      // its UTF8String re-encode) only to hash 8 bytes — for ASCII text
+      // the UTF-8 bytes of every gram are a SLICE of the whole
+      // document's byte encoding, so encode once and hash windows in
+      // place, zero per-gram allocation. Bit-identical by construction:
+      // XXH64 sees the exact same bytes. Non-ASCII keeps the per-gram
+      // encode — a gram boundary can split a surrogate pair, whose
+      // per-substring encoding differs from the whole-string slice, so
+      // the slice shortcut would change hashes there.
+      val len = text.length
+      var ascii = true
+      val bytes = new Array[Byte](len)
+      var j = 0
+      while (ascii && j < len) {
+        val c = text.charAt(j)
+        if (c < 0x80) { bytes(j) = c.toByte; j += 1 } else ascii = false
+      }
       var i = 0
-      while (i < n) {
+      if (ascii) {
+        val base = org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET
+        while (i < n) {
+          val h = org.apache.spark.sql.catalyst.expressions.XXH64
+            .hashUnsafeBytes(bytes, base + i,
+              math.min(i + gram, len) - i, 42L)
+          // Same packing as the declarative form: top 44 hash bits,
+          // 1-based pos in the low 20 (values unique ⇒ strict compares).
+          ph(i) = ((h >>> 20) << 20) | (i + 1).toLong
+          i += 1
+        }
+      } else while (i < n) {
         val u = org.apache.spark.unsafe.types.UTF8String.fromString(
           text.substring(i, math.min(i + gram, text.length)))
         val h = org.apache.spark.sql.catalyst.expressions.XXH64
           .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
-        // Same packing as the declarative form: top 44 hash bits, 1-based
-        // pos in the low 20 (values are unique, so strict compares below).
         ph(i) = ((h >>> 20) << 20) | (i + 1).toLong
         i += 1
       }

@@ -140,9 +140,26 @@ object StreamSpanDedup {
     AppendLog.append(docs, b, id)
     if (abortAfterAppends) throw new IllegalStateException(
       "injected crash after the fingerprint/text segment commits")
+    // Committed fingerprint segments are a few small files each, so a
+    // plain scan packs them into 1–3 input splits (maxPartitionBytes ≫
+    // segment size) — and because every join downstream is a broadcast,
+    // the WHOLE seed-probe + span-extension stage fuses onto those
+    // splits: the fold's dominant work (candidates ∝ fingerprint
+    // collisions — tens of millions of span_extend walks per batch at
+    // sf0.1) ran near-single-threaded (measured: the per-batch span job
+    // was 2.4–2.7 s wall at ~90 ns/seed, i.e. ~1-way). Round-robin
+    // repartition of the two PROBE sides spreads the extension across
+    // the executor cores — a few-MB shuffle of narrow (doc_id, pos, fp)
+    // rows buys full parallelism for the extension stage (guide §2.4:
+    // the exchange is added deliberately, its cost ≪ the stage it
+    // parallelizes). Hot fingerprints spread evenly because ROUND-ROBIN
+    // assigns probe rows, not key hashes (a fp-hash layout would pile
+    // every hot-key probe row onto one task — the §2.5 skew trap).
+    val par = s.sparkContext.defaultParallelism
     val segFps = AppendLog.segment(s, fpidx, id).getOrElse(
       throw new IllegalStateException(s"segment seg$id missing post-append"))
-    val priorFps = AppendLog.readBefore(s, fpidx, id)
+      .repartition(par)
+    val priorFps = AppendLog.readBefore(s, fpidx, id).map(_.repartition(par))
     val batchDocs = AppendLog.segment(s, docs, id).getOrElse(
       throw new IllegalStateException(s"doc seg$id missing post-append"))
     val corpus = AppendLog.readBefore(s, docs, id)

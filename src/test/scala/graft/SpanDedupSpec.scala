@@ -327,6 +327,51 @@ class SpanDedupSpec extends AnyFunSuite with SparkFixture {
     assert(viaCodegen == viaEval)
   }
 
+  test("span_extend_ascii equals span_extend on ASCII; the per-doc " +
+      "ASCII-gated extension is exact on a mixed-script corpus") {
+    import org.apache.spark.sql.functions._
+    // The r15 hinted variant skips the per-call full-document ASCII
+    // scan; on ASCII inputs it must be bit-equal to the self-checking
+    // form, both through SQL resolution (codegen) and the static.
+    val rnd = new scala.util.Random(99)
+    def mk(n: Int): String =
+      Seq.fill(n)("abXY "(rnd.nextInt(5))).mkString
+    val cases = (1 to 200).map { _ =>
+      val core = mk(1 + rnd.nextInt(12))
+      val s = mk(rnd.nextInt(6)) + core + mk(rnd.nextInt(6))
+      val t = mk(rnd.nextInt(6)) + core + mk(rnd.nextInt(6))
+      (s, t, 1 + rnd.nextInt(s.length), 1 + rnd.nextInt(t.length))
+    }
+    cases.foreach { case (s, t, pa, pb) =>
+      assert(SpanExtend.extendAscii(UTF8String.fromString(s),
+        UTF8String.fromString(t), pa, pb) ==
+        SpanExtend.extend(UTF8String.fromString(s),
+          UTF8String.fromString(t), pa, pb))
+    }
+    val viaSql = cases.toDF("a", "b", "pa", "pb")
+      .select(expr("span_extend_ascii(a, b, pa, pb)"),
+        expr("span_extend(a, b, pa, pb)"))
+      .collect()
+    viaSql.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    // The guarded extendSeeds composition (when(ascii) hinted, otherwise
+    // self-checking) on a corpus MIXING ASCII and non-ASCII documents:
+    // a shared run between two ASCII docs, between an ASCII and a
+    // non-ASCII doc, and between two non-ASCII docs must all come out
+    // exactly as the unhinted spansOf reports them.
+    val run = "the quick shared span of at least fifty characters padding!"
+    val mixed = Seq(
+      1L -> s"ascii head $run ascii tail one",
+      2L -> s"other ascii ${run} trailing text",
+      3L -> s"é-prefixed non-ascii $run suffix λ",
+      4L -> s"ß second non-ascii $run tail 中")
+    val got = spans(mixed)
+    assert(got == bruteSpans(mixed, DedupQueries.spanMinLen),
+      s"mixed-script guarded pipeline diverged from brute force: $got")
+    // All 6 pairs share `run`, so every pair must report something.
+    assert(got.map(r => (r._1, r._2)).size == 6,
+      s"expected all 6 pairs reported, got $got")
+  }
+
   // ---- crossSpans / q_contamination_spans ----
 
   /** Brute cross-side reference: maximal runs >= minLen between every
