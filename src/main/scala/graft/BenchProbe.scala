@@ -28,6 +28,8 @@ object BenchProbe {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     case class J(id: Int, var desc: String, t0: Long, var t1: Long,
@@ -43,9 +45,9 @@ object BenchProbe {
           if (recording.get()) {
             val d = Option(e.properties)
               .flatMap(p => Option(p.getProperty("spark.job.description")))
-              .orElse(Option(e.properties)
-                .flatMap(p => Option(p.getProperty("callSite.short"))))
-              .getOrElse("")
+              .filter(_.nonEmpty)
+              .getOrElse(e.stageInfos.map(_.name.takeWhile(_ != '\n'))
+                .distinct.mkString(" | ").take(140))
             jobs.put(e.jobId,
               J(e.jobId, d, e.time, e.time, e.stageIds.size, 0))
             ()

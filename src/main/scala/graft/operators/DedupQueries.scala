@@ -38,6 +38,55 @@ object DedupQueries {
            |  sequence(1, greatest(size($wordsCol) - ${size - 1}, 1)),
            |  i -> concat_ws(' ', slice($wordsCol, i, $size)))""".stripMargin)
 
+    /** Typed twin of `lower → split(' ') → [[of]]`, for per-batch
+      * STREAMING callers (r15, guide §1.2 "per-task work"): the
+      * declarative form hides a quadratic trap — CollapseProject
+      * inlines the `split(lower(text), ' ')` words column into the
+      * interpreted `transform` lambda, so every shingle ELEMENT
+      * re-runs the full regex split of its document (~50× per doc;
+      * jstack sampling put two thirds of the streaming banding stage
+      * inside UTF8String.split). Batch rows amortize it through the
+      * persisted [[Shingled]] stage; a per-batch fold cannot. This
+      * port runs each document once through THE SAME engine
+      * primitives — UTF8String.toLowerCase, UTF8String.split (the
+      * exact StringSplit eval call), then the slice/concat_ws window
+      * join — so its output is bit-identical to the declarative
+      * column (ShingleSpec pins equality on the fixture corpus plus
+      * empty/multi-space/short/non-ASCII edges). */
+    def shingleArray(text: org.apache.spark.unsafe.types.UTF8String)
+        : Array[String] = {
+      val words = text.toLowerCase
+        .split(org.apache.spark.unsafe.types.UTF8String.fromString(" "), -1)
+      val n = math.max(words.length - (size - 1), 1)
+      val out = new Array[String](n)
+      var i = 0
+      while (i < n) {
+        val upper = math.min(i + size, words.length)
+        val sb = new java.lang.StringBuilder
+        var j = i
+        while (j < upper) {
+          if (j > i) sb.append(' ')
+          sb.append(words(j).toString)
+          j += 1
+        }
+        out(i) = sb.toString
+        i += 1
+      }
+      out
+    }
+
+    /** (doc_id, text) → (doc_id, sh) through [[shingleArray]]. */
+    def typed(df: DataFrame): DataFrame = {
+      val spark = df.sparkSession
+      import spark.implicits._
+      df.select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          (id, shingleArray(
+            org.apache.spark.unsafe.types.UTF8String.fromString(text)).toSeq)
+        })
+        .toDF("doc_id", "sh")
+    }
+
     /** The same shingle list in DuckDB SQL (w = string_split(text)). */
     def sql(words: String): String =
       s"""list_transform(range(1, greatest(len($words) - ${size - 1}, 1) + 1),
@@ -208,12 +257,13 @@ object DedupQueries {
         .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
     }
 
-    /** doc (doc_id, text) → band keys; shingles derived inline (spec path —
-      * catalog queries feed [[Shingled]] via the FromShingles variant). */
+    /** doc (doc_id, text) → band keys; shingles derived inline via the
+      * typed per-doc shingler (the streaming folds' per-batch path —
+      * catalog batch queries feed [[Shingled]] via the FromShingles
+      * variant; see [[Shingles.shingleArray]] for why the declarative
+      * inline form is quadratic here). */
     def bandKeys(df: DataFrame): DataFrame =
-      bandKeysFromShingles(
-        df.withColumn("w", split(lower(col("text")), " "))
-          .select(col("doc_id"), Shingles.of("w").as("sh")))
+      bandKeysFromShingles(Shingles.typed(df))
 
     /** Distinct candidate pairs (doc_a < doc_b) from any band collision. */
     def candidatePairsFromShingles(preShingled: DataFrame): DataFrame = {

@@ -23,6 +23,20 @@ private[graft] object FoldReplay {
     val prevP = s.conf.get(pKey)
     s.conf.set(pKey,
       s.conf.get("spark.graft.replay.shufflePartitions", shufflePartitions))
+    // AQE off for the fold's micro-batch jobs (r15, scoped + restored):
+    // each per-batch state write is a SMALL bounded job, and AQE turns
+    // every one into a stage-by-stage sequence of jobs with a driver
+    // re-optimization between them — measured ~3 jobs per AppendLog
+    // write at fixture scale, with the inter-job driver gaps rivaling
+    // the task time (BenchProbe: job-time 2.9 s vs 4+ s of gaps per
+    // corpus-dedup rep). The replay already pins shuffle partitions to
+    // state size by hand, which is the decision AQE would be making.
+    // Overridable (spark.graft.replay.aqe) for deployments whose
+    // per-batch volumes are big enough that runtime re-optimization
+    // pays for its scheduling latency.
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val prevAqe = s.conf.get(aqeKey)
+    s.conf.set(aqeKey, s.conf.get("spark.graft.replay.aqe", "false"))
     try {
       var w = src.writeStream.trigger(Trigger.AvailableNow())
       checkpoint.foreach(c => w = w.option("checkpointLocation", c))
@@ -32,6 +46,9 @@ private[graft] object FoldReplay {
         throw new IllegalStateException(
           s"$name replay did not finish within 300 s")
       }
-    } finally s.conf.set(pKey, prevP)
+    } finally {
+      s.conf.set(pKey, prevP)
+      s.conf.set(aqeKey, prevAqe)
+    }
   }
 }

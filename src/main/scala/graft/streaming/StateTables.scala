@@ -171,6 +171,25 @@ private[graft] object Snapshot {
       .foreach(st => fs.delete(st.getPath, true))
   }
 
+  /** Output-file sizing for state-table commits (r15, guide §6): the
+    * local state tables are KB-sized, and writing them at the fold's
+    * shuffle-partition count produced 4–8 tiny files per commit — each
+    * file costing its own create + rename + permission round trips,
+    * which on a native-lib-less local Hadoop FORK A SHELL per
+    * permission op (jstack: RawLocalFileSystem.setPermission → chmod,
+    * FileUtil.readLink → readlink; ~860 forks per corpus-dedup rep).
+    * One file per commit is the right layout for state-bounded tables
+    * at any scale; a deployment whose per-batch segments are large
+    * sizes them with spark.graft.state.writePartitions (the lakehouse
+    * target-file-size knob). repartition, not coalesce: coalesce would
+    * collapse the upstream fold's parallelism into the single write
+    * task. */
+  def sized(df: DataFrame): DataFrame = {
+    val n = df.sparkSession.conf
+      .get("spark.graft.state.writePartitions", "1").toInt
+    if (n <= 0) df else df.repartition(n)
+  }
+
   /** Recursive delete through the resolved FileSystem; a no-op when
     * the path does not exist. */
   def deleteRecursively(path: String): Unit = {
@@ -244,7 +263,7 @@ private[graft] object MonoidTable {
       // The new version reads the committed one while writing — no
       // delete-before-write hazard, so no localCheckpoint lineage break
       // (the old overwrite discipline needed one).
-      m.withColumn("_bid", lit(id))
+      Snapshot.sized(m.withColumn("_bid", lit(id)))
         .write.mode("overwrite").parquet(Snapshot.versionPath(state, v))
       // Non-table manifest keys (GDPR-erasure fences) ride along,
       // repointed at the new version (a fence is a marker — left on an
@@ -284,7 +303,8 @@ private[graft] object MonoidTable {
       fenceKeys: Set[String] = Set.empty): Unit = {
     val prior = Snapshot.currentManifest(state).getOrElse(Map.empty)
     val v = Snapshot.nextVersion(state)
-    df.write.mode("overwrite").parquet(Snapshot.versionPath(state, v))
+    Snapshot.sized(df).write.mode("overwrite")
+      .parquet(Snapshot.versionPath(state, v))
     // Every key — table, new fences, PRIOR fences — repoints at the
     // new version: a fence is a marker, not a data reference, and one
     // left on an old directory would pin it past the retention window.
@@ -335,7 +355,8 @@ private[graft] object AppendLog {
       else Snapshot.currentManifest(state).getOrElse(Map.empty)
     if (!prev.contains(s"seg$id")) {
       val v = Snapshot.nextVersion(state)
-      batch.write.mode("overwrite").parquet(Snapshot.versionPath(state, v))
+      Snapshot.sized(batch).write.mode("overwrite")
+        .parquet(Snapshot.versionPath(state, v))
       Snapshot.commit(state, prev + (s"seg$id" -> v))
     }
   }
@@ -363,7 +384,8 @@ private[graft] object AppendLog {
     if (manifest.values.toSet.size > 1) {
       val all = read(s, state).get
       val v = Snapshot.nextVersion(state)
-      all.write.mode("overwrite").parquet(Snapshot.versionPath(state, v))
+      Snapshot.sized(all).write.mode("overwrite")
+        .parquet(Snapshot.versionPath(state, v))
       Snapshot.commit(state, manifest.keys.map(_ -> v).toMap)
     }
   }
@@ -384,7 +406,7 @@ private[graft] object AppendLog {
     if (manifest.nonEmpty) {
       val all = read(s, state).get
       val v = Snapshot.nextVersion(state)
-      keep(all).write.mode("overwrite")
+      Snapshot.sized(keep(all)).write.mode("overwrite")
         .parquet(Snapshot.versionPath(state, v))
       Snapshot.commit(state,
         (manifest.keys ++ fenceKeys).map(_ -> v).toMap)
