@@ -334,9 +334,13 @@ object Bench {
     // q_vec_index_refit and q_vec_pq_refit run a streaming replay
     // (FoldReplay's scoped shuffle-partitions set/restore) inside a
     // batch-named row — same hazard, same sequential-only treatment.
+    // The label-propagation dedup rows, kcore and pagerank joined in
+    // r16: their loops scope an AQE disable (Dsl.withoutAqeForLoop).
     val confMutating = Set("q_join_bloom_filtered",
       "q_vec_knn_graph", "q_vec_knn_graph_batch", "q_vec_index_refit",
-      "q_vec_pq_refit")
+      "q_vec_pq_refit",
+      "q_dedup_components", "q_dedup_cluster_sizes", "q_dedup_canonical",
+      "q_graph_kcore")
     def parallelSafe(name: String): Boolean =
       !name.startsWith("q_stream_") && !confMutating(name)
     // Snapshot the WHOLE runtime conf before any warm work: the leak

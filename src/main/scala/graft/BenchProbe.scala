@@ -37,6 +37,11 @@ object BenchProbe {
       durs: scala.collection.mutable.ArrayBuffer[Long] =
         scala.collection.mutable.ArrayBuffer.empty)
     val jobs = new java.util.concurrent.ConcurrentHashMap[Int, J]
+    // Tasks attribute to their job through the stageId→jobId map each
+    // JobStart declares (r15 advice: "latest job" attribution landed
+    // tasks on the wrong job whenever jobs overlap — AQE stage-by-stage
+    // and streaming folds, exactly the multi-job rows this tool probes).
+    val stageJob = new java.util.concurrent.ConcurrentHashMap[Int, Int]
     val recording = new java.util.concurrent.atomic.AtomicBoolean(false)
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
@@ -50,6 +55,7 @@ object BenchProbe {
                 .distinct.mkString(" | ").take(140))
             jobs.put(e.jobId,
               J(e.jobId, d, e.time, e.time, e.stageIds.size, 0))
+            e.stageIds.foreach(sid => stageJob.put(sid, e.jobId))
             ()
           }
         override def onJobEnd(
@@ -59,12 +65,12 @@ object BenchProbe {
         }
         override def onTaskEnd(
             e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
-          import scala.jdk.CollectionConverters._
-          jobs.values().asScala.toSeq.sortBy(-_.id).headOption
-            .foreach { j =>
-              j.tasks += 1
-              if (e.taskInfo != null) j.durs += e.taskInfo.duration
-            }
+          val jid = stageJob.get(e.stageId)
+          val j = if (stageJob.containsKey(e.stageId)) jobs.get(jid) else null
+          if (j != null) {
+            j.tasks += 1
+            if (e.taskInfo != null) j.durs += e.taskInfo.duration
+          }
         }
       })
     val fn = SparkEntry.queries.getOrElse(name,
@@ -74,10 +80,20 @@ object BenchProbe {
     val reps = sys.env.getOrElse("SPARK_GRAFT_PROBE_REPS", "2").toInt
     (1 to reps).foreach { r =>
       jobs.clear()
+      stageJob.clear()
       recording.set(true)
       val t0 = System.nanoTime()
       fn(spark, sfDir).count()
       val wall = (System.nanoTime() - t0) / 1e9
+      // Drain the async listener bus before reading: tail task/jobEnd
+      // events otherwise drop or bleed into the next rep (r15 advice).
+      // listenerBus is private[spark] — reflection, with a bounded
+      // sleep as the can't-resolve fallback (diagnostic tool only).
+      try {
+        val sc = spark.sparkContext
+        val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+        bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
+      } catch { case _: Throwable => Thread.sleep(300) }
       recording.set(false)
       import scala.jdk.CollectionConverters._
       val js = jobs.values().asScala.toSeq.sortBy(_.t0)

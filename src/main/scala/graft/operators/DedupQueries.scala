@@ -75,14 +75,21 @@ object DedupQueries {
       out
     }
 
-    /** (doc_id, text) → (doc_id, sh) through [[shingleArray]]. */
+    /** (doc_id, text) → (doc_id, sh) through [[shingleArray]]. A null
+      * text shingles like the EMPTY text — [""] — because that is what
+      * the declarative column computes (split(lower(null)) is null, but
+      * greatest(size(null)−2, 1) = 1 and concat_ws skips the null
+      * slice, so the HOF emits one empty shingle; ShingleSpec pins the
+      * equality). Before the guard, fromString(null) NPE'd the whole
+      * fold (r15 advice). */
     def typed(df: DataFrame): DataFrame = {
       val spark = df.sparkSession
       import spark.implicits._
       df.select(col("doc_id"), col("text")).as[(Long, String)]
         .mapPartitions(_.map { case (id, text) =>
           (id, shingleArray(
-            org.apache.spark.unsafe.types.UTF8String.fromString(text)).toSeq)
+            org.apache.spark.unsafe.types.UTF8String.fromString(
+              if (text == null) "" else text)).toSeq)
         })
         .toDF("doc_id", "sh")
     }
@@ -537,7 +544,12 @@ object DedupQueries {
     * @return (doc_id, canon_id) — canon_id = component minimum
     */
   object Components {
-    def labels(vertices: DataFrame, pairs: DataFrame): DataFrame = {
+    def labels(vertices: DataFrame, pairs: DataFrame): DataFrame =
+      // AQE off for the loop (r16, Dsl.withoutAqeForLoop): every round
+      // is a pre-sized bounded job; the per-stage re-optimization gaps
+      // cost more than they buy here. Callers sit in Bench's
+      // sequential-warm set.
+      graft.Dsl.withoutAqeForLoop(vertices.sparkSession) {
       val u = col("u"); val v = col("v")
       val edges = pairs.select(u, v)
         .union(pairs.select(v.as("u"), u.as("v")))
@@ -549,14 +561,27 @@ object DedupQueries {
         var changed = 1L
         var iter = 0
         while (changed > 0 && iter < 25) {
-          val prop = edges.join(labels, edges("u") === labels("doc_id"))
+          // ONE materialization per round (r16, guide §2.4): the old
+          // shape re-joined `next` against `labels` for the changed
+          // count — a second keyed shuffle pair and a second job per
+          // round. Fold the change FLAG into the propagation instead:
+          // next = min(own label, min over in-neighbors' labels) via a
+          // left join (labels is one row per doc, so this equals the
+          // union+groupBy-min form), carry `chg` alongside, checkpoint
+          // once, and count the flags on the already-materialized
+          // frame (a shuffle-free scan of the checkpointed rows).
+          val propMin = edges.join(labels, edges("u") === labels("doc_id"))
             .select(edges("v").as("doc_id"), col("canon_id"))
-          val next = labels.union(prop)
-            .groupBy(col("doc_id")).agg(min(col("canon_id")).as("canon_id"))
+            .groupBy(col("doc_id")).agg(min(col("canon_id")).as("pmin"))
+          val next = labels.join(propMin, Seq("doc_id"), "left_outer")
+            .select(col("doc_id"),
+              least(col("canon_id"),
+                coalesce(col("pmin"), col("canon_id"))).as("canon_id"),
+              (coalesce(col("pmin"), col("canon_id")) < col("canon_id"))
+                .as("chg"))
             .localCheckpoint(true)
-          changed = next.as("n").join(labels.as("o"), "doc_id")
-            .where(col("n.canon_id") =!= col("o.canon_id")).count()
-          labels = next
+          changed = next.where(col("chg")).count()
+          labels = next.select(col("doc_id"), col("canon_id"))
           iter += 1
         }
         require(changed == 0,

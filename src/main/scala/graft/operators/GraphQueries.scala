@@ -275,13 +275,19 @@ object GraphQueries {
     (s, dir) => {
       import s.implicits._
       val (nodes, e, deg, nn) = prGraph(s, edges(s, dir))
-      // Deliberately UN-checkpointed, unlike the bfs/kcore rows: the
-      // whole 3-round recurrence plans as ONE job whose repeated
-      // rank/edge subplans deduplicate through exchange reuse —
-      // measured 2.4 s; eager per-round localCheckpoint forces the
+      // Deliberately UN-checkpointed per round, unlike the bfs/kcore
+      // rows: the whole 3-round recurrence plans as ONE query whose
+      // repeated rank/edge subplans deduplicate through exchange reuse
+      // — measured 2.4 s; eager per-round localCheckpoint forces the
       // graph-input stages to re-materialize per round and regressed
       // the row to 7.7 s. (The production loop still checkpoints —
       // unbounded round counts need bounded lineage.)
+      // r16 probe: a final eager localCheckpoint (to scope AQE off
+      // around the execution) regressed the row to 16 s — the RDD
+      // materialization path loses the exchange-reuse dedup that makes
+      // the lazy one-query form 2.4 s — so this row deliberately stays
+      // lazy with AQE on (its 18 stage-jobs cost less than losing
+      // reuse; measured, not assumed).
       var ranks = nodes.select($"node", lit(1000000L).as("pr"))
       for (_ <- 1 to 3)
         ranks = prRound(s, nodes, e, deg, nn, ranks)
@@ -836,8 +842,14 @@ object GraphQueries {
       // edge set FOUR times (degree union ×2 + two semi joins), so an
       // unrolled chain re-derives round 1 4³ = 64 times by round 3 —
       // measured 29 s vs 1 s at sf0.1. Values unchanged.
-      var e = coEdges(s, dir)
-      for (_ <- 1 to 3) e = kcorePeel(s, e, 2).localCheckpoint(true)
+      // AQE off for the peel loop (r16, Dsl.withoutAqeForLoop): each
+      // peel is a pre-sized bounded job; the per-stage re-optimization
+      // gaps measured 3.04 → 1.79 s on idle 32 cores. Values unchanged.
+      val e = graft.Dsl.withoutAqeForLoop(s) {
+        var e0 = coEdges(s, dir)
+        for (_ <- 1 to 3) e0 = kcorePeel(s, e0, 2).localCheckpoint(true)
+        e0
+      }
       nbOf(s, e).groupBy($"ctr").agg(count(lit(1)).as("deg"))
         .select($"ctr".as("node"), $"deg")
         .orderBy($"node")

@@ -71,20 +71,59 @@ object RecursiveQueries {
           .cast(LongType))
         .coalesce(1).localCheckpoint()
       seq.createOrReplaceTempView("rec_seq_v")
-      // Same recursion text as the twin modulo the view name and div
-      // spelling (Spark `div`, DuckDB `//` — both truncate toward zero).
+      // BLOCKED recursion (r16, guide §1.2 "the distributed algorithm"):
+      // Spark executes each recursive step as its own job, so the
+      // day-per-step form paid ~150 job round-trips of pure scheduling
+      // for microseconds of work each (BenchProbe: 159 jobs, 2.8 s of
+      // job time under 4–5 s of inter-job driver gaps). One step now
+      // advances a BLOCK of 16 days: the bounded seq table is
+      // pre-grouped into per-type blocks of (i, day, y) triples
+      // (i ≥ 2; block b = (i−2) div 16, i-sorted), and the recursive
+      // term folds a block with `aggregate` — the SAME truncating Long
+      // recurrence nav_i = nav_{i−1}·(10⁶ + (y_i − y_{i−1})·10⁶ div
+      // y_{i−1}) div 10⁶ applied element-by-element in i order inside
+      // ONE codegen'd expression — carrying every day's nav out in an
+      // array the outer SELECT explodes. Rounds drop from ~150 to
+      // ~⌈149/16⌉ ≈ 10 with bit-identical per-day values (the fold IS
+      // the old per-step join sequence, reassociated over nothing —
+      // each step still reads exactly its predecessor's y and v).
+      val blockDays = 16
+      seq.where($"i" >= 2)
+        .groupBy($"event_type",
+          expr(s"(i - 2) div $blockDays").as("b"))
+        .agg(sort_array(collect_list(struct($"i", $"day", $"y"))).as("ys"))
+        .coalesce(1).localCheckpoint()
+        .createOrReplaceTempView("rec_blk_v")
+      val outT = "ARRAY<STRUCT<i: BIGINT, day: DATE, y: BIGINT, v: BIGINT>>"
+      val navStep =
+        "acc.v * (1000000 + (e.y - acc.y) * 1000000 div acc.y) div 1000000"
       s.sql(
-        """WITH RECURSIVE nav(event_type, day, i, y, v) AS (
-          |  SELECT event_type, day, i, y, CAST(1000000000 AS BIGINT)
-          |  FROM rec_seq_v WHERE i = 1
-          |  UNION ALL
-          |  SELECT /*+ BROADCAST(s) */ s.event_type, s.day, s.i, s.y,
-          |    n.v * (1000000 + (s.y - n.y) * 1000000 div n.y) div 1000000
-          |  FROM nav n JOIN rec_seq_v s
-          |    ON s.event_type = n.event_type AND s.i = n.i + 1)
-          |SELECT event_type, day, y AS day_cents, v AS nav_micro
-          |FROM nav
-          |ORDER BY event_type, day""".stripMargin)
+        s"""WITH RECURSIVE nav(event_type, b, y, v, outs) AS (
+           |  SELECT event_type, CAST(-1 AS BIGINT), y,
+           |    CAST(1000000000 AS BIGINT),
+           |    array(named_struct('i', i, 'day', day, 'y', y,
+           |      'v', CAST(1000000000 AS BIGINT)))
+           |  FROM rec_seq_v WHERE i = 1
+           |  UNION ALL
+           |  SELECT event_type, b, element_at(outs, -1).y,
+           |    element_at(outs, -1).v, outs
+           |  FROM (
+           |    SELECT /*+ BROADCAST(s) */ n.event_type, s.b,
+           |      aggregate(s.ys,
+           |        named_struct('y', n.y, 'v', n.v,
+           |          'outs', CAST(array() AS $outT)),
+           |        (acc, e) -> named_struct(
+           |          'y', e.y,
+           |          'v', $navStep,
+           |          'outs', array_append(acc.outs, named_struct(
+           |            'i', e.i, 'day', e.day, 'y', e.y,
+           |            'v', $navStep)))).outs AS outs
+           |    FROM nav n JOIN rec_blk_v s
+           |      ON s.event_type = n.event_type AND s.b = n.b + 1))
+           |SELECT event_type, o.day AS day, o.y AS day_cents,
+           |  o.v AS nav_micro
+           |FROM nav LATERAL VIEW explode(outs) t AS o
+           |ORDER BY event_type, day""".stripMargin)
     },
     oracle = Some(
       """WITH RECURSIVE daily AS (

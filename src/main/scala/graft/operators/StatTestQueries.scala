@@ -1098,9 +1098,18 @@ object StatTestQueries {
       // are uniform under the same assumption the per-b digest already
       // made (measured 3.8 → ~1 s at sf0.1). The md5 computes BELOW the
       // second explode, once per (row, g).
+      // Repartition BEFORE the fan-out (r16, guide §2.5 input skew):
+      // the events parquet at bench scale is ONE split, so the whole
+      // 64× explode + md5 + partial agg ran as ONE task (BenchProbe:
+      // a 1.7 s single-task job inside a 2.0 s row). The exchange
+      // moves only the narrow (type, id, c) base rows — the 64×
+      // multiplication happens after, spread across the cores — and
+      // sizes itself from the scheduler, not a local constant.
       val weighted = Tables.events(s, dir)
         .select($"event_type", $"event_id",
-          (dec2($"value") * 100).cast(LongType).as("c"),
+          (dec2($"value") * 100).cast(LongType).as("c"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .select($"event_type", $"event_id", $"c",
           explode(sequence(lit(1), lit(8))).as("g"))
         .withColumn("hh", md5(concat($"event_id".cast(StringType),
           lit("-"), $"g".cast(StringType))))

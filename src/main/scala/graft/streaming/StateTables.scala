@@ -190,12 +190,39 @@ private[graft] object Snapshot {
     if (n <= 0) df else df.repartition(n)
   }
 
+  /** PER-ROOT SCHEMA MEMO (r16, guide §2.1 driver gaps): a state-table
+    * parquet read without an explicit schema launches a footer-read
+    * JOB during DataFrame construction — BenchProbe counted 2–4 such
+    * one-task ~25 ms jobs (plus their planning gaps) per micro-batch
+    * across every streaming fold. A root's schema is fixed by the
+    * fold's code, so the first read per JVM infers and memoizes it and
+    * every later read passes it explicitly (no job, listing stays
+    * driver-side). METADATA only — never rows; invalidated when the
+    * root is deleted ([[deleteRecursively]]), the one path specs use
+    * to rebuild a root with a different shape. */
+  private val schemaMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.types.StructType]
+
+  def readStateParquet(s: SparkSession, root: String,
+      dirs: Seq[String]): DataFrame = {
+    val known = schemaMemo.get(root)
+    if (known != null) s.read.schema(known).parquet(dirs: _*)
+    else {
+      val df = s.read.parquet(dirs: _*)
+      schemaMemo.put(root, df.schema)
+      df
+    }
+  }
+
   /** Recursive delete through the resolved FileSystem; a no-op when
-    * the path does not exist. */
+    * the path does not exist. Invalidates the schema/bid memos for the
+    * root and anything under it. */
   def deleteRecursively(path: String): Unit = {
     val p = new HPath(path)
     val fs = fsOf(p)
     if (fs.exists(p)) fs.delete(p, true)
+    schemaMemo.keySet.removeIf((k: String) => k.startsWith(path))
+    MonoidTable.invalidateBidMemo(path)
   }
 
   /** Recursive copy through the resolved FileSystems (the state-clone
@@ -232,6 +259,26 @@ private[graft] object MonoidTable {
   private def currentDir(root: String): Option[String] =
     Snapshot.currentManifest(root).flatMap(_.get(Key))
       .map(Snapshot.versionPath(root, _))
+
+  /** LAST-MERGED-BATCH MEMO (r16): the `_bid` fence stays embedded in
+    * the committed data (the crash-safety design is untouched), but
+    * re-READING it cost every id>0 merge a footer job + a one-row
+    * scalar action before the write — two driver round trips per
+    * micro-batch, per monoid row. The memo records (committed version
+    * dir, bid) AFTER each successful [[Snapshot.commit]]; a merge whose
+    * manifest still points at that exact version dir skips the
+    * re-read. Any path that changes the manifest underneath (GDPR
+    * [[publish]], a fresh JVM, a spec rebuilding the root) fails the
+    * version-dir check and falls back to reading the fence from the
+    * data — the memo can never claim a bid the manifest does not
+    * carry. */
+  private val bidMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]
+
+  private[streaming] def invalidateBidMemo(pathPrefix: String): Unit = {
+    bidMemo.keySet.removeIf((k: String) => k.startsWith(pathPrefix))
+    ()
+  }
 
   /** Merge one micro-batch's pre-aggregated partials into the keyed
     * state table. All non-key columns must be sum-mergeable (the monoid

@@ -38,6 +38,16 @@ class ShingleSpec extends AnyFunSuite with SparkFixture {
     assert(typed(rows) == declarative(rows))
   }
 
+  test("null text shingles like the declarative column (r15 advice)") {
+    // fromString(null) NPE'd the whole fold before the guard. The
+    // declarative column maps a null text to [""] (concat_ws skips the
+    // null slice) — exactly the empty-text shape; pin both paths.
+    val rows = Seq(1L -> "a real document here", 2L -> null, 3L -> "")
+    val t = typed(rows)
+    assert(t == declarative(rows))
+    assert(t(2L) == Seq(""))
+  }
+
   test("typed shingles equal the declarative column on the fixture corpus") {
     val docs = Tables.documents(spark, sfDir)
       .select($"doc_id", $"text").collect()
